@@ -1,0 +1,67 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query set = the performance-representative subset (scan+agg, joins,
+window replication, ordinal machinery) — not every correctness query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "rel_q1_pricing_summary",
+    "rel_q3_top_revenue",
+    "rel_q5_nation_revenue",
+    "rel_topk_per_segment",
+    "sem_sort_stable",
+    "sem_filter_rebases_idx",
+    "agg_skew_kurt",
+    "agg_quantiles",
+    "grp_frequency_profile",
+    "win_tumble",
+    "win_slide",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from semantic_cpp_spark import registry
+    from semantic_cpp_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = registry.queries()
+
+    # Warm the JVM + parquet footers with one cheap action.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink materialises every column (count() would let Catalyst
+        # prune the aggregate expressions away).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

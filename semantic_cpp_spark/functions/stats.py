@@ -1,0 +1,108 @@
+"""Statistical aggregate expression builders (reference collector.h, SURVEY §2.5).
+
+Where Spark built-ins match the reference semantics we use them
+(var_pop, stddev_pop, exact percentile); where formulas differ
+(skewness/kurtosis are SAMPLE-adjusted in the reference while Spark's
+builtins are population estimators) we compose the reference formula from
+sum/avg/stddev_pop primitives — still fully JVM-side partial+final
+aggregation, one shuffle, no UDFs.
+
+All builders return Column aggregate expressions usable in ``df.agg`` /
+``groupBy().agg``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def summate(col: Column) -> Column:
+    """useSummate (reference collector.h:488-506)."""
+    return F.sum(col)
+
+
+def average_or_zero(col: Column) -> Column:
+    """useAverage: empty stream → 0, not null (reference collector.h:520-524)."""
+    return F.coalesce(F.avg(col), F.lit(0.0))
+
+
+def value_range(col: Column) -> Column:
+    """useRange collector: max − min (reference collector.h:546-602).
+
+    The reference treats (0,0) min/max as its empty sentinel — a genuine
+    bug for all-zero streams (collector.h:553, :562-565); we implement the
+    sane max-min and document the deviation (SURVEY §7.4)."""
+    return F.max(col) - F.min(col)
+
+
+def variance_pop(col: Column) -> Column:
+    """useVariance: POPULATION variance, Welford+Chan in the reference
+    (collector.h:688-760) == Spark var_pop's partial/merge scheme."""
+    return F.var_pop(col)
+
+
+def stddev_pop(col: Column) -> Column:
+    """useStandardDeviation: population stddev (reference collector.h:762-836)."""
+    return F.stddev_pop(col)
+
+
+def median_exact(col: Column) -> Column:
+    """useMedian: exact midpoint-average (reference collector.h:2205-2249).
+    Spark `percentile` (exact, linear interpolation) matches the
+    even-n average rule at p=0.5."""
+    return F.percentile(col, F.lit(0.5))
+
+
+def percentile_exact(col: Column, p: float) -> Column:
+    """usePercentile: exact linear interpolation on rank p/100·(n−1)
+    (reference collector.h:2279-2335) — Spark's exact `percentile` uses the
+    identical rule (and so does DuckDB quantile_cont)."""
+    if not 0.0 <= p <= 100.0:
+        raise ValueError("percentile must be in [0, 100]")  # collector.h:2282
+    return F.percentile(col, F.lit(p / 100.0))
+
+
+def skewness_ref(col: Column) -> Column:
+    """useSkewness: sample-adjusted Fisher–Pearson
+    ``n/((n−1)(n−2)) · Σ((x−μ)/s)³`` with s = POPULATION stddev;
+    n<3 → 0 (reference collector.h:3065-3145). Spark's builtin computes
+    population g1 = m3/m2^1.5 — different formula, hence composed here."""
+    n = F.count(col).cast("double")
+    mu = F.avg(col)
+    s = F.stddev_pop(col)
+    m3 = F.sum(F.pow(col, 3)) - 3 * mu * F.sum(F.pow(col, 2)) + 2 * F.pow(mu, 3) * F.count(col)
+    g = (n / ((n - 1) * (n - 2))) * (m3 / F.pow(s, 3))
+    return F.when((F.count(col) < 3) | (s == 0), F.lit(0.0)).otherwise(g)
+
+
+def kurtosis_ref(col: Column) -> Column:
+    """useKurtosis: sample-adjusted EXCESS kurtosis
+    ``n(n+1)(n−1)·Σd⁴ / ((n−2)(n−3)·s⁴·n²) − 3(n−1)²/((n−2)(n−3))``
+    with s = population stddev; n<4 → 0 (reference collector.h:3147-3239)."""
+    cnt = F.count(col)
+    n = cnt.cast("double")
+    mu = F.avg(col)
+    s = F.stddev_pop(col)
+    # Σ(x−μ)⁴ expanded to power sums (single pass, partial-aggregatable).
+    s1 = F.sum(col)
+    s2 = F.sum(F.pow(col, 2))
+    s3 = F.sum(F.pow(col, 3))
+    s4 = F.sum(F.pow(col, 4))
+    m4 = s4 - 4 * mu * s3 + 6 * F.pow(mu, 2) * s2 - 4 * F.pow(mu, 3) * s1 + F.pow(mu, 4) * n
+    term = (n * (n + 1) * (n - 1) * m4) / ((n - 2) * (n - 3) * F.pow(s, 4) * F.pow(n, 2))
+    adj = 3 * F.pow(n - 1, 2) / ((n - 2) * (n - 3))
+    return F.when((cnt < 4) | (s == 0), F.lit(0.0)).otherwise(term - adj)
+
+
+def mode_deterministic(col: Column, idx: Column) -> Column:
+    """useMode: most frequent value (reference collector.h:2251-2277 — its
+    phasor-magnitude trick reduces to occurrence count for integer
+    indices; ties there are unordered_map-order nondeterministic).
+    We pin the tie-break deterministically: smallest value wins.
+    Single-expression form for ungrouped use; for grouped use prefer the
+    two-level groupBy pipeline in operators.collectors."""
+    # mode() builtin is non-deterministic on ties; use max_by over
+    # (count, -value) pairs built from a collected map — small-cardinality
+    # only. Callers with big data use the groupBy pipeline instead.
+    raise NotImplementedError("use operators.collectors.mode_df (groupBy pipeline)")

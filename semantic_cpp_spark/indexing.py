@@ -1,0 +1,155 @@
+"""Dense global ordinal assignment — the ``__idx`` column.
+
+The reference models every stream as ``(element, Timestamp index)`` pairs
+(reference function.h:11, :53-57); the index is a first-class mutable
+coordinate (reverse negates it, translate shifts it, findAt looks it up —
+reference semantic.h:1448-1461, :1577-1590; collector.h:859-910). Our engine
+carries it as a LongType column ``__idx``, dense 0..n-1 at every re-based
+boundary.
+
+Scale design (SURVEY.md §7 hard-part 1): a global ``row_number()`` window
+funnels all rows through ONE task — unusable at 100 TB. Two scalable
+strategies, both the classic zipWithIndex scheme (per-split counts →
+cumulative offsets → local rank + offset) in pure DataFrame ops — no RDD
+round-trip, no Python serialization, every row produced once:
+
+- "bucket" (preferred, fully deterministic): requires a single NUMERIC
+  total-order key. Split = the logical bucket ``floor(key / width)`` —
+  derived from DATA, not physical partitioning, so the per-bucket counts
+  job and the final job agree by construction with no caching. One shuffle
+  (hash by bucket) + a broadcast of the tiny offsets table.
+
+- "range": arbitrary (possibly compound / non-numeric) sort keys.
+  ``repartitionByRange`` orders the physical partitions; per-partition
+  counts become offsets. The partitioned input is persisted so both jobs
+  see identical splits (range sampling is not contractually deterministic).
+
+Determinism requires the order key to be a TOTAL order (unique); all engine
+sources guarantee one (event_id, doc_id, ... or an explicit position).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+IDX = "__idx"
+_PID = "__sem_pid"
+_OFF = "__sem_off"
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+ColumnOrName = Union[Column, str]
+
+
+def _cols(order_by: Iterable[ColumnOrName]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def _single_numeric_key(df: DataFrame, order_by: list[ColumnOrName]) -> str | None:
+    """Name of the single integer-like order column, if that's what we got."""
+    if len(order_by) != 1 or not isinstance(order_by[0], str):
+        return None
+    name = order_by[0]
+    try:
+        dtype = df.schema[name].dataType
+    except KeyError:
+        return None
+    return name if isinstance(dtype, _NUMERIC) else None
+
+
+def with_ordinal(
+    df: DataFrame,
+    order_by: Iterable[ColumnOrName],
+    name: str = IDX,
+    strategy: str = "auto",
+    num_partitions: int | None = None,
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Attach a dense 0..n-1 LongType ordinal ``name`` ordered by ``order_by``.
+
+    strategy: "auto" picks "bucket" for a single integer-like key else
+    "range"; "window" (global row_number — single-task sort) exists for
+    tests/cross-checks only.
+    """
+    order_by = list(order_by)
+    cols = _cols(order_by)
+    if not cols:
+        raise ValueError("with_ordinal requires at least one order column")
+
+    if strategy == "window":
+        w = Window.orderBy(*cols)
+        return df.withColumn(name, (F.row_number().over(w) - 1).cast("long"))
+
+    if strategy == "auto":
+        strategy = "bucket" if _single_numeric_key(df, order_by) else "range"
+
+    if strategy == "bucket":
+        key = _single_numeric_key(df, order_by)
+        if key is None:
+            raise ValueError("bucket strategy needs a single integer-like key")
+        bucket = F.floor(F.col(key).cast("long") / F.lit(bucket_width)).cast("long")
+        tagged = df.withColumn(_PID, bucket)
+    elif strategy == "range":
+        spark = df.sparkSession
+        n = num_partitions or max(spark.sparkContext.defaultParallelism, 2)
+        tagged = (
+            df.repartitionByRange(n, *cols)
+            .withColumn(_PID, F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    counts = tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        _OFF, F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long")
+    ).select(_PID, _OFF)
+    local = Window.partitionBy(_PID).orderBy(*cols)
+    return (
+        tagged.join(F.broadcast(offsets), _PID)
+        .withColumn(name, (F.row_number().over(local) - 1 + F.col(_OFF)).cast("long"))
+        .drop(_PID, _OFF)
+    )
+
+
+def rebase_index(df: DataFrame, name: str = IDX) -> DataFrame:
+    """Re-number ``name`` densely 0..k-1 preserving current index order.
+
+    The reference re-bases indices after filter/flatMap/distinct/sort/
+    concatenate (e.g. semantic.h:1207 re-counts survivors) but PRESERVES
+    them through map/skip/sub/peek — callers pick the matching behavior.
+
+    The incoming index is unique (dense upstream, filtered here), so the
+    deterministic bucket strategy always applies.
+    """
+    tmp = f"{name}__new"
+    out = with_ordinal(df, [name], name=tmp, strategy="bucket")
+    return out.drop(name).withColumnRenamed(tmp, name)
+
+
+def normalize_index(df: DataFrame, name: str = IDX) -> DataFrame:
+    """Python-style modulo wrap of indices into [0, n): ``((i % n) + n) % n``.
+
+    This is the reference's OrderedCollectable normalisation
+    (semantic.h:492-504) applied at every ``toOrdered`` materialisation; it
+    is what turns ``reverse()``'s negated indices into the observable
+    rotation-reversal (element 0 stays at 0, elements 1..n-1 reverse —
+    SURVEY.md §2.3) and wraps ``translate()`` offsets around.
+
+    n is a scalar aggregate joined back via a broadcast of the 1-row side —
+    no shuffle of the big side.
+    """
+    n_df = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    i = F.col(name)
+    nn = F.col("__n")
+    return (
+        df.crossJoin(F.broadcast(n_df))
+        .withColumn(name, ((i % nn) + nn) % nn)
+        .drop("__n")
+    )

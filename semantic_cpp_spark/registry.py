@@ -1,0 +1,538 @@
+"""Query registry: every implemented operator exposed as a named
+(spark_query, duckdb_oracle_sql) pair — the driver's correctness contract
+(__spark_entry__.py). SURVEY.md §2 is the coverage checklist.
+
+Conventions that make the order-insensitive value-hash comparison robust:
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- doubles are rounded on BOTH sides (sums → 2dp, ratios/stats → 6dp);
+- timestamps are projected to strings; value lists to joined strings
+  (engine-stable formatting via printf-style '%.2f' on both sides);
+- ordinal streams are (idx, value) with idx = row_number over the fixture's
+  unique order key minus 1 on the oracle side, and the engine's scalable
+  ``with_ordinal`` on the Spark side.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark import relational
+from semantic_cpp_spark.frame import SemanticFrame
+from semantic_cpp_spark.functions import stats
+from semantic_cpp_spark.indexing import IDX
+from semantic_cpp_spark.operators import collectors, windows
+from semantic_cpp_spark.session import load_table
+from semantic_cpp_spark.sources import from_dataframe
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# -- shared helpers ---------------------------------------------------------
+
+def _events_stream(spark: SparkSession, sf_dir: str, value: str = "value") -> SemanticFrame:
+    """events as an ordinal stream — the genuine ordered-stream fixture
+    (FIXTURES.md); event_id is the unique total order key."""
+    ev = load_table(spark, sf_dir, "events")
+    return from_dataframe(ev, value, ["event_id"])
+
+
+# DuckDB-side equivalent of the ordinal stream.
+EV = "ev AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS idx, value, event_type FROM events)"
+
+def _idx_out():
+    return F.col(IDX).alias("idx")
+
+
+# -- relational suite (Spark-native extension; SURVEY §2.4) -----------------
+
+register("rel_q1_pricing_summary", relational.Q1_SQL)(relational.q1_pricing_summary)
+register("rel_q3_top_revenue", relational.Q3_SQL)(relational.q3_top_unshipped)
+register("rel_q5_nation_revenue", relational.Q5_SQL)(relational.q5_nation_revenue)
+register("rel_topk_per_segment", relational.Q_TOP_CUSTOMERS_SQL)(relational.q_top_customers)
+
+
+# -- semantic stream operators (SURVEY §2.2-2.3) ----------------------------
+
+@register(
+    "sem_map_preserves_idx",
+    f"WITH {EV} SELECT idx, round(value * 2 + idx, 2) AS value FROM ev",
+)
+def sem_map(spark, sf_dir):
+    """map: 1:1, index preserved (reference semantic.h:1376-1395)."""
+    s = _events_stream(spark, sf_dir).map(
+        lambda v, i: F.round(v * 2 + i, 2)
+    )
+    return s.to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_filter_rebases_idx",
+    f"""WITH {EV}
+    SELECT row_number() OVER (ORDER BY idx) - 1 AS idx, value
+    FROM ev WHERE value > 150""",
+)
+def sem_filter(spark, sf_dir):
+    """filter: survivors re-indexed 0..k (reference semantic.h:1197-1216)."""
+    s = _events_stream(spark, sf_dir).filter(lambda v: v > 150)
+    return s.to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_limit",
+    f"WITH {EV} SELECT idx, value FROM ev WHERE idx < 100",
+)
+def sem_limit(spark, sf_dir):
+    s = _events_stream(spark, sf_dir).limit(100)
+    return s.to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_skip_preserves_idx",
+    f"WITH {EV} SELECT idx, value FROM ev WHERE idx >= 50",
+)
+def sem_skip(spark, sf_dir):
+    """skip keeps counting through skipped elements (semantic.h:1463-1481)."""
+    s = _events_stream(spark, sf_dir).skip(50)
+    return s.to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_sub_slice",
+    f"WITH {EV} SELECT idx, value FROM ev WHERE idx >= 100 AND idx < 200",
+)
+def sem_sub(spark, sf_dir):
+    s = _events_stream(spark, sf_dir).sub(100, 200)
+    return s.to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_reverse_rotation",
+    f"""WITH {EV}, n AS (SELECT count(*) AS c FROM ev)
+    SELECT (((-idx) % c) + c) % c AS idx, value FROM ev, n""",
+)
+def sem_reverse(spark, sf_dir):
+    """reverse = negate indices; to_ordered's modulo-normalisation makes it
+    a rotation-reversal: element 0 stays at 0 (semantic.h:1448-1461 +
+    :492-504)."""
+    s = _events_stream(spark, sf_dir).reverse().to_ordered()
+    return s.to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_translate_wraps",
+    f"""WITH {EV}, n AS (SELECT count(*) AS c FROM ev)
+    SELECT (idx + 7) % c AS idx, value FROM ev, n""",
+)
+def sem_translate(spark, sf_dir):
+    """translate shifts indices (semantic.h:1577-1590); to_ordered wraps
+    them modulo n (semantic.h:492-504)."""
+    s = _events_stream(spark, sf_dir).translate(7).to_ordered()
+    return s.to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_sort_stable",
+    f"""WITH {EV}
+    SELECT row_number() OVER (ORDER BY value, idx) - 1 AS idx, value FROM ev""",
+)
+def sem_sort(spark, sf_dir):
+    """stable value sort, ties by original index, re-indexed 0..n-1
+    (semantic.h:1483-1503, :477-490)."""
+    s = _events_stream(spark, sf_dir).sort()
+    return s.to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_distinct_first_occurrence",
+    f"""WITH {EV},
+    firsts AS (SELECT event_type AS value, min(idx) AS fi FROM ev GROUP BY event_type)
+    SELECT row_number() OVER (ORDER BY fi) - 1 AS idx, value FROM firsts""",
+)
+def sem_distinct(spark, sf_dir):
+    """first-occurrence dedup, re-based (semantic.h:1122-1142)."""
+    s = _events_stream(spark, sf_dir, value="event_type").distinct()
+    return s.to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_take_while",
+    f"""WITH {EV}, cut AS (SELECT min(idx) AS c FROM ev WHERE NOT (value < 199.5))
+    SELECT idx, value FROM ev
+    WHERE (SELECT c FROM cut) IS NULL OR idx < (SELECT c FROM cut)""",
+)
+def sem_take_while(spark, sf_dir):
+    """emit while pred holds, indices preserved (semantic.h:1532-1554)."""
+    s = _events_stream(spark, sf_dir).take_while(lambda v: v < 199.5)
+    return s.to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_drop_while",
+    f"""WITH {EV}, cut AS (SELECT min(idx) AS c FROM ev WHERE NOT (value < 199.5))
+    SELECT row_number() OVER (ORDER BY idx) - 1 AS idx, value FROM ev
+    WHERE (SELECT c FROM cut) IS NOT NULL AND idx >= (SELECT c FROM cut)""",
+)
+def sem_drop_while(spark, sf_dir):
+    """drop leading run, re-based (semantic.h:1166-1195)."""
+    s = _events_stream(spark, sf_dir).drop_while(lambda v: v < 199.5)
+    return s.to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_concatenate",
+    f"""WITH {EV},
+    a AS (SELECT row_number() OVER (ORDER BY idx) - 1 AS idx, value FROM ev WHERE event_type = 'error'),
+    b AS (SELECT row_number() OVER (ORDER BY idx) - 1 AS idx, value FROM ev WHERE event_type = 'signup')
+    SELECT idx, value FROM a
+    UNION ALL
+    SELECT idx + (SELECT count(*) FROM a) AS idx, value FROM b""",
+)
+def sem_concatenate(spark, sf_dir):
+    """concatenate re-numbers across the boundary (semantic.h:1012-1120)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = from_dataframe(ev.filter(F.col("event_type") == "error"), "value", ["event_id"])
+    b = from_dataframe(ev.filter(F.col("event_type") == "signup"), "value", ["event_id"])
+    return a.concatenate(b).to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_flat_explode",
+    f"""WITH {EV},
+    lim AS (SELECT idx, value FROM ev WHERE idx < 50)
+    SELECT row_number() OVER (ORDER BY l.idx, r.r) - 1 AS idx,
+           round(l.value * r.r, 2) AS value
+    FROM lim l CROSS JOIN (SELECT unnest([1, 2, 3]) AS r) r""",
+)
+def sem_flat(spark, sf_dir):
+    """flat: 1:N flatten with globally re-based indices
+    (semantic.h:1244-1307); inner order = array order."""
+    s = _events_stream(spark, sf_dir).limit(50).flat(
+        lambda v: F.array(F.round(v, 2), F.round(v * 2, 2), F.round(v * 3, 2))
+    )
+    return s.to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_find_at",
+    f"WITH {EV} SELECT value FROM ev WHERE idx = 123",
+)
+def sem_find_at(spark, sf_dir):
+    """findAt non-negative (collector.h:859-881)."""
+    return _events_stream(spark, sf_dir).find_at(123)
+
+
+@register(
+    "sem_find_at_negative",
+    f"""WITH {EV}
+    SELECT value FROM ev
+    WHERE idx = (SELECT (count(*) - (7 % count(*))) % count(*) FROM ev)""",
+)
+def sem_find_at_neg(spark, sf_dir):
+    """negative findAt wraps python-style WITH modulo
+    (collector.h:883-910): findAt(-n-1) == findAt(-1)."""
+    return _events_stream(spark, sf_dir).find_at(-7)
+
+
+@register(
+    "sem_bounds",
+    f"""WITH {EV}
+    SELECT min_by(value, idx) AS first_v, max_by(value, idx) AS last_v,
+           min(value) AS min_v, max(value) AS max_v
+    FROM ev""",
+)
+def sem_bounds(spark, sf_dir):
+    """findFirst/findLast/findMinimum/findMaximum in one projection
+    (collector.h:912-1063)."""
+    s = _events_stream(spark, sf_dir)
+    return s.to_df().agg(
+        F.min_by("value", IDX).alias("first_v"),
+        F.max_by("value", IDX).alias("last_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+@register(
+    "sem_match_predicates",
+    f"""WITH {EV}
+    SELECT coalesce(bool_and(value >= 0), true) AS all_nonneg,
+           coalesce(bool_or(value > 199), false) AS any_gt199,
+           NOT coalesce(bool_or(value > 10000), false) AS none_gt10k
+    FROM ev""",
+)
+def sem_matches(spark, sf_dir):
+    """allMatch/anyMatch/noneMatch (collector.h:399-448)."""
+    s = _events_stream(spark, sf_dir)
+    return s.to_df().agg(
+        F.coalesce(F.bool_and(F.col("value") >= 0), F.lit(True)).alias("all_nonneg"),
+        F.coalesce(F.bool_or(F.col("value") > 199), F.lit(False)).alias("any_gt199"),
+        (~F.coalesce(F.bool_or(F.col("value") > 10000), F.lit(False))).alias(
+            "none_gt10k"
+        ),
+    )
+
+
+@register(
+    "sem_join_str",
+    f"""WITH {EV}
+    SELECT '[' || string_agg(printf('%.2f', value), ', ' ORDER BY idx) || ']' AS value
+    FROM ev WHERE idx < 20""",
+)
+def sem_join_str(spark, sf_dir):
+    """useJoin terminal collector (collector.h:1132-1241)."""
+    s = _events_stream(spark, sf_dir).limit(20).map(
+        lambda v: F.format_string("%.2f", v)
+    )
+    return s.join_str(", ", "[", "]")
+
+
+# -- aggregates & statistics (SURVEY §2.5) ----------------------------------
+
+@register(
+    "agg_basic",
+    """SELECT count(*) AS n,
+              round(sum(l_extendedprice), 2) AS sum_v,
+              round(coalesce(avg(l_extendedprice), 0), 6) AS avg_v,
+              round(min(l_extendedprice), 2) AS min_v,
+              round(max(l_extendedprice), 2) AS max_v,
+              round(max(l_extendedprice) - min(l_extendedprice), 2) AS range_v
+       FROM lineitem""",
+)
+def agg_basic(spark, sf_dir):
+    """useCount/useSummate/useAverage(empty→0)/useMinimum/useMaximum/
+    useRange (collector.h:466-686)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(stats.summate(c), 2).alias("sum_v"),
+        F.round(stats.average_or_zero(c), 6).alias("avg_v"),
+        F.round(F.min(c), 2).alias("min_v"),
+        F.round(F.max(c), 2).alias("max_v"),
+        F.round(stats.value_range(c), 2).alias("range_v"),
+    )
+
+
+@register(
+    "agg_dispersion",
+    """SELECT round(var_pop(l_extendedprice), 2) AS var_v,
+              round(stddev_pop(l_extendedprice), 6) AS sd_v
+       FROM lineitem""",
+)
+def agg_dispersion(spark, sf_dir):
+    """useVariance/useStandardDeviation — POPULATION estimators
+    (collector.h:688-836)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice")
+    return li.agg(
+        F.round(stats.variance_pop(c), 2).alias("var_v"),
+        F.round(stats.stddev_pop(c), 6).alias("sd_v"),
+    )
+
+
+@register(
+    "agg_quantiles",
+    """SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS median_v,
+              round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+              round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+       FROM lineitem""",
+)
+def agg_quantiles(spark, sf_dir):
+    """useMedian/usePercentile — EXACT with linear interpolation on rank
+    p·(n−1) (collector.h:2205-2335); Spark `percentile` and DuckDB
+    `quantile_cont` share the rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice")
+    return li.agg(
+        F.round(stats.median_exact(c), 6).alias("median_v"),
+        F.round(stats.percentile_exact(c, 25.0), 6).alias("p25"),
+        F.round(stats.percentile_exact(c, 95.0), 6).alias("p95"),
+    )
+
+
+@register(
+    "agg_skew_kurt",
+    """WITH s AS (
+         SELECT count(*)::DOUBLE AS n, avg(l_extendedprice) AS mu,
+                stddev_pop(l_extendedprice) AS sd,
+                sum(l_extendedprice) AS s1,
+                sum(pow(l_extendedprice, 2)) AS s2,
+                sum(pow(l_extendedprice, 3)) AS s3,
+                sum(pow(l_extendedprice, 4)) AS s4
+         FROM lineitem)
+       SELECT
+         round((n / ((n-1) * (n-2))) *
+               ((s3 - 3*mu*s2 + 2*pow(mu,3)*n) / pow(sd, 3)), 6) AS skew_v,
+         round((n*(n+1)*(n-1) * (s4 - 4*mu*s3 + 6*pow(mu,2)*s2 - 4*pow(mu,3)*s1 + pow(mu,4)*n))
+               / ((n-2)*(n-3)*pow(sd,4)*pow(n,2))
+               - 3*pow(n-1,2) / ((n-2)*(n-3)), 6) AS kurt_v
+       FROM s""",
+)
+def agg_skew_kurt(spark, sf_dir):
+    """useSkewness/useKurtosis — SAMPLE-adjusted formulas with population
+    stddev (collector.h:3065-3239); Spark builtins compute population
+    g1/g2 so the reference formulas are composed from power sums
+    (single-pass, partial-aggregatable; oracle spells the same algebra)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice")
+    return li.agg(
+        F.round(stats.skewness_ref(c), 6).alias("skew_v"),
+        F.round(stats.kurtosis_ref(c), 6).alias("kurt_v"),
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    """SELECT l_quantity AS value
+       FROM (SELECT l_quantity, count(*) AS c FROM lineitem GROUP BY l_quantity)
+       ORDER BY c DESC, l_quantity ASC LIMIT 1""",
+)
+def agg_mode(spark, sf_dir):
+    """useMode with pinned tie-break (smallest value) — the reference's
+    unordered_map tie order is nondeterministic (collector.h:2251-2277,
+    SURVEY §7.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return collectors.mode_df(li, F.col("l_quantity"))
+
+
+# -- grouping / frequency / windows (SURVEY §2.6, §2.8) ---------------------
+
+@register(
+    "grp_group_encounter_order",
+    f"""WITH {EV}
+    SELECT event_type AS key,
+           string_agg(printf('%.2f', value), ',' ORDER BY idx) AS values_joined,
+           count(*) AS n
+    FROM ev GROUP BY event_type""",
+)
+def grp_group(spark, sf_dir):
+    """useGroup: key → values in encounter order (collector.h:1065-1093);
+    list pinned by __idx, projected to a joined string for stable
+    comparison."""
+    from semantic_cpp_spark.indexing import with_ordinal
+
+    ev = load_table(spark, sf_dir, "events")
+    idxed = with_ordinal(ev, ["event_id"]).select(
+        IDX,
+        F.col("event_type").alias("key"),
+        F.format_string("%.2f", F.col("value")).alias("value"),
+    )
+    grouped = collectors.group_collect(idxed, F.col("key"), F.col("value"))
+    return grouped.select(
+        "key",
+        F.array_join("values", ",").alias("values_joined"),
+        F.size("values").cast("long").alias("n"),
+    )
+
+
+@register(
+    "grp_partition_chunks",
+    f"""WITH {EV}
+    SELECT idx // 100 AS chunk,
+           string_agg(printf('%.2f', value), ',' ORDER BY idx) AS values_joined,
+           count(*) AS n
+    FROM ev GROUP BY idx // 100""",
+)
+def grp_partition(spark, sf_dir):
+    """usePartition: fixed-size chunks in order (collector.h:2098-2136)."""
+    st = _events_stream(spark, sf_dir).map(
+        lambda v: F.format_string("%.2f", v)
+    )
+    out = collectors.partition_chunks(st.to_df(), 100)
+    return out.select(
+        "chunk",
+        F.array_join("values", ",").alias("values_joined"),
+        F.size("values").cast("long").alias("n"),
+    )
+
+
+@register(
+    "grp_frequency_profile",
+    f"""WITH {EV},
+    t AS (SELECT max(idx) + 1 AS total FROM ev)
+    SELECT event_type AS value,
+           string_agg(idx, ',' ORDER BY idx) AS positions,
+           (SELECT total FROM t) AS total
+    FROM ev GROUP BY event_type""",
+)
+def grp_frequency(spark, sf_dir):
+    """useFrequency: per-value positional occurrence profile + stream
+    length (collector.h:1805-1906)."""
+    ev = load_table(spark, sf_dir, "events")
+    st = from_dataframe(ev, "event_type", ["event_id"]).to_df()
+    prof = collectors.frequency_profile(st, F.col("value"))
+    return prof.select(
+        "value",
+        F.array_join(F.transform("positions", lambda x: x.cast("string")), ",").alias(
+            "positions"
+        ),
+        "total",
+    )
+
+
+@register(
+    "win_tumble",
+    f"""WITH {EV}
+    SELECT (idx // 100) * 100 AS win_start,
+           round(sum(value), 2) AS win_sum, count(*) AS win_len
+    FROM ev GROUP BY (idx // 100) * 100""",
+)
+def win_tumble(spark, sf_dir):
+    """tumble(size) = slide(size, size): non-overlapping count windows
+    (semantic.h:910-913) — plain groupBy, one shuffle."""
+    st = _events_stream(spark, sf_dir)
+    w = windows.tumble(st.to_df(), 100)
+    return w.select(
+        "win_start",
+        F.round(
+            F.aggregate("values", F.lit(0.0), lambda a, x: a + x), 2
+        ).alias("win_sum"),
+        F.size("values").cast("long").alias("win_len"),
+    )
+
+
+@register(
+    "win_slide",
+    f"""WITH {EV},
+    starts AS (SELECT DISTINCT (idx // 40) * 40 AS win_start FROM ev)
+    SELECT s.win_start, round(sum(e.value), 2) AS win_sum, count(*) AS win_len
+    FROM starts s JOIN ev e ON e.idx >= s.win_start AND e.idx < s.win_start + 100
+    GROUP BY s.win_start""",
+)
+def win_slide(spark, sf_dir):
+    """slide(size, step) overlapping count windows (semantic.h:1595-1643):
+    replicate-explode into ≤⌈size/step⌉ windows then groupBy — fully
+    parallel, no global window function."""
+    st = _events_stream(spark, sf_dir)
+    w = windows.slide(st.to_df(), 100, 40)
+    return w.select(
+        "win_start",
+        F.round(
+            F.aggregate("values", F.lit(0.0), lambda a, x: a + x), 2
+        ).alias("win_sum"),
+        F.size("values").cast("long").alias("win_len"),
+    )

@@ -1,0 +1,23 @@
+from semantic_cpp_spark.sources.factories import (
+    from_container,
+    from_dataframe,
+    from_parquet_column,
+    from_range,
+    from_range_closed,
+    from_repeat,
+    from_text_lines,
+    iterate,
+    use_empty,
+)
+
+__all__ = [
+    "from_container",
+    "from_dataframe",
+    "from_parquet_column",
+    "from_range",
+    "from_range_closed",
+    "from_repeat",
+    "from_text_lines",
+    "iterate",
+    "use_empty",
+]

@@ -1,0 +1,147 @@
+"""Stream-construction factories (reference semantic.h:1653-2417, SURVEY §2.1).
+
+Every factory yields a SemanticFrame: a DataFrame (__idx: long, value)
+with __idx dense 0..n-1 in the factory's natural order. Distributed
+sources (`spark.range`, parquet scans) compute __idx without a global
+sort where the source itself provides the order (range arithmetic,
+unique order keys).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.frame import VALUE, SemanticFrame
+from semantic_cpp_spark.indexing import IDX, with_ordinal
+
+ColumnOrName = Union[Column, str]
+
+
+def from_range(
+    spark: SparkSession, start: int, end: int, step: int | None = None
+) -> SemanticFrame:
+    """useRange: half-open [start, end) (reference semantic.h:1653-1706).
+
+    No-step overload auto-swaps bounds so the stream always ascends
+    (reference :1655-1658); explicit step==0 yields empty, negative step
+    descends. __idx is pure arithmetic on `id` — no shuffle, fully
+    distributed via spark.range's splittable source.
+    """
+    if step is None:
+        lo, hi = (start, end) if start <= end else (end, start)
+        df = spark.range(lo, hi).select(
+            (F.col("id") - F.lit(lo)).cast("long").alias(IDX),
+            F.col("id").alias(VALUE),
+        )
+        return SemanticFrame(df)
+    if step == 0:
+        return use_empty(spark, "long")
+    df = spark.range(start, end, step)
+    idx = ((F.col("id") - F.lit(start)) / F.lit(step)).cast("long")
+    return SemanticFrame(df.select(idx.alias(IDX), F.col("id").alias(VALUE)))
+
+
+def from_range_closed(
+    spark: SparkSession, start: int, end: int, step: int | None = None
+) -> SemanticFrame:
+    """useRangeClosed: closed [start, end] (reference semantic.h:1708-1761)."""
+    if step is None:
+        lo, hi = (start, end) if start <= end else (end, start)
+        return from_range(spark, lo, hi + 1)
+    if step == 0:
+        return use_empty(spark, "long")
+    bound = end + (1 if step > 0 else -1)
+    return from_range(spark, start, bound, step)
+
+
+def from_container(spark: SparkSession, items: Sequence[Any]) -> SemanticFrame:
+    """useFrom/useOf: stream over a driver-side container in iteration
+    order (reference semantic.h:1983-2084)."""
+    if not items:
+        return use_empty(spark, "string")
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(items)], schema=(IDX, VALUE)
+    )
+    return SemanticFrame(df)
+
+
+def from_repeat(spark: SparkSession, element: Any, count: int) -> SemanticFrame:
+    """useRepeat: element × count (reference semantic.h:2086-2099)."""
+    df = spark.range(count).select(
+        F.col("id").alias(IDX), F.lit(element).alias(VALUE)
+    )
+    return SemanticFrame(df)
+
+
+def iterate(
+    spark: SparkSession, seed: Any, fn: Callable[[Column], Column], limit: int
+) -> SemanticFrame:
+    """useIterate/useInfinite bounded prefix: seed, f(seed), f(f(seed)), ...
+    (reference semantic.h:1763-1871). An inherently sequential recurrence —
+    computed driver-side up to `limit` when fn is a Python value function,
+    else unrolled as nested Column expressions; batch Spark has no native
+    infinite source (SURVEY §2.1)."""
+    vals = [seed]
+    col = F.lit(seed)
+    cols = [col]
+    for _ in range(limit - 1):
+        col = fn(col)
+        cols.append(col)
+    rows = spark.range(1).select(F.array(*cols).alias("a"))
+    df = rows.select(F.posexplode("a").alias(IDX, VALUE)).select(
+        F.col(IDX).cast("long").alias(IDX), VALUE
+    )
+    return SemanticFrame(df)
+
+
+def use_empty(spark: SparkSession, value_type: str = "string") -> SemanticFrame:
+    """useEmpty (reference semantic.h:1975-1981)."""
+    df = spark.createDataFrame([], schema=f"{IDX} long, {VALUE} {value_type}")
+    return SemanticFrame(df)
+
+
+def from_dataframe(
+    df: DataFrame,
+    value: ColumnOrName,
+    order_by: Iterable[ColumnOrName],
+    strategy: str = "auto",
+) -> SemanticFrame:
+    """Adopt any DataFrame column as a stream, ordered by a total order key.
+
+    This is the engine's real scan path (the reference only reads
+    std::istream, semantic.h:2140-2184 — file formats are our extension):
+    parquet scan → column pruning + pushdown → scalable ordinal.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    keys = list(order_by)
+    named = df.select(*keys, v.alias(VALUE)) if all(
+        isinstance(k, str) for k in keys
+    ) else df.select(v.alias(VALUE), "*")
+    out = with_ordinal(named, keys, name=IDX, strategy=strategy)
+    return SemanticFrame(out.select(IDX, VALUE))
+
+
+def from_parquet_column(
+    spark: SparkSession,
+    path: str,
+    value: str,
+    order_by: Iterable[str],
+    strategy: str = "auto",
+) -> SemanticFrame:
+    df = spark.read.parquet(path)
+    return from_dataframe(df, value, order_by, strategy=strategy)
+
+
+def from_text_lines(spark: SparkSession, path: str) -> SemanticFrame:
+    """useBlob(istream): lines of a text file as a stream
+    (reference semantic.h:2140-2184). Line order = file order, exposed by
+    Spark's per-file offsets; we rank on (file, offset-in-file) via
+    monotonically_increasing_id within each input split — exact for a
+    single driver-visible file set."""
+    raw = spark.read.text(path).select(F.col("value"))
+    tagged = raw.withColumn("__mid", F.monotonically_increasing_id())
+    out = with_ordinal(tagged, ["__mid"], name=IDX)
+    return SemanticFrame(out.select(IDX, VALUE))

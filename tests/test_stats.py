@@ -1,0 +1,76 @@
+"""Statistics formula fidelity vs a numpy reference implementation of the
+reference's algorithms (collector.h), per SURVEY.md §5.2/§7.5."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.functions import stats
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    return rng.uniform(1.0, 100.0, size=997)
+
+
+@pytest.fixture(scope="module")
+def df(spark, data):
+    return spark.createDataFrame([(float(x),) for x in data], "v double")
+
+
+def _ref_skewness(x):
+    # collector.h:3065-3145: n/((n-1)(n-2)) * sum(((x-mu)/sd_pop)^3)
+    n = len(x)
+    mu = x.mean()
+    sd = x.std()  # population
+    return n / ((n - 1) * (n - 2)) * np.sum(((x - mu) / sd) ** 3)
+
+
+def _ref_kurtosis(x):
+    # collector.h:3147-3239: sample-adjusted excess kurtosis
+    n = len(x)
+    mu = x.mean()
+    sd = x.std()
+    term = (n * (n + 1) * (n - 1) * np.sum((x - mu) ** 4)) / (
+        (n - 2) * (n - 3) * sd**4 * n**2
+    )
+    return term - 3 * (n - 1) ** 2 / ((n - 2) * (n - 3))
+
+
+def test_skewness_matches_reference_formula(df, data):
+    got = df.agg(stats.skewness_ref(F.col("v")).alias("s")).first()["s"]
+    assert math.isclose(got, _ref_skewness(data), rel_tol=1e-8)
+
+
+def test_kurtosis_matches_reference_formula(df, data):
+    got = df.agg(stats.kurtosis_ref(F.col("v")).alias("k")).first()["k"]
+    assert math.isclose(got, _ref_kurtosis(data), rel_tol=1e-8)
+
+
+def test_percentile_linear_interpolation(df, data):
+    """usePercentile: rank p/100*(n-1), linear interpolation
+    (collector.h:2279-2335) == numpy 'linear' percentile."""
+    for p in (0.0, 25.0, 50.0, 95.0, 100.0):
+        got = df.agg(stats.percentile_exact(F.col("v"), p).alias("q")).first()["q"]
+        assert math.isclose(got, float(np.percentile(data, p)), rel_tol=1e-12)
+
+
+def test_percentile_bounds():
+    with pytest.raises(ValueError):
+        stats.percentile_exact(F.lit(1.0), 101.0)
+
+
+def test_variance_population(df, data):
+    got = df.agg(stats.variance_pop(F.col("v")).alias("v")).first()["v"]
+    assert math.isclose(got, float(data.var()), rel_tol=1e-10)
+
+
+def test_small_n_guards(spark):
+    """n<3 → skewness 0; n<4 → kurtosis 0 (collector.h:3081, :3163)."""
+    two = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    three = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    assert two.agg(stats.skewness_ref(F.col("v")).alias("s")).first()["s"] == 0.0
+    assert three.agg(stats.kurtosis_ref(F.col("v")).alias("k")).first()["k"] == 0.0
