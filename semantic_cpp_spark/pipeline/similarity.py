@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (north star per BASELINE.json;
+`embeddings` fixture: vec_id, embedding array<float>, label).
+
+Two paths:
+- brute-force cosine top-k: exact baseline. Query side is broadcast; the
+  big side streams through one narrow pass + a per-query top-k window.
+  At 100 TB this is the 'small query set × huge corpus' scan shape —
+  no shuffle of the corpus, only the (n_queries × k) result.
+- random-hyperplane LSH (per-bucket search): the scale path when the
+  query set is itself huge — bucket both sides on sign-bit signatures
+  and search only within buckets.
+
+All arithmetic is double (float inputs cast up front) with sequential
+left-to-right summation in both Spark (higher-order `aggregate`) and the
+DuckDB oracle (`list_dot_product`) — results match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.functions.vectors import dot
+
+# 4 sign-bits → 16 buckets: meaningful recall on the fixture sizes (500-2000
+# vectors); production would raise planes with corpus size (buckets ~ n/64).
+LSH_PLANES = 4
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def plane_sign(plane: int, dim: int) -> int:
+    """Deterministic ±1 entry of pseudo-random hyperplane `plane` at `dim`,
+    derived from md5 (public, engine-portable)."""
+    h = hashlib.md5(f"plane_{plane}_{dim}".encode()).hexdigest()
+    return 1 if int(h[:2], 16) % 2 == 1 else -1
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for each query id (self excluded).
+    Output: (q_id, rk, vec_id, cos)."""
+    e = df.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    nrm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (dot(F.col("v"), F.col("qv")) / (nrm(F.col("v")) * nrm(F.col("qv")))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "rk", "vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def lsh_signature(vec: Column, dims: int, planes: int = LSH_PLANES) -> Column:
+    """Sign-bit signature: bit p = 1 iff dot(vec, plane_p) > 0, packed into
+    a long. Planes are the deterministic ±1 matrix from plane_sign."""
+    sig = None
+    for p in range(planes):
+        signs = [plane_sign(p, d) for d in range(dims)]
+        proj = None
+        for d, s in enumerate(signs):
+            term = F.element_at(vec, d + 1) * F.lit(float(s))
+            proj = term if proj is None else proj + term
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << p).cast("long")
+        sig = term if sig is None else sig + term
+    return sig
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket
+    (same sign-signature), then exact cosine within the bucket. Recall<1
+    by construction; the oracle reproduces the same algorithm so results
+    still match exactly. Output: (q_id, rk, vec_id, cos)."""
+    e = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("sig", lsh_signature(F.col("v"), dims))
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("sig").alias("qsig")
+    )
+    nrm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
+    scored = (
+        e.join(F.broadcast(q), (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("q_id")))
+        .select(
+            "q_id",
+            "vec_id",
+            (dot(F.col("v"), F.col("qv")) / (nrm(F.col("v")) * nrm(F.col("qv")))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "rk", "vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def lsh_plane_sql_literal(dims: int, planes: int = LSH_PLANES) -> str:
+    """DuckDB literal for the plane matrix: list of per-plane ±1 lists,
+    generated from the same md5 derivation."""
+    rows = []
+    for p in range(planes):
+        entries = ", ".join(
+            str(float(plane_sign(p, d))) for d in range(dims)
+        )
+        rows.append(f"[{entries}]")
+    return "[" + ", ".join(rows) + "]"

@@ -536,3 +536,8 @@ def win_slide(spark, sf_dir):
         ).alias("win_sum"),
         F.size("values").cast("long").alias("win_len"),
     )
+
+
+# Pipeline (text/dedup/similarity/multimodal) registrations — import for
+# side effect; placed at the bottom so `register` exists when it runs.
+from semantic_cpp_spark import registry_pipeline  # noqa: E402,F401

@@ -1,0 +1,305 @@
+"""Registry section: LLM-data-pipeline operators (text analysis, dedup,
+similarity search, multimodal) — first-class components per the north star
+(BASELINE.json), each with a DuckDB oracle where SQL-expressible.
+
+Oracle-portability rules used throughout: md5-derived hashing only (no
+engine-private hash functions), double-cast vector math with sequential
+summation (bit-identical across engines), DuckDB regexp_replace needs the
+explicit 'g' flag to match Spark's replace-all behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.pipeline import dedup, multimodal, similarity, text
+from semantic_cpp_spark.registry import register
+from semantic_cpp_spark.session import load_table
+
+# -- text analysis ----------------------------------------------------------
+
+@register(
+    "txt_token_stats",
+    """SELECT doc_id,
+              length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+              round(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                            w -> length(w)))::DOUBLE
+                    / length(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_tok_len,
+              length(text) AS n_chars
+       FROM documents""",
+)
+def txt_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenisation) — pure codegen, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(t).alias("n_tokens"),
+        F.round(text.avg_token_len(t), 6).alias("avg_tok_len"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "txt_quality_score",
+    """WITH t AS (
+         SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws
+         FROM documents)
+       SELECT doc_id,
+              round(length(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                    / length(ws), 6) AS stop_ratio,
+              round(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                    / length(text), 6) AS alpha_ratio,
+              round(0.4 * (length(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','it')))::DOUBLE / length(ws))
+                    + 0.3 * least(length(ws) / 100.0, 1.0)
+                    + 0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text)), 6) AS quality
+       FROM t""",
+)
+def txt_quality(spark, sf_dir):
+    """Quality scoring: stopword/length/alpha ratios — the cheap
+    pretraining-corpus filter, one narrow pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(text.stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(text.alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(text.quality_score(t), 6).alias("quality"),
+    )
+
+
+_LANG_CASE = text.lang_id_sql_case("text")
+
+@register(
+    "txt_lang_id",
+    f"""SELECT doc_id, {_LANG_CASE} AS pred_lang, lang AS actual_lang
+        FROM documents""",
+)
+def txt_lang_id(spark, sf_dir):
+    """Language-ID heuristic: marker-vocabulary scoring with deterministic
+    argmax (the fixture's texts are synthetic so this pins the MECHANISM;
+    real corpora would swap in per-language n-gram tables)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.lang_id(F.col("text")).alias("pred_lang"),
+        F.col("lang").alias("actual_lang"),
+    )
+
+
+@register(
+    "txt_fingerprint",
+    """SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+              ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp64
+       FROM documents""",
+)
+def txt_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of normalised text + 60-bit integer
+    form (engine-portable; see pipeline.text.fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.fingerprint(t).alias("fp"),
+        text.fingerprint64(t).alias("fp64"),
+    )
+
+
+# -- deduplication ----------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+              min(doc_id) AS keep_id, count(*) AS n_dups
+       FROM documents GROUP BY 1""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: one hash-groupBy on the text fingerprint, keep the
+    smallest doc_id — the 100 TB shape (shuffle carries 32-byte keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, F.col("text"), F.col("doc_id"))
+
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  for i in range(1, len(ws) - 1)])
+              ELSE [] END AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)
+)"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH {_SHINGLES_CTE},
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
+             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT d1, d2, round(common::DOUBLE / (na + nb - common), 6) AS jaccard
+    FROM pairs WHERE common::DOUBLE / (na + nb - common) >= 0.8""",
+)
+def dedup_ngram(spark, sf_dir):
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.8; shingle-sharing join as the
+    blocking step (never all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, F.col("text"), F.col("doc_id"))
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> ({a} * (('0x' || substr(md5(s),1,8))::BIGINT) + {b}) % {dedup.MINHASH_P}))"
+        for a, b in zip(dedup.MINHASH_A, dedup.MINHASH_B)
+    )
+    r, nb = dedup.LSH_ROWS, dedup.LSH_BANDS
+    return f"""WITH {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, [{mins}] AS sig FROM sh WHERE len(shingles) > 0),
+    bands AS (
+      SELECT doc_id, t.band,
+             array_to_string(sig[t.band * {r} + 1 : t.band * {r} + {r}], '_') AS key
+      FROM sigs, (SELECT unnest(range(0, {nb})) AS band) t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT c.d1, c.d2,
+           round(length(list_filter(range(1, {dedup.NUM_HASHES} + 1),
+                                    i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+                 / {dedup.NUM_HASHES}, 6) AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.d1
+    JOIN sigs sb ON sb.doc_id = c.d2
+    WHERE length(list_filter(range(1, {dedup.NUM_HASHES} + 1),
+                             i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+          / {dedup.NUM_HASHES} >= 0.5"""
+
+
+@register("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash(spark, sf_dir):
+    """MinHash(16)+LSH(4×4) near-dup pairs, est. Jaccard ≥ 0.5. Banding
+    means docs meet only on full-band collisions — the scalable join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, F.col("text"), F.col("doc_id"))
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents),
+    th AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS h FROM tok),
+    votes AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(range(0, {dedup.SIMHASH_BITS})) AS b) b
+      GROUP BY doc_id, b.b)
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id""",
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash 60-bit signatures (token-vote construction); near-pair
+    detection via Hamming blocking lives in dedup.simhash_near_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, F.col("text"), F.col("doc_id"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    None,  # pair set is pinned by unit tests + the signature oracle above
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole chunk
+    blocking — rows-only check here; signatures themselves are
+    oracle-verified by dedup_simhash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, F.col("text"), F.col("doc_id"))
+
+
+# -- similarity search ------------------------------------------------------
+
+_COS_SQL = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.q_id, e.vec_id,
+             list_dot_product(e.v, q.qv)
+               / sqrt(list_dot_product(e.v, e.v) * list_dot_product(q.qv, q.qv)) AS cos
+      FROM e, q WHERE e.vec_id <> q.q_id),
+r AS (SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      FROM s)
+SELECT q_id, rk, vec_id, round(cos, 6) AS cos FROM r WHERE rk <= 5"""
+
+
+@register("sim_cosine_topk", _COS_SQL)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors {0,1,2}: broadcast
+    queries × corpus scan, per-query top-k window — the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, [0, 1, 2], k=5)
+
+
+def _lsh_sql() -> str:
+    planes = similarity.lsh_plane_sql_literal(64)
+    return f"""WITH planes AS (SELECT {planes} AS pl),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    proj AS (
+      SELECT e.vec_id, p.p, list_dot_product(e.v, planes.pl[p.p + 1]) AS d
+      FROM e, (SELECT unnest(range(0, {similarity.LSH_PLANES})) AS p) p, planes),
+    sigs AS (
+      SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+      FROM proj GROUP BY vec_id),
+    ev AS (SELECT e.vec_id, e.v, s.sig FROM e JOIN sigs s ON e.vec_id = s.vec_id),
+    q AS (SELECT vec_id AS q_id, v AS qv, sig AS qsig FROM ev WHERE vec_id IN (0, 1, 2)),
+    sc AS (SELECT q.q_id, ev.vec_id,
+                  list_dot_product(ev.v, q.qv)
+                    / sqrt(list_dot_product(ev.v, ev.v) * list_dot_product(q.qv, q.qv)) AS cos
+           FROM ev JOIN q ON ev.sig = q.qsig AND ev.vec_id <> q.q_id),
+    r AS (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+          FROM sc)
+    SELECT q_id, rk, vec_id, round(cos, 6) AS cos FROM r WHERE rk <= 5"""
+
+
+@register("sim_lsh_bucket_topk", _lsh_sql())
+def sim_lsh_topk(spark, sf_dir):
+    """Approximate top-5 via random-hyperplane LSH buckets (8 sign bits,
+    md5-derived planes): candidates restricted to the query's bucket —
+    the scale path when the query set is itself huge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(emb, [0, 1, 2], k=5, dims=64)
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+@register(
+    "mm_feature_extract",
+    """SELECT doc_id,
+              strlen(text) AS n_bytes,
+              md5(text) AS checksum,
+              ('0x' || substr(md5(text), 1, 4))::INT % 1920 AS width,
+              ('0x' || substr(md5(text), 5, 4))::INT % 1080 AS height,
+              round((list_sum(list_transform(range(1, least(strlen(text), 64) + 1),
+                                             i -> ord(substr(text, i::INT, 1))))::DOUBLE
+                     / least(strlen(text), 64)) / 255.0, 9) AS feat_mean
+       FROM documents""",
+)
+def mm_features(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload + metadata through an
+    Arrow-batched mapInPandas kernel (decode stubbed deterministically —
+    no codecs in this container; see pipeline.multimodal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(docs)
+    feats = multimodal.extract_features(payload)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "checksum",
+        "width",
+        "height",
+        F.round("feat_mean", 9).alias("feat_mean"),
+    )

@@ -1,0 +1,146 @@
+"""LLM-pipeline operator tests: dedup, similarity, text analysis,
+multimodal plumbing — on tiny synthetic corpora with known structure."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.pipeline import dedup, multimodal, similarity, text
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "completely different words appear in this one here"),
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (4, "THE  Quick   Brown fox jumps over the lazy dog"),  # dup modulo case/ws
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_normalised(docs):
+    out = dedup.exact_dedup(docs, F.col("text"), F.col("doc_id")).collect()
+    groups = {r["keep_id"]: r["n_dups"] for r in out}
+    # 0, 3, 4 collapse into one group (normalisation: lower + collapse ws)
+    assert groups[0] == 3
+    assert groups[1] == 1
+    assert groups[2] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, F.col("text"), F.col("doc_id"), threshold=0.5
+        ).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0  # near dup
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = {
+        (r["d1"], r["d2"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, F.col("text"), F.col("doc_id"), threshold=0.5
+        ).collect()
+    }
+    assert pairs[(0, 3)] == 1.0  # identical shingle sets → identical sigs
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_simhash_signature_properties(docs):
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(docs, F.col("text"), F.col("doc_id")).collect()
+    }
+    assert sigs[0] == sigs[3] == sigs[4]  # normalised dups → same signature
+    ham01 = bin(sigs[0] ^ sigs[1]).count("1")
+    ham02 = bin(sigs[0] ^ sigs[2]).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+
+
+def test_simhash_near_pairs_blocking(docs):
+    pairs = {
+        (r["d1"], r["d2"])
+        for r in dedup.simhash_near_pairs(
+            docs, F.col("text"), F.col("doc_id"), max_hamming=3
+        ).collect()
+    }
+    # exact dups are Hamming 0 and must survive the chunk blocking
+    assert (0, 3) in pairs and (0, 4) in pairs and (3, 4) in pairs
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.cosine_topk(df, [0], k=3).collect()
+    got = [(r["rk"], r["vec_id"]) for r in sorted(out, key=lambda r: r["rk"])]
+
+    v = vecs.astype(np.float64)
+    sims = v @ v[0] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    sims[0] = -np.inf
+    expect = list(np.argsort(-sims)[:3])
+    assert [g[1] for g in got] == [int(e) for e in expect]
+
+
+def test_lsh_bucket_is_subset_of_bruteforce_domain(spark):
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.lsh_bucket_topk(df, [5], k=4, dims=16).collect()
+    # all results share the query's bucket signature by construction
+    assert all(r["q_id"] == 5 and r["vec_id"] != 5 for r in out)
+    assert len(out) <= 4
+
+
+def test_text_analysis_basics(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "zz9")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            text.token_count(F.col("text")).alias("n"),
+            F.round(text.stopword_ratio(F.col("text")), 4).alias("sr"),
+            text.lang_id(F.col("text")).alias("lang"),
+            text.fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert out[1]["n"] == 5
+    assert out[1]["sr"] == 0.6  # 'the' x2 + 'and' of 5 tokens
+    assert out[1]["lang"] == "en"
+    assert out[2]["n"] == 1
+    import hashlib
+
+    assert out[1]["fp"] == hashlib.md5(b"the cat and the hat").hexdigest()
+
+
+def test_multimodal_plumbing_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "another doc")], "doc_id long, text string"
+    )
+    payload = multimodal.attach_binary_payload(df)
+    assert dict(payload.dtypes)["payload"] == "binary"
+    a = sorted(multimodal.extract_features(payload).collect(), key=lambda r: r["doc_id"])
+    b = sorted(multimodal.extract_features(payload).collect(), key=lambda r: r["doc_id"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    import hashlib
+
+    assert a[0]["checksum"] == hashlib.md5(b"hello world").hexdigest()
+    assert a[0]["n_bytes"] == 11
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
