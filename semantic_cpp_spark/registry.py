@@ -541,3 +541,5 @@ def win_slide(spark, sf_dir):
 # Pipeline (text/dedup/similarity/multimodal) registrations — import for
 # side effect; placed at the bottom so `register` exists when it runs.
 from semantic_cpp_spark import registry_pipeline  # noqa: E402,F401
+from semantic_cpp_spark import registry_extras  # noqa: E402,F401
+from semantic_cpp_spark import registry_streaming  # noqa: E402,F401

@@ -1,0 +1,225 @@
+"""Registry section: signal kernels, the custom-collector (UDAF) surface,
+the Charsequence scalar-function medley, the distribution profile, and the
+codepoint-sequence source — closing out the SURVEY §2 inventory."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.functions import strings
+from semantic_cpp_spark.indexing import IDX, with_ordinal
+from semantic_cpp_spark.operators import collectors, signal
+from semantic_cpp_spark.registry import EV, _events_stream, register
+from semantic_cpp_spark.session import load_table
+
+# -- signal kernels (reference collector.h:2744-2942) -----------------------
+
+@register(
+    "sig_dft64",
+    f"""WITH {EV},
+    x AS (SELECT idx, value FROM ev WHERE idx < 64),
+    ks AS (SELECT unnest(range(0, 64)) AS k)
+    SELECT k,
+           round(sum(value * cos(2 * pi() * k * idx / 64.0)), 4) + 0 AS re,
+           round(-sum(value * sin(2 * pi() * k * idx / 64.0)), 4) + 0 AS im
+    FROM x, ks GROUP BY k""",
+)
+def sig_dft64(spark, sf_dir):
+    """useDFT over a 64-sample signal (collector.h:2744-2779); oracle is
+    the naive trig-sum DFT — numpy.fft agrees to ~1e-12, rounded to 4dp."""
+    s = _events_stream(spark, sf_dir).limit(64)
+    out = signal.dft(s.to_df(), F.col("value"))
+    return out.select("k", (F.round("re", 4) + 0.0).alias("re"), (F.round("im", 4) + 0.0).alias("im"))
+
+
+@register(
+    "sig_fft100_pad_truncate",
+    f"""WITH {EV},
+    x AS (SELECT idx, value FROM ev WHERE idx < 100),
+    ks AS (SELECT unnest(range(0, 100)) AS k)
+    SELECT k,
+           round(sum(value * cos(2 * pi() * k * idx / 128.0)), 4) + 0 AS re,
+           round(-sum(value * sin(2 * pi() * k * idx / 128.0)), 4) + 0 AS im
+    FROM x, ks GROUP BY k""",
+)
+def sig_fft100(spark, sf_dir):
+    """useFFT pad/truncate quirk (collector.h:2840-2876): N=100 pads to
+    128 — the oracle's denominator is the PADDED length, so matching
+    proves the quirk is reproduced (truncated-FFT ≠ DFT here)."""
+    s = _events_stream(spark, sf_dir).limit(100)
+    out = signal.fft(s.to_df(), F.col("value"))
+    return out.select("k", (F.round("re", 4) + 0.0).alias("re"), (F.round("im", 4) + 0.0).alias("im"))
+
+
+@register(
+    "sig_fft_by_window",
+    f"""WITH {EV},
+    x AS (SELECT idx, value, (idx // 64) * 64 AS win_start, idx % 64 AS i
+          FROM ev WHERE idx < 256),
+    ks AS (SELECT unnest(range(0, 64)) AS k)
+    SELECT x.win_start, k,
+           round(sum(value * cos(2 * pi() * k * i / 64.0)), 4) + 0 AS re,
+           round(-sum(value * sin(2 * pi() * k * i / 64.0)), 4) + 0 AS im
+    FROM x, ks GROUP BY x.win_start, k""",
+)
+def sig_fft_window(spark, sf_dir):
+    """Per-tumbling-window FFT — the scalable form (window groups fan out
+    across executors); 4 full 64-sample windows, so pad == size."""
+    s = _events_stream(spark, sf_dir).limit(256)
+    out = signal.fft_by_window(s.to_df(), F.col("value"), 64)
+    return out.select(
+        "win_start", "k", (F.round("re", 4) + 0.0).alias("re"), (F.round("im", 4) + 0.0).alias("im")
+    )
+
+
+# -- custom collector / UDAF surface (reference collector.h:476-486) --------
+
+@register(
+    "udaf_weighted_avg",
+    """SELECT l_returnflag,
+              round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+                AS weighted_avg_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def udaf_weighted_avg(spark, sf_dir):
+    """useCollect (identity/accumulator/combiner/finisher — collector.h:
+    476-486) as a grouped pandas UDAF: per-group state = (Σxw, Σw), merge
+    by addition, finish by division — exactly the reference's collector
+    stages, Arrow-batched."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+    def collector(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # the collector stages: identity (0,0) → accumulate (Σxw, Σw) →
+        # finish (divide); rounding stays in Spark so both engines round
+        # with the same half-up rule.
+        sxw = float((pdf["l_extendedprice"] * pdf["l_quantity"]).sum())
+        sw = float(pdf["l_quantity"].sum())
+        return pd.DataFrame(
+            {"l_returnflag": [key[0]], "weighted_avg_price": [sxw / sw]}
+        )
+
+    out = li.groupBy("l_returnflag").applyInPandas(
+        collector, schema="l_returnflag string, weighted_avg_price double"
+    )
+    return out.select(
+        "l_returnflag", F.round("weighted_avg_price", 6).alias("weighted_avg_price")
+    )
+
+
+@register(
+    "reduce_bit_xor",
+    """SELECT bit_xor(('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT)
+                AS xor_fp
+       FROM documents""",
+)
+def reduce_bit_xor(spark, sf_dir):
+    """useReduce with an associative op (collector.h:2337-2375) — engine
+    maps associative folds onto built-in partial+final aggregates (here
+    bit_xor over document fingerprints)."""
+    from semantic_cpp_spark.pipeline.text import fingerprint64
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(fingerprint64(F.col("text")).alias("fp64")).agg(
+        F.expr("bit_xor(fp64)").alias("xor_fp")
+    )
+
+
+# -- distribution collector (reference collector.h:1908-2096) ---------------
+
+@register(
+    "agg_distribution_profile",
+    f"""WITH {EV},
+    pv AS (SELECT event_type AS value, sum(idx)::DOUBLE AS pos_sum,
+                  count(*)::DOUBLE AS cnt
+           FROM ev GROUP BY event_type),
+    st AS (SELECT stddev_pop(pos_sum) AS pos_sd, stddev_pop(cnt) AS cnt_sd FROM pv),
+    pm AS (SELECT pos_sum AS pos_mode FROM
+             (SELECT pos_sum, count(*) AS c FROM pv GROUP BY pos_sum)
+           ORDER BY c DESC, pos_sum ASC LIMIT 1),
+    cm AS (SELECT cnt AS cnt_mode FROM
+             (SELECT cnt, count(*) AS c FROM pv GROUP BY cnt)
+           ORDER BY c DESC, cnt ASC LIMIT 1)
+    SELECT value,
+           round((pos_sum - pos_mode)
+                 / (CASE WHEN pos_sd < 0.001 THEN 1.0 ELSE pos_sd END), 6) AS pos_score,
+           round((cnt - cnt_mode)
+                 / (CASE WHEN cnt_sd < 0.001 THEN 1.0 ELSE cnt_sd END), 6) AS cnt_score
+    FROM pv, st, pm, cm""",
+)
+def agg_distribution(spark, sf_dir):
+    """useDistribution: per-value (positionSum, count) z-scored against the
+    cross-value MODE with the 0.001→1.0 stddev guard (collector.h:
+    1908-2096, guards :1989-1992); deterministic mode tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    idxed = with_ordinal(ev, ["event_id"]).select(IDX, "event_type")
+    prof = collectors.distribution_profile(idxed, F.col("event_type"))
+    return prof.select(
+        "value",
+        F.round("pos_score", 6).alias("pos_score"),
+        F.round("cnt_score", 6).alias("cnt_score"),
+    )
+
+
+# -- Charsequence scalar medley (reference charsequence.h, SURVEY §2.7) -----
+
+@register(
+    "str_charsequence_medley",
+    """SELECT p_partkey,
+              translate(p_name, 'abcdefghijklmnopqrstuvwxyz',
+                                'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS up,
+              strpos(p_name, 'a') - 1 AS pos_a,
+              ((length(p_name) - length(replace(p_name, 'a', ''))))::BIGINT AS n_a,
+              replace(p_name, ' ', '_') AS snake,
+              reverse(p_name) AS rev,
+              substr(p_name, 3, 8) AS mid,
+              p_name LIKE 'b%' AS starts_b,
+              contains(p_name, 'ol') AS has_ol
+       FROM part""",
+)
+def str_medley(spark, sf_dir):
+    """Charsequence scalar surface in one projection: ASCII-only case map
+    (charsequence.h:1120-1158), 0-based indexOf with -1 absent (:900-938),
+    non-overlapping count (:1078-1103), literal replace (:989-1076),
+    reverse (:1160-1170), clamped sub (:786-810), startsWith/contains
+    (:844-898)."""
+    p = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        strings.upper_ascii(name).alias("up"),
+        strings.index_of(name, "a").alias("pos_a"),
+        strings.count_occurrences(name, "a").alias("n_a"),
+        strings.replace_literal(name, " ", "_").alias("snake"),
+        strings.reverse_str(name).alias("rev"),
+        strings.sub_clamped(name, 2, 8).alias("mid"),
+        strings.starts_with(name, "b").alias("starts_b"),
+        strings.contains(name, "ol").alias("has_ol"),
+    )
+
+
+@register(
+    "str_codepoint_sequence",
+    """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 20),
+    pos AS (SELECT p_partkey, p_name, unnest(range(1, length(p_name) + 1)) AS i
+            FROM p)
+    SELECT p_partkey, i - 1 AS pos, substr(p_name, i::INT, 1) AS ch,
+           ord(substr(p_name, i::INT, 1)) AS cp
+    FROM pos""",
+)
+def str_codepoints(spark, sf_dir):
+    """useSequence: a string as a stream of code points
+    (reference semantic.h:2260-2345) — posexplode over the codepoint
+    split, with the numeric code point per element."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 20)
+    exploded = p.select(
+        "p_partkey", F.posexplode(F.split(F.col("p_name"), "")).alias("pos", "ch")
+    )
+    return exploded.select(
+        "p_partkey",
+        F.col("pos").cast("long").alias("pos"),
+        "ch",
+        F.ascii("ch").cast("long").alias("cp"),
+    )

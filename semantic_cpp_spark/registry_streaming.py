@@ -1,0 +1,124 @@
+"""Registry section: Structured Streaming queries (north star).
+
+Each query executes a real streaming job (readStream → transform →
+memory sink, run to completion) and returns the materialised result;
+the DuckDB oracle computes the identical BATCH answer — pinning the
+exactly-once batch/stream parity contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.registry import register
+from semantic_cpp_spark.streaming import ops
+
+
+@register(
+    "stream_tumble_hour",
+    """WITH e AS (SELECT epoch_ns(ts) AS tns, value FROM events)
+       SELECT (tns // 3600000000000) * 3600 AS win_start_s,
+              count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM e GROUP BY 1""",
+)
+def stream_tumble(spark, sf_dir):
+    """Event-time tumbling 1h windows over the events stream (complete
+    mode ⇒ every window emitted; equals the batch groupBy answer)."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(ops.tumbling_counts(ev, "1 hour"), "complete")
+
+
+@register(
+    "stream_slide_2h_30m",
+    """WITH e AS (SELECT epoch_ns(ts) AS tns FROM events),
+       r AS (SELECT unnest(range(0, 4)) AS r)
+       SELECT ((tns // 1800000000000) - r.r) * 1800 AS win_start_s, count(*) AS n
+       FROM e, r GROUP BY 1""",
+)
+def stream_slide(spark, sf_dir):
+    """Sliding 2h/30m windows: each event lands in exactly 4 windows
+    (size/slide); oracle replicates Spark's floor-aligned window
+    assignment."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(
+        ops.sliding_counts(ev, "2 hours", "30 minutes"), "complete"
+    )
+
+
+@register(
+    "stream_session_5m",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+       o AS (SELECT user_id, tus,
+                    lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+             FROM e),
+       m AS (SELECT user_id, tus,
+                    CASE WHEN prev IS NULL OR tus - prev >= 300000000
+                         THEN 1 ELSE 0 END AS new_s
+             FROM o),
+       s AS (SELECT user_id, tus,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+             FROM m)
+       SELECT user_id, min(tus) AS session_start_us, count(*) AS n
+       FROM s GROUP BY user_id, sid""",
+)
+def stream_session(spark, sf_dir):
+    """Per-user session windows (5-minute gap): a new session starts when
+    the inter-event gap reaches the threshold; oracle is the classic
+    lag+cumsum sessionization."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(ops.session_counts(ev, "5 minutes"), "complete")
+
+
+@register(
+    "stream_distinct_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_distinct(spark, sf_dir):
+    """Streaming dedup (dropDuplicates state): surviving key set equals
+    batch DISTINCT — the streaming form of distinct()
+    (semantic.h:1122-1142)."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(ops.streaming_distinct_keys(ev), "append")
+
+
+@register(
+    "stream_running_stats",
+    """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value,
+              round(sum(value * value), 4) AS sum_squares
+       FROM events GROUP BY user_id""",
+)
+def stream_running_stats(spark, sf_dir):
+    """Custom stateful operator: per-user running (count, Σx, Σx²) via
+    applyInPandasWithState — the streaming form of the reference's
+    single-pass stats accumulators (collector.h:488-760)."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    out = ops.run_to_memory(ops.running_stats_per_user(ev), "update")
+    return out.select(
+        "user_id",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("sum_squares", 4).alias("sum_squares"),
+    )
+
+
+@register(
+    "stream_count_windows",
+    f"""WITH r AS (SELECT user_id, value,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY event_id) - 1 AS rk
+                   FROM events)
+        SELECT user_id, rk // {ops.COUNT_WINDOW_SIZE} AS win, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM r GROUP BY user_id, rk // {ops.COUNT_WINDOW_SIZE}
+        HAVING count(*) = {ops.COUNT_WINDOW_SIZE}""",
+)
+def stream_count_windows(spark, sf_dir):
+    """Custom stateful operator: COUNT-based tumbling windows over an
+    unbounded stream (the reference's tumble lifted to streaming) —
+    remainder buffered in state, completed windows emitted."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    out = ops.run_to_memory(ops.count_tumble_per_user(ev), "append")
+    return out.select(
+        "user_id", "win", "n", F.round("sum_value", 2).alias("sum_value")
+    )

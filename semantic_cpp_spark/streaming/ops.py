@@ -1,0 +1,268 @@
+"""Structured Streaming surface — the north-star extension
+(BASELINE.json: "Structured Streaming with custom stateful operators").
+
+The reference's windows are count-based over a logical index with no
+event time (SURVEY §2.8); its concurrency is a thread pool. This module
+supplies what a STREAMING version of that library needs on Spark:
+
+- event-time tumbling/sliding windows (``window()``) and session windows
+  (``session_window()``) with ``withWatermark`` lateness handling;
+- streaming dedup (``dropDuplicates`` / ``dropDuplicatesWithinWatermark``);
+- CUSTOM STATEFUL OPERATORS via ``applyInPandasWithState``:
+  - per-key running statistics (Welford count/mean/M2 — the streaming
+    form of the reference's variance collector, collector.h:688-760);
+  - per-key COUNT-BASED tumbling windows over an unbounded stream — the
+    reference's ``tumble`` (semantic.h:910-913) lifted to streaming,
+    with explicit buffered-remainder state and eviction on emit.
+
+Batch/stream parity: every operator here has identical batch semantics,
+which is how the driver's DuckDB oracle checks them — the streaming query
+runs to completion on a memory sink and the result must equal the batch
+answer (the exactly-once contract).
+
+Fixture adapter: events.ts is epoch-NANOS (int64 via nanosAsLong);
+event time = ``timestamp_micros(ts div 1000)``.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded stream (one micro-batch per file)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # streaming source wants a DIRECTORY; the fixture dir holds all tables,
+    # so glob-filter down to the events file.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds double's 2^53
+    # mantissa, so float division corrupts the low microseconds.
+    return raw.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming query to completion against an in-memory sink
+    and return the materialised result table."""
+    name = f"sem_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour") -> DataFrame:
+    """Event-time tumbling window aggregate with a watermark (late rows
+    beyond 10 minutes dropped once the watermark passes)."""
+    return (
+        events.withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", size).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start_s"),
+            "n",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, size: str = "2 hours", slide: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", size, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start_s"),
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events arrive within `gap`."""
+    return (
+        events.withWatermark("event_time", "10 minutes")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("event_time", gap).alias("win"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("win.start"))).alias("session_start_us"),
+            "n",
+        )
+    )
+
+
+def streaming_distinct_keys(events: DataFrame) -> DataFrame:
+    """Streaming dedup: first occurrence of each (user_id, event_type)
+    key survives; emitting only the key makes the result order-independent
+    (the streaming form of distinct(), semantic.h:1122-1142)."""
+    return events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+# -- custom stateful operators ---------------------------------------------
+
+_STATS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("sum_squares", T.DoubleType()),
+    ]
+)
+_STATS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s1", T.DoubleType()),
+        T.StructField("s2", T.DoubleType()),
+    ]
+)
+
+
+def _stats_update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running (count, Σx, Σx²) per key — the reference collector's
+    identity/accumulate/combine stages (collector.h:51-153) as streaming
+    state. Power sums rather than Welford mean/M2 on purpose: the fixture
+    values carry ≤2 decimals, so the true sums are exact 2/4-decimal
+    quantities and rounding is boundary-safe when compared against the
+    batch oracle (a mean like sum/64 can land EXACTLY on a rounding
+    boundary where engines disagree by one ulp)."""
+    if state.exists:
+        n, s1, s2 = state.get
+    else:
+        n, s1, s2 = 0, 0.0, 0.0
+    rows = pd.concat(list(pdfs))
+    for v in rows.sort_values("event_id")["value"]:
+        n += 1
+        s1 += v
+        s2 += v * v
+    state.update((n, s1, s2))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n": [n],
+            "sum_value": [s1],
+            "sum_squares": [s2],
+        }
+    )
+
+
+def running_stats_per_user(events: DataFrame) -> DataFrame:
+    """Custom stateful operator #1: per-user running (count, Σx, Σx²) —
+    mean/variance derivable — maintained across micro-batches."""
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _stats_update,
+            outputStructType=_STATS_OUT,
+            stateStructType=_STATS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_CW_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("win", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+_CW_STATE = T.StructType(
+    [
+        T.StructField("seen", T.LongType()),
+        T.StructField("buf_sum", T.DoubleType()),
+        T.StructField("buf_n", T.LongType()),
+    ]
+)
+
+COUNT_WINDOW_SIZE = 10
+
+
+def _count_window_update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Count-based tumbling windows over an unbounded stream: buffer the
+    running remainder in state, emit a row per COMPLETED window, keep the
+    partial tail buffered (explicit eviction-on-emit). This is the
+    reference's tumble(size) (semantic.h:910-913) with state instead of a
+    materialised buffer."""
+    if state.exists:
+        seen, buf_sum, buf_n = state.get
+    else:
+        seen, buf_sum, buf_n = 0, 0.0, 0
+    out = []
+    rows = pd.concat(list(pdfs)).sort_values("event_id")
+    for v in rows["value"]:
+        buf_sum += v
+        buf_n += 1
+        if buf_n == COUNT_WINDOW_SIZE:
+            out.append(
+                {
+                    "user_id": key[0],
+                    "win": seen // COUNT_WINDOW_SIZE,
+                    "n": buf_n,
+                    "sum_value": buf_sum,
+                }
+            )
+            seen += buf_n
+            buf_sum, buf_n = 0.0, 0
+    state.update((seen, buf_sum, buf_n))
+    yield pd.DataFrame(out, columns=["user_id", "win", "n", "sum_value"])
+
+
+def count_tumble_per_user(events: DataFrame) -> DataFrame:
+    """Custom stateful operator #2: per-user count-based tumbling windows
+    (size COUNT_WINDOW_SIZE) — emits only completed windows."""
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _count_window_update,
+            outputStructType=_CW_OUT,
+            stateStructType=_CW_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
