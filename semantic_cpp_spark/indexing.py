@@ -72,9 +72,13 @@ def with_ordinal(
 ) -> DataFrame:
     """Attach a dense 0..n-1 LongType ordinal ``name`` ordered by ``order_by``.
 
-    strategy: "auto" picks "bucket" for a single integer-like key else
-    "range"; "window" (global row_number — single-task sort) exists for
-    tests/cross-checks only.
+    strategy: "auto" probes a single integer-like key for DENSITY first
+    (min/max/count agg on the pruned key column — one cheap pass): a dense
+    key means ``name = key - min`` is a pure narrow map and the big side
+    NEVER shuffles — the dominant case for well-formed ids (event_id,
+    doc_id, a previous __idx before filtering). Non-dense integer keys use
+    "bucket"; compound/non-numeric keys use "range". "window" (global
+    row_number — single-task sort) exists for tests/cross-checks only.
     """
     order_by = list(order_by)
     cols = _cols(order_by)
@@ -86,7 +90,21 @@ def with_ordinal(
         return df.withColumn(name, (F.row_number().over(w) - 1).cast("long"))
 
     if strategy == "auto":
-        strategy = "bucket" if _single_numeric_key(df, order_by) else "range"
+        key = _single_numeric_key(df, order_by)
+        if key is not None:
+            probe = df.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi"), F.count(key).alias("n")
+            ).first()
+            if probe["n"] == 0:
+                return df.withColumn(name, F.lit(0).cast("long"))
+            if probe["hi"] - probe["lo"] + 1 == probe["n"]:
+                # dense integers: ordinal = key - min, shuffle-free
+                return df.withColumn(
+                    name, (F.col(key).cast("long") - F.lit(int(probe["lo"]))).cast("long")
+                )
+            strategy = "bucket"
+        else:
+            strategy = "range"
 
     if strategy == "bucket":
         key = _single_numeric_key(df, order_by)

@@ -367,10 +367,13 @@ def agg_quantiles(spark, sf_dir):
     `quantile_cont` share the rule."""
     li = load_table(spark, sf_dir, "lineitem")
     c = F.col("l_extendedprice")
-    return li.agg(
-        F.round(stats.median_exact(c), 6).alias("median_v"),
-        F.round(stats.percentile_exact(c, 25.0), 6).alias("p25"),
-        F.round(stats.percentile_exact(c, 95.0), 6).alias("p95"),
+    # one percentile(col, array(...)) call: a single sort buffer instead of
+    # three (was the slowest headline query by 4× before this)
+    qs = F.percentile(c, F.array(F.lit(0.5), F.lit(0.25), F.lit(0.95)))
+    return li.agg(qs.alias("__qs")).select(
+        F.round(F.col("__qs")[0], 6).alias("median_v"),
+        F.round(F.col("__qs")[1], 6).alias("p25"),
+        F.round(F.col("__qs")[2], 6).alias("p95"),
     )
 
 

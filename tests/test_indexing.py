@@ -51,3 +51,19 @@ def test_normalize_wraps_negative(spark):
     out = {r["value"]: r[IDX] for r in normalize_index(df).collect()}
     # n=4: -3 -> 1, -2 -> 2, -1 -> 3, 0 -> 0
     assert out == {"a": 1, "b": 2, "c": 3, "d": 0}
+
+
+def test_dense_key_fast_path(spark):
+    """A dense 0-based (or offset) integer key becomes the ordinal via a
+    pure map — and still agrees with the window strategy."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select((F.col("id") + 7).alias("key"), F.col("id").alias("p"))
+    out = with_ordinal(df, ["key"], strategy="auto")
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {r["key"]: r[IDX] for r in out.collect()}
+    expect = {
+        r["key"]: r[IDX]
+        for r in with_ordinal(df, ["key"], strategy="window").collect()
+    }
+    assert got == expect
