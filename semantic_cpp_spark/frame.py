@@ -267,6 +267,63 @@ class SemanticFrame:
             .select(self._v.alias(VALUE))
         )
 
+    def find_any(self) -> DataFrame:
+        """useFindAny: genuinely nondeterministic in the reference
+        (function.h:88-102 random accept, collector.h:838-857). Spark
+        form: first row of whichever partition answers first — `limit(1)`
+        with no ordering. Documented nondeterminism (SURVEY §7.4)."""
+        return self.df.select(self._v.alias(VALUE)).limit(1)
+
+    def for_each(self, fn) -> int:
+        """useForEach (collector.h:450-464): driver-observable side effect
+        per element + count. Spark's foreach runs on executors with
+        at-least-once semantics; here we fold the rows on the driver in
+        index order to honor the reference's sequential contract (use
+        ``df.foreach`` directly for fire-and-forget executor-side effects)."""
+        rows = self.df.orderBy(IDX).select(VALUE).collect()
+        for r in rows:
+            fn(r[VALUE])
+        return len(rows)
+
+    def to_vector(self) -> list[Any]:
+        """toVector (collector.h:2434-2448): values in index order."""
+        return self.to_list()
+
+    def to_set(self) -> set:
+        """toSet: dedup (collector.h:2463-2474)."""
+        return {
+            r[VALUE]
+            for r in self.df.select(VALUE).distinct().collect()
+        }
+
+    def to_map(self, key_fn: ColumnFn, value_fn: ColumnFn) -> dict:
+        """toMap(keyFn, valueFn): last write wins per key in index order
+        (unordered_map insert-or-assign over the stream)."""
+        rows = (
+            self.df.select(
+                _apply(key_fn, self._v, self._i).alias("k"),
+                _apply(value_fn, self._v, self._i).alias("v"),
+                self._i,
+            )
+            .orderBy(IDX)
+            .collect()
+        )
+        return {r["k"]: r["v"] for r in rows}
+
+    def use_out(self, delimiter: str = ", ", prefix: str = "[", suffix: str = "]") -> str:
+        """useOut (collector.h:1351-1576): join + print to stdout."""
+        s = self.scalar(self.join_str(delimiter, prefix, suffix))
+        print(s)
+        return s
+
+    def use_error(self, delimiter: str = ", ", prefix: str = "[", suffix: str = "]") -> str:
+        """useError (collector.h:1578-1803): join + print to stderr."""
+        import sys
+
+        s = self.scalar(self.join_str(delimiter, prefix, suffix))
+        print(s, file=sys.stderr)
+        return s
+
     def find_first(self) -> DataFrame:
         return (
             self.df.agg(F.min_by(self._v, self._i).alias(VALUE))
@@ -303,6 +360,43 @@ class SemanticFrame:
 
     def count(self) -> DataFrame:
         return self.df.agg(F.count(F.lit(1)).alias(VALUE))
+
+    # -- grouping / windows (delegate to operators.*; SURVEY §2.6/2.8) -----
+
+    def group(self, key_fn: ColumnFn, value_fn: ColumnFn | None = None) -> DataFrame:
+        """useGroup/useGroupBy (collector.h:1065-1130): key → values in
+        encounter order."""
+        from semantic_cpp_spark.operators.collectors import group_collect
+
+        k = _apply(key_fn, self._v, self._i)
+        v = None if value_fn is None else _apply(value_fn, self._v, self._i)
+        return group_collect(self.df, k, v)
+
+    def partition(self, size: int) -> DataFrame:
+        """usePartition (collector.h:2098-2136)."""
+        from semantic_cpp_spark.operators.collectors import partition_chunks
+
+        return partition_chunks(self.df, size)
+
+    def partition_by(self, key_fn: ColumnFn, value_fn: ColumnFn | None = None) -> DataFrame:
+        """usePartitionBy (collector.h:2138-2203)."""
+        from semantic_cpp_spark.operators.collectors import partition_by_key
+
+        k = _apply(key_fn, self._v, self._i)
+        v = None if value_fn is None else _apply(value_fn, self._v, self._i)
+        return partition_by_key(self.df, k, v)
+
+    def tumble(self, size: int) -> DataFrame:
+        """toWindow().tumble(size) (semantic.h:910-913)."""
+        from semantic_cpp_spark.operators.windows import tumble
+
+        return tumble(self.to_ordered().df, size)
+
+    def slide(self, size: int, step: int) -> DataFrame:
+        """toWindow().slide(size, step) (semantic.h:1595-1643)."""
+        from semantic_cpp_spark.operators.windows import slide
+
+        return slide(self.to_ordered().df, size, step)
 
     # -- terminal string join (SURVEY §2.7) --------------------------------
 

@@ -69,6 +69,18 @@ def index_of(col: Column, needle: str, from_idx: int = 0) -> Column:
     return F.locate(needle, col, from_idx + 1) - 1
 
 
+def last_index_of(col: Column, needle: str) -> Column:
+    """0-based lastIndexOf, -1 when absent (charsequence.h:940-987):
+    locate the reversed needle in the reversed haystack, then mirror the
+    offset — pure codegen, no UDF."""
+    if not needle:
+        return F.length(col)  # reference: empty needle matches at end
+    rpos = F.locate(needle[::-1], F.reverse(col))  # 1-based in reversed
+    return F.when(rpos == 0, F.lit(-1)).otherwise(
+        F.length(col) - rpos - len(needle) + 1
+    )
+
+
 def starts_with(col: Column, prefix: str) -> Column:
     return F.startswith(col, F.lit(prefix))
 

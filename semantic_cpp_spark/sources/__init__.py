@@ -8,6 +8,8 @@ from semantic_cpp_spark.sources.factories import (
     from_text_lines,
     iterate,
     use_empty,
+    use_generate,
+    use_random,
 )
 
 __all__ = [
@@ -20,4 +22,6 @@ __all__ = [
     "from_text_lines",
     "iterate",
     "use_empty",
+    "use_generate",
+    "use_random",
 ]

@@ -97,6 +97,38 @@ def iterate(
     return SemanticFrame(df)
 
 
+def use_random(
+    spark: SparkSession,
+    count: int,
+    minimum: float | int | None = None,
+    maximum: float | int | None = None,
+    integers: bool = False,
+    seed: int = 42,
+) -> SemanticFrame:
+    """useRandom (reference semantic.h:1873-1973): uniform random reals or
+    ints, bounded count (the infinite variants have no batch analogue —
+    SURVEY §2.1). Seeded ``rand`` keeps runs reproducible per plan; the
+    reference's generator is nondeterministic, so exact values are not a
+    parity surface — distribution tests pin semantics instead."""
+    lo = 0.0 if minimum is None else float(minimum)
+    hi = 1.0 if maximum is None else float(maximum)
+    v = F.rand(seed) * (hi - lo) + lo
+    if integers:
+        v = F.floor(v).cast("long")
+    df = spark.range(count).select(F.col("id").alias(IDX), v.alias(VALUE))
+    return SemanticFrame(df)
+
+
+def use_generate(
+    spark: SparkSession, supplier: Callable[[], Any], limit: int
+) -> SemanticFrame:
+    """useGenerate (reference semantic.h:1785-1827): bounded supplier
+    calls. The supplier is a driver-side Python callable (matching the
+    reference's single-process supplier semantics); the resulting stream
+    is distributed afterwards."""
+    return from_container(spark, [supplier() for _ in range(limit)])
+
+
 def use_empty(spark: SparkSession, value_type: str = "string") -> SemanticFrame:
     """useEmpty (reference semantic.h:1975-1981)."""
     df = spark.createDataFrame([], schema=f"{IDX} long, {VALUE} {value_type}")

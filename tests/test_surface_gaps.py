@@ -1,0 +1,115 @@
+"""Coverage for the long-tail surface: random/generate sources, findAny,
+forEach, collection terminals, out/error collectors, lastIndexOf, charset
+encode/decode round-trips (SURVEY §5.4 golden files)."""
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.functions import charsets, strings
+from semantic_cpp_spark.sources import from_container, use_generate, use_random
+
+
+def test_use_random_bounds_and_count(spark):
+    s = use_random(spark, 500, 10, 20)
+    vals = s.to_list()
+    assert len(vals) == 500
+    assert all(10 <= v < 20 for v in vals)
+    ints = use_random(spark, 300, 0, 5, integers=True).to_list()
+    assert set(ints) <= {0, 1, 2, 3, 4}
+    assert len(set(ints)) > 1  # actually random
+
+
+def test_use_generate(spark):
+    it = iter(range(100))
+    s = use_generate(spark, lambda: next(it), 5)
+    assert s.to_list() == [0, 1, 2, 3, 4]
+
+
+def test_find_any_and_for_each(spark):
+    s = from_container(spark, [7, 8, 9])
+    got = s.scalar(s.find_any())
+    assert got in (7, 8, 9)
+    seen = []
+    n = s.for_each(seen.append)
+    assert n == 3 and seen == [7, 8, 9]
+
+
+def test_collection_terminals(spark):
+    s = from_container(spark, [3, 1, 3, 2])
+    assert s.to_vector() == [3, 1, 3, 2]
+    assert s.to_set() == {1, 2, 3}
+    m = s.to_map(lambda v: v % 2, lambda v, i: i)
+    # last write wins in index order: odd→idx3? no: 3@0,1@1,3@2,2@3
+    assert m == {1: 2, 0: 3}
+
+
+def test_use_out_and_error(spark, capsys):
+    s = from_container(spark, [1, 2])
+    out = s.use_out()
+    err = s.use_error("|", "<", ">")
+    cap = capsys.readouterr()
+    assert out == "[1, 2]" and "[1, 2]" in cap.out
+    assert err == "<1|2>" and "<1|2>" in cap.err
+
+
+def test_frame_group_partition_windows(spark):
+    s = from_container(spark, ["ax", "bx", "ay"])
+    grouped = {r["key"]: list(r["values"]) for r in s.group(
+        lambda v: F.substring(v, 1, 1)
+    ).collect()}
+    assert grouped == {"a": ["ax", "ay"], "b": ["bx"]}
+    chunks = {r["chunk"]: list(r["values"]) for r in s.partition(2).collect()}
+    assert chunks == {0: ["ax", "bx"], 1: ["ay"]}
+    wins = {r["win_start"]: list(r["values"]) for r in s.tumble(2).collect()}
+    assert wins == {0: ["ax", "bx"], 2: ["ay"]}
+
+
+def test_last_index_of(spark):
+    one = lambda c: spark.range(1).select(c.alias("r")).first()["r"]  # noqa: E731
+    assert one(strings.last_index_of(F.lit("abcabc"), "abc")) == 3
+    assert one(strings.last_index_of(F.lit("abcabc"), "c")) == 5
+    assert one(strings.last_index_of(F.lit("abc"), "zz")) == -1
+    assert one(strings.last_index_of(F.lit("aaaa"), "aa")) == 2
+
+
+CHARSETS = ["ascii", "latin1", "utf8", "utf16", "utf16le", "utf16be",
+            "utf32", "utf32le", "utf32be"]
+
+
+def test_charset_round_trips(spark):
+    """encode→decode round-trips across all 9 reference charsets
+    (charsequence.h:123-544)."""
+    text = "héllo wörld ☃"  # non-ASCII beyond latin1 for the utf variants
+    plain = "hello"
+    df = spark.createDataFrame([(text,), (plain,)], "s string")
+    for cs in CHARSETS:
+        probe = plain if cs in ("ascii", "latin1") else text
+        got = (
+            df.filter(F.col("s") == probe)
+            .select(charsets.decode_charset(charsets.encode_charset(F.col("s"), cs), cs).alias("r"))
+            .first()["r"]
+        )
+        assert got == probe, cs
+
+
+def test_utf32_invalid_bytes_replacement(spark):
+    """Invalid input decodes to U+FFFD, never throws (charsequence.h:265-495)."""
+    df = spark.createDataFrame([(bytes([0x41, 0x00, 0x00, 0x00, 0xFF, 0xFF]),)], "b binary")
+    got = df.select(charsets.decode_charset(F.col("b"), "utf32").alias("r")).first()["r"]
+    assert got.startswith("A")
+    assert "�" in got
+
+
+def test_convert_charset(spark):
+    df = spark.createDataFrame([("snow ☃",)], "s string")
+    out = df.select(
+        charsets.decode_charset(
+            charsets.convert_charset(
+                charsets.encode_charset(F.col("s"), "utf8"), "utf8", "utf32be"
+            ),
+            "utf32be",
+        ).alias("r")
+    ).first()["r"]
+    assert out == "snow ☃"
