@@ -28,6 +28,9 @@ BENCH_QUERIES = [
     "grp_frequency_profile",
     "win_tumble",
     "win_slide",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "txt_quality_score",
 ]
 
 

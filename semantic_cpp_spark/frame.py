@@ -260,7 +260,10 @@ class SemanticFrame:
         if i >= 0:
             return self.df.filter(self._i == i).select(self._v.alias(VALUE))
         n_df = self.df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-        tgt = (F.col("__n") - (F.lit(-i) % F.col("__n"))) % F.col("__n")
+        nn = F.col("__n")
+        # CASE-guard the modulo: ANSI mode (Spark 4 default) raises on % 0
+        # for the empty-stream case.
+        tgt = F.when(nn > 0, (nn - (F.lit(-i) % nn)) % nn)
         return (
             self.df.crossJoin(F.broadcast(n_df))
             .filter(self._i == tgt)

@@ -64,8 +64,13 @@ def exact_dedup(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
 
 
 def exploded_shingles(df: DataFrame, text: Column, id_col: Column, k: int = 3) -> DataFrame:
+    # Spread the docs across the cluster BEFORE the expensive shingle
+    # explode: a small parquet source arrives as one split, which would
+    # otherwise serialize all derived work (explode, md5, self-join) into
+    # a single task.
+    n = df.sparkSession.sparkContext.defaultParallelism
     sh = shingles(text, k)
-    return df.select(
+    return df.repartition(n).select(
         id_col.alias("doc_id"),
         F.size(sh).alias("n_sh"),
         F.explode(sh).alias("sh"),
@@ -73,19 +78,41 @@ def exploded_shingles(df: DataFrame, text: Column, id_col: Column, k: int = 3) -
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text: Column, id_col: Column, k: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 100,
 ) -> DataFrame:
-    """Near-duplicate pairs by Jaccard over distinct k-shingles.
+    """Near-duplicate pairs by Jaccard over distinct k-shingles with
+    document frequency ≤ ``max_shingle_df``.
 
-    Plan: explode shingles → self-join on the shingle (only docs sharing a
-    shingle ever meet — the blocking that beats O(n²)) → per-pair common
-    count → Jaccard = common / (|A| + |B| − common).
+    Plan: explode shingles → drop shingles appearing in more than
+    ``max_shingle_df`` docs (a hot "boilerplate" shingle in f docs would
+    contribute f² join pairs — the df-cap is what keeps the self-join
+    near-linear; near-dups are joined by their RARE shingles) → self-join
+    on the shingle → per-pair common count → Jaccard over the same
+    capped shingle sets (numerator and denominator consistent).
 
-    Scale note: hot shingles (boilerplate) blow up the join; production
-    path drops shingles with document-frequency above a cap before the
-    join (cheap extra groupBy) — exposed via ``max_shingle_df``.
+    ``max_shingle_df=None`` disables the cap (exact Jaccard over all
+    shingles — quadratic on corpora with heavy shingle reuse).
     """
     ex = exploded_shingles(df, text, id_col, k)
+    if max_shingle_df is not None:
+        ex = ex.persist()  # feeds dfreq, sizes, and both self-join sides
+        dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        ex = (
+            ex.join(dfreq.filter(F.col("__df") <= max_shingle_df), "sh")
+            .drop("__df")
+        )
+        # recompute per-doc sizes over the surviving (rare) shingles
+        sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n2"))
+        ex = (
+            ex.drop("n_sh")
+            .join(sizes, "doc_id")
+            .withColumnRenamed("__n2", "n_sh")
+        )
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -108,24 +135,30 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(df: DataFrame, text: Column, id_col: Column, k: int = 3) -> DataFrame:
     """MinHash signatures: per doc, NUM_HASHES minima of affine hashes of
-    the shingle set. Pure HOF expressions — one narrow pass, no shuffle."""
-    sh = shingles(text, k)
-    hashed = F.transform(sh, lambda s: shingle_hash(s))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    hashed, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
-                )
-            )
-            for a, b in zip(MINHASH_A, MINHASH_B)
-        ]
+    the shingle set.
+
+    Shape: explode shingles → md5-hash each ONCE → one groupBy(doc) with
+    NUM_HASHES ``min`` aggregates. The tempting all-expression form
+    (NUM_HASHES array_min/transform towers over the shingle array) re-
+    inlines the md5+split subtree into every hash function after Catalyst
+    collapses projections — measured 16× slower. Here the expensive hash
+    is computed once per (doc, shingle) row and each aggregate is a
+    multiply-add; shuffle carries (doc_id, h) only.
+
+    Docs shorter than k tokens have no shingles → explode drops them
+    (matches the oracle's len(shingles) > 0 guard)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    ex = df.repartition(n).select(
+        id_col.alias("doc_id"), F.explode(shingles(text, k)).alias("s")
     )
-    # Docs shorter than k tokens have no shingles → no signature (matches
-    # the oracle's len(shingles) > 0 guard; avoids all-null sigs colliding).
-    return df.select(
-        id_col.alias("doc_id"), F.size(sh).alias("__nsh"), sig.alias("sig")
-    ).filter(F.col("__nsh") > 0).drop("__nsh")
+    hashed = ex.select("doc_id", shingle_hash(F.col("s")).alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*mins)
+    sig = F.array(*[F.col(f"m{j}") for j in range(NUM_HASHES)])
+    return per_doc.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -139,7 +172,9 @@ def minhash_lsh_pairs(
     pairs within bucket → dedup pairs → verify with the full signature.
     Shuffle volume: BANDS rows/doc, each a short string — 100 TB-safe.
     """
-    sigs = minhash_signature(df, text, id_col, k)
+    # persist: the band self-join and the signature-verification joins
+    # would otherwise recompute the md5+aggregate pipeline up to 4×
+    sigs = minhash_signature(df, text, id_col, k).persist()
     bands = sigs.select(
         "doc_id",
         "sig",

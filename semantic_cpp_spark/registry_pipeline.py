@@ -135,18 +135,24 @@ sh AS (
 @register(
     "dedup_ngram_jaccard",
     f"""WITH {_SHINGLES_CTE},
-    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfq AS (SELECT s, count(*) AS dfc FROM ex0 GROUP BY s),
+    ex AS (SELECT e.doc_id, e.s FROM ex0 e JOIN dfq USING (s) WHERE dfc <= 100),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
     pairs AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
-             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
-    SELECT d1, d2, round(common::DOUBLE / (na + nb - common), 6) AS jaccard
-    FROM pairs WHERE common::DOUBLE / (na + nb - common) >= 0.8""",
+    SELECT d1, d2,
+           round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM pairs JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+    WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.8""",
 )
 def dedup_ngram(spark, sf_dir):
-    """Near-dup pairs by 3-gram Jaccard ≥ 0.8; shingle-sharing join as the
-    blocking step (never all-pairs)."""
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.8 over shingles with document
+    frequency ≤ 100 (the df-cap keeps the shingle self-join near-linear —
+    a hot shingle in f docs would contribute f² pairs; near-dups still
+    meet via their rare shingles)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, F.col("text"), F.col("doc_id"))
 

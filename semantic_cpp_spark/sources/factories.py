@@ -61,7 +61,7 @@ def from_container(spark: SparkSession, items: Sequence[Any]) -> SemanticFrame:
     """useFrom/useOf: stream over a driver-side container in iteration
     order (reference semantic.h:1983-2084)."""
     if not items:
-        return use_empty(spark, "string")
+        return use_empty(spark, "long")
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(items)], schema=(IDX, VALUE)
     )
