@@ -546,3 +546,4 @@ def win_slide(spark, sf_dir):
 from semantic_cpp_spark import registry_pipeline  # noqa: E402,F401
 from semantic_cpp_spark import registry_extras  # noqa: E402,F401
 from semantic_cpp_spark import registry_streaming  # noqa: E402,F401
+from semantic_cpp_spark import registry_relational2  # noqa: E402,F401

@@ -1,0 +1,168 @@
+"""Registry section: wider relational suite (TPC-H Q7/Q10/Q14/Q19
+analogues adapted to the fixture's value domains — no partsupp table, so
+Q2/Q11-style queries are out of reach).
+
+Scale notes: constant-size dims (nation) broadcast; part/customer
+broadcast at bench scale and flip to shuffle joins under AQE beyond the
+threshold; fact-fact joins shuffle on orderkey.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.registry import register
+from semantic_cpp_spark.session import load_table
+
+
+@register(
+    "rel_q7_nation_volume",
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              year(l_shipdate) AS l_year,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation sn ON s_nationkey = sn.n_nationkey
+       JOIN nation cn ON c_nationkey = cn.n_nationkey
+       WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+          OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+       GROUP BY 1, 2, 3""",
+)
+def rel_q7(spark, sf_dir):
+    """TPC-H Q7 analogue: shipping volume between a nation pair by year.
+    Both nation legs broadcast (25 rows); supplier/customer broadcast at
+    fixture scale; the lineitem⋈orders spine shuffles on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "rel_q10_returned_items",
+    """SELECT c_custkey, c_name, n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              round(any_value(c_acctbal), 2) AS c_acctbal
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20""",
+)
+def rel_q10(spark, sf_dir):
+    """TPC-H Q10 analogue: top-20 customers by lost revenue on returned
+    items. returnflag filter pushes to the parquet scan; sort-limit is
+    TakeOrderedAndProject (no global sort materialisation)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.any_value("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "rel_q14_promo_share",
+    """SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'""",
+)
+def rel_q14(spark, sf_dir):
+    """TPC-H Q14 analogue: promo revenue share for one year. Date range
+    pushes down; part broadcasts; one scalar aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "rel_q19_bracketed_discounts",
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 20)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+              AND l_quantity BETWEEN 10 AND 30)""",
+)
+def rel_q19(spark, sf_dir):
+    """TPC-H Q19 analogue: disjunctive bracketed predicates across the
+    join — Catalyst pushes the per-side conjuncts below the join and
+    evaluates the residual OR after it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

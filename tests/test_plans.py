@@ -1,0 +1,55 @@
+"""Plan-shape assertions: the optimizations we rely on for the 100 TB
+design point must be visible in the physical plan, not just hoped for."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_q1_pushdown_and_pruning(spark, qs):
+    plan = _plan(qs["rel_q1_pricing_summary"](spark, SF))
+    # shipdate filter reaches the scan; projection is pruned to 7 columns
+    assert "l_shipdate" in plan and "DataFilters" in plan
+    assert "l_orderkey" not in plan.split("FileScan")[1][:400]
+
+
+def test_dim_joins_are_broadcast(spark, qs):
+    for name in ("rel_q5_nation_revenue", "rel_q7_nation_volume"):
+        plan = _plan(qs[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        # constant-size dims must never sort-merge at any scale
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_topk_uses_take_ordered(spark, qs):
+    plan = _plan(qs["rel_q3_top_revenue"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # no global sort materialisation
+
+
+def test_dense_source_ordinal_is_shuffle_free(spark):
+    from semantic_cpp_spark.indexing import with_ordinal
+    from semantic_cpp_spark.session import load_table
+
+    ev = load_table(spark, SF, "events")
+    out = with_ordinal(ev.select("event_id", "value"), ["event_id"])
+    assert "Exchange" not in _plan(out)
+
+
+def test_similarity_broadcasts_query_side(spark, qs):
+    plan = _plan(qs["sim_cosine_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the corpus side must not be globally sorted; top-k is per-query window
+    assert plan.count("Window") >= 1
