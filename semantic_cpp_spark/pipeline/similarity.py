@@ -69,7 +69,7 @@ def cosine_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("q_id", "rk", "vec_id", F.round("cos", 6).alias("cos"))
+        .select("q_id", F.col("rk").cast("long").alias("rk"), "vec_id", F.round("cos", 6).alias("cos"))
     )
 
 
@@ -122,7 +122,7 @@ def lsh_bucket_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("q_id", "rk", "vec_id", F.round("cos", 6).alias("cos"))
+        .select("q_id", F.col("rk").cast("long").alias("rk"), "vec_id", F.round("cos", 6).alias("cos"))
     )
 
 

@@ -170,7 +170,7 @@ def agg_distribution(spark, sf_dir):
     """SELECT p_partkey,
               translate(p_name, 'abcdefghijklmnopqrstuvwxyz',
                                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS up,
-              strpos(p_name, 'a') - 1 AS pos_a,
+              (strpos(p_name, 'a') - 1)::BIGINT AS pos_a,
               ((length(p_name) - length(replace(p_name, 'a', ''))))::BIGINT AS n_a,
               replace(p_name, ' ', '_') AS snake,
               reverse(p_name) AS rev,
@@ -190,7 +190,7 @@ def str_medley(spark, sf_dir):
     return p.select(
         "p_partkey",
         strings.upper_ascii(name).alias("up"),
-        strings.index_of(name, "a").alias("pos_a"),
+        strings.index_of(name, "a").cast("long").alias("pos_a"),
         strings.count_occurrences(name, "a").alias("n_a"),
         strings.replace_literal(name, " ", "_").alias("snake"),
         strings.reverse_str(name).alias("rev"),
@@ -206,7 +206,7 @@ def str_medley(spark, sf_dir):
     pos AS (SELECT p_partkey, p_name, unnest(range(1, length(p_name) + 1)) AS i
             FROM p)
     SELECT p_partkey, i - 1 AS pos, substr(p_name, i::INT, 1) AS ch,
-           ord(substr(p_name, i::INT, 1)) AS cp
+           ord(substr(p_name, i::INT, 1))::BIGINT AS cp
     FROM pos""",
 )
 def str_codepoints(spark, sf_dir):

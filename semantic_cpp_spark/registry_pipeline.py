@@ -205,7 +205,7 @@ def dedup_minhash(spark, sf_dir):
       FROM th, (SELECT unnest(range(0, {dedup.SIMHASH_BITS})) AS b) b
       GROUP BY doc_id, b.b)
     SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
     FROM votes GROUP BY doc_id""",
 )
 def dedup_simhash(spark, sf_dir):

@@ -163,7 +163,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select(
             "c_mktsegment",
-            "rk",
+            F.col("rk").cast("long").alias("rk"),
             "o_orderkey",
             F.round("o_totalprice", 2).alias("o_totalprice"),
         )
