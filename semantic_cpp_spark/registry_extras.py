@@ -223,3 +223,24 @@ def str_codepoints(spark, sf_dir):
         "ch",
         F.ascii("ch").cast("long").alias("cp"),
     )
+
+
+# -- semi-structured columns (Spark-native extension) -----------------------
+
+@register(
+    "evt_json_extract",
+    """SELECT event_type,
+              sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+              count(*) AS n
+       FROM events GROUP BY event_type""",
+)
+def evt_json_extract(spark, sf_dir):
+    """JSON path extraction over the events.props column (the reference
+    has no JSON surface — SURVEY §2.7 notes Spark built-ins are exposed
+    untranslated): get_json_object stays JVM-side and pushes the props
+    column scan only."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )

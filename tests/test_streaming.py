@@ -108,3 +108,76 @@ def test_count_windows_across_micro_batches(spark, tmp_path):
     for u, wins in per_user.items():
         expect_full = batch_counts[u] // ops.COUNT_WINDOW_SIZE
         assert wins == set(range(expect_full))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data policy: with a 10-minute watermark in append mode, a row
+    arriving in a later micro-batch with an event time far behind the
+    advanced watermark must NOT revive or re-emit its (closed) window."""
+    import pandas as pd
+
+    src = str(tmp_path / "late_events")
+    base = 1_700_000_000_000_000_000  # epoch ns
+    hour = 3_600_000_000_000
+    batch1 = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "ts": [base, base + hour, base + 3 * hour],  # watermark → +3h-10m
+            "user_id": [1, 1, 1],
+            "event_type": ["a", "a", "a"],
+            "value": [1.0, 1.0, 1.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    batch2 = pd.DataFrame(
+        {
+            "event_id": [3, 4],
+            "ts": [base + 10_000, base + 3 * hour + 1000],  # late + on-time
+            "user_id": [1, 1],
+            "event_type": ["a", "a"],
+            "value": [100.0, 1.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    spark.createDataFrame(batch1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(batch2).write.parquet(f"{src}/f=2")
+    stream = (
+        spark.readStream.schema(ops.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = ops.run_to_memory(ops.tumbling_counts(stream, "1 hour"), "append")
+    rows = {r["win_start_s"]: (r["n"], r["sum_value"]) for r in out.collect()}
+    first_win = (base // hour) * hour // 1_000_000_000
+    # the late row (value=100) must not appear in the emitted first window
+    if first_win in rows:
+        assert rows[first_win] == (1, 1.0)
+
+
+def test_salted_agg_matches_plain(spark):
+    """Skew-safe two-stage aggregation equals the direct groupBy."""
+    from semantic_cpp_spark.operators.skew import salted_agg
+
+    df = _batch_events(spark)
+    got = {
+        r["key"]: (r["n"], round(r["total"], 2), r["hi"])
+        for r in salted_agg(
+            df,
+            F.col("user_id"),
+            n=("sum", F.count(F.lit(1))),
+            total=("sum", F.sum("value")),
+            hi=("max", F.max("value")),
+        ).collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], round(r["total"], 2), r["hi"])
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == expect
