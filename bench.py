@@ -45,9 +45,14 @@ def main() -> None:
     # Warm the JVM + parquet footers with one cheap action.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # Protocol: one untimed warm-up execution per query (JIT, parquet
+    # footer cache, Arrow init), then time the second execution — the
+    # steady-state number a resident service would see, and a stable
+    # basis for cross-round comparison.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         df = fn(spark, sf_dir)
         # noop sink materialises every column (count() would let Catalyst

