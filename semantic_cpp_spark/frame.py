@@ -250,6 +250,37 @@ class SemanticFrame:
     def cache(self) -> "SemanticFrame":
         return self._with(self.df.cache())
 
+    def to_statistics(self) -> DataFrame:
+        """Statistics materialisation (reference semantic.h:600-879): the
+        numeric terminal bundle as one row — count, sum, avg (empty→0),
+        min, max, range, population variance/stddev, exact median. One
+        aggregation pass (median shares the sort buffer)."""
+        from semantic_cpp_spark.functions import stats
+
+        v = self._v.cast("double")
+        return self.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("sum"),
+            F.coalesce(F.avg(v), F.lit(0.0)).alias("avg"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            (F.max(v) - F.min(v)).alias("range"),
+            F.var_pop(v).alias("var_pop"),
+            F.stddev_pop(v).alias("stddev_pop"),
+            F.percentile(v, F.lit(0.5)).alias("median"),
+            stats.skewness_ref(v).alias("skewness"),
+            stats.kurtosis_ref(v).alias("kurtosis"),
+        )
+
+    def peek_observe(self, name: str, *exprs: Column) -> "SemanticFrame":
+        """peek with real observability (reference semantic.h:1407-1431):
+        attaches a named `DataFrame.observe` metric evaluated when the
+        stream materialises — the exactly-once-safe form of a side-effect
+        consumer (collect metrics via the QueryExecutionListener or
+        `Observation`)."""
+        metrics = exprs or (F.count(F.lit(1)).alias("rows"),)
+        return self._with(self.df.observe(name, *metrics))
+
     # -- terminal finders (SURVEY §2.5 matching/finding) -------------------
 
     def find_at(self, i: int) -> DataFrame:

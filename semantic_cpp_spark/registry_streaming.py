@@ -122,3 +122,26 @@ def stream_count_windows(spark, sf_dir):
     return out.select(
         "user_id", "win", "n", F.round("sum_value", 2).alias("sum_value")
     )
+
+
+@register(
+    "stream_stream_join",
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+                         epoch_ns(ts) // 1000 AS tus
+                  FROM events),
+       s AS (SELECT user_id, event_id AS signup_id, tus AS s_us
+             FROM e WHERE event_type = 'signup'),
+       b AS (SELECT user_id, event_id AS purchase_id, value AS amount,
+                    tus AS b_us
+             FROM e WHERE event_type = 'purchase')
+       SELECT b.user_id, signup_id, purchase_id, round(amount, 2) AS amount
+       FROM b JOIN s ON b.user_id = s.user_id
+                    AND b.b_us >= s.s_us
+                    AND b.b_us <= s.s_us + 3600000000""",
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks and an event-time range
+    condition (purchases within 1h after the same user's signup) — state
+    on both sides bounded by the watermark; equals the batch range join."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(ops.purchases_after_signup(ev, 3600), "append")

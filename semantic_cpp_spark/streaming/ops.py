@@ -132,6 +132,51 @@ def streaming_distinct_keys(events: DataFrame) -> DataFrame:
     )
 
 
+def purchases_after_signup(events: DataFrame, window_s: int = 3600) -> DataFrame:
+    """Stream-stream join: purchases matched to the SAME user's signups
+    within the preceding ``window_s`` seconds.
+
+    Both sides carry watermarks so the join state is bounded (Spark evicts
+    buffered rows once the watermark passes the range condition — the
+    production-correct unbounded-join form). Time comparisons use
+    epoch-micros integers derived with integer div (see read_events_stream).
+    """
+    base = events.withColumn("t_us", F.expr("ts div 1000"))
+    sign = (
+        base.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_id"),
+            F.col("t_us").alias("s_us"),
+            F.col("event_time").alias("s_time"),
+        )
+        .withWatermark("s_time", "2 hours")
+    )
+    buy = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+            F.col("t_us").alias("b_us"),
+            F.col("event_time").alias("b_time"),
+        )
+        .withWatermark("b_time", "2 hours")
+    )
+    cond = (
+        (F.col("s_user") == F.col("b_user"))
+        & (F.col("b_time") >= F.col("s_time"))
+        & (F.col("b_time") <= F.col("s_time") + F.expr(f"INTERVAL {window_s} SECONDS"))
+    )
+    joined = buy.join(sign, cond)
+    return joined.select(
+        F.col("b_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        F.round("amount", 2).alias("amount"),
+    )
+
+
 # -- custom stateful operators ---------------------------------------------
 
 _STATS_OUT = T.StructType(

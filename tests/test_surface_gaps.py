@@ -113,3 +113,45 @@ def test_convert_charset(spark):
         ).alias("r")
     ).first()["r"]
     assert out == "snow ☃"
+
+
+def test_to_statistics_bundle(spark):
+    """Statistics terminal (semantic.h:600-879): one-row numeric bundle."""
+    s = from_container(spark, [1.0, 2.0, 3.0, 4.0])
+    r = s.to_statistics().first()
+    assert (r["n"], r["sum"], r["avg"], r["min"], r["max"]) == (4, 10.0, 2.5, 1.0, 4.0)
+    assert r["range"] == 3.0 and abs(r["var_pop"] - 1.25) < 1e-12
+    assert r["median"] == 2.5
+
+
+def test_peek_observe_metrics(spark):
+    """peek via DataFrame.observe: metrics fire on materialisation without
+    altering the stream."""
+    from pyspark.sql import Observation
+
+    s = from_container(spark, [5, 6, 7])
+    obs = Observation("peeked")
+    df = s.to_df().observe(obs, F.count(F.lit(1)).alias("rows"), F.sum("value").alias("total"))
+    assert df.count() == 3
+    assert obs.get == {"rows": 3, "total": 18}
+
+
+def test_container_as_element_semantics(spark):
+    """Container-as-element (reference hash.h/less.h, README.md:474):
+    ARRAY values work as dedup keys, sort keys, and group keys."""
+    rows = [([1, 2],), ([1, 2],), ([2, 1],), ([1],)]
+    df = spark.createDataFrame(rows, "value array<int>")
+    from semantic_cpp_spark.indexing import IDX, with_ordinal
+    from semantic_cpp_spark.frame import SemanticFrame
+
+    idxed = with_ordinal(
+        df.selectExpr("value", "monotonically_increasing_id() AS k"), ["k"]
+    ).select(IDX, "value")
+    s = SemanticFrame(idxed)
+    # first-occurrence dedup on the array value
+    assert s.distinct().to_list() == [[1, 2], [2, 1], [1]]
+    # arrays sort lexicographically (element-wise, then length)
+    assert s.sort().to_list() == [[1], [1, 2], [1, 2], [2, 1]]
+    # arrays as group keys
+    grouped = {tuple(r["key"]): len(r["values"]) for r in s.group(lambda v: v).collect()}
+    assert grouped == {(1, 2): 2, (2, 1): 1, (1,): 1}
