@@ -1,0 +1,66 @@
+"""As-of (most-recent-prior) join — an operator Spark lacks natively,
+composed from built-ins the scalable way.
+
+For each left row, find the latest right row with the same key and
+right_time <= left_time. Rather than per-group pandas merge_asof (Python
+batches) or an exploded range join (quadratic on hot keys), we:
+
+1. UNION both sides tagged with a side marker,
+2. per key, order by (time, side) with right rows first at equal times,
+3. carry the running "last right row seen" with last_value(ignorenulls)
+   over rows unbounded-preceding — one window, partition-parallel,
+4. keep the left rows; their carried value IS the as-of match.
+
+One shuffle on the key, no state blowup, skew handled by AQE like any
+window partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """Left as-of join: every left row + the payload of the latest right
+    row at-or-before its time (nulls when no prior right row exists).
+
+    ``left`` and ``right`` must not share payload column names other than
+    the key.
+    """
+    lt = left.withColumn("__t", F.col(left_time)).withColumn("__side", F.lit(1))
+    rt = (
+        right.select(
+            key,
+            F.col(right_time).alias("__t"),
+            F.struct(*[F.col(c) for c in right_payload]).alias("__rp"),
+        )
+        .withColumn("__side", F.lit(0))
+    )
+    lt = lt.withColumn("__rp", F.lit(None).cast(rt.schema["__rp"].dataType))
+    unioned = lt.select(
+        key, "__t", "__side", "__rp", *[c for c in left.columns if c != key]
+    ).unionByName(
+        rt.select(key, "__t", "__side", "__rp"), allowMissingColumns=True
+    )
+    # right rows sort before left rows at the same instant → a right row
+    # exactly at left_time is visible to that left row
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__rp", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).drop("__t", "__side", "__rp")
+    for c in right_payload:
+        out = out.withColumn(c, F.col("__match")[c])
+    return out.drop("__match")

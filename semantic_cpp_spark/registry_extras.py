@@ -244,3 +244,83 @@ def evt_json_extract(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
     )
+
+
+# -- as-of join (common OLAP/stream pattern Spark lacks natively) -----------
+
+@register(
+    "asof_purchase_last_signup",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                         epoch_ns(ts) // 1000 AS tus, value
+                  FROM events),
+    u AS (
+      SELECT user_id, tus,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+             CASE WHEN event_type = 'signup' THEN event_id END AS sid,
+             event_id, value
+      FROM e WHERE event_type IN ('purchase', 'signup')),
+    c AS (
+      SELECT *,
+             last_value(sid IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, is_p
+               ROWS UNBOUNDED PRECEDING) AS last_signup_id
+      FROM u)
+    SELECT event_id AS purchase_id, user_id, round(value, 2) AS amount,
+           last_signup_id
+    FROM c WHERE is_p = 1""",
+)
+def asof_purchase_last_signup(spark, sf_dir):
+    """As-of join (operators.asof): each purchase matched to the SAME
+    user's most recent signup at-or-before it — union + running
+    last_value, one shuffle, no pandas and no range-join blowup."""
+    from semantic_cpp_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tus", F.expr("ts div 1000")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+        "tus",
+    )
+    signs = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("last_signup_id"), F.col("tus").alias("s_tus")
+    )
+    out = asof_join(
+        buys, signs, key="user_id", left_time="tus", right_time="s_tus",
+        right_payload=["last_signup_id"],
+    )
+    return out.select(
+        "purchase_id", "user_id", F.round("amount", 2).alias("amount"),
+        "last_signup_id",
+    )
+
+
+# -- rollup / grouping sets (Spark freebie, exposed untranslated) -----------
+
+@register(
+    "rel_rollup_order_priority",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+              coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+)
+def rel_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (status → priority → grand total): Spark's
+    expanded grouping-sets aggregation, one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n",
+            "total",
+        )
+    )
