@@ -126,6 +126,110 @@ def lsh_bucket_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidate pairs share an LSH
+    sign-bucket (blocking — never all-pairs), verified by exact cosine ≥
+    threshold. Output (d1, d2, cos) with d1 < d2.
+
+    Scale shape: the bucket self-join touches only same-signature pairs;
+    bucket count grows with the plane count, tuned to corpus size."""
+    e = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("sig", lsh_signature(F.col("v"), dims))
+    a, b = e.alias("a"), e.alias("b")
+    nrm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        nrm(F.col("a.v")) * nrm(F.col("b.v"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("d1"),
+            F.col("b.vec_id").alias("d2"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("d1", "d2", F.round("cos", 6).alias("cos"))
+    )
+
+
+IVF_K = 8  # centroid count for the fixture sizes; grows ~sqrt(n) in production
+
+
+def ivf_assign(df: DataFrame, dims: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer: centroids are the vectors with the K smallest
+    ids (deterministic seeding — production would k-means these); every
+    vector is assigned to its max-cosine centroid (ties → smallest id).
+    Returns (vec_id, v, centroid_id)."""
+    e = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    nrm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
+    cos = dot(F.col("v"), F.col("cv")) / (nrm(F.col("v")) * nrm(F.col("cv")))
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "c_id", cos.alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "v", F.col("c_id").alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only the query's centroid list
+    (nprobe=1). The inverted lists partition the corpus, so the scan
+    touches ~n/K vectors per query — the index-style scale path
+    complementing the LSH variant. Output (q_id, rk, vec_id, cos)."""
+    assigned = ivf_assign(df, dims, id_col, vec_col)
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("centroid_id").alias("q_cent"),
+    )
+    nrm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
+    cos = dot(F.col("v"), F.col("qv")) / (nrm(F.col("v")) * nrm(F.col("qv")))
+    scored = assigned.join(
+        F.broadcast(q),
+        (F.col("centroid_id") == F.col("q_cent"))
+        & (F.col("vec_id") != F.col("q_id")),
+    ).select("q_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            F.col("rk").cast("long").alias("rk"),
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
 def lsh_plane_sql_literal(dims: int, planes: int = LSH_PLANES) -> str:
     """DuckDB literal for the plane matrix: list of per-plane ±1 lists,
     generated from the same md5 derivation."""

@@ -309,3 +309,66 @@ def mm_features(spark, sf_dir):
         "height",
         F.round("feat_mean", 9).alias("feat_mean"),
     )
+
+
+def _near_dup_sql(threshold: float = 0.4) -> str:
+    planes = similarity.lsh_plane_sql_literal(64)
+    return f"""WITH planes AS (SELECT {planes} AS pl),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    proj AS (
+      SELECT e.vec_id, p.p, list_dot_product(e.v, planes.pl[p.p + 1]) AS d
+      FROM e, (SELECT unnest(range(0, {similarity.LSH_PLANES})) AS p) p, planes),
+    sigs AS (
+      SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+      FROM proj GROUP BY vec_id),
+    ev AS (SELECT e.vec_id, e.v, s.sig FROM e JOIN sigs s ON e.vec_id = s.vec_id),
+    pairs AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             list_dot_product(a.v, b.v)
+               / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+      FROM ev a JOIN ev b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT d1, d2, round(cos, 6) AS cos FROM pairs WHERE cos >= {threshold}"""
+
+
+@register("sim_embedding_near_dup", _near_dup_sql())
+def sim_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH sign-bucket blocking (never
+    all-pairs) + exact cosine verify. Threshold 0.4 on this fixture (no
+    planted vector dups; the mechanism is the parity surface)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4, dims=64)
+
+
+_IVF_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {similarity.IVF_K}),
+scored AS (
+  SELECT e.vec_id, e.v, c.c_id,
+         list_dot_product(e.v, c.cv)
+           / sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv)) AS ccos
+  FROM e, c),
+assigned AS (
+  SELECT vec_id, v, c_id AS centroid_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, c_id) AS r
+        FROM scored)
+  WHERE r = 1),
+q AS (SELECT vec_id AS q_id, v AS qv, centroid_id AS q_cent
+      FROM assigned WHERE vec_id IN (0, 1, 2)),
+sc AS (SELECT q.q_id, a.vec_id,
+              list_dot_product(a.v, q.qv)
+                / sqrt(list_dot_product(a.v, a.v) * list_dot_product(q.qv, q.qv)) AS cos
+       FROM assigned a JOIN q
+         ON a.centroid_id = q.q_cent AND a.vec_id <> q.q_id),
+r AS (SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      FROM sc)
+SELECT q_id, rk, vec_id, round(cos, 6) AS cos FROM r WHERE rk <= 5"""
+
+
+@register("sim_ivf_topk", _IVF_SQL)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5 (nprobe=1): deterministic coarse quantizer
+    (first-K vectors as centroids), inverted lists partition the corpus,
+    queries scan only their centroid's list — the index-style scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, [0, 1, 2], k=5, dims=64)

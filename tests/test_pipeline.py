@@ -144,3 +144,39 @@ def test_multimodal_plumbing_deterministic(spark):
     assert a[0]["n_bytes"] == 11
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    rng = __import__("numpy").random.default_rng(9)
+    import numpy as np
+
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    vecs[21] = vecs[3] + rng.normal(scale=0.01, size=8).astype(np.float32)  # near-dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["d1"], r["d2"]): r["cos"]
+        for r in similarity.embedding_near_dup_pairs(df, threshold=0.95, dims=8).collect()
+    }
+    assert (3, 21) in pairs and pairs[(3, 21)] > 0.99
+
+
+def test_ivf_topk_subset_of_assigned_list(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(10)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(df, dims=8).collect()
+    }
+    out = similarity.ivf_topk(df, [2], k=4, dims=8).collect()
+    for r in out:
+        assert assigned[r["vec_id"]] == assigned[2]  # same inverted list
+        assert r["vec_id"] != 2
