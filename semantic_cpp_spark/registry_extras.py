@@ -324,3 +324,34 @@ def rel_rollup(spark, sf_dir):
             "total",
         )
     )
+
+
+@register(
+    "rel_pivot_status_by_flag",
+    """SELECT l_returnflag,
+              round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o,
+              round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f,
+              count(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
+              count(*) FILTER (WHERE l_linestatus = 'F') AS n_f
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def rel_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): explicit pivot values keep it a single
+    hash-aggregate with conditional aggregates — no extra pass to discover
+    the column domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_n").alias("n_o"),
+        F.col("F_n").alias("n_f"),
+    )

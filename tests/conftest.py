@@ -8,7 +8,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from semantic_cpp_spark.session import get_spark
 
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # static conf — must be set at session creation (bucketed-table
+            # tests write managed tables)
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="semwh_"),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     yield s
