@@ -355,3 +355,84 @@ def rel_pivot(spark, sf_dir):
         F.col("O_n").alias("n_o"),
         F.col("F_n").alias("n_f"),
     )
+
+
+# -- datetime / misc scalar coverage ----------------------------------------
+
+@register(
+    "rel_datetime_parts",
+    """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY 1, 2""",
+)
+def rel_datetime_parts(spark, sf_dir):
+    """Datetime part extraction + monthly aggregate (Spark builtins
+    exposed untranslated — the reference has no date layer, SURVEY §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "str_levenshtein_to_anchor",
+    """SELECT p_partkey, levenshtein(p_name, 'standard brushed steel') AS dist
+       FROM part WHERE p_partkey <= 100""",
+)
+def str_levenshtein(spark, sf_dir):
+    """Edit distance against an anchor string — the cheap fuzzy-match
+    primitive (text-analysis extension; identical DP in both engines)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_name"), F.lit("standard brushed steel"))
+        .cast("long")
+        .alias("dist"),
+    )
+
+
+@register(
+    "txt_word_count_topk",
+    """WITH w AS (
+         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+         FROM documents)
+       SELECT word, count(*) AS n
+       FROM w GROUP BY word
+       ORDER BY n DESC, word LIMIT 20""",
+)
+def txt_word_count(spark, sf_dir):
+    """Corpus word count, top-20 — the canonical map-side-combinable
+    aggregation (explode → partial+final count → TakeOrdered)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "agg_corr_covar",
+    """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+              round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+              round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_samp_qty_price
+       FROM lineitem""",
+)
+def agg_corr_covar(spark, sf_dir):
+    """Bivariate statistics: Pearson correlation and population/sample
+    covariance (single-pass co-moment aggregation in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.agg(
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop(q, p), 2).alias("covar_qty_price"),
+        F.round(F.covar_samp(q, p), 2).alias("covar_samp_qty_price"),
+    )
