@@ -9,7 +9,7 @@ sorting on the carried ``__idx`` — never on partition order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from semantic_cpp_spark.indexing import IDX

@@ -13,7 +13,7 @@ pipeline stays in codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from semantic_cpp_spark.indexing import IDX

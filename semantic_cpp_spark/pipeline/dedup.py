@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from semantic_cpp_spark.pipeline.text import fingerprint, normalize_text, tokens
