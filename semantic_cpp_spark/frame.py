@@ -2,15 +2,28 @@
 
 Mirrors the reference's ``Semantic<E>`` chainable surface
 (reference semantic.h:980-1591) on top of a DataFrame with columns
-``(__idx: long, value: <T>)``. Operators are lazy DataFrame
+``(__idx: long, __ord: long, value: <T>)``. Operators are lazy DataFrame
 transformations; Catalyst fuses the chain exactly as the reference's
 closure composition does (reference semantic.h:1376-1395), but with
 predicate pushdown / column pruning / codegen for free.
 
-Index behavior is reproduced per-operator (SURVEY.md §2.2-2.3):
-preserved (map, skip, sub, peek, redirect, translate, take_while),
-re-based (filter, flat, distinct, limit, sort, concatenate, drop_while),
-negated (reverse — observable as rotation-reversal after to_ordered()).
+Two coordinates are tracked because the reference distinguishes them:
+
+- ``__idx`` — the LOGICAL index (the reference's ``Timestamp``): what
+  operators emit via ``accept(element, index)``, what index-aware lambdas
+  and findAt observe, and what toOrdered normalises.
+- ``__ord`` — the PUSH (arrival) order: the sequence in which the
+  generator chain delivers elements. Counter-based operators (filter,
+  distinct, dropWhile, limit, skip, sub, concatenate — all of which emit
+  their OWN running counter, semantic.h:1207/:1133/:1186/:1366/:1472/
+  :1521) count in push order, NOT by the incoming index. The two
+  coordinates coincide until reverse()/translate() rewrite ``__idx``
+  without reordering pushes — after which e.g. ``reverse().limit(2)``
+  still takes the first two PUSHED elements (pinned by tests).
+
+``__ord`` is any monotone-in-push-order unique long (not necessarily
+dense); ranking it densifies on demand via the scalable ordinal machinery
+(shuffle-free for already-dense streams).
 
 User callables receive Columns ``(value)`` or ``(value, idx)`` — the
 reference's arity-dispatched index-aware lambda pattern
@@ -26,14 +39,10 @@ from typing import Any, Callable, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from semantic_cpp_spark.indexing import (
-    IDX,
-    normalize_index,
-    rebase_index,
-    with_ordinal,
-)
+from semantic_cpp_spark.indexing import IDX, normalize_index, with_ordinal
 
 VALUE = "value"
+ORD = "__ord"
 
 ColumnFn = Union[Column, Callable[..., Column]]
 
@@ -53,13 +62,17 @@ class SemanticFrame:
     """A stream of (value, __idx) pairs backed by a DataFrame.
 
     ``df`` must contain LongType ``__idx`` and a value column (any Spark
-    type — the reference's template parameter E, SURVEY.md §1.3).
+    type — the reference's template parameter E, SURVEY.md §1.3);
+    ``__ord`` is attached as ``__idx`` when absent (sources push in index
+    order).
     """
 
     def __init__(self, df: DataFrame, value_col: str = VALUE):
         if value_col != VALUE:
             df = df.withColumnRenamed(value_col, VALUE)
-        self.df = df.select(IDX, VALUE)
+        if ORD not in df.columns:
+            df = df.withColumn(ORD, F.col(IDX))
+        self.df = df.select(IDX, ORD, VALUE)
 
     # -- plumbing ---------------------------------------------------------
 
@@ -74,17 +87,33 @@ class SemanticFrame:
     def _with(self, df: DataFrame) -> "SemanticFrame":
         return SemanticFrame(df)
 
+    def _ranked(self) -> DataFrame:
+        """Attach dense arrival rank ``__rk`` (0-based) by push order."""
+        return with_ordinal(self.df, [ORD], name="__rk")
+
+    @staticmethod
+    def _from_rank(df: DataFrame) -> DataFrame:
+        """Rank becomes both the logical index and the push order (the
+        counter-emitting operators renumber both)."""
+        return df.select(
+            F.col("__rk").alias(IDX), F.col("__rk").alias(ORD), F.col(VALUE)
+        )
+
     def to_df(self) -> DataFrame:
         """The raw (``__idx``, ``value``) DataFrame, unordered."""
-        return self.df
+        return self.df.select(IDX, VALUE)
 
     def to_list(self) -> list[Any]:
         """Driver-side materialisation in index order (test helper)."""
-        return [r[VALUE] for r in self.df.orderBy(IDX).select(VALUE).collect()]
+        return [
+            r[VALUE]
+            for r in self.df.orderBy(IDX, ORD).select(VALUE).collect()
+        ]
 
     def pairs(self) -> list[tuple[int, Any]]:
         return [
-            (r[IDX], r[VALUE]) for r in self.df.orderBy(IDX, VALUE).collect()
+            (r[IDX], r[VALUE])
+            for r in self.df.orderBy(IDX, ORD).select(IDX, VALUE).collect()
         ]
 
     # -- intermediate ops: projections / filters (SURVEY §2.2) ------------
@@ -92,7 +121,9 @@ class SemanticFrame:
     def map(self, fn: ColumnFn) -> "SemanticFrame":
         """1:1 transform; index preserved (reference semantic.h:1376-1395)."""
         return self._with(
-            self.df.select(self._i, _apply(fn, self._v, self._i).alias(VALUE))
+            self.df.select(
+                self._i, F.col(ORD), _apply(fn, self._v, self._i).alias(VALUE)
+            )
         )
 
     def redirect(self, fn: ColumnFn) -> "SemanticFrame":
@@ -104,23 +135,22 @@ class SemanticFrame:
         return self.map(fn)
 
     def filter(self, pred: ColumnFn) -> "SemanticFrame":
-        """Keep matches; indices re-based 0..k (reference semantic.h:1197-1216)."""
-        kept = self.df.filter(_apply(pred, self._v, self._i))
-        return self._with(rebase_index(kept))
+        """Keep matches; emits its own counter in push order
+        (reference semantic.h:1197-1216: accept(element, count))."""
+        kept = SemanticFrame(self.df.filter(_apply(pred, self._v, self._i)))
+        return self._with(self._from_rank(kept._ranked()))
 
     def flat(self, fn: ColumnFn | None = None) -> "SemanticFrame":
         """Flatten an array-valued element (or extractor result) 1:N;
-        indices re-based globally (reference semantic.h:1244-1307).
-
-        Inner-element order is the array order, outer order the parent
-        index — reproduced by ranking on (parent __idx, position).
-        """
+        re-numbered by a global running count (reference
+        semantic.h:1244-1307). Inner order = array order, outer order =
+        push order — rank on (parent __ord, position)."""
         arr = self._v if fn is None else _apply(fn, self._v, self._i)
         exploded = self.df.select(
-            self._i.alias("__pidx"), F.posexplode(arr).alias("__pos", VALUE)
+            F.col(ORD).alias("__pord"), F.posexplode(arr).alias("__pos", VALUE)
         )
-        out = with_ordinal(exploded, ["__pidx", "__pos"], name=IDX)
-        return self._with(out.select(IDX, VALUE))
+        out = with_ordinal(exploded, ["__pord", "__pos"], name="__rk")
+        return self._with(self._from_rank(out))
 
     def flat_map(self, fn: ColumnFn) -> "SemanticFrame":
         """Alias of flat(extractor) — reference flatMap semantic.h:1309-1335."""
@@ -129,86 +159,105 @@ class SemanticFrame:
     def peek(self) -> "SemanticFrame":
         """Observation point. The reference's side-effect consumer
         (semantic.h:1407-1431) has no distributed analogue with exactly-once
-        semantics; we expose the stream unchanged (use ``df.observe`` /
-        accumulators externally for metrics)."""
+        semantics; we expose the stream unchanged (see peek_observe)."""
         return self
 
     def distinct(self, key: ColumnFn | None = None) -> "SemanticFrame":
-        """First-occurrence dedup; indices re-based (reference
-        semantic.h:1122-1164). ``key`` gives dedup under a custom
-        equivalence (the comparator overload)."""
+        """First-occurrence (in push order) dedup, re-counted
+        (reference semantic.h:1122-1164). ``key`` gives dedup under a
+        custom equivalence (the comparator overload)."""
         k = self._v if key is None else _apply(key, self._v, self._i)
         tagged = self.df.withColumn("__k", k)
-        w = Window.partitionBy("__k").orderBy(IDX)
-        kept = (
+        w = Window.partitionBy("__k").orderBy(ORD)
+        kept = SemanticFrame(
             tagged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__k", "__rn")
         )
-        return self._with(rebase_index(kept))
+        return self._with(self._from_rank(kept._ranked()))
 
     def take_while(self, pred: ColumnFn) -> "SemanticFrame":
-        """Emit while pred holds then stop; indices preserved (reference
-        semantic.h:1532-1554). Needs the global min index failing pred —
-        a scalar aggregate broadcast back (two jobs, SURVEY §7.3)."""
-        fail = F.when(~_apply(pred, self._v, self._i), self._i)
+        """Emit (with original indices) while pred holds in push order,
+        then stop (reference semantic.h:1532-1554: accept(element, index)).
+        Needs the global min push-position failing pred — a scalar
+        aggregate broadcast back (two jobs, SURVEY §7.3)."""
+        fail = F.when(~_apply(pred, self._v, self._i), F.col(ORD))
         cut = self.df.agg(F.min(fail).alias("__cut"))
         out = (
             self.df.crossJoin(F.broadcast(cut))
-            .filter(F.col("__cut").isNull() | (self._i < F.col("__cut")))
+            .filter(F.col("__cut").isNull() | (F.col(ORD) < F.col("__cut")))
             .drop("__cut")
         )
         return self._with(out)
 
     def drop_while(self, pred: ColumnFn) -> "SemanticFrame":
-        """Drop the leading run; indices re-based (reference
-        semantic.h:1166-1195)."""
-        fail = F.when(~_apply(pred, self._v, self._i), self._i)
+        """Drop the leading push-order run while pred holds; everything
+        from the first failure onward is emitted re-counted
+        (reference semantic.h:1166-1195)."""
+        fail = F.when(~_apply(pred, self._v, self._i), F.col(ORD))
         cut = self.df.agg(F.min(fail).alias("__cut"))
-        out = (
+        kept = SemanticFrame(
             self.df.crossJoin(F.broadcast(cut))
-            .filter(F.col("__cut").isNotNull() & (self._i >= F.col("__cut")))
+            .filter(F.col("__cut").isNotNull() & (F.col(ORD) >= F.col("__cut")))
             .drop("__cut")
         )
-        return self._with(rebase_index(out))
+        return self._with(self._from_rank(kept._ranked()))
 
     # -- size control / index ops / ordering (SURVEY §2.3) ----------------
 
     def limit(self, n: int) -> "SemanticFrame":
-        """First n by index; re-based (trivially already dense 0..n-1).
-        Reference semantic.h:1359-1374 short-circuits; Spark's LimitPushDown
-        plays the same role on the sorted stream."""
-        return self._with(self.df.filter(self._i < n))
+        """First n elements by PUSH order, emitted with the operator's own
+        counter 0..n-1 (reference semantic.h:1359-1374) — observable after
+        skip/translate/reverse: reverse().limit(2) takes the first two
+        PUSHED elements. For dense streams the rank is a shuffle-free map
+        and Spark's LimitPushDown supplies the short-circuit."""
+        ranked = self._ranked()
+        return self._with(self._from_rank(ranked.filter(F.col("__rk") < n)))
 
     def skip(self, n: int) -> "SemanticFrame":
-        """Drop first n; indices PRESERVED (reference semantic.h:1463-1481
-        keeps counting through skipped elements)."""
-        return self._with(self.df.filter(self._i >= n))
+        """Drop the first n pushed elements; the emitted index is the
+        arrival counter INCLUDING the skipped prefix (reference
+        semantic.h:1463-1481: accept(element, count)) — output indices
+        start at n."""
+        ranked = self._ranked()
+        return self._with(self._from_rank(ranked.filter(F.col("__rk") >= n)))
 
     def sub(self, start: int, end: int) -> "SemanticFrame":
-        """Slice [start, end); indices PRESERVED (reference semantic.h:1512-1530)."""
-        return self._with(self.df.filter((self._i >= start) & (self._i < end)))
+        """Slice arrival positions [start, end); emitted index = arrival
+        position (reference semantic.h:1512-1530)."""
+        ranked = self._ranked()
+        return self._with(
+            self._from_rank(
+                ranked.filter(
+                    (F.col("__rk") >= start) & (F.col("__rk") < end)
+                )
+            )
+        )
 
     def reverse(self) -> "SemanticFrame":
-        """Negate indices (reference semantic.h:1448-1461). The observable
-        reversal happens at to_ordered()'s modulo-normalisation:
-        -i mod n == n-i, so element 0 stays at index 0 and elements 1..n-1
-        reverse — a rotation-reversal, pinned by tests."""
+        """Negate indices; push order unchanged (reference
+        semantic.h:1448-1461 — accept(element, -index) in the same
+        sequence). The observable reversal happens at to_ordered()'s
+        modulo-normalisation: -i mod n == n-i, so element 0 stays at
+        index 0 and elements 1..n-1 reverse — a rotation-reversal."""
         return self._with(self.df.withColumn(IDX, -self._i))
 
     def translate(self, offset: int) -> "SemanticFrame":
-        """Shift all indices by offset (reference semantic.h:1577-1590)."""
+        """Shift all indices by offset; push order unchanged
+        (reference semantic.h:1577-1590)."""
         return self._with(self.df.withColumn(IDX, self._i + F.lit(offset)))
 
     def concatenate(self, other: "SemanticFrame") -> "SemanticFrame":
-        """Append another stream; both sides re-numbered with a running
-        count across the boundary (reference semantic.h:1012-1120)."""
-        left = rebase_index(self.df)
+        """Append another stream; both sides re-numbered with one running
+        count across the boundary in push order (reference
+        semantic.h:1012-1120)."""
+        left = self._from_rank(self._ranked())
         cnt = left.agg(F.count(F.lit(1)).cast("long").alias("__lc"))
         right = (
-            rebase_index(other.df)
+            self._from_rank(other._ranked())
             .crossJoin(F.broadcast(cnt))
             .withColumn(IDX, F.col(IDX) + F.col("__lc"))
+            .withColumn(ORD, F.col(ORD) + F.col("__lc"))
             .drop("__lc")
         )
         return self._with(left.unionByName(right))
@@ -222,24 +271,34 @@ class SemanticFrame:
         return self._with(self.df.repartition(n))
 
     def sort(self, key: ColumnFn | None = None, ascending: bool = True) -> "SemanticFrame":
-        """Stable value sort, ties broken by original index, re-indexed
-        0..n-1 (reference semantic.h:1483-1503, tiebreak :477-490).
-        Custom comparators become derived sort-key columns."""
+        """Stable value sort, ties broken by the stored (logical) index,
+        re-indexed 0..n-1 (reference semantic.h:1483-1503, tiebreak
+        comparator on (value, index) :477-490). Custom comparators become
+        derived sort-key columns. The sorted buffer re-pushes in sorted
+        order, so push order follows the new index."""
         k = self._v if key is None else _apply(key, self._v, self._i)
         tagged = self.df.withColumn("__k", k)
-        order = [F.col("__k").asc() if ascending else F.col("__k").desc(), F.col(IDX).asc()]
-        out = with_ordinal(tagged, order, name="__idx2")
-        return self._with(
-            out.select(F.col("__idx2").alias(IDX), F.col(VALUE))
-        )
+        order = [
+            F.col("__k").asc() if ascending else F.col("__k").desc(),
+            F.col(IDX).asc(),
+            F.col(ORD).asc(),
+        ]
+        out = with_ordinal(tagged, order, name="__rk")
+        return self._with(self._from_rank(out))
 
     # -- materialisation seams (SURVEY §1.2) ------------------------------
 
     def to_ordered(self) -> "SemanticFrame":
         """OrderedCollectable: modulo-normalise indices into [0, n)
-        (reference semantic.h:471-517). This is where reverse()/translate()
-        become observable."""
-        return self._with(normalize_index(self.df))
+        (reference semantic.h:471-517) — where reverse()/translate()
+        become observable. The multimap buffer re-pushes in normalised
+        index order (ties keep push order: multimap equal keys preserve
+        insertion order), so __ord is re-ranked accordingly."""
+        norm = normalize_index(self.df)
+        out = with_ordinal(norm, [IDX, ORD], name="__rk")
+        return self._with(
+            out.select(IDX, F.col("__rk").alias(ORD), VALUE)
+        )
 
     def to_unordered(self) -> "SemanticFrame":
         """UnorderedCollectable — no ordering guarantee; identity here
@@ -253,8 +312,8 @@ class SemanticFrame:
     def to_statistics(self) -> DataFrame:
         """Statistics materialisation (reference semantic.h:600-879): the
         numeric terminal bundle as one row — count, sum, avg (empty→0),
-        min, max, range, population variance/stddev, exact median. One
-        aggregation pass (median shares the sort buffer)."""
+        min, max, range, population variance/stddev, exact median, and the
+        reference-formula skewness/kurtosis. One aggregation pass."""
         from semantic_cpp_spark.functions import stats
 
         v = self._v.cast("double")
@@ -284,8 +343,8 @@ class SemanticFrame:
     # -- terminal finders (SURVEY §2.5 matching/finding) -------------------
 
     def find_at(self, i: int) -> DataFrame:
-        """Element at index i. Negative i wraps python-style WITH modulo:
-        (n - (|i| % n)) % n — reference collector.h:883-910 (so
+        """Element at LOGICAL index i. Negative i wraps python-style WITH
+        modulo: (n - (|i| % n)) % n — reference collector.h:883-910 (so
         find_at(-n-1) == find_at(-1)); non-negative short-circuits
         (collector.h:859-881)."""
         if i >= 0:
@@ -310,11 +369,10 @@ class SemanticFrame:
 
     def for_each(self, fn) -> int:
         """useForEach (collector.h:450-464): driver-observable side effect
-        per element + count. Spark's foreach runs on executors with
-        at-least-once semantics; here we fold the rows on the driver in
-        index order to honor the reference's sequential contract (use
-        ``df.foreach`` directly for fire-and-forget executor-side effects)."""
-        rows = self.df.orderBy(IDX).select(VALUE).collect()
+        per element + count, folded in push order to honor the reference's
+        sequential contract (use ``df.foreach`` for fire-and-forget
+        executor-side effects)."""
+        rows = self.df.orderBy(ORD).select(VALUE).collect()
         for r in rows:
             fn(r[VALUE])
         return len(rows)
@@ -325,21 +383,18 @@ class SemanticFrame:
 
     def to_set(self) -> set:
         """toSet: dedup (collector.h:2463-2474)."""
-        return {
-            r[VALUE]
-            for r in self.df.select(VALUE).distinct().collect()
-        }
+        return {r[VALUE] for r in self.df.select(VALUE).distinct().collect()}
 
     def to_map(self, key_fn: ColumnFn, value_fn: ColumnFn) -> dict:
-        """toMap(keyFn, valueFn): last write wins per key in index order
+        """toMap(keyFn, valueFn): last write wins per key in push order
         (unordered_map insert-or-assign over the stream)."""
         rows = (
             self.df.select(
                 _apply(key_fn, self._v, self._i).alias("k"),
                 _apply(value_fn, self._v, self._i).alias("v"),
-                self._i,
+                F.col(ORD),
             )
-            .orderBy(IDX)
+            .orderBy(ORD)
             .collect()
         )
         return {r["k"]: r["v"] for r in rows}
@@ -359,9 +414,7 @@ class SemanticFrame:
         return s
 
     def find_first(self) -> DataFrame:
-        return (
-            self.df.agg(F.min_by(self._v, self._i).alias(VALUE))
-        )
+        return self.df.agg(F.min_by(self._v, self._i).alias(VALUE))
 
     def find_last(self) -> DataFrame:
         return self.df.agg(F.max_by(self._v, self._i).alias(VALUE))
@@ -376,15 +429,11 @@ class SemanticFrame:
 
     def all_match(self, pred: ColumnFn) -> DataFrame:
         p = _apply(pred, self._v, self._i)
-        return self.df.agg(
-            F.coalesce(F.bool_and(p), F.lit(True)).alias(VALUE)
-        )
+        return self.df.agg(F.coalesce(F.bool_and(p), F.lit(True)).alias(VALUE))
 
     def any_match(self, pred: ColumnFn) -> DataFrame:
         p = _apply(pred, self._v, self._i)
-        return self.df.agg(
-            F.coalesce(F.bool_or(p), F.lit(False)).alias(VALUE)
-        )
+        return self.df.agg(F.coalesce(F.bool_or(p), F.lit(False)).alias(VALUE))
 
     def none_match(self, pred: ColumnFn) -> DataFrame:
         p = _apply(pred, self._v, self._i)
@@ -399,18 +448,20 @@ class SemanticFrame:
 
     def group(self, key_fn: ColumnFn, value_fn: ColumnFn | None = None) -> DataFrame:
         """useGroup/useGroupBy (collector.h:1065-1130): key → values in
-        encounter order."""
+        encounter (push) order."""
         from semantic_cpp_spark.operators.collectors import group_collect
 
         k = _apply(key_fn, self._v, self._i)
         v = None if value_fn is None else _apply(value_fn, self._v, self._i)
-        return group_collect(self.df, k, v)
+        return group_collect(self.df, k, v, idx=ORD)
 
     def partition(self, size: int) -> DataFrame:
-        """usePartition (collector.h:2098-2136)."""
+        """usePartition (collector.h:2098-2136): fixed-size chunks in
+        encounter order."""
         from semantic_cpp_spark.operators.collectors import partition_chunks
 
-        return partition_chunks(self.df, size)
+        ranked = self._from_rank(self._ranked())
+        return partition_chunks(ranked, size)
 
     def partition_by(self, key_fn: ColumnFn, value_fn: ColumnFn | None = None) -> DataFrame:
         """usePartitionBy (collector.h:2138-2203)."""
@@ -418,30 +469,34 @@ class SemanticFrame:
 
         k = _apply(key_fn, self._v, self._i)
         v = None if value_fn is None else _apply(value_fn, self._v, self._i)
-        return partition_by_key(self.df, k, v)
+        return partition_by_key(self.df, k, v, idx=ORD)
 
     def tumble(self, size: int) -> DataFrame:
-        """toWindow().tumble(size) (semantic.h:910-913)."""
+        """toWindow().tumble(size) (semantic.h:910-913) over the ordered
+        buffer's normalised indices."""
         from semantic_cpp_spark.operators.windows import tumble
 
-        return tumble(self.to_ordered().df, size)
+        return tumble(self.to_ordered().to_df(), size)
 
     def slide(self, size: int, step: int) -> DataFrame:
         """toWindow().slide(size, step) (semantic.h:1595-1643)."""
         from semantic_cpp_spark.operators.windows import slide
 
-        return slide(self.to_ordered().df, size, step)
+        return slide(self.to_ordered().to_df(), size, step)
 
     # -- terminal string join (SURVEY §2.7) --------------------------------
 
     def join_str(
         self, delimiter: str = ", ", prefix: str = "[", suffix: str = "]"
     ) -> DataFrame:
-        """useJoin: '[a, b, c]' in index order (reference collector.h:1132-1241).
-        Implemented as sort_array(collect_list((idx, value))) so encounter
-        order is pinned regardless of partitioning."""
+        """useJoin: '[a, b, c]' accumulated in push order (reference
+        collector.h:1132-1241). Implemented as
+        sort_array(collect_list((ord, value))) so encounter order is
+        pinned regardless of partitioning."""
         packed = F.array_sort(
-            F.collect_list(F.struct(self._i.alias("i"), self._v.cast("string").alias("v")))
+            F.collect_list(
+                F.struct(F.col(ORD).alias("i"), self._v.cast("string").alias("v"))
+            )
         )
         joined = F.array_join(F.transform(packed, lambda s: s["v"]), delimiter)
         return self.df.agg(

@@ -141,3 +141,34 @@ def test_join_str_collector(spark):
     """useJoin default format '[a, b, c]' (collector.h:1132-1186)."""
     s = from_container(spark, [1, 2, 3])
     assert s.scalar(s.join_str()) == "[1, 2, 3]"
+
+
+def test_limit_skip_sub_count_by_arrival_not_index(spark):
+    """limit/skip/sub emit their OWN arrival counter (semantic.h:1366,
+    :1472, :1521), so they compose by element position even when incoming
+    indices are non-dense — skip(2).skip(1) drops 3 elements total, and
+    skip(2).limit(2) takes the next two."""
+    s = from_container(spark, [10, 11, 12, 13, 14])
+    assert s.skip(2).skip(1).pairs() == [(1, 13), (2, 14)]
+    assert s.skip(2).limit(2).pairs() == [(0, 12), (1, 13)]
+    assert s.skip(1).sub(1, 3).pairs() == [(1, 12), (2, 13)]
+    assert s.translate(100).limit(2).pairs() == [(0, 10), (1, 11)]
+    assert s.sub(1, 4).sub(1, 2).pairs() == [(1, 12)]
+
+
+def test_counter_ops_use_push_order_not_index(spark):
+    """Push order vs logical index: reverse()/translate() rewrite indices
+    WITHOUT reordering pushes (semantic.h:1454, :1583), so counter-based
+    ops still see the original arrival sequence."""
+    s = from_container(spark, [10, 11, 12, 13])
+    # reverse().limit(2): first two PUSHED elements, counter 0..1
+    assert s.reverse().limit(2).pairs() == [(0, 10), (1, 11)]
+    # reverse().filter: re-counts in push order
+    assert s.reverse().filter(lambda v: v % 2 == 1).pairs() == [(0, 11), (1, 13)]
+    # reverse().take_while: stops at first pushed failure, indices (negated) preserved
+    assert s.reverse().take_while(lambda v: v < 12).pairs() == [(-1, 11), (0, 10)]
+    # translate().skip: arrival counter, not shifted index
+    assert s.translate(100).skip(3).pairs() == [(3, 13)]
+    # distinct first-occurrence is by push order even under reverse
+    d = from_container(spark, [7, 8, 7, 9]).reverse().distinct()
+    assert d.pairs() == [(0, 7), (1, 8), (2, 9)]
