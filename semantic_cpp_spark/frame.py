@@ -262,6 +262,20 @@ class SemanticFrame:
         )
         return self._with(left.unionByName(right))
 
+    def concatenate_element(self, element: Any) -> "SemanticFrame":
+        """concatenate(single element) — the reference's scalar overload
+        (semantic.h:1012-1120 branch 2): append one value at the end."""
+        one = self.df.sparkSession.createDataFrame(
+            [(0, 0, element)], schema=self.df.schema
+        )
+        return self.concatenate(SemanticFrame(one))
+
+    def concatenate_container(self, items: list) -> "SemanticFrame":
+        """concatenate(container) — the container overload (branch 4)."""
+        rows = [(i, i, v) for i, v in enumerate(items)]
+        other = self.df.sparkSession.createDataFrame(rows, schema=self.df.schema)
+        return self.concatenate(SemanticFrame(other))
+
     def parallel(self, n: int | None = None) -> "SemanticFrame":
         """Concurrency declaration → repartition hint. Reference quirk: the
         no-arg overload sets concurrency to 1 (sequential!), semantic.h:

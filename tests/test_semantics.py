@@ -172,3 +172,13 @@ def test_counter_ops_use_push_order_not_index(spark):
     # distinct first-occurrence is by push order even under reverse
     d = from_container(spark, [7, 8, 7, 9]).reverse().distinct()
     assert d.pairs() == [(0, 7), (1, 8), (2, 9)]
+
+
+def test_concatenate_element_and_container(spark):
+    """concatenate's scalar and container overloads (semantic.h:1012-1120
+    branches 2 and 4)."""
+    s = from_container(spark, [1, 2])
+    assert s.concatenate_element(9).pairs() == [(0, 1), (1, 2), (2, 9)]
+    assert s.concatenate_container([7, 8]).pairs() == [
+        (0, 1), (1, 2), (2, 7), (3, 8),
+    ]
