@@ -145,3 +145,21 @@ def stream_stream_join(spark, sf_dir):
     on both sides bounded by the watermark; equals the batch range join."""
     ev = ops.read_events_stream(spark, sf_dir)
     return ops.run_to_memory(ops.purchases_after_signup(ev, 3600), "append")
+
+
+@register(
+    "stream_topk_per_user",
+    """SELECT user_id, rk, value FROM (
+         SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS rk
+         FROM events) t
+       WHERE rk <= 3""",
+)
+def stream_topk(spark, sf_dir):
+    """Custom stateful operator: per-user top-3 values with ordered state
+    and eviction beyond K — equals the batch window top-k. (Expressed via
+    applyInPandasWithState; Spark 4's transformWithStateInPandas needs
+    protobuf, absent in this container — see streaming.ops._topk_update.)"""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(ops.topk_per_user(ev, 3), "update")

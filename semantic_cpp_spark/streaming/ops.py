@@ -244,6 +244,73 @@ def running_stats_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+_TOPK_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("rk", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+_TOPK_STATE = T.StructType(
+    [
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+TOPK_K = 3
+
+
+def _topk_update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key top-K with ORDERED state and eviction beyond K — the
+    custom-operator shape the reference's count windows hint at (SURVEY
+    §7.6). Ties broken by (value desc, event_id asc) for determinism.
+
+    Note: Spark 4's transformWithStateInPandas (ValueState/ListState API)
+    is the natural home for this, but its python worker needs protobuf,
+    which this container lacks — applyInPandasWithState expresses the
+    identical state machine."""
+    if state.exists:
+        vals, ids = state.get
+        pool = list(zip(vals, ids))
+    else:
+        pool = []
+    for pdf in pdfs:
+        pool.extend(zip(pdf["value"], pdf["event_id"]))
+    pool.sort(key=lambda t: (-t[0], t[1]))
+    pool = pool[:TOPK_K]
+    state.update(([float(v) for v, _ in pool], [int(i) for _, i in pool]))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])] * len(pool),
+            "rk": list(range(1, len(pool) + 1)),
+            "value": [v for v, _ in pool],
+        }
+    )
+
+
+def topk_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Custom stateful operator #3: per-user running top-k values,
+    re-emitted per micro-batch (update mode)."""
+    global TOPK_K
+    TOPK_K = k
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _topk_update,
+            outputStructType=_TOPK_OUT,
+            stateStructType=_TOPK_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _CW_OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
