@@ -50,9 +50,12 @@ def _cols(order_by: Iterable[ColumnOrName]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
 
 
-def _single_numeric_key(df: DataFrame, order_by: list[ColumnOrName]) -> str | None:
-    """Name of the single integer-like order column, if that's what we got."""
-    if len(order_by) != 1 or not isinstance(order_by[0], str):
+def _leading_numeric_key(df: DataFrame, order_by: list[ColumnOrName]) -> str | None:
+    """Name of the LEADING integer-like order column (works for compound
+    keys too: bucketing on the first column is a coarser monotone function
+    of the lexicographic key — equal leading values share a bucket, and
+    the local window orders by the full key)."""
+    if not order_by or not isinstance(order_by[0], str):
         return None
     name = order_by[0]
     try:
@@ -90,26 +93,32 @@ def with_ordinal(
         return df.withColumn(name, (F.row_number().over(w) - 1).cast("long"))
 
     if strategy == "auto":
-        key = _single_numeric_key(df, order_by)
+        key = _leading_numeric_key(df, order_by)
         if key is not None:
-            probe = df.agg(
-                F.min(key).alias("lo"), F.max(key).alias("hi"), F.count(key).alias("n")
-            ).first()
-            if probe["n"] == 0:
-                return df.withColumn(name, F.lit(0).cast("long"))
-            if probe["hi"] - probe["lo"] + 1 == probe["n"]:
-                # dense integers: ordinal = key - min, shuffle-free
-                return df.withColumn(
-                    name, (F.col(key).cast("long") - F.lit(int(probe["lo"]))).cast("long")
-                )
+            if len(order_by) == 1:
+                # single-key density probe: dense → ordinal is a pure map
+                probe = df.agg(
+                    F.min(key).alias("lo"),
+                    F.max(key).alias("hi"),
+                    F.count(key).alias("n"),
+                ).first()
+                if probe["n"] == 0:
+                    return df.withColumn(name, F.lit(0).cast("long"))
+                if probe["hi"] - probe["lo"] + 1 == probe["n"]:
+                    return df.withColumn(
+                        name,
+                        (F.col(key).cast("long") - F.lit(int(probe["lo"]))).cast(
+                            "long"
+                        ),
+                    )
             strategy = "bucket"
         else:
             strategy = "range"
 
     if strategy == "bucket":
-        key = _single_numeric_key(df, order_by)
+        key = _leading_numeric_key(df, order_by)
         if key is None:
-            raise ValueError("bucket strategy needs a single integer-like key")
+            raise ValueError("bucket strategy needs a leading integer-like key")
         bucket = F.floor(F.col(key).cast("long") / F.lit(bucket_width)).cast("long")
         tagged = df.withColumn(_PID, bucket)
     elif strategy == "range":

@@ -155,3 +155,22 @@ def test_container_as_element_semantics(spark):
     # arrays as group keys
     grouped = {tuple(r["key"]): len(r["values"]) for r in s.group(lambda v: v).collect()}
     assert grouped == {(1, 2): 2, (2, 1): 1, (1,): 1}
+
+
+def test_repeat_iterate_and_text_lines(spark, tmp_path):
+    """useRepeat (semantic.h:2086-2099), useIterate bounded prefix
+    (semantic.h:1829-1871), and useBlob line streaming
+    (semantic.h:2140-2184)."""
+    from semantic_cpp_spark.sources import from_repeat, from_text_lines, iterate
+
+    assert from_repeat(spark, "x", 3).pairs() == [(0, "x"), (1, "x"), (2, "x")]
+
+    s = iterate(spark, 1, lambda c: c * 2, 5)
+    assert s.to_list() == [1, 2, 4, 8, 16]
+
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    lines = from_text_lines(spark, str(p))
+    assert lines.to_list() == ["alpha", "beta", "gamma"]
+    # composes with the stream ops like any other source
+    assert lines.filter(lambda v: v != "beta").pairs() == [(0, "alpha"), (1, "gamma")]
