@@ -50,3 +50,17 @@ def test_sub_clamps(spark):
     """Charsequence::sub clamps instead of throwing (charsequence.h:786-810)."""
     assert _one(spark, strings.sub_clamped(F.lit("hello"), 1, 3)) == "ell"
     assert _one(spark, strings.sub_clamped(F.lit("hello"), 3, 99)) == "lo"
+
+
+def test_codepoint_indexing_beyond_bmp(spark):
+    """The reference indexes by CODE POINT (charsequence.h:666: vector of
+    Points); Spark strings agree even for astral chars (surrogate pairs in
+    UTF-16 count as ONE position)."""
+    s = "a\U0001D11Eb\U0001F600"  # a, MUSICAL SYMBOL G CLEF, b, emoji
+    assert _one(spark, F.length(F.lit(s))) == 4
+    assert _one(spark, F.substring(F.lit(s), 2, 1)) == "\U0001D11E"
+    assert _one(spark, strings.sub_clamped(F.lit(s), 2, 2)) == "b\U0001F600"
+    assert _one(spark, strings.reverse_str(F.lit(s))) == "\U0001F600b\U0001D11Ea"
+    assert _one(spark, strings.index_of(F.lit(s), "b")) == 2
+    # split on empty pattern yields per-codepoint elements
+    assert _one(spark, F.split(F.lit(s), "")) == ["a", "\U0001D11E", "b", "\U0001F600"]
