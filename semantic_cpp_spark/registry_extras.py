@@ -230,7 +230,7 @@ def str_codepoints(spark, sf_dir):
 @register(
     "evt_json_extract",
     """SELECT event_type,
-              sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+              sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
               count(*) AS n
        FROM events GROUP BY event_type""",
 )
