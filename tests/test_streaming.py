@@ -181,3 +181,46 @@ def test_salted_agg_matches_plain(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_session_window_closes_in_append_mode(spark, tmp_path):
+    """Append-mode session windows emit only once the watermark passes
+    session end + gap: a later batch far in the future closes the first
+    session."""
+    import pandas as pd
+
+    src = str(tmp_path / "session_close")
+    base = 1_700_000_000_000_000_000
+    minute, hour = 60_000_000_000, 3_600_000_000_000
+    b1 = pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": [base, base + minute],  # one session (gap 5m)
+            "user_id": [1, 1],
+            "event_type": ["a", "a"],
+            "value": [1.0, 1.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "event_id": [2],
+            "ts": [base + 5 * hour],  # watermark jumps past session 1
+            "user_id": [1],
+            "event_type": ["a"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    spark.createDataFrame(b1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2).write.parquet(f"{src}/f=2")
+    stream = (
+        spark.readStream.schema(ops.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = ops.run_to_memory(ops.session_counts(stream, "5 minutes"), "append")
+    rows = {(r["user_id"], r["session_start_us"]): r["n"] for r in out.collect()}
+    # first session (2 events starting at base) must have been emitted/closed
+    assert rows.get((1, base // 1000)) == 2
