@@ -177,3 +177,36 @@ def from_text_lines(spark: SparkSession, path: str) -> SemanticFrame:
     tagged = raw.withColumn("__mid", F.monotonically_increasing_id())
     out = with_ordinal(tagged, ["__mid"], name=IDX)
     return SemanticFrame(out.select(IDX, VALUE))
+
+
+def register_fixture_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every fixture table as a temp view so the engine's full
+    surface is reachable through plain ``spark.sql`` (the SQL API —
+    Catalyst plans SQL and DataFrame code identically)."""
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+    return names
+
+
+def from_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> DataFrame:
+    """CSV scan with an explicit schema (inference disabled — never
+    double-scan big inputs; SURVEY §2.1: file formats are our extension,
+    the reference reads only std::istream)."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def from_json_lines(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines scan with explicit schema (no inference pass)."""
+    return spark.read.schema(schema).json(path)
+
+
+def from_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (columnar, pushdown-capable like parquet)."""
+    return spark.read.orc(path)

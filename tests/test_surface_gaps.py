@@ -174,3 +174,34 @@ def test_repeat_iterate_and_text_lines(spark, tmp_path):
     assert lines.to_list() == ["alpha", "beta", "gamma"]
     # composes with the stream ops like any other source
     assert lines.filter(lambda v: v != "beta").pairs() == [(0, "alpha"), (1, "gamma")]
+
+
+def test_sql_api_over_fixture_views(spark):
+    """The whole engine surface is reachable via plain SQL once views are
+    registered — Catalyst plans SQL and DataFrame identically."""
+    from semantic_cpp_spark.sources import register_fixture_views
+
+    register_fixture_views(spark, "/root/testdata/sf0.001")
+    row = spark.sql(
+        """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS s
+           FROM lineitem GROUP BY l_returnflag ORDER BY 1 LIMIT 1"""
+    ).first()
+    assert row["l_returnflag"] is not None and row["s"] > 0
+
+
+def test_csv_json_orc_sources(spark, tmp_path):
+    from semantic_cpp_spark.sources import from_csv, from_json_lines, from_orc
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    df = from_csv(spark, str(csv), "a int, b string")
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+    jl = tmp_path / "t.jsonl"
+    jl.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    dj = from_json_lines(spark, str(jl), "a int, b string")
+    assert dj.count() == 2
+
+    orc_dir = str(tmp_path / "orc")
+    df.write.orc(orc_dir)
+    assert from_orc(spark, orc_dir).count() == 2
