@@ -84,7 +84,6 @@ def iterate(
     computed driver-side up to `limit` when fn is a Python value function,
     else unrolled as nested Column expressions; batch Spark has no native
     infinite source (SURVEY §2.1)."""
-    vals = [seed]
     col = F.lit(seed)
     cols = [col]
     for _ in range(limit - 1):
