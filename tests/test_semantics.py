@@ -182,3 +182,30 @@ def test_concatenate_element_and_container(spark):
     assert s.concatenate_container([7, 8]).pairs() == [
         (0, 1), (1, 2), (2, 7), (3, 8),
     ]
+
+
+def test_sort_descending_and_custom_key_finders(spark):
+    s = from_container(spark, [3, 1, 4, 1, 5])
+    assert s.sort(ascending=False).to_list() == [5, 4, 3, 1, 1]
+    # comparator variants: min/max by derived key (collector.h:953-1063)
+    m = from_container(spark, ["bb", "a", "ccc"])
+    assert m.scalar(m.find_maximum(key=lambda v: F.length(v))) == "ccc"
+    assert m.scalar(m.find_minimum(key=lambda v: F.length(v))) == "a"
+
+
+def test_distinct_with_custom_equivalence(spark):
+    """distinct(comparator) → dedup under a derived key
+    (semantic.h:1144-1164): here case-insensitive, first occurrence wins."""
+    s = from_container(spark, ["Aa", "aa", "BB", "aA", "bb"])
+    assert s.distinct(key=lambda v: F.lower(v)).to_list() == ["Aa", "BB"]
+
+
+def test_flat_skips_empty_containers(spark):
+    """flat over an empty inner container contributes nothing
+    (semantic.h:1244-1274 iterates zero times)."""
+    s = from_container(spark, [1, 2, 3]).flat(
+        lambda v: F.when(v % 2 == 0, F.array(v, v)).otherwise(
+            F.array().cast("array<int>")
+        )
+    )
+    assert s.pairs() == [(0, 2), (1, 2)]
