@@ -166,3 +166,54 @@ def rel_q19(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "rel_q4_semi_join",
+    """SELECT o_orderpriority, count(*) AS n
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority""",
+)
+def rel_q4_semi(spark, sf_dir):
+    """TPC-H Q4 analogue: EXISTS → LEFT SEMI join (each order emitted at
+    most once however many lineitems match — no fan-out, no dedup pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "rel_customers_without_urgent_orders",
+    """SELECT c_mktsegment, count(*) AS n
+       FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+       GROUP BY c_mktsegment""",
+)
+def rel_anti(spark, sf_dir):
+    """NOT EXISTS → LEFT ANTI join: customers with no urgent order,
+    counted by segment (the anti-side filter pushes below the join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
