@@ -106,12 +106,15 @@ def ngram_jaccard_pairs(
         dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         hot = dfreq.filter(F.col("__df") > max_shingle_df).select("sh")
         ex = ex.join(F.broadcast(hot), "sh", "left_anti")
-        # per-doc sizes over the surviving (rare) shingles; sizes is one
-        # row per doc — broadcast back
+        # per-doc sizes over the surviving (rare) shingles; one row per doc,
+        # so it SCALES with the corpus — no broadcast hint (a hint would
+        # force a multi-GB broadcast at 100 TB; the shuffle join on doc_id
+        # co-partitions with the explode output, and AQE may still pick a
+        # broadcast while stats sit under the threshold).
         sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n2"))
         ex = (
             ex.drop("n_sh")
-            .join(F.broadcast(sizes), "doc_id")
+            .join(sizes, "doc_id")
             .withColumnRenamed("__n2", "n_sh")
         )
     a = ex.alias("a")

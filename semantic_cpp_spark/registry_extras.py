@@ -78,34 +78,76 @@ def sig_fft_window(spark, sf_dir):
 @register(
     "udaf_weighted_avg",
     """SELECT l_returnflag,
-              round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+              round(sum(l_extendedprice * l_quantity) / nullif(sum(l_quantity), 0), 6)
                 AS weighted_avg_price
        FROM lineitem GROUP BY l_returnflag""",
 )
 def udaf_weighted_avg(spark, sf_dir):
-    """useCollect (identity/accumulator/combiner/finisher — collector.h:
-    476-486) as a grouped pandas UDAF: per-group state = (Σxw, Σw), merge
-    by addition, finish by division — exactly the reference's collector
-    stages, Arrow-batched."""
+    """useCollect with an ALGEBRAIC collector (collector.h:476-486): the
+    engine maps identity/accumulate/combine onto built-in partial+final
+    aggregates (Σxw, Σw partial-aggregate map-side; one tiny shuffle on
+    the 3-value key) and the finisher onto a projection. This is the
+    scalable shape for low-cardinality keys — routing the whole table
+    through grouped pandas frames would materialise ~⅓ of lineitem per
+    task. nullif guards the all-zero-weight group (NULL, as the reference
+    collector's finisher would divide-by-zero)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
     )
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.nullif(F.sum("l_quantity"), F.lit(0.0)),
+            6,
+        ).alias("weighted_avg_price")
+    )
+
+
+@register(
+    "udaf_per_order_weighted_avg",
+    """SELECT l_orderkey,
+              round(sum(l_extendedprice * l_quantity) / nullif(sum(l_quantity), 0), 6)
+                AS weighted_avg_price,
+              count(*) AS n_lines
+       FROM lineitem WHERE l_orderkey % 10 = 0
+       GROUP BY l_orderkey HAVING count(*) >= 4""",
+)
+def udaf_per_order_weighted_avg(spark, sf_dir):
+    """useCollect as a grouped pandas UDAF (collector.h:476-486) on a
+    HIGH-cardinality key: one order = one pandas frame of ~4 rows, so
+    frames stay tiny at every SF and the groups fan out across all
+    executors — the scale-correct home for a non-algebraic Python
+    finisher. Per-group state = (Σxw, Σw) accumulate → finish by guarded
+    division, exactly the reference's collector stages, Arrow-batched."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_quantity")
+        # deterministic 10% order slice: the gate exercises the identical
+        # plan shape at a tenth of the per-group Python invocations
+        .filter(F.col("l_orderkey") % 10 == 0)
+    )
 
     def collector(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # the collector stages: identity (0,0) → accumulate (Σxw, Σw) →
-        # finish (divide); rounding stays in Spark so both engines round
-        # with the same half-up rule.
+        # identity (0,0) → accumulate (Σxw, Σw) → finish (divide; None on
+        # zero weight). Rounding stays in Spark so both engines round with
+        # the same half-up rule.
         sxw = float((pdf["l_extendedprice"] * pdf["l_quantity"]).sum())
         sw = float(pdf["l_quantity"].sum())
         return pd.DataFrame(
-            {"l_returnflag": [key[0]], "weighted_avg_price": [sxw / sw]}
+            {
+                "l_orderkey": [int(key[0])],
+                "weighted_avg_price": [sxw / sw if sw != 0.0 else None],
+                "n_lines": [len(pdf)],
+            }
         )
 
-    out = li.groupBy("l_returnflag").applyInPandas(
-        collector, schema="l_returnflag string, weighted_avg_price double"
+    out = li.groupBy("l_orderkey").applyInPandas(
+        collector, schema="l_orderkey long, weighted_avg_price double, n_lines long"
     )
-    return out.select(
-        "l_returnflag", F.round("weighted_avg_price", 6).alias("weighted_avg_price")
+    return out.filter(F.col("n_lines") >= 4).select(
+        "l_orderkey",
+        F.round("weighted_avg_price", 6).alias("weighted_avg_price"),
+        "n_lines",
     )
 
 

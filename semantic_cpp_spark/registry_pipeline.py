@@ -193,9 +193,7 @@ def dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, F.col("text"), F.col("doc_id"))
 
 
-@register(
-    "dedup_simhash",
-    f"""WITH tok AS (
+_SIMHASH_CTE = f"""tok AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
       FROM documents),
     th AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS h FROM tok),
@@ -203,10 +201,16 @@ def dedup_minhash(spark, sf_dir):
       SELECT doc_id, b.b,
              sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
       FROM th, (SELECT unnest(range(0, {dedup.SIMHASH_BITS})) AS b) b
-      GROUP BY doc_id, b.b)
-    SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-    FROM votes GROUP BY doc_id""",
+      GROUP BY doc_id, b.b),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+      FROM votes GROUP BY doc_id)"""
+
+
+@register(
+    "dedup_simhash",
+    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig",
 )
 def dedup_simhash(spark, sf_dir):
     """SimHash 60-bit signatures (token-vote construction); near-pair
@@ -217,12 +221,19 @@ def dedup_simhash(spark, sf_dir):
 
 @register(
     "dedup_simhash_pairs",
-    None,  # pair set is pinned by unit tests + the signature oracle above
+    # The oracle is deliberately ALL-PAIRS xor/bit_count — a stronger check
+    # than mirroring the Spark side's pigeonhole blocking, because it also
+    # proves the blocking is lossless (every Hamming≤3 pair is found).
+    f"""WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
 )
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole chunk
-    blocking — rows-only check here; signatures themselves are
-    oracle-verified by dedup_simhash."""
+    blocking (any pair within budget agrees on ≥1 of 4 whole 15-bit
+    chunks, so the chunk-equality join finds it — never all-pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, F.col("text"), F.col("doc_id"))
 

@@ -2,9 +2,12 @@
 analogues adapted to the fixture's value domains — no partsupp table, so
 Q2/Q11-style queries are out of reach).
 
-Scale notes: constant-size dims (nation) broadcast; part/customer
-broadcast at bench scale and flip to shuffle joins under AQE beyond the
-threshold; fact-fact joins shuffle on orderkey.
+Scale notes: only constant-size dims (nation=25, region=5 rows) carry an
+explicit broadcast hint. part/customer/supplier scale with SF and get NO
+hint: an explicit ``F.broadcast`` OVERRIDES autoBroadcastJoinThreshold, so
+hinting them would force a multi-GB broadcast at 100 TB. Hint-free, Spark
+still broadcasts them while their stats sit under the threshold and AQE
+switches to shuffle joins beyond it. Fact-fact joins shuffle on orderkey.
 """
 
 from __future__ import annotations
@@ -32,8 +35,9 @@ from semantic_cpp_spark.session import load_table
 )
 def rel_q7(spark, sf_dir):
     """TPC-H Q7 analogue: shipping volume between a nation pair by year.
-    Both nation legs broadcast (25 rows); supplier/customer broadcast at
-    fixture scale; the lineitem⋈orders spine shuffles on orderkey."""
+    Both nation legs broadcast-hinted (25 rows); supplier/customer carry no
+    hint (threshold/AQE decide); the lineitem⋈orders spine shuffles on
+    orderkey."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
@@ -50,8 +54,8 @@ def rel_q7(spark, sf_dir):
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
@@ -90,7 +94,7 @@ def rel_q10(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -117,7 +121,8 @@ def rel_q10(spark, sf_dir):
 )
 def rel_q14(spark, sf_dir):
     """TPC-H Q14 analogue: promo revenue share for one year. Date range
-    pushes down; part broadcasts; one scalar aggregate."""
+    pushes down; part carries no broadcast hint (it scales with SF — the
+    threshold/AQE decide); one scalar aggregate."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -126,7 +131,7 @@ def rel_q14(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct")
         )
@@ -158,7 +163,7 @@ def rel_q19(spark, sf_dir):
         & F.col("l_quantity").between(10, 30)
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
             F.round(

@@ -4,9 +4,13 @@ The reference has no relational joins (SURVEY §2.4) — this surface is the
 engine's Spark-native extension: declarative DataFrame plans that Catalyst
 optimizes (broadcast for dims, pushdown to parquet, AQE at runtime).
 
-Scale notes per query are in docstrings; dimension tables (region, nation,
-supplier, customer at these SFs) are broadcast explicitly where they are
-guaranteed small at ANY scale factor (region=5, nation=25 rows always).
+Scale notes per query are in docstrings. Broadcast policy: only the
+CONSTANT-size dims (region=5, nation=25 rows at every SF) carry an explicit
+``F.broadcast`` hint. customer/supplier/part/orders scale with SF, so they
+get NO hint — an explicit hint overrides ``autoBroadcastJoinThreshold`` and
+would force a multi-GB broadcast at 100 TB. Without the hint, Spark still
+broadcasts them at small SFs (statistics < threshold) and AQE picks
+shuffle-hash/sort-merge beyond it; tests/test_plans.py pins both halves.
 """
 
 from __future__ import annotations
@@ -67,10 +71,10 @@ ORDER BY l_returnflag, l_linestatus
 def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 analogue: revenue of building-segment orders.
 
-    customer is the small side at every SF ratio → broadcast; the
-    orders⋈lineitem join shuffles on orderkey (both huge at 100 TB —
-    co-partitioned hash join, AQE handles skew). Top-10 via sort-limit
-    (TakeOrderedAndProject — no global sort materialisation).
+    customer scales with SF → NO broadcast hint (AQE / the threshold
+    decide); the orders⋈lineitem join shuffles on orderkey (both huge at
+    100 TB — co-partitioned hash join, AQE handles skew). Top-10 via
+    sort-limit (TakeOrderedAndProject — no global sort materialisation).
     """
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -80,7 +84,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(revenue, 2).alias("revenue"))
         .select(
@@ -109,8 +113,9 @@ LIMIT 10
 
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 analogue: revenue per nation via customer+supplier co-located
-    in the same nation. nation/region are constant-size → broadcast; the
-    fact-side joins shuffle on their keys."""
+    in the same nation. nation/region are constant-size → broadcast hint;
+    supplier/customer scale with SF → no hint (AQE decides); the fact-side
+    joins shuffle on their keys."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -120,7 +125,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             cust,
             (F.col("o_custkey") == F.col("c_custkey"))
@@ -158,7 +163,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select(

@@ -258,51 +258,55 @@ _TOPK_STATE = T.StructType(
     ]
 )
 
-TOPK_K = 3
+def _make_topk_update(k: int):
+    """Build the per-key top-K update fn with ``k`` CLOSED OVER (captured
+    in the pickled closure). A module-global k would silently revert to
+    its import-time default on executors — the Python workers re-import
+    this module and never see a driver-side mutation — and two concurrent
+    queries with different k would race. Closure capture fixes both."""
 
+    def _topk_update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per-key top-K with ORDERED state and eviction beyond K — the
+        custom-operator shape the reference's count windows hint at (SURVEY
+        §7.6). Ties broken by (value desc, event_id asc) for determinism.
 
-def _topk_update(
-    key: Tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-key top-K with ORDERED state and eviction beyond K — the
-    custom-operator shape the reference's count windows hint at (SURVEY
-    §7.6). Ties broken by (value desc, event_id asc) for determinism.
+        Note: Spark 4's transformWithStateInPandas (ValueState/ListState
+        API) is the natural home for this, but its python worker needs
+        protobuf, which this container lacks — applyInPandasWithState
+        expresses the identical state machine."""
+        if state.exists:
+            vals, ids = state.get
+            pool = list(zip(vals, ids))
+        else:
+            pool = []
+        for pdf in pdfs:
+            pool.extend(zip(pdf["value"], pdf["event_id"]))
+        pool.sort(key=lambda t: (-t[0], t[1]))
+        pool = pool[:k]
+        state.update(([float(v) for v, _ in pool], [int(i) for _, i in pool]))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(pool),
+                "rk": list(range(1, len(pool) + 1)),
+                "value": [v for v, _ in pool],
+            }
+        )
 
-    Note: Spark 4's transformWithStateInPandas (ValueState/ListState API)
-    is the natural home for this, but its python worker needs protobuf,
-    which this container lacks — applyInPandasWithState expresses the
-    identical state machine."""
-    if state.exists:
-        vals, ids = state.get
-        pool = list(zip(vals, ids))
-    else:
-        pool = []
-    for pdf in pdfs:
-        pool.extend(zip(pdf["value"], pdf["event_id"]))
-    pool.sort(key=lambda t: (-t[0], t[1]))
-    pool = pool[:TOPK_K]
-    state.update(([float(v) for v, _ in pool], [int(i) for _, i in pool]))
-    yield pd.DataFrame(
-        {
-            "user_id": [int(key[0])] * len(pool),
-            "rk": list(range(1, len(pool) + 1)),
-            "value": [v for v, _ in pool],
-        }
-    )
+    return _topk_update
 
 
 def topk_per_user(events: DataFrame, k: int = 3) -> DataFrame:
     """Custom stateful operator #3: per-user running top-k values,
     re-emitted per micro-batch (update mode)."""
-    global TOPK_K
-    TOPK_K = k
     return (
         events.select("user_id", "event_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _topk_update,
+            _make_topk_update(k),
             outputStructType=_TOPK_OUT,
             stateStructType=_TOPK_STATE,
             outputMode="update",
@@ -330,48 +334,54 @@ _CW_STATE = T.StructType(
 COUNT_WINDOW_SIZE = 10
 
 
-def _count_window_update(
-    key: Tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Count-based tumbling windows over an unbounded stream: buffer the
-    running remainder in state, emit a row per COMPLETED window, keep the
-    partial tail buffered (explicit eviction-on-emit). This is the
-    reference's tumble(size) (semantic.h:910-913) with state instead of a
-    materialised buffer."""
-    if state.exists:
-        seen, buf_sum, buf_n = state.get
-    else:
-        seen, buf_sum, buf_n = 0, 0.0, 0
-    out = []
-    rows = pd.concat(list(pdfs)).sort_values("event_id")
-    for v in rows["value"]:
-        buf_sum += v
-        buf_n += 1
-        if buf_n == COUNT_WINDOW_SIZE:
-            out.append(
-                {
-                    "user_id": key[0],
-                    "win": seen // COUNT_WINDOW_SIZE,
-                    "n": buf_n,
-                    "sum_value": buf_sum,
-                }
-            )
-            seen += buf_n
-            buf_sum, buf_n = 0.0, 0
-    state.update((seen, buf_sum, buf_n))
-    yield pd.DataFrame(out, columns=["user_id", "win", "n", "sum_value"])
+def _make_count_window_update(size: int):
+    """Window size closed over (same executor-pickling rationale as
+    ``_make_topk_update``)."""
+
+    def _count_window_update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Count-based tumbling windows over an unbounded stream: buffer the
+        running remainder in state, emit a row per COMPLETED window, keep the
+        partial tail buffered (explicit eviction-on-emit). This is the
+        reference's tumble(size) (semantic.h:910-913) with state instead of a
+        materialised buffer."""
+        if state.exists:
+            seen, buf_sum, buf_n = state.get
+        else:
+            seen, buf_sum, buf_n = 0, 0.0, 0
+        out = []
+        rows = pd.concat(list(pdfs)).sort_values("event_id")
+        for v in rows["value"]:
+            buf_sum += v
+            buf_n += 1
+            if buf_n == size:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "win": seen // size,
+                        "n": buf_n,
+                        "sum_value": buf_sum,
+                    }
+                )
+                seen += buf_n
+                buf_sum, buf_n = 0.0, 0
+        state.update((seen, buf_sum, buf_n))
+        yield pd.DataFrame(out, columns=["user_id", "win", "n", "sum_value"])
+
+    return _count_window_update
 
 
-def count_tumble_per_user(events: DataFrame) -> DataFrame:
+def count_tumble_per_user(events: DataFrame, size: int = COUNT_WINDOW_SIZE) -> DataFrame:
     """Custom stateful operator #2: per-user count-based tumbling windows
-    (size COUNT_WINDOW_SIZE) — emits only completed windows."""
+    (size ``size``) — emits only completed windows."""
     return (
         events.select("user_id", "event_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _count_window_update,
+            _make_count_window_update(size),
             outputStructType=_CW_OUT,
             stateStructType=_CW_STATE,
             outputMode="append",

@@ -34,6 +34,33 @@ def test_dim_joins_are_broadcast(spark, qs):
         assert "SortMergeJoin" not in plan, name
 
 
+def test_no_broadcast_hint_on_sf_scaling_tables(spark, qs):
+    """customer/supplier/part/orders scale with SF: an explicit broadcast
+    hint would OVERRIDE autoBroadcastJoinThreshold and force a multi-GB
+    broadcast at 100 TB. Only the constant-size dims (nation=25, region=5
+    rows) may carry a hint. We check the ANALYZED plan: every ResolvedHint
+    subtree must bottom out in a nation/region relation (their leaf is the
+    first Relation printed after the hint node in tree order)."""
+    for name in (
+        "rel_q1_pricing_summary",
+        "rel_q3_top_revenue",
+        "rel_q5_nation_revenue",
+        "rel_q7_nation_volume",
+        "rel_q10_returned_items",
+        "rel_q14_promo_share",
+        "rel_q19_bracketed_discounts",
+        "rel_topk_per_segment",
+        "rel_q4_semi_join",
+        "rel_customers_without_urgent_orders",
+    ):
+        analyzed = qs[name](spark, SF)._jdf.queryExecution().analyzed().toString()
+        for chunk in analyzed.split("ResolvedHint")[1:]:
+            leaf = chunk[chunk.index("Relation") :][:400]
+            assert "n_nationkey" in leaf or "r_regionkey" in leaf, (
+                f"{name}: broadcast hint on a SF-scaling table:\n{leaf}"
+            )
+
+
 def test_topk_uses_take_ordered(spark, qs):
     plan = _plan(qs["rel_q3_top_revenue"](spark, SF))
     assert "TakeOrderedAndProject" in plan  # no global sort materialisation

@@ -110,6 +110,43 @@ def test_count_windows_across_micro_batches(spark, tmp_path):
         assert wins == set(range(expect_full))
 
 
+def test_topk_two_different_k_in_one_session(spark):
+    """Two top-k queries with DIFFERENT k in one session must each honor
+    their own k — k is captured in the pickled closure, not module state
+    (a module-global k would revert to its import-time default on
+    executors and race between concurrent queries)."""
+    ev2 = ops.read_events_stream(spark, SF)
+    out2 = ops.run_to_memory(ops.topk_per_user(ev2, 2), "update").collect()
+    ev5 = ops.read_events_stream(spark, SF)
+    out5 = ops.run_to_memory(ops.topk_per_user(ev5, 5), "update").collect()
+
+    def final_ranks(rows):
+        per_user = {}
+        for r in rows:  # update mode: later (larger) emissions supersede
+            per_user.setdefault(r["user_id"], set()).add(r["rk"])
+        return per_user
+
+    batch_counts = {
+        r["user_id"]: r["count"]
+        for r in _batch_events(spark).groupBy("user_id").count().collect()
+    }
+    for u, rks in final_ranks(out2).items():
+        assert max(rks) == min(2, batch_counts[u])
+    for u, rks in final_ranks(out5).items():
+        assert max(rks) == min(5, batch_counts[u])
+    # cross-check values: k=2 top values must be a prefix of k=5's
+    top2 = {}
+    for r in out2:
+        top2.setdefault(r["user_id"], {})[r["rk"]] = r["value"]
+    top5 = {}
+    for r in out5:
+        top5.setdefault(r["user_id"], {})[r["rk"]] = r["value"]
+    for u in top2:
+        assert top2[u][1] == top5[u][1]
+        if 2 in top2[u]:
+            assert top2[u][2] == top5[u][2]
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Late-data policy: with a 10-minute watermark in append mode, a row
     arriving in a later micro-batch with an event time far behind the
