@@ -41,6 +41,40 @@ IDX = "__idx"
 _PID = "__sem_pid"
 _OFF = "__sem_off"
 
+# density-probe memo: (analyzed-plan semanticHash, key) → (lo, n, dense).
+# The auto strategy's probe is an eager aggregate per with_ordinal call;
+# chained re-basing ops would otherwise re-scan the key column at every
+# plan-construction step. semanticHash identifies the logical plan (same
+# source + same transformations ⇒ same rows), so the memo is sound within
+# a session. Bounded FIFO so long sessions can't grow it unboundedly.
+_PROBE_CACHE: dict[tuple[int, str], tuple[int, int, bool]] = {}
+_PROBE_CACHE_MAX = 512
+
+# range-strategy persists outstanding in this session (advisor r1: these
+# leaked). Lifetime must span every materialisation of the result plan —
+# laziness makes the "right" unpersist moment unknowable — so we register
+# them and let callers flush at natural boundaries.
+_PERSISTED: list = []
+
+
+def release_ordinal_caches() -> int:
+    """Unpersist every range-strategy input cached by with_ordinal; call
+    at session boundaries (bench teardown, test fixture finalizers). Any
+    later re-materialisation of a dependent plan recomputes the range
+    partitioning — results stay correct row-set-wise; only the (already
+    materialised) ordinal assignment must not be recomputed under a
+    changed sampling, which is why the flush belongs at boundaries."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _PROBE_CACHE.clear()
+    return n
+
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 ColumnOrName = Union[Column, str]
@@ -96,20 +130,30 @@ def with_ordinal(
         key = _leading_numeric_key(df, order_by)
         if key is not None:
             if len(order_by) == 1:
-                # single-key density probe: dense → ordinal is a pure map
-                probe = df.agg(
-                    F.min(key).alias("lo"),
-                    F.max(key).alias("hi"),
-                    F.count(key).alias("n"),
-                ).first()
-                if probe["n"] == 0:
+                # single-key density probe: dense → ordinal is a pure map.
+                # Memoised per analyzed logical plan (semanticHash) so
+                # chained ops don't re-run the eager key-column scan.
+                ck = (df._jdf.queryExecution().analyzed().semanticHash(), key)
+                hit = _PROBE_CACHE.get(ck)
+                if hit is None:
+                    probe = df.agg(
+                        F.min(key).alias("lo"),
+                        F.max(key).alias("hi"),
+                        F.count(key).alias("n"),
+                    ).first()
+                    n = int(probe["n"])
+                    lo = int(probe["lo"]) if n else 0
+                    dense = n > 0 and int(probe["hi"]) - lo + 1 == n
+                    if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+                        _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+                    hit = _PROBE_CACHE[ck] = (lo, n, dense)
+                lo, n, dense = hit
+                if n == 0:
                     return df.withColumn(name, F.lit(0).cast("long"))
-                if probe["hi"] - probe["lo"] + 1 == probe["n"]:
+                if dense:
                     return df.withColumn(
                         name,
-                        (F.col(key).cast("long") - F.lit(int(probe["lo"]))).cast(
-                            "long"
-                        ),
+                        (F.col(key).cast("long") - F.lit(lo)).cast("long"),
                     )
             strategy = "bucket"
         else:
@@ -129,6 +173,7 @@ def with_ordinal(
             .withColumn(_PID, F.spark_partition_id())
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        _PERSISTED.append(tagged)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 

@@ -76,24 +76,99 @@ def from_repeat(spark: SparkSession, element: Any, count: int) -> SemanticFrame:
     return SemanticFrame(df)
 
 
+_ITERATE_UNROLL_MAX = 128
+
+
+def _empty_like(spark: SparkSession, seed: Any) -> SemanticFrame:
+    t = "long" if isinstance(seed, int) else (
+        "double" if isinstance(seed, float) else "string"
+    )
+    return use_empty(spark, t)
+
+
+def _eval_prefix(spark: SparkSession, seed: Any, fn, n: int) -> list:
+    """Evaluate the first n recurrence terms with ONE 1-row job (n nested
+    Column expressions — safe for small n)."""
+    col = F.lit(seed)
+    cols = [col]
+    for _ in range(n - 1):
+        col = fn(col)
+        cols.append(col)
+    return list(spark.range(1).select(F.array(*cols).alias("a")).first()["a"])
+
+
 def iterate(
     spark: SparkSession, seed: Any, fn: Callable[[Column], Column], limit: int
 ) -> SemanticFrame:
     """useIterate/useInfinite bounded prefix: seed, f(seed), f(f(seed)), ...
-    (reference semantic.h:1763-1871). An inherently sequential recurrence —
-    computed driver-side up to `limit` when fn is a Python value function,
-    else unrolled as nested Column expressions; batch Spark has no native
-    infinite source (SURVEY §2.1)."""
-    col = F.lit(seed)
-    cols = [col]
-    for _ in range(limit - 1):
-        col = fn(col)
-        cols.append(col)
-    rows = spark.range(1).select(F.array(*cols).alias("a"))
-    df = rows.select(F.posexplode("a").alias(IDX, VALUE)).select(
-        F.col(IDX).cast("long").alias(IDX), VALUE
+    (reference semantic.h:1763-1871). batch Spark has no native infinite
+    source (SURVEY §2.1), so the prefix is bounded.
+
+    Scale path: a recurrence is inherently sequential, but the dominant
+    uses are AFFINE (f(x) = a·x + b — counters, geometric decay). We probe
+    the first 4 terms once, and when they verify affine the whole stream
+    becomes a closed form over ``spark.range(limit)`` — a pure narrow map,
+    distributed, constant plan depth at ANY limit. Integer sequences take
+    the closed form only for a == 1 (exact in int64; a ≠ 1 overflows
+    int64 by n≈63 anyway, where the unroll's native overflow semantics
+    apply). Non-affine recurrences fall back to the nested-expression
+    unroll, valid for small limits only (Catalyst plan depth is O(limit))."""
+    if limit <= 0:
+        return _empty_like(spark, seed)
+    if limit <= _ITERATE_UNROLL_MAX:
+        col = F.lit(seed)
+        cols = [col]
+        for _ in range(limit - 1):
+            col = fn(col)
+            cols.append(col)
+        rows = spark.range(1).select(F.array(*cols).alias("a"))
+        df = rows.select(F.posexplode("a").alias(IDX, VALUE)).select(
+            F.col(IDX).cast("long").alias(IDX), VALUE
+        )
+        return SemanticFrame(df)
+
+    x0, x1, x2, x3 = _eval_prefix(spark, seed, fn, 4)
+    is_int = all(isinstance(x, int) for x in (x0, x1, x2, x3))
+    closed = None
+    if x1 == x0:
+        closed = F.lit(x0)  # fixpoint: constant stream
+    elif is_int:
+        a, rem = divmod(x2 - x1, x1 - x0)
+        b = x1 - a * x0
+        if rem == 0 and x3 == a * x2 + b:
+            if a == 1:  # arithmetic progression — exact in int64
+                closed = (F.lit(x0) + F.col("id") * F.lit(b)).cast("long")
+            elif a == 0:  # constant after the seed
+                closed = F.when(F.col("id") == 0, F.lit(x0)).otherwise(
+                    F.lit(x1)
+                ).cast("long")
+            elif a == -1 and b == 0:  # alternation x0, x1, x0, ...
+                closed = F.when(F.col("id") % 2 == 0, F.lit(x0)).otherwise(
+                    F.lit(x1)
+                ).cast("long")
+    elif isinstance(x0, float):
+        denom = x1 - x0
+        a = (x2 - x1) / denom
+        b = x1 - a * x0
+        if abs((a * x2 + b) - x3) <= 1e-12 * max(1.0, abs(x3)):
+            if a == 1.0:
+                closed = F.lit(float(x0)) + F.col("id") * F.lit(b)
+            else:
+                c = b / (1.0 - a)
+                closed = (
+                    F.lit(x0 - c) * F.pow(F.lit(a), F.col("id")) + F.lit(c)
+                )
+    if closed is not None:
+        df = spark.range(limit).select(
+            F.col("id").alias(IDX), closed.alias(VALUE)
+        )
+        return SemanticFrame(df)
+    raise ValueError(
+        f"iterate: non-affine recurrence with limit={limit} > "
+        f"{_ITERATE_UNROLL_MAX} — the nested-expression unroll would blow "
+        "up Catalyst planning. Supply a closed form via from_range().map, "
+        "or reduce the limit."
     )
-    return SemanticFrame(df)
 
 
 def use_random(

@@ -176,6 +176,83 @@ def test_repeat_iterate_and_text_lines(spark, tmp_path):
     assert lines.filter(lambda v: v != "beta").pairs() == [(0, "alpha"), (1, "gamma")]
 
 
+def test_iterate_closed_form_and_edge_cases(spark):
+    """useIterate at scale (semantic.h:1763-1871): limit<=0 is empty (the
+    r1 advisor caught the one-seed leak); affine recurrences switch to a
+    closed form over spark.range — constant plan depth, so limit=10^6
+    plans instantly instead of blowing up Catalyst."""
+    from semantic_cpp_spark.sources import iterate
+
+    assert iterate(spark, 7, lambda c: c + 1, 0).to_list() == []
+    assert iterate(spark, 7, lambda c: c + 1, -3).to_list() == []
+
+    # arithmetic progression at 1e6 — closed form, distributed
+    big = iterate(spark, 10, lambda c: c + 3, 1_000_000)
+    assert big.to_df().count() == 1_000_000
+    got = {r["__idx"]: r["value"] for r in big.to_df().filter(
+        "__idx IN (0, 1, 999999)").collect()}
+    assert got == {0: 10, 1: 13, 999999: 10 + 3 * 999999}
+
+    # float geometric decay — closed form via pow
+    geo = iterate(spark, 1.0, lambda c: c * 0.5, 1000)
+    vals = {r["__idx"]: r["value"] for r in geo.to_df().filter(
+        "__idx IN (0, 3, 50)").collect()}
+    assert vals[0] == 1.0 and abs(vals[3] - 0.125) < 1e-12
+    assert abs(vals[50] - 0.5**50) < 1e-24
+
+    # alternation and fixpoint stay exact
+    alt = iterate(spark, 5, lambda c: -c, 1001)
+    a = {r["__idx"]: r["value"] for r in alt.to_df().filter(
+        "__idx IN (0, 1, 1000)").collect()}
+    assert a == {0: 5, 1: -5, 1000: 5}
+    assert iterate(spark, 4, lambda c: c, 500).to_df().where(
+        "value != 4").count() == 0
+
+    # non-affine big limit: loud failure, not a planner hang
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-affine"):
+        iterate(spark, 2, lambda c: c * c, 10_000)
+    # ...but small non-affine limits still unroll fine
+    assert iterate(spark, 2, lambda c: c * c, 4).to_list() == [2, 4, 16, 256]
+
+
+def test_ordinal_probe_memoised(spark):
+    """The auto-strategy density probe must run its eager aggregate once
+    per logical plan, not once per with_ordinal call."""
+    from semantic_cpp_spark import indexing
+    from semantic_cpp_spark.indexing import with_ordinal
+
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    indexing._PROBE_CACHE.clear()
+    with_ordinal(df, ["k"])
+    assert len(indexing._PROBE_CACHE) == 1
+    ((_, n, dense),) = [indexing._PROBE_CACHE[k] for k in indexing._PROBE_CACHE]
+    assert n == 100 and dense
+    # same plan again → still one entry (hit, no second probe job)
+    with_ordinal(df, ["k"])
+    assert len(indexing._PROBE_CACHE) == 1
+    # a different plan gets its own entry
+    with_ordinal(df.filter("k >= 50"), ["k"])
+    assert len(indexing._PROBE_CACHE) == 2
+
+
+def test_release_ordinal_caches(spark):
+    """Range-strategy persists are registered and flushed by
+    release_ordinal_caches (r1 advisor: they leaked over long sessions)."""
+    from semantic_cpp_spark import indexing
+    from semantic_cpp_spark.indexing import with_ordinal
+
+    df = spark.createDataFrame(
+        [("b", 1), ("a", 2), ("c", 3)], schema="s string, v int"
+    )
+    out = with_ordinal(df, ["s"], strategy="range")
+    assert [r["s"] for r in out.orderBy("__idx").collect()] == ["a", "b", "c"]
+    assert len(indexing._PERSISTED) >= 1
+    released = indexing.release_ordinal_caches()
+    assert released >= 1 and not indexing._PERSISTED
+
+
 def test_sql_api_over_fixture_views(spark):
     """The whole engine surface is reachable via plain SQL once views are
     registered — Catalyst plans SQL and DataFrame identically."""
