@@ -60,6 +60,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # Boundary flush of ordinal caches (range-strategy persists) so a
+    # long-lived harness embedding bench.main() doesn't accumulate them.
+    from semantic_cpp_spark.indexing import release_ordinal_caches
+
+    release_ordinal_caches()
+
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     out = {
         "metric": "headline_queries_total",

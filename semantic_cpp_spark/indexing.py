@@ -41,13 +41,14 @@ IDX = "__idx"
 _PID = "__sem_pid"
 _OFF = "__sem_off"
 
-# density-probe memo: (analyzed-plan semanticHash, key) → (lo, n, dense).
-# The auto strategy's probe is an eager aggregate per with_ordinal call;
-# chained re-basing ops would otherwise re-scan the key column at every
-# plan-construction step. semanticHash identifies the logical plan (same
-# source + same transformations ⇒ same rows), so the memo is sound within
-# a session. Bounded FIFO so long sessions can't grow it unboundedly.
-_PROBE_CACHE: dict[tuple[int, str], tuple[int, int, bool]] = {}
+# density-probe memo: (semanticHash, input-file-snapshot hash, key) →
+# (lo, n, dense). The auto strategy's probe is an eager aggregate per
+# with_ordinal call; chained re-basing ops would otherwise re-scan the key
+# column at every plan-construction step. semanticHash identifies the
+# logical plan and the file-snapshot hash ties it to the data listing, so
+# a re-read after append/overwrite misses the memo instead of serving
+# stale density. Bounded FIFO so long sessions can't grow it unboundedly.
+_PROBE_CACHE: dict[tuple[int, int, str], tuple[int, int, bool]] = {}
 _PROBE_CACHE_MAX = 512
 
 # range-strategy persists outstanding in this session (advisor r1: these
@@ -106,6 +107,7 @@ def with_ordinal(
     strategy: str = "auto",
     num_partitions: int | None = None,
     bucket_width: int = 1 << 16,
+    memoize: bool = True,
 ) -> DataFrame:
     """Attach a dense 0..n-1 LongType ordinal ``name`` ordered by ``order_by``.
 
@@ -116,6 +118,13 @@ def with_ordinal(
     doc_id, a previous __idx before filtering). Non-dense integer keys use
     "bucket"; compound/non-numeric keys use "range". "window" (global
     row_number — single-task sort) exists for tests/cross-checks only.
+
+    The density-probe memo assumes source data is IMMUTABLE within a
+    session for a given plan: the cache key combines the analyzed plan's
+    semanticHash with the relation's input-file snapshot, so re-reading a
+    path after an append/overwrite (a new file listing) misses the memo,
+    but mutating files in place behind a live DataFrame is undefined —
+    pass ``memoize=False`` to force a fresh probe.
     """
     order_by = list(order_by)
     cols = _cols(order_by)
@@ -123,7 +132,7 @@ def with_ordinal(
         raise ValueError("with_ordinal requires at least one order column")
 
     if strategy == "window":
-        w = Window.orderBy(*cols)
+        w = Window.partitionBy(F.lit(0)).orderBy(*cols)
         return df.withColumn(name, (F.row_number().over(w) - 1).cast("long"))
 
     if strategy == "auto":
@@ -131,10 +140,15 @@ def with_ordinal(
         if key is not None:
             if len(order_by) == 1:
                 # single-key density probe: dense → ordinal is a pure map.
-                # Memoised per analyzed logical plan (semanticHash) so
-                # chained ops don't re-run the eager key-column scan.
-                ck = (df._jdf.queryExecution().analyzed().semanticHash(), key)
-                hit = _PROBE_CACHE.get(ck)
+                # Memoised per (analyzed plan semanticHash, file snapshot)
+                # so chained ops don't re-run the eager key-column scan,
+                # while a changed file listing invalidates naturally.
+                ck = (
+                    df._jdf.queryExecution().analyzed().semanticHash(),
+                    hash(tuple(sorted(df.inputFiles()))),
+                    key,
+                )
+                hit = _PROBE_CACHE.get(ck) if memoize else None
                 if hit is None:
                     probe = df.agg(
                         F.min(key).alias("lo"),
@@ -178,7 +192,16 @@ def with_ordinal(
         raise ValueError(f"unknown strategy {strategy!r}")
 
     counts = tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    # The offsets cumulative sum is a GLOBAL window by design — but only
+    # over the tiny per-bucket counts table (one row per bucket/partition).
+    # partitionBy(lit(0)) makes the single-partition intent explicit and
+    # silences WindowExec's "No Partition Defined" warning, which would
+    # otherwise mask a real accidental-global-window regression elsewhere.
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.withColumn(
         _OFF, F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long")
     ).select(_PID, _OFF)

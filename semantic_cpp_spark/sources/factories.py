@@ -77,6 +77,10 @@ def from_repeat(spark: SparkSession, element: Any, count: int) -> SemanticFrame:
 
 
 _ITERATE_UNROLL_MAX = 128
+# Fallback ceiling when a probed closed form FAILS distributed verification
+# (piecewise fn that mimics affine on the probe prefix): nested-expression
+# unroll stays correct and plannable into the low thousands.
+_ITERATE_UNROLL_HARD = 2048
 
 
 def _empty_like(spark: SparkSession, seed: Any) -> SemanticFrame:
@@ -97,6 +101,62 @@ def _eval_prefix(spark: SparkSession, seed: Any, fn, n: int) -> list:
     return list(spark.range(1).select(F.array(*cols).alias("a")).first()["a"])
 
 
+def _unroll(
+    spark: SparkSession, seed: Any, fn: Callable[[Column], Column], limit: int
+) -> SemanticFrame:
+    """Exact sequential evaluation (applies the generator at every step like
+    the reference useIterate), in adaptively-sized chunks.
+
+    A naive full unroll is EXPONENTIAL in expression-tree size for any fn
+    that references its argument more than once (each nesting level clones
+    the whole subtree — F.when(c < 100, c + 1).otherwise(0) doubles per
+    step and OOMs the JVM near depth ~30). So: nest only while the printed
+    expression stays small, materialise the chunk's values with one 1-row
+    job, and re-seed the next chunk from the last value as a literal.
+    Affine-ish fns run in a handful of jobs; branchy fns degrade to more,
+    smaller chunks — never to an exponential plan."""
+    vals: list = [seed]
+    while len(vals) < limit:
+        col = F.lit(vals[-1])
+        cols = []
+        while len(vals) + len(cols) < limit and len(cols) < 256:
+            col = fn(col)
+            cols.append(col)
+            if len(str(col)) > 50_000:
+                break
+        chunk = spark.range(1).select(F.array(*cols).alias("a")).first()["a"]
+        vals.extend(chunk)
+    return from_container(spark, vals[:limit])
+
+
+def _closed_form_holds(
+    spark: SparkSession,
+    fn: Callable[[Column], Column],
+    closed_fn: Callable[[Column], Column],
+    limit: int,
+    float_tol: bool,
+) -> bool:
+    """Soundness check for a probed closed form: the recurrence
+    fn(closed(i)) == closed(i+1) must hold at EVERY i in [0, limit-1), not
+    just the probed prefix — a piecewise fn (e.g. when(x < 100, x+1).
+    otherwise(0)) matches affine on terms 0-3 and diverges later. One
+    distributed narrow job over spark.range; null-safe (a null from fn
+    counts as a violation, never filtered away)."""
+    cur = closed_fn(F.col("id"))
+    want = closed_fn(F.col("id") + 1)
+    got = fn(cur)
+    if float_tol:
+        # closed-form float rounding differs from sequential evaluation by
+        # ULPs (geometric forms especially) — relative tolerance, not ==.
+        ok = F.abs(got - want) <= F.lit(1e-9) * F.greatest(
+            F.lit(1.0), F.abs(want)
+        )
+    else:
+        ok = got == want
+    viol = (~ok) | ok.isNull()
+    return spark.range(limit - 1).where(viol).isEmpty()
+
+
 def iterate(
     spark: SparkSession, seed: Any, fn: Callable[[Column], Column], limit: int
 ) -> SemanticFrame:
@@ -106,43 +166,45 @@ def iterate(
 
     Scale path: a recurrence is inherently sequential, but the dominant
     uses are AFFINE (f(x) = a·x + b — counters, geometric decay). We probe
-    the first 4 terms once, and when they verify affine the whole stream
-    becomes a closed form over ``spark.range(limit)`` — a pure narrow map,
-    distributed, constant plan depth at ANY limit. Integer sequences take
+    the first 4 terms once; closed forms that only ever evaluate fn at
+    probed points (fixpoint, constant-after-seed, two-value alternation)
+    are sound by construction, while value-visiting forms (arithmetic
+    progression, float affine/geometric) are verified by a distributed
+    check of fn(closed(i)) == closed(i+1) over the FULL range before being
+    trusted. Verified forms run over ``spark.range(limit)`` — a pure
+    narrow map, constant plan depth at ANY limit. Integer sequences take
     the closed form only for a == 1 (exact in int64; a ≠ 1 overflows
     int64 by n≈63 anyway, where the unroll's native overflow semantics
     apply). Non-affine recurrences fall back to the nested-expression
-    unroll, valid for small limits only (Catalyst plan depth is O(limit))."""
+    unroll up to _ITERATE_UNROLL_HARD (Catalyst plan depth is O(limit))."""
     if limit <= 0:
         return _empty_like(spark, seed)
     if limit <= _ITERATE_UNROLL_MAX:
-        col = F.lit(seed)
-        cols = [col]
-        for _ in range(limit - 1):
-            col = fn(col)
-            cols.append(col)
-        rows = spark.range(1).select(F.array(*cols).alias("a"))
-        df = rows.select(F.posexplode("a").alias(IDX, VALUE)).select(
-            F.col(IDX).cast("long").alias(IDX), VALUE
-        )
-        return SemanticFrame(df)
+        return _unroll(spark, seed, fn, limit)
 
     x0, x1, x2, x3 = _eval_prefix(spark, seed, fn, 4)
     is_int = all(isinstance(x, int) for x in (x0, x1, x2, x3))
     closed = None
+    closed_fn = None  # set only when the form needs distributed verification
+    float_tol = False
     if x1 == x0:
-        closed = F.lit(x0)  # fixpoint: constant stream
+        # fixpoint: x2=f(x1)=f(x0)=x1 — fn is only ever evaluated at x0,
+        # which the probe covered; sound without further checking.
+        closed = F.lit(x0)
     elif is_int:
         a, rem = divmod(x2 - x1, x1 - x0)
         b = x1 - a * x0
         if rem == 0 and x3 == a * x2 + b:
-            if a == 1:  # arithmetic progression — exact in int64
-                closed = (F.lit(x0) + F.col("id") * F.lit(b)).cast("long")
-            elif a == 0:  # constant after the seed
+            if a == 1:  # arithmetic progression — visits unprobed values
+                closed_fn = lambda i: (F.lit(x0) + i * F.lit(b)).cast("long")
+            elif a == 0:
+                # constant after seed: f(x1) = x1 probed (x2 == x1) — fn is
+                # only evaluated at {x0, x1}; sound.
                 closed = F.when(F.col("id") == 0, F.lit(x0)).otherwise(
                     F.lit(x1)
                 ).cast("long")
-            elif a == -1 and b == 0:  # alternation x0, x1, x0, ...
+            elif a == -1 and b == 0:
+                # alternation: f(x0)=x1 and f(x1)=x0 both probed; sound.
                 closed = F.when(F.col("id") % 2 == 0, F.lit(x0)).otherwise(
                     F.lit(x1)
                 ).cast("long")
@@ -151,21 +213,29 @@ def iterate(
         a = (x2 - x1) / denom
         b = x1 - a * x0
         if abs((a * x2 + b) - x3) <= 1e-12 * max(1.0, abs(x3)):
+            float_tol = True
             if a == 1.0:
-                closed = F.lit(float(x0)) + F.col("id") * F.lit(b)
+                closed_fn = lambda i: F.lit(float(x0)) + i * F.lit(b)
             else:
                 c = b / (1.0 - a)
-                closed = (
-                    F.lit(x0 - c) * F.pow(F.lit(a), F.col("id")) + F.lit(c)
+                closed_fn = lambda i: (
+                    F.lit(x0 - c) * F.pow(F.lit(a), i) + F.lit(c)
                 )
+    if closed_fn is not None:
+        if _closed_form_holds(spark, fn, closed_fn, limit, float_tol):
+            closed = closed_fn(F.col("id"))
+        # else: probe prefix looked affine but the recurrence diverges
+        # somewhere in [0, limit) — fall through to the exact unroll.
     if closed is not None:
         df = spark.range(limit).select(
             F.col("id").alias(IDX), closed.alias(VALUE)
         )
         return SemanticFrame(df)
+    if limit <= _ITERATE_UNROLL_HARD:
+        return _unroll(spark, seed, fn, limit)
     raise ValueError(
         f"iterate: non-affine recurrence with limit={limit} > "
-        f"{_ITERATE_UNROLL_MAX} — the nested-expression unroll would blow "
+        f"{_ITERATE_UNROLL_HARD} — the nested-expression unroll would blow "
         "up Catalyst planning. Supply a closed form via from_range().map, "
         "or reduce the limit."
     )

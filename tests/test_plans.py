@@ -55,7 +55,11 @@ def test_no_broadcast_hint_on_sf_scaling_tables(spark, qs):
     ):
         analyzed = qs[name](spark, SF)._jdf.queryExecution().analyzed().toString()
         for chunk in analyzed.split("ResolvedHint")[1:]:
-            leaf = chunk[chunk.index("Relation") :][:400]
+            pos = chunk.find("Relation")
+            assert pos != -1, (
+                f"{name}: hint subtree with no Relation in printout:\n{chunk[:400]}"
+            )
+            leaf = chunk[pos:][:400]
             assert "n_nationkey" in leaf or "r_regionkey" in leaf, (
                 f"{name}: broadcast hint on a SF-scaling table:\n{leaf}"
             )
@@ -80,3 +84,29 @@ def test_similarity_broadcasts_query_side(spark, qs):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # the corpus side must not be globally sorted; top-k is per-query window
     assert plan.count("Window") >= 1
+
+
+def test_no_windowexec_warning_from_ordinal_paths(spark, capfd):
+    """r1-advice #9 / r2-verdict #5: WindowExec's 'No Partition Defined'
+    warning must not fire anywhere in the engine — the only intentional
+    global windows (the tiny per-bucket offsets cumsum, the test-only
+    'window' strategy) now carry an explicit partitionBy(lit(0)). A clean
+    warning tail means any future warning is a REAL single-partition
+    regression, not noise."""
+    from semantic_cpp_spark.indexing import with_ordinal
+    from semantic_cpp_spark.session import load_table
+
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    capfd.readouterr()  # drain
+    # bucket path (non-dense key: event_id * 2) exercises the offsets window
+    sparse = ev.select((F.col("event_id") * 2).alias("k"), "value")
+    with_ordinal(sparse, ["k"], strategy="bucket").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # range path (string key) exercises repartitionByRange + offsets window
+    skey = ev.select(F.format_string("k%09d", "event_id").alias("s"), "value")
+    with_ordinal(skey, ["s"], strategy="range").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    err = capfd.readouterr().err
+    assert "No Partition Defined for Window operation" not in err

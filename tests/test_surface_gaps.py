@@ -217,6 +217,35 @@ def test_iterate_closed_form_and_edge_cases(spark):
     assert iterate(spark, 2, lambda c: c * c, 4).to_list() == [2, 4, 16, 256]
 
 
+def test_iterate_closed_form_is_verified_not_assumed(spark):
+    """r2-advice (high): a piecewise fn that matches affine on probe terms
+    0-3 but diverges later must NOT be trusted from the 4-term probe. The
+    distributed recurrence check fn(closed(i)) == closed(i+1) over the full
+    range rejects the bogus closed form; the exact unroll takes over."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.sources import iterate
+
+    wrap = lambda c: F.when(c < 100, c + 1).otherwise(F.lit(0))
+    s = iterate(spark, 0, wrap, 300)
+    got = {r["__idx"]: r["value"] for r in s.to_df().filter(
+        "__idx IN (0, 99, 100, 101, 201, 202, 299)").collect()}
+    # sequence 0,1,...,100,0,1,...: wraps after hitting 100
+    assert got == {0: 0, 99: 99, 100: 100, 101: 0, 201: 100, 202: 0, 299: 97}
+
+    # a float fn affine on the prefix but clamped later: also rejected
+    clamp = lambda c: F.when(c < 10.0, c + 0.5).otherwise(F.lit(10.0))
+    f = iterate(spark, 0.0, clamp, 200)
+    fv = {r["__idx"]: r["value"] for r in f.to_df().filter(
+        "__idx IN (0, 19, 20, 21, 199)").collect()}
+    assert fv[0] == 0.0 and fv[19] == 9.5 and fv[20] == 10.0
+    assert fv[21] == 10.0 and fv[199] == 10.0
+
+    # genuinely affine still takes the verified closed form at scale
+    big = iterate(spark, 1, lambda c: c + 2, 50_000)
+    assert big.to_df().filter("__idx = 49999").first()["value"] == 1 + 2 * 49999
+
+
 def test_ordinal_probe_memoised(spark):
     """The auto-strategy density probe must run its eager aggregate once
     per logical plan, not once per with_ordinal call."""
