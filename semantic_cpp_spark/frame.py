@@ -517,6 +517,24 @@ class SemanticFrame:
             F.concat(F.lit(prefix), joined, F.lit(suffix)).alias(VALUE)
         )
 
+    def join_str_converted(
+        self, prefix: str, converter: Callable[[Column], Column], suffix: str
+    ) -> DataFrame:
+        """useJoin(prefix, converter, suffix) (reference
+        collector.h:1296-1349): every element is run through ``converter``
+        (a Column→Column fn — the reference's element-to-charsequence
+        functor), joined with the HARD-CODED comma delimiter (reference
+        :1299 `static const Charsequence comma(",")`), wrapped in
+        prefix/suffix. Same push-order pinning as join_str."""
+        conv = converter(self._v).cast("string")
+        packed = F.array_sort(
+            F.collect_list(F.struct(F.col(ORD).alias("i"), conv.alias("v")))
+        )
+        joined = F.array_join(F.transform(packed, lambda s: s["v"]), ",")
+        return self.df.agg(
+            F.concat(F.lit(prefix), joined, F.lit(suffix)).alias(VALUE)
+        )
+
     def scalar(self, df: DataFrame | None = None) -> Any:
         """Collect a 1-row/1-col terminal DataFrame to a Python scalar."""
         target = self.df if df is None else df

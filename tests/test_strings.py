@@ -64,3 +64,58 @@ def test_codepoint_indexing_beyond_bmp(spark):
     assert _one(spark, strings.index_of(F.lit(s), "b")) == 2
     # split on empty pattern yields per-codepoint elements
     assert _one(spark, F.split(F.lit(s), "")) == ["a", "\U0001D11E", "b", "\U0001F600"]
+
+
+def test_replace_max_count(spark):
+    """replace(target, repl, maxCount) caps at the first N occurrences
+    (charsequence.h:1029-1076); maxCount=0 and empty target are no-ops."""
+    s = F.lit("a.b.c.d.e")
+    assert _one(spark, strings.replace_literal(s, ".", "-", 1)) == "a-b.c.d.e"
+    assert _one(spark, strings.replace_literal(s, ".", "-", 2)) == "a-b-c.d.e"
+    assert _one(spark, strings.replace_literal(s, ".", "-", 99)) == "a-b-c-d-e"
+    assert _one(spark, strings.replace_literal(s, ".", "-", 0)) == "a.b.c.d.e"
+    assert _one(spark, strings.replace_literal(s, "", "-", 3)) == "a.b.c.d.e"
+    # replacement longer than target; overlapping-free left-to-right
+    assert _one(spark, strings.replace_literal(F.lit("aaaa"), "aa", "XX", 1)) == "XXaa"
+    # regex metachars are literal
+    assert _one(spark, strings.replace_literal(F.lit("x+y+z"), "+", "*", 1)) == "x*y+z"
+
+
+def test_last_index_of_from_offset(spark):
+    """lastIndexOf(needle, from) bounds the match START at
+    min(from, n-m); from >= n → -1; empty needle → n regardless
+    (charsequence.h:940-987)."""
+    s = F.lit("banana")  # 'an' at 1 and 3
+    assert _one(spark, strings.last_index_of(s, "an")) == 3
+    assert _one(spark, strings.last_index_of(s, "an", 3)) == 3
+    assert _one(spark, strings.last_index_of(s, "an", 2)) == 1
+    assert _one(spark, strings.last_index_of(s, "an", 0)) == -1
+    # from >= n → -1 even though a match exists (reference :954-957)
+    assert _one(spark, strings.last_index_of(s, "an", 6)) == -1
+    assert _one(spark, strings.last_index_of(s, "an", 5)) == 3
+    # needle longer than haystack → -1
+    assert _one(spark, strings.last_index_of(F.lit("ab"), "abc", 1)) == -1
+    # empty needle → size (checked before the from bound, :943-947)
+    assert _one(spark, strings.last_index_of(s, "", 2)) == 6
+
+
+def test_compare_three_way(spark):
+    """compare is codepoint-lexicographic -1/0/1 with shorter-prefix
+    tie-break (charsequence.h:1220-1249); UTF8_BINARY == codepoint order."""
+    cmp = strings.compare_cs
+    assert _one(spark, cmp(F.lit("apple"), F.lit("banana"))) == -1
+    assert _one(spark, cmp(F.lit("banana"), F.lit("apple"))) == 1
+    assert _one(spark, cmp(F.lit("same"), F.lit("same"))) == 0
+    assert _one(spark, cmp(F.lit("ab"), F.lit("abc"))) == -1  # prefix < longer
+    assert _one(spark, cmp(F.lit(""), F.lit("a"))) == -1
+    # astral codepoint (U+1D11E) sorts above BMP chars by codepoint value
+    assert _one(spark, cmp(F.lit("\U0001D11E"), F.lit("�"))) == 1
+
+
+def test_blob_bytes_column(spark):
+    """blob_bytes yields UTF-8 byte values 0-255 (semantic.h:2101-2118
+    column form); multibyte codepoints expand; empty string → empty array."""
+    assert _one(spark, strings.blob_bytes(F.lit("AB"))) == [65, 66]
+    # é = 0xC3 0xA9 in UTF-8
+    assert _one(spark, strings.blob_bytes(F.lit("é"))) == [0xC3, 0xA9]
+    assert _one(spark, strings.blob_bytes(F.lit(""))) == []

@@ -311,3 +311,45 @@ def test_csv_json_orc_sources(spark, tmp_path):
     orc_dir = str(tmp_path / "orc")
     df.write.orc(orc_dir)
     assert from_orc(spark, orc_dir).count() == 2
+
+
+def test_use_blob_text_source(spark):
+    """useBlob(text[, start, end]) (semantic.h:2101-2138): byte stream of
+    a driver-side string; window clamps; slice index re-bases to 0;
+    start >= end → empty."""
+    from semantic_cpp_spark.sources import use_blob_text
+
+    assert use_blob_text(spark, "AB").to_list() == [65, 66]
+    # slice [1, 3) of 'abcd' → 'bc', idx re-based
+    s = use_blob_text(spark, "abcd", 1, 3)
+    rows = {r["__idx"]: r["value"] for r in s.to_df().collect()}
+    assert rows == {0: ord("b"), 1: ord("c")}
+    # clamping: negative start → 0, end beyond size → size
+    assert use_blob_text(spark, "xy", -5, 99).to_list() == [120, 121]
+    # empty window
+    assert use_blob_text(spark, "xyz", 2, 2).to_list() == []
+    assert use_blob_text(spark, "xyz", 5, 9).to_list() == []
+    # bytes in, multibyte str in: raw bytes either way
+    assert use_blob_text(spark, b"\x00\xff").to_list() == [0, 255]
+    assert use_blob_text(spark, "é").to_list() == [0xC3, 0xA9]
+
+
+def test_join_str_converted(spark):
+    """useJoin(prefix, converter, suffix) (collector.h:1296-1349): comma
+    delimiter hard-coded, converter applied per element, push-order
+    pinned."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.functions import strings
+    from semantic_cpp_spark.sources import from_container
+
+    sf = from_container(spark, ["ax", "by", "cz"])
+    out = sf.join_str_converted("<", strings.upper_ascii, ">")
+    assert out.first()["value"] == "<AX,BY,CZ>"
+    # converter producing numbers stringifies (reference arithmetic branch)
+    nums = from_container(spark, [1, 2, 3])
+    out2 = nums.join_str_converted("[", lambda c: c * 10, "]")
+    assert out2.first()["value"] == "[10,20,30]"
+    # survives filtering (push order, not original index)
+    filt = sf.filter(lambda v: v != F.lit("by"))
+    assert filt.join_str_converted("", lambda c: c, "").first()["value"] == "ax,cz"

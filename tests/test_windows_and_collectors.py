@@ -85,3 +85,44 @@ def test_mode_deterministic_tiebreak(spark):
     s = from_container(spark, [3.0, 1.0, 3.0, 1.0, 2.0]).to_df()
     got = collectors.mode_df(s, F.col("value")).first()["value"]
     assert got == 1.0  # tie between 1 and 3 → smallest wins (SURVEY §7.4)
+
+
+def test_capped_collectors_bound_memory(spark):
+    """r2-verdict #2: the capped group/frequency variants must cap BEFORE
+    collection — the plan shows the row_number filter upstream of the
+    collect_list aggregate, so no task materialises an unbounded array on
+    a skewed key — while keeping the dropped information as counts."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.indexing import IDX
+    from semantic_cpp_spark.operators.collectors import (
+        frequency_profile_capped,
+        group_collect_capped,
+    )
+
+    # skewed key: 90% of rows share one key
+    df = spark.range(1000).select(
+        F.col("id").alias(IDX),
+        F.when(F.col("id") % 10 == 0, F.col("id") % 3 + 1)
+        .otherwise(F.lit(0))
+        .alias("k"),
+        (F.col("id") * 2).alias("value"),
+    )
+    out = group_collect_capped(df, F.col("k"), 5)
+    rows = {r["key"]: (list(r["values"]), r["n_total"]) for r in out.collect()}
+    assert rows[0][1] == 900 and len(rows[0][0]) == 5
+    # first-5 in encounter (index) order
+    assert rows[0][0] == [2, 4, 6, 8, 10]
+    assert all(len(v[0]) <= 5 for v in rows.values())
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the cap (row_number <= 5 filter) must sit in the plan feeding the
+    # collect_list aggregate — cap-before-collect, not collect-then-slice
+    assert "collect_list" in plan and "row_number" in plan
+    assert "<= 5" in plan
+
+    freq = frequency_profile_capped(df, F.col("k"), 3)
+    frows = {r["value"]: (list(r["positions"]), r["n_value"], r["total"])
+             for r in freq.collect()}
+    assert frows[0] == ([1, 2, 3], 900, 1000)
+    assert frows[1][1] + frows[2][1] + frows[3][1] == 100
