@@ -24,9 +24,37 @@ from pyspark.sql import functions as F
 
 from semantic_cpp_spark.functions.vectors import dot
 
-# 4 sign-bits → 16 buckets: meaningful recall on the fixture sizes (500-2000
-# vectors); production would raise planes with corpus size (buckets ~ n/64).
+# 4 sign-bits → 16 buckets: meaningful recall on the FIXTURE sizes (500-2000
+# vectors). The registry queries pass this explicitly so the DuckDB oracles
+# stay deterministic; the library default (planes=None) derives the plane
+# count from the corpus size instead — see derived_lsh_planes.
 LSH_PLANES = 4
+
+# Average vectors per LSH bucket the derivation aims for: buckets ≈ n/64,
+# i.e. planes = log2(n/64). 64 keeps per-bucket exact-cosine work trivially
+# small while leaving enough collisions for recall.
+LSH_TARGET_BUCKET_SIZE = 64
+
+
+def derived_lsh_planes(n: int) -> int:
+    """Plane count from corpus size: buckets ~ n / LSH_TARGET_BUCKET_SIZE,
+    clamped to [1, 24] (2^24 buckets is plenty at any n; beyond that the
+    signature join key should switch to banding like the MinHash path).
+    Measured sweep in SCALING.md §LSH/IVF constants."""
+    import math
+
+    if n <= LSH_TARGET_BUCKET_SIZE:
+        return 1
+    return max(1, min(24, round(math.log2(n / LSH_TARGET_BUCKET_SIZE))))
+
+
+def derived_ivf_k(n: int) -> int:
+    """Centroid count from corpus size: K ≈ √n (the classic IVF balance —
+    per-list scan length n/K equals the centroid-probe cost K at K=√n),
+    clamped to [1, 65536]."""
+    import math
+
+    return max(1, min(65536, round(math.sqrt(max(n, 1)))))
 
 
 def _as_double(col: Column) -> Column:
@@ -96,14 +124,19 @@ def lsh_bucket_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket
     (same sign-signature), then exact cosine within the bucket. Recall<1
     by construction; the oracle reproduces the same algorithm so results
-    still match exactly. Output: (q_id, rk, vec_id, cos)."""
+    still match exactly. planes=None derives the bucket count from the
+    corpus size (one count job); pass an explicit value for deterministic
+    fixtures. Output: (q_id, rk, vec_id, cos)."""
+    if planes is None:
+        planes = derived_lsh_planes(df.count())
     e = df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("sig", lsh_signature(F.col("v"), dims))
+    ).withColumn("sig", lsh_signature(F.col("v"), dims, planes))
     q = e.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("sig").alias("qsig")
     )
@@ -132,16 +165,20 @@ def embedding_near_dup_pairs(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidate pairs share an LSH
     sign-bucket (blocking — never all-pairs), verified by exact cosine ≥
     threshold. Output (d1, d2, cos) with d1 < d2.
 
     Scale shape: the bucket self-join touches only same-signature pairs;
-    bucket count grows with the plane count, tuned to corpus size."""
+    planes=None sizes the bucket count from the corpus (derived_lsh_planes)
+    so the per-bucket pair count stays ~LSH_TARGET_BUCKET_SIZE²."""
+    if planes is None:
+        planes = derived_lsh_planes(df.count())
     e = df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("sig", lsh_signature(F.col("v"), dims))
+    ).withColumn("sig", lsh_signature(F.col("v"), dims, planes))
     a, b = e.alias("a"), e.alias("b")
     nrm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
     cos = dot(F.col("a.v"), F.col("b.v")) / (
@@ -163,18 +200,29 @@ def embedding_near_dup_pairs(
     )
 
 
-IVF_K = 8  # centroid count for the fixture sizes; grows ~sqrt(n) in production
+# Fixture centroid count (oracle-deterministic); the library default
+# (n_centroids=None) derives K ≈ √n from the corpus — see derived_ivf_k.
+IVF_K = 8
 
 
-def ivf_assign(df: DataFrame, dims: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def ivf_assign(
+    df: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+) -> DataFrame:
     """IVF coarse quantizer: centroids are the vectors with the K smallest
     ids (deterministic seeding — production would k-means these); every
     vector is assigned to its max-cosine centroid (ties → smallest id).
+    n_centroids=None derives K ≈ √n (one count job).
     Returns (vec_id, v, centroid_id)."""
+    if n_centroids is None:
+        n_centroids = derived_ivf_k(df.count())
     e = df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    cents = e.filter(F.col("vec_id") < IVF_K).select(
+    cents = e.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
     )
     nrm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
@@ -199,12 +247,13 @@ def ivf_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: search only the query's centroid list
     (nprobe=1). The inverted lists partition the corpus, so the scan
     touches ~n/K vectors per query — the index-style scale path
     complementing the LSH variant. Output (q_id, rk, vec_id, cos)."""
-    assigned = ivf_assign(df, dims, id_col, vec_col)
+    assigned = ivf_assign(df, dims, id_col, vec_col, n_centroids)
     q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),

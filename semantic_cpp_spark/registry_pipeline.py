@@ -288,7 +288,9 @@ def sim_lsh_topk(spark, sf_dir):
     md5-derived planes): candidates restricted to the query's bucket —
     the scale path when the query set is itself huge."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_bucket_topk(emb, [0, 1, 2], k=5, dims=64)
+    return similarity.lsh_bucket_topk(
+        emb, [0, 1, 2], k=5, dims=64, planes=similarity.LSH_PLANES
+    )
 
 
 # -- multimodal plumbing ----------------------------------------------------
@@ -347,7 +349,9 @@ def sim_embedding_near_dup(spark, sf_dir):
     all-pairs) + exact cosine verify. Threshold 0.4 on this fixture (no
     planted vector dups; the mechanism is the parity surface)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.4, dims=64)
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, dims=64, planes=similarity.LSH_PLANES
+    )
 
 
 _IVF_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -382,4 +386,6 @@ def sim_ivf_topk(spark, sf_dir):
     (first-K vectors as centroids), inverted lists partition the corpus,
     queries scan only their centroid's list — the index-style scale path."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, [0, 1, 2], k=5, dims=64)
+    return similarity.ivf_topk(
+        emb, [0, 1, 2], k=5, dims=64, n_centroids=similarity.IVF_K
+    )

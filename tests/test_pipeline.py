@@ -180,3 +180,35 @@ def test_ivf_topk_subset_of_assigned_list(spark):
     for r in out:
         assert assigned[r["vec_id"]] == assigned[2]  # same inverted list
         assert r["vec_id"] != 2
+
+
+def test_derived_similarity_constants():
+    """r2-verdict #7: LSH plane count / IVF centroid count derive from
+    corpus size when not pinned (fixture constants remain the explicit
+    override for deterministic oracles)."""
+    from semantic_cpp_spark.pipeline import similarity as sim
+
+    assert sim.derived_lsh_planes(10) == 1         # tiny corpus: one bucket
+    assert sim.derived_lsh_planes(64 * 16) == 4    # fixture scale ≈ pinned 4
+    assert sim.derived_lsh_planes(1_000_000) == 14
+    assert sim.derived_lsh_planes(10**12) == 24    # clamp
+    assert sim.derived_ivf_k(1) == 1
+    assert sim.derived_ivf_k(64) == 8              # fixture scale ≈ pinned 8
+    assert sim.derived_ivf_k(1_000_000) == 1000    # √n
+    assert sim.derived_ivf_k(10**12) == 65536      # clamp
+
+
+def test_lsh_derived_planes_end_to_end(spark):
+    """planes=None derives from the corpus and still returns well-formed
+    top-k (recall may differ from the pinned-constant run by design)."""
+    import numpy as np
+
+    from semantic_cpp_spark.pipeline import similarity as sim
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.lsh_bucket_topk(df, [5], k=4, dims=16).collect()
+    assert all(r["q_id"] == 5 and r["vec_id"] != 5 for r in out)
+    ivf = sim.ivf_topk(df, [2], k=4, dims=16).collect()
+    assert all(r["q_id"] == 2 for r in ivf)
