@@ -46,19 +46,25 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     # Protocol: one untimed warm-up execution per query (JIT, parquet
-    # footer cache, Arrow init), then time the second execution — the
-    # steady-state number a resident service would see, and a stable
-    # basis for cross-round comparison.
+    # footer cache, Arrow init), then the MEDIAN of n timed executions
+    # (default 3, override $SPARK_GRAFT_BENCH_RUNS) — machine noise on
+    # this box is documented at 2-3×, and a median of 3 keeps the
+    # steady-state number comparable across rounds without chasing it.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # noop sink materialises every column (count() would let Catalyst
-        # prune the aggregate expressions away).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # noop sink materialises every column (count() would let
+            # Catalyst prune the aggregate expressions away).
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
 
     # Boundary flush of ordinal caches (range-strategy persists) so a
     # long-lived harness embedding bench.main() doesn't accumulate them.

@@ -182,55 +182,17 @@ def iterate(
     if limit <= _ITERATE_UNROLL_MAX:
         return _unroll(spark, seed, fn, limit)
 
-    x0, x1, x2, x3 = _eval_prefix(spark, seed, fn, 4)
-    is_int = all(isinstance(x, int) for x in (x0, x1, x2, x3))
-    closed = None
-    closed_fn = None  # set only when the form needs distributed verification
-    float_tol = False
-    if x1 == x0:
-        # fixpoint: x2=f(x1)=f(x0)=x1 — fn is only ever evaluated at x0,
-        # which the probe covered; sound without further checking.
-        closed = F.lit(x0)
-    elif is_int:
-        a, rem = divmod(x2 - x1, x1 - x0)
-        b = x1 - a * x0
-        if rem == 0 and x3 == a * x2 + b:
-            if a == 1:  # arithmetic progression — visits unprobed values
-                closed_fn = lambda i: (F.lit(x0) + i * F.lit(b)).cast("long")
-            elif a == 0:
-                # constant after seed: f(x1) = x1 probed (x2 == x1) — fn is
-                # only evaluated at {x0, x1}; sound.
-                closed = F.when(F.col("id") == 0, F.lit(x0)).otherwise(
-                    F.lit(x1)
-                ).cast("long")
-            elif a == -1 and b == 0:
-                # alternation: f(x0)=x1 and f(x1)=x0 both probed; sound.
-                closed = F.when(F.col("id") % 2 == 0, F.lit(x0)).otherwise(
-                    F.lit(x1)
-                ).cast("long")
-    elif isinstance(x0, float):
-        denom = x1 - x0
-        a = (x2 - x1) / denom
-        b = x1 - a * x0
-        if abs((a * x2 + b) - x3) <= 1e-12 * max(1.0, abs(x3)):
-            float_tol = True
-            if a == 1.0:
-                closed_fn = lambda i: F.lit(float(x0)) + i * F.lit(b)
-            else:
-                c = b / (1.0 - a)
-                closed_fn = lambda i: (
-                    F.lit(x0 - c) * F.pow(F.lit(a), i) + F.lit(c)
-                )
-    if closed_fn is not None:
-        if _closed_form_holds(spark, fn, closed_fn, limit, float_tol):
-            closed = closed_fn(F.col("id"))
-        # else: probe prefix looked affine but the recurrence diverges
-        # somewhere in [0, limit) — fall through to the exact unroll.
-    if closed is not None:
+    closed_fn, needs_check, float_tol = _probe_closed_fn(spark, seed, fn)
+    if closed_fn is not None and (
+        not needs_check
+        or _closed_form_holds(spark, fn, closed_fn, limit, float_tol)
+    ):
         df = spark.range(limit).select(
-            F.col("id").alias(IDX), closed.alias(VALUE)
+            F.col("id").alias(IDX), closed_fn(F.col("id")).alias(VALUE)
         )
         return SemanticFrame(df)
+    # probe looked affine but the recurrence diverges somewhere in
+    # [0, limit), or was never affine — exact unroll while plannable.
     if limit <= _ITERATE_UNROLL_HARD:
         return _unroll(spark, seed, fn, limit)
     raise ValueError(
@@ -238,6 +200,100 @@ def iterate(
         f"{_ITERATE_UNROLL_HARD} — the nested-expression unroll would blow "
         "up Catalyst planning. Supply a closed form via from_range().map, "
         "or reduce the limit."
+    )
+
+
+def _probe_closed_fn(spark: SparkSession, seed: Any, fn):
+    """Probe the recurrence's first 4 terms (one 1-row job) and derive a
+    closed form when they fit f(x) = a·x + b. Returns
+    (closed_fn | None, needs_check, float_tol) where closed_fn maps an
+    index Column to the value Column.
+
+    needs_check=False branches are sound BY CONSTRUCTION — fn is only
+    ever evaluated at probed points: fixpoint (x1==x0 means the sequence
+    stays at x0 forever), constant-after-seed (a==0: f(x1)==x1 probed),
+    two-value alternation (a==-1, b==0: f(x0)==x1 and f(x1)==x0 both
+    probed). Value-visiting forms (arithmetic progression, float
+    affine/geometric) need the distributed _closed_form_holds pass."""
+    x0, x1, x2, x3 = _eval_prefix(spark, seed, fn, 4)
+    is_int = all(isinstance(x, int) for x in (x0, x1, x2, x3))
+    if x1 == x0:
+        return (lambda i: F.lit(x0)), False, False
+    if is_int:
+        a, rem = divmod(x2 - x1, x1 - x0)
+        b = x1 - a * x0
+        if rem == 0 and x3 == a * x2 + b:
+            if a == 1:  # arithmetic progression — visits unprobed values
+                return (
+                    lambda i: (F.lit(x0) + i * F.lit(b)).cast("long")
+                ), True, False
+            if a == 0:
+                return (
+                    lambda i: F.when(i == 0, F.lit(x0))
+                    .otherwise(F.lit(x1))
+                    .cast("long")
+                ), False, False
+            if a == -1 and b == 0:
+                return (
+                    lambda i: F.when(i % 2 == 0, F.lit(x0))
+                    .otherwise(F.lit(x1))
+                    .cast("long")
+                ), False, False
+        return None, False, False
+    if isinstance(x0, float):
+        denom = x1 - x0
+        a = (x2 - x1) / denom
+        b = x1 - a * x0
+        if abs((a * x2 + b) - x3) <= 1e-12 * max(1.0, abs(x3)):
+            if a == 1.0:
+                return (lambda i: F.lit(float(x0)) + i * F.lit(b)), True, True
+            c = b / (1.0 - a)
+            return (
+                lambda i: F.lit(x0 - c) * F.pow(F.lit(a), i) + F.lit(c)
+            ), True, True
+    return None, False, False
+
+
+def use_infinite_stream(
+    spark: SparkSession,
+    seed: Any,
+    fn: Callable[[Column], Column],
+    rows_per_batch: int = 1000,
+) -> DataFrame:
+    """useInfinite as a TRUE unbounded source (reference
+    semantic.h:1763-1783) — the batch engine can only take a bounded
+    prefix (SURVEY §2.1), but Structured Streaming can run the real
+    thing: the rate-micro-batch source supplies the ever-growing index
+    and element i is the verified affine closed form f^i(seed), so the
+    stream is distributed and needs NO sequential state.
+
+    Non-affine generators are inherently sequential (element i depends
+    on element i-1 across micro-batch boundaries) and stay batch-only
+    via iterate() — a documented limit, raised loudly here. The closed
+    form is soundness-checked over the first 1M indices before the
+    query starts (same distributed check as iterate).
+
+    Returns an UNBOUNDED streaming DataFrame (__idx long, value);
+    compose with watermark-free transforms and a sink, e.g.
+    ``.writeStream.format(...)``; every micro-batch holds
+    ``rows_per_batch`` consecutive indices."""
+    closed_fn, needs_check, float_tol = _probe_closed_fn(spark, seed, fn)
+    if closed_fn is None or (
+        needs_check
+        and not _closed_form_holds(spark, fn, closed_fn, 1_000_000, float_tol)
+    ):
+        raise ValueError(
+            "use_infinite_stream: generator is not affine (f(x) = a·x + b) "
+            "— an infinite non-affine recurrence is inherently sequential; "
+            "use iterate() for a bounded prefix instead."
+        )
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    return src.select(
+        F.col("value").alias(IDX), closed_fn(F.col("value")).alias(VALUE)
     )
 
 

@@ -261,3 +261,41 @@ def test_session_window_closes_in_append_mode(spark, tmp_path):
     rows = {(r["user_id"], r["session_start_us"]): r["n"] for r in out.collect()}
     # first session (2 events starting at base) must have been emitted/closed
     assert rows.get((1, base // 1000)) == 2
+
+
+def test_use_infinite_stream_affine(spark):
+    """useInfinite as a genuinely unbounded Structured Streaming source
+    (semantic.h:1763-1783): the rate-micro-batch index drives the
+    verified affine closed form, so the stream needs no sequential state.
+    Non-affine generators raise loudly (inherently sequential)."""
+    import time
+    import uuid
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.sources import use_infinite_stream
+
+    s = use_infinite_stream(spark, 10, lambda c: c + 3, rows_per_batch=50)
+    assert s.isStreaming
+    name = f"inf_{uuid.uuid4().hex[:8]}"
+    q = s.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 100:
+                break
+            time.sleep(0.3)
+        rows = spark.table(name).orderBy("__idx").limit(100).collect()
+    finally:
+        q.stop()
+    assert len(rows) >= 100
+    assert all(r["value"] == 10 + 3 * r["__idx"] for r in rows)
+    assert [r["__idx"] for r in rows[:5]] == [0, 1, 2, 3, 4]
+
+    with pytest.raises(ValueError, match="not affine"):
+        use_infinite_stream(spark, 2, lambda c: c * c, rows_per_batch=10)
+    # piecewise fn that fakes affine on the probe prefix is also rejected
+    wrap = lambda c: F.when(c < 100, c + 1).otherwise(F.lit(0))  # noqa: E731
+    with pytest.raises(ValueError, match="not affine"):
+        use_infinite_stream(spark, 0, wrap, rows_per_batch=10)
