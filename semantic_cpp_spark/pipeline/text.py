@@ -131,3 +131,85 @@ def lang_id_sql_case(text_expr: str) -> str:
         )
         clauses.append(f"WHEN {conds} THEN '{lang}'")
     return "CASE " + " ".join(clauses) + f" ELSE '{LANG_PRIORITY[-1]}' END"
+
+
+# -- Gopher-style quality rules + repetition signals (r3) --------------------
+# The standard cheap pretraining-corpus filter battery (word-count bounds,
+# mean word length, alpha-word ratio, stopword evidence, duplicate-n-gram
+# fractions). Pure Column expressions — zero shuffle, whole-stage codegen.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MAX_DUP_2GRAM_FRAC = 0.8
+GOPHER_MAX_DUP_3GRAM_FRAC = 0.6
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as space-joined strings; empty array
+    when the document has fewer than n tokens (sequence() would descend)."""
+    s = F.size(toks)
+    return F.when(s < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), s - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def dup_ngram_fraction(col: Column, n: int) -> Column:
+    """Fraction of n-gram instances that are repeats of an earlier one:
+    1 − distinct/total. 0.0 when no n-grams exist (short doc). The
+    repetition signal — word salads score ~0, boilerplate scores high."""
+    g = word_ngrams(tokens(F.lower(col)), n)
+    total = F.size(g)
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total
+    )
+
+
+def gopher_signals(col: Column) -> dict[str, Column]:
+    """The signal battery; each entry is a pure Column over the text."""
+    t = tokens(F.lower(col))
+    n_words = F.size(t).cast("long")
+    mean_wl = (
+        F.aggregate(
+            F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / F.size(t)
+    )
+    alpha_words = F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+    alpha_ratio_ = alpha_words.cast("double") / F.size(t)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(t), F.array(*[F.lit(w) for w in STOPWORDS])
+        )
+    ).cast("long")
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "alpha_word_ratio": alpha_ratio_,
+        "n_stop_distinct": stop_hits,
+        "dup_2gram_frac": dup_ngram_fraction(col, 2),
+        "dup_3gram_frac": dup_ngram_fraction(col, 3),
+    }
+
+
+def gopher_keep(col: Column) -> Column:
+    """Composite keep/drop decision from the rule thresholds. Threshold
+    comparisons run on UNROUNDED values — int/int divisions are IEEE-
+    identical across engines, so the boolean is oracle-stable."""
+    s = gopher_signals(col)
+    return (
+        (s["n_words"] >= GOPHER_MIN_WORDS)
+        & (s["n_words"] <= GOPHER_MAX_WORDS)
+        & (s["mean_word_len"] >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (s["mean_word_len"] <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (s["alpha_word_ratio"] >= GOPHER_MIN_ALPHA_WORD_RATIO)
+        & (s["n_stop_distinct"] >= GOPHER_MIN_STOPWORD_HITS)
+        & (s["dup_2gram_frac"] <= GOPHER_MAX_DUP_2GRAM_FRAC)
+        & (s["dup_3gram_frac"] <= GOPHER_MAX_DUP_3GRAM_FRAC)
+    )

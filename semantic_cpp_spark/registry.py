@@ -590,6 +590,10 @@ _PRIORITY: list[str] = [
     "src_blob_bytes",
     "str_compare_and_join",
     "grp_frequency_capped",
+    "txt_gopher_rules",
+    "rel_q6_forecast_revenue",
+    "rel_q18_large_orders",
+    "rel_q22_idle_balance",
     # -- backfill: riskiest already-green (index quirks + dedup/ANN) --
     "sem_filter_rebases_idx",
     "sem_skip_preserves_idx",
@@ -598,9 +602,6 @@ _PRIORITY: list[str] = [
     "sem_translate_wraps",
     "sem_sort_stable",
     "sem_distinct_first_occurrence",
-    "sem_take_while",
-    "sem_drop_while",
-    "sem_concatenate",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -610,7 +611,6 @@ _PRIORITY: list[str] = [
     "sim_lsh_bucket_topk",
     "sim_ivf_topk",
     "sim_embedding_near_dup",
-    "udaf_weighted_avg",
 ]
 
 

@@ -389,3 +389,66 @@ def sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(
         emb, [0, 1, 2], k=5, dims=64, n_centroids=similarity.IVF_K
     )
+
+
+@register(
+    "txt_gopher_rules",
+    """WITH t AS (
+         SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+         FROM documents),
+       g AS (
+         SELECT doc_id, ws,
+                length(ws)::BIGINT AS n_words,
+                list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                  / length(ws) AS mean_wl,
+                length(list_filter(ws, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+                  / length(ws) AS alpha_r,
+                length(list_intersect(list_distinct(ws),
+                       ['the','a','of','and','to','in','is','it']))::BIGINT
+                  AS stop_hits,
+                list_transform(range(1, length(ws)), i ->
+                  array_to_string(list_slice(ws, i, i + 1), ' ')) AS g2,
+                list_transform(range(1, length(ws) - 1), i ->
+                  array_to_string(list_slice(ws, i, i + 2), ' ')) AS g3
+         FROM t),
+       d AS (
+         SELECT doc_id, n_words, mean_wl, alpha_r, stop_hits,
+                CASE WHEN length(g2) = 0 THEN 0.0
+                     ELSE 1.0 - length(list_distinct(g2))::DOUBLE / length(g2)
+                END AS dup2,
+                CASE WHEN length(g3) = 0 THEN 0.0
+                     ELSE 1.0 - length(list_distinct(g3))::DOUBLE / length(g3)
+                END AS dup3
+         FROM g)
+       SELECT doc_id, n_words,
+              round(mean_wl, 6) AS mean_word_len,
+              round(alpha_r, 6) AS alpha_word_ratio,
+              stop_hits AS n_stop_distinct,
+              round(dup2, 6) AS dup_2gram_frac,
+              round(dup3, 6) AS dup_3gram_frac,
+              (n_words BETWEEN 50 AND 100000
+               AND mean_wl BETWEEN 3.0 AND 10.0
+               AND alpha_r >= 0.8 AND stop_hits >= 2
+               AND dup2 <= 0.8 AND dup3 <= 0.6) AS keep
+       FROM d""",
+)
+def txt_gopher_rules(spark, sf_dir):
+    """Gopher-style quality-rule battery: word-count bounds, mean word
+    length, alpha-word ratio, distinct-stopword evidence, duplicate
+    2/3-gram fractions, and the composite keep/drop decision — the
+    standard cheap filter pass before expensive dedup/scoring. Pure
+    Column expressions, zero shuffle, scales as a narrow map."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    s = text.gopher_signals(t)
+    return docs.select(
+        "doc_id",
+        s["n_words"].alias("n_words"),
+        F.round(s["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(s["alpha_word_ratio"], 6).alias("alpha_word_ratio"),
+        s["n_stop_distinct"].alias("n_stop_distinct"),
+        F.round(s["dup_2gram_frac"], 6).alias("dup_2gram_frac"),
+        F.round(s["dup_3gram_frac"], 6).alias("dup_3gram_frac"),
+        text.gopher_keep(t).alias("keep"),
+    )

@@ -222,3 +222,112 @@ def rel_anti(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "rel_q6_forecast_revenue",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+              count(*) AS n_lines
+       FROM lineitem
+       WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+         AND l_discount BETWEEN 0.02 AND 0.04
+         AND l_quantity < 24""",
+)
+def rel_q6(spark, sf_dir):
+    """TPC-H Q6 analogue: pure scan-filter-aggregate — the pushdown
+    showcase (all three predicates reach the parquet scan, zero joins,
+    zero shuffles beyond the final 1-row combine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "rel_q18_large_orders",
+    """WITH big AS (
+         SELECT l_orderkey, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 100)
+       SELECT c_name, o_orderkey, o_totalprice,
+              round(sum_qty, 2) AS sum_qty
+       FROM big
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+)
+def rel_q18(spark, sf_dir):
+    """TPC-H Q18 analogue (large-volume orders): the HAVING aggregate
+    reduces lineitem to the rare big orders FIRST, so the orders/customer
+    joins see a tiny left side; top-100 is TakeOrderedAndProject, no
+    global sort materialisation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 100)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.col("__sq"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "rel_q22_idle_balance",
+    """WITH cutoff AS (
+         SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0),
+       cnts AS (
+         SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+       idle AS (
+         SELECT c_mktsegment, c_acctbal
+         FROM (SELECT c_mktsegment, c_acctbal, c_custkey, coalesce(n, 0) AS n
+               FROM customer LEFT JOIN cnts ON o_custkey = c_custkey), cutoff
+         WHERE c_acctbal > avg_bal AND n < 5)
+       SELECT c_mktsegment, count(*) AS n_cust,
+              round(sum(c_acctbal), 2) AS total_bal
+       FROM idle GROUP BY c_mktsegment""",
+)
+def rel_q22(spark, sf_dir):
+    """TPC-H Q22 analogue (idle high-balance customers — every fixture
+    customer has at least one order, so 'idle' = fewer than 5): the
+    positive-balance average is a 1-row broadcast; order counts aggregate
+    BEFORE the join, so the customer join sees one row per custkey; then
+    a tiny per-segment aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cutoff = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    cnts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    idle = (
+        cust.join(cnts, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .crossJoin(F.broadcast(cutoff))
+        .filter((F.col("c_acctbal") > F.col("avg_bal")) & (F.col("n") < 5))
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

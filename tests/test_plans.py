@@ -52,6 +52,11 @@ def test_no_broadcast_hint_on_sf_scaling_tables(spark, qs):
         "rel_topk_per_segment",
         "rel_q4_semi_join",
         "rel_customers_without_urgent_orders",
+        "rel_q6_forecast_revenue",
+        "rel_q18_large_orders",
+        # rel_q22 exempt: it broadcasts a 1-row scalar aggregate (the
+        # correct pattern), which this leaf-relation heuristic can't
+        # distinguish from a table broadcast.
     ):
         analyzed = qs[name](spark, SF)._jdf.queryExecution().analyzed().toString()
         for chunk in analyzed.split("ResolvedHint")[1:]:
