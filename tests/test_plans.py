@@ -91,27 +91,43 @@ def test_similarity_broadcasts_query_side(spark, qs):
     assert plan.count("Window") >= 1
 
 
-def test_no_windowexec_warning_from_ordinal_paths(spark, capfd):
+def test_no_windowexec_warning_from_ordinal_paths():
     """r1-advice #9 / r2-verdict #5: WindowExec's 'No Partition Defined'
     warning must not fire anywhere in the engine — the only intentional
     global windows (the tiny per-bucket offsets cumsum, the test-only
-    'window' strategy) now carry an explicit partitionBy(lit(0)). A clean
-    warning tail means any future warning is a REAL single-partition
-    regression, not noise."""
-    from semantic_cpp_spark.indexing import with_ordinal
-    from semantic_cpp_spark.session import load_table
+    'window' strategy) carry an explicit non-foldable single-partition
+    key (a plain lit(0) gets constant-folded away and the warning
+    returns). A clean warning tail means any future warning is a REAL
+    single-partition regression, not noise.
 
-    ev = load_table(spark, SF, "events").select("event_id", "value")
-    capfd.readouterr()  # drain
-    # bucket path (non-dense key: event_id * 2) exercises the offsets window
-    sparse = ev.select((F.col("event_id") * 2).alias("k"), "value")
-    with_ordinal(sparse, ["k"], strategy="bucket").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    # range path (string key) exercises repartitionByRange + offsets window
-    skey = ev.select(F.format_string("k%09d", "event_id").alias("s"), "value")
-    with_ordinal(skey, ["s"], strategy="range").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    err = capfd.readouterr().err
-    assert "No Partition Defined for Window operation" not in err
+    Runs in a SUBPROCESS: the JVM inherits the original stderr fd at
+    launch, so pytest's capfd never sees its log output — an in-process
+    capture passes vacuously."""
+    import subprocess
+    import sys
+
+    script = """
+import sys
+sys.path.insert(0, "/root/repo")
+from semantic_cpp_spark.session import get_spark
+from semantic_cpp_spark.indexing import with_ordinal
+from pyspark.sql import functions as F
+spark = get_spark("warnpin", master="local[4]", shuffle_partitions=4)
+df = spark.range(50000).select((F.col("id") * 2).alias("k"),
+                               F.col("id").alias("value"))
+with_ordinal(df, ["k"], strategy="bucket").write.format("noop").mode("overwrite").save()
+skey = df.select(F.format_string("k%09d", "k").alias("s"), "value")
+with_ordinal(skey, ["s"], strategy="range").write.format("noop").mode("overwrite").save()
+with_ordinal(df, ["k"], strategy="window").write.format("noop").mode("overwrite").save()
+print("DONE_MARKER")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300,
+    )
+    combined = r.stdout + r.stderr
+    assert "DONE_MARKER" in r.stdout, combined[-2000:]
+    assert "No Partition Defined for Window operation" not in combined
+    # cache-noise pin: re-running an identical range plan reuses the
+    # persisted input instead of re-persisting it
+    assert "Asked to cache already cached data" not in combined
