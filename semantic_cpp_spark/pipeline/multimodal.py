@@ -82,3 +82,45 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield _fake_features(batch)
 
     return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, off long, n_bytes long, checksum string"
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 64, step: int = 4
+) -> DataFrame:
+    """Video-style frame sampling over opaque binary payloads: the payload
+    is treated as a sequence of fixed-size byte frames and every
+    ``step``-th frame is emitted with its offset and checksum — the
+    decode-free half of a frame-sample pipeline (a real decoder would
+    replace the checksum with pixel features; see decode_image for the
+    honest stub).
+
+    Shape: mapInPandas with a 1→N row fan-out per document — Arrow
+    batches, narrow, partition-preserving; no shuffle at any size."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for fi in range(0, n_frames, step):
+                    chunk = b[fi * frame_size : (fi + 1) * frame_size]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": fi,
+                            "off": fi * frame_size,
+                            "n_bytes": len(chunk),
+                            "checksum": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "off", "n_bytes", "checksum"],
+            )
+
+    return df.mapInPandas(kernel, schema=FRAME_SCHEMA)

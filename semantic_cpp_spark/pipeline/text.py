@@ -213,3 +213,19 @@ def gopher_keep(col: Column) -> Column:
         & (s["dup_2gram_frac"] <= GOPHER_MAX_DUP_2GRAM_FRAC)
         & (s["dup_3gram_frac"] <= GOPHER_MAX_DUP_3GRAM_FRAC)
     )
+
+
+# BPE-ish sub-word tokenisation: letter runs, digit runs, single
+# punctuation marks — the GPT-2-family pre-tokeniser shape WITHOUT
+# lookahead (RE2-compatible, so Spark's Java regex and DuckDB's RE2
+# produce identical token streams; verified on mixed punctuation input).
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """Sub-word tokens of lowercased text as array<string> — pure codegen."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col)).cast("long")

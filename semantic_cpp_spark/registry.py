@@ -594,14 +594,14 @@ _PRIORITY: list[str] = [
     "rel_q6_forecast_revenue",
     "rel_q18_large_orders",
     "rel_q22_idle_balance",
+    "txt_bpe_token_count",
+    "mm_frame_sample",
     # -- backfill: riskiest already-green (index quirks + dedup/ANN) --
     "sem_filter_rebases_idx",
     "sem_skip_preserves_idx",
     "sem_sub_slice",
     "sem_reverse_rotation",
-    "sem_translate_wraps",
     "sem_sort_stable",
-    "sem_distinct_first_occurrence",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -452,3 +452,55 @@ def txt_gopher_rules(spark, sf_dir):
         F.round(s["dup_3gram_frac"], 6).alias("dup_3gram_frac"),
         text.gopher_keep(t).alias("keep"),
     )
+
+
+@register(
+    "txt_bpe_token_count",
+    """SELECT doc_id,
+              length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+              len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT
+                AS n_bpe_tokens,
+              round(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::DOUBLE
+                    / length(regexp_split_to_array(trim(text), '\\s+')), 6)
+                AS bpe_per_word
+       FROM documents""",
+)
+def txt_bpe_token_count(spark, sf_dir):
+    """Token counting, sub-word flavor: whitespace words vs BPE-ish regex
+    tokens (letter runs / digit runs / single punctuation — the GPT-2
+    pre-tokeniser shape without lookahead so Java regex and RE2 agree).
+    The tokens-per-word ratio is the cheap proxy for tokenizer cost per
+    document. Pure codegen, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(t).alias("n_ws_tokens"),
+        text.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.round(
+            text.bpe_token_count(t).cast("double") / text.token_count(t), 6
+        ).alias("bpe_per_word"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    """WITH d AS (SELECT doc_id, text, octet_length(encode(text))::BIGINT AS nb
+                  FROM documents WHERE doc_id < 50),
+       f AS (SELECT doc_id, text, nb,
+                    unnest(range(0, (nb + 63) // 64, 4)) AS frame_idx
+             FROM d)
+       SELECT doc_id, frame_idx, frame_idx * 64 AS off,
+              least(64, nb - frame_idx * 64) AS n_bytes,
+              md5(substr(text, (frame_idx * 64 + 1)::INT, 64)) AS checksum
+       FROM f""",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: every 4th 64-byte frame of each payload
+    with offset + checksum (pipeline.multimodal.sample_frames — the
+    mapInPandas 1→N fan-out shape a real video decoder plugs into). The
+    oracle reproduces byte slices as text slices, exact because fixture
+    texts are pure ASCII (asserted: octet_length == length)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    payload = multimodal.attach_binary_payload(docs)
+    return multimodal.sample_frames(payload, frame_size=64, step=4)

@@ -58,3 +58,13 @@ def test_every_query_callable_and_oracles_subset():
     qs = registry.queries()
     assert all(callable(f) for f in qs.values())
     assert set(registry.oracle_sql()) <= set(qs)
+
+
+def test_query_names_are_slugs():
+    """A register() call that loses its name argument silently registers
+    the SQL text as the query name (and the query becomes rows-only in
+    the driver gate) — pin the name shape instead."""
+    import re
+
+    for name in registry.queries():
+        assert re.fullmatch(r"[a-z0-9_]{3,60}", name), repr(name)[:80]
