@@ -106,3 +106,14 @@ def mode_deterministic(col: Column, idx: Column) -> Column:
     # (count, -value) pairs built from a collected map — small-cardinality
     # only. Callers with big data use the groupBy pipeline instead.
     raise NotImplementedError("use operators.collectors.mode_df (groupBy pipeline)")
+
+
+def percentile_approx_scale(col: Column, p: float, accuracy: int = 10000) -> Column:
+    """The documented SCALE escape hatch for percentile: exact percentile
+    (the reference's contract, collector.h:2279-2335) buffers per-partition
+    value counts; at extreme cardinality a production pipeline should opt
+    into Spark's approx_percentile (t-digest-style sketch, bounded memory,
+    mergeable). Not oracle-checked — approximation is engine-specific."""
+    if not 0.0 <= p <= 100.0:
+        raise ValueError("percentile must be in [0, 100]")
+    return F.percentile_approx(col, F.lit(p / 100.0), F.lit(accuracy))

@@ -596,10 +596,10 @@ _PRIORITY: list[str] = [
     "rel_q22_idle_balance",
     "txt_bpe_token_count",
     "mm_frame_sample",
+    "agg_salted_hot_key",
     # -- backfill: riskiest already-green (index quirks + dedup/ANN) --
     "sem_filter_rebases_idx",
     "sem_skip_preserves_idx",
-    "sem_sub_slice",
     "sem_reverse_rotation",
     "sem_sort_stable",
     "dedup_exact",

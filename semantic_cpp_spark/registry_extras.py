@@ -587,3 +587,30 @@ def grp_frequency_capped(spark, sf_dir):
         "n_value",
         "total",
     )
+
+
+@register(
+    "agg_salted_hot_key",
+    """SELECT event_type AS key, count(*) AS n,
+              round(sum(value), 2) AS total, max(value) AS hi
+       FROM events GROUP BY event_type""",
+)
+def agg_salted_hot_key(spark, sf_dir):
+    """Skew-safe two-stage aggregation (operators/skew.py salting): the
+    5-value event_type key is the hot-key shape — stage 1 spreads each
+    key over 16 salt buckets, stage 2 merges partials. Results are
+    identical to a plain groupBy (algebraic aggregates commute with the
+    split), which is exactly what the oracle checks."""
+    from semantic_cpp_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        F.col("event_type"),
+        n=("sum", F.count(F.lit(1))),
+        total=("sum", F.sum("value")),
+        hi=("max", F.max("value")),
+    )
+    return out.select(
+        "key", "n", F.round("total", 2).alias("total"), "hi"
+    )
