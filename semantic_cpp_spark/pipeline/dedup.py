@@ -349,3 +349,38 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", F.col("hamming").cast("long").alias("hamming"))
     )
+
+
+def shared_spans(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    span_words: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring (word-span) cross-document duplication: every
+    ``span_words``-word span that appears in >= ``min_docs`` distinct
+    documents, with its document count and first doc — the span-level
+    exact-dedup primitive from the training-data-dedup literature
+    (report → mask/cut the shared spans).
+
+    Shape: explode spans (narrow, ~n_words rows/doc) → per-doc distinct
+    (a span repeated inside one doc counts once) → groupBy span. At
+    100 TB the shuffle key should be the span's 64-bit hash rather than
+    the text (same plan, 8-byte keys); the text key keeps this
+    oracle-checkable."""
+    from semantic_cpp_spark.pipeline.text import word_ngrams
+
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    ex = (
+        df.select(id_col.alias("doc_id"), F.explode(word_ngrams(toks, span_words)).alias("span"))
+        .dropDuplicates(["doc_id", "span"])
+    )
+    return (
+        ex.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -597,18 +597,18 @@ _PRIORITY: list[str] = [
     "txt_bpe_token_count",
     "mm_frame_sample",
     "agg_salted_hot_key",
+    "rel_q8_market_share",
+    "rel_q13_order_histogram",
+    "rel_q17_small_qty_revenue",
+    "dedup_shared_spans",
     # -- backfill: riskiest already-green (index quirks + dedup/ANN) --
     "sem_filter_rebases_idx",
-    "sem_skip_preserves_idx",
     "sem_reverse_rotation",
     "sem_sort_stable",
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_simhash_pairs",
     "sim_cosine_topk",
-    "sim_lsh_bucket_topk",
     "sim_ivf_topk",
     "sim_embedding_near_dup",
 ]

@@ -504,3 +504,26 @@ def mm_frame_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     payload = multimodal.attach_binary_payload(docs)
     return multimodal.sample_frames(payload, frame_size=64, step=4)
+
+
+@register(
+    "dedup_shared_spans",
+    """WITH t AS (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                  FROM documents),
+       g AS (SELECT doc_id,
+                    unnest(list_transform(range(1, length(ws) - 3), i ->
+                      array_to_string(list_slice(ws, i, i + 4), ' '))) AS span
+             FROM t),
+       d AS (SELECT DISTINCT doc_id, span FROM g)
+       SELECT span, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
+       FROM d GROUP BY span HAVING count(*) >= 2
+       ORDER BY n_docs DESC, span LIMIT 100""",
+)
+def dedup_shared_spans(spark, sf_dir):
+    """Exact word-span duplication across documents (5-word spans shared
+    by >= 2 docs, top-100 by document count) — pipeline.dedup.shared_spans;
+    the report side of span-level exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.shared_spans(docs, F.col("text"), F.col("doc_id"), 5, 2)
+    return out.orderBy(F.col("n_docs").desc(), "span").limit(100)

@@ -331,3 +331,127 @@ def rel_q22(spark, sf_dir):
         F.count(F.lit(1)).alias("n_cust"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "rel_q8_market_share",
+    """WITH flat AS (
+         SELECT year(o_orderdate) AS o_year,
+                l_extendedprice * (1 - l_discount) AS volume,
+                sn.n_name AS supp_nation
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+       SELECT o_year,
+              round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                    / sum(volume), 6) AS mkt_share
+       FROM flat GROUP BY o_year""",
+)
+def rel_q8(spark, sf_dir):
+    """TPC-H Q8 analogue (national market share): the seven-table join.
+    Constant dims (nation ×2, region) broadcast-hinted; part/supplier/
+    customer hint-free (threshold/AQE decide); the lineitem⋈orders spine
+    shuffles once on orderkey. The share is a conditional-sum ratio —
+    one aggregate pass, no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flat = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.filter(F.col("p_type") == "ECONOMY"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "rel_q13_order_histogram",
+    """WITH cnts AS (
+         SELECT c_custkey, count(o_orderkey) AS c_count
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey)
+       SELECT c_count, count(*) AS custdist
+       FROM cnts GROUP BY c_count""",
+)
+def rel_q13(spark, sf_dir):
+    """TPC-H Q13 analogue (customer order-count distribution): LEFT join
+    keeps zero-order customers (count(o_orderkey) ignores the nulls),
+    then a double aggregation — both shuffles are on shrinking keys."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    cnts = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return cnts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "rel_q17_small_qty_revenue",
+    """WITH pa AS (
+         SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg
+         FROM lineitem GROUP BY l_partkey)
+       SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN pa ON l_partkey = pk
+       WHERE p_brand = 'Brand#13' AND l_quantity < half_avg""",
+)
+def rel_q17(spark, sf_dir):
+    """TPC-H Q17 analogue (small-quantity-order revenue): the correlated
+    avg-quantity subquery becomes a per-part aggregate joined back on
+    partkey — both sides hash-partition on the SAME key, so the join is
+    co-located after one shuffle each; no correlated re-scan per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
