@@ -1,0 +1,143 @@
+"""Event-flow analytics over the events table: sessionization, funnel
+analysis, and retention cohorts — the standard behavioural-OLAP trio
+(Spark-native extension; the reference engine has no event layer, and
+these are the batch counterparts of the streaming/ops session windows).
+
+Time handling: events.ts is parquet TIMESTAMP(NANOS); the engine reads it
+as nano longs (session.load_table sets nanosAsLong) and all arithmetic
+uses integer microseconds via `ts div 1000` — epoch nanos exceed double's
+2^53, so the division must stay integral (DuckDB: epoch_ns(ts) // 1000).
+
+Scale design: every operator here keys its shuffle on user_id and stays
+inside per-user windows or plain aggregations — per-user event counts are
+bounded in practice, so window state is small; nothing is a global
+window, nothing collects. Funnels use conditional aggregation (no
+per-step self-joins over the raw events), so the whole funnel is ONE
+shuffle on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user: str = "user_id",
+    tus: str = "tus",
+    gap_us: int = 30 * 60 * 1_000_000,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the user's
+    inter-event gap exceeds ``gap_us``. Adds ``session_idx`` (0-based per
+    user, in time order; ``tiebreak`` orders simultaneous events). One
+    window partitioned BY USER — state is one lag value, never a global
+    sort. The session-start flag is staged as its own column (a window
+    expression can't nest inside another window aggregate); both
+    expressions share the partition/order, so Catalyst runs ONE
+    exchange+sort."""
+    w = Window.partitionBy(user).orderBy(F.col(tus), F.col(tiebreak))
+    gap = F.col(tus) - F.lag(tus).over(w)
+    flagged = df.withColumn(
+        "__new_sess", F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    )
+    return flagged.withColumn(
+        "session_idx",
+        (
+            F.sum("__new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1
+        ).cast("long"),
+    ).drop("__new_sess")
+
+
+def session_summary(
+    df: DataFrame,
+    user: str = "user_id",
+    tus: str = "tus",
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Per-session rollup: bounds, event count, value sum. The groupBy
+    key (user, session_idx) is already co-partitioned with the
+    sessionize window's shuffle — AQE sees a single exchange."""
+    s = sessionize(df, user, tus, gap_us)
+    return s.groupBy(user, "session_idx").agg(
+        F.min(tus).alias("t_start"),
+        F.max(tus).alias("t_end"),
+        (F.max(tus) - F.min(tus)).alias("dur_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user: str = "user_id",
+    tus: str = "tus",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per user, the earliest time of step 1, then the
+    earliest step 2 STRICTLY AFTER it, and so on. Returns one row per
+    user with t_1..t_k (null once the funnel breaks) and the deepest
+    ``stage`` reached.
+
+    Plan: k conditional-min aggregations, all on user_id — Catalyst
+    collapses them into one shuffle + k column passes over the small
+    per-user frame; the raw events are scanned once (no per-step
+    self-join against the event log)."""
+    filt = df.filter(F.col(type_col).isin(steps)).select(
+        user, type_col, F.col(tus).alias("__t")
+    )
+    # first step: plain min over matching events
+    agg = filt.groupBy(user).agg(
+        F.min(F.when(F.col(type_col) == steps[0], F.col("__t"))).alias("t_1")
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        # earliest `step` event after the previous stage's time; the join
+        # re-touches only the filtered step events, keyed on user again
+        nxt = (
+            filt.filter(F.col(type_col) == step)
+            .join(agg.select(user, f"t_{i-1}"), user)
+            .filter(F.col("__t") > F.col(f"t_{i-1}"))
+            .groupBy(user)
+            .agg(F.min("__t").alias(f"t_{i}"))
+        )
+        agg = agg.join(nxt, user, "left")
+    stage = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        stage = F.when(F.col(f"t_{i}").isNotNull(), i).otherwise(stage)
+    return agg.withColumn("stage", stage.cast("long"))
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user: str = "user_id",
+    tus: str = "tus",
+) -> DataFrame:
+    """Retention matrix: cohort = the user's first-activity epoch-day;
+    cell (cohort_day, day_offset) counts distinct cohort users active
+    that day. Days are pure int64 epoch-day numbers (`tus div us/day`) —
+    no calendar/timezone semantics to diverge between engines. Two
+    aggregations — first-seen per user (shuffle on user), then the
+    matrix (shuffle on the day pair, cardinality days², tiny).
+    ``tus`` must be a plain column name (used inside an expr)."""
+    ud = df.select(
+        user, F.expr(f"{tus} div {US_PER_DAY}").alias("d")
+    ).distinct()
+    first = ud.groupBy(user).agg(F.min("d").alias("cohort_day"))
+    return (
+        ud.join(first, user)
+        .groupBy("cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count_distinct(F.col(user)).alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("long").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""Embedding clustering: Lloyd k-means over the embeddings table — the
+operator that turns the IVF quantizer's deterministic seeds
+(similarity.ivf_assign) into trained centroids, and the standard corpus
+tool for topic bucketing / diversity sampling over document embeddings.
+
+Two surfaces:
+- ``kmeans_step`` — one assignment + per-cluster update summary, fully
+  SQL-expressible (squared-distance argmin via the dot-product expansion
+  ‖x−c‖² = x·x − 2x·c + c·c, each dot sequential-summed so DuckDB's
+  list_dot_product reproduces it bit-for-bit) → oracle-checked.
+- ``kmeans_fit`` — the iterative Lloyd loop. Centroids are MODEL STATE
+  (k×dims doubles), so they legitimately live on the driver between
+  iterations — the same shape MLlib uses (per-iteration aggregate to the
+  driver, broadcast back). Each iteration is one crossJoin(broadcast
+  centroids) + one groupBy(cluster) with per-dimension sum aggregates;
+  the data never collects. Pinned against a numpy reference in tests
+  (iterative → no SQL oracle, per the driver's rows-only contract).
+
+At 100 TB: the assignment pass is a narrow broadcast-join scan (k·dims
+doubles broadcast); the update is a k-row aggregate — Lloyd's cost is
+O(n·k·dims) compute with O(k·dims) shuffle, exactly what a 1000-executor
+cluster wants. Empty clusters keep their previous centroid (documented
+deviation from sklearn's re-seeding, which needs a random source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.functions.vectors import dot
+
+# Fixture centroid count — matches similarity.IVF_K so the k-means step is
+# the trainer for the same coarse quantizer.
+KMEANS_K = 8
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance via the dot expansion — three sequential
+    dot products, engine-portable (DuckDB list_dot_product)."""
+    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared euclidean,
+    ties → smallest centroid id). ``centroids=None`` seeds from the k
+    smallest vector ids (deterministic, same as similarity.ivf_assign).
+    Returns (vec_id, v, c_id, d2)."""
+    e = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if centroids is None:
+        centroids = e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+        )
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "c_id", sq_dist(F.col("v"), F.col("cv")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("c_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "v", "c_id", "d2")
+    )
+
+
+def kmeans_step_summary(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """One Lloyd step's per-cluster report: member count, the updated
+    centroid's mean mass (Σ_dims of the new centroid = mean over members
+    of each member's coordinate sum), and the cluster inertia (Σ d²) —
+    the convergence quantity Lloyd minimises. (vec-coordinate sums are
+    sequential dot(v, 1⃗) so the oracle matches bitwise before the 6dp
+    round.)"""
+    assigned = kmeans_assign(df, k, id_col, vec_col)
+    ones = F.array(*([F.lit(1.0)] * dims))
+    mass = dot(F.col("v"), ones)
+    return (
+        assigned.select("c_id", "d2", mass.alias("mass"))
+        .groupBy("c_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.sum("mass") / F.count(F.lit(1)), 6).alias("centroid_mass"),
+            F.round(F.sum("d2"), 6).alias("inertia"),
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    dims: int = 64,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Iterative Lloyd: returns (centroids, final assignment DataFrame).
+    Per iteration: broadcast the k×dims centroid table, assign, update
+    centroids with one groupBy(c_id) carrying ``dims`` sum aggregates +
+    a count (flat, k rows out), pull the k rows to the driver as the next
+    iteration's model. Empty clusters retain their previous centroid."""
+    spark = df.sparkSession
+    e = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    seeds = (
+        e.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents: list[list[float]] = [list(r["v"]) for r in seeds]
+    assigned = None
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [(i, cents[i]) for i in range(len(cents))],
+            "c_id long, cv array<double>",
+        )
+        assigned = kmeans_assign(df, k, id_col, vec_col, centroids=cdf)
+        sums = [
+            F.sum(F.element_at("v", d + 1)).alias(f"s{d}") for d in range(dims)
+        ]
+        rows = (
+            assigned.groupBy("c_id")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        for r in rows:
+            if r["n"] > 0:
+                new_cents[r["c_id"]] = [r[f"s{d}"] / r["n"] for d in range(dims)]
+        cents = new_cents
+    return cents, assigned

@@ -1,0 +1,152 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+sampling, benchmark decontamination, pattern redaction, and token-budget
+sharding (north-star extensions; the reference engine has no corpus layer —
+SURVEY §2 scope note).
+
+Parity rules (see registry docstrings): all randomness is md5-derived so
+DuckDB oracles reproduce results bit-for-bit; sampling decisions are pure
+int64 comparisons (no float thresholds); regex patterns are RE2-compatible
+(no lookahead/backreferences) so Java and RE2 match identically.
+
+Scale notes: every operator here is a narrow map or a single aggregation —
+no shuffle beyond the final groupBy, no UDFs, whole-stage codegen
+throughout. Sampling and sharding are the canonical "decide per row from a
+hash" shapes that stay embarrassingly parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.pipeline.text import tokens, word_ngrams
+
+# 60 bits of md5 stays positive in int64 (15 hex digits) — same derivation
+# as pipeline.text.fingerprint64.
+HASH_BITS = 60
+HASH_SPACE = 1 << HASH_BITS
+
+
+def hash_u60(key: Column, salt: str) -> Column:
+    """Deterministic uniform value in [0, 2^60) from md5(salt || key).
+    Engine-portable: DuckDB ('0x' || substr(md5(...), 1, 15))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def sample_threshold(rate: float) -> int:
+    """Integer keep-threshold for a [0,1] rate: keep iff u60 < threshold.
+    Computed once driver-side so BOTH engines compare int64s — no float
+    division anywhere in the decision."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return int(rate * HASH_SPACE)
+
+
+def bernoulli_sample(
+    df: DataFrame, key: Column, rate: float, salt: str = "s"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff the 60-bit hash of
+    (salt, key) falls under rate·2^60. Reproducible across runs, engines,
+    and cluster sizes — the property `df.sample()` (seeded per-partition
+    RNG) cannot give once partitioning changes, which is why production
+    corpus pipelines sample by content hash. Pure narrow filter."""
+    return df.filter(hash_u60(key, salt) < F.lit(sample_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    rates: dict[str, float],
+    salt: str = "s",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep rare ones whole): each stratum gets its own integer
+    threshold; unknown strata use ``default_rate``. Still a pure narrow
+    filter — the rate table is folded into a CASE expression, never
+    joined."""
+    thresh = F.lit(sample_threshold(default_rate))
+    for value, rate in rates.items():
+        thresh = F.when(stratum == value, F.lit(sample_threshold(rate))).otherwise(
+            thresh
+        )
+    return df.filter(hash_u60(key, salt) < thresh)
+
+
+def contaminated_docs(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    bench_ids: list[int],
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: count, per corpus document, the distinct
+    word n-grams it shares with a held-out benchmark set (here: the
+    documents whose id is in ``bench_ids``). Docs with overlap ≥ 1 are the
+    contamination report a pretraining pipeline must act on before
+    training (drop or span-mask).
+
+    Plan: one n-gram explode feeds BOTH sides; the benchmark span set is
+    tiny by construction (test sets are orders of magnitude smaller than
+    the corpus), so it broadcasts and the probe stays shuffle-free on the
+    corpus side until the per-doc count. Production uses n=8-13; the
+    fixture's word-salad density needs n=3 for a non-trivial overlap."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    spans = df.select(
+        id_col.alias("doc_id"), F.explode(word_ngrams(toks, n)).alias("span")
+    )
+    bench = (
+        spans.filter(F.col("doc_id").isin(bench_ids)).select("span").distinct()
+    )
+    corpus = spans.filter(~F.col("doc_id").isin(bench_ids)).dropDuplicates(
+        ["doc_id", "span"]
+    )
+    return (
+        corpus.join(F.broadcast(bench), "span")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bench_spans"))
+    )
+
+
+def redact(col: Column, pattern: str, replacement: str) -> Column:
+    """Replace every match of an RE2-compatible pattern (replace-all —
+    DuckDB needs the explicit 'g' flag to agree)."""
+    return F.regexp_replace(col, pattern, replacement)
+
+
+def match_count(col: Column, pattern: str) -> Column:
+    """Number of non-overlapping matches (group 0 — required explicitly,
+    Spark errors on group-1 extraction from a groupless pattern)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("long")
+
+
+def shard_assign(key: Column, n_shards: int, salt: str = "shard") -> Column:
+    """Stable shard id in [0, n_shards) from the content hash — the
+    write-side layout primitive (`df.withColumn("shard", ...).write
+    .partitionBy("shard")`). Hash-based assignment keeps shards balanced
+    to ±O(√(n/shards)) without any coordination, at any cluster size."""
+    return hash_u60(key, salt) % F.lit(n_shards)
+
+
+def shard_stats(
+    df: DataFrame, text: Column, id_col: Column, n_shards: int
+) -> DataFrame:
+    """Per-shard document and token totals — the balance report for a
+    token-budget sharding plan (each training shard should carry roughly
+    equal token mass). One narrow map + one n_shards-row aggregation."""
+    return (
+        df.select(
+            shard_assign(id_col, n_shards).alias("shard"),
+            F.size(tokens(text)).cast("long").alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )

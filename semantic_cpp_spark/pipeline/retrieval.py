@@ -1,0 +1,116 @@
+"""Keyword retrieval over the documents table: inverted-index postings and
+BM25 scoring (north-star extension — corpus quality work constantly needs
+"find the docs matching these terms" next to the similarity-search path).
+
+Parity rules: tf/df/doc-length are exact int64; the only floats are the
+BM25 idf/saturation terms, mirrored expression-for-expression in the
+DuckDB oracle and rounded at 6dp (ln on the same libm is bit-identical;
+partial-aggregation order differences sit at 1e-15, far under the
+rounding).
+
+Scale design: the query-term filter lands BEFORE the explode (the token
+array is filtered first), so only matching tokens ever become rows — the
+per-(doc,term) shuffle carries docs that contain a query term, not the
+corpus. Document lengths are a narrow column (no explode); corpus-level
+N/avgdl is a one-row aggregate broadcast by crossJoin — the same scalar
+pattern the agg_* queries use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.pipeline.text import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def postings(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
+    """Full inverted index: (term, doc_id, tf). One explode + one
+    groupBy(term, doc) — the classic index-build shuffle, keyed on the
+    term so each reducer owns whole posting lists."""
+    return (
+        df.select(id_col.alias("doc_id"), F.explode(tokens(F.lower(text))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag of query terms.
+
+    idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))   (always-positive form)
+    score(d) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+
+    Output: (doc_id, score) — the global top-k is a TakeOrderedAndProject
+    (per-partition heaps, no global sort), ordered by the ROUNDED score
+    with doc_id tiebreak so the selected set is engine-deterministic."""
+    base = df.select(
+        id_col.alias("doc_id"), tokens(F.lower(text)).alias("t")
+    ).select("doc_id", F.size("t").cast("long").alias("dl"), "t")
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_total"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(F.filter("t", lambda w: w.isin(query_terms))).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dfreq"))
+    scored = tf.join(F.broadcast(dft), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs_total") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        scored.select("doc_id", (idf * sat).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_sql(
+    query_terms: list[str], k: int = 20, k1: float = BM25_K1, b: float = BM25_B
+) -> str:
+    """DuckDB oracle mirroring bm25_topk expression-for-expression."""
+    terms = ", ".join(repr(t) for t in query_terms)
+    return f"""WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+b2 AS (SELECT doc_id, len(t)::BIGINT AS dl, t FROM base),
+stats AS (SELECT count(*)::BIGINT AS n_docs_total, avg(dl) AS avgdl FROM b2),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(list_filter(t, w -> w IN ({terms}))) AS term
+        FROM b2)
+  GROUP BY doc_id, dl, term),
+dft AS (SELECT term, count(*)::BIGINT AS dfreq FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs_total - dft.dfreq + 0.5) / (dft.dfreq + 0.5))
+           * ((tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / stats.avgdl))) AS s
+  FROM tf JOIN dft USING (term), stats)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""

@@ -547,6 +547,7 @@ from semantic_cpp_spark import registry_pipeline  # noqa: E402,F401
 from semantic_cpp_spark import registry_extras  # noqa: E402,F401
 from semantic_cpp_spark import registry_streaming  # noqa: E402,F401
 from semantic_cpp_spark import registry_relational2  # noqa: E402,F401
+from semantic_cpp_spark import registry_events  # noqa: E402,F401
 
 
 # -- registration order ------------------------------------------------------
@@ -601,16 +602,16 @@ _PRIORITY: list[str] = [
     "rel_q13_order_histogram",
     "rel_q17_small_qty_revenue",
     "dedup_shared_spans",
-    # -- backfill: riskiest already-green (index quirks + dedup/ANN) --
+    "dedup_cc_clusters",
+    "samp_hash_bernoulli",
+    "samp_stratified_by_lang",
+    "txt_decontaminate",
+    "txt_pii_redact",
+    "ir_bm25_topk",
+    "shard_token_budget",
+    "emb_kmeans_step",
+    # -- backfill: riskiest already-green (index-semantics quirks) --
     "sem_filter_rebases_idx",
-    "sem_reverse_rotation",
-    "sem_sort_stable",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_embedding_near_dup",
 ]
 
 

@@ -1,0 +1,111 @@
+"""Registry section: event-flow analytics (sessionization, funnels,
+retention cohorts) over the events table — operators/eventflow.py.
+
+Time parity: events.ts is parquet TIMESTAMP(NANOS); Spark reads nano
+longs (`ts div 1000` → integer micros — epoch nanos overflow double),
+DuckDB reads TIMESTAMP_NS (`epoch_ns(ts) // 1000`). Retention uses pure
+int64 epoch-day numbers — no calendar/timezone semantics anywhere.
+DuckDB window/group sums over INTEGER go HUGEINT → every count/index is
+cast ::BIGINT. events.value carries 2dp fixture values, so sums are
+2dp-exact and round(…, 2) is boundary-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.operators import eventflow
+from semantic_cpp_spark.registry import register
+from semantic_cpp_spark.session import load_table
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").withColumn(
+        "tus", F.expr("ts div 1000")
+    )
+
+
+@register(
+    "evt_sessionize",
+    f"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, value
+                   FROM events),
+    f AS (SELECT *,
+                 CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                                                ORDER BY tus, event_id) IS NULL
+                        OR tus - lag(tus) OVER (PARTITION BY user_id
+                                                ORDER BY tus, event_id) > {_GAP_US}
+                      THEN 1 ELSE 0 END AS ns
+          FROM e),
+    s AS (SELECT *,
+                 (sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
+          FROM f)
+    SELECT user_id, session_idx,
+           min(tus) AS t_start, max(tus) AS t_end,
+           max(tus) - min(tus) AS dur_us,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_idx""",
+)
+def evt_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) + per-session rollup
+    (operators.eventflow.sessionize/session_summary): one window
+    partitioned by user (lag + running sum share a single
+    exchange+sort), then a groupBy already co-partitioned with it."""
+    ev = _events(spark, sf_dir)
+    return eventflow.session_summary(ev, gap_us=_GAP_US)
+
+
+@register(
+    "evt_funnel_signup_view_purchase",
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t
+                  FROM events
+                  WHERE event_type IN ('signup', 'view', 'purchase')),
+    a1 AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'signup' THEN t END) AS t_1
+           FROM e GROUP BY user_id),
+    a2 AS (SELECT e.user_id, min(t) AS t_2
+           FROM e JOIN a1 ON e.user_id = a1.user_id
+           WHERE event_type = 'view' AND t > t_1 GROUP BY e.user_id),
+    a3 AS (SELECT e.user_id, min(t) AS t_3
+           FROM e JOIN a2 ON e.user_id = a2.user_id
+           WHERE event_type = 'purchase' AND t > t_2 GROUP BY e.user_id)
+    SELECT a1.user_id, t_1, t_2, t_3,
+           (CASE WHEN t_3 IS NOT NULL THEN 3
+                 WHEN t_2 IS NOT NULL THEN 2
+                 WHEN t_1 IS NOT NULL THEN 1
+                 ELSE 0 END)::BIGINT AS stage
+    FROM a1
+    LEFT JOIN a2 ON a1.user_id = a2.user_id
+    LEFT JOIN a3 ON a1.user_id = a3.user_id""",
+)
+def evt_funnel(spark, sf_dir):
+    """Ordered funnel signup→view→purchase (operators.eventflow.funnel):
+    per user, earliest step-k event strictly after step k−1. Conditional
+    mins keyed on user_id throughout — the raw event log is scanned
+    once, never self-joined per step."""
+    ev = _events(spark, sf_dir)
+    return eventflow.funnel(ev, ["signup", "view", "purchase"])
+
+
+@register(
+    "evt_retention_cohorts",
+    """WITH ud AS (SELECT DISTINCT user_id,
+                          (epoch_ns(ts) // 1000) // 86400000000 AS d
+                   FROM events),
+    f AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY user_id)
+    SELECT cohort_day::BIGINT AS cohort_day,
+           (d - cohort_day)::BIGINT AS day_offset,
+           count(DISTINCT ud.user_id)::BIGINT AS n_users
+    FROM ud JOIN f USING (user_id)
+    GROUP BY cohort_day, d - cohort_day""",
+)
+def evt_retention(spark, sf_dir):
+    """Retention cohort matrix (operators.eventflow.retention_cohorts):
+    cohort = first-activity epoch-day (pure int64 day numbers — no
+    calendar/tz semantics), cells count distinct active cohort users
+    per day offset."""
+    ev = _events(spark, sf_dir)
+    return eventflow.retention_cohorts(ev)

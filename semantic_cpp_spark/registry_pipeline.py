@@ -527,3 +527,214 @@ def dedup_shared_spans(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = dedup.shared_spans(docs, F.col("text"), F.col("doc_id"), 5, 2)
     return out.orderBy(F.col("n_docs").desc(), "span").limit(100)
+
+
+# -- corpus curation (r3: sampling, decontamination, redaction, sharding) ----
+
+from semantic_cpp_spark.pipeline import clustering, curation, retrieval  # noqa: E402
+
+_BERN_RATE, _BERN_SALT = 0.2, "s1"
+_BERN_TH = curation.sample_threshold(_BERN_RATE)
+
+
+@register(
+    "samp_hash_bernoulli",
+    f"""SELECT doc_id,
+               ('0x' || substr(md5('{_BERN_SALT}' || doc_id::VARCHAR), 1, 15))::BIGINT AS u
+        FROM documents
+        WHERE ('0x' || substr(md5('{_BERN_SALT}' || doc_id::VARCHAR), 1, 15))::BIGINT < {_BERN_TH}""",
+)
+def samp_bernoulli(spark, sf_dir):
+    """Deterministic content-hash Bernoulli sampling (rate 0.2): the keep
+    decision is an int64 comparison on md5-derived bits — reproducible
+    across runs, engines, and partitionings, unlike df.sample()'s
+    per-partition RNG. Pure narrow filter (curation.bernoulli_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = curation.bernoulli_sample(
+        docs, F.col("doc_id"), _BERN_RATE, _BERN_SALT
+    )
+    return sampled.select(
+        "doc_id", curation.hash_u60(F.col("doc_id"), _BERN_SALT).alias("u")
+    )
+
+
+_STRAT_RATES = {"en": 0.1, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 1.0}
+_STRAT_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{k}' THEN {curation.sample_threshold(v)}"
+        for k, v in _STRAT_RATES.items()
+    )
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "samp_stratified_by_lang",
+    f"""SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5('s2' || doc_id::VARCHAR), 1, 15))::BIGINT < {_STRAT_CASE}""",
+)
+def samp_stratified(spark, sf_dir):
+    """Stratified sampling with per-language rates (downsample the
+    dominant 'en' to 0.1, keep rare 'zh' whole) — the language-rebalance
+    step of corpus assembly. The rate table folds into a CASE expression:
+    still a pure narrow filter, no join (curation.stratified_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.stratified_sample(
+        docs, F.col("doc_id"), F.col("lang"), _STRAT_RATES, "s2"
+    ).select("doc_id", "lang")
+
+
+@register(
+    "txt_decontaminate",
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                  FROM documents),
+       g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+               THEN [array_to_string(list_slice(ws, i, i + 2), ' ') for i in range(1, len(ws) - 1)]
+               ELSE [] END) AS span FROM t),
+       bench AS (SELECT DISTINCT span FROM g WHERE doc_id < 5),
+       corpus AS (SELECT DISTINCT doc_id, span FROM g WHERE doc_id >= 5)
+       SELECT c.doc_id, count(*)::BIGINT AS n_bench_spans
+       FROM corpus c JOIN bench b USING (span) GROUP BY c.doc_id""",
+)
+def txt_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per corpus doc, the count of distinct
+    word 3-grams shared with the held-out set (docs 0-4 stand in for the
+    benchmark). The bench span set broadcasts (test sets are tiny vs the
+    corpus); production uses n=8-13 (curation.contaminated_docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.contaminated_docs(
+        docs, F.col("text"), F.col("doc_id"), [0, 1, 2, 3, 4], 3
+    )
+
+
+_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.]+"
+_NUM_RE = r"[0-9]+"
+
+
+@register(
+    "txt_pii_redact",
+    f"""WITH aug AS (
+         SELECT doc_id,
+                text || ' contact user' || doc_id::VARCHAR || '@example.com id '
+                     || (doc_id * 7919)::VARCHAR AS t
+         FROM documents)
+       SELECT doc_id,
+              length(regexp_extract_all(t, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+              length(regexp_extract_all(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                        '{_NUM_RE}'))::BIGINT AS n_nums,
+              md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{_NUM_RE}', '<NUM>', 'g')) AS redacted_md5
+       FROM aug""",
+)
+def txt_pii_redact(spark, sf_dir):
+    """PII-style pattern redaction (emails, then digit runs) with match
+    counts and an md5 of the fully-redacted text as the value witness.
+    The fixture corpus carries no PII, so the query PLANTS deterministic
+    synthetic PII derived from doc_id and then removes it — the library
+    operator (curation.redact / match_count) is generic. Patterns are
+    RE2-compatible (no lookahead) so Java and RE2 agree; DuckDB needs the
+    explicit 'g' flag for replace-all parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com id "),
+            (F.col("doc_id") * 7919).cast("string"),
+        ).alias("t"),
+    )
+    red1 = curation.redact(F.col("t"), _EMAIL_RE, "<EMAIL>")
+    return aug.select(
+        "doc_id",
+        curation.match_count(F.col("t"), _EMAIL_RE).alias("n_emails"),
+        curation.match_count(red1, _NUM_RE).alias("n_nums"),
+        F.md5(curation.redact(red1, _NUM_RE, "<NUM>")).alias("redacted_md5"),
+    )
+
+
+_BM25_TERMS = ["data", "query", "spark"]
+
+
+@register("ir_bm25_topk", retrieval.bm25_sql(_BM25_TERMS, 20))
+def ir_bm25_topk(spark, sf_dir):
+    """BM25 top-20 for a 3-term keyword query over the inverted-index
+    shape: the query-term filter runs BEFORE the explode (only matching
+    tokens become rows), doc lengths stay a narrow column, N/avgdl is a
+    broadcast 1-row scalar, and the global top-k is a
+    TakeOrderedAndProject (pipeline.retrieval.bm25_topk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(
+        docs, F.col("text"), F.col("doc_id"), _BM25_TERMS, 20
+    )
+
+
+@register(
+    "shard_token_budget",
+    """SELECT ('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+              count(*)::BIGINT AS n_docs,
+              sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS total_tokens
+       FROM documents GROUP BY 1""",
+)
+def shard_token_budget(spark, sf_dir):
+    """Token-budget sharding report: stable content-hash shard assignment
+    (the write-side `partitionBy` layout) + per-shard doc/token totals —
+    the balance check before materialising training shards. One narrow
+    map + an 8-row aggregate (curation.shard_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.shard_stats(docs, F.col("text"), F.col("doc_id"), 8)
+
+
+def _cc_sql() -> str:
+    return f"""WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    edges AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, l) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v)
+    SELECT v AS doc_id, min(l)::BIGINT AS component FROM reach GROUP BY v"""
+
+
+@register("dedup_cc_clusters", _cc_sql())
+def dedup_cc_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components over the
+    MinHash+LSH near-dup pairs via hash-min label propagation (component
+    = smallest reachable doc_id; one join + groupBy-min per round,
+    converges in O(diameter)). The oracle recomputes components with a
+    recursive CTE — an independent algorithm, so agreement checks the
+    propagation itself (dedup.connected_components)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, F.col("text"), F.col("doc_id"))
+    return dedup.connected_components(pairs)
+
+
+_KM_ONES = "[" + ", ".join(["1.0"] * 64) + "]"
+
+
+@register(
+    "emb_kmeans_step",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {clustering.KMEANS_K}),
+    scored AS (SELECT e.vec_id, e.v, c.c_id,
+           list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+             + list_dot_product(c.cv, c.cv) AS d2
+       FROM e, c),
+    assigned AS (SELECT vec_id, v, c_id, d2 FROM
+       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS r
+        FROM scored) WHERE r = 1)
+    SELECT c_id, count(*)::BIGINT AS n_members,
+           round(sum(list_dot_product(v, {_KM_ONES})) / count(*), 6) AS centroid_mass,
+           round(sum(d2), 6) AS inertia
+    FROM assigned GROUP BY c_id""",
+)
+def emb_kmeans_step(spark, sf_dir):
+    """One Lloyd k-means step (k=8, deterministic id-seeded centroids):
+    nearest-centroid assignment via the ‖x−c‖² dot expansion (broadcast
+    k×dims centroids, narrow scan) + per-cluster update summary (member
+    count, centroid mean mass, inertia). The iterative kmeans_fit loop is
+    pytest-pinned against numpy (pipeline.clustering)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_step_summary(emb, clustering.KMEANS_K)

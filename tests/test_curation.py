@@ -1,0 +1,219 @@
+"""Pins for the r3 corpus-curation operators: deterministic sampling,
+decontamination, redaction, sharding, connected components, BM25, and the
+iterative k-means loop (the oracle queries cover the SQL-expressible
+surfaces; these tests pin semantics on hand-built inputs and the
+iterative/driver-side paths that have no SQL oracle)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.pipeline import clustering, curation, dedup, retrieval
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# -- sampling ---------------------------------------------------------------
+
+def test_bernoulli_sample_deterministic_and_rate(spark):
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    s1 = curation.bernoulli_sample(df, F.col("doc_id"), 0.3, "t1")
+    s2 = curation.bernoulli_sample(df, F.col("doc_id"), 0.3, "t1")
+    a = sorted(r["doc_id"] for r in s1.collect())
+    assert a == sorted(r["doc_id"] for r in s2.collect())  # same salt → same set
+    # rate lands within ±3 sigma of binomial expectation
+    n = len(a)
+    sigma = math.sqrt(10_000 * 0.3 * 0.7)
+    assert abs(n - 3000) < 3 * sigma
+    # different salt → different set
+    s3 = curation.bernoulli_sample(df, F.col("doc_id"), 0.3, "t2")
+    assert sorted(r["doc_id"] for r in s3.collect()) != a
+
+
+def test_bernoulli_sample_nested_subset(spark):
+    # keep-threshold monotonicity: a 0.1 sample is a subset of the 0.5
+    # sample under the same salt — the property that lets pipelines carve
+    # nested corpus tiers from one hash.
+    df = spark.range(2_000).select(F.col("id").alias("doc_id"))
+    small = {r["doc_id"] for r in curation.bernoulli_sample(df, F.col("doc_id"), 0.1, "x").collect()}
+    big = {r["doc_id"] for r in curation.bernoulli_sample(df, F.col("doc_id"), 0.5, "x").collect()}
+    assert small <= big
+
+
+def test_bernoulli_rate_bounds():
+    with pytest.raises(ValueError):
+        curation.sample_threshold(1.5)
+    assert curation.sample_threshold(0.0) == 0
+    assert curation.sample_threshold(1.0) == curation.HASH_SPACE
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(4_000)],
+        "doc_id long, stratum string",
+    )
+    out = curation.stratified_sample(
+        df, F.col("doc_id"), F.col("stratum"), {"a": 1.0, "b": 0.0}, "s"
+    ).collect()
+    assert len(out) == 2_000
+    assert all(r["stratum"] == "a" for r in out)
+    # unknown stratum uses default_rate
+    out2 = curation.stratified_sample(
+        df, F.col("doc_id"), F.col("stratum"), {"a": 1.0}, "s", default_rate=1.0
+    )
+    assert out2.count() == 4_000
+
+
+# -- decontamination --------------------------------------------------------
+
+def test_contaminated_docs_counts(spark):
+    df = _docs(
+        spark,
+        [
+            "alpha beta gamma delta",      # bench doc 0
+            "zig zag zog",                  # doc 1: shares "alpha beta gamma" + "beta gamma delta"? no
+            "alpha beta gamma epsilon",     # doc 2: shares span "alpha beta gamma"
+            "beta gamma delta alpha beta gamma delta",  # doc 3: two bench spans
+            "nothing in common here at all",            # doc 4: clean
+        ],
+    )
+    out = {
+        r["doc_id"]: r["n_bench_spans"]
+        for r in curation.contaminated_docs(
+            df, F.col("text"), F.col("doc_id"), [0], 3
+        ).collect()
+    }
+    # bench spans of doc 0: {alpha beta gamma, beta gamma delta}
+    assert out == {2: 1, 3: 2}
+
+
+# -- redaction --------------------------------------------------------------
+
+def test_redact_and_match_count(spark):
+    df = _docs(spark, ["mail me at a.b@x.co or c@y.io ref 123 and 4567"])
+    email = r"[a-z0-9.]+@[a-z0-9.]+"
+    num = r"[0-9]+"
+    row = df.select(
+        curation.match_count(F.col("text"), email).alias("ne"),
+        curation.redact(
+            curation.redact(F.col("text"), email, "<EMAIL>"), num, "<NUM>"
+        ).alias("red"),
+    ).collect()[0]
+    assert row["ne"] == 2
+    assert row["red"] == "mail me at <EMAIL> or <EMAIL> ref <NUM> and <NUM>"
+
+
+# -- sharding ---------------------------------------------------------------
+
+def test_shard_stats_cover_and_balance(spark):
+    df = _docs(spark, [f"word{i} filler text here" for i in range(800)])
+    out = curation.shard_stats(df, F.col("text"), F.col("doc_id"), 8).collect()
+    assert sorted(r["shard"] for r in out) == list(range(8))
+    assert sum(r["n_docs"] for r in out) == 800
+    # hash balance: every shard within ±50% of the mean (loose, 3+ sigma)
+    for r in out:
+        assert 50 <= r["n_docs"] <= 150
+
+
+# -- connected components ---------------------------------------------------
+
+def test_connected_components_chain_triangle_pair(spark):
+    # chain 1-2-3-4, triangle 10-11-12 (+edge), isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "d1 long, d2 long",
+    )
+    out = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node chain needs ~diameter rounds — pins the convergence loop
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "d1 long, d2 long"
+    )
+    out = dedup.connected_components(pairs).collect()
+    assert all(r["component"] == 0 for r in out)
+    assert len(out) == 13
+
+
+# -- BM25 -------------------------------------------------------------------
+
+def test_bm25_matches_hand_computation(spark):
+    texts = [
+        "data data query",   # doc 0
+        "data fluff fluff fluff",  # doc 1
+        "other words only",  # doc 2
+    ]
+    df = _docs(spark, texts)
+    out = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_topk(
+            df, F.col("text"), F.col("doc_id"), ["data", "query"], 10
+        ).collect()
+    }
+    # hand-compute
+    N, avgdl = 3, (3 + 4 + 3) / 3
+    k1, b = retrieval.BM25_K1, retrieval.BM25_B
+
+    def idf(dfreq):
+        return math.log(1.0 + (N - dfreq + 0.5) / (dfreq + 0.5))
+
+    def sat(tf, dl):
+        return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    exp0 = idf(2) * sat(2, 3) + idf(1) * sat(1, 3)
+    exp1 = idf(2) * sat(1, 4)
+    assert out.keys() == {0, 1}
+    assert out[0] == pytest.approx(exp0, abs=1e-6)
+    assert out[1] == pytest.approx(exp1, abs=1e-6)
+
+
+# -- k-means ----------------------------------------------------------------
+
+def test_kmeans_fit_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    # three well-separated blobs in 4-D
+    blobs = np.concatenate(
+        [
+            rng.normal(0.0, 0.3, (30, 4)),
+            rng.normal(5.0, 0.3, (30, 4)),
+            rng.normal(-5.0, 0.3, (30, 4)),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in blobs[i]]) for i in range(90)],
+        "vec_id long, embedding array<double>",
+    )
+    cents, assigned = clustering.kmeans_fit(df, k=3, dims=4, n_iter=4)
+
+    # numpy Lloyd with identical seeding (vectors 0..2) and tie rule
+    c = blobs[:3].copy()
+    for _ in range(4):
+        d = ((blobs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)  # argmin takes smallest index on ties
+        for j in range(3):
+            if (lab == j).any():
+                c[j] = blobs[lab == j].mean(axis=0)
+    np.testing.assert_allclose(np.array(cents), c, rtol=1e-9)
+    got = {r["vec_id"]: r["c_id"] for r in assigned.collect()}
+    assert got == {i: int(lab[i]) for i in range(90)}
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # seed 2 sits far away with no members after step 1 → keeps its seed
+    pts = [[0.0, 0.0], [0.2, 0.0], [100.0, 100.0]]
+    df = spark.createDataFrame(
+        [(i, pts[i]) for i in range(3)], "vec_id long, embedding array<double>"
+    )
+    cents, _ = clustering.kmeans_fit(df, k=3, dims=2, n_iter=2)
+    assert cents[2] == [100.0, 100.0]

@@ -1,0 +1,91 @@
+"""Semantics pins for operators/eventflow.py on hand-built event logs
+(the oracle queries check engine parity on the fixture; these pin the
+operator contracts: gap boundaries, strict funnel ordering, cohort
+first-day assignment)."""
+
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.operators import eventflow
+
+M = 1_000_000  # 1 second in microseconds
+
+
+def _events(spark, rows):
+    # rows: (event_id, user_id, tus, event_type, value)
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, tus long, event_type string, value double"
+    )
+
+
+def test_sessionize_gap_boundary(spark):
+    gap = 10 * M
+    rows = [
+        (0, 1, 0, "a", 0.0),
+        (1, 1, 10 * M, "a", 0.0),      # exactly gap → SAME session (> test)
+        (2, 1, 20 * M + 1, "a", 0.0),  # gap+1 → new session
+        (3, 2, 5 * M, "a", 0.0),       # other user independent
+    ]
+    out = eventflow.sessionize(_events(spark, rows), gap_us=gap).collect()
+    sess = {r["event_id"]: r["session_idx"] for r in out}
+    assert sess == {0: 0, 1: 0, 2: 1, 3: 0}
+
+
+def test_session_summary_rollup(spark):
+    rows = [
+        (0, 1, 0, "a", 1.5),
+        (1, 1, 1 * M, "a", 2.5),
+        (2, 1, 100 * M, "a", 4.0),  # new session after 30-min default? no — use small gap
+    ]
+    out = eventflow.session_summary(_events(spark, rows), gap_us=10 * M).collect()
+    by_idx = {r["session_idx"]: r for r in out}
+    assert by_idx[0]["n_events"] == 2
+    assert by_idx[0]["dur_us"] == 1 * M
+    assert by_idx[0]["sum_value"] == 4.0
+    assert by_idx[1]["n_events"] == 1
+    assert by_idx[1]["t_start"] == 100 * M
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # user 1: full funnel in order
+        (0, 1, 0, "signup", 0.0),
+        (1, 1, 10, "view", 0.0),
+        (2, 1, 20, "purchase", 0.0),
+        # user 2: purchase BEFORE view → stage 2 only
+        (3, 2, 0, "signup", 0.0),
+        (4, 2, 5, "purchase", 0.0),
+        (5, 2, 10, "view", 0.0),
+        # user 3: no signup → stage 0 (appears with null t_1)
+        (6, 3, 0, "view", 0.0),
+        # user 4: view tied with signup ts → NOT strictly after → stage 1
+        (7, 4, 0, "signup", 0.0),
+        (8, 4, 0, "view", 0.0),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in eventflow.funnel(
+            _events(spark, rows), ["signup", "view", "purchase"]
+        ).collect()
+    }
+    assert out[1]["stage"] == 3 and out[1]["t_3"] == 20
+    assert out[2]["stage"] == 2 and out[2]["t_2"] == 10 and out[2]["t_3"] is None
+    assert out[3]["stage"] == 0 and out[3]["t_1"] is None
+    assert out[4]["stage"] == 1
+
+
+def test_retention_cohort_matrix(spark):
+    day = eventflow.US_PER_DAY
+    rows = [
+        # user 1 first seen day 0, active days 0,1,3 (two events day 0 → distinct)
+        (0, 1, 0, "a", 0.0),
+        (1, 1, 100, "a", 0.0),
+        (2, 1, day + 5, "a", 0.0),
+        (3, 1, 3 * day, "a", 0.0),
+        # user 2 first seen day 1, active day 1 only
+        (4, 2, day + 7, "a", 0.0),
+    ]
+    out = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in eventflow.retention_cohorts(_events(spark, rows)).collect()
+    }
+    assert out == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}
