@@ -101,6 +101,51 @@ def kmeans_step_summary(
     )
 
 
+def updated_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-dimension mean of each cluster's members — the real Lloyd
+    centroid update as a DataFrame op: posexplode dims (narrow, ×dims
+    rows) → avg per (cluster, dim) → re-assemble the array in dim order.
+    Shuffle carries (c_id, dim, partial sums) only. Returns (c_id, m)."""
+    pe = assigned.select("c_id", F.posexplode("v").alias("pos", "x"))
+    upd = pe.groupBy("c_id", "pos").agg(F.avg("x").alias("mi"))
+    return upd.groupBy("c_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mi"))),
+            lambda s: s["mi"],
+        ).alias("m")
+    )
+
+
+def cluster_medoids(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Representative selection (coreset/diversity sampling): per cluster,
+    the member closest to the UPDATED centroid (one Lloyd step from the
+    deterministic seeds; against the seeds themselves every seed would be
+    its own 0-distance medoid — a trivial answer). Ties → smallest id.
+    The "one exemplar per topic bucket" primitive for corpus inspection.
+
+    Plan: assignment scan → per-dim centroid update (bounded k×dims
+    aggregate) → broadcast the k new centroids back → per-cluster top-1
+    window. The corpus is scanned twice (assign, re-distance) — at scale
+    persist the assignment between the passes. Output (c_id, vec_id,
+    d2)."""
+    assigned = kmeans_assign(df, k, id_col, vec_col)
+    cent = updated_centroids(assigned)
+    d2n = sq_dist(F.col("v"), F.col("m"))
+    w = Window.partitionBy("c_id").orderBy(F.col("d2n"), F.col("vec_id"))
+    return (
+        assigned.join(F.broadcast(cent), "c_id")
+        .select("c_id", "vec_id", d2n.alias("d2n"))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("c_id", "vec_id", F.round("d2n", 6).alias("d2"))
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = KMEANS_K,

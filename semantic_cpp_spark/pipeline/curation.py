@@ -16,7 +16,7 @@ hash" shapes that stay embarrassingly parallel at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from semantic_cpp_spark.pipeline.text import tokens, word_ngrams
@@ -131,6 +131,61 @@ def shard_assign(key: Column, n_shards: int, salt: str = "shard") -> Column:
     .partitionBy("shard")`). Hash-based assignment keeps shards balanced
     to ±O(√(n/shards)) without any coordination, at any cluster size."""
     return hash_u60(key, salt) % F.lit(n_shards)
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    n_shards: int,
+    budget: int,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences: shard
+    by content hash, order docs within each shard (by id — stable), and
+    assign each doc to sequence ⌊exclusive-cumulative-tokens / budget⌋.
+    A doc STARTS in its sequence and may straddle the boundary — the
+    downstream tokenizer splits at the budget; this operator decides the
+    grouping. Returns per-sequence (shard, seq_id, n_docs, seq_tokens).
+
+    Scale: the running sum is a window PER SHARD — packing is inherently
+    sequential within a shard, so parallelism = n_shards; size n_shards
+    to the cluster (executors × cores), not to the data. One exchange on
+    the shard key, then the per-sequence rollup is co-partitioned."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = (
+        df.select(
+            id_col.alias("doc_id"),
+            shard_assign(id_col, n_shards).alias("shard"),
+            F.size(tokens(text)).cast("long").alias("n_tok"),
+        )
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn(
+            "seq_id", F.expr(f"(cum - n_tok) div {budget}").cast("long")
+        )
+    )
+    return toks.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("seq_tokens"),
+    )
+
+
+def quality_above_median(df: DataFrame, quality: Column) -> DataFrame:
+    """Corpus-relative filter: keep rows whose quality is at or above the
+    corpus median. The median is a 1-row exact-percentile aggregate
+    broadcast back by crossJoin — the scalar-threshold pattern every
+    "top half of the corpus" filter uses (production would swap in
+    approx_percentile; exact keeps the oracle bit-checkable)."""
+    scored = df.withColumn("__q", quality)
+    med = scored.agg(F.expr("percentile(__q, 0.5)").alias("__med"))
+    return (
+        scored.crossJoin(F.broadcast(med))
+        .filter(F.col("__q") >= F.col("__med"))
+        .drop("__q", "__med")
+    )
 
 
 def shard_stats(

@@ -89,6 +89,45 @@ def bm25_topk(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame, text: Column, id_col: Column, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf (idf = ln(N/df),
+    ties → lexicographic term order). The document-keyword extractor for
+    corpus exploration/labeling.
+
+    Plan: one postings build (explode + groupBy term,doc), a term-level
+    df aggregate joined back on the term key (both sides partitioned on
+    term — co-located), the 1-row corpus count broadcast, and a per-doc
+    top-k window (bounded work per doc). Output (doc_id, rk, term,
+    tfidf)."""
+    from pyspark.sql import Window
+
+    post = postings(df, text, id_col)
+    n_docs = df.select(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    dft = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dfreq"))
+    scored = (
+        post.join(dft, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_total") / F.col("dfreq"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            F.col("rk").cast("long").alias("rk"),
+            "term",
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
 def bm25_sql(
     query_terms: list[str], k: int = 20, k1: float = BM25_K1, b: float = BM25_B
 ) -> str:

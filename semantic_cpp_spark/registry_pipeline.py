@@ -738,3 +738,116 @@ def emb_kmeans_step(spark, sf_dir):
     pytest-pinned against numpy (pipeline.clustering)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.kmeans_step_summary(emb, clustering.KMEANS_K)
+
+
+# -- packing / keywords / corpus-relative filter / medoids (r3 batch 3) ------
+
+@register(
+    "pack_token_sequences",
+    """WITH t AS (
+         SELECT doc_id,
+                ('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+                len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tok
+         FROM documents),
+       c AS (SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+             FROM t)
+       SELECT shard, ((cum - n_tok) // 512)::BIGINT AS seq_id,
+              count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS seq_tokens
+       FROM c GROUP BY shard, seq_id""",
+)
+def pack_token_sequences(spark, sf_dir):
+    """Fixed-token-budget sequence packing (512-token sequences, 8 hash
+    shards): running token sum per shard assigns each doc to sequence
+    ⌊cum/budget⌋. Packing is sequential WITHIN a shard by nature, so
+    parallelism = shard count — size n_shards to the cluster
+    (curation.pack_token_sequences)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.pack_token_sequences(
+        docs, F.col("text"), F.col("doc_id"), n_shards=8, budget=512
+    )
+
+
+@register(
+    "txt_tfidf_keywords",
+    """WITH post AS (
+         SELECT doc_id, term, count(*)::BIGINT AS tf
+         FROM (SELECT doc_id,
+                      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+               FROM documents)
+         GROUP BY doc_id, term),
+       n AS (SELECT count(*)::BIGINT AS n_total FROM documents),
+       dft AS (SELECT term, count(*)::BIGINT AS dfreq FROM post GROUP BY term),
+       scored AS (SELECT doc_id, term, post.tf * ln(n.n_total / dft.dfreq) AS tfidf
+                  FROM post JOIN dft USING (term), n),
+       r AS (SELECT doc_id, term, tfidf,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rk
+             FROM scored)
+       SELECT doc_id, rk::BIGINT AS rk, term, round(tfidf, 6) AS tfidf
+       FROM r WHERE rk <= 3""",
+)
+def txt_tfidf_keywords(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf·idf: postings build,
+    term-keyed df join (co-partitioned), broadcast 1-row corpus count,
+    bounded per-doc top-k window (retrieval.tfidf_keywords)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.tfidf_keywords(docs, F.col("text"), F.col("doc_id"), 3)
+
+
+_QUALITY_SQL = """(length(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> w IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                   / length(regexp_split_to_array(trim(text), '\\s+'))) * 0.4
+                + 0.3 * least(length(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
+                + 0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text))"""
+
+
+@register(
+    "txt_quality_above_median",
+    f"""WITH s AS (SELECT doc_id, {_QUALITY_SQL} AS q FROM documents),
+       m AS (SELECT quantile_cont(q, 0.5) AS med FROM s)
+       SELECT doc_id, round(q, 6) AS quality FROM s, m WHERE q >= med""",
+)
+def txt_quality_above_median(spark, sf_dir):
+    """Corpus-relative quality filter: keep the top half by composite
+    quality score — the exact corpus median is a 1-row aggregate
+    broadcast back over the scan (curation.quality_above_median;
+    production swaps in approx_percentile — stats.percentile_approx_scale
+    is the documented escape hatch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(F.col("text"))
+    kept = curation.quality_above_median(docs, q)
+    return kept.select("doc_id", F.round(text.quality_score(F.col("text")), 6).alias("quality"))
+
+
+@register(
+    "emb_cluster_medoids",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {clustering.KMEANS_K}),
+    scored AS (SELECT e.vec_id, e.v, c.c_id,
+           list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+             + list_dot_product(c.cv, c.cv) AS d2
+       FROM e, c),
+    assigned AS (SELECT vec_id, v, c_id FROM
+       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS r
+        FROM scored) WHERE r = 1),
+    upd AS (SELECT c_id, i.i, avg(v[i.i]) AS mi
+            FROM assigned, (SELECT unnest(range(1, 65)) AS i) i
+            GROUP BY c_id, i.i),
+    cent AS (SELECT c_id, list(mi ORDER BY i) AS m FROM upd GROUP BY c_id),
+    d AS (SELECT a.c_id, a.vec_id,
+                 list_dot_product(a.v, a.v) - 2.0 * list_dot_product(a.v, cent.m)
+                   + list_dot_product(cent.m, cent.m) AS d2n
+          FROM assigned a JOIN cent USING (c_id))
+    SELECT c_id, vec_id, round(d2n, 6) AS d2 FROM
+      (SELECT *, row_number() OVER (PARTITION BY c_id ORDER BY d2n, vec_id) AS r2
+       FROM d) WHERE r2 = 1""",
+)
+def emb_cluster_medoids(spark, sf_dir):
+    """Cluster representatives: per k-means cluster, the member closest
+    to the UPDATED centroid (one real per-dimension Lloyd update —
+    posexplode → avg per (cluster, dim) → re-assembled array — then a
+    broadcast of the k new centroids and a per-cluster top-1 window).
+    The coreset/diversity-sampling primitive (clustering.cluster_medoids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.cluster_medoids(emb, clustering.KMEANS_K)

@@ -217,3 +217,80 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     )
     cents, _ = clustering.kmeans_fit(df, k=3, dims=2, n_iter=2)
     assert cents[2] == [100.0, 100.0]
+
+
+# -- token packing ----------------------------------------------------------
+
+def test_pack_token_sequences_boundaries(spark):
+    # one shard (n_shards=1), budget 10, doc token counts 4,4,4,10,2
+    df = _docs(
+        spark,
+        [
+            "a b c d",          # cum_excl 0  → seq 0
+            "a b c d",          # cum_excl 4  → seq 0
+            "a b c d",          # cum_excl 8  → seq 0 (starts before budget)
+            "a b c d e f g h i j",  # cum_excl 12 → seq 1
+            "a b",              # cum_excl 22 → seq 2
+        ],
+    )
+    out = {
+        (r["shard"], r["seq_id"]): (r["n_docs"], r["seq_tokens"])
+        for r in curation.pack_token_sequences(
+            df, F.col("text"), F.col("doc_id"), n_shards=1, budget=10
+        ).collect()
+    }
+    assert out == {(0, 0): (3, 12), (0, 1): (1, 10), (0, 2): (1, 2)}
+
+
+# -- tf-idf keywords --------------------------------------------------------
+
+def test_tfidf_keywords_hand_check(spark):
+    df = _docs(
+        spark,
+        [
+            "apple apple banana shared",
+            "cherry shared",
+            "banana shared shared",
+        ],
+    )
+    out = retrieval.tfidf_keywords(df, F.col("text"), F.col("doc_id"), 2).collect()
+    top = {(r["doc_id"], r["rk"]): r["term"] for r in out}
+    # doc 0: apple tf=2 idf=ln(3/1) → top; banana tf=1 idf=ln(3/2)
+    assert top[(0, 1)] == "apple" and top[(0, 2)] == "banana"
+    # doc 1: cherry idf=ln(3) beats shared idf=ln(1)=0
+    assert top[(1, 1)] == "cherry"
+    # doc 2: banana ln(3/2) beats shared 2·ln(1)=0
+    assert top[(2, 1)] == "banana"
+
+
+# -- corpus-relative quality filter -----------------------------------------
+
+def test_quality_above_median_keeps_top_half(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, q double"
+    )
+    kept = curation.quality_above_median(df, F.col("q")).collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    # median of 0..99 = 49.5 → keep 50..99
+    assert ids == list(range(50, 100))
+
+
+# -- cluster medoids --------------------------------------------------------
+
+def test_cluster_medoids_nontrivial_after_update(spark):
+    # two obvious blobs; seeds are vectors 0 and 1 (one in each blob)
+    pts = [
+        [0.0, 0.0], [10.0, 10.0],          # seeds
+        [1.0, 0.0], [0.0, 1.0],            # blob A around origin
+        [10.0, 11.0], [11.0, 10.0],        # blob B around (10,10)
+    ]
+    df = spark.createDataFrame(
+        [(i, pts[i]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["c_id"]: r for r in clustering.cluster_medoids(df, k=2).collect()}
+    assert set(out) == {0, 1}
+    # updated centroid of cluster 0 = mean([0,0],[1,0],[0,1]) = (1/3, 1/3):
+    # medoid is the seed [0,0] (d2 = 2/9), strictly > 0 → non-trivial
+    assert out[0]["vec_id"] == 0
+    assert out[0]["d2"] > 0
