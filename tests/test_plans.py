@@ -131,3 +131,47 @@ print("DONE_MARKER")
     # cache-noise pin: re-running an identical range plan reuses the
     # persisted input instead of re-persisting it
     assert "Asked to cache already cached data" not in combined
+
+
+def test_bernoulli_sample_is_zero_exchange(spark, qs):
+    """Deterministic hash sampling must be a pure narrow filter — any
+    Exchange would mean the sampling decision shuffles data."""
+    plan = _plan(qs["samp_hash_bernoulli"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_bench_spans(spark, qs):
+    """The benchmark span set is tiny vs the corpus: it must broadcast
+    (the corpus side must never shuffle into a sort-merge join), and the
+    bench/corpus doc_id split must reach the parquet scan."""
+    plan = _plan(qs["txt_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [In(doc_id" in plan or "In(doc_id" in plan
+
+
+def test_kmeans_centroids_broadcast(spark, qs):
+    """k×dims centroids broadcast; the corpus scan stays narrow; the
+    centroid-seed filter is pushed into the scan."""
+    plan = _plan(qs["emb_kmeans_step"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "LessThan(vec_id,8)" in plan
+
+
+def test_bm25_topk_uses_take_ordered(spark, qs):
+    """Global top-k must be TakeOrderedAndProject (per-partition heaps),
+    never a global sort of all scored docs."""
+    plan = _plan(qs["ir_bm25_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [score" not in plan
+
+
+def test_sessionize_single_window_exchange(spark, qs):
+    """lag + running sum share one (user) partition/order: exactly one
+    exchange on user_id for the window work, and no global (empty
+    partition-key) window anywhere."""
+    plan = _plan(qs["evt_sessionize"](spark, SF))
+    import re
+
+    user_exchanges = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
+    assert user_exchanges == 1, plan[:2000]
