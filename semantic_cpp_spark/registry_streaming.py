@@ -163,3 +163,43 @@ def stream_topk(spark, sf_dir):
     protobuf, absent in this container — see streaming.ops._topk_update.)"""
     ev = ops.read_events_stream(spark, sf_dir)
     return ops.run_to_memory(ops.topk_per_user(ev, 3), "update")
+
+
+@register(
+    "stream_static_enrich",
+    """WITH p AS (SELECT user_id, count(*)::BIGINT AS user_n_events,
+                         round(sum(value), 2) AS user_total_value
+                  FROM events GROUP BY user_id)
+       SELECT event_id, e.user_id, round(value, 2) AS value,
+              user_n_events, user_total_value
+       FROM events e JOIN p USING (user_id)
+       WHERE event_type = 'purchase'""",
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment: the purchase stream joined (broadcast)
+    with a per-user profile computed batch-side from the same fixture —
+    the precomputed-feature-lookup pattern. Append mode; no watermark
+    needed for stream-static inner joins (streaming.ops.enrich_with_static).
+    Profile aggregates stay on 2dp-exact sums (no avg — division would
+    sit on rounding boundaries)."""
+    from semantic_cpp_spark.session import load_table
+
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("user_n_events"),
+            F.round(F.sum("value"), 2).alias("user_total_value"),
+        )
+    )
+    ev = ops.read_events_stream(spark, sf_dir)
+    enriched = ops.enrich_with_static(
+        ev.filter(F.col("event_type") == "purchase"), profile
+    ).select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        "user_n_events",
+        "user_total_value",
+    )
+    return ops.run_to_memory(enriched, "append")

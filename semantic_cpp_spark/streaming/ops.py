@@ -388,3 +388,11 @@ def count_tumble_per_user(events: DataFrame, size: int = COUNT_WINDOW_SIZE) -> D
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enrich_with_static(stream_df: DataFrame, profile: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static broadcast enrichment: join each streaming event with
+    a batch-computed profile table (the feature-lookup pattern — static
+    side is re-read per micro-batch, broadcast when small). Stream-static
+    inner joins are append-safe with no watermark requirement."""
+    return stream_df.join(F.broadcast(profile), key)

@@ -1,0 +1,76 @@
+"""Pins for PageRank (vs a dense numpy power iteration — iterative, no
+SQL oracle, same treatment as gradient descent) and small-file
+compaction."""
+
+import glob
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from semantic_cpp_spark import maintenance
+from semantic_cpp_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, n, d=0.85, iters=15, directed=False):
+    A = np.zeros((n, n))
+    for s, t in edges:
+        A[s, t] = 1.0
+        if not directed:
+            A[t, s] = 1.0
+    deg = A.sum(axis=1)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        dang = 0.0
+        for v in range(n):
+            if deg[v] > 0:
+                inflow += pr[v] / deg[v] * A[v]
+            else:
+                dang += pr[v]
+        pr = (1 - d) / n + d * (inflow + dang / n)
+    return pr
+
+
+def test_pagerank_matches_numpy_with_dangling(spark):
+    # star 0-{1,2,3} + chain 3-4, plus a DIRECTED sink node (5 has no
+    # out-edges) to exercise the dangling redistribution
+    edges = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5)]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    out = {
+        r["node"]: r["pr"]
+        for r in pagerank(pairs, n_iter=10, directed=True).collect()
+    }
+    exp = _numpy_pagerank(edges, 6, iters=10, directed=True)
+    assert set(out) == set(range(6))
+    for v in range(6):
+        assert out[v] == pytest.approx(exp[v], rel=1e-9)
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_undirected_hub_ranks_highest(spark):
+    edges = [(0, i) for i in range(1, 6)]  # hub 0
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    out = {r["node"]: r["pr"] for r in pagerank(pairs, n_iter=12).collect()}
+    exp = _numpy_pagerank(edges, 6, iters=12)
+    for v in range(6):
+        assert out[v] == pytest.approx(exp[v], rel=1e-9)
+    assert out[0] == max(out.values())
+
+
+def test_compact_parquet_reduces_file_count(spark):
+    with tempfile.TemporaryDirectory(prefix="compact_") as tmp:
+        src, dst = os.path.join(tmp, "src"), os.path.join(tmp, "dst")
+        spark.range(10_000).repartition(40).write.parquet(src)
+        assert len(glob.glob(os.path.join(src, "*.parquet"))) == 40
+        total = maintenance.dataset_bytes(spark.read.parquet(src))
+        assert total > 0
+        # target half the dataset → 2 output files
+        n = maintenance.compact_parquet(spark, src, dst, target_bytes=(total + 1) // 2)
+        assert n == 2
+        assert len(glob.glob(os.path.join(dst, "*.parquet"))) == 2
+        # content round-trips
+        assert spark.read.parquet(dst).count() == 10_000
+        a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+        assert a == list(range(10_000))
