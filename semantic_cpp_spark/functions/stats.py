@@ -117,3 +117,54 @@ def percentile_approx_scale(col: Column, p: float, accuracy: int = 10000) -> Col
     if not 0.0 <= p <= 100.0:
         raise ValueError("percentile must be in [0, 100]")
     return F.percentile_approx(col, F.lit(p / 100.0), F.lit(accuracy))
+
+
+def percentiles_exact_sorted(df, col: Column, ps: list[float], names: list[str]):
+    """Exact percentiles by DISTRIBUTED SORT + RANK SELECTION — the scale
+    path for the exact contract. `F.percentile` is algebraically partial
+    but its final merge sorts every distinct value on ONE reducer
+    (measured: parallelizing the partial phase doesn't move the ~1.7 s
+    floor on 600k rows because the merge dominates). Here the sort is a
+    range-partitioned exchange (fully parallel), the ordinal comes from
+    the engine's bucket-offset scheme (indexing.with_ordinal), and only
+    the ≤2·len(ps) boundary rows feed the final 1-row interpolation
+    aggregate — nothing ever concentrates.
+
+    Same linear-interpolation rule as `F.percentile` / DuckDB
+    quantile_cont (rank p·(n−1), collector.h:2279-2335), pinned by a
+    cross-implementation test. ps are fractions in [0, 1]. Returns a
+    1-row DataFrame with `names` columns (null when the input is empty).
+    """
+    from semantic_cpp_spark.indexing import with_ordinal
+
+    if len(ps) != len(names):
+        raise ValueError("ps and names must align")
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError("percentile fraction must be in [0, 1]")
+    vals = df.select(col.alias("__v")).filter(col.isNotNull())
+    n = vals.count()
+    spark = df.sparkSession
+    if n == 0:
+        return spark.range(1).select(
+            *[F.lit(None).cast("double").alias(nm) for nm in names]
+        )
+    ranked = with_ordinal(vals, ["__v"], name="__r", strategy="range")
+    bounds: list[tuple[int, int, float]] = []
+    need: set[int] = set()
+    for p in ps:
+        r = p * (n - 1)
+        lo, hi = int(r // 1), -int(-r // 1)
+        bounds.append((lo, hi, r - lo))
+        need.update((lo, hi))
+    sel = ranked.filter(F.col("__r").isin(*[F.lit(x) for x in need]))
+    aggs = []
+    for i, (lo, hi, _) in enumerate(bounds):
+        aggs.append(F.min(F.when(F.col("__r") == lo, F.col("__v"))).alias(f"__lo{i}"))
+        aggs.append(F.min(F.when(F.col("__r") == hi, F.col("__v"))).alias(f"__hi{i}"))
+    picked = sel.agg(*aggs)
+    outs = []
+    for i, (_, _, frac) in enumerate(bounds):
+        v = F.col(f"__lo{i}") + F.lit(frac) * (F.col(f"__hi{i}") - F.col(f"__lo{i}"))
+        outs.append(v.alias(names[i]))
+    return picked.select(*outs)

@@ -363,17 +363,25 @@ def agg_dispersion(spark, sf_dir):
 )
 def agg_quantiles(spark, sf_dir):
     """useMedian/usePercentile — EXACT with linear interpolation on rank
-    p·(n−1) (collector.h:2205-2335); Spark `percentile` and DuckDB
-    `quantile_cont` share the rule."""
+    p·(n−1) (collector.h:2205-2335); Spark `percentile`, DuckDB
+    `quantile_cont`, and the sort-path used here share the rule.
+
+    Computed via distributed sort + rank selection
+    (stats.percentiles_exact_sorted): `F.percentile`'s final merge sorts
+    every distinct value on one reducer — measured ~1.7 s floor on 600k
+    rows regardless of input parallelism — while the range-partitioned
+    sort scales out; cross-implementation agreement is test-pinned."""
+    from semantic_cpp_spark.functions.stats import percentiles_exact_sorted
+
     li = load_table(spark, sf_dir, "lineitem")
     c = F.col("l_extendedprice")
-    # one percentile(col, array(...)) call: a single sort buffer instead of
-    # three (was the slowest headline query by 4× before this)
-    qs = F.percentile(c, F.array(F.lit(0.5), F.lit(0.25), F.lit(0.95)))
-    return li.agg(qs.alias("__qs")).select(
-        F.round(F.col("__qs")[0], 6).alias("median_v"),
-        F.round(F.col("__qs")[1], 6).alias("p25"),
-        F.round(F.col("__qs")[2], 6).alias("p95"),
+    out = percentiles_exact_sorted(
+        li, c, [0.5, 0.25, 0.95], ["median_v", "p25", "p95"]
+    )
+    return out.select(
+        F.round("median_v", 6).alias("median_v"),
+        F.round("p25", 6).alias("p25"),
+        F.round("p95", 6).alias("p95"),
     )
 
 
