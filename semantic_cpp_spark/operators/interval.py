@@ -1,0 +1,59 @@
+"""Batch interval (range) join — ALL right rows within a time window of
+each left row, the all-matches sibling of operators.asof (single
+most-recent match) and streaming.ops.purchases_after_signup (the
+watermarked streaming form).
+
+The naive formulation — equi-join on the key plus a BETWEEN range
+predicate — degenerates: Spark plans key-only joins with the range as a
+post-filter, so a hot key k with L left and R right rows materialises
+L·R intermediate pairs. The scalable composition is TIME-BUCKET
+BLOCKING:
+
+1. bucket right rows by ⌊t / W⌋ where W = window width,
+2. replicate each LEFT row into the two buckets its window can touch
+   (⌊t/W⌋ and ⌊t/W⌋+1 — a window of width W spans at most two buckets),
+3. equi-join on (key, bucket) — each candidate pair meets exactly once
+   because a right row owns ONE bucket,
+4. apply the exact range predicate to the bucket-blocked candidates.
+
+Join fan-in per task is bounded by rows-per-(key, W-bucket) instead of
+rows-per-key — at 100 TB pick W near the real window so buckets stay
+small; residual hot (key, bucket) cells are ordinary AQE skew-join
+territory (or salt the bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    window: int,
+) -> DataFrame:
+    """Inner interval join: pairs where
+    ``left_time <= right_time <= left_time + window`` and keys match.
+    Returns left columns + right columns (names must not collide except
+    ``key``). ``window`` is in the time columns' own integer unit;
+    ``left_time``/``right_time`` must be plain column names (used inside
+    an integral `div` — float division corrupts epoch-scale longs)."""
+    if window <= 0:
+        raise ValueError("window must be positive")
+    lbucket = F.expr(f"{left_time} div {window}")
+    lb = left.withColumn(
+        "__b", F.explode(F.array(lbucket, lbucket + F.lit(1)))
+    )
+    rb = right.withColumn("__b", F.expr(f"{right_time} div {window}"))
+    return (
+        lb.join(rb, [key, "__b"])
+        .filter(
+            (F.col(right_time) >= F.col(left_time))
+            & (F.col(right_time) <= F.col(left_time) + window)
+        )
+        .drop("__b")
+    )

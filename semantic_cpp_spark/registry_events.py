@@ -109,3 +109,40 @@ def evt_retention(spark, sf_dir):
     per day offset."""
     ev = _events(spark, sf_dir)
     return eventflow.retention_cohorts(ev)
+
+
+@register(
+    "evt_interval_join_1h",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                         epoch_ns(ts) // 1000 AS tus
+                  FROM events),
+       s AS (SELECT user_id, event_id AS signup_id, tus AS s_t
+             FROM e WHERE event_type = 'signup'),
+       p AS (SELECT user_id, event_id AS purchase_id, tus AS p_t
+             FROM e WHERE event_type = 'purchase')
+       SELECT s.user_id, signup_id, purchase_id, (p_t - s_t) AS gap_us
+       FROM s JOIN p ON s.user_id = p.user_id
+                    AND p_t >= s_t AND p_t <= s_t + 3600000000""",
+)
+def evt_interval_join(spark, sf_dir):
+    """Batch interval join (operators.interval): every purchase within
+    1h AFTER each signup by the same user — ALL matches, not just the
+    as-of nearest. Time-bucket blocking bounds join fan-in per (key,
+    bucket) cell; the oracle uses the naive range predicate, so
+    agreement also proves the two-bucket replication is lossless."""
+    ev = _events(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("tus").alias("s_t")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("tus").alias("p_t")
+    )
+    from semantic_cpp_spark.operators.interval import interval_join
+
+    out = interval_join(
+        signups, purchases, "user_id", "s_t", "p_t", 3600 * 1_000_000
+    )
+    return out.select(
+        "user_id", "signup_id", "purchase_id",
+        (F.col("p_t") - F.col("s_t")).alias("gap_us"),
+    )

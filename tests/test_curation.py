@@ -294,3 +294,41 @@ def test_cluster_medoids_nontrivial_after_update(spark):
     # medoid is the seed [0,0] (d2 = 2/9), strictly > 0 → non-trivial
     assert out[0]["vec_id"] == 0
     assert out[0]["d2"] > 0
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Randomized robustness: hash-min propagation must agree with a
+    plain union-find on arbitrary graph shapes (seeded, deterministic)."""
+    import random
+
+    def uf_components(edges, nodes):
+        parent = {v: v for v in nodes}
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in nodes}
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        n = rng.randint(8, 30)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(5, 40))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        nodes = {v for e in edges for v in e}
+        pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == uf_components(edges, nodes), f"seed={seed}"

@@ -89,3 +89,39 @@ def test_retention_cohort_matrix(spark):
         for r in eventflow.retention_cohorts(_events(spark, rows)).collect()
     }
     assert out == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+def test_interval_join_boundaries_and_multimatch(spark):
+    from semantic_cpp_spark.operators.interval import interval_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 1000), (2, 11, 5000)], "user_id long, lid long, lt long"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 20, 1000),   # == lt → included (inclusive lower)
+            (1, 21, 1500),
+            (1, 22, 2000),   # == lt + window → included (inclusive upper)
+            (1, 23, 2001),   # just outside
+            (1, 24, 999),    # before
+            (2, 25, 5500),
+            (3, 26, 1500),   # wrong key
+        ],
+        "user_id long, rid long, rt long",
+    )
+    out = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join(left, right, "user_id", "lt", "rt", 1000).collect()
+    )
+    assert out == [(10, 20), (10, 21), (10, 22), (11, 25)]
+
+
+def test_interval_join_bucket_straddle(spark):
+    # window 100: left at t=250 (bucket 2) must catch right at t=340
+    # (bucket 3) — the two-bucket replication
+    from semantic_cpp_spark.operators.interval import interval_join
+
+    left = spark.createDataFrame([(1, 1, 250)], "k long, lid long, lt long")
+    right = spark.createDataFrame([(1, 2, 340)], "k long, rid long, rt long")
+    got = interval_join(left, right, "k", "lt", "rt", 100).collect()
+    assert len(got) == 1 and got[0]["rid"] == 2
