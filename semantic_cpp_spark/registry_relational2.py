@@ -455,3 +455,64 @@ def rel_q17(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+@register(
+    "rel_cube_flag_status",
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+              coalesce(l_linestatus, 'ALL') AS l_linestatus,
+              count(*)::BIGINT AS n, round(sum(l_quantity), 2) AS qty
+       FROM lineitem
+       GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def rel_cube(spark, sf_dir):
+    """CUBE grouping sets (all 4 margin combinations of flag × status):
+    Spark expands the sets into one shuffled aggregation — the
+    complement of rel_rollup_order_priority's hierarchy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "rel_running_customer_revenue",
+    """SELECT o_custkey, o_orderkey,
+              row_number() OVER w::BIGINT AS order_seq,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey
+                                            ROWS UNBOUNDED PRECEDING), 2) AS running_rev,
+              round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0.0), 2) AS delta_prev
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+)
+def rel_running_revenue(spark, sf_dir):
+    """Partitioned analytic-window battery (row_number + running sum +
+    lag delta) per customer in order-date order — all three share ONE
+    (custkey, date) exchange+sort; never a global window. 2dp-exact
+    sums keep the running totals boundary-safe."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.round(F.sum("o_totalprice").over(wrun), 2).alias("running_rev"),
+        F.round(
+            F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)),
+            2,
+        ).alias("delta_prev"),
+    )
