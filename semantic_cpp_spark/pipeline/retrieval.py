@@ -153,3 +153,34 @@ scored AS (
 SELECT doc_id, round(sum(s), 6) AS score
 FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def unigram_cross_entropy(
+    df: DataFrame, text: Column, id_col: Column
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram LM:
+    H(d) = −(1/|d|)·Σ_w ln p(w), p(w) = count_corpus(w) / total_tokens.
+    The cheap LM-based quality signal (high H = unusual token mix —
+    gibberish or off-domain; low H = stopword soup). Every token is in
+    the corpus model by construction, so no smoothing term is needed
+    (add-one smoothing belongs at the point a HELD-OUT model scores a
+    new corpus).
+
+    Plan: one explode feeds both the model (term counts) and the scoring
+    side; the term join is co-partitioned on the term key; the corpus
+    total is a broadcast 1-row scalar; per-doc mean is one aggregation
+    on doc_id. Output (doc_id, n_tokens, cross_entropy)."""
+    tok = df.select(
+        id_col.alias("doc_id"), F.explode(tokens(F.lower(text))).alias("term")
+    )
+    model = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    scored = (
+        tok.join(model, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("cnt") / F.col("total"))).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("cross_entropy"),
+    )

@@ -851,3 +851,25 @@ def emb_cluster_medoids(spark, sf_dir):
     The coreset/diversity-sampling primitive (clustering.cluster_medoids)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.cluster_medoids(emb, clustering.KMEANS_K)
+
+
+@register(
+    "txt_unigram_cross_entropy",
+    """WITH tok AS (SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+                    FROM documents),
+       model AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+       tot AS (SELECT count(*)::BIGINT AS total FROM tok),
+       s AS (SELECT doc_id, -ln(cnt / total) AS nll
+             FROM tok JOIN model USING (term), tot)
+       SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              round(sum(nll) / count(*), 6) AS cross_entropy
+       FROM s GROUP BY doc_id""",
+)
+def txt_unigram_cross_entropy(spark, sf_dir):
+    """LM-based quality scoring: per-doc cross-entropy under the corpus
+    unigram model — one explode feeds model and scoring, term join
+    co-partitioned, corpus total broadcast
+    (retrieval.unigram_cross_entropy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.unigram_cross_entropy(docs, F.col("text"), F.col("doc_id"))
