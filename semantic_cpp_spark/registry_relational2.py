@@ -516,3 +516,35 @@ def rel_running_revenue(spark, sf_dir):
             2,
         ).alias("delta_prev"),
     )
+
+
+@register(
+    "rel_profile_lineitem",
+    """WITH w AS (
+         SELECT count(*)::BIGINT AS n,
+                sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS q_nulls,
+                count(DISTINCT l_quantity)::BIGINT AS q_distinct,
+                min(l_quantity)::VARCHAR AS q_min, max(l_quantity)::VARCHAR AS q_max,
+                sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS f_nulls,
+                count(DISTINCT l_returnflag)::BIGINT AS f_distinct,
+                min(l_returnflag) AS f_min, max(l_returnflag) AS f_max,
+                sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS d_nulls,
+                count(DISTINCT l_shipdate)::BIGINT AS d_distinct,
+                min(l_shipdate)::VARCHAR AS d_min, max(l_shipdate)::VARCHAR AS d_max
+         FROM lineitem)
+       SELECT 'l_quantity' AS column, n AS n_rows, q_nulls AS n_nulls,
+              q_distinct AS n_distinct, q_min AS min_str, q_max AS max_str FROM w
+       UNION ALL
+       SELECT 'l_returnflag', n, f_nulls, f_distinct, f_min, f_max FROM w
+       UNION ALL
+       SELECT 'l_shipdate', n, d_nulls, d_distinct, d_min, d_max FROM w""",
+)
+def rel_profile_lineitem(spark, sf_dir):
+    """Column profiling (operators.profile.profile_table): numeric, string
+    and date columns of lineitem in ONE aggregation pass (Catalyst fuses
+    the 15 aggregates; the wide row unpivots via stack). Exact distinct
+    for oracle determinism; at 100 TB swap approx_count_distinct."""
+    from semantic_cpp_spark.operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(li, ["l_quantity", "l_returnflag", "l_shipdate"])
