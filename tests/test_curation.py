@@ -332,3 +332,55 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in dedup.connected_components(pairs).collect()
         }
         assert got == uf_components(edges, nodes), f"seed={seed}"
+
+
+# -- PCA --------------------------------------------------------------------
+
+def test_pca_fit_matches_numpy(spark):
+    rng = np.random.RandomState(5)
+    # anisotropic cloud: variance concentrated along two known axes
+    base = rng.normal(0, 1, (200, 2)) @ np.array([[3.0, 0.0], [0.0, 1.0]])
+    rot = np.array([[np.cos(0.6), -np.sin(0.6)], [np.sin(0.6), np.cos(0.6)]])
+    X = np.hstack([base @ rot, rng.normal(0, 0.1, (200, 2))]) + 7.0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    from semantic_cpp_spark.pipeline import decomposition
+
+    mean, comps, ev = decomposition.pca_fit(df, k=2, dims=4)
+
+    cov = np.cov(X.T, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    np.testing.assert_allclose(mean, X.mean(axis=0), rtol=1e-9)
+    for j, i in enumerate(order):
+        assert ev[j] == pytest.approx(vals[i], rel=1e-9)
+        v = vecs[:, i]
+        nz = np.nonzero(np.abs(v) > 1e-12)[0]
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        np.testing.assert_allclose(comps[j], v, rtol=1e-7, atol=1e-9)
+    # explained variance sorted descending and dominated by the 3σ axis
+    assert ev[0] > ev[1]
+
+
+def test_pca_project_variances_match_eigenvalues(spark):
+    rng = np.random.RandomState(9)
+    X = rng.normal(0, 1, (300, 3)) * np.array([5.0, 2.0, 0.5])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    from semantic_cpp_spark.pipeline import decomposition
+
+    mean, comps, ev = decomposition.pca_fit(df, k=3, dims=3)
+    proj = decomposition.pca_project(df, mean, comps).collect()
+    P = np.array([r["proj"] for r in sorted(proj, key=lambda r: r["vec_id"])])
+    # per-axis variance of the projection equals the eigenvalue
+    np.testing.assert_allclose(P.var(axis=0), ev, rtol=1e-9)
+    # projection plan is pure map — no exchange
+    plan = decomposition.pca_project(
+        df, mean, comps
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
