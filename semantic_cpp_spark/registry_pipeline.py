@@ -873,3 +873,21 @@ def txt_unigram_cross_entropy(spark, sf_dir):
     (retrieval.unigram_cross_entropy)."""
     docs = load_table(spark, sf_dir, "documents")
     return retrieval.unigram_cross_entropy(docs, F.col("text"), F.col("doc_id"))
+
+
+@register("emb_pca_project")  # no SQL oracle: eigendecomposition (rows-only check)
+def emb_pca_project(spark, sf_dir):
+    """PCA projection of the embedding corpus onto its top-4 principal
+    axes (pipeline.decomposition): Arrow-batched covariance partials →
+    driver eigh (model state) → zero-exchange literal-matrix projection.
+    Eigen work is not SQL-expressible — numpy-pinned in tests; the
+    driver records the rows-only check."""
+    from semantic_cpp_spark.pipeline import decomposition
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = decomposition.pca_fit(emb, k=4, dims=64)
+    out = decomposition.pca_project(emb, mean, comps)
+    return out.select(
+        "vec_id",
+        F.transform(F.col("proj"), lambda x: F.round(x, 6)).alias("proj"),
+    )
