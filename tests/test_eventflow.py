@@ -125,3 +125,37 @@ def test_interval_join_bucket_straddle(spark):
     right = spark.createDataFrame([(1, 2, 340)], "k long, rid long, rt long")
     got = interval_join(left, right, "k", "lt", "rt", 100).collect()
     assert len(got) == 1 and got[0]["rid"] == 2
+
+
+def test_interval_join_random_vs_naive(spark):
+    """Randomized losslessness: bucket-blocked interval join must equal
+    the naive all-pairs range scan on arbitrary key/time layouts
+    (seeded, deterministic), including hot keys and boundary times."""
+    import random
+
+    for seed in (2, 42):
+        rng = random.Random(seed)
+        W = 50
+        left = [
+            (rng.randint(1, 4), i, rng.randint(0, 500))
+            for i in range(40)
+        ]
+        right = [
+            (rng.randint(1, 4), 100 + i, rng.randint(0, 500))
+            for i in range(60)
+        ]
+        exp = sorted(
+            (l[0], l[1], r[1])
+            for l in left
+            for r in right
+            if l[0] == r[0] and l[2] <= r[2] <= l[2] + W
+        )
+        from semantic_cpp_spark.operators.interval import interval_join
+
+        ldf = spark.createDataFrame(left, "k long, lid long, lt long")
+        rdf = spark.createDataFrame(right, "k long, rid long, rt long")
+        got = sorted(
+            (r["k"], r["lid"], r["rid"])
+            for r in interval_join(ldf, rdf, "k", "lt", "rt", W).collect()
+        )
+        assert got == exp, f"seed={seed}"
