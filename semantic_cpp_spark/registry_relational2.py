@@ -548,3 +548,32 @@ def rel_profile_lineitem(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return profile_table(li, ["l_quantity", "l_returnflag", "l_shipdate"])
+
+
+@register(
+    "rel_grouped_percentiles",
+    """SELECT o_orderpriority,
+              count(*)::BIGINT AS n,
+              round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+              round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+       FROM orders GROUP BY o_orderpriority""",
+)
+def rel_grouped_percentiles(spark, sf_dir):
+    """GROUPED exact percentiles (per order priority): with a grouping
+    key, `F.percentile`'s buffers are per-GROUP — the merge concentrates
+    one group per reducer, not the whole table, so the single-reducer
+    pathology the ungrouped sort-path fixes (stats.percentiles_exact_
+    sorted) doesn't apply while groups stay bounded. Skewed/huge groups
+    would salt or fall back to the sort-path per group."""
+    orders = load_table(spark, sf_dir, "orders")
+    qs = F.percentile(F.col("o_totalprice"), F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), qs.alias("__q"))
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round(F.col("__q")[0], 6).alias("p50"),
+            F.round(F.col("__q")[1], 6).alias("p90"),
+        )
+    )

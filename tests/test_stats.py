@@ -112,3 +112,15 @@ def test_percentiles_sorted_empty_and_validation(spark):
 
     with _pt.raises(ValueError):
         percentiles_exact_sorted(df, F.col("v"), [1.5], ["m"])
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """The sketch path for profiling at scale: HLL++ estimate lands
+    within its documented relative error on a known cardinality."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(50_000).select((F.col("id") % 20_000).alias("v"))
+    est = df.agg(
+        F.approx_count_distinct("v", rsd=0.02).alias("e")
+    ).collect()[0]["e"]
+    assert abs(est - 20_000) / 20_000 < 0.06  # 3× the requested rsd
