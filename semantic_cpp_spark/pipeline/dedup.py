@@ -363,15 +363,19 @@ def connected_components(
     Returns (doc_id, component) where component = the smallest doc_id
     reachable through the pair graph.
 
-    Algorithm: hash-min label propagation — every node starts labelled
-    with itself; each round, labels flow across edges and every node
-    keeps the minimum seen; converges in O(graph diameter) rounds. Each
-    round is one join + one groupBy-min, both partitioned on the node
-    key. The changed-label count per round is a scalar aggregate (no
-    collect of data). At 100 TB-scale graphs with long chains or huge
-    components, swap the propagation for the large-star/small-star
-    rewrite (Kiveris et al.) which contracts components in O(log n)
-    rounds and salts hub nodes; the fixture graphs converge in <5.
+    Algorithm: hash-min label propagation WITH POINTER JUMPING — every
+    node starts labelled with itself; each round (a) labels flow across
+    edges and every node keeps the minimum seen (one join + groupBy-min,
+    both partitioned on the node key), then (b) labels are rewritten
+    through their own targets, l(v) ← l(l(v)) (one self-join). Plain
+    propagation needs O(diameter) rounds — a 1M-link duplication chain
+    would need 1M rounds; jumping halves remaining path lengths every
+    round, giving O(log n) total (test-pinned: a 40-node chain converges
+    in ≤8 rounds where propagation alone would need 40). The
+    changed-label count per round is a scalar aggregate (no collect of
+    data). For web-scale graphs with massive hub components, the
+    large-star/small-star rewrite (Kiveris et al.) additionally bounds
+    per-key fan-in; hubs here are ordinary AQE skew-join territory.
     """
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
     edges = edges.union(
@@ -392,11 +396,22 @@ def connected_components(
                 edges.join(labels, edges["s"] == labels["v"])
                 .select(F.col("t").alias("v"), F.col("l"))
             )
-            new_labels = (
+            mins = (
                 labels.select("v", "l")
                 .union(prop)
                 .groupBy("v")
                 .agg(F.min("l").alias("l"))
+            )
+            # pointer jumping: follow the label one hop — labels are node
+            # ids, so l's own label exists whenever l is a node (always).
+            lut = mins.select(
+                F.col("v").alias("__lv"), F.col("l").alias("__ll")
+            )
+            new_labels = (
+                mins.join(lut, mins["l"] == lut["__lv"], "left")
+                .select(
+                    "v", F.coalesce(F.col("__ll"), F.col("l")).alias("l")
+                )
             ).localCheckpoint()
             changed = (
                 new_labels.alias("n")

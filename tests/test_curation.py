@@ -137,13 +137,15 @@ def test_connected_components_chain_triangle_pair(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    # a 12-node chain needs ~diameter rounds — pins the convergence loop
+    # a 40-node chain has diameter 40: plain hash-min propagation could
+    # NOT converge within max_iter=10 — only the pointer-jumping rewrite
+    # (O(log n) rounds) can. Pins both correctness and the round bound.
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(12)], "d1 long, d2 long"
+        [(i, i + 1) for i in range(40)], "d1 long, d2 long"
     )
-    out = dedup.connected_components(pairs).collect()
+    out = dedup.connected_components(pairs, max_iter=10).collect()
     assert all(r["component"] == 0 for r in out)
-    assert len(out) == 13
+    assert len(out) == 41
 
 
 # -- BM25 -------------------------------------------------------------------
