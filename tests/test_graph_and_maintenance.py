@@ -74,3 +74,20 @@ def test_compact_parquet_reduces_file_count(spark):
         assert spark.read.parquet(dst).count() == 10_000
         a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
         assert a == list(range(10_000))
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from semantic_cpp_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a"), (3, None)],
+        "x int, s string",
+    )
+    out = {r["column"]: r for r in profile_table(df, ["x", "s"]).collect()}
+    assert out["x"]["n_rows"] == 5
+    assert out["x"]["n_nulls"] == 1
+    assert out["x"]["n_distinct"] == 3  # count_distinct ignores nulls
+    assert out["x"]["min_str"] == "1" and out["x"]["max_str"] == "3"
+    assert out["s"]["n_nulls"] == 2
+    assert out["s"]["n_distinct"] == 2
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
