@@ -205,3 +205,32 @@ def shard_stats(
             F.sum("n_tok").cast("long").alias("total_tokens"),
         )
     )
+
+
+def quality_bands(
+    df: DataFrame, quality: Column, cuts: list[float] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Corpus-relative quality banding: assign each row the band its
+    quality falls into between the corpus quartile cutoffs (band 0 =
+    bottom quarter ... band 3 = top). The NAIVE form — ntile() over a
+    global window — funnels the entire corpus through ONE task; the
+    scale-correct form computes the 3 cutoffs as a 1-row exact-percentile
+    aggregate, broadcasts it, and bands with a CASE — pure narrow map
+    after one tiny broadcast. Band boundaries use half-open intervals
+    [cut_i, cut_{i+1}), so rows equal to a cutoff go to the upper band
+    (deterministic, unlike ntile's count-balanced splits)."""
+    scored = df.withColumn("__q", quality)
+    agg = scored.agg(
+        *[
+            F.expr(f"percentile(__q, {c})").alias(f"__c{i}")
+            for i, c in enumerate(cuts)
+        ]
+    )
+    band = F.lit(0)
+    for i in range(len(cuts)):
+        band = F.when(F.col("__q") >= F.col(f"__c{i}"), i + 1).otherwise(band)
+    return (
+        scored.crossJoin(F.broadcast(agg))
+        .withColumn("band", band.cast("long"))
+        .drop(*[f"__c{i}" for i in range(len(cuts))], "__q")
+    )

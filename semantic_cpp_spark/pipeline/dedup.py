@@ -462,3 +462,31 @@ def shared_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: Column,
+    src: str = "d1",
+    dst: str = "d2",
+) -> DataFrame:
+    """The end-to-end dedup OUTCOME: given near-dup pairs, keep one
+    representative per duplicate cluster (the smallest id = its
+    connected component label) plus every document in no pair at all.
+    Returns (doc_id, is_cluster_rep) — the cleaned-corpus id list a
+    training pipeline actually consumes.
+
+    Plan: connected components over the pairs (bounded — pair nodes
+    only), then one broadcast-friendly anti/semi pass over the full
+    corpus: dup-node ids are a small fraction of the corpus by
+    construction (they ARE the duplicates), so the component table
+    broadcasts and the corpus scan stays narrow."""
+    comp = connected_components(pairs, src, dst)
+    reps = comp.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    dup_nodes = comp.select("doc_id")
+    corpus = df.select(id_col.alias("doc_id"))
+    untouched = corpus.join(F.broadcast(dup_nodes), "doc_id", "left_anti")
+    return untouched.withColumn("is_cluster_rep", F.lit(False)).union(
+        reps.withColumn("is_cluster_rep", F.lit(True))
+    )

@@ -146,3 +146,41 @@ def evt_interval_join(spark, sf_dir):
         "user_id", "signup_id", "purchase_id",
         (F.col("p_t") - F.col("s_t")).alias("gap_us"),
     )
+
+
+@register(
+    "evt_hourly_moving_avg",
+    """WITH h AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
+                         count(*)::BIGINT AS n
+                  FROM events GROUP BY 1)
+       SELECT hour_id, n,
+              round(avg(n) OVER (ORDER BY hour_id
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                AS ma3
+       FROM h""",
+)
+def evt_hourly_moving_avg(spark, sf_dir):
+    """Hourly event counts + trailing 3-hour moving average. The moving
+    window is global ON PURPOSE: it runs over the POST-AGGREGATION hour
+    series (one row per hour — bounded by the time span, not the data),
+    which is the one place a single-partition window is the right plan;
+    the raw events only ever see the groupBy. Hour ids are pure int64
+    epoch-hours (`div`, no calendar)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.select(F.expr("tus div 3600000000").alias("hour_id"))
+        .groupBy("hour_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # explicit non-foldable single-partition key: the series is tiny, and
+    # this keeps WindowExec's no-partition warning meaningful elsewhere
+    w = (
+        Window.partitionBy(F.pmod(F.spark_partition_id(), F.lit(1)))
+        .orderBy("hour_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return hourly.select(
+        "hour_id", "n", F.round(F.avg("n").over(w), 6).alias("ma3")
+    )

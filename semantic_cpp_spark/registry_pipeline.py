@@ -891,3 +891,48 @@ def emb_pca_project(spark, sf_dir):
         "vec_id",
         F.transform(F.col("proj"), lambda x: F.round(x, 6)).alias("proj"),
     )
+
+
+@register(
+    "dedup_keep_list",
+    f"""WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    edges AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, l) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v),
+    comp AS (SELECT v AS doc_id, min(l)::BIGINT AS component FROM reach GROUP BY v)
+    SELECT doc_id, FALSE AS is_cluster_rep FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+    UNION ALL
+    SELECT doc_id, TRUE AS is_cluster_rep FROM comp WHERE doc_id = component""",
+)
+def dedup_keep_list_q(spark, sf_dir):
+    """End-to-end dedup outcome (dedup.dedup_keep_list): MinHash+LSH
+    pairs → connected components → one representative per cluster +
+    every untouched doc — the cleaned-corpus id list. The dup-node set
+    broadcasts against the corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, F.col("text"), F.col("doc_id"))
+    return dedup.dedup_keep_list(docs, pairs, F.col("doc_id"))
+
+
+@register(
+    "txt_quality_bands",
+    f"""WITH s AS (SELECT doc_id, {_QUALITY_SQL} AS q FROM documents),
+       c AS (SELECT quantile_cont(q, 0.25) AS c0, quantile_cont(q, 0.5) AS c1,
+                    quantile_cont(q, 0.75) AS c2 FROM s)
+       SELECT doc_id,
+              (CASE WHEN q >= c2 THEN 3 WHEN q >= c1 THEN 2
+                    WHEN q >= c0 THEN 1 ELSE 0 END)::BIGINT AS band
+       FROM s, c""",
+)
+def txt_quality_bands(spark, sf_dir):
+    """Corpus-relative quality quartile banding
+    (curation.quality_bands): broadcast 1-row percentile cutoffs + CASE
+    — the scale-correct replacement for a global ntile() window (which
+    would funnel the corpus through one task)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(F.col("text"))
+    return curation.quality_bands(docs, q).select("doc_id", "band")
