@@ -234,3 +234,26 @@ def quality_bands(
         .withColumn("band", band.cast("long"))
         .drop(*[f"__c{i}" for i in range(len(cuts))], "__q")
     )
+
+
+def fixed_k_per_stratum(
+    df: DataFrame, key: Column, stratum: Column, k: int, salt: str = "s"
+) -> DataFrame:
+    """Exactly-k uniform sample per stratum (k rows per language, per
+    source, ...): rank rows within each stratum by their content-hash
+    priority and keep the first k. Deterministic across runs/engines/
+    partitionings (same property as bernoulli_sample), and — unlike a
+    rate — guarantees the sample SIZE, which is what evaluation-set
+    construction needs. One window per stratum; strata are the natural
+    partition key, so no global sort. Adds ``__rk`` (1-based)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__st").orderBy("__u", "__k")
+    return (
+        df.withColumn("__st", stratum)
+        .withColumn("__k", key)
+        .withColumn("__u", hash_u60(key, salt))
+        .withColumn("__rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("__rk") <= k)
+        .drop("__st", "__k", "__u")
+    )

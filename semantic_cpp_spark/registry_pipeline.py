@@ -936,3 +936,25 @@ def txt_quality_bands(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     q = text.quality_score(F.col("text"))
     return curation.quality_bands(docs, q).select("doc_id", "band")
+
+
+@register(
+    "samp_fixed_k_per_lang",
+    """WITH u AS (SELECT doc_id, lang,
+                         ('0x' || substr(md5('s3' || doc_id::VARCHAR), 1, 15))::BIGINT AS u
+                  FROM documents),
+       r AS (SELECT doc_id, lang,
+                    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+             FROM u)
+       SELECT doc_id, lang, rk::BIGINT AS rk FROM r WHERE rk <= 10""",
+)
+def samp_fixed_k_per_lang(spark, sf_dir):
+    """Exactly-10-per-language uniform sample via content-hash priority
+    ranking (curation.fixed_k_per_stratum) — guarantees sample SIZE
+    (what eval-set construction needs), stays deterministic across
+    partitionings, and never global-sorts (window per stratum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.fixed_k_per_stratum(
+        docs, F.col("doc_id"), F.col("lang"), 10, "s3"
+    )
+    return out.select("doc_id", "lang", F.col("__rk").alias("rk"))

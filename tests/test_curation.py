@@ -386,3 +386,65 @@ def test_pca_project_variances_match_eigenvalues(spark):
         df, mean, comps
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# -- edge cases across the r3 operator families ------------------------------
+
+def test_empty_input_edges(spark):
+    """None of the r3 operators may throw on empty/degenerate input."""
+    from semantic_cpp_spark.operators.interval import interval_join
+
+    empty_pairs = spark.createDataFrame([], "d1 long, d2 long")
+    assert dedup.connected_components(empty_pairs).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert (
+        retrieval.bm25_topk(
+            empty_docs, F.col("text"), F.col("doc_id"), ["x"], 5
+        ).count()
+        == 0
+    )
+    assert (
+        curation.pack_token_sequences(
+            empty_docs, F.col("text"), F.col("doc_id"), 4, 100
+        ).count()
+        == 0
+    )
+    left = spark.createDataFrame([(1, 1, 10)], "k long, lid long, lt long")
+    empty_right = spark.createDataFrame([], "k long, rid long, rt long")
+    assert interval_join(left, empty_right, "k", "lt", "rt", 5).count() == 0
+
+
+def test_bm25_terms_absent_from_corpus(spark):
+    df = _docs(spark, ["alpha beta", "gamma delta"])
+    out = retrieval.bm25_topk(
+        df, F.col("text"), F.col("doc_id"), ["zzz", "qqq"], 5
+    )
+    assert out.count() == 0
+
+
+def test_kmeans_k_exceeds_data(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = clustering.kmeans_assign(df, k=5).collect()
+    assert {r["vec_id"] for r in out} == {0, 1}
+    assert all(r["d2"] == 0.0 for r in out)  # every point is its own seed
+
+
+def test_fixed_k_per_stratum_exact_size_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+        "doc_id long, stratum string",
+    )
+    out1 = curation.fixed_k_per_stratum(
+        df, F.col("doc_id"), F.col("stratum"), 7, "x"
+    ).collect()
+    assert len(out1) == 14
+    from collections import Counter
+
+    assert Counter(r["stratum"] for r in out1) == {"a": 7, "b": 7}
+    out2 = curation.fixed_k_per_stratum(
+        df.repartition(13), F.col("doc_id"), F.col("stratum"), 7, "x"
+    ).collect()
+    assert sorted(r["doc_id"] for r in out1) == sorted(r["doc_id"] for r in out2)
