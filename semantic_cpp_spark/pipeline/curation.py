@@ -257,3 +257,24 @@ def fixed_k_per_stratum(
         .filter(F.col("__rk") <= k)
         .drop("__st", "__k", "__u")
     )
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, id_col: str, fp: Column
+) -> DataFrame:
+    """Snapshot change detection: full-outer join two corpus versions on
+    the document id and compare content fingerprints — the incremental-
+    ingestion primitive (what changed between yesterday's crawl and
+    today's?). Output (doc_id, status ∈ {added, removed, changed,
+    unchanged}). One co-partitioned join on the id; fingerprints are
+    32-byte md5 so the shuffle never carries document bodies."""
+    o = old.select(F.col(id_col).alias("doc_id"), fp.alias("__fp_old"))
+    n = new.select(F.col(id_col).alias("doc_id"), fp.alias("__fp_new"))
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), "added")
+        .when(F.col("__fp_new").isNull(), "removed")
+        .when(F.col("__fp_old") == F.col("__fp_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select("doc_id", status.alias("status"))

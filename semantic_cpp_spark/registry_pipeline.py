@@ -958,3 +958,42 @@ def samp_fixed_k_per_lang(spark, sf_dir):
         docs, F.col("doc_id"), F.col("lang"), 10, "s3"
     )
     return out.select("doc_id", "lang", F.col("__rk").alias("rk"))
+
+
+@register(
+    "corpus_diff_versions",
+    """WITH old AS (SELECT doc_id,
+                           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                    FROM documents),
+       new AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(text || CASE WHEN doc_id % 5 = 0
+                                                                 THEN ' edited'
+                                                                 ELSE '' END), '\\s+', ' ', 'g'))) AS fp
+               FROM documents WHERE doc_id % 7 <> 0),
+       j AS (SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+                    old.fp AS fo, new.fp AS fn
+             FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+       SELECT doc_id,
+              CASE WHEN fo IS NULL THEN 'added'
+                   WHEN fn IS NULL THEN 'removed'
+                   WHEN fo = fn THEN 'unchanged'
+                   ELSE 'changed' END AS status
+       FROM j""",
+)
+def corpus_diff_versions(spark, sf_dir):
+    """Corpus snapshot diff (curation.corpus_diff): the 'new version' is
+    a deterministic mutation of the fixture (docs %7 dropped, docs %5
+    edited) so the full added/removed/changed/unchanged surface is
+    exercised self-containedly. Fingerprint join — bodies never
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" edited")).otherwise(F.lit("")),
+        ),
+    )
+    return curation.corpus_diff(
+        docs, new, "doc_id", text.fingerprint(F.col("text"))
+    )
