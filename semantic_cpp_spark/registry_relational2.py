@@ -577,3 +577,39 @@ def rel_grouped_percentiles(spark, sf_dir):
             F.round(F.col("__q")[1], 6).alias("p90"),
         )
     )
+
+
+def _zorder_sql() -> str:
+    from semantic_cpp_spark.operators.layout import zvalue_sql
+
+    zx = zvalue_sql("(o_custkey % 65536)", "(o_orderkey % 65536)")
+    return f"""WITH p AS (SELECT o_custkey % 65536 AS x, o_orderkey % 65536 AS y
+                          FROM orders),
+    zr AS (SELECT x, y, {zvalue_sql('x', 'y')} AS z FROM p),
+    r AS (SELECT x, y, z,
+                 row_number() OVER (ORDER BY z, x, y) - 1 AS rk,
+                 count(*) OVER () AS n_total
+          FROM zr)
+    SELECT (rk * 16 // n_total)::BIGINT AS bucket,
+           count(*)::BIGINT AS n,
+           min(x)::BIGINT AS x_min, max(x)::BIGINT AS x_max,
+           min(y)::BIGINT AS y_min, max(y)::BIGINT AS y_max
+    FROM r GROUP BY 1"""
+
+
+@register("rel_zorder_bucket_stats", _zorder_sql())
+def rel_zorder_bucket_stats(spark, sf_dir):
+    """Z-order (Morton) clustering locality report over orders
+    (operators.layout): interleave custkey/orderkey bits, rank by the
+    engine ordinal (never a partitionless window), cut into 16
+    file-sized runs, report each run's bounding box — the min/max-
+    pruning evidence behind OPTIMIZE ZORDER, from pure Column math."""
+    from semantic_cpp_spark.operators.layout import zorder_bucket_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    return zorder_bucket_stats(
+        orders,
+        F.col("o_custkey") % 65536,
+        F.col("o_orderkey") % 65536,
+        16,
+    )

@@ -91,3 +91,34 @@ def test_profile_table_counts_nulls_and_distincts(spark):
     assert out["s"]["n_nulls"] == 2
     assert out["s"]["n_distinct"] == 2
     assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+
+
+def test_zorder_improves_bucket_locality(spark):
+    """The point of z-ordering: file-run bounding boxes must be much
+    tighter than row-order runs on a 2-D grid, on BOTH dimensions."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.operators.layout import zorder_bucket_stats, zvalue
+
+    # 32×32 grid enumerated in row-major id order
+    df = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    stats = zorder_bucket_stats(df, F.col("x"), F.col("y"), 16).collect()
+    assert sum(r["n"] for r in stats) == 1024
+    # each z-run of 64 cells covers an 8×8 tile: bbox spans of 7 on both
+    # axes — row-major runs would span the full 0..31 x-range (31)
+    for r in stats:
+        assert r["x_max"] - r["x_min"] <= 7
+        assert r["y_max"] - r["y_min"] <= 7
+
+    # sanity of the bit interleave itself
+    row = (
+        spark.range(1)
+        .select(zvalue(F.lit(0b101), F.lit(0b011)).alias("z"))
+        .collect()[0]
+    )
+    # x=101 → bits at 0,4 ; y=011 → bits at 1,3 → z = 1+2+8+16 = 27... 
+    # x bits (1,0,1) land at positions 0,2,4 → 1 + 16; y bits (1,1,0)
+    # land at 1,3,5 → 2 + 8  ⇒ 27
+    assert row["z"] == 27
