@@ -141,3 +141,45 @@ def retention_cohorts(
             F.col("n_users").cast("long").alias("n_users"),
         )
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Per-key interval coalescing: merge every overlapping-or-touching
+    [start, end] interval into maximal disjoint blocks — the classic
+    sweep (union of busy ranges, coverage blocks, downtime windows).
+
+    Plan: per key, order by (start, end); an interval starts a NEW block
+    iff its start exceeds the running max of all previous ends (the
+    running max needs the same staging trick as sessionize — a window
+    expression can't nest inside another window aggregate). Both window
+    passes and the final rollup share ONE (key) exchange. Output
+    (key, block_idx, b_start, b_end, n_intervals)."""
+    w = Window.partitionBy(key).orderBy(F.col(start), F.col(end))
+    prev_max_end = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new_blk",
+        F.when(
+            prev_max_end.isNull() | (F.col(start) > prev_max_end), 1
+        ).otherwise(0),
+    )
+    blocks = flagged.withColumn(
+        "block_idx",
+        (
+            F.sum("__new_blk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1
+        ).cast("long"),
+    )
+    return blocks.groupBy(key, "block_idx").agg(
+        F.min(start).alias("b_start"),
+        F.max(end).alias("b_end"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )

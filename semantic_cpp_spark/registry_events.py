@@ -184,3 +184,39 @@ def evt_hourly_moving_avg(spark, sf_dir):
     return hourly.select(
         "hour_id", "n", F.round(F.avg("n").over(w), 6).alias("ma3")
     )
+
+
+@register(
+    "evt_merged_activity",
+    """WITH iv AS (SELECT event_id, user_id,
+                          epoch_ns(ts) // 1000 AS s,
+                          epoch_ns(ts) // 1000 + 600000000 AS e
+                   FROM events),
+    f AS (SELECT *,
+                 CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                      OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS nb
+          FROM iv),
+    b AS (SELECT *,
+                 (sum(nb) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS block_idx
+          FROM f)
+    SELECT user_id, block_idx, min(s) AS b_start, max(e) AS b_end,
+           count(*)::BIGINT AS n_intervals
+    FROM b GROUP BY user_id, block_idx""",
+)
+def evt_merged_activity(spark, sf_dir):
+    """Interval coalescing (operators.eventflow.merge_intervals): each
+    event spans [t, t+10min]; overlapping spans merge into maximal
+    per-user activity blocks. Two window passes + rollup on ONE user
+    exchange."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.col("tus").alias("s"),
+        (F.col("tus") + 600_000_000).alias("e"),
+    )
+    return eventflow.merge_intervals(ev, "user_id", "s", "e")

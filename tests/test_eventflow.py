@@ -159,3 +159,26 @@ def test_interval_join_random_vs_naive(spark):
             for r in interval_join(ldf, rdf, "k", "lt", "rt", W).collect()
         )
         assert got == exp, f"seed={seed}"
+
+
+def test_merge_intervals_semantics(spark):
+    rows = [
+        # key 1: [0,10] [5,20] overlap → block; [20,30] touches end==start → merges
+        (1, 0, 10), (1, 5, 20), (1, 20, 30),
+        # [31,40] disjoint (31 > 30) → new block
+        (1, 31, 40),
+        # contained interval [32,35] stays in the same block
+        (1, 32, 35),
+        # key 2 independent
+        (2, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    out = {
+        (r["k"], r["block_idx"]): (r["b_start"], r["b_end"], r["n_intervals"])
+        for r in eventflow.merge_intervals(df, "k", "s", "e").collect()
+    }
+    assert out == {
+        (1, 0): (0, 30, 3),
+        (1, 1): (31, 40, 2),
+        (2, 0): (0, 1, 1),
+    }
