@@ -184,3 +184,50 @@ def unigram_cross_entropy(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("cross_entropy"),
     )
+
+
+def _edit1_block_keys(term: Column) -> Column:
+    """Blocking keys for edit-distance ≤ 1: any two strings of length ≥ 2
+    within one edit share their FIRST character or their LAST character
+    (a single edit touches one position; with len ≥ 2 it cannot touch
+    both ends — same pigeonhole as the SimHash chunk blocking). Length
+    can differ by at most 1, so each term emits keys at its own length
+    and length+1 in both the F (first-char) and L (last-char) key
+    spaces; a pair then meets on at least one exact key. Length-1
+    strings also match everything sharing the one char either way."""
+    c0 = F.substring(term, 1, 1)
+    cl = F.substring(term, -1, 1)
+    ln = F.length(term)
+    mk = lambda tag, c, l: F.concat_ws("|", F.lit(tag), c, l.cast("string"))  # noqa: E731
+    return F.array(
+        mk("F", c0, ln),
+        mk("F", c0, ln + 1),
+        mk("L", cl, ln),
+        mk("L", cl, ln + 1),
+    )
+
+
+def fuzzy_match_edit1(
+    queries: DataFrame, vocab: DataFrame, q_col: str = "q", v_col: str = "term"
+) -> DataFrame:
+    """Fuzzy lookup: for each query string, every vocabulary term within
+    edit distance 1 — the spell-correction / entity-matching join. The
+    naive form is |Q|×|V| levenshtein calls; blocking on the first/last-
+    char keys (lossless for d ≤ 1 — see _edit1_block_keys; pinned by a
+    randomized test against the naive join) reduces candidates to terms
+    sharing an end character and a compatible length. Output
+    (q, term, dist)."""
+    qk = queries.select(
+        F.col(q_col).alias("q"), F.explode(_edit1_block_keys(F.col(q_col))).alias("bk")
+    )
+    vk = vocab.select(
+        F.col(v_col).alias("term"),
+        F.explode(_edit1_block_keys(F.col(v_col))).alias("bk"),
+    )
+    return (
+        qk.join(vk, "bk")
+        .drop("bk")
+        .dropDuplicates(["q", "term"])
+        .withColumn("dist", F.levenshtein("q", "term").cast("long"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -997,3 +997,39 @@ def corpus_diff_versions(spark, sf_dir):
     return curation.corpus_diff(
         docs, new, "doc_id", text.fingerprint(F.col("text"))
     )
+
+
+@register(
+    "txt_fuzzy_vocab_match",
+    """WITH vocab AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+                      FROM documents),
+       q AS (SELECT DISTINCT substr(term, 1, 1) || substr(term, 3) AS q
+             FROM vocab WHERE length(term) >= 4)
+       SELECT q.q, v.term, levenshtein(q.q, v.term)::BIGINT AS dist
+       FROM q, vocab v WHERE levenshtein(q.q, v.term) <= 1""",
+)
+def txt_fuzzy_vocab_match(spark, sf_dir):
+    """Fuzzy vocabulary lookup (retrieval.fuzzy_match_edit1): queries are
+    deterministic single-char-dropped corruptions of the corpus
+    vocabulary (the spell-correction scenario; the fixture's word-salad
+    vocab has no natural typo pairs), matched back within edit distance
+    1 via the lossless first/last-char blocking. The oracle is the
+    NAIVE all-pairs join, so agreement re-proves the blocking drops
+    nothing on this data too."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .distinct()
+    )
+    queries = (
+        vocab.filter(F.length("term") >= 4)
+        .select(
+            F.concat(
+                F.substring("term", 1, 1), F.expr("substring(term, 3)")
+            ).alias("q")
+        )
+        .distinct()
+    )
+    return retrieval.fuzzy_match_edit1(queries, vocab)

@@ -448,3 +448,35 @@ def test_fixed_k_per_stratum_exact_size_and_determinism(spark):
         df.repartition(13), F.col("doc_id"), F.col("stratum"), 7, "x"
     ).collect()
     assert sorted(r["doc_id"] for r in out1) == sorted(r["doc_id"] for r in out2)
+
+
+def test_fuzzy_match_edit1_blocking_lossless(spark):
+    """Randomized losslessness: the first/last-char blocked fuzzy join
+    must find EXACTLY the pairs the naive all-pairs levenshtein finds —
+    insertions, deletions, substitutions, at every position."""
+    import random
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rng = random.Random(13)
+    alpha = "abc"  # tiny alphabet → dense collisions
+    vocab = list({"".join(rng.choices(alpha, k=rng.randint(2, 5))) for _ in range(60)})
+    queries = list({"".join(rng.choices(alpha, k=rng.randint(2, 5))) for _ in range(40)})
+    exp = sorted(
+        (q, t, lev(q, t)) for q in queries for t in vocab if lev(q, t) <= 1
+    )
+    qdf = spark.createDataFrame([(q,) for q in queries], "q string")
+    vdf = spark.createDataFrame([(t,) for t in vocab], "term string")
+    got = sorted(
+        (r["q"], r["term"], r["dist"])
+        for r in retrieval.fuzzy_match_edit1(qdf, vdf).collect()
+    )
+    assert got == exp
