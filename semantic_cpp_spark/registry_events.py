@@ -220,3 +220,108 @@ def evt_merged_activity(spark, sf_dir):
         (F.col("tus") + 600_000_000).alias("e"),
     )
     return eventflow.merge_intervals(ev, "user_id", "s", "e")
+
+
+@register(
+    "evt_hourly_anomalies",
+    """WITH h AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
+                         count(*)::BIGINT AS n
+                  FROM events GROUP BY 1),
+       w AS (SELECT hour_id, n,
+                    avg(n) OVER tw AS mu,
+                    stddev_pop(n) OVER tw AS sd,
+                    count(*) OVER tw AS m
+             FROM h
+             WINDOW tw AS (ORDER BY hour_id ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT hour_id, n, round(mu, 6) AS mu,
+              CASE WHEN m >= 12 AND sd > 0 AND abs(n - mu) > 2 * sd
+                   THEN TRUE ELSE FALSE END AS is_anomaly
+       FROM w""",
+)
+def evt_hourly_anomalies(spark, sf_dir):
+    """Hourly volume anomaly flags: each hour vs the TRAILING 24h window
+    (strictly preceding rows — the current hour never polices itself);
+    anomalous = |n − μ| > 2σ with ≥ 12 history hours. Same legitimately-
+    global post-aggregation window as evt_hourly_moving_avg (one row
+    per hour). The monitoring primitive over any event firehose."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.select(F.expr("tus div 3600000000").alias("hour_id"))
+        .groupBy("hour_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tw = (
+        Window.partitionBy(F.pmod(F.spark_partition_id(), F.lit(1)))
+        .orderBy("hour_id")
+        .rowsBetween(-24, -1)
+    )
+    mu = F.avg("n").over(tw)
+    sd = F.stddev_pop("n").over(tw)
+    m = F.count(F.lit(1)).over(tw)
+    return hourly.select(
+        "hour_id",
+        "n",
+        F.round(mu, 6).alias("mu"),
+        ((m >= 12) & (sd > 0) & (F.abs(F.col("n") - mu) > 2 * sd)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+@register(
+    "evt_user_trend",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events),
+       m AS (SELECT user_id, min(tus) AS t0 FROM e GROUP BY user_id),
+       x AS (SELECT e.user_id, (tus - t0) // 1000000 AS xs, value AS y
+             FROM e JOIN m ON e.user_id = m.user_id),
+       s AS (SELECT user_id, count(*)::BIGINT AS n,
+                    sum(xs)::BIGINT AS sx, sum(xs * xs)::BIGINT AS sxx,
+                    sum(y) AS sy, sum(xs * y) AS sxy
+             FROM x GROUP BY user_id)
+       SELECT user_id, n,
+              round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+              round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+                AS intercept
+       FROM s WHERE n >= 2 AND n * sxx - sx * sx > 0""",
+)
+def evt_user_trend(spark, sf_dir):
+    """Per-user linear trend of event value over time: closed-form OLS
+    from one pass of power sums (the agg_skew_kurt pattern — no second
+    scan, no UDF). x is integer SECONDS from the user's first event:
+    centering + the unit change keeps Σx² exactly representable
+    (raw epoch-micros would overflow int64 when squared and
+    catastrophically cancel in n·Σx² − (Σx)² as doubles). Two
+    aggregations co-partitioned on user_id."""
+    ev = _events(spark, sf_dir)
+    t0 = ev.groupBy("user_id").agg(F.min("tus").alias("t0"))
+    x = ev.join(t0, "user_id").select(
+        "user_id",
+        F.expr("(tus - t0) div 1000000").alias("xs"),
+        F.col("value").alias("y"),
+    )
+    s = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xs").cast("long").alias("sx"),
+        F.sum(F.col("xs") * F.col("xs")).cast("long").alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("xs") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        s.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        )
+        .select(
+            "user_id",
+            "n",
+            F.round(slope, 9).alias("slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+                "intercept"
+            ),
+        )
+    )
