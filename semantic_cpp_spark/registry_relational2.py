@@ -613,3 +613,41 @@ def rel_zorder_bucket_stats(spark, sf_dir):
         F.col("o_orderkey") % 65536,
         16,
     )
+
+
+@register(
+    "rel_price_histogram",
+    """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+       SELECT least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)::BIGINT AS bucket,
+              count(*)::BIGINT AS n,
+              round(min(o_totalprice), 2) AS b_min,
+              round(max(o_totalprice), 2) AS b_max
+       FROM orders, b
+       GROUP BY 1""",
+)
+def rel_price_histogram(spark, sf_dir):
+    """Adaptive equi-width histogram (20 buckets over the observed
+    [min, max]): bounds are a 1-row aggregate broadcast back over the
+    scan, bucketing is a pure map, the rollup is a 20-key aggregate —
+    the distribution-profile shape for any numeric column at any scale.
+    The max value is clamped into the last bucket (least(…, 19))."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / 20.0)
+        ),
+        F.lit(19),
+    ).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("b_min"),
+            F.round(F.max("o_totalprice"), 2).alias("b_max"),
+        )
+    )
