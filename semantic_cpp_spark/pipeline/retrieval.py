@@ -193,18 +193,29 @@ def _edit1_block_keys(term: Column) -> Column:
     both ends — same pigeonhole as the SimHash chunk blocking). Length
     can differ by at most 1, so each term emits keys at its own length
     and length+1 in both the F (first-char) and L (last-char) key
-    spaces; a pair then meets on at least one exact key. Length-1
-    strings also match everything sharing the one char either way."""
+    spaces; a pair then meets on at least one exact key.
+
+    The pigeonhole fails only when a string of length ≤ 1 pairs with
+    another of length ≤ 1: a substitution 'a'↔'b' (or ''↔'x') shares
+    neither end (r3 advisor). Those strings additionally emit tag-only
+    keys S|<len> and S|<len+1>, so every pair of length-≤1 strings meets
+    on an S key (len 0 ∩ len 1 at S|1). The S space is gated on len ≤ 1 —
+    emitting it unconditionally would block every equal-length pair and
+    collapse the join to all-pairs. Pairs (len 1, len 2) within one edit
+    always keep an end character (a 1-char string can only grow by
+    prepending or appending), so the F/L keys already cover them."""
     c0 = F.substring(term, 1, 1)
     cl = F.substring(term, -1, 1)
     ln = F.length(term)
     mk = lambda tag, c, l: F.concat_ws("|", F.lit(tag), c, l.cast("string"))  # noqa: E731
-    return F.array(
+    base = F.array(
         mk("F", c0, ln),
         mk("F", c0, ln + 1),
         mk("L", cl, ln),
         mk("L", cl, ln + 1),
     )
+    tiny = F.array(mk("S", F.lit(""), ln), mk("S", F.lit(""), ln + 1))
+    return F.when(ln <= 1, F.concat(base, tiny)).otherwise(base)
 
 
 def fuzzy_match_edit1(

@@ -482,6 +482,56 @@ def grp_partition(spark, sf_dir):
 
 
 @register(
+    "grp_partition_by_sorted",
+    """WITH ev AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS idx,
+                          value,
+                          datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS key
+                   FROM events),
+    b AS (SELECT key,
+                 string_agg(printf('%.2f', value), ',' ORDER BY idx) AS values_joined,
+                 count(*) AS n
+          FROM ev GROUP BY key)
+    SELECT row_number() OVER (ORDER BY key) - 1 AS emit_rank,
+           key, values_joined, n
+    FROM b""",
+)
+def grp_partition_by(spark, sf_dir):
+    """usePartitionBy: Timestamp-keyed buckets, emitted sorted by key
+    (reference collector.h:2138-2203 — std::map iteration order).  The
+    sorted-emission contract is made observable as ``emit_rank`` (each
+    bucket's position in emission order) because the driver's
+    order-insensitive value hash cannot see row order.  The rank window
+    runs over bucket keys only — O(#buckets), never O(rows) — so the plan
+    carries no global row-level sort; values inside a bucket stay in
+    encounter order via the carried ordinal."""
+    from pyspark.sql import Window
+
+    from semantic_cpp_spark.indexing import with_ordinal
+
+    ev = load_table(spark, sf_dir, "events")
+    idxed = with_ordinal(ev, ["event_id"]).select(
+        IDX,
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("key"),
+        F.format_string("%.2f", F.col("value")).alias("value"),
+    )
+    buckets = collectors.partition_by_key(idxed, F.col("key"), F.col("value"))
+    # explicit non-foldable single-partition key: the rank runs over bucket
+    # keys only (tiny), and this keeps WindowExec's no-partition warning
+    # meaningful elsewhere
+    w = Window.partitionBy(F.pmod(F.spark_partition_id(), F.lit(1))).orderBy(
+        "key"
+    )
+    return buckets.select(
+        (F.row_number().over(w) - 1).cast("long").alias("emit_rank"),
+        F.col("key"),
+        F.array_join("values", ",").alias("values_joined"),
+        F.size("values").cast("long").alias("n"),
+    )
+
+
+@register(
     "grp_frequency_profile",
     f"""WITH {EV},
     t AS (SELECT max(idx) + 1 AS total FROM ev)
@@ -567,59 +617,62 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # evicted from the window holds a green r01/r02 row, so nothing loses its
 # historical verification.
 _PRIORITY: list[str] = [
-    # -- never driver-checked before round 3 (registry positions 50-76 in r2) --
-    "stream_tumble_hour",
-    "stream_slide_2h_30m",
-    "stream_session_5m",
-    "stream_distinct_keys",
-    "stream_running_stats",
-    "stream_count_windows",
-    "stream_stream_join",
-    "stream_topk_per_user",
-    "rel_q7_nation_volume",
-    "rel_q10_returned_items",
-    "rel_q14_promo_share",
-    "rel_q19_bracketed_discounts",
-    "rel_q4_semi_join",
-    "rel_customers_without_urgent_orders",
-    "asof_purchase_last_signup",
-    "rel_rollup_order_priority",
-    "rel_pivot_status_by_flag",
-    "rel_datetime_parts",
-    "udaf_per_order_weighted_avg",
-    "reduce_bit_xor",
-    "agg_distribution_profile",
-    "agg_corr_covar",
-    "str_charsequence_medley",
-    "str_codepoint_sequence",
-    "str_levenshtein_to_anchor",
-    "txt_word_count_topk",
-    "evt_json_extract",
-    # -- new in round 3 (no prior driver row by definition) --
-    "src_blob_bytes",
-    "str_compare_and_join",
-    "grp_frequency_capped",
-    "txt_gopher_rules",
-    "rel_q6_forecast_revenue",
-    "rel_q18_large_orders",
-    "rel_q22_idle_balance",
-    "txt_bpe_token_count",
-    "mm_frame_sample",
-    "agg_salted_hot_key",
-    "rel_q8_market_share",
-    "rel_q13_order_histogram",
-    "rel_q17_small_qty_revenue",
-    "dedup_shared_spans",
-    "dedup_cc_clusters",
-    "samp_hash_bernoulli",
-    "samp_stratified_by_lang",
-    "txt_decontaminate",
-    "txt_pii_redact",
-    "ir_bm25_topk",
-    "shard_token_budget",
-    "emb_kmeans_step",
-    # -- backfill: riskiest already-green (index-semantics quirks) --
-    "sem_filter_rebases_idx",
+    # -- the 26 queries that have never had a driver CORRECTNESS row
+    #    (union of r01/r02/r03 vs the 125-query registry) --
+    "evt_sessionize",
+    "evt_funnel_signup_view_purchase",
+    "evt_retention_cohorts",
+    "evt_interval_join_1h",
+    "evt_hourly_moving_avg",
+    "evt_merged_activity",
+    "evt_hourly_anomalies",
+    "evt_user_trend",
+    "stream_static_enrich",
+    "rel_cube_flag_status",
+    "rel_running_customer_revenue",
+    "rel_profile_lineitem",
+    "rel_grouped_percentiles",
+    "rel_zorder_bucket_stats",
+    "rel_price_histogram",
+    "pack_token_sequences",
+    "txt_tfidf_keywords",
+    "txt_quality_above_median",
+    "txt_quality_bands",
+    "txt_unigram_cross_entropy",
+    "txt_fuzzy_vocab_match",
+    "emb_cluster_medoids",
+    "emb_pca_project",
+    "dedup_keep_list",
+    "samp_fixed_k_per_lang",
+    "corpus_diff_versions",
+    # -- queries whose implementation changed in round 4 (need fresh rows) --
+    "sim_lsh_bucket_topk",  # O(planes) fold rewrite of lsh_signature
+    "mm_feature_extract",  # real PPM decode path replaces fake features
+    # -- new in round 4 (no prior driver row by definition) --
+    "grp_partition_by_sorted",
+    # -- backfill to 50: riskiest already-green (index-semantics quirks,
+    #    dedup/ANN family, distributed-percentile rewrite) --
+    "sem_reverse_rotation",
+    "sem_find_at_negative",
+    "sem_distinct_first_occurrence",
+    "sem_translate_wraps",
+    "sem_sub_slice",
+    "agg_quantiles",
+    "agg_mode_deterministic",
+    "agg_skew_kurt",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_embedding_near_dup",
+    "win_slide",
+    "win_tumble",
+    "grp_group_encounter_order",
+    "grp_partition_chunks",
+    "sig_fft100_pad_truncate",
 ]
 
 

@@ -1,9 +1,9 @@
 """Registry section: event-flow analytics (sessionization, funnels,
 retention cohorts) over the events table — operators/eventflow.py.
 
-Time parity: events.ts is parquet TIMESTAMP(NANOS); Spark reads nano
-longs (`ts div 1000` → integer micros — epoch nanos overflow double),
-DuckDB reads TIMESTAMP_NS (`epoch_ns(ts) // 1000`). Retention uses pure
+Time parity: Spark derives int64 epoch-micros from events.ts via
+session.ts_micros (dtype-adaptive — nanos-long or TIMESTAMP_NTZ fixture
+generations), DuckDB via `epoch_ns(ts) // 1000`. Retention uses pure
 int64 epoch-day numbers — no calendar/timezone semantics anywhere.
 DuckDB window/group sums over INTEGER go HUGEINT → every count/index is
 cast ::BIGINT. events.value carries 2dp fixture values, so sums are
@@ -16,15 +16,14 @@ from pyspark.sql import functions as F
 
 from semantic_cpp_spark.operators import eventflow
 from semantic_cpp_spark.registry import register
-from semantic_cpp_spark.session import load_table
+from semantic_cpp_spark.session import load_table, ts_micros
 
 _GAP_US = 30 * 60 * 1_000_000
 
 
 def _events(spark, sf_dir):
-    return load_table(spark, sf_dir, "events").withColumn(
-        "tus", F.expr("ts div 1000")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("tus", ts_micros(ev))
 
 
 @register(

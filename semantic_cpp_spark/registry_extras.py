@@ -332,9 +332,8 @@ def asof_purchase_last_signup(spark, sf_dir):
     last_value, one shuffle, no pandas and no range-join blowup."""
     from semantic_cpp_spark.operators.asof import asof_join
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "tus", F.expr("ts div 1000")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("tus", ts_micros(ev))
     buys = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("purchase_id"),

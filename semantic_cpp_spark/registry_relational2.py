@@ -618,7 +618,9 @@ def rel_zorder_bucket_stats(spark, sf_dir):
 @register(
     "rel_price_histogram",
     """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
-       SELECT least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)::BIGINT AS bucket,
+       SELECT CASE WHEN hi = lo THEN 0
+                   ELSE least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)
+              END::BIGINT AS bucket,
               count(*)::BIGINT AS n,
               round(min(o_totalprice), 2) AS b_min,
               round(max(o_totalprice), 2) AS b_max
@@ -630,17 +632,21 @@ def rel_price_histogram(spark, sf_dir):
     [min, max]): bounds are a 1-row aggregate broadcast back over the
     scan, bucketing is a pure map, the rollup is a 20-key aggregate —
     the distribution-profile shape for any numeric column at any scale.
-    The max value is clamped into the last bucket (least(…, 19))."""
+    The max value is clamped into the last bucket (least(…, 19)); a
+    degenerate all-equal column (hi = lo) collapses to bucket 0 on both
+    engines instead of NaN/null divergence (r3 advisor)."""
     orders = load_table(spark, sf_dir, "orders")
     b = orders.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    bucket = F.least(
-        F.floor(
-            (F.col("o_totalprice") - F.col("lo"))
-            / ((F.col("hi") - F.col("lo")) / 20.0)
-        ),
-        F.lit(19),
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 20.0)
+            ),
+            F.lit(19),
+        )
     ).cast("long")
     return (
         orders.crossJoin(F.broadcast(b))

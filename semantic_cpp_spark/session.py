@@ -9,7 +9,9 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def get_spark(
@@ -43,10 +45,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.ts is parquet TIMESTAMP(NANOS) — unsupported by Spark's
-        # reader; surface it as LongType epoch-nanos instead (converted to
-        # TimestampType where event-time semantics are needed, see
-        # streaming module).
+        # Fixture generations have stored events.ts as either parquet
+        # TIMESTAMP(NANOS) (Spark can only surface that as LongType
+        # epoch-nanos) or TIMESTAMP(MICROS) (read natively as
+        # TIMESTAMP_NTZ). Keep the nanos escape hatch on and dispatch on
+        # the observed dtype via ts_micros()/event_time_col().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
@@ -61,9 +64,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one fixture table (TESTDATA.md) as a DataFrame.
 
     Sets ``nanosAsLong`` on the CALLER's session too: the driver invokes
-    our queries with its own SparkSession, and events.ts is parquet
-    TIMESTAMP(NANOS) which Spark rejects otherwise (probe-verified).
-    The conf is runtime-settable and only affects nanos columns.
+    our queries with its own SparkSession, and a TIMESTAMP(NANOS)
+    events.ts (earlier fixture generations) is rejected by Spark's reader
+    otherwise (probe-verified). The conf is runtime-settable and only
+    affects nanos columns — TIMESTAMP(MICROS) fixtures read natively as
+    TIMESTAMP_NTZ either way.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ts_micros(df: DataFrame, col: str = "ts") -> Column:
+    """Integer epoch-microseconds from a fixture timestamp column,
+    dispatching on the column's observed dtype.
+
+    Fixture generations differ: TIMESTAMP(NANOS) parquet surfaces in
+    Spark as LongType epoch-nanos (via nanosAsLong), TIMESTAMP(MICROS)
+    as TIMESTAMP_NTZ. Both reduce to the same int64 epoch-micros that the
+    DuckDB oracle computes with ``epoch_ns(ts) // 1000``:
+
+    - long nanos: integer ``div 1000`` (NOT float division — epoch nanos
+      ~1.7e18 exceed double's 2^53 mantissa, so ``/`` corrupts the low
+      microseconds);
+    - timestamp / timestamp_ntz: ``unix_micros`` after a cast to
+      TIMESTAMP, exact because the session timezone is pinned to UTC so
+      the NTZ wall-clock IS the UTC instant (matching DuckDB's naive
+      epoch).
+
+    Integer micros (never the raw timestamp) are the engine's event-time
+    currency: all window/gap/as-of arithmetic stays in int64, immune to
+    calendar/timezone semantics and exact at any scale.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"{col} div 1000")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    raise TypeError(f"unsupported fixture time dtype for {col!r}: {dt}")
+
+
+def event_time_col(df: DataFrame, col: str = "ts") -> Column:
+    """TIMESTAMP event-time from a fixture time column (see ts_micros for
+    the dtype dispatch). Used where Spark needs a real TimestampType —
+    watermarks, window()/session_window() — rather than int64 micros."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.col(col).cast("timestamp")
+    raise TypeError(f"unsupported fixture time dtype for {col!r}: {dt}")

@@ -20,8 +20,10 @@ which is how the driver's DuckDB oracle checks them — the streaming query
 runs to completion on a memory sink and the result must equal the batch
 answer (the exactly-once contract).
 
-Fixture adapter: events.ts is epoch-NANOS (int64 via nanosAsLong);
-event time = ``timestamp_micros(ts div 1000)``.
+Fixture adapter: events.ts has been stored as TIMESTAMP(NANOS)
+(surfacing as int64 epoch-nanos via nanosAsLong) or TIMESTAMP(MICROS)
+(TIMESTAMP_NTZ) across fixture generations; event_time / t_us derive
+via the dtype-adaptive session.event_time_col / session.ts_micros.
 """
 
 from __future__ import annotations
@@ -36,27 +38,23 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a bounded stream (one micro-batch per file)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.parquet as a bounded stream (one micro-batch per file).
+
+    readStream requires an explicit schema; take it from a batch read of
+    the same file (a footer-only metadata touch) so the stream adapts to
+    whichever timestamp encoding the fixture generation used."""
+    from semantic_cpp_spark.session import event_time_col, load_table
+
+    batch = load_table(spark, sf_dir, "events")
     # streaming source wants a DIRECTORY; the fixture dir holds all tables,
     # so glob-filter down to the events file.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds double's 2^53
-    # mantissa, so float division corrupts the low microseconds.
-    return raw.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return raw.withColumn("event_time", event_time_col(raw))
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -139,9 +137,11 @@ def purchases_after_signup(events: DataFrame, window_s: int = 3600) -> DataFrame
     Both sides carry watermarks so the join state is bounded (Spark evicts
     buffered rows once the watermark passes the range condition — the
     production-correct unbounded-join form). Time comparisons use
-    epoch-micros integers derived with integer div (see read_events_stream).
+    epoch-micros integers (session.ts_micros — dtype-adaptive, exact).
     """
-    base = events.withColumn("t_us", F.expr("ts div 1000"))
+    from semantic_cpp_spark.session import ts_micros
+
+    base = events.withColumn("t_us", ts_micros(events))
     sign = (
         base.filter(F.col("event_type") == "signup")
         .select(

@@ -468,8 +468,11 @@ def test_fuzzy_match_edit1_blocking_lossless(spark):
 
     rng = random.Random(13)
     alpha = "abc"  # tiny alphabet → dense collisions
-    vocab = list({"".join(rng.choices(alpha, k=rng.randint(2, 5))) for _ in range(60)})
-    queries = list({"".join(rng.choices(alpha, k=rng.randint(2, 5))) for _ in range(40)})
+    # lengths 0-5: the len<=1 corner (substitution 'a'<->'b', ''<->'x')
+    # shares neither end char and needs the S-key rescue (r3 advisor)
+    vocab = list({"".join(rng.choices(alpha, k=rng.randint(0, 5))) for _ in range(60)})
+    queries = list({"".join(rng.choices(alpha, k=rng.randint(0, 5))) for _ in range(40)})
+    assert any(len(s) <= 1 for s in vocab) and any(len(s) <= 1 for s in queries)
     exp = sorted(
         (q, t, lev(q, t)) for q in queries for t in vocab if lev(q, t) <= 1
     )

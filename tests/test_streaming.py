@@ -4,6 +4,7 @@ state (semantic_cpp_spark.streaming.ops)."""
 import pytest
 from pyspark.sql import functions as F
 
+from semantic_cpp_spark.session import event_time_col, ts_micros
 from semantic_cpp_spark.streaming import ops
 
 SF = "/root/testdata/sf0.001"
@@ -14,15 +15,27 @@ def _batch_events(spark):
     return spark.read.parquet(f"{SF}/events.parquet")
 
 
+def _stream(spark, src):
+    """File stream over ``src`` with event_time, schema taken from a batch
+    read so the test adapts to whichever ts dtype the writer produced
+    (int64 epoch-nanos for hand-built frames, TIMESTAMP for fixture
+    rewrites)."""
+    batch = spark.read.parquet(src)
+    raw = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return raw.withColumn("event_time", event_time_col(raw))
+
+
 def test_tumbling_counts_equal_batch(spark):
     ev = ops.read_events_stream(spark, SF)
     out = ops.run_to_memory(ops.tumbling_counts(ev, "1 hour"), "complete")
     got = {r["win_start_s"]: r["n"] for r in out.collect()}
+    bev = _batch_events(spark)
     batch = (
-        _batch_events(spark)
-        .groupBy(
-            ((F.expr("ts div 3600000000000")) * 3600).alias("w")
-        )
+        bev.groupBy(((ts_micros(bev) / F.lit(3_600_000_000)).cast("long") * 3600).alias("w"))
         .count()
         .collect()
     )
@@ -57,12 +70,7 @@ def test_stateful_ops_across_micro_batches(spark, tmp_path):
     equal the batch answer."""
     src = str(tmp_path / "events_split")
     _batch_events(spark).repartition(3).write.parquet(src)
-    stream = (
-        spark.readStream.schema(ops.EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _stream(spark, src)
 
     # running stats: last update per user must equal batch totals
     out = ops.run_to_memory(ops.running_stats_per_user(stream), "update")
@@ -90,12 +98,7 @@ def test_count_windows_across_micro_batches(spark, tmp_path):
     COUNT_WINDOW_SIZE rows."""
     src = str(tmp_path / "events_split2")
     _batch_events(spark).repartition(4).write.parquet(src)
-    stream = (
-        spark.readStream.schema(ops.EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _stream(spark, src)
     out = ops.run_to_memory(ops.count_tumble_per_user(stream), "append").collect()
     per_user = {}
     for r in out:
@@ -178,12 +181,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     )
     spark.createDataFrame(batch1).write.parquet(f"{src}/f=1")
     spark.createDataFrame(batch2).write.parquet(f"{src}/f=2")
-    stream = (
-        spark.readStream.schema(ops.EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _stream(spark, src)
     out = ops.run_to_memory(ops.tumbling_counts(stream, "1 hour"), "append")
     rows = {r["win_start_s"]: (r["n"], r["sum_value"]) for r in out.collect()}
     first_win = (base // hour) * hour // 1_000_000_000
@@ -251,12 +249,7 @@ def test_session_window_closes_in_append_mode(spark, tmp_path):
     )
     spark.createDataFrame(b1).write.parquet(f"{src}/f=1")
     spark.createDataFrame(b2).write.parquet(f"{src}/f=2")
-    stream = (
-        spark.readStream.schema(ops.EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _stream(spark, src)
     out = ops.run_to_memory(ops.session_counts(stream, "5 minutes"), "append")
     rows = {(r["user_id"], r["session_start_us"]): r["n"] for r in out.collect()}
     # first session (2 events starting at base) must have been emitted/closed

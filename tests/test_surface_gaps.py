@@ -164,6 +164,12 @@ def test_repeat_iterate_and_text_lines(spark, tmp_path):
     from semantic_cpp_spark.sources import from_repeat, from_text_lines, iterate
 
     assert from_repeat(spark, "x", 3).pairs() == [(0, "x"), (1, "x"), (2, "x")]
+    # edge cases: zero count is empty; numeric elements keep their type and
+    # compose with downstream aggregation
+    assert from_repeat(spark, "x", 0).to_list() == []
+    sevens = from_repeat(spark, 7, 4)
+    assert sevens.to_list() == [7, 7, 7, 7]
+    assert sevens.map(lambda v, i: v + i).to_list() == [7, 8, 9, 10]
 
     s = iterate(spark, 1, lambda c: c * 2, 5)
     assert s.to_list() == [1, 2, 4, 8, 16]
