@@ -11,7 +11,7 @@ from semantic_cpp_spark.functions import strings
 from semantic_cpp_spark.indexing import IDX, with_ordinal
 from semantic_cpp_spark.operators import collectors, signal
 from semantic_cpp_spark.registry import EV, _events_stream, register
-from semantic_cpp_spark.session import load_table
+from semantic_cpp_spark.session import load_table, ts_micros
 
 # -- signal kernels (reference collector.h:2744-2942) -----------------------
 
