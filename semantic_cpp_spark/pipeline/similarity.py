@@ -103,18 +103,39 @@ def cosine_topk(
 
 def lsh_signature(vec: Column, dims: int, planes: int = LSH_PLANES) -> Column:
     """Sign-bit signature: bit p = 1 iff dot(vec, plane_p) > 0, packed into
-    a long. Planes are the deterministic ±1 matrix from plane_sign."""
-    sig = None
-    for p in range(planes):
-        signs = [plane_sign(p, d) for d in range(dims)]
-        proj = None
-        for d, s in enumerate(signs):
-            term = F.element_at(vec, d + 1) * F.lit(float(s))
-            proj = term if proj is None else proj + term
-        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << p).cast("long")
-        sig = term if sig is None else sig + term
-    return sig
+    a long. Planes are the deterministic ±1 matrix from plane_sign.
+
+    Expression shape matters at real embedding widths: the plane matrix is
+    ONE shallow array-of-arrays literal and the projection is a
+    higher-order ``aggregate(zip_with(...))`` fold, so the expression tree
+    is O(planes·dims) flat literals + O(1) operators — not the
+    O(planes·dims)-deep ``element_at*sign + ...`` add-chain that blows
+    past whole-stage-codegen limits at 1024-dim embeddings (pinned by
+    tests/test_pipeline.py::test_lsh_signature_wide_dims).
+
+    Summation order (left-to-right over dims, seeded 0.0) is identical to
+    the DuckDB oracle's list_dot_product, so bucket assignment stays
+    bit-for-bit reproducible."""
+    plane_mat = F.array(
+        *[
+            F.array(*[F.lit(float(plane_sign(p, d))) for d in range(dims)])
+            for p in range(planes)
+        ]
+    )
+    bits = F.transform(
+        plane_mat,
+        lambda plane, p: F.when(
+            F.aggregate(
+                F.zip_with(vec, plane, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            > 0,
+            # 2^p as an exact double→long (p ≤ 24 « 2^53)
+            F.pow(F.lit(2.0), p).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
 def lsh_bucket_topk(

@@ -297,27 +297,35 @@ def sim_lsh_topk(spark, sf_dir):
 
 @register(
     "mm_feature_extract",
-    """SELECT doc_id,
-              strlen(text) AS n_bytes,
-              md5(text) AS checksum,
-              ('0x' || substr(md5(text), 1, 4))::INT % 1920 AS width,
-              ('0x' || substr(md5(text), 5, 4))::INT % 1080 AS height,
-              round((list_sum(list_transform(range(1, least(strlen(text), 64) + 1),
-                                             i -> ord(substr(text, i::INT, 1))))::DOUBLE
-                     / least(strlen(text), 64)) / 255.0, 9) AS feat_mean
-       FROM documents""",
+    """WITH sz AS (SELECT doc_id,
+                          (8 + doc_id % 9)::INT AS w,
+                          (8 + (doc_id // 9) % 9)::INT AS h
+                   FROM documents),
+    px AS (SELECT doc_id, w, h, (doc_id * 31 + r.range) % 256 AS v
+           FROM sz CROSS JOIN range(0, 768) r
+           WHERE r.range < w * h * 3)
+    SELECT doc_id,
+           (9 + length(w::VARCHAR) + length(h::VARCHAR) + w * h * 3)::BIGINT
+             AS n_bytes,
+           w AS width, h AS height,
+           round(sum(v) / (w * h * 3) / 255.0, 9) AS feat_mean
+    FROM px GROUP BY doc_id, w, h""",
 )
 def mm_features(spark, sf_dir):
-    """Multimodal plumbing: opaque binary payload + metadata through an
-    Arrow-batched mapInPandas kernel (decode stubbed deterministically —
-    no codecs in this container; see pipeline.multimodal)."""
+    """Multimodal feature extraction through the REAL stdlib decode path:
+    each doc gets a rendered P6 PPM payload (size and pixels a closed
+    form of doc_id — multimodal.render_ppm), the mapInPandas kernel
+    parses the actual header + raster (multimodal.decode_image), and the
+    DuckDB oracle recomputes width/height/n_bytes/raster-mean from the
+    same closed form — a hard value check on genuine image decoding, not
+    the fake-feature stub (which remains, clearly marked, for formats
+    needing codecs this container lacks)."""
     docs = load_table(spark, sf_dir, "documents")
-    payload = multimodal.attach_binary_payload(docs)
+    payload = multimodal.attach_ppm_payload(docs)
     feats = multimodal.extract_features(payload)
     return feats.select(
         "doc_id",
         "n_bytes",
-        "checksum",
         "width",
         "height",
         F.round("feat_mean", 9).alias("feat_mean"),
@@ -881,15 +889,53 @@ def emb_pca_project(spark, sf_dir):
     axes (pipeline.decomposition): Arrow-batched covariance partials →
     driver eigh (model state) → zero-exchange literal-matrix projection.
     Eigen work is not SQL-expressible — numpy-pinned in tests; the
-    driver records the rows-only check."""
+    driver records the rows-only check.
+
+    Output is EXPLODED to scalar rows (vec_id, axis, value): the driver's
+    canonicalizer hashes pandas columns, and an ArrayType column is
+    unhashable there (CORRECTNESS_r04 err) — scalar doubles keep the
+    rows-only check alive."""
     from semantic_cpp_spark.pipeline import decomposition
 
     emb = load_table(spark, sf_dir, "embeddings")
     mean, comps, _ = decomposition.pca_fit(emb, k=4, dims=64)
     out = decomposition.pca_project(emb, mean, comps)
     return out.select(
+        "vec_id", F.posexplode(F.col("proj")).alias("axis", "value")
+    ).select(
         "vec_id",
-        F.transform(F.col("proj"), lambda x: F.round(x, 6)).alias("proj"),
+        F.col("axis").cast("long").alias("axis"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+@register(
+    "emb_pca_norm_preserved",
+    """WITH dims AS (SELECT unnest(range(0, 64)) AS dim),
+    d AS (SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS x
+          FROM embeddings, dims),
+    m AS (SELECT dim, avg(x) AS mu FROM d GROUP BY dim)
+    SELECT d.vec_id, round(sum((d.x - m.mu) * (d.x - m.mu)), 4) AS sq_norm
+    FROM d JOIN m USING (dim) GROUP BY d.vec_id""",
+)
+def emb_pca_norm_preserved(spark, sf_dir):
+    """Full-rank PCA invariant with a HARD value oracle: at k=dims the
+    projection is an orthonormal change of basis, so per-vector
+    Σ proj² equals the centred squared norm ‖x−μ‖² — which DuckDB can
+    compute directly (per-dim mean via unnest WITH ORDINALITY). This
+    pins the whole eigen path (covariance partials, eigh, literal-matrix
+    projection) with an eigen-sign-invariant, rotation-invariant check —
+    stronger than the rows-only row emb_pca_project gets."""
+    from semantic_cpp_spark.pipeline import decomposition
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = decomposition.pca_fit(emb, k=64, dims=64)
+    out = decomposition.pca_project(emb, mean, comps)
+    return out.select(
+        "vec_id",
+        F.round(
+            F.aggregate("proj", F.lit(0.0), lambda a, x: a + x * x), 4
+        ).alias("sq_norm"),
     )
 
 

@@ -106,6 +106,70 @@ def test_lsh_bucket_is_subset_of_bruteforce_domain(spark):
     assert len(out) <= 4
 
 
+def test_lsh_signature_wide_dims(spark):
+    """The O(planes) fold form must stay analyzable AND numerically exact
+    at real embedding widths (1024 dims × 20 planes): the old unrolled
+    element_at add-chain hit codegen/analysis pathologies there. Cross-
+    checked bit-for-bit against a numpy reimplementation of the same
+    deterministic ±1 plane matrix."""
+    dims, planes, n = 1024, 20, 8
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(n, dims))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id",
+            similarity.lsh_signature(F.col("embedding"), dims, planes).alias("sig"),
+        ).collect()
+    }
+    mat = np.array(
+        [
+            [similarity.plane_sign(p, d) for d in range(dims)]
+            for p in range(planes)
+        ],
+        dtype=np.float64,
+    )
+    for i in range(n):
+        # sequential left-to-right sum matches both Spark fold and oracle
+        proj = mat @ vecs[i]
+        expect = sum((1 << p) for p in range(planes) if proj[p] > 0)
+        assert got[i] == expect, i
+
+
+def test_lsh_signature_small_dims_matches_unrolled_reference(spark):
+    """Pin the fold rewrite against a literal Python reimplementation of
+    the ORIGINAL unrolled semantics (element-order sum, strict > 0) on a
+    case with near-zero projections."""
+    dims, planes = 8, 4
+    rows = [
+        (0, [0.0] * dims),                      # all-zero → every proj == 0 → sig 0
+        (1, [1.0, -1.0] * (dims // 2)),
+        (2, [0.25 * (d + 1) for d in range(dims)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id",
+            similarity.lsh_signature(F.col("embedding"), dims, planes).alias("sig"),
+        ).collect()
+    }
+    for vid, vec in rows:
+        sig = 0
+        for p in range(planes):
+            proj = 0.0
+            for d in range(dims):
+                proj += vec[d] * float(similarity.plane_sign(p, d))
+            if proj > 0:
+                sig += 1 << p
+        assert got[vid] == sig, vid
+    assert got[0] == 0
+
+
 def test_text_analysis_basics(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the hat"), (2, "zz9")], "doc_id long, text string"
@@ -144,6 +208,56 @@ def test_multimodal_plumbing_deterministic(spark):
     assert a[0]["n_bytes"] == 11
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_ppm_decode_p6_with_comments():
+    """Real stdlib decoder: P6 header with # comments and multi-space
+    separators, 2x2 raster parsed byte-exact."""
+    raster = bytes(range(12))
+    payload = b"P6\n# a comment\n2  2\n# another\n255\n" + raster
+    w, h, maxval, px = multimodal.decode_image(payload)
+    assert (w, h, maxval) == (2, 2, 255)
+    assert px == raster
+
+
+def test_ppm_decode_p3_ascii():
+    payload = b"P3\n2 1\n255\n0 128 255  7 8 9\n"
+    w, h, maxval, px = multimodal.decode_image(payload)
+    assert (w, h, maxval) == (2, 1, 255)
+    assert px == bytes([0, 128, 255, 7, 8, 9])
+
+
+def test_ppm_decode_errors():
+    with pytest.raises(ValueError):  # truncated raster
+        multimodal.decode_image(b"P6\n4 4\n255\n\x00\x01")
+    with pytest.raises(NotImplementedError):  # 16-bit samples
+        multimodal.decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(NotImplementedError):  # JPEG magic
+        multimodal.decode_image(b"\xff\xd8\xff\xe0")
+
+
+def test_ppm_render_decode_roundtrip_and_features(spark):
+    """render_ppm → decode_image round-trips header and raster, and the
+    Spark extract_features path returns the REAL decoded dimensions/mean
+    (not the fake-hash stand-in)."""
+    for doc_id in (0, 7, 123):
+        b = multimodal.render_ppm(doc_id)
+        w, h, maxval, px = multimodal.decode_image(b)
+        assert (w, h) == (8 + doc_id % 9, 8 + (doc_id // 9) % 9)
+        assert px == bytes((doc_id * 31 + i) % 256 for i in range(w * h * 3))
+    df = spark.createDataFrame([(0,), (123,)], "doc_id long")
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(
+            multimodal.attach_ppm_payload(df)
+        ).collect()
+    }
+    for doc_id in (0, 123):
+        w, h = 8 + doc_id % 9, 8 + (doc_id // 9) % 9
+        n = w * h * 3
+        assert feats[doc_id]["width"] == w and feats[doc_id]["height"] == h
+        expect_mean = sum((doc_id * 31 + i) % 256 for i in range(n)) / n / 255.0
+        assert abs(feats[doc_id]["feat_mean"] - expect_mean) < 1e-12
 
 
 def test_embedding_near_dup_finds_planted_pair(spark):
