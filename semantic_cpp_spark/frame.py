@@ -58,6 +58,35 @@ def _apply(fn: ColumnFn, value: Column, idx: Column) -> Column:
     return fn(value, idx) if arity >= 2 else fn(value)
 
 
+class KeyComparator:
+    """The distributable comparator family for ``distinct(comparator=...)``.
+
+    The reference overload (semantic.h:1144-1164) deduplicates through
+    ``std::set<E, Comparator>`` — any strict weak ordering, where two
+    elements are duplicates iff neither orders before the other. A
+    black-box pairwise ``lt(a, b)`` cannot be hash-partitioned (equivalence
+    membership would need all-pairs comparison — O(n²) shuffles), but every
+    comparator of the form ``a < b  iff  key(a) < key(b)`` — compare-by-
+    extracted-key, the shape of virtually every real std::set comparator
+    (case-folded strings, by-field ordering, rounded/banded numerics,
+    modular classes) — induces equivalence classes that are exactly the
+    equality classes of ``key``, so canonical-representative dedup is a
+    key-partitioned first-occurrence pick: one shuffle at any scale.
+
+    Build one with ``compare_by(key_fn)``; arbitrary pairwise comparators
+    outside this family raise NotImplementedError with this note (also
+    recorded in COVERAGE.md §2.2)."""
+
+    def __init__(self, key: ColumnFn):
+        self.key = key
+
+
+def compare_by(key: ColumnFn) -> KeyComparator:
+    """Comparator ordering elements by an extracted key — the supported
+    ``distinct(comparator)`` family (see KeyComparator)."""
+    return KeyComparator(key)
+
+
 class SemanticFrame:
     """A stream of (value, __idx) pairs backed by a DataFrame.
 
@@ -162,10 +191,33 @@ class SemanticFrame:
         semantics; we expose the stream unchanged (see peek_observe)."""
         return self
 
-    def distinct(self, key: ColumnFn | None = None) -> "SemanticFrame":
+    def distinct(
+        self,
+        key: ColumnFn | None = None,
+        comparator: "KeyComparator | Callable | None" = None,
+    ) -> "SemanticFrame":
         """First-occurrence (in push order) dedup, re-counted
-        (reference semantic.h:1122-1164). ``key`` gives dedup under a
-        custom equivalence (the comparator overload)."""
+        (reference semantic.h:1122-1164).
+
+        ``key`` dedups under a custom equivalence directly; ``comparator``
+        is the std::set strict-weak-ordering overload, supported for the
+        compare-by-key family (``compare_by(key_fn)`` — see KeyComparator
+        for why that family is the distributable subset). An arbitrary
+        pairwise comparator raises NotImplementedError rather than
+        silently running an O(n²) all-pairs plan."""
+        if comparator is not None:
+            if key is not None:
+                raise ValueError("pass either key or comparator, not both")
+            if isinstance(comparator, KeyComparator):
+                key = comparator.key
+            else:
+                raise NotImplementedError(
+                    "distinct(comparator) supports the compare-by-key family "
+                    "only (frame.compare_by): a black-box pairwise comparator "
+                    "cannot be hash-partitioned without an O(n^2) all-pairs "
+                    "join — express the ordering as a key extractor instead "
+                    "(COVERAGE.md §2.2)"
+                )
         k = self._v if key is None else _apply(key, self._v, self._i)
         tagged = self.df.withColumn("__k", k)
         w = Window.partitionBy("__k").orderBy(ORD)

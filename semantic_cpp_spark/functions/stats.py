@@ -139,6 +139,10 @@ def percentiles_exact_sorted(df, col: Column, ps: list[float], names: list[str])
 
     if len(ps) != len(names):
         raise ValueError("ps and names must align")
+    if not ps:
+        # zero percentiles: a 0-column select is legal downstream but the
+        # isin() rank filter below would throw — short-circuit (ADVICE r3)
+        return df.sparkSession.range(1).select()
     for p in ps:
         if not 0.0 <= p <= 1.0:
             raise ValueError("percentile fraction must be in [0, 1]")

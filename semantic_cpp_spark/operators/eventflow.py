@@ -84,32 +84,55 @@ def funnel(
     user with t_1..t_k (null once the funnel breaks) and the deepest
     ``stage`` reached.
 
-    Plan: k conditional-min aggregations, all on user_id — Catalyst
-    collapses them into one shuffle + k column passes over the small
-    per-user frame; the raw events are scanned once (no per-step
-    self-join against the event log)."""
-    filt = df.filter(F.col(type_col).isin(steps)).select(
-        user, type_col, F.col(tus).alias("__t")
-    )
-    # first step: plain min over matching events
-    agg = filt.groupBy(user).agg(
-        F.min(F.when(F.col(type_col) == steps[0], F.col("__t"))).alias("t_1")
-    )
-    for i, step in enumerate(steps[1:], start=2):
-        # earliest `step` event after the previous stage's time; the join
-        # re-touches only the filtered step events, keyed on user again
-        nxt = (
-            filt.filter(F.col(type_col) == step)
-            .join(agg.select(user, f"t_{i-1}"), user)
-            .filter(F.col("__t") > F.col(f"t_{i-1}"))
-            .groupBy(user)
-            .agg(F.min("__t").alias(f"t_{i}"))
+    Plan — genuinely ONE scan and ONE shuffle, no per-step joins (the
+    r3/r4 wording finally made true in r5): step events collect per user
+    into a time-sorted array, and a higher-order ``aggregate`` fold walks
+    it once, filling slot j when slot j-1 is already set and the event
+    time is strictly later. Processing in ascending time order makes the
+    greedy fill equal the per-step conditional-min semantics. Per-user
+    state is k longs; the collected array is bounded by that user's step
+    events (the k-join formulation this replaces shuffled the filtered
+    log k-1 extra times)."""
+    k = len(steps)
+    step_idx = F.lit(None).cast("int")
+    for j in range(k - 1, -1, -1):
+        step_idx = F.when(F.col(type_col) == steps[j], j).otherwise(step_idx)
+    per_user = (
+        df.filter(F.col(type_col).isin(steps))
+        .select(
+            user,
+            F.struct(F.col(tus).alias("t"), step_idx.alias("i")).alias("__e"),
         )
-        agg = agg.join(nxt, user, "left")
+        .groupBy(user)
+        .agg(F.sort_array(F.collect_list("__e")).alias("__evs"))
+    )
+
+    def _fill(acc, e):
+        slots = []
+        for j in range(k):
+            prev_ok = (
+                F.lit(True)
+                if j == 0
+                else acc[j - 1].isNotNull() & (e["t"] > acc[j - 1])
+            )
+            slots.append(
+                F.when(
+                    acc[j].isNull() & (e["i"] == j) & prev_ok, e["t"]
+                ).otherwise(acc[j])
+            )
+        return F.array(*slots)
+
+    init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+    folded = per_user.select(
+        user, F.aggregate("__evs", init, _fill).alias("__ts")
+    )
     stage = F.lit(0)
-    for i in range(1, len(steps) + 1):
+    for i in range(1, k + 1):
         stage = F.when(F.col(f"t_{i}").isNotNull(), i).otherwise(stage)
-    return agg.withColumn("stage", stage.cast("long"))
+    return folded.select(
+        user,
+        *[F.col("__ts")[i].alias(f"t_{i + 1}") for i in range(k)],
+    ).withColumn("stage", stage.cast("long"))
 
 
 US_PER_DAY = 86_400_000_000

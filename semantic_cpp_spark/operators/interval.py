@@ -44,16 +44,20 @@ def interval_join(
     an integral `div` — float division corrupts epoch-scale longs)."""
     if window <= 0:
         raise ValueError("window must be positive")
+    # collision-proof bucket column (ADVICE r3: a user column named "__b"
+    # was silently clobbered)
+    b = "__b"
+    taken = set(left.columns) | set(right.columns)
+    while b in taken:
+        b += "_"
     lbucket = F.expr(f"{left_time} div {window}")
-    lb = left.withColumn(
-        "__b", F.explode(F.array(lbucket, lbucket + F.lit(1)))
-    )
-    rb = right.withColumn("__b", F.expr(f"{right_time} div {window}"))
+    lb = left.withColumn(b, F.explode(F.array(lbucket, lbucket + F.lit(1))))
+    rb = right.withColumn(b, F.expr(f"{right_time} div {window}"))
     return (
-        lb.join(rb, [key, "__b"])
+        lb.join(rb, [key, b])
         .filter(
             (F.col(right_time) >= F.col(left_time))
             & (F.col(right_time) <= F.col(left_time) + window)
         )
-        .drop("__b")
+        .drop(b)
     )

@@ -24,7 +24,7 @@ from semantic_cpp_spark.frame import SemanticFrame
 from semantic_cpp_spark.functions import stats
 from semantic_cpp_spark.indexing import IDX
 from semantic_cpp_spark.operators import collectors, windows
-from semantic_cpp_spark.session import load_table
+from semantic_cpp_spark.session import load_table, ts_micros
 from semantic_cpp_spark.sources import from_dataframe
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -176,6 +176,28 @@ def sem_distinct(spark, sf_dir):
     """first-occurrence dedup, re-based (semantic.h:1122-1142)."""
     s = _events_stream(spark, sf_dir, value="event_type").distinct()
     return s.to_df().select(_idx_out(), "value")
+
+
+@register(
+    "sem_distinct_comparator",
+    f"""WITH {EV},
+    firsts AS (SELECT CAST(floor(value / 50) AS BIGINT) AS band, min(idx) AS fi
+               FROM ev GROUP BY band)
+    SELECT row_number() OVER (ORDER BY f.fi) - 1 AS idx,
+           round(e.value, 2) AS value
+    FROM firsts f JOIN ev e ON e.idx = f.fi""",
+)
+def sem_distinct_comparator(spark, sf_dir):
+    """distinct(comparator) for the compare-by-key family (semantic.h:
+    1144-1164, std::set strict weak ordering): elements tie when their
+    50-wide value bands compare equal; the first pushed element of each
+    band survives, re-counted — frame.compare_by / KeyComparator."""
+    from semantic_cpp_spark.frame import compare_by
+
+    s = _events_stream(spark, sf_dir).distinct(
+        comparator=compare_by(lambda v: F.floor(v / 50).cast("long"))
+    )
+    return s.to_df().select(_idx_out(), F.round("value", 2).alias("value"))
 
 
 @register(
@@ -509,12 +531,17 @@ def grp_partition_by(spark, sf_dir):
     from semantic_cpp_spark.indexing import with_ordinal
 
     ev = load_table(spark, sf_dir, "events")
-    idxed = with_ordinal(ev, ["event_id"]).select(
-        IDX,
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
-        .cast("long")
-        .alias("key"),
-        F.format_string("%.2f", F.col("value")).alias("value"),
+    # day key via the dtype dispatcher (ADVICE r4): to_date("ts") breaks on
+    # the TIMESTAMP(NANOS) fixture generation where ts surfaces as LongType;
+    # integer micros div 86_400e6 == floor epoch-days on both generations
+    idxed = (
+        with_ordinal(ev, ["event_id"])
+        .withColumn("__tus", ts_micros(ev))
+        .select(
+            IDX,
+            F.expr("__tus div 86400000000").cast("long").alias("key"),
+            F.format_string("%.2f", F.col("value")).alias("value"),
+        )
     )
     buckets = collectors.partition_by_key(idxed, F.col("key"), F.col("value"))
     # explicit non-foldable single-partition key: the rank runs over bucket
@@ -617,62 +644,61 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # evicted from the window holds a green r01/r02 row, so nothing loses its
 # historical verification.
 _PRIORITY: list[str] = [
-    # -- the 26 queries that have never had a driver CORRECTNESS row
-    #    (union of r01/r02/r03 vs the 125-query registry) --
-    "evt_sessionize",
-    "evt_funnel_signup_view_purchase",
-    "evt_retention_cohorts",
-    "evt_interval_join_1h",
-    "evt_hourly_moving_avg",
-    "evt_merged_activity",
-    "evt_hourly_anomalies",
-    "evt_user_trend",
-    "stream_static_enrich",
-    "rel_cube_flag_status",
-    "rel_running_customer_revenue",
-    "rel_profile_lineitem",
-    "rel_grouped_percentiles",
-    "rel_zorder_bucket_stats",
-    "rel_price_histogram",
-    "pack_token_sequences",
-    "txt_tfidf_keywords",
-    "txt_quality_above_median",
-    "txt_quality_bands",
-    "txt_unigram_cross_entropy",
-    "txt_fuzzy_vocab_match",
-    "emb_cluster_medoids",
-    "emb_pca_project",
-    "dedup_keep_list",
-    "samp_fixed_k_per_lang",
-    "corpus_diff_versions",
-    # -- queries whose implementation changed in round 4 (need fresh rows) --
-    "sim_lsh_bucket_topk",  # O(planes) fold rewrite of lsh_signature
-    "mm_feature_extract",  # real PPM decode path replaces fake features
-    # -- new in round 4 (no prior driver row by definition) --
-    "grp_partition_by_sorted",
-    # -- backfill to 50: riskiest already-green (index-semantics quirks,
-    #    dedup/ANN family, distributed-percentile rewrite) --
-    "sem_reverse_rotation",
-    "sem_find_at_negative",
-    "sem_distinct_first_occurrence",
-    "sem_translate_wraps",
-    "sem_sub_slice",
-    "agg_quantiles",
-    "agg_mode_deterministic",
-    "agg_skew_kurt",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_embedding_near_dup",
-    "win_slide",
-    "win_tumble",
-    "grp_group_encounter_order",
-    "grp_partition_chunks",
-    "sig_fft100_pad_truncate",
+    # -- round-5-touched queries: code on their path changed this round, so
+    #    historical green rows no longer vouch and each needs a fresh one --
+    "asof_purchase_last_signup",   # r4 NameError fixed (ts_micros import)
+    "emb_pca_project",             # ArrayType output exploded to scalar rows
+    "emb_pca_norm_preserved",      # NEW: full-rank eigen-path value oracle
+    "sim_lsh_bucket_topk",         # lsh_signature O(planes) fold (real now)
+    "sim_embedding_near_dup",      # shares the rewritten lsh_signature
+    "mm_feature_extract",          # REAL stdlib PPM decode + new oracle
+    "grp_partition_by_sorted",     # day key now dtype-adaptive (ADVICE r4)
+    "evt_interval_join_1h",        # interval_join temp-column collision fix
+    "evt_funnel_signup_view_purchase",  # funnel: true single-scan fold rewrite
+    "sem_distinct_comparator",     # NEW: distinct(comparator) canonical-rep
+    # -- backfill: oldest-vintage green rows age out first (stale vouching).
+    #    All 26 queries whose latest green row is r02: --
+    "rel_q1_pricing_summary",
+    "rel_q3_top_revenue",
+    "rel_q5_nation_revenue",
+    "rel_topk_per_segment",
+    "sem_map_preserves_idx",
+    "sem_limit",
+    "sem_skip_preserves_idx",
+    "sem_sort_stable",
+    "sem_take_while",
+    "sem_drop_while",
+    "sem_concatenate",
+    "sem_flat_explode",
+    "sem_find_at",
+    "sem_bounds",
+    "sem_match_predicates",
+    "sem_join_str",
+    "agg_basic",
+    "agg_dispersion",
+    "grp_frequency_profile",
+    "txt_token_stats",
+    "txt_quality_score",
+    "txt_lang_id",
+    "txt_fingerprint",
+    "sig_dft64",
+    "sig_fft_by_window",
+    "udaf_weighted_avg",
+    # -- then the oldest r03-vintage rows, registry order: --
+    "sem_filter_rebases_idx",
+    "txt_gopher_rules",
+    "txt_bpe_token_count",
+    "mm_frame_sample",
+    "dedup_shared_spans",
+    "samp_hash_bernoulli",
+    "samp_stratified_by_lang",
+    "txt_decontaminate",
+    "txt_pii_redact",
+    "ir_bm25_topk",
+    "shard_token_budget",
+    "dedup_cc_clusters",
+    "emb_kmeans_step",
+    "udaf_per_order_weighted_avg",
 ]
 
 

@@ -71,6 +71,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     TIMESTAMP_NTZ either way.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC on the caller's session too (ADVICE r4): the NTZ branch of
+    # ts_micros casts TIMESTAMP_NTZ -> TIMESTAMP, which reads the wall-clock
+    # in the SESSION timezone — on a non-UTC driver session every timestamp
+    # would silently shift vs the DuckDB oracle's naive epoch.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

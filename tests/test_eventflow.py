@@ -127,6 +127,19 @@ def test_interval_join_bucket_straddle(spark):
     assert len(got) == 1 and got[0]["rid"] == 2
 
 
+def test_interval_join_survives_user_b_column(spark):
+    """A pre-existing __b column must not be clobbered by the internal
+    bucket column (ADVICE r3/r4): the temp name now dodges collisions."""
+    from semantic_cpp_spark.operators.interval import interval_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 250, "keep")], "k long, lid long, lt long, __b string"
+    )
+    right = spark.createDataFrame([(1, 2, 260)], "k long, rid long, rt long")
+    got = interval_join(left, right, "k", "lt", "rt", 100).collect()
+    assert len(got) == 1 and got[0]["__b"] == "keep"
+
+
 def test_interval_join_random_vs_naive(spark):
     """Randomized losslessness: bucket-blocked interval join must equal
     the naive all-pairs range scan on arbitrary key/time layouts

@@ -7,52 +7,30 @@ import pathlib
 
 from semantic_cpp_spark import registry
 
-# Queries that had never received a driver CORRECTNESS row before round 4
-# (union of CORRECTNESS_r01/r02/r03 vs the 125-query registry) — they must sit
-# inside the window this round so every registered query has a hard-gate row.
-NEVER_CHECKED_BEFORE_R4 = [
-    "evt_sessionize",
-    "evt_funnel_signup_view_purchase",
-    "evt_retention_cohorts",
-    "evt_interval_join_1h",
-    "evt_hourly_moving_avg",
-    "evt_merged_activity",
-    "evt_hourly_anomalies",
-    "evt_user_trend",
-    "stream_static_enrich",
-    "rel_cube_flag_status",
-    "rel_running_customer_revenue",
-    "rel_profile_lineitem",
-    "rel_grouped_percentiles",
-    "rel_zorder_bucket_stats",
-    "rel_price_histogram",
-    "pack_token_sequences",
-    "txt_tfidf_keywords",
-    "txt_quality_above_median",
-    "txt_quality_bands",
-    "txt_unigram_cross_entropy",
-    "txt_fuzzy_vocab_match",
-    "emb_cluster_medoids",
-    "emb_pca_project",
-    "dedup_keep_list",
-    "samp_fixed_k_per_lang",
-    "corpus_diff_versions",
+# Queries whose code path changed (or which are new) in round 5 — a
+# historical green row no longer vouches for the current code, so each must
+# sit inside this round's 50-slot driver window for a fresh one.
+TOUCHED_IN_R5 = [
+    "asof_purchase_last_signup",   # ts_micros import fix
+    "emb_pca_project",             # output exploded to scalar rows
+    "emb_pca_norm_preserved",      # new full-rank eigen oracle
+    "sim_lsh_bucket_topk",         # lsh_signature fold rewrite
+    "sim_embedding_near_dup",      # shares lsh_signature
+    "mm_feature_extract",          # real PPM decode + new oracle
+    "grp_partition_by_sorted",     # dtype-adaptive day key
+    "evt_interval_join_1h",        # interval_join collision-proof bucket col
+    "evt_funnel_signup_view_purchase",  # single-scan fold funnel
+    "sem_distinct_comparator",     # new distinct(comparator) family query
 ]
 
-# Queries whose implementation changed in round 4 — a historical green row no
-# longer vouches for the current code, so they need a fresh one.
-CHANGED_IN_R4 = ["sim_lsh_bucket_topk", "mm_feature_extract"]
 
-
-def test_never_driver_checked_queries_inside_50_window():
+def test_r5_touched_queries_inside_50_window():
     window = list(registry.queries())[:50]
-    missing = [
-        n for n in NEVER_CHECKED_BEFORE_R4 + CHANGED_IN_R4 if n not in window
-    ]
+    missing = [n for n in TOUCHED_IN_R5 if n not in window]
     assert not missing, f"outside driver window: {missing}"
 
 
-# Round-4 additions reserved in _PRIORITY; shrink as each one lands.
+# Round-5 additions reserved in _PRIORITY; shrink as each one lands.
 PLANNED: set[str] = set()
 
 
@@ -76,7 +54,15 @@ def test_no_registered_query_left_unverified_after_r4():
     root = pathlib.Path(__file__).resolve().parents[1]
     seen: set[str] = set()
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
-        seen |= set(json.loads(p.read_text()))
+        for name, row in json.loads(p.read_text()).items():
+            # a row only vouches if it is GREEN (ADVICE r4): err unset and
+            # no explicit mismatch — rows-only rows carry null matches and
+            # still count, a red row must not
+            if row.get("err") is None and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                seen.add(name)
     window = set(list(registry.queries())[:50])
     orphans = [n for n in registry.queries() if n not in seen and n not in window]
     assert not orphans, f"never driver-verified and outside window: {orphans}"

@@ -200,6 +200,25 @@ def test_distinct_with_custom_equivalence(spark):
     assert s.distinct(key=lambda v: F.lower(v)).to_list() == ["Aa", "BB"]
 
 
+def test_distinct_comparator_family(spark):
+    """The std::set comparator overload, compare-by-key family
+    (semantic.h:1144-1164): duplicates are elements neither of which
+    orders before the other — for compare_by(lower), case-folded ties.
+    Arbitrary pairwise comparators are the documented unsupported subset
+    (COVERAGE.md §2.2) and must raise, not run an O(n²) plan."""
+    import pytest
+
+    from semantic_cpp_spark.frame import compare_by
+
+    s = from_container(spark, ["Aa", "aa", "BB", "aA", "bb"])
+    got = s.distinct(comparator=compare_by(lambda v: F.lower(v))).to_list()
+    assert got == ["Aa", "BB"]
+    with pytest.raises(NotImplementedError):
+        s.distinct(comparator=lambda a, b: a < b)
+    with pytest.raises(ValueError):
+        s.distinct(key=F.lower(F.col("value")), comparator=compare_by(F.col("value")))
+
+
 def test_flat_skips_empty_containers(spark):
     """flat over an empty inner container contributes nothing
     (semantic.h:1244-1274 iterates zero times)."""

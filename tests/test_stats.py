@@ -112,6 +112,11 @@ def test_percentiles_sorted_empty_and_validation(spark):
 
     with _pt.raises(ValueError):
         percentiles_exact_sorted(df, F.col("v"), [1.5], ["m"])
+    # ps=[] short-circuits to a 0-column row instead of crashing in the
+    # isin() rank filter (ADVICE r3/r4)
+    some = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    out = percentiles_exact_sorted(some, F.col("v"), [], [])
+    assert out.columns == [] and out.count() == 1
 
 
 def test_approx_count_distinct_within_tolerance(spark):
