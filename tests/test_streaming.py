@@ -256,6 +256,70 @@ def test_session_window_closes_in_append_mode(spark, tmp_path):
     assert rows.get((1, base // 1000)) == 2
 
 
+def test_checkpoint_restart_no_loss_no_dup(spark, tmp_path):
+    """Kill-and-resume for a CUSTOM STATEFUL operator (r3/r4 verdict task):
+    run count-based tumbling windows over file 1, stop the query (the
+    query object is discarded — recovery has only the checkpoint), drop
+    file 2, restart the SAME sink+checkpoint, and require:
+
+    - no loss: every full window a single batch run would emit is present,
+      including windows whose rows SPAN the stop/restart boundary (those
+      prove the buffered remainder was restored from the state store, not
+      from memory);
+    - no duplication: each (user, win) appears exactly once in the durable
+      sink (file-sink commit log + checkpointed offsets = exactly-once).
+    """
+    ev = _batch_events(spark).orderBy("event_id")
+    n_total = ev.count()
+    half = n_total // 2
+    src = str(tmp_path / "ckpt_src")
+    out = str(tmp_path / "ckpt_out")
+    ckpt = str(tmp_path / "ckpt_state")
+    ev.limit(half).coalesce(1).write.parquet(f"{src}/f=1")
+
+    def run_once():
+        stream = _stream(spark, src)
+        q = (
+            ops.count_tumble_per_user(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # first run: file 1 only, then "killed"
+    # second half lands while the query is down
+    ev.subtract(ev.limit(half)).coalesce(1).write.parquet(f"{src}/f=2")
+    run_once()  # restart from checkpoint
+
+    sink = spark.read.parquet(out).collect()
+    seen = [(r["user_id"], r["win"]) for r in sink]
+    assert len(seen) == len(set(seen)), "duplicated window emissions"
+    # batch expectation: per user, ordered by event_id, chunks of SIZE
+    import collections
+
+    size = ops.COUNT_WINDOW_SIZE
+    per_user = collections.defaultdict(list)
+    for r in ev.select("user_id", "event_id", "value").collect():
+        per_user[r["user_id"]].append((r["event_id"], r["value"]))
+    expect = {}
+    for u, rows in per_user.items():
+        rows.sort()
+        for w in range(len(rows) // size):
+            chunk = [v for _, v in rows[w * size : (w + 1) * size]]
+            expect[(u, w)] = (len(chunk), round(sum(chunk), 6))
+    got = {
+        (r["user_id"], r["win"]): (r["n"], round(r["sum_value"], 6))
+        for r in sink
+    }
+    assert got == expect
+
+
 def test_use_infinite_stream_affine(spark):
     """useInfinite as a genuinely unbounded Structured Streaming source
     (semantic.h:1763-1783): the rate-micro-batch index drives the
