@@ -72,19 +72,63 @@ def _pnm_tokens(buf: bytes, n: int) -> tuple[list[bytes], int]:
     return toks, pos
 
 
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) via struct: bottom-up
+    BGR rows with 4-byte padding, returned as top-down RGB to match the
+    PPM convention."""
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("BMP truncated before headers")
+    off, hdr_size = struct.unpack_from("<II", payload, 10)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP unsupported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decodable (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    if width <= 0 or height == 0 or planes != 1:
+        raise ValueError(f"bad BMP geometry {width}x{height} planes={planes}")
+    topdown = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for r in range(height):
+        src = r if topdown else height - 1 - r
+        row = payload[off + src * stride : off + src * stride + width * 3]
+        if len(row) != width * 3:
+            raise ValueError("BMP raster truncated")
+        # BGR -> RGB per pixel
+        rows.append(
+            bytes(
+                row[3 * x + 2 - c]
+                for x in range(width)
+                for c in range(3)
+            )
+        )
+    return width, height, 255, b"".join(rows)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL image decode for the netpbm family, pure stdlib: PPM binary
-    (P6) and ASCII (P3). Returns (width, height, maxval, rgb_bytes) with
-    the raster in row-major R,G,B order exactly as stored.
+    """REAL image decode, pure stdlib: netpbm PPM binary (P6) / ASCII
+    (P3) and uncompressed 24-bit BMP. Returns (width, height, maxval,
+    rgb_bytes) with the raster row-major top-down R,G,B.
 
     Compressed formats (JPEG/PNG/...) need codec libraries this container
     doesn't ship — those magics raise NotImplementedError, and callers
     fall back to the clearly-marked deterministic fake."""
     magic = bytes(payload[:2])
+    if magic == b"BM":
+        return _decode_bmp(payload)
     if magic not in (b"P6", b"P3"):
         raise NotImplementedError(
-            f"no stdlib decoder for magic {magic!r} — PPM P6/P3 only; "
-            "JPEG/PNG/audio/video require PIL/libjpeg/ffmpeg"
+            f"no stdlib decoder for magic {magic!r} — PPM P6/P3 and "
+            "uncompressed 24-bit BMP only; JPEG/PNG/audio/video require "
+            "PIL/libjpeg/ffmpeg"
         )
     toks, pos = _pnm_tokens(payload, 4)
     width, height, maxval = int(toks[1]), int(toks[2]), int(toks[3])
@@ -183,13 +227,13 @@ def extract_features(df: DataFrame) -> DataFrame:
             out = []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 b = bytes(payload)
-                if b[:2] in (b"P6", b"P3"):
+                if b[:2] in (b"P6", b"P3", b"BM"):
                     try:
                         out.append(_decode_features(int(doc_id), b))
                         continue
-                    except ValueError:
-                        # P?-prefixed but not actually netpbm (e.g. text
-                        # payload that happens to start with "P6")
+                    except (ValueError, NotImplementedError):
+                        # magic-prefixed but not actually decodable (text
+                        # payload starting with "P6"/"BM", compressed BMP)
                         pass
                 out.append(_fake_features(int(doc_id), b))
             yield pd.DataFrame(

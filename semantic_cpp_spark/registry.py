@@ -651,6 +651,7 @@ _PRIORITY: list[str] = [
     "emb_pca_norm_preserved",      # NEW: full-rank eigen-path value oracle
     "sim_lsh_bucket_topk",         # lsh_signature O(planes) fold (real now)
     "sim_embedding_near_dup",      # shares the rewritten lsh_signature
+    "sim_quantized_topk",          # NEW: int8-quantized ANN + exact rescore
     "mm_feature_extract",          # REAL stdlib PPM decode + new oracle
     "grp_partition_by_sorted",     # day key now dtype-adaptive (ADVICE r4)
     "evt_interval_join_1h",        # interval_join temp-column collision fix
@@ -698,7 +699,6 @@ _PRIORITY: list[str] = [
     "shard_token_budget",
     "dedup_cc_clusters",
     "emb_kmeans_step",
-    "udaf_per_order_weighted_avg",
 ]
 
 

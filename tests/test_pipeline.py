@@ -170,6 +170,27 @@ def test_lsh_signature_small_dims_matches_unrolled_reference(spark):
     assert got[0] == 0
 
 
+def test_quantized_topk_recall_and_zero_vector(spark):
+    """int8-quantized ANN: quantization must keep cosine ranks close —
+    on well-separated random vectors the approx top-3 equals the exact
+    top-3 — and an all-zero vector must quantize to zeros (not NaN)."""
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(40, 32))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    rows.append((40, [0.0] * 32))  # zero vector: valid corpus member
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.quantized_topk(df, [7], k=3).collect()
+    assert [r["q_id"] for r in got] == [7, 7, 7]
+    sims = vecs @ vecs[7] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[7]))
+    sims[7] = -np.inf
+    exact_top = set(int(i) for i in np.argsort(-sims)[:3])
+    assert {r["vec_id"] for r in got} == exact_top
+    # rescored cos must match the exact cosine to rounding
+    for r in got:
+        assert abs(r["cos"] - sims[r["vec_id"]]) < 1e-5
+        assert abs(r["approx_cos"] - sims[r["vec_id"]]) < 0.05  # int8 error band
+
+
 def test_text_analysis_basics(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the hat"), (2, "zz9")], "doc_id long, text string"
@@ -234,6 +255,45 @@ def test_ppm_decode_errors():
         multimodal.decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
     with pytest.raises(NotImplementedError):  # JPEG magic
         multimodal.decode_image(b"\xff\xd8\xff\xe0")
+
+
+def _make_bmp(width, height, rgb_topdown, topdown=False):
+    """Hand-assemble an uncompressed 24-bit BMP (bottom-up unless
+    topdown): BGR rows padded to 4 bytes."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    order = range(height) if topdown else range(height - 1, -1, -1)
+    for r in order:
+        row = bytearray()
+        for x in range(width):
+            rr, g, b = rgb_topdown[(r * width + x) * 3 : (r * width + x) * 3 + 3]
+            row += bytes([b, g, rr])
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    raster = b"".join(rows)
+    h = height if not topdown else -height
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + info + raster
+
+
+def test_bmp_decode_both_orientations():
+    """Uncompressed 24-bit BMP: bottom-up (positive height) and top-down
+    (negative height) both decode to the same top-down RGB raster."""
+    rgb = bytes(range(2 * 2 * 3))  # 2x2 image, distinct bytes
+    for topdown in (False, True):
+        payload = _make_bmp(2, 2, rgb, topdown=topdown)
+        w, h, maxval, px = multimodal.decode_image(payload)
+        assert (w, h, maxval) == (2, 2, 255)
+        assert px == rgb
+    with pytest.raises(NotImplementedError):  # 8-bit palette BMP
+        import struct
+
+        bad = bytearray(_make_bmp(2, 2, rgb))
+        struct.pack_into("<H", bad, 28, 8)
+        multimodal.decode_image(bytes(bad))
 
 
 def test_ppm_render_decode_roundtrip_and_features(spark):

@@ -166,6 +166,38 @@ def test_bm25_topk_uses_take_ordered(spark, qs):
     assert "Sort [score" not in plan
 
 
+def test_funnel_single_shuffle_no_joins(spark, qs):
+    """The r5 funnel rewrite's claim, pinned: one scan of the event log,
+    one hash exchange on user_id (the collect_list groupBy), and NO join
+    operator anywhere — the old formulation self-joined the filtered log
+    per step."""
+    plan = _plan(qs["evt_funnel_signup_view_purchase"](spark, SF))
+    assert "Join" not in plan, plan[:2000]
+    import re
+
+    exchanges = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
+    assert exchanges == 1, plan[:2000]
+    assert plan.count("FileScan") == 1
+
+
+def test_lsh_signature_plan_stays_flat(spark):
+    """The O(planes) fold form at production embedding width: the
+    signature expression for 1024 dims x 24 planes must analyze fast and
+    produce a plan whose size is dominated by the (unavoidable) literal
+    plane matrix, not a nested add-chain — i.e. it still fits through
+    codegen without falling back to interpreted mode on depth."""
+    from semantic_cpp_spark.pipeline import similarity
+
+    df = spark.createDataFrame([(0, [0.5] * 1024)], "vec_id long, embedding array<double>")
+    out = df.select(
+        similarity.lsh_signature(F.col("embedding"), 1024, 24).alias("sig")
+    )
+    # analysis + execution completes (the unrolled form stalled analysis);
+    # the single aggregate/transform pair keeps operator count O(1)
+    assert out.schema["sig"].dataType.typeName() == "long"
+    assert out.count() == 1
+
+
 def test_sessionize_single_window_exchange(spark, qs):
     """lag + running sum share one (user) partition/order: exactly one
     exchange on user_id for the window work, and no global (empty

@@ -21,6 +21,7 @@ TOUCHED_IN_R5 = [
     "evt_interval_join_1h",        # interval_join collision-proof bucket col
     "evt_funnel_signup_view_purchase",  # single-scan fold funnel
     "sem_distinct_comparator",     # new distinct(comparator) family query
+    "sim_quantized_topk",          # new int8-quantized ANN query
 ]
 
 
