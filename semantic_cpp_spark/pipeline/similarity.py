@@ -61,6 +61,16 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def safe_cos(a: Column, b: Column) -> Column:
+    """Cosine similarity, null when either vector has zero norm (the
+    undefined case): under Spark's ANSI mode a bare division would THROW
+    on an all-zero corpus vector, and null sorts last under the desc
+    rank ordering every top-k here uses — exactly the intended 'never a
+    candidate' behavior."""
+    d = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    return F.when(d != 0, dot(a, b) / d)
+
+
 def plane_sign(plane: int, dim: int) -> int:
     """Deterministic ±1 entry of pseudo-random hyperplane `plane` at `dim`,
     derived from md5 (public, engine-portable)."""
@@ -81,16 +91,13 @@ def cosine_topk(
     q = e.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    nrm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            (dot(F.col("v"), F.col("qv")) / (nrm(F.col("v")) * nrm(F.col("qv")))).alias(
-                "cos"
-            ),
+            safe_cos(F.col("v"), F.col("qv")).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
@@ -173,15 +180,6 @@ def quantized_topk(
         F.col("v").alias("qv_full"),
         F.col("qv").alias("qq"),
     )
-    nrm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
-
-    def safe_cos(a, b):
-        # zero-norm members (all-zero vectors) have undefined cosine:
-        # null, which sorts last under desc — and under ANSI mode a plain
-        # division would THROW on them, not NaN
-        d = nrm(a) * nrm(b)
-        return F.when(d != 0, dot(a, b) / d)
-
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -230,15 +228,12 @@ def lsh_bucket_topk(
     q = e.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("sig").alias("qsig")
     )
-    nrm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
     scored = (
         e.join(F.broadcast(q), (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("q_id")))
         .select(
             "q_id",
             "vec_id",
-            (dot(F.col("v"), F.col("qv")) / (nrm(F.col("v")) * nrm(F.col("qv")))).alias(
-                "cos"
-            ),
+            safe_cos(F.col("v"), F.col("qv")).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
@@ -270,10 +265,7 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("sig", lsh_signature(F.col("v"), dims, planes))
     a, b = e.alias("a"), e.alias("b")
-    nrm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        nrm(F.col("a.v")) * nrm(F.col("b.v"))
-    )
+    cos = safe_cos(F.col("a.v"), F.col("b.v"))
     return (
         a.join(
             b,
@@ -315,8 +307,7 @@ def ivf_assign(
     cents = e.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
     )
-    nrm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
-    cos = dot(F.col("v"), F.col("cv")) / (nrm(F.col("v")) * nrm(F.col("cv")))
+    cos = safe_cos(F.col("v"), F.col("cv"))
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "c_id", cos.alias("ccos")
     )
@@ -349,8 +340,7 @@ def ivf_topk(
         F.col("v").alias("qv"),
         F.col("centroid_id").alias("q_cent"),
     )
-    nrm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
-    cos = dot(F.col("v"), F.col("qv")) / (nrm(F.col("v")) * nrm(F.col("qv")))
+    cos = safe_cos(F.col("v"), F.col("qv"))
     scored = assigned.join(
         F.broadcast(q),
         (F.col("centroid_id") == F.col("q_cent"))

@@ -652,6 +652,8 @@ _PRIORITY: list[str] = [
     "sim_lsh_bucket_topk",         # lsh_signature O(planes) fold (real now)
     "sim_embedding_near_dup",      # shares the rewritten lsh_signature
     "sim_quantized_topk",          # NEW: int8-quantized ANN + exact rescore
+    "sim_cosine_topk",             # safe_cos zero-norm guard (r5)
+    "sim_ivf_topk",                # safe_cos zero-norm guard (r5)
     "mm_feature_extract",          # REAL stdlib PPM decode + new oracle
     "grp_partition_by_sorted",     # day key now dtype-adaptive (ADVICE r4)
     "evt_interval_join_1h",        # interval_join temp-column collision fix
@@ -697,8 +699,6 @@ _PRIORITY: list[str] = [
     "txt_pii_redact",
     "ir_bm25_topk",
     "shard_token_budget",
-    "dedup_cc_clusters",
-    "emb_kmeans_step",
 ]
 
 

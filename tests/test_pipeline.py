@@ -170,6 +170,15 @@ def test_lsh_signature_small_dims_matches_unrolled_reference(spark):
     assert got[0] == 0
 
 
+def test_cosine_topk_tolerates_zero_vector(spark):
+    """A zero-norm corpus vector must never crash (ANSI divide-by-zero)
+    nor rank as a candidate: its cosine is null → sorted last."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.cosine_topk(df, [0], k=2).collect()
+    assert [r["vec_id"] for r in got] == [1, 3]  # zero vector excluded
+
+
 def test_quantized_topk_recall_and_zero_vector(spark):
     """int8-quantized ANN: quantization must keep cosine ranks close —
     on well-separated random vectors the approx top-3 equals the exact

@@ -22,6 +22,8 @@ TOUCHED_IN_R5 = [
     "evt_funnel_signup_view_purchase",  # single-scan fold funnel
     "sem_distinct_comparator",     # new distinct(comparator) family query
     "sim_quantized_topk",          # new int8-quantized ANN query
+    "sim_cosine_topk",             # safe_cos zero-norm guard
+    "sim_ivf_topk",                # safe_cos zero-norm guard
 ]
 
 
