@@ -145,6 +145,110 @@ def lsh_signature(vec: Column, dims: int, planes: int = LSH_PLANES) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
+def _lsh_bit_array(vec: Column, dims: int, planes: int) -> Column:
+    """Per-plane sign bits (array<long> of 0/1) via the same flat
+    array-literal + fold expression shape as lsh_signature."""
+    plane_mat = F.array(
+        *[
+            F.array(*[F.lit(float(plane_sign(p, d))) for d in range(dims)])
+            for p in range(planes)
+        ]
+    )
+    return F.transform(
+        plane_mat,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(vec, plane, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def lsh_band_keys(
+    vec: Column, dims: int, planes: int, band_bits: int
+) -> Column:
+    """Banded signature keys (array<long>, one per band): ``planes`` sign
+    bits split into planes/band_bits bands; band b's key packs its bits
+    plus ``b << band_bits`` so keys from different bands never collide.
+
+    This is the OR-of-ANDs construction (same as the MinHash banding):
+    two vectors are candidates iff ANY band matches — the scale path for
+    WIDE signatures, where a single whole-signature key (2^planes
+    buckets) would over-fragment and recall would collapse.
+    derived_lsh_planes clamps the single-key form at 24 planes for
+    exactly this reason."""
+    if planes % band_bits != 0:
+        raise ValueError("planes must be a multiple of band_bits")
+    bits = _lsh_bit_array(vec, dims, planes)
+    n_bands = planes // band_bits
+    keys = []
+    for b in range(n_bands):
+        key = F.lit(b * (1 << band_bits)).cast("long")
+        for j in range(band_bits):
+            key = key + F.element_at(bits, b * band_bits + j + 1) * F.lit(
+                1 << j
+            ).cast("long")
+        keys.append(key)
+    return F.array(*keys)
+
+
+def lsh_banded_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dims: int = 64,
+    planes: int = 16,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via BANDED LSH: candidates are vectors sharing
+    at least one signature band with the query (OR-of-ANDs), then exact
+    cosine on the (deduplicated) candidates. Compared to the single-key
+    bucket join, banding keeps recall at wide signatures: per-band
+    collision probability is cos-angle^band_bits, amplified across
+    planes/band_bits independent bands.
+
+    Plan shape: corpus explodes into n_bands (band, key) rows, joins the
+    broadcast exploded query side on the key, dedups (q_id, vec_id) with
+    a first-value aggregate (vectors are identical across duplicate
+    band hits), and windows top-k per query — the corpus shuffles once
+    on the band key, never all-pairs. Output: (q_id, rk, vec_id, cos)."""
+    e = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bkeys", lsh_band_keys(F.col("v"), dims, planes, band_bits))
+    ec = e.select("vec_id", "v", F.explode("bkeys").alias("bkey"))
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.explode("bkeys").alias("bkey"),
+    )
+    cand = (
+        ec.join(F.broadcast(q), "bkey")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.first("v").alias("v"), F.first("qv").alias("qv"))
+    )
+    scored = cand.select(
+        "q_id", "vec_id", safe_cos(F.col("v"), F.col("qv")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            F.col("rk").cast("long").alias("rk"),
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
 def quantize_q127(vec: Column) -> Column:
     """Symmetric int8 quantization: q_i = round(x_i · 127 / max|x|) as an
     array<long> (values ∈ [−127, 127]; all-zero vectors quantize to

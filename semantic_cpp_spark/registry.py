@@ -654,6 +654,7 @@ _PRIORITY: list[str] = [
     "sim_quantized_topk",          # NEW: int8-quantized ANN + exact rescore
     "sim_cosine_topk",             # safe_cos zero-norm guard (r5)
     "sim_ivf_topk",                # safe_cos zero-norm guard (r5)
+    "sim_lsh_banded_topk",         # NEW: OR-of-ANDs banded LSH
     "mm_feature_extract",          # REAL stdlib PPM decode + new oracle
     "grp_partition_by_sorted",     # day key now dtype-adaptive (ADVICE r4)
     "evt_interval_join_1h",        # interval_join temp-column collision fix
@@ -698,7 +699,6 @@ _PRIORITY: list[str] = [
     "txt_decontaminate",
     "txt_pii_redact",
     "ir_bm25_topk",
-    "shard_token_budget",
 ]
 
 

@@ -321,6 +321,48 @@ def sim_quantized_topk(spark, sf_dir):
     return similarity.quantized_topk(emb, [0, 1, 2], k=5)
 
 
+def _lsh_banded_sql() -> str:
+    planes_lit = similarity.lsh_plane_sql_literal(64, 16)
+    return f"""WITH planes AS (SELECT {planes_lit} AS pl),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    proj AS (
+      SELECT e.vec_id, p.p, list_dot_product(e.v, planes.pl[p.p + 1]) AS d
+      FROM e, (SELECT unnest(range(0, 16)) AS p) p, planes),
+    bands AS (
+      SELECT vec_id, p // 4 AS b,
+             ((p // 4) * 16
+              + sum(CASE WHEN d > 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END)
+             )::BIGINT AS bkey
+      FROM proj GROUP BY vec_id, b),
+    qb AS (SELECT vec_id AS q_id, bkey FROM bands WHERE vec_id IN (0, 1, 2)),
+    cand AS (SELECT DISTINCT q.q_id, b.vec_id
+             FROM bands b JOIN qb q ON b.bkey = q.bkey AND b.vec_id <> q.q_id),
+    sc AS (SELECT c.q_id, c.vec_id,
+                  list_dot_product(ev.v, eq.v)
+                    / sqrt(list_dot_product(ev.v, ev.v)
+                           * list_dot_product(eq.v, eq.v)) AS cos
+           FROM cand c
+           JOIN e ev ON ev.vec_id = c.vec_id
+           JOIN e eq ON eq.vec_id = c.q_id),
+    r AS (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+          FROM sc)
+    SELECT q_id, rk, vec_id, round(cos, 6) AS cos FROM r WHERE rk <= 5"""
+
+
+@register("sim_lsh_banded_topk", _lsh_banded_sql())
+def sim_lsh_banded_topk(spark, sf_dir):
+    """Banded (OR-of-ANDs) LSH top-5 for queries {0,1,2}: 16 sign bits in
+    4 bands of 4 — candidates share ANY band, exact cosine on the
+    deduplicated candidate set (similarity.lsh_banded_topk). The
+    wide-signature scale path derived_lsh_planes points to beyond its
+    24-plane single-key clamp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_banded_topk(
+        emb, [0, 1, 2], k=5, dims=64, planes=16, band_bits=4
+    )
+
+
 @register("sim_lsh_bucket_topk", _lsh_sql())
 def sim_lsh_topk(spark, sf_dir):
     """Approximate top-5 via random-hyperplane LSH buckets (8 sign bits,

@@ -170,6 +170,30 @@ def test_lsh_signature_small_dims_matches_unrolled_reference(spark):
     assert got[0] == 0
 
 
+def test_banded_lsh_candidates_superset_of_bucket(spark):
+    """OR-of-ANDs amplification: with the SAME planes, a whole-signature
+    match implies every band matches, so banded candidates are a superset
+    of single-key bucket candidates — banded top-1 cosine is therefore
+    never worse. Checked per query on random vectors."""
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(80, 16)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    qids = [3, 11]
+    bucket = similarity.lsh_bucket_topk(df, qids, k=1, dims=16, planes=8).collect()
+    banded = similarity.lsh_banded_topk(
+        df, qids, k=1, dims=16, planes=8, band_bits=4
+    ).collect()
+    b1 = {r["q_id"]: r["cos"] for r in bucket}
+    n1 = {r["q_id"]: r["cos"] for r in banded}
+    for q in b1:  # bucket found a candidate → banded must do at least as well
+        assert q in n1 and n1[q] >= b1[q] - 1e-9
+    with pytest.raises(ValueError):  # planes must split into whole bands
+        similarity.lsh_band_keys(F.col("embedding"), 16, 10, 4)
+
+
 def test_cosine_topk_tolerates_zero_vector(spark):
     """A zero-norm corpus vector must never crash (ANSI divide-by-zero)
     nor rank as a candidate: its cosine is null → sorted last."""

@@ -24,6 +24,7 @@ TOUCHED_IN_R5 = [
     "sim_quantized_topk",          # new int8-quantized ANN query
     "sim_cosine_topk",             # safe_cos zero-norm guard
     "sim_ivf_topk",                # safe_cos zero-norm guard
+    "sim_lsh_banded_topk",         # new banded-LSH query
 ]
 
 
