@@ -94,20 +94,23 @@ def funnel(
     events (the k-join formulation this replaces shuffled the filtered
     log k-1 extra times)."""
     k = len(steps)
-    step_idx = F.lit(None).cast("int")
-    for j in range(k - 1, -1, -1):
-        step_idx = F.when(F.col(type_col) == steps[j], j).otherwise(step_idx)
     per_user = (
         df.filter(F.col(type_col).isin(steps))
         .select(
             user,
-            F.struct(F.col(tus).alias("t"), step_idx.alias("i")).alias("__e"),
+            F.struct(
+                F.col(tus).alias("t"), F.col(type_col).alias("ty")
+            ).alias("__e"),
         )
         .groupBy(user)
         .agg(F.sort_array(F.collect_list("__e")).alias("__evs"))
     )
 
     def _fill(acc, e):
+        # per-slot TYPE comparison (not a precomputed single step index):
+        # repeated step names ([A, A] funnels) stay fillable, and because
+        # every slot condition reads the PRE-event accumulator, one event
+        # can satisfy at most one slot per fold step
         slots = []
         for j in range(k):
             prev_ok = (
@@ -117,7 +120,7 @@ def funnel(
             )
             slots.append(
                 F.when(
-                    acc[j].isNull() & (e["i"] == j) & prev_ok, e["t"]
+                    acc[j].isNull() & (e["ty"] == steps[j]) & prev_ok, e["t"]
                 ).otherwise(acc[j])
             )
         return F.array(*slots)

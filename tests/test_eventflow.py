@@ -73,6 +73,27 @@ def test_funnel_strict_ordering(spark):
     assert out[4]["stage"] == 1
 
 
+def test_funnel_repeated_step_names(spark):
+    """A funnel may legitimately repeat a step ([purchase, purchase] =
+    'second purchase'): slot j fills from any event of steps[j]'s TYPE
+    strictly after slot j-1, so two distinct purchase events fill both
+    slots — and a single event never fills two."""
+    rows = [
+        (0, 1, 0, "purchase", 0.0),
+        (1, 1, 10, "purchase", 0.0),
+        (2, 1, 20, "purchase", 0.0),
+        (3, 2, 5, "purchase", 0.0),  # only one purchase → stage 1
+    ]
+    out = {
+        r["user_id"]: r
+        for r in eventflow.funnel(
+            _events(spark, rows), ["purchase", "purchase"]
+        ).collect()
+    }
+    assert out[1]["stage"] == 2 and out[1]["t_1"] == 0 and out[1]["t_2"] == 10
+    assert out[2]["stage"] == 1 and out[2]["t_1"] == 5 and out[2]["t_2"] is None
+
+
 def test_retention_cohort_matrix(spark):
     day = eventflow.US_PER_DAY
     rows = [
