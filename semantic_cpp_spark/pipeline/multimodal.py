@@ -247,6 +247,58 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize: decode (any stdlib-decodable format), nearest-
+    neighbor resample (src = (out·src_dim) // out_dim, the standard
+    floor mapping), re-encode as P6 PPM. Pure stdlib, deterministic —
+    the decode→transform→re-encode shape a production thumbnailer has,
+    minus only the codec library."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dimensions must be positive")
+    w, h, maxval, px = decode_image(payload)
+    rows = bytearray()
+    for y in range(out_h):
+        sy = (y * h) // out_h
+        for x in range(out_w):
+            sx = (x * w) // out_w
+            base = (sy * w + sx) * 3
+            rows += px[base : base + 3]
+    header = f"P6\n{out_w} {out_h}\n{maxval}\n".encode("ascii")
+    return header + bytes(rows)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """mapInPandas batch resize over decodable payloads: narrow,
+    partition-preserving, emits the same (doc_id, payload, meta) shape so
+    downstream stages (extract_features, sample_frames) compose."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "payload": resize_ppm(bytes(payload), out_w, out_h),
+                        "mime": "image/x-portable-pixmap",
+                        "codec": "ppm",
+                    }
+                )
+            pdf = pd.DataFrame(
+                out, columns=["doc_id", "payload", "mime", "codec"]
+            )
+            yield pdf
+
+    flat = df.mapInPandas(
+        kernel, schema="doc_id long, payload binary, mime string, codec string"
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(F.col("mime"), F.col("codec")).alias("meta"),
+    )
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx long, off long, n_bytes long, checksum string"
 
 

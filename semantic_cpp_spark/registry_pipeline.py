@@ -573,6 +573,46 @@ def txt_bpe_token_count(spark, sf_dir):
 
 
 @register(
+    "mm_resize_features",
+    """WITH sz AS (SELECT doc_id,
+                          (8 + doc_id % 9) AS w,
+                          (8 + (doc_id // 9) % 9) AS h
+                   FROM documents),
+    grid AS (SELECT y.range AS y, x.range AS x, c.range AS c
+             FROM range(0, 4) y, range(0, 4) x, range(0, 3) c),
+    px AS (SELECT s.doc_id,
+                  (s.doc_id * 31
+                   + (((g.y * s.h) // 4) * s.w + ((g.x * s.w) // 4)) * 3
+                   + g.c) % 256 AS v
+           FROM sz s CROSS JOIN grid g)
+    SELECT doc_id,
+           59::BIGINT AS n_bytes,
+           4::INT AS width, 4::INT AS height,
+           round(sum(v) / 48 / 255.0, 9) AS feat_mean
+    FROM px GROUP BY doc_id""",
+)
+def mm_resize_features(spark, sf_dir):
+    """Real decode→RESIZE→re-encode→decode chain: per-doc PPM payloads
+    are nearest-neighbor downsampled to 4×4 (multimodal.resize_ppm, the
+    (out·src)//out floor mapping), re-encoded as P6, and pushed through
+    the real feature extractor. The DuckDB oracle replays the exact NN
+    index arithmetic on the closed-form pixel function — a hard value
+    check on the whole thumbnail pipeline (n_bytes 59 = 11-byte
+    'P6/4 4/255' header + 48 raster bytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_ppm_payload(docs)
+    resized = multimodal.resize_images(payload, 4, 4)
+    feats = multimodal.extract_features(resized)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round("feat_mean", 9).alias("feat_mean"),
+    )
+
+
+@register(
     "mm_frame_sample",
     """WITH d AS (SELECT doc_id, text, octet_length(encode(text))::BIGINT AS nb
                   FROM documents WHERE doc_id < 50),

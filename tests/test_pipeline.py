@@ -329,6 +329,28 @@ def test_bmp_decode_both_orientations():
         multimodal.decode_image(bytes(bad))
 
 
+def test_resize_ppm_nearest_neighbor_exact():
+    """NN resize must hit the exact (out·src)//out source pixels — down
+    AND up — and re-encode a decodable P6."""
+    src = multimodal.render_ppm(5)
+    w, h, _, px = multimodal.decode_image(src)
+    for ow, oh in ((4, 4), (2, 7), (2 * w, 2 * h)):
+        out = multimodal.resize_ppm(src, ow, oh)
+        rw, rh, maxval, rpx = multimodal.decode_image(out)
+        assert (rw, rh, maxval) == (ow, oh, 255)
+        expect = bytearray()
+        for y in range(oh):
+            sy = (y * h) // oh
+            for x in range(ow):
+                sx = (x * w) // ow
+                expect += px[(sy * w + sx) * 3 : (sy * w + sx) * 3 + 3]
+        assert rpx == bytes(expect), (ow, oh)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        multimodal.resize_ppm(src, 0, 4)
+
+
 def test_ppm_render_decode_roundtrip_and_features(spark):
     """render_ppm → decode_image round-trips header and raster, and the
     Spark extract_features path returns the REAL decoded dimensions/mean

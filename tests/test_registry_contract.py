@@ -25,6 +25,7 @@ TOUCHED_IN_R5 = [
     "sim_cosine_topk",             # safe_cos zero-norm guard
     "sim_ivf_topk",                # safe_cos zero-norm guard
     "sim_lsh_banded_topk",         # new banded-LSH query
+    "mm_resize_features",          # new resize-chain query
 ]
 
 
