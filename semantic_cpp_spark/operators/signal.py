@@ -107,7 +107,7 @@ def fft_by_window(df: DataFrame, value: Column, size: int) -> DataFrame:
         value.cast("double").alias("x"),
     )
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("i")
         block = _transform_block(pdf["x"].to_numpy(), "fft")
         block.insert(0, "win_start", key[0])

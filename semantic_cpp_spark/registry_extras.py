@@ -127,7 +127,7 @@ def udaf_per_order_weighted_avg(spark, sf_dir):
         .filter(F.col("l_orderkey") % 10 == 0)
     )
 
-    def collector(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def collector(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # identity (0,0) → accumulate (Σxw, Σw) → finish (divide; None on
         # zero weight). Rounding stays in Spark so both engines round with
         # the same half-up rule.

@@ -73,6 +73,49 @@ def test_funnel_strict_ordering(spark):
     assert out[4]["stage"] == 1
 
 
+def test_funnel_randomized_vs_naive(spark):
+    """Randomized pin for the fold rewrite: the one-shuffle greedy fill
+    must equal the naive per-step conditional-min semantics (earliest
+    step-1, then earliest step-2 strictly after, ...) on arbitrary event
+    soups, including duplicate timestamps and irrelevant types."""
+    import random
+
+    steps = ["a", "b", "c"]
+    types = steps + ["x", "y"]
+    for seed in (5, 77):
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.randint(1, 6), rng.randint(0, 30), rng.choice(types), 0.0)
+            for i in range(120)
+        ]
+        got = {
+            r["user_id"]: (r["t_1"], r["t_2"], r["t_3"], r["stage"])
+            for r in eventflow.funnel(_events(spark, rows), steps).collect()
+        }
+        # naive reference: per user, sorted by time, per-step conditional min
+        by_user = {}
+        for _, u, t, ty, _v in rows:
+            by_user.setdefault(u, []).append((t, ty))
+        for u, evs in by_user.items():
+            if not any(ty in steps for _, ty in evs):
+                assert u not in got
+                continue
+            ts = [None, None, None]
+            prev = None
+            for j, step in enumerate(steps):
+                cand = [
+                    t
+                    for t, ty in evs
+                    if ty == step and (j == 0 or (prev is not None and t > prev))
+                ]
+                ts[j] = min(cand) if cand and (j == 0 or prev is not None) else None
+                prev = ts[j]
+                if prev is None:
+                    break
+            stage = max((j + 1 for j in range(3) if ts[j] is not None), default=0)
+            assert got[u] == (ts[0], ts[1], ts[2], stage), (seed, u, evs)
+
+
 def test_funnel_repeated_step_names(spark):
     """A funnel may legitimately repeat a step ([purchase, purchase] =
     'second purchase'): slot j fills from any event of steps[j]'s TYPE
