@@ -657,6 +657,7 @@ _PRIORITY: list[str] = [
     "sim_lsh_banded_topk",         # NEW: OR-of-ANDs banded LSH
     "mm_feature_extract",          # REAL stdlib PPM decode + new oracle
     "mm_resize_features",          # NEW: decode→NN-resize→re-encode chain
+    "mm_audio_features",           # NEW: real WAV decode (stdlib wave)
     "grp_partition_by_sorted",     # day key now dtype-adaptive (ADVICE r4)
     "evt_interval_join_1h",        # interval_join temp-column collision fix
     "evt_funnel_signup_view_purchase",  # funnel: true single-scan fold rewrite
@@ -698,7 +699,6 @@ _PRIORITY: list[str] = [
     "samp_hash_bernoulli",
     "samp_stratified_by_lang",
     "txt_decontaminate",
-    "txt_pii_redact",
 ]
 
 

@@ -613,6 +613,39 @@ def mm_resize_features(spark, sf_dir):
 
 
 @register(
+    "mm_audio_features",
+    """WITH sz AS (SELECT doc_id, 256 + doc_id % 128 AS n FROM documents),
+    s AS (SELECT z.doc_id, z.n,
+                 ((z.doc_id * 17 + r.range * 13) % 2001) - 1000 AS v
+          FROM sz z CROSS JOIN range(0, 384) r WHERE r.range < z.n)
+    SELECT doc_id,
+           1::INT AS n_channels, 8000::INT AS sample_rate,
+           n::BIGINT AS n_frames,
+           round(sqrt(sum(v * v) / n), 6) AS rms,
+           max(abs(v))::INT AS peak
+    FROM s GROUP BY doc_id, n""",
+)
+def mm_audio_features(spark, sf_dir):
+    """Audio modality through a REAL decode: per-doc 16-bit PCM WAV
+    payloads (stdlib wave writer, closed-form samples) decoded back with
+    the stdlib wave reader (multimodal.decode_audio) into channel/rate/
+    frame-count/RMS/peak features; the DuckDB oracle replays the sample
+    formula — integer sums are engine-exact, so RMS hash-matches at
+    6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_wav_payload(docs)
+    feats = multimodal.extract_audio_features(payload)
+    return feats.select(
+        "doc_id",
+        "n_channels",
+        "sample_rate",
+        "n_frames",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    )
+
+
+@register(
     "mm_frame_sample",
     """WITH d AS (SELECT doc_id, text, octet_length(encode(text))::BIGINT AS nb
                   FROM documents WHERE doc_id < 50),

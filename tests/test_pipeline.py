@@ -329,6 +329,32 @@ def test_bmp_decode_both_orientations():
         multimodal.decode_image(bytes(bad))
 
 
+def test_wav_render_decode_roundtrip(spark):
+    """render_wav writes a true RIFF/WAVE container (stdlib wave writer)
+    and decode_audio recovers the exact closed-form samples; the Spark
+    feature path reproduces RMS/peak; compressed-audio magic raises."""
+    import math
+
+    for doc_id in (0, 99):
+        b = multimodal.render_wav(doc_id)
+        nch, rate, nframes, samples = multimodal.decode_audio(b)
+        n = 256 + doc_id % 128
+        expect = [((doc_id * 17 + i * 13) % 2001) - 1000 for i in range(n)]
+        assert (nch, rate, nframes) == (1, 8000, n)
+        assert samples == expect
+    df = spark.createDataFrame([(99,)], "doc_id long")
+    feats = multimodal.extract_audio_features(
+        multimodal.attach_wav_payload(df)
+    ).collect()[0]
+    n = 256 + 99 % 128
+    expect = [((99 * 17 + i * 13) % 2001) - 1000 for i in range(n)]
+    assert feats["n_frames"] == n
+    assert feats["peak"] == max(abs(s) for s in expect)
+    assert abs(feats["rms"] - math.sqrt(sum(s * s for s in expect) / n)) < 1e-9
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"ID3\x04\x00")  # mp3
+
+
 def test_resize_ppm_nearest_neighbor_exact():
     """NN resize must hit the exact (out·src)//out source pixels — down
     AND up — and re-encode a decodable P6."""

@@ -26,6 +26,7 @@ TOUCHED_IN_R5 = [
     "sim_ivf_topk",                # safe_cos zero-norm guard
     "sim_lsh_banded_topk",         # new banded-LSH query
     "mm_resize_features",          # new resize-chain query
+    "mm_audio_features",           # new real-WAV-decode query
 ]
 
 
