@@ -463,6 +463,53 @@ def ivf_topk(
     )
 
 
+# Above this derived plane count the single whole-signature key would
+# exceed derived_lsh_planes' clamp — switch to banding (8-bit bands keep
+# per-band collision probability meaningful at any width).
+BANDING_THRESHOLD_PLANES = 24
+BAND_BITS_DEFAULT = 8
+
+
+def ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_override: int | None = None,
+) -> DataFrame:
+    """The self-tuning ANN front door: derive the signature width from
+    the corpus size (one count job; ``n_override`` for tests/pre-counted
+    corpora) and route to the right physical strategy —
+
+    - derived planes ≤ 24 → single-key bucket join (lsh_bucket_topk):
+      one equi-join on the whole signature, the cheapest form while the
+      bucket count stays sane;
+    - wider → banded OR-of-ANDs (lsh_banded_topk) with 8-bit bands:
+      recall survives where a 2^planes single key over-fragments.
+
+    Output schema is identical either way: (q_id, rk, vec_id, cos)."""
+    n = df.count() if n_override is None else n_override
+    import math
+
+    raw_planes = (
+        1
+        if n <= LSH_TARGET_BUCKET_SIZE
+        else max(1, round(math.log2(n / LSH_TARGET_BUCKET_SIZE)))
+    )
+    if raw_planes <= BANDING_THRESHOLD_PLANES:
+        return lsh_bucket_topk(
+            df, query_ids, k=k, dims=dims, id_col=id_col, vec_col=vec_col,
+            planes=raw_planes,
+        )
+    planes = -(-raw_planes // BAND_BITS_DEFAULT) * BAND_BITS_DEFAULT
+    return lsh_banded_topk(
+        df, query_ids, k=k, dims=dims, planes=planes,
+        band_bits=BAND_BITS_DEFAULT, id_col=id_col, vec_col=vec_col,
+    )
+
+
 def lsh_plane_sql_literal(dims: int, planes: int = LSH_PLANES) -> str:
     """DuckDB literal for the plane matrix: list of per-plane ±1 lists,
     generated from the same md5 derivation."""

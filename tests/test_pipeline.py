@@ -194,6 +194,31 @@ def test_banded_lsh_candidates_superset_of_bucket(spark):
         similarity.lsh_band_keys(F.col("embedding"), 16, 10, 4)
 
 
+def test_ann_topk_routes_by_corpus_size(spark):
+    """The ANN front door picks the physical strategy from the derived
+    signature width: small corpora take the single-key bucket join;
+    web-scale counts (n_override — a real count at that size is a
+    cluster job) take 8-bit banding with planes rounded UP to whole
+    bands. Both branches return the same schema."""
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(60, 16))
+    vecs[45] = vecs[5] + rng.normal(scale=1e-3, size=16)  # planted near-dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    small = similarity.ann_topk(df, [5], k=3, dims=16).collect()
+    # n_override=2^35 (a real count at that size is a cluster job):
+    # raw planes = log2(2^35/64) = 29 → rounds up to 32 = 4×8-bit bands
+    big = similarity.ann_topk(df, [5], k=3, dims=16, n_override=2**35).collect()
+    for rows in (small, big):
+        assert rows and set(rows[0].asDict()) == {"q_id", "rk", "vec_id", "cos"}
+        assert all(r["q_id"] == 5 and r["vec_id"] != 5 for r in rows)
+    # the near-identical vector shares every sign bit → both routes
+    # must surface it at rank 1
+    assert small[0]["vec_id"] == 45 and big[0]["vec_id"] == 45
+
+
 def test_cosine_topk_tolerates_zero_vector(spark):
     """A zero-norm corpus vector must never crash (ANSI divide-by-zero)
     nor rank as a candidate: its cosine is null → sorted last."""
