@@ -351,6 +351,126 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, schema=AUDIO_FEATURE_SCHEMA)
 
 
+def render_y4m(doc_id: int) -> bytes:
+    """Deterministic YUV4MPEG2 (Y4M) video payload for fixture doc
+    ``doc_id``: 8×8 mono (Cmono = luma plane only), 4 + doc_id % 4
+    frames, luma byte i of frame f = (doc_id·7 + f·11 + i) mod 256 — a
+    closed form the DuckDB oracle can replay. Y4M is the uncompressed
+    video interchange container (mplayer/ffmpeg lingua franca) and needs
+    no codec: header line + per-frame 'FRAME\\n' markers + raw planes."""
+    w = h = 8
+    n_frames = 4 + doc_id % 4
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode("ascii"))
+    for f in range(n_frames):
+        out += b"FRAME\n"
+        out += bytes((doc_id * 7 + f * 11 + i) % 256 for i in range(w * h))
+    return bytes(out)
+
+
+def decode_video(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL video decode for uncompressed YUV4MPEG2: parses the stream
+    header (W/H/C tags), walks FRAME markers, slices the raw planes.
+    Returns (width, height, frames) where each frame is its luma (Y)
+    plane. Chroma subsampling tags size the frame correctly (mono = Y
+    only, 420 = Y + 2×(w/2·h/2), 444 = 3 planes) — the luma plane is
+    always the leading w·h bytes. Compressed containers (mp4/webm/...)
+    raise NotImplementedError."""
+    b = bytes(payload)
+    if not b.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "no stdlib decoder for this video container — uncompressed "
+            "YUV4MPEG2 only; mp4/webm/avi need codec libraries"
+        )
+    nl = b.index(b"\n")
+    w = h = None
+    chroma = "420"
+    for tag in b[:nl].split(b" ")[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            chroma = tag[1:].decode("ascii")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    luma = w * h
+    if chroma.startswith("mono"):
+        frame_size = luma
+    elif chroma.startswith("420"):
+        frame_size = luma + 2 * ((w // 2) * (h // 2))
+    elif chroma.startswith("444"):
+        frame_size = 3 * luma
+    else:
+        raise NotImplementedError(f"unsupported Y4M chroma mode {chroma!r}")
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        pos = b.index(b"\n", pos) + 1  # FRAME line may carry parameters
+        plane = b[pos : pos + frame_size]
+        if len(plane) != frame_size:
+            raise ValueError("Y4M frame truncated")
+        frames.append(plane[:luma])
+        pos += frame_size
+    return w, h, frames
+
+
+def attach_y4m_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render a real Y4M video payload per document (see render_y4m) —
+    the video twin of attach_ppm_payload / attach_wav_payload."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def _render(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: render_y4m(int(i)))
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _render(F.col(id_col)).alias("payload"),
+        F.struct(
+            F.lit("video/x-yuv4mpeg").alias("mime"), F.lit("rawvideo").alias("codec")
+        ).alias("meta"),
+    )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, width int, height int, luma_mean double"
+)
+
+
+def sample_video_frames(df: DataFrame, step: int = 2) -> DataFrame:
+    """mapInPandas REAL video frame sampling: decode the Y4M stream,
+    keep every ``step``-th frame, emit per-frame luma statistics — the
+    decode-true sibling of the byte-chunk sample_frames. 1→N fan-out,
+    narrow, Arrow-batched."""
+    if step <= 0:
+        raise ValueError("step must be positive")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                w, h, frames = decode_video(bytes(payload))
+                for fi in range(0, len(frames), step):
+                    y = frames[fi]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": fi,
+                            "width": w,
+                            "height": h,
+                            "luma_mean": sum(y) / len(y),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "luma_mean"],
+            )
+
+    return df.mapInPandas(kernel, schema=VIDEO_FRAME_SCHEMA)
+
+
 def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
     """REAL image resize: decode (any stdlib-decodable format), nearest-
     neighbor resample (src = (out·src_dim) // out_dim, the standard

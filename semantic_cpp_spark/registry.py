@@ -658,6 +658,7 @@ _PRIORITY: list[str] = [
     "mm_feature_extract",          # REAL stdlib PPM decode + new oracle
     "mm_resize_features",          # NEW: decode→NN-resize→re-encode chain
     "mm_audio_features",           # NEW: real WAV decode (stdlib wave)
+    "mm_video_frames",             # NEW: real Y4M video decode + sampling
     "grp_partition_by_sorted",     # day key now dtype-adaptive (ADVICE r4)
     "evt_interval_join_1h",        # interval_join temp-column collision fix
     "evt_funnel_signup_view_purchase",  # funnel: true single-scan fold rewrite
@@ -698,7 +699,6 @@ _PRIORITY: list[str] = [
     "dedup_shared_spans",
     "samp_hash_bernoulli",
     "samp_stratified_by_lang",
-    "txt_decontaminate",
 ]
 
 

@@ -646,6 +646,37 @@ def mm_audio_features(spark, sf_dir):
 
 
 @register(
+    "mm_video_frames",
+    """WITH sz AS (SELECT doc_id, 4 + doc_id % 4 AS nf FROM documents),
+    fr AS (SELECT doc_id, f.range AS fi
+           FROM sz CROSS JOIN range(0, 8) f
+           WHERE f.range < nf AND f.range % 2 = 0),
+    px AS (SELECT doc_id, fi,
+                  (doc_id * 7 + fi * 11 + i.range) % 256 AS v
+           FROM fr CROSS JOIN range(0, 64) i)
+    SELECT doc_id, fi AS frame_idx, 8::INT AS width, 8::INT AS height,
+           round(sum(v) / 64.0, 6) AS luma_mean
+    FROM px GROUP BY doc_id, fi""",
+)
+def mm_video_frames(spark, sf_dir):
+    """Video modality through a REAL decode: per-doc YUV4MPEG2 streams
+    (closed-form 8×8 mono frames) decoded by walking the actual Y4M
+    header + FRAME markers (multimodal.decode_video), every 2nd frame
+    sampled with its luma mean — the DuckDB oracle replays the pixel
+    formula, so genuine container parsing is value-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_y4m_payload(docs)
+    frames = multimodal.sample_video_frames(payload, step=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round("luma_mean", 6).alias("luma_mean"),
+    )
+
+
+@register(
     "mm_frame_sample",
     """WITH d AS (SELECT doc_id, text, octet_length(encode(text))::BIGINT AS nb
                   FROM documents WHERE doc_id < 50),

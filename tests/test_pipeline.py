@@ -380,6 +380,39 @@ def test_wav_render_decode_roundtrip(spark):
         multimodal.decode_audio(b"ID3\x04\x00")  # mp3
 
 
+def test_y4m_render_decode_roundtrip(spark):
+    """render_y4m → decode_video recovers width/height and the exact
+    closed-form luma planes; 420/444 chroma sizing parses; compressed
+    containers and truncated frames raise."""
+    for doc_id in (0, 7):
+        b = multimodal.render_y4m(doc_id)
+        w, h, frames = multimodal.decode_video(b)
+        assert (w, h) == (8, 8) and len(frames) == 4 + doc_id % 4
+        for f, y in enumerate(frames):
+            assert y == bytes((doc_id * 7 + f * 11 + i) % 256 for i in range(64))
+    # 420: frame = Y + 2 quarter chroma planes; luma slice still leads
+    y = bytes(range(16))  # 4x4
+    chroma = b"\x07" * 8  # 2x(2x2)
+    b420 = b"YUV4MPEG2 W4 H4 F25:1 C420jpeg\n" + b"FRAME\n" + y + chroma
+    w, h, frames = multimodal.decode_video(b420)
+    assert (w, h) == (4, 4) and frames == [y]
+    b444 = b"YUV4MPEG2 W2 H2 C444\n" + b"FRAME\n" + bytes(range(12))
+    assert multimodal.decode_video(b444)[2] == [bytes(range(4))]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_video(b"\x00\x00\x00\x20ftypmp42")  # mp4
+    with pytest.raises(ValueError):
+        multimodal.decode_video(b"YUV4MPEG2 W4 H4 Cmono\n" + b"FRAME\n" + b"\x01")
+    # Spark path: sampled frames match the closed form
+    df = spark.createDataFrame([(7,)], "doc_id long")
+    rows = multimodal.sample_video_frames(
+        multimodal.attach_y4m_payload(df), step=2
+    ).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4, 6]
+    for r in rows:
+        expect = sum((7 * 7 + r["frame_idx"] * 11 + i) % 256 for i in range(64)) / 64
+        assert abs(r["luma_mean"] - expect) < 1e-12
+
+
 def test_resize_ppm_nearest_neighbor_exact():
     """NN resize must hit the exact (out·src)//out source pixels — down
     AND up — and re-encode a decodable P6."""

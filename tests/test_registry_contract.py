@@ -27,6 +27,7 @@ TOUCHED_IN_R5 = [
     "sim_lsh_banded_topk",         # new banded-LSH query
     "mm_resize_features",          # new resize-chain query
     "mm_audio_features",           # new real-WAV-decode query
+    "mm_video_frames",             # new real-Y4M-decode query
 ]
 
 
