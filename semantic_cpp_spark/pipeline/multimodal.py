@@ -283,14 +283,29 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
             "no stdlib decoder for this audio container — RIFF/WAVE PCM "
             "only; mp3/ogg/aac need codec libraries"
         )
-    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-        nch, width, rate, nframes = (
-            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            nch, width, rate, nframes = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
+            )
+            if width != 2:
+                raise NotImplementedError(
+                    f"only 16-bit PCM supported (width={width})"
+                )
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError, RuntimeError) as exc:
+        # malformed RIFF internals: surface the module's uniform
+        # bad-payload error, not wave's/chunk's own exception types
+        # (chunk.Chunk raises bare RuntimeError on out-of-bounds seeks —
+        # found by the hostile-bytes fuzz test)
+        raise ValueError(f"corrupt WAVE payload: {exc}") from exc
+    # a truncated data chunk yields fewer bytes than the header promised
+    n_samples = len(raw) // 2
+    if n_samples != nframes * nch:
+        raise ValueError(
+            f"WAVE data truncated: {n_samples} samples of {nframes * nch}"
         )
-        if width != 2:
-            raise NotImplementedError(f"only 16-bit PCM supported (width={width})")
-        raw = w.readframes(nframes)
-    samples = list(struct.unpack(f"<{nframes * nch}h", raw))
+    samples = list(struct.unpack(f"<{n_samples}h", raw[: n_samples * 2]))
     return nch, rate, nframes, samples
 
 

@@ -380,6 +380,44 @@ def test_wav_render_decode_roundtrip(spark):
         multimodal.decode_audio(b"ID3\x04\x00")  # mp3
 
 
+def test_decoders_fail_cleanly_on_hostile_bytes():
+    """Fuzz contract for every real decoder: arbitrary bytes — including
+    bytes that START like a valid magic — either decode or raise
+    ValueError/NotImplementedError. Never IndexError, struct.error,
+    wave.Error, or a hang: a 100 TB ingest WILL contain corrupt blobs,
+    and a kernel that dies with an internal exception type poisons the
+    whole task instead of being quarantineable."""
+    import random
+
+    rng = random.Random(99)
+    magics = [b"", b"P6", b"P3", b"BM", b"RIFF", b"YUV4MPEG2", b"RIFFxxxxWAVE"]
+    decoders = [
+        multimodal.decode_image,
+        multimodal.decode_audio,
+        multimodal.decode_video,
+    ]
+    for _ in range(300):
+        payload = rng.choice(magics) + bytes(
+            rng.randrange(256) for _ in range(rng.randrange(0, 120))
+        )
+        for dec in decoders:
+            try:
+                dec(payload)
+            except (ValueError, NotImplementedError):
+                pass  # the only allowed failure modes
+    # valid prefixes with truncated bodies, specifically
+    for cut in (10, 30, 50):
+        for whole, dec in (
+            (multimodal.render_ppm(3), multimodal.decode_image),
+            (multimodal.render_wav(3), multimodal.decode_audio),
+            (multimodal.render_y4m(3), multimodal.decode_video),
+        ):
+            try:
+                dec(whole[: len(whole) - cut])
+            except (ValueError, NotImplementedError):
+                pass
+
+
 def test_y4m_render_decode_roundtrip(spark):
     """render_y4m → decode_video recovers width/height and the exact
     closed-form luma planes; 420/444 chroma sizing parses; compressed
