@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, checksum string, width int, height int, "
-    "feat_mean double"
+    "feat_mean double, decoded boolean"
 )
 
 HAVE_CODECS = False  # no PIL/librosa/ffmpeg — compressed formats stay stubbed
@@ -196,6 +196,26 @@ def _fake_features(doc_id: int, b: bytes) -> dict:
         "width": int(h[:4], 16) % 1920,
         "height": int(h[4:8], 16) % 1080,
         "feat_mean": (sum(b[:64]) / max(min(len(b), 64), 1)) / 255.0,
+        "decoded": False,
+    }
+
+
+def _quarantine_features(doc_id: int, b: bytes) -> dict:
+    """Row for a payload whose magic CLAIMED a decodable format but whose
+    body failed to decode (corrupt/truncated PPM or BMP): real byte-level
+    metadata, NULL features, decoded=false — downstream consumers can
+    filter these out instead of receiving plausible-looking fabricated
+    dimensions (ADVICE r5)."""
+    import hashlib
+
+    return {
+        "doc_id": doc_id,
+        "n_bytes": len(b),
+        "checksum": hashlib.md5(b).hexdigest(),
+        "width": None,
+        "height": None,
+        "feat_mean": None,
+        "decoded": False,
     }
 
 
@@ -212,6 +232,7 @@ def _decode_features(doc_id: int, b: bytes) -> dict:
         "width": w,
         "height": h,
         "feat_mean": (sum(px) / len(px)) / maxval,
+        "decoded": True,
     }
 
 
@@ -230,17 +251,18 @@ def extract_features(df: DataFrame) -> DataFrame:
                 if b[:2] in (b"P6", b"P3", b"BM"):
                     try:
                         out.append(_decode_features(int(doc_id), b))
-                        continue
                     except (ValueError, NotImplementedError):
-                        # magic-prefixed but not actually decodable (text
-                        # payload starting with "P6"/"BM", compressed BMP)
-                        pass
+                        # magic claimed a decodable format but the body is
+                        # corrupt/truncated: NULL features + decoded=false
+                        # (quarantineable), never fabricated dimensions
+                        out.append(_quarantine_features(int(doc_id), b))
+                    continue
                 out.append(_fake_features(int(doc_id), b))
             yield pd.DataFrame(
                 out,
                 columns=[
                     "doc_id", "n_bytes", "checksum", "width", "height",
-                    "feat_mean",
+                    "feat_mean", "decoded",
                 ],
             )
 

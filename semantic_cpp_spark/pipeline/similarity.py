@@ -36,16 +36,26 @@ LSH_PLANES = 4
 LSH_TARGET_BUCKET_SIZE = 64
 
 
+def _raw_lsh_planes(n: int) -> int:
+    """UNCLAMPED plane derivation: round(log2(n / LSH_TARGET_BUCKET_SIZE)),
+    floor 1. Single source of truth shared by derived_lsh_planes (which
+    clamps at 24 for the single-key bucket join) and ann_topk's router
+    (which compares the raw value against BANDING_THRESHOLD_PLANES to
+    decide bucket-vs-banded) — so the derivation can never silently
+    diverge between the two."""
+    import math
+
+    if n <= LSH_TARGET_BUCKET_SIZE:
+        return 1
+    return max(1, round(math.log2(n / LSH_TARGET_BUCKET_SIZE)))
+
+
 def derived_lsh_planes(n: int) -> int:
     """Plane count from corpus size: buckets ~ n / LSH_TARGET_BUCKET_SIZE,
     clamped to [1, 24] (2^24 buckets is plenty at any n; beyond that the
     signature join key should switch to banding like the MinHash path).
     Measured sweep in SCALING.md §LSH/IVF constants."""
-    import math
-
-    if n <= LSH_TARGET_BUCKET_SIZE:
-        return 1
-    return max(1, min(24, round(math.log2(n / LSH_TARGET_BUCKET_SIZE))))
+    return min(24, _raw_lsh_planes(n))
 
 
 def derived_ivf_k(n: int) -> int:
@@ -491,13 +501,7 @@ def ann_topk(
 
     Output schema is identical either way: (q_id, rk, vec_id, cos)."""
     n = df.count() if n_override is None else n_override
-    import math
-
-    raw_planes = (
-        1
-        if n <= LSH_TARGET_BUCKET_SIZE
-        else max(1, round(math.log2(n / LSH_TARGET_BUCKET_SIZE)))
-    )
+    raw_planes = _raw_lsh_planes(n)
     if raw_planes <= BANDING_THRESHOLD_PLANES:
         return lsh_bucket_topk(
             df, query_ids, k=k, dims=dims, id_col=id_col, vec_col=vec_col,

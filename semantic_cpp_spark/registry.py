@@ -644,61 +644,66 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # evicted from the window holds a green r01/r02 row, so nothing loses its
 # historical verification.
 _PRIORITY: list[str] = [
-    # -- round-5-touched queries: code on their path changed this round, so
-    #    historical green rows no longer vouch and each needs a fresh one --
-    "asof_purchase_last_signup",   # r4 NameError fixed (ts_micros import)
-    "emb_pca_project",             # ArrayType output exploded to scalar rows
-    "emb_pca_norm_preserved",      # NEW: full-rank eigen-path value oracle
-    "sim_lsh_bucket_topk",         # lsh_signature O(planes) fold (real now)
-    "sim_embedding_near_dup",      # shares the rewritten lsh_signature
-    "sim_quantized_topk",          # NEW: int8-quantized ANN + exact rescore
-    "sim_cosine_topk",             # safe_cos zero-norm guard (r5)
-    "sim_ivf_topk",                # safe_cos zero-norm guard (r5)
-    "sim_lsh_banded_topk",         # NEW: OR-of-ANDs banded LSH
-    "mm_feature_extract",          # REAL stdlib PPM decode + new oracle
-    "mm_resize_features",          # NEW: decode→NN-resize→re-encode chain
-    "mm_audio_features",           # NEW: real WAV decode (stdlib wave)
-    "mm_video_frames",             # NEW: real Y4M video decode + sampling
-    "grp_partition_by_sorted",     # day key now dtype-adaptive (ADVICE r4)
-    "evt_interval_join_1h",        # interval_join temp-column collision fix
-    "evt_funnel_signup_view_purchase",  # funnel: true single-scan fold rewrite
-    "sem_distinct_comparator",     # NEW: distinct(comparator) canonical-rep
-    # -- backfill: oldest-vintage green rows age out first (stale vouching).
-    #    All 26 queries whose latest green row is r02: --
-    "rel_q1_pricing_summary",
-    "rel_q3_top_revenue",
-    "rel_q5_nation_revenue",
-    "rel_topk_per_segment",
-    "sem_map_preserves_idx",
-    "sem_limit",
-    "sem_skip_preserves_idx",
-    "sem_sort_stable",
-    "sem_take_while",
-    "sem_drop_while",
-    "sem_concatenate",
-    "sem_flat_explode",
-    "sem_find_at",
-    "sem_bounds",
-    "sem_match_predicates",
-    "sem_join_str",
-    "agg_basic",
-    "agg_dispersion",
-    "grp_frequency_profile",
-    "txt_token_stats",
-    "txt_quality_score",
-    "txt_lang_id",
-    "txt_fingerprint",
-    "sig_dft64",
-    "sig_fft_by_window",
-    "udaf_weighted_avg",
-    # -- then the oldest r03-vintage rows, registry order: --
-    "sem_filter_rebases_idx",
-    "txt_gopher_rules",
-    "txt_bpe_token_count",
-    "mm_frame_sample",
-    "dedup_shared_spans",
-    "samp_hash_bernoulli",
-    "samp_stratified_by_lang",
+    # -- round-6-touched queries: code or ORACLE on their path changed this
+    #    round (zero-norm cos guard mirrored into every sim_* oracle, the
+    #    `decoded` quarantine column in extract_features, the ann_topk
+    #    router registrations), so each needs a fresh driver row --
+    "sim_ann_router_bucket",       # NEW: router's single-key side under gate
+    "sim_ann_router_banded",       # NEW: router's banded side under gate
+    "sim_cosine_topk",             # oracle: guarded cos + NULLS LAST
+    "sim_lsh_bucket_topk",         # oracle: guarded cos + NULLS LAST
+    "sim_quantized_topk",          # oracle: guarded cos ×2 + NULLS LAST
+    "sim_lsh_banded_topk",         # oracle: guarded cos + parameterized SQL
+    "sim_embedding_near_dup",      # oracle: guarded cos
+    "sim_ivf_topk",                # oracle: guarded cos ×2 + NULLS LAST
+    "mm_feature_extract",          # NEW `decoded` column in result + oracle
+    "mm_resize_features",          # extract_features kernel changed (decoded)
+    # -- backfill: oldest-vintage rows age out (stale vouching). All 42
+    #    queries whose latest green row is r03; the window holds 50, so the
+    #    final two entries below spill to the r7 window --
+    "stream_tumble_hour",
+    "stream_slide_2h_30m",
+    "stream_session_5m",
+    "stream_distinct_keys",
+    "stream_running_stats",
+    "stream_count_windows",
+    "stream_stream_join",
+    "stream_topk_per_user",
+    "rel_q6_forecast_revenue",
+    "rel_q7_nation_volume",
+    "rel_q8_market_share",
+    "rel_q10_returned_items",
+    "rel_q13_order_histogram",
+    "rel_q14_promo_share",
+    "rel_q17_small_qty_revenue",
+    "rel_q18_large_orders",
+    "rel_q19_bracketed_discounts",
+    "rel_q22_idle_balance",
+    "rel_q4_semi_join",
+    "rel_customers_without_urgent_orders",
+    "rel_rollup_order_priority",
+    "rel_pivot_status_by_flag",
+    "rel_datetime_parts",
+    "udaf_per_order_weighted_avg",
+    "agg_distribution_profile",
+    "agg_corr_covar",
+    "agg_salted_hot_key",
+    "dedup_cc_clusters",
+    "emb_kmeans_step",
+    "ir_bm25_topk",
+    "shard_token_budget",
+    "txt_decontaminate",
+    "txt_pii_redact",
+    "txt_word_count_topk",
+    "evt_json_extract",
+    "str_charsequence_medley",
+    "str_codepoint_sequence",
+    "str_levenshtein_to_anchor",
+    "str_compare_and_join",
+    "grp_frequency_capped",
+    # -- spill to r7 (positions 51-52; lowest-risk of the r3 batch) --
+    "src_blob_bytes",
+    "reduce_bit_xor",
 ]
 
 

@@ -240,14 +240,29 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 # -- similarity search ------------------------------------------------------
 
-_COS_SQL = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+
+def _sql_cos(a: str, b: str) -> str:
+    """Zero-norm-guarded cosine for the DuckDB oracles, mirroring
+    similarity.safe_cos: NULL (explicitly sorted last) when either vector
+    has zero norm. Without the guard DuckDB's IEEE division yields NaN,
+    which its total order ranks ABOVE every value under ORDER BY cos DESC
+    — the oracle would prefer the degenerate vector exactly in the case
+    the Spark-side guard exists for (ADVICE r5)."""
+    den = f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    return (
+        f"CASE WHEN {den} = 0 THEN NULL "
+        f"ELSE list_dot_product({a}, {b}) / {den} END"
+    )
+
+
+_COS_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
 s AS (SELECT q.q_id, e.vec_id,
-             list_dot_product(e.v, q.qv)
-               / sqrt(list_dot_product(e.v, e.v) * list_dot_product(q.qv, q.qv)) AS cos
+             {_sql_cos('e.v', 'q.qv')} AS cos
       FROM e, q WHERE e.vec_id <> q.q_id),
 r AS (SELECT q_id, vec_id, cos,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC NULLS LAST, vec_id) AS rk
       FROM s)
 SELECT q_id, rk, vec_id, round(cos, 6) AS cos FROM r WHERE rk <= 5"""
 
@@ -273,18 +288,18 @@ def _lsh_sql() -> str:
     ev AS (SELECT e.vec_id, e.v, s.sig FROM e JOIN sigs s ON e.vec_id = s.vec_id),
     q AS (SELECT vec_id AS q_id, v AS qv, sig AS qsig FROM ev WHERE vec_id IN (0, 1, 2)),
     sc AS (SELECT q.q_id, ev.vec_id,
-                  list_dot_product(ev.v, q.qv)
-                    / sqrt(list_dot_product(ev.v, ev.v) * list_dot_product(q.qv, q.qv)) AS cos
+                  {_sql_cos('ev.v', 'q.qv')} AS cos
            FROM ev JOIN q ON ev.sig = q.qsig AND ev.vec_id <> q.q_id),
     r AS (SELECT q_id, vec_id, cos,
-                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC NULLS LAST, vec_id) AS rk
           FROM sc)
     SELECT q_id, rk, vec_id, round(cos, 6) AS cos FROM r WHERE rk <= 5"""
 
 
 @register(
     "sim_quantized_topk",
-    """WITH e AS (SELECT vec_id,
+    f"""WITH e AS (SELECT vec_id,
                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                   FROM embeddings),
     m AS (SELECT vec_id, v,
@@ -298,17 +313,14 @@ def _lsh_sql() -> str:
     qs AS (SELECT vec_id AS q_id, v AS qv_full, qv AS qq FROM q
            WHERE vec_id IN (0, 1, 2)),
     sc AS (SELECT qs.q_id, q.vec_id, q.v, qs.qv_full,
-                  list_dot_product(q.qv, qs.qq)
-                    / (sqrt(list_dot_product(q.qv, q.qv))
-                       * sqrt(list_dot_product(qs.qq, qs.qq))) AS approx_cos
+                  {_sql_cos('q.qv', 'qs.qq')} AS approx_cos
            FROM q CROSS JOIN qs WHERE q.vec_id <> qs.q_id),
     r AS (SELECT *, row_number() OVER (
-                      PARTITION BY q_id ORDER BY approx_cos DESC, vec_id) AS rk
+                      PARTITION BY q_id
+                      ORDER BY approx_cos DESC NULLS LAST, vec_id) AS rk
           FROM sc)
     SELECT q_id, rk, vec_id, round(approx_cos, 6) AS approx_cos,
-           round(list_dot_product(v, qv_full)
-                 / (sqrt(list_dot_product(v, v))
-                    * sqrt(list_dot_product(qv_full, qv_full))), 6) AS cos
+           round({_sql_cos('v', 'qv_full')}, 6) AS cos
     FROM r WHERE rk <= 5""",
 )
 def sim_quantized_topk(spark, sf_dir):
@@ -321,31 +333,30 @@ def sim_quantized_topk(spark, sf_dir):
     return similarity.quantized_topk(emb, [0, 1, 2], k=5)
 
 
-def _lsh_banded_sql() -> str:
-    planes_lit = similarity.lsh_plane_sql_literal(64, 16)
+def _lsh_banded_sql(planes: int = 16, band_bits: int = 4) -> str:
+    planes_lit = similarity.lsh_plane_sql_literal(64, planes)
     return f"""WITH planes AS (SELECT {planes_lit} AS pl),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     proj AS (
       SELECT e.vec_id, p.p, list_dot_product(e.v, planes.pl[p.p + 1]) AS d
-      FROM e, (SELECT unnest(range(0, 16)) AS p) p, planes),
+      FROM e, (SELECT unnest(range(0, {planes})) AS p) p, planes),
     bands AS (
-      SELECT vec_id, p // 4 AS b,
-             ((p // 4) * 16
-              + sum(CASE WHEN d > 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END)
+      SELECT vec_id, p // {band_bits} AS b,
+             ((p // {band_bits}) * {1 << band_bits}
+              + sum(CASE WHEN d > 0 THEN (1::BIGINT << (p % {band_bits})) ELSE 0 END)
              )::BIGINT AS bkey
       FROM proj GROUP BY vec_id, b),
     qb AS (SELECT vec_id AS q_id, bkey FROM bands WHERE vec_id IN (0, 1, 2)),
     cand AS (SELECT DISTINCT q.q_id, b.vec_id
              FROM bands b JOIN qb q ON b.bkey = q.bkey AND b.vec_id <> q.q_id),
     sc AS (SELECT c.q_id, c.vec_id,
-                  list_dot_product(ev.v, eq.v)
-                    / sqrt(list_dot_product(ev.v, ev.v)
-                           * list_dot_product(eq.v, eq.v)) AS cos
+                  {_sql_cos('ev.v', 'eq.v')} AS cos
            FROM cand c
            JOIN e ev ON ev.vec_id = c.vec_id
            JOIN e eq ON eq.vec_id = c.q_id),
     r AS (SELECT q_id, vec_id, cos,
-                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC NULLS LAST, vec_id) AS rk
           FROM sc)
     SELECT q_id, rk, vec_id, round(cos, 6) AS cos FROM r WHERE rk <= 5"""
 
@@ -374,6 +385,31 @@ def sim_lsh_topk(spark, sf_dir):
     )
 
 
+@register("sim_ann_router_bucket", _lsh_sql())
+def sim_ann_router_bucket(spark, sf_dir):
+    """ann_topk ROUTER exercised end-to-end on its single-key side:
+    n_override=1024 derives raw_planes=log2(1024/64)=4 ≤ the 24-plane
+    banding threshold, so the router must emit exactly the
+    lsh_bucket_topk(planes=4) plan — pinned by the same bucket oracle
+    (similarity.ann_topk, similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(emb, [0, 1, 2], k=5, dims=64, n_override=1024)
+
+
+@register("sim_ann_router_banded", _lsh_banded_sql(32, 8))
+def sim_ann_router_banded(spark, sf_dir):
+    """ann_topk ROUTER exercised on its banded side: n_override=2^31
+    derives raw_planes=log2(2^31/64)=25 > the 24-plane threshold, so the
+    router rounds up to 32 planes in 8-bit bands and must emit the
+    lsh_banded_topk(planes=32, band_bits=8) plan — pinned by the banded
+    oracle at the SAME width, proving the routing decision itself (not
+    just the endpoints) under the driver gate (VERDICT r5 gap #2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(
+        emb, [0, 1, 2], k=5, dims=64, n_override=1 << 31
+    )
+
+
 # -- multimodal plumbing ----------------------------------------------------
 
 @register(
@@ -389,7 +425,8 @@ def sim_lsh_topk(spark, sf_dir):
            (9 + length(w::VARCHAR) + length(h::VARCHAR) + w * h * 3)::BIGINT
              AS n_bytes,
            w AS width, h AS height,
-           round(sum(v) / (w * h * 3) / 255.0, 9) AS feat_mean
+           round(sum(v) / (w * h * 3) / 255.0, 9) AS feat_mean,
+           TRUE AS decoded
     FROM px GROUP BY doc_id, w, h""",
 )
 def mm_features(spark, sf_dir):
@@ -410,6 +447,7 @@ def mm_features(spark, sf_dir):
         "width",
         "height",
         F.round("feat_mean", 9).alias("feat_mean"),
+        "decoded",
     )
 
 
@@ -426,8 +464,7 @@ def _near_dup_sql(threshold: float = 0.4) -> str:
     ev AS (SELECT e.vec_id, e.v, s.sig FROM e JOIN sigs s ON e.vec_id = s.vec_id),
     pairs AS (
       SELECT a.vec_id AS d1, b.vec_id AS d2,
-             list_dot_product(a.v, b.v)
-               / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+             {_sql_cos('a.v', 'b.v')} AS cos
       FROM ev a JOIN ev b ON a.sig = b.sig AND a.vec_id < b.vec_id)
     SELECT d1, d2, round(cos, 6) AS cos FROM pairs WHERE cos >= {threshold}"""
 
@@ -447,24 +484,23 @@ _IVF_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embedding
 c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {similarity.IVF_K}),
 scored AS (
   SELECT e.vec_id, e.v, c.c_id,
-         list_dot_product(e.v, c.cv)
-           / sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv)) AS ccos
+         {_sql_cos('e.v', 'c.cv')} AS ccos
   FROM e, c),
 assigned AS (
   SELECT vec_id, v, c_id AS centroid_id
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY ccos DESC, c_id) AS r
+                                     ORDER BY ccos DESC NULLS LAST, c_id) AS r
         FROM scored)
   WHERE r = 1),
 q AS (SELECT vec_id AS q_id, v AS qv, centroid_id AS q_cent
       FROM assigned WHERE vec_id IN (0, 1, 2)),
 sc AS (SELECT q.q_id, a.vec_id,
-              list_dot_product(a.v, q.qv)
-                / sqrt(list_dot_product(a.v, a.v) * list_dot_product(q.qv, q.qv)) AS cos
+              {_sql_cos('a.v', 'q.qv')} AS cos
        FROM assigned a JOIN q
          ON a.centroid_id = q.q_cent AND a.vec_id <> q.q_id),
 r AS (SELECT q_id, vec_id, cos,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC NULLS LAST, vec_id) AS rk
       FROM sc)
 SELECT q_id, rk, vec_id, round(cos, 6) AS cos FROM r WHERE rk <= 5"""
 

@@ -63,12 +63,20 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one fixture table (TESTDATA.md) as a DataFrame.
 
-    Sets ``nanosAsLong`` on the CALLER's session too: the driver invokes
-    our queries with its own SparkSession, and a TIMESTAMP(NANOS)
-    events.ts (earlier fixture generations) is rejected by Spark's reader
-    otherwise (probe-verified). The conf is runtime-settable and only
-    affects nanos columns — TIMESTAMP(MICROS) fixtures read natively as
-    TIMESTAMP_NTZ either way.
+    SESSION-GLOBAL SIDE EFFECT (deliberate, ADVICE r5): this sets
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` and
+    ``spark.sql.session.timeZone=UTC`` on the CALLER's session — not just
+    for the loaded table but for everything that session runs afterwards.
+    Both are engine invariants, not per-table tweaks: the driver invokes
+    our queries with its own SparkSession, where (a) a TIMESTAMP(NANOS)
+    events.ts is rejected by Spark's reader without the nanos conf
+    (probe-verified), and (b) a non-UTC session would silently shift every
+    NTZ→TIMESTAMP cast relative to the DuckDB oracle's naive epoch. Every
+    query in this engine requires both settings, so the loader — the one
+    choke point every registered query passes through — pins them. A
+    caller embedding this engine in a session that needs a different
+    timezone should run engine queries on a separate SparkSession
+    (``get_spark()``), which sets the same confs at construction time.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Pin UTC on the caller's session too (ADVICE r4): the NTZ branch of

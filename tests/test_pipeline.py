@@ -289,6 +289,36 @@ def test_multimodal_plumbing_deterministic(spark):
         multimodal.decode_image(b"\x89PNG")
 
 
+def test_extract_features_quarantines_corrupt_magic(spark):
+    """Three-way decode dispatch contract (ADVICE r5): a payload whose
+    magic CLAIMS a decodable format but whose body is corrupt yields
+    decoded=false + NULL features (quarantineable) — never fabricated
+    dimensions; a real decode carries decoded=true; an opaque format
+    keeps the clearly-marked fake features with decoded=false."""
+    rows = [
+        (1, multimodal.render_ppm(1)),    # real P6 decode
+        (2, b"P6 this is not an image"),  # magic-claimed, corrupt body
+        (3, b"\x89PNG not decodable"),    # opaque format -> marked fake
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert out[1]["decoded"] is True and out[1]["width"] == 9
+    assert out[2]["decoded"] is False
+    assert out[2]["width"] is None and out[2]["feat_mean"] is None
+    assert out[2]["n_bytes"] == len(rows[1][1])  # byte metadata stays real
+    assert out[3]["decoded"] is False and out[3]["width"] is not None
+
+
+def test_raw_lsh_planes_shared_derivation():
+    """ann_topk's router and derived_lsh_planes share ONE derivation
+    (_raw_lsh_planes); the clamp is exactly min(24, raw) — pinning the
+    ADVICE r5 refactor so the two can't silently diverge."""
+    for n in (1, 64, 1024, 10**6, 2**31, 10**12):
+        raw = similarity._raw_lsh_planes(n)
+        assert similarity.derived_lsh_planes(n) == min(24, raw)
+    assert similarity._raw_lsh_planes(2**31) == 25  # unclamped past 24
+
+
 def test_ppm_decode_p6_with_comments():
     """Real stdlib decoder: P6 header with # comments and multi-space
     separators, 2x2 raster parsed byte-exact."""
