@@ -36,6 +36,45 @@ FEATURE_SCHEMA = (
 
 HAVE_CODECS = False  # no PIL/librosa/ffmpeg — compressed formats stay stubbed
 
+# -- codec plug-in seam ------------------------------------------------------
+# The honest-stub boundary doubles as the extension point: a deployment WITH
+# codec libraries installs one function here and every downstream stage
+# (extract_features, and through it mm_feature_extract / resize chains)
+# flows real features with `decoded=true` — no kernel changes. The decoder
+# receives raw payload bytes and returns the same (width, height, maxval,
+# rgb_bytes) contract as decode_image, e.g. with PIL:
+#
+#     from PIL import Image; import io
+#     def pil_decoder(b):
+#         im = Image.open(io.BytesIO(b)).convert("RGB")
+#         return im.width, im.height, 255, im.tobytes()
+#     multimodal.register_image_decoder(pil_decoder)
+#
+# Executor semantics: extract_features captures the registered decoder into
+# the kernel CLOSURE at plan-construction time, so cloudpickle ships it by
+# value to Python workers — register before building the plan, not inside it.
+_PLUGIN_DECODER = None
+
+
+def register_image_decoder(fn) -> None:
+    """Install (or with ``None`` remove) a codec-backed image decoder for
+    formats the stdlib tier raises NotImplementedError on. Contract:
+    ``fn(payload: bytes) -> (width, height, maxval, rgb_bytes)``; raise
+    ValueError/NotImplementedError for undecodable payloads."""
+    global _PLUGIN_DECODER
+    _PLUGIN_DECODER = fn
+
+
+def _decode_any(b: bytes, plugin) -> tuple[int, int, int, bytes]:
+    """Stdlib decode first; unknown magics fall through to the plug-in
+    decoder when one is installed."""
+    try:
+        return decode_image(b)
+    except NotImplementedError:
+        if plugin is None:
+            raise
+        return plugin(b)
+
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Fixture adapter: treat the utf-8 bytes of `text` as an opaque media
@@ -219,12 +258,12 @@ def _quarantine_features(doc_id: int, b: bytes) -> dict:
     }
 
 
-def _decode_features(doc_id: int, b: bytes) -> dict:
-    """REAL feature row: stdlib PPM decode → header dimensions + maxval-
-    normalized raster mean."""
+def _decode_features(doc_id: int, b: bytes, plugin=None) -> dict:
+    """REAL feature row: stdlib (or plug-in, see register_image_decoder)
+    decode → header dimensions + maxval-normalized raster mean."""
     import hashlib
 
-    w, h, maxval, px = decode_image(b)
+    w, h, maxval, px = _decode_any(b, plugin)
     return {
         "doc_id": doc_id,
         "n_bytes": len(b),
@@ -243,20 +282,26 @@ def extract_features(df: DataFrame) -> DataFrame:
     stdlib decoder; undecodable formats get the marked deterministic
     fake so plumbing still flows."""
 
+    plugin = _PLUGIN_DECODER  # captured by value into the shipped closure
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 b = bytes(payload)
-                if b[:2] in (b"P6", b"P3", b"BM"):
+                stdlib_claimed = b[:2] in (b"P6", b"P3", b"BM")
+                if stdlib_claimed or plugin is not None:
                     try:
-                        out.append(_decode_features(int(doc_id), b))
+                        out.append(_decode_features(int(doc_id), b, plugin))
+                        continue
                     except (ValueError, NotImplementedError):
-                        # magic claimed a decodable format but the body is
-                        # corrupt/truncated: NULL features + decoded=false
-                        # (quarantineable), never fabricated dimensions
-                        out.append(_quarantine_features(int(doc_id), b))
-                    continue
+                        # a stdlib magic with a corrupt body is known-bad:
+                        # NULL features + decoded=false (quarantineable),
+                        # never fabricated dimensions. A plug-in miss on an
+                        # opaque format just falls to the marked fake.
+                        if stdlib_claimed:
+                            out.append(_quarantine_features(int(doc_id), b))
+                            continue
                 out.append(_fake_features(int(doc_id), b))
             yield pd.DataFrame(
                 out,

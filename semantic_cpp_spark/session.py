@@ -51,6 +51,12 @@ def get_spark(
         # TIMESTAMP_NTZ). Keep the nanos escape hatch on and dispatch on
         # the observed dtype via ts_micros()/event_time_col().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Reference charset semantics (charsequence.h:265-495): invalid
+        # bytes decode to U+FFFD, unmappable chars encode to '?'. Spark 4's
+        # default is ANSI-strict (MALFORMED_CHARACTER_CODING throw) —
+        # hostile-byte fuzzing exposed this (r6); REPLACE restores the
+        # reference's policy. Pinned by tests/test_charsets_hypothesis.py.
+        .config("spark.sql.legacy.codingErrorAction", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
@@ -84,6 +90,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     # in the SESSION timezone — on a non-UTC driver session every timestamp
     # would silently shift vs the DuckDB oracle's naive epoch.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # U+FFFD replacement on invalid charset input (see get_spark) — the
+    # reference's decode policy must hold on the driver's session too.
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

