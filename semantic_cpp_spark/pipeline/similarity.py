@@ -81,6 +81,43 @@ def safe_cos(a: Column, b: Column) -> Column:
     return F.when(d != 0, dot(a, b) / d)
 
 
+def pair_cos_kernel() -> Column:
+    """Arrow-batched safe-cosine for HIGH-VOLUME pair verification.
+
+    The expression-level safe_cos is a higher-order ``aggregate(zip_with)``
+    fold — correct, but HOFs are interpreted (no whole-stage codegen),
+    measured ~75 µs/pair at the r6 sf1.0 step-up; fine for top-k candidate
+    sets, a straggler-maker for near-dup pair verification. This kernel
+    runs the same arithmetic vectorized over Arrow batches at ~1 µs/pair.
+
+    Bit-parity with the DuckDB oracle is preserved by SUMMATION ORDER:
+    ``cumsum`` accumulates strictly left-to-right over the dims (NOT
+    ``np.dot``/``einsum``, whose pairwise/SIMD summation differs in the
+    last ulp), matching both the fold's seed-0.0 left fold and DuckDB's
+    ``list_dot_product``. Zero-norm vectors yield None (null), matching
+    safe_cos."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(a, b):
+        import pandas as pd
+
+        out = np.empty(len(a), dtype=object)
+        if len(a):
+            av = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+            bv = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+            dot = np.cumsum(av * bv, axis=1)[:, -1]
+            na = np.sqrt(np.cumsum(av * av, axis=1)[:, -1])
+            nb = np.sqrt(np.cumsum(bv * bv, axis=1)[:, -1])
+            den = na * nb
+            for i in range(len(a)):
+                out[i] = float(dot[i] / den[i]) if den[i] != 0 else None
+        return pd.Series(out)
+
+    return _cos
+
+
 def plane_sign(plane: int, dim: int) -> int:
     """Deterministic ±1 entry of pseudo-random hyperplane `plane` at `dim`,
     derived from md5 (public, engine-portable)."""
@@ -365,6 +402,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int | None = None,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidate pairs share an LSH
     sign-bucket (blocking — never all-pairs), verified by exact cosine ≥
@@ -372,26 +410,49 @@ def embedding_near_dup_pairs(
 
     Scale shape: the bucket self-join touches only same-signature pairs;
     planes=None sizes the bucket count from the corpus (derived_lsh_planes)
-    so the per-bucket pair count stays ~LSH_TARGET_BUCKET_SIZE²."""
+    so the per-bucket pair count stays ~LSH_TARGET_BUCKET_SIZE² on
+    UNIFORM data. Real embedding corpora cluster, and sign-LSH cannot
+    split a tight cluster (near vectors colliding is its purpose) — so a
+    hot bucket's O(m²) pair scan is irreducible, but it must never become
+    ONE straggler task (measured at the r6 sf1.0 step-up: a 20k-vector
+    clustered corpus at 4 pinned planes ran a 2-task stage for ~25 min).
+
+    Fix: TRIANGLE-DISTRIBUTED self-join (pipeline.blocking): a hot bucket
+    fans out into g² independent tasks of ≤ bucket_cap² pairs each with
+    pair completeness preserved bit-for-bit (the driver oracle stays a
+    plain self-join); cold buckets degenerate to the plain join with zero
+    overhead."""
+    from semantic_cpp_spark.pipeline import blocking
+
     if planes is None:
         planes = derived_lsh_planes(df.count())
     e = df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("sig", lsh_signature(F.col("v"), dims, planes))
-    a, b = e.alias("a"), e.alias("b")
-    cos = safe_cos(F.col("a.v"), F.col("b.v"))
+    e = blocking.triangle_tag(e, ["sig"], "vec_id", bucket_cap)
+    # Explicit co-partitioned exchanges (fixed numPartitions, exempt from
+    # AQE coalescing): the join INPUT is tiny in bytes but the pair
+    # explosion inside it is the compute — AQE's byte-based coalescer
+    # would otherwise merge every triangle task onto 1-2 cores (measured
+    # ~25 min straggler at the sf1.0 step-up). Key ORDER matters: b's
+    # (sig, __t, __gid) aligns positionally with a's (sig, __gid, __t)
+    # under the triangle join condition, so both sides hash identically
+    # and the join reuses these exchanges as-is.
+    p = df.sparkSession.sparkContext.defaultParallelism
+    a = e.repartition(p, "sig", "__gid", "__t").alias("a")
+    b = e.repartition(p, "sig", "__t", "__gid").alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.sig") == F.col("b.sig"))
+        & blocking.triangle_cond("a", "b")
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("d1"),
+        F.col("b.vec_id").alias("d2"),
+        pair_cos_kernel()(F.col("a.v"), F.col("b.v")).alias("cos"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("d1"),
-            F.col("b.vec_id").alias("d2"),
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
+        pairs.filter(F.col("cos") >= threshold)
         .select("d1", "d2", F.round("cos", 6).alias("cos"))
     )
 

@@ -54,6 +54,34 @@ def test_minhash_lsh_candidates(docs):
     assert all(j >= 0.5 for j in pairs.values())
 
 
+def test_minhash_skew_clique_triangle_complete(spark):
+    """Skew torture (VERDICT r5 #8): an 80%-duplicate corpus puts the
+    whole clique in one band bucket. The triangle-distributed band join
+    must return the IDENTICAL pair set under a tiny bucket_cap (forcing
+    ceil(48/4)=12 groups → 144-way fan-out of the hot bucket) as under an
+    effectively-infinite cap (the plain self-join)."""
+    rows = [(i, "the same duplicated boilerplate text body here") for i in range(48)]
+    rows += [(48 + i, f"unique document number {i} with words {i*7} {i*13}")
+             for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(cap):
+        return {
+            (r["d1"], r["d2"]): r["est_jaccard"]
+            for r in dedup.minhash_lsh_pairs(
+                df, F.col("text"), F.col("doc_id"), threshold=0.5,
+                bucket_cap=cap,
+            ).collect()
+        }
+
+    capped, plain = pairs(4), pairs(1 << 30)
+    assert capped == plain
+    # the clique itself: all 48·47/2 duplicate pairs present at ĵ=1.0
+    clique = {k: v for k, v in capped.items() if k[0] < 48 and k[1] < 48}
+    assert len(clique) == 48 * 47 // 2
+    assert all(v == 1.0 for v in clique.values())
+
+
 def test_simhash_signature_properties(docs):
     sigs = {
         r["doc_id"]: r["simhash"]
@@ -336,6 +364,51 @@ def test_plugin_decoder_flows_through_extract_features(spark):
     assert abs(out[1]["feat_mean"] - (sum(range(24)) / 24) / 255) < 1e-12
     assert out[2]["decoded"] is True and out[2]["width"] == 8 + 2 % 9
     assert out[3]["decoded"] is False  # plug-in miss -> marked fake
+
+
+def test_near_dup_triangle_join_complete_under_tiny_cap(spark):
+    """The triangle-distributed self-join (hot-bucket straggler fix, r6
+    sf1.0 finding) must preserve pair COMPLETENESS exactly: with a cap so
+    small every bucket is forced to split into many groups, the result
+    still equals the plain all-pairs-in-bucket answer."""
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=16)
+    # one tight cluster (everything collides in one sign bucket) + noise
+    vecs = [base + rng.normal(scale=0.01, size=16) for _ in range(30)]
+    vecs += [rng.normal(size=16) for _ in range(10)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["d1"], r["d2"]): r["cos"]
+        for r in similarity.embedding_near_dup_pairs(
+            df, threshold=0.9, dims=16, planes=2, bucket_cap=4
+        ).collect()
+    }
+    # brute-force expectation: same signature AND cos >= threshold
+    import numpy.linalg as la
+
+    sig = []
+    for v in vecs:
+        s = 0
+        for p in range(2):
+            plane = np.array([similarity.plane_sign(p, d) for d in range(16)])
+            s += (1 << p) * (int(np.dot(v, plane) > 0))
+        sig.append(s)
+    want = {}
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if sig[i] == sig[j]:
+                c = float(
+                    np.dot(vecs[i], vecs[j])
+                    / (la.norm(vecs[i]) * la.norm(vecs[j]))
+                )
+                if c >= 0.9:
+                    want[(i, j)] = round(c, 6)
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key] - want[key]) < 1e-6
 
 
 def test_ann_recall_floors(spark):

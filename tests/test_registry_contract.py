@@ -21,12 +21,13 @@ TOUCHED_IN_R6 = [
     "sim_ivf_topk",                # oracle: zero-norm guard ×2
     "mm_feature_extract",          # `decoded` column in result + oracle
     "mm_resize_features",          # extract_features kernel changed
+    "dedup_minhash_lsh",           # triangle band join + narrow-dedup plan
 ]
 
-# r6 window policy (VERDICT r5 #4): 10 touched + the 42-query r3-vintage
-# backfill = 52 candidates for 50 slots; the last 2 _PRIORITY entries
+# r6 window policy (VERDICT r5 #4): 11 touched + the 42-query r3-vintage
+# backfill = 53 candidates for 50 slots; the last 3 _PRIORITY entries
 # deliberately spill to the r7 window.
-EXPECTED_SPILL = 2
+EXPECTED_SPILL = 3
 
 
 def test_r6_touched_queries_inside_50_window():
