@@ -659,6 +659,7 @@ _PRIORITY: list[str] = [
     "mm_feature_extract",          # NEW `decoded` column in result + oracle
     "mm_resize_features",          # extract_features kernel changed (decoded)
     "dedup_minhash_lsh",           # triangle band join + narrow-dedup plan
+    "udaf_weighted_avg",           # decimal-exact int64-cents accumulation
     # -- backfill: oldest-vintage rows age out (stale vouching). All 42
     #    queries whose latest green row is r03; the window holds 50, so the
     #    final two entries below spill to the r7 window --
@@ -700,8 +701,8 @@ _PRIORITY: list[str] = [
     "str_charsequence_medley",
     "str_codepoint_sequence",
     "str_levenshtein_to_anchor",
+    # -- spill to r7 (positions 51-54; lowest-risk of the r3 batch) --
     "str_compare_and_join",
-    # -- spill to r7 (positions 51-53; lowest-risk of the r3 batch) --
     "grp_frequency_capped",
     "src_blob_bytes",
     "reduce_bit_xor",

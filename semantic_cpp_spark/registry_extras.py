@@ -77,10 +77,17 @@ def sig_fft_window(spark, sf_dir):
 
 @register(
     "udaf_weighted_avg",
-    """SELECT l_returnflag,
-              round(sum(l_extendedprice * l_quantity) / nullif(sum(l_quantity), 0), 6)
-                AS weighted_avg_price
-       FROM lineitem GROUP BY l_returnflag""",
+    """WITH s AS (
+         SELECT l_returnflag,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS sxw,
+                sum(CAST(l_quantity AS BIGINT)) AS sw
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag,
+              CAST((sxw // sw) * 10000
+                   + ((sxw % sw) * 10000 + sw // 2) // sw AS BIGINT)
+                / 1000000.0 AS weighted_avg_price
+       FROM s""",
 )
 def udaf_weighted_avg(spark, sf_dir):
     """useCollect with an ALGEBRAIC collector (collector.h:476-486): the
@@ -90,27 +97,52 @@ def udaf_weighted_avg(spark, sf_dir):
     scalable shape for low-cardinality keys — routing the whole table
     through grouped pandas frames would materialise ~⅓ of lineitem per
     task. nullif guards the all-zero-weight group (NULL, as the reference
-    collector's finisher would divide-by-zero)."""
+    collector's finisher would divide-by-zero).
+
+    DECIMAL-EXACT accumulation AND rounding (r6 sf1.0 findings): float
+    Σ(price·qty) differs between Spark's and DuckDB's summation ORDERS in
+    the last ulp, and even with exact integer sums, rounding the float
+    quotient to 6dp diverges on exact half-way ties (Spark's round goes
+    through BigDecimal.valueOf's shortest-string HALF_UP; DuckDB rounds
+    the exact binary value). Both killed at once: sum exact int64 cents
+    (order-independent), then derive the 6 decimal digits with PURE
+    INTEGER arithmetic — micros = (s div w)·10⁴ + ((s mod w)·10⁴ +
+    w div 2) div w — the identical formula on both engines, so ties
+    cannot exist. Intermediates stay < 2⁵³·: s ≤ rows·5·10⁸, and the
+    remainder term is < w·10⁴. Final value = micros/10⁶ (one exact-int
+    double division on each side)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
     )
-    return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
-            / F.nullif(F.sum("l_quantity"), F.lit(0.0)),
-            6,
-        ).alias("weighted_avg_price")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.sum(cents * qty).alias("sxw"), F.sum(qty).alias("sw")
+    )
+    micros = F.expr(
+        "(sxw div sw) * 10000 + ((sxw % sw) * 10000 + sw div 2) div sw"
+    )
+    return s.select(
+        "l_returnflag", (micros / 1000000.0).alias("weighted_avg_price")
     )
 
 
 @register(
     "udaf_per_order_weighted_avg",
-    """SELECT l_orderkey,
-              round(sum(l_extendedprice * l_quantity) / nullif(sum(l_quantity), 0), 6)
-                AS weighted_avg_price,
-              count(*) AS n_lines
-       FROM lineitem WHERE l_orderkey % 10 = 0
-       GROUP BY l_orderkey HAVING count(*) >= 4""",
+    """WITH s AS (
+         SELECT l_orderkey,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS sxw,
+                sum(CAST(l_quantity AS BIGINT)) AS sw,
+                count(*) AS n_lines
+         FROM lineitem WHERE l_orderkey % 10 = 0
+         GROUP BY l_orderkey HAVING count(*) >= 4)
+       SELECT l_orderkey,
+              CAST((sxw // sw) * 10000
+                   + ((sxw % sw) * 10000 + sw // 2) // sw AS BIGINT)
+                / 1000000.0 AS weighted_avg_price,
+              n_lines
+       FROM s""",
 )
 def udaf_per_order_weighted_avg(spark, sf_dir):
     """useCollect as a grouped pandas UDAF (collector.h:476-486) on a
@@ -118,7 +150,12 @@ def udaf_per_order_weighted_avg(spark, sf_dir):
     frames stay tiny at every SF and the groups fan out across all
     executors — the scale-correct home for a non-algebraic Python
     finisher. Per-group state = (Σxw, Σw) accumulate → finish by guarded
-    division, exactly the reference's collector stages, Arrow-batched."""
+    division, exactly the reference's collector stages, Arrow-batched.
+
+    Accumulates in EXACT int64 cents and derives the 6dp digits with the
+    same pure-integer micros formula as udaf_weighted_avg (r6 sf1.0
+    findings: float summation-order drift AND half-way-tie rounding
+    divergence both flip 6dp boundaries once group counts reach 10×)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_quantity")
@@ -128,15 +165,22 @@ def udaf_per_order_weighted_avg(spark, sf_dir):
     )
 
     def collector(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        # identity (0,0) → accumulate (Σxw, Σw) → finish (divide; None on
-        # zero weight). Rounding stays in Spark so both engines round with
-        # the same half-up rule.
-        sxw = float((pdf["l_extendedprice"] * pdf["l_quantity"]).sum())
-        sw = float(pdf["l_quantity"].sum())
+        # identity (0,0) → accumulate exact-int (Σ cents·qty, Σqty) →
+        # finish with the pure-integer micros formula (no float rounding
+        # anywhere; see udaf_weighted_avg).
+        cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
+        qty = pdf["l_quantity"].astype("int64")
+        sxw = int((cents * qty).sum())
+        sw = int(qty.sum())
+        if sw:
+            micros = (sxw // sw) * 10000 + ((sxw % sw) * 10000 + sw // 2) // sw
+            wav = micros / 1e6
+        else:
+            wav = None
         return pd.DataFrame(
             {
                 "l_orderkey": [int(key[0])],
-                "weighted_avg_price": [sxw / sw if sw != 0.0 else None],
+                "weighted_avg_price": [wav],
                 "n_lines": [len(pdf)],
             }
         )
@@ -145,9 +189,7 @@ def udaf_per_order_weighted_avg(spark, sf_dir):
         collector, schema="l_orderkey long, weighted_avg_price double, n_lines long"
     )
     return out.filter(F.col("n_lines") >= 4).select(
-        "l_orderkey",
-        F.round("weighted_avg_price", 6).alias("weighted_avg_price"),
-        "n_lines",
+        "l_orderkey", "weighted_avg_price", "n_lines"
     )
 
 
