@@ -660,6 +660,7 @@ _PRIORITY: list[str] = [
     "mm_resize_features",          # extract_features kernel changed (decoded)
     "dedup_minhash_lsh",           # triangle band join + narrow-dedup plan
     "udaf_weighted_avg",           # decimal-exact int64-cents accumulation
+    "evt_user_trend",              # exact-cents OLS sums + -0.0 normalize
     # -- backfill: oldest-vintage rows age out (stale vouching). All 42
     #    queries whose latest green row is r03; the window holds 50, so the
     #    final two entries below spill to the r7 window --
@@ -700,8 +701,8 @@ _PRIORITY: list[str] = [
     "evt_json_extract",
     "str_charsequence_medley",
     "str_codepoint_sequence",
+    # -- spill to r7 (positions 51-55; lowest-risk of the r3 batch) --
     "str_levenshtein_to_anchor",
-    # -- spill to r7 (positions 51-54; lowest-risk of the r3 batch) --
     "str_compare_and_join",
     "grp_frequency_capped",
     "src_blob_bytes",

@@ -273,16 +273,20 @@ def evt_hourly_anomalies(spark, sf_dir):
     "evt_user_trend",
     """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events),
        m AS (SELECT user_id, min(tus) AS t0 FROM e GROUP BY user_id),
-       x AS (SELECT e.user_id, (tus - t0) // 1000000 AS xs, value AS y
+       x AS (SELECT e.user_id, (tus - t0) // 1000000 AS xs,
+                    CAST(round(value * 100) AS BIGINT) AS yc
              FROM e JOIN m ON e.user_id = m.user_id),
        s AS (SELECT user_id, count(*)::BIGINT AS n,
                     sum(xs)::BIGINT AS sx, sum(xs * xs)::BIGINT AS sxx,
-                    sum(y) AS sy, sum(xs * y) AS sxy
+                    sum(yc)::BIGINT AS syc, sum(xs * yc)::BIGINT AS sxyc
              FROM x GROUP BY user_id)
        SELECT user_id, n,
-              round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
-              round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-                AS intercept
+              round((n * sxyc - sx * syc) / (n * sxx - sx * sx) / 100.0, 9)
+                + 0 AS slope,
+              round((syc / 100.0
+                     - ((n * sxyc - sx * syc)
+                        / (n * sxx - sx * sx) / 100.0) * sx) / n, 6)
+                + 0 AS intercept
        FROM s WHERE n >= 2 AND n * sxx - sx * sx > 0""",
 )
 def evt_user_trend(spark, sf_dir):
@@ -292,23 +296,32 @@ def evt_user_trend(spark, sf_dir):
     centering + the unit change keeps Σx² exactly representable
     (raw epoch-micros would overflow int64 when squared and
     catastrophically cancel in n·Σx² − (Σx)² as doubles). Two
-    aggregations co-partitioned on user_id."""
+    aggregations co-partitioned on user_id.
+
+    y accumulates as EXACT int64 cents (r6 sf1.0 finding: float Σy/Σxy
+    drift by summation order once user counts reach 10×); every sum both
+    engines compare is an integer, and the slope/intercept doubles come
+    from the identical int-ratio expression on both sides. Bound: Σxs·yc
+    needs |xs|·|yc|·rows_per_user « 2⁶³ — holds to ~10⁸ events/user at
+    this fixture's ranges; beyond that, widen to decimal/HUGEINT."""
     ev = _events(spark, sf_dir)
     t0 = ev.groupBy("user_id").agg(F.min("tus").alias("t0"))
     x = ev.join(t0, "user_id").select(
         "user_id",
         F.expr("(tus - t0) div 1000000").alias("xs"),
-        F.col("value").alias("y"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
     )
     s = x.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("xs").cast("long").alias("sx"),
         F.sum(F.col("xs") * F.col("xs")).cast("long").alias("sxx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("xs") * F.col("y")).alias("sxy"),
+        F.sum("yc").cast("long").alias("syc"),
+        F.sum(F.col("xs") * F.col("yc")).cast("long").alias("sxyc"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        (F.col("n") * F.col("sxyc") - F.col("sx") * F.col("syc"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / 100.0
     )
     return (
         s.filter(
@@ -318,9 +331,15 @@ def evt_user_trend(spark, sf_dir):
         .select(
             "user_id",
             "n",
-            F.round(slope, 9).alias("slope"),
-            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-                "intercept"
-            ),
+            # + 0.0 normalizes IEEE -0.0 → +0.0 (a rounded tiny-negative
+            # slope repr-differs between engines otherwise; same trick as
+            # the FFT oracle)
+            (F.round(slope, 9) + 0.0).alias("slope"),
+            (
+                F.round(
+                    (F.col("syc") / 100.0 - slope * F.col("sx")) / F.col("n"), 6
+                )
+                + 0.0
+            ).alias("intercept"),
         )
     )

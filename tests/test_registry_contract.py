@@ -24,13 +24,14 @@ TOUCHED_IN_R6 = [
     "dedup_minhash_lsh",           # triangle band join + narrow-dedup plan
     "udaf_weighted_avg",           # decimal-exact int64-cents accumulation
     "udaf_per_order_weighted_avg",  # same fix, pandas-UDAF form
+    "evt_user_trend",              # exact-cents OLS sums + -0.0 normalize
 ]
 
-# r6 window policy (VERDICT r5 #4): 12+1 touched + the 42-query r3-vintage
-# backfill = 54 candidates for 50 slots (udaf_per_order_weighted_avg is
-# both touched and an r3 backfill); the last 4 _PRIORITY entries
+# r6 window policy (VERDICT r5 #4): 13+1 touched + the 42-query r3-vintage
+# backfill = 55 candidates for 50 slots (udaf_per_order_weighted_avg is
+# both touched and an r3 backfill); the last 5 _PRIORITY entries
 # deliberately spill to the r7 window.
-EXPECTED_SPILL = 4
+EXPECTED_SPILL = 5
 
 
 def test_r6_touched_queries_inside_50_window():
