@@ -94,6 +94,37 @@ def main():
             ),
         )
         row("lsh_bucket", f"planes={planes}", recall(b, truth), cands)
+    for planes in (4, 8, 16):
+        b = topk_sets(
+            similarity.lsh_multiprobe_topk(
+                emb, qids, k=k, dims=64, planes=planes
+            ).collect()
+        )
+        # candidate count for multiprobe = corpus rows matching ANY of the
+        # 1+planes probe keys; probe keys are distinct so no dedup needed
+        from pyspark.sql import functions as FF
+        e2 = emb.select(
+            FF.col("vec_id"),
+            similarity.lsh_signature(
+                FF.transform("embedding", lambda x: x.cast("double")), 64, planes
+            ).alias("sig"),
+        )
+        qs = e2.filter(FF.col("vec_id").isin(qids)).select(
+            FF.col("vec_id").alias("q_id"), FF.col("sig").alias("qsig")
+        )
+        probe = FF.array(
+            FF.col("qsig"),
+            *[FF.col("qsig").bitwiseXOR(FF.lit(1 << p).cast("long"))
+              for p in range(planes)],
+        )
+        qp = qs.select("q_id", FF.explode(probe).alias("sig"))
+        cands = (
+            e2.join(FF.broadcast(qp), "sig")
+            .filter(FF.col("vec_id") != FF.col("q_id"))
+            .count()
+        ) / len(qids)
+        row("lsh_multiprobe", f"planes={planes},probes={planes+1}",
+            recall(b, truth), cands)
     for planes, bb in ((8, 4), (16, 4), (16, 8), (24, 8), (32, 8)):
         b = topk_sets(
             similarity.lsh_banded_topk(

@@ -152,22 +152,163 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 255, b"".join(rows)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG decode, pure stdlib: PNG is DEFLATE (``zlib``) plus
+    per-scanline filters — no codec library needed, unlike JPEG. Supports
+    the common still-image profile: 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette), 6 (RGBA, alpha dropped), non-interlaced.
+    16-bit, 4 (gray+alpha) and Adam7 raise NotImplementedError; corrupt
+    structure raises ValueError (quarantine path)."""
+    import struct
+    import zlib
+
+    if bytes(payload[:8]) != _PNG_MAGIC:
+        raise ValueError("bad PNG signature")
+    pos, ihdr, plte, idat = 8, None, b"", []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), bytes(
+            payload[pos + 4 : pos + 8]
+        )
+        data = bytes(payload[pos + 8 : pos + 8 + length])
+        if len(data) != length:
+            raise ValueError("PNG chunk truncated")
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
+    if depth != 8 or ctype_n not in (0, 2, 3, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG profile unsupported (depth={depth}, color={ctype_n}, "
+            f"interlace={interlace}) — 8-bit gray/RGB/palette/RGBA "
+            "non-interlaced only"
+        )
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[ctype_n]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as ex:
+        raise ValueError(f"PNG IDAT inflate failed: {ex}") from ex
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    prev = bytearray(stride)
+    out = bytearray()
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _png_paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev = line
+        if ctype_n == 2:
+            out += line
+        elif ctype_n == 6:
+            for i in range(0, stride, 4):
+                out += line[i : i + 3]
+        elif ctype_n == 0:
+            for v in line:
+                out += bytes((v, v, v))
+        else:  # palette
+            for v in line:
+                if 3 * v + 3 > len(plte):
+                    raise ValueError("PNG palette index out of range")
+                out += plte[3 * v : 3 * v + 3]
+    return w, h, 255, bytes(out)
+
+
+def render_png(doc_id: int) -> bytes:
+    """Deterministic RGB PNG payload with the SAME closed-form size and
+    pixels as render_ppm (w = 8 + id%9, h = 8 + (id//9)%9, byte i =
+    (id·31 + i) % 256), written with stdlib struct+zlib — so the real
+    PNG decode path shares the PPM oracle's closed form (width, height,
+    raster mean), while n_bytes is container-dependent (compressed)."""
+    import struct
+    import zlib
+
+    w = 8 + doc_id % 9
+    h = 8 + (doc_id // 9) % 9
+    px = bytes((doc_id * 31 + i) % 256 for i in range(w * h * 3))
+    raw = b"".join(
+        b"\x00" + px[r * w * 3 : (r + 1) * w * 3] for r in range(h)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL image decode, pure stdlib: netpbm PPM binary (P6) / ASCII
-    (P3) and uncompressed 24-bit BMP. Returns (width, height, maxval,
-    rgb_bytes) with the raster row-major top-down R,G,B.
+    (P3), uncompressed 24-bit BMP, and PNG (8-bit gray/RGB/palette/RGBA
+    non-interlaced — DEFLATE via stdlib zlib + scanline unfiltering; no
+    codec library involved). Returns (width, height, maxval, rgb_bytes)
+    with the raster row-major top-down R,G,B.
 
-    Compressed formats (JPEG/PNG/...) need codec libraries this container
-    doesn't ship — those magics raise NotImplementedError, and callers
-    fall back to the clearly-marked deterministic fake."""
+    JPEG and other DCT/entropy formats genuinely need libjpeg-class
+    codecs this container doesn't ship — those magics raise
+    NotImplementedError, and callers fall back to the clearly-marked
+    deterministic fake (or the register_image_decoder plug-in)."""
     magic = bytes(payload[:2])
+    if bytes(payload[:8]) == _PNG_MAGIC:
+        return _decode_png(payload)
     if magic == b"BM":
         return _decode_bmp(payload)
     if magic not in (b"P6", b"P3"):
         raise NotImplementedError(
-            f"no stdlib decoder for magic {magic!r} — PPM P6/P3 and "
-            "uncompressed 24-bit BMP only; JPEG/PNG/audio/video require "
-            "PIL/libjpeg/ffmpeg"
+            f"no stdlib decoder for magic {magic!r} — PPM P6/P3, "
+            "uncompressed 24-bit BMP, and PNG only; JPEG/audio/video "
+            "require PIL/libjpeg/ffmpeg"
         )
     toks, pos = _pnm_tokens(payload, 4)
     width, height, maxval = int(toks[1]), int(toks[2]), int(toks[3])
@@ -215,6 +356,26 @@ def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.struct(
             F.lit("image/x-portable-pixmap").alias("mime"),
             F.lit("ppm").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render a real PNG payload per document (see render_png) with image
+    metadata — the compressed-container ingest shape, decodable by the
+    stdlib zlib-based PNG decoder."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def _render(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: render_png(int(i)))
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _render(F.col(id_col)).alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit("png").alias("codec"),
         ).alias("meta"),
     )
 
@@ -289,7 +450,9 @@ def extract_features(df: DataFrame) -> DataFrame:
             out = []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 b = bytes(payload)
-                stdlib_claimed = b[:2] in (b"P6", b"P3", b"BM")
+                stdlib_claimed = (
+                    b[:2] in (b"P6", b"P3", b"BM") or b[:8] == _PNG_MAGIC
+                )
                 if stdlib_claimed or plugin is not None:
                     try:
                         out.append(_decode_features(int(doc_id), b, plugin))

@@ -395,6 +395,60 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dims: int = 64,
+    planes: int = LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MULTI-PROBE LSH top-k: each query searches its own sign-bucket AND
+    every bucket at Hamming distance 1 (flip one plane bit) — 1+planes
+    probe keys. This is the standard recall repair for single-table LSH
+    (measured in SCALING.md: at 8 planes the single bucket holds 0.5% of
+    the corpus with recall 0.044; the nearest-miss vectors sit one sign
+    flip away). The corpus side is untouched — one signature, one shuffle
+    — only the (tiny, broadcast) query side fans out ×(1+planes), and
+    each corpus vector's signature equals at most ONE distinct probe key,
+    so no candidate dedup is needed. Output: (q_id, rk, vec_id, cos)."""
+    e = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("sig", lsh_signature(F.col("v"), dims, planes))
+    probe = F.array(
+        F.col("qsig"),
+        *[
+            F.col("qsig").bitwiseXOR(F.lit(1 << p).cast("long"))
+            for p in range(planes)
+        ],
+    )
+    q = (
+        e.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("sig").alias("qsig"),
+        )
+        .select("q_id", "qv", F.explode(probe).alias("probe"))
+    )
+    scored = e.join(
+        F.broadcast(q),
+        (F.col("sig") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")),
+    ).select("q_id", "vec_id", safe_cos(F.col("v"), F.col("qv")).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            F.col("rk").cast("long").alias("rk"),
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -650,6 +650,8 @@ _PRIORITY: list[str] = [
     #    router registrations), so each needs a fresh driver row --
     "sim_ann_router_bucket",       # NEW: router's single-key side under gate
     "sim_ann_router_banded",       # NEW: router's banded side under gate
+    "sim_lsh_multiprobe_topk",     # NEW: Hamming-1 multi-probe recall repair
+    "mm_png_features",             # NEW: real stdlib PNG decode (zlib+filters)
     "sim_cosine_topk",             # oracle: guarded cos + NULLS LAST
     "sim_lsh_bucket_topk",         # oracle: guarded cos + NULLS LAST
     "sim_quantized_topk",          # oracle: guarded cos ×2 + NULLS LAST
@@ -698,10 +700,10 @@ _PRIORITY: list[str] = [
     "txt_decontaminate",
     "txt_pii_redact",
     "txt_word_count_topk",
-    "evt_json_extract",
     "str_charsequence_medley",
+    # -- spill to r7 (positions 51-57; lowest-risk of the r3 batch) --
     "str_codepoint_sequence",
-    # -- spill to r7 (positions 51-55; lowest-risk of the r3 batch) --
+    "evt_json_extract",
     "str_levenshtein_to_anchor",
     "str_compare_and_join",
     "grp_frequency_capped",

@@ -385,6 +385,45 @@ def sim_lsh_topk(spark, sf_dir):
     )
 
 
+def _lsh_multiprobe_sql(planes: int = 8) -> str:
+    planes_lit = similarity.lsh_plane_sql_literal(64, planes)
+    return f"""WITH planes AS (SELECT {planes_lit} AS pl),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    proj AS (
+      SELECT e.vec_id, p.p, list_dot_product(e.v, planes.pl[p.p + 1]) AS d
+      FROM e, (SELECT unnest(range(0, {planes})) AS p) p, planes),
+    sigs AS (
+      SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+      FROM proj GROUP BY vec_id),
+    ev AS (SELECT e.vec_id, e.v, s.sig FROM e JOIN sigs s ON e.vec_id = s.vec_id),
+    q AS (SELECT vec_id AS q_id, v AS qv, sig AS qsig FROM ev
+          WHERE vec_id IN (0, 1, 2)),
+    qp AS (SELECT q_id, qv,
+                  CASE WHEN f.f = 0 THEN qsig
+                       ELSE xor(qsig, (1::BIGINT << (f.f - 1))) END AS probe
+           FROM q, (SELECT unnest(range(0, {planes + 1})) AS f) f),
+    sc AS (SELECT qp.q_id, ev.vec_id,
+                  {_sql_cos('ev.v', 'qp.qv')} AS cos
+           FROM ev JOIN qp ON ev.sig = qp.probe AND ev.vec_id <> qp.q_id),
+    r AS (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC NULLS LAST, vec_id) AS rk
+          FROM sc)
+    SELECT q_id, rk, vec_id, round(cos, 6) AS cos FROM r WHERE rk <= 5"""
+
+
+@register("sim_lsh_multiprobe_topk", _lsh_multiprobe_sql(8))
+def sim_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH top-5 (similarity.lsh_multiprobe_topk): queries
+    probe their own 8-plane bucket plus all Hamming-1 neighbors (9 probe
+    keys). Measured recall repair for single-table LSH (SCALING.md r6
+    table: 0.044 → see multiprobe row) at a bounded extra scan — the
+    corpus computes ONE signature and shuffles once; only the broadcast
+    query side fans out."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_multiprobe_topk(emb, [0, 1, 2], k=5, dims=64, planes=8)
+
+
 @register("sim_ann_router_bucket", _lsh_sql())
 def sim_ann_router_bucket(spark, sf_dir):
     """ann_topk ROUTER exercised end-to-end on its single-key side:
@@ -411,6 +450,41 @@ def sim_ann_router_banded(spark, sf_dir):
 
 
 # -- multimodal plumbing ----------------------------------------------------
+
+@register(
+    "mm_png_features",
+    """WITH sz AS (SELECT doc_id,
+                          (8 + doc_id % 9)::INT AS w,
+                          (8 + (doc_id // 9) % 9)::INT AS h
+                   FROM documents),
+    px AS (SELECT doc_id, w, h, (doc_id * 31 + r.range) % 256 AS v
+           FROM sz CROSS JOIN range(0, 768) r
+           WHERE r.range < w * h * 3)
+    SELECT doc_id, w AS width, h AS height,
+           round(sum(v) / (w * h * 3) / 255.0, 9) AS feat_mean,
+           TRUE AS decoded
+    FROM px GROUP BY doc_id, w, h""",
+)
+def mm_png_features(spark, sf_dir):
+    """Multimodal features through the REAL stdlib PNG decode path: each
+    doc gets a true PNG container (IHDR/IDAT/IEND, DEFLATE raster —
+    multimodal.render_png) holding the same closed-form pixels as the PPM
+    fixture, the kernel inflates + unfilters it with stdlib zlib
+    (multimodal._decode_png), and the oracle recomputes width/height/
+    raster-mean from the closed form. PNG is the one compressed image
+    format decodable without codec libraries — DEFLATE + scanline
+    filters; n_bytes is excluded (compressed size is
+    container-dependent, not SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_png_payload(docs)
+    feats = multimodal.extract_features(payload)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("feat_mean", 9).alias("feat_mean"),
+        "decoded",
+    )
 
 @register(
     "mm_feature_extract",

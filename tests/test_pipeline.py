@@ -441,6 +441,8 @@ def test_ann_recall_floors(spark):
         similarity.lsh_banded_topk(emb, qids, k=k, dims=64, planes=8, band_bits=4)
     )
     assert r_banded8 >= r_bucket8  # OR-of-ANDs superset, measured
+    r_probe8 = rec(similarity.lsh_multiprobe_topk(emb, qids, k=k, dims=64, planes=8))
+    assert r_probe8 >= r_bucket8  # probe set includes the own bucket
     r_quant = rec(similarity.quantized_topk(emb, qids, k=k))
     assert r_quant >= 0.95  # int8 + exact rescore is near-exact
     n = emb.count()
@@ -527,6 +529,107 @@ def test_bmp_decode_both_orientations():
         multimodal.decode_image(bytes(bad))
 
 
+def test_png_decode_roundtrip_and_filters():
+    """REAL stdlib PNG decode (zlib DEFLATE + scanline unfiltering):
+    render_png round-trips byte-exact; every filter type (Sub/Up/Average/
+    Paeth) written explicitly decodes to the same raster; gray, palette,
+    and RGBA profiles convert to RGB; unsupported profiles raise
+    NotImplementedError, corrupt structure raises ValueError."""
+    import struct
+    import zlib
+
+    for doc_id in (0, 7, 99):
+        w, h, maxval, px = multimodal.decode_image(multimodal.render_png(doc_id))
+        assert (w, h, maxval) == (8 + doc_id % 9, 8 + (doc_id // 9) % 9, 255)
+        assert px == bytes((doc_id * 31 + i) % 256 for i in range(w * h * 3))
+
+    def make_png(w, h, raw, ctype=2, depth=8, extra=b""):
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    # each filter type on a 3x3 RGB image must reconstruct the same raster
+    px = bytes(range(27))
+    rows = [px[r * 9 : (r + 1) * 9] for r in range(3)]
+    want = b"".join(rows)
+
+    def sub_f(line):  # forward Sub filter
+        out = bytearray(line)
+        for i in range(len(line) - 1, 2, -1):
+            out[i] = (line[i] - line[i - 3]) & 0xFF
+        return bytes(out)
+
+    def up_f(line, prev):
+        return bytes((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+
+    def avg_f(line, prev):
+        out = bytearray()
+        for i in range(len(line)):
+            a = line[i - 3] if i >= 3 else 0
+            out.append((line[i] - (a + prev[i]) // 2) & 0xFF)
+        return bytes(out)
+
+    def paeth_f(line, prev):
+        out = bytearray()
+        for i in range(len(line)):
+            a = line[i - 3] if i >= 3 else 0
+            c = prev[i - 3] if i >= 3 else 0
+            out.append((line[i] - multimodal._png_paeth(a, prev[i], c)) & 0xFF)
+        return bytes(out)
+
+    raw = (b"\x00" + rows[0]
+           + b"\x01" + sub_f(rows[1])
+           + b"\x02" + up_f(rows[2], rows[1]))
+    assert multimodal.decode_image(make_png(3, 3, raw))[3] == want
+    raw = (b"\x03" + avg_f(rows[0], bytes(9))
+           + b"\x04" + paeth_f(rows[1], rows[0])
+           + b"\x00" + rows[2])
+    assert multimodal.decode_image(make_png(3, 3, raw))[3] == want
+
+    # gray -> RGB replication
+    raw = b"\x00" + bytes([10, 200])
+    assert multimodal.decode_image(make_png(2, 1, raw, ctype=0))[3] == bytes(
+        [10, 10, 10, 200, 200, 200])
+    # RGBA -> alpha dropped
+    raw = b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 0])
+    assert multimodal.decode_image(make_png(2, 1, raw, ctype=6))[3] == bytes(
+        [1, 2, 3, 4, 5, 6])
+    # palette
+    import struct as _s, zlib as _z
+    plte = (_s.pack(">I", 6) + b"PLTE" + bytes([9, 8, 7, 1, 2, 3])
+            + _s.pack(">I", _z.crc32(b"PLTE" + bytes([9, 8, 7, 1, 2, 3])) & 0xFFFFFFFF))
+    raw = b"\x00" + bytes([1, 0])
+    assert multimodal.decode_image(
+        make_png(2, 1, raw, ctype=3, extra=plte))[3] == bytes([1, 2, 3, 9, 8, 7])
+
+    with pytest.raises(NotImplementedError):  # 16-bit
+        multimodal.decode_image(make_png(1, 1, b"\x00" + bytes(6), depth=16))
+    with pytest.raises(ValueError):  # truncated IDAT stream
+        multimodal.decode_image(make_png(3, 3, b"\x00" + bytes(5)))
+    with pytest.raises(NotImplementedError):  # JPEG still honest
+        multimodal.decode_image(b"\xff\xd8\xff\xe0")
+
+
+def test_png_flows_through_extract_features(spark):
+    """PNG payloads take the REAL decode path end-to-end in the Spark
+    kernel: decoded=true with the closed-form dimensions/mean, and a
+    corrupt full-magic PNG quarantines (NULL features) instead of faking."""
+    rows = [
+        (5, multimodal.render_png(5)),
+        (6, b"\x89PNG\r\n\x1a\n corrupt body not chunks"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in multimodal.extract_features(df).collect()}
+    w, h = 8 + 5 % 9, 8 + (5 // 9) % 9
+    assert out[5]["decoded"] is True and (out[5]["width"], out[5]["height"]) == (w, h)
+    expect_mean = sum((5 * 31 + i) % 256 for i in range(w * h * 3)) / (w * h * 3) / 255
+    assert abs(out[5]["feat_mean"] - expect_mean) < 1e-12
+    assert out[6]["decoded"] is False and out[6]["width"] is None
+
+
 def test_wav_render_decode_roundtrip(spark):
     """render_wav writes a true RIFF/WAVE container (stdlib wave writer)
     and decode_audio recovers the exact closed-form samples; the Spark
@@ -563,7 +666,8 @@ def test_decoders_fail_cleanly_on_hostile_bytes():
     import random
 
     rng = random.Random(99)
-    magics = [b"", b"P6", b"P3", b"BM", b"RIFF", b"YUV4MPEG2", b"RIFFxxxxWAVE"]
+    magics = [b"", b"P6", b"P3", b"BM", b"RIFF", b"YUV4MPEG2", b"RIFFxxxxWAVE",
+              b"\x89PNG\r\n\x1a\n", b"\x89PNG"]
     decoders = [
         multimodal.decode_image,
         multimodal.decode_audio,
@@ -582,6 +686,7 @@ def test_decoders_fail_cleanly_on_hostile_bytes():
     for cut in (10, 30, 50):
         for whole, dec in (
             (multimodal.render_ppm(3), multimodal.decode_image),
+            (multimodal.render_png(3), multimodal.decode_image),
             (multimodal.render_wav(3), multimodal.decode_audio),
             (multimodal.render_y4m(3), multimodal.decode_video),
         ):
