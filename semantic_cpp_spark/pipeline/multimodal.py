@@ -808,3 +808,126 @@ def sample_frames(
             )
 
     return df.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+# -- compressed text blobs ---------------------------------------------------
+# The bulk-ingest reality at 100 TB: text arrives COMPRESSED (WET/WARC
+# dumps, gzipped JSONL shards). All four common codecs are stdlib — this
+# is real decompression, not a stub.
+
+_TEXT_CODECS = ("gzip", "zlib", "bz2", "xz", "raw")
+
+
+def decode_text_blob(payload: bytes) -> tuple[str, str]:
+    """REAL compressed-text decode, pure stdlib, magic-dispatched:
+    gzip (1f 8b), zlib (78 xx), bzip2 (BZh), xz (fd 37 7a 58 5a); any
+    other payload is treated as raw utf-8. Returns (codec, text) with
+    U+FFFD replacement on invalid utf-8 (the charset layer's policy).
+    Corrupt compressed streams raise ValueError (quarantineable), never
+    a codec-internal exception type."""
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+
+    b = bytes(payload)
+    try:
+        if b[:2] == b"\x1f\x8b":
+            return "gzip", gzip.decompress(b).decode("utf-8", "replace")
+        if b[:1] == b"\x78" and len(b) >= 2 and (b[0] * 256 + b[1]) % 31 == 0:
+            return "zlib", zlib.decompress(b).decode("utf-8", "replace")
+        if b[:3] == b"BZh":
+            return "bz2", bz2.decompress(b).decode("utf-8", "replace")
+        if b[:6] == b"\xfd7zXZ\x00":
+            return "xz", lzma.decompress(b).decode("utf-8", "replace")
+    except (OSError, EOFError, zlib.error, lzma.LZMAError, ValueError) as ex:
+        raise ValueError(f"corrupt compressed text stream: {ex}") from ex
+    return "raw", b.decode("utf-8", "replace")
+
+
+def attach_compressed_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Compress each document's text with a codec chosen by doc_id % 4
+    (gzip/zlib/bz2/xz round-robin — all four real paths exercised in one
+    table), deterministically (gzip mtime pinned to 0)."""
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+
+    from pyspark.sql.types import BinaryType
+
+    def _compress(doc_id: int, text: str) -> bytes:
+        raw = text.encode("utf-8")
+        m = doc_id % 4
+        if m == 0:
+            return gzip.compress(raw, mtime=0)
+        if m == 1:
+            return zlib.compress(raw)
+        if m == 2:
+            return bz2.compress(raw)
+        return lzma.compress(raw)
+
+    @F.pandas_udf(BinaryType())
+    def _render(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_compress(int(i), str(t)) for i, t in zip(ids, texts)]
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _render(F.col(id_col), F.col(text_col)).alias("payload"),
+    )
+
+
+TEXT_BLOB_SCHEMA = (
+    "doc_id long, codec string, n_comp_bytes long, n_chars long, "
+    "n_tokens long, decoded boolean"
+)
+
+
+def extract_text_blob_features(df: DataFrame) -> DataFrame:
+    """mapInPandas decompress + text stats over compressed blobs —
+    Arrow-batched, narrow (the decompression CPU parallelizes with the
+    scan; no shuffle until the tiny feature rows aggregate). Corrupt
+    streams yield NULL stats + decoded=false (same quarantine contract
+    as extract_features)."""
+
+    def kernel(batches):
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                b = bytes(payload)
+                try:
+                    codec, text = decode_text_blob(b)
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "codec": codec,
+                            "n_comp_bytes": len(b),
+                            "n_chars": len(text),
+                            "n_tokens": len(text.split()),
+                            "decoded": True,
+                        }
+                    )
+                except ValueError:
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "codec": None,
+                            "n_comp_bytes": len(b),
+                            "n_chars": None,
+                            "n_tokens": None,
+                            "decoded": False,
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "codec", "n_comp_bytes", "n_chars",
+                    "n_tokens", "decoded",
+                ],
+            )
+
+    return df.mapInPandas(kernel, schema=TEXT_BLOB_SCHEMA)

@@ -652,6 +652,7 @@ _PRIORITY: list[str] = [
     "sim_ann_router_banded",       # NEW: router's banded side under gate
     "sim_lsh_multiprobe_topk",     # NEW: Hamming-1 multi-probe recall repair
     "mm_png_features",             # NEW: real stdlib PNG decode (zlib+filters)
+    "mm_compressed_text",          # NEW: real gzip/zlib/bz2/xz text ingest
     "sim_cosine_topk",             # oracle: guarded cos + NULLS LAST
     "sim_lsh_bucket_topk",         # oracle: guarded cos + NULLS LAST
     "sim_quantized_topk",          # oracle: guarded cos ×2 + NULLS LAST
@@ -700,8 +701,8 @@ _PRIORITY: list[str] = [
     "txt_decontaminate",
     "txt_pii_redact",
     "txt_word_count_topk",
+    # -- spill to r7 (positions 51-58; lowest-risk of the r3 batch) --
     "str_charsequence_medley",
-    # -- spill to r7 (positions 51-57; lowest-risk of the r3 batch) --
     "str_codepoint_sequence",
     "evt_json_extract",
     "str_levenshtein_to_anchor",

@@ -525,6 +525,31 @@ def mm_features(spark, sf_dir):
     )
 
 
+@register(
+    "mm_compressed_text",
+    """SELECT doc_id,
+              CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
+                              WHEN 2 THEN 'bz2' ELSE 'xz' END AS codec,
+              length(text)::BIGINT AS n_chars,
+              len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+              TRUE AS decoded
+       FROM documents""",
+)
+def mm_compressed_text(spark, sf_dir):
+    """Compressed text-blob ingest — the 100 TB bulk reality (gzipped
+    JSONL shards, WET dumps): each doc's text is REALLY compressed with a
+    per-doc codec (gzip/zlib/bz2/xz round-robin — all stdlib), the
+    mapInPandas kernel magic-dispatches and REALLY decompresses
+    (multimodal.decode_text_blob), and the oracle recomputes the codec
+    tag + char/token counts from the original column. Compressed size is
+    container-dependent and excluded. Corrupt streams quarantine
+    (decoded=false, NULL stats) — pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.attach_compressed_payload(docs)
+    feats = multimodal.extract_text_blob_features(blobs)
+    return feats.select("doc_id", "codec", "n_chars", "n_tokens", "decoded")
+
+
 def _near_dup_sql(threshold: float = 0.4) -> str:
     planes = similarity.lsh_plane_sql_literal(64)
     return f"""WITH planes AS (SELECT {planes} AS pl),

@@ -630,6 +630,42 @@ def test_png_flows_through_extract_features(spark):
     assert out[6]["decoded"] is False and out[6]["width"] is None
 
 
+def test_compressed_text_blob_roundtrip(spark):
+    """Real stdlib decompression across all four codecs: per-doc
+    round-robin compression round-trips with the right codec tag and
+    stats; corrupt streams quarantine; raw bytes pass through."""
+    texts = {i: f"doc {i} body with tokens {'x ' * i}".strip() for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.extract_text_blob_features(
+            multimodal.attach_compressed_payload(df)
+        ).collect()
+    }
+    for i, codec in enumerate(["gzip", "zlib", "bz2", "xz"]):
+        assert out[i]["codec"] == codec and out[i]["decoded"] is True
+        assert out[i]["n_chars"] == len(texts[i])
+        assert out[i]["n_tokens"] == len(texts[i].split())
+        assert out[i]["n_comp_bytes"] > 0
+    # corrupt gzip quarantines; raw utf-8 passes through
+    df2 = spark.createDataFrame(
+        [(10, bytearray(b"\x1f\x8b garbage")), (11, bytearray(b"plain text"))],
+        "doc_id long, payload binary",
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in multimodal.extract_text_blob_features(df2).collect()
+    }
+    assert out2[10]["decoded"] is False and out2[10]["n_chars"] is None
+    assert out2[11]["codec"] == "raw" and out2[11]["n_tokens"] == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        multimodal.decode_text_blob(b"BZh garbage not bzip2")
+
+
 def test_wav_render_decode_roundtrip(spark):
     """render_wav writes a true RIFF/WAVE container (stdlib wave writer)
     and decode_audio recovers the exact closed-form samples; the Spark

@@ -27,13 +27,14 @@ TOUCHED_IN_R6 = [
     "evt_user_trend",              # exact-cents OLS sums + -0.0 normalize
     "sim_lsh_multiprobe_topk",     # NEW: Hamming-1 multi-probe LSH
     "mm_png_features",             # NEW: real stdlib PNG decode
+    "mm_compressed_text",          # NEW: real gzip/zlib/bz2/xz text ingest
 ]
 
-# r6 window policy (VERDICT r5 #4): 15+1 touched/new + the r3-vintage
-# backfill = 57 candidates for 50 slots (udaf_per_order_weighted_avg is
-# both touched and an r3 backfill); the last 7 _PRIORITY entries
+# r6 window policy (VERDICT r5 #4): 16+1 touched/new + the r3-vintage
+# backfill = 58 candidates for 50 slots (udaf_per_order_weighted_avg is
+# both touched and an r3 backfill); the last 8 _PRIORITY entries
 # deliberately spill to the r7 window.
-EXPECTED_SPILL = 7
+EXPECTED_SPILL = 8
 
 
 def test_r6_touched_queries_inside_50_window():
