@@ -278,3 +278,101 @@ def corpus_diff(
         .otherwise("changed")
     )
     return j.select("doc_id", status.alias("status"))
+
+
+def word_chunks(col: Column, size: int = 10) -> Column:
+    """Consecutive ``size``-word chunks of the whitespace-tokenised text
+    (the last chunk may be shorter). The corpus-cleaning granularity for
+    boilerplate removal — an analogue of C4's "line" unit for sources
+    without newline structure. Pure Column expression (transform over a
+    sequence of slice offsets), JVM-side.
+
+    Guarded: ``F.sequence(0, -1)`` would yield a DESCENDING [0, -1] (Spark
+    picks step=-1 when start > stop), so the empty-token case returns []
+    explicitly."""
+    t = tokens(col)
+    n_chunks = F.ceil(F.size(t) / F.lit(size)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(t, i * size + 1, size), " "),
+    )
+    return F.when(n_chunks > 0, chunks).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def remove_boilerplate_chunks(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    chunk_size: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4 / RefinedWeb cleaning
+    rule "drop any line occurring in ≥ N documents", at word-chunk
+    granularity): a chunk appearing in ``min_docs`` distinct docs is
+    boilerplate; every occurrence is dropped and each document is
+    re-assembled from its surviving chunks in order.
+
+    Returns (doc_id, n_chunks, n_kept, clean_text).
+
+    Plan: posexplode chunks → countDistinct(doc_id) per chunk → plain
+    shuffle LEFT join back on the chunk text (NOT broadcast: unlike the
+    Jaccard df-cap's heavy-hitter set, the ≥2-docs chunk set can be a
+    large fraction of all chunks at corpus scale, so it must stay
+    distributed; the join key equals the groupBy key, so the exchange is
+    reused) → re-assemble per doc via array_sort(collect_list(struct)).
+    Per-doc state is bounded by document length, never corpus size."""
+    ch = df.select(
+        id_col.alias("doc_id"),
+        F.posexplode(word_chunks(text, chunk_size)).alias(
+            "chunk_idx", "chunk"
+        ),
+    )
+    hot = (
+        ch.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("chunk", F.lit(True).alias("__hot"))
+    )
+    flagged = ch.join(hot, "chunk", "left")
+    keep = F.col("__hot").isNull()
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count(F.when(keep, 1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                # collect_list drops NULLs, so only kept chunks survive;
+                # array_sort on (chunk_idx, chunk) structs restores order.
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def split_assign(
+    key: Column,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    salt: str = "split",
+) -> Column:
+    """Deterministic train/val/test assignment from the content hash:
+    u60 < f_train·2^60 → 'train'; < (f_train+f_val)·2^60 → 'val'; else
+    'test'. The same int64-threshold decision as bernoulli_sample, so a
+    document's split NEVER changes across runs, engines, or cluster
+    sizes — the property that prevents silent train/test leakage when a
+    corpus is re-partitioned or re-processed. Pure narrow expression."""
+    f_train, f_val = fractions
+    th1 = sample_threshold(f_train)
+    th2 = sample_threshold(f_train + f_val)
+    u = hash_u60(key, salt)
+    return (
+        F.when(u < F.lit(th1), "train")
+        .when(u < F.lit(th2), "val")
+        .otherwise("test")
+    )

@@ -137,6 +137,56 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def containment_pairs(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 100,
+) -> DataFrame:
+    """DIRECTED near-duplicate pairs by shingle containment
+    C(d1→d2) = |S(d1) ∩ S(d2)| / |S(d1)|: "most of d1's shingles also
+    appear in d2". Catches subset duplication — a short document quoted
+    verbatim inside a longer one — which symmetric Jaccard misses (the
+    union denominator dilutes the score when |S(d2)| ≫ |S(d1)|).
+
+    Same blocking as ngram_jaccard_pairs: docs meet ONLY through a shared
+    shingle, and the df-cap drops hot boilerplate shingles before the
+    self-join (a shingle in f docs contributes f² pairs). The directed
+    form emits both (d1,d2) and (d2,d1) candidates — 2× the join output
+    of the '<'-ordered form, same asymptotic bound. Numerator and
+    denominator both use the capped shingle sets (consistent)."""
+    ex = exploded_shingles(df, text, id_col, k)
+    if max_shingle_df is not None:
+        dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        hot = dfreq.filter(F.col("__df") > max_shingle_df).select("sh")
+        ex = ex.join(F.broadcast(hot), "sh", "left_anti")
+        sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n2"))
+        ex = (
+            ex.drop("n_sh")
+            .join(sizes, "doc_id")
+            .withColumnRenamed("__n2", "n_sh")
+        )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("a.n_sh").alias("na"),
+        )
+        .withColumn("containment", F.col("common") / F.col("na"))
+        .filter(F.col("containment") >= threshold)
+        .select("d1", "d2", F.round("containment", 6).alias("containment"))
+    )
+
+
 def minhash_signature(df: DataFrame, text: Column, id_col: Column, k: int = 3) -> DataFrame:
     """MinHash signatures: per doc, NUM_HASHES minima of affine hashes of
     the shingle set.
@@ -200,6 +250,30 @@ def _persisted_signatures(
     return hit
 
 
+def _band_key_explode() -> Column:
+    """Explode expression turning a MinHash ``sig`` array column into
+    LSH_BANDS (band, key) structs — key = '_'-joined band slice. Shared
+    by the self-join (minhash_lsh_pairs) and the batch-vs-corpus lookup
+    (incremental_near_dup) so the band layout cannot diverge."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", t * LSH_ROWS + 1, LSH_ROWS),
+                            lambda x: x.cast("string"),
+                        ),
+                        "_",
+                    ).alias("key"),
+                )
+                for t in range(LSH_BANDS)
+            ]
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text: Column,
@@ -240,25 +314,7 @@ def minhash_lsh_pairs(
     # reuse ONE cache entry instead of re-persisting per call.
     sigs = _persisted_signatures(df, text, id_col, k)
     bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("band"),
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", t * LSH_ROWS + 1, LSH_ROWS),
-                                lambda x: x.cast("string"),
-                            ),
-                            "_",
-                        ).alias("key"),
-                    )
-                    for t in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        "doc_id", "sig", _band_key_explode().alias("bk")
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # route memo keyed like the signature cache: repeated builds of the
     # same query (bench reruns) skip the probe job
@@ -334,6 +390,57 @@ def minhash_lsh_pairs(
         cand.withColumn("est_jaccard", agree / F.lit(NUM_HASHES))
         .filter(F.col("est_jaccard") >= threshold)
         .select("d1", "d2", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def incremental_near_dup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text: Column,
+    id_col: Column,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup: which NEW documents are
+    near-duplicates of the EXISTING corpus — the continuous-ingestion
+    shape. A daily crawl batch must NOT trigger a full-corpus self-join;
+    the corpus is touched only through the MinHash band-key equi-join
+    (an index lookup: candidates are corpus docs sharing a whole band
+    with some batch doc).
+
+    At 100 TB the corpus band table is a PRECOMPUTED index (persist /
+    write the minhash_signature output once, append per batch); here both
+    sides are derived on the fly for a self-contained, oracle-checkable
+    query — the join shape is identical either way. No broadcast hint on
+    either side: the batch is usually small enough for AQE to broadcast
+    it, but a backfill-sized batch must be allowed to shuffle.
+
+    Output: (new_id, dup_of, est_jaccard) — directed, batch → corpus.
+    """
+    csigs = minhash_signature(corpus, text, id_col, k)
+    bsigs = minhash_signature(batch, text, id_col, k)
+    cb = csigs.select("doc_id", "sig", _band_key_explode().alias("bk")).select(
+        F.col("doc_id").alias("dup_of"),
+        F.col("sig").alias("sig2"),
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    bb = bsigs.select("doc_id", "sig", _band_key_explode().alias("bk")).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sig").alias("sig1"),
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    cand = bb.join(cb, ["band", "key"]).dropDuplicates(["new_id", "dup_of"])
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        cand.withColumn("est_jaccard", agree / F.lit(NUM_HASHES))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "dup_of", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
 
 

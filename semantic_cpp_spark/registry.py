@@ -664,6 +664,13 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh",           # triangle band join + narrow-dedup plan
     "udaf_weighted_avg",           # decimal-exact int64-cents accumulation
     "evt_user_trend",              # exact-cents OLS sums + -0.0 normalize
+    # -- round-6 NEW operators (need their first driver row) --
+    "dedup_containment",           # NEW: directed containment near-dup
+    "txt_boilerplate_removal",     # NEW: C4-style hot-chunk removal
+    "samp_train_val_split",        # NEW: hash-deterministic 80/10/10 split
+    "rel_grouping_sets",           # NEW: explicit GROUPING SETS single pass
+    "rel_order_gaps_lead_lag",     # NEW: lag() inter-order gap analysis
+    "dedup_incremental_batch",     # NEW: batch-vs-corpus index-lookup dedup
     # -- backfill: oldest-vintage rows age out (stale vouching). All 42
     #    queries whose latest green row is r03; the window holds 50, so the
     #    final two entries below spill to the r7 window --
@@ -685,11 +692,6 @@ _PRIORITY: list[str] = [
     "rel_q18_large_orders",
     "rel_q19_bracketed_discounts",
     "rel_q22_idle_balance",
-    "rel_q4_semi_join",
-    "rel_customers_without_urgent_orders",
-    "rel_rollup_order_priority",
-    "rel_pivot_status_by_flag",
-    "rel_datetime_parts",
     "udaf_per_order_weighted_avg",
     "agg_distribution_profile",
     "agg_corr_covar",
@@ -700,8 +702,15 @@ _PRIORITY: list[str] = [
     "shard_token_budget",
     "txt_decontaminate",
     "txt_pii_redact",
+    # -- spill to r7 (positions 51+; lowest-risk of the r3 batch — simple
+    #    relational analogues green in two prior driver windows, displaced
+    #    by the five new r6 operators above) --
     "txt_word_count_topk",
-    # -- spill to r7 (positions 51-58; lowest-risk of the r3 batch) --
+    "rel_q4_semi_join",
+    "rel_customers_without_urgent_orders",
+    "rel_rollup_order_priority",
+    "rel_pivot_status_by_flag",
+    "rel_datetime_parts",
     "str_charsequence_medley",
     "str_codepoint_sequence",
     "evt_json_extract",

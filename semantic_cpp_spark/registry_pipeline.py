@@ -1399,3 +1399,149 @@ def txt_fuzzy_vocab_match(spark, sf_dir):
         .distinct()
     )
     return retrieval.fuzzy_match_edit1(queries, vocab)
+
+
+# -- round 6: directed containment, boilerplate removal, dataset splits ------
+
+@register(
+    "dedup_containment",
+    f"""WITH {_SHINGLES_CTE},
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfq AS (SELECT s, count(*) AS dfc FROM ex0 GROUP BY s),
+    ex AS (SELECT e.doc_id, e.s FROM ex0 e JOIN dfq USING (s) WHERE dfc <= 100),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT d1, d2, round(common::DOUBLE / sa.n_sh, 6) AS containment
+    FROM pairs JOIN sz sa ON sa.doc_id = d1
+    WHERE common::DOUBLE / sa.n_sh >= 0.5""",
+)
+def dedup_containment(spark, sf_dir):
+    """Directed containment near-dup (dedup.containment_pairs): C(d1→d2)
+    = |S(d1)∩S(d2)| / |S(d1)| ≥ 0.5 over df-capped 3-gram shingles —
+    catches a short doc quoted inside a longer one, which symmetric
+    Jaccard's union denominator dilutes. Same shingle-blocked self-join
+    as dedup_ngram_jaccard (never all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, F.col("text"), F.col("doc_id"), k=3, threshold=0.5
+    )
+
+
+@register(
+    "txt_boilerplate_removal",
+    r"""WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS chunk_idx,
+             unnest([array_to_string(ws[(i * 10 + 1):(i * 10 + 10)], ' ')
+                     for i in range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))]) AS chunk
+      FROM ws),
+    hot AS (
+      SELECT chunk, TRUE AS is_hot FROM chunks
+      GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2)
+    SELECT c.doc_id, count(*) AS n_chunks,
+           count(CASE WHEN h.is_hot IS NULL THEN 1 END) AS n_kept,
+           coalesce(string_agg(CASE WHEN h.is_hot IS NULL THEN c.chunk END,
+                               ' ' ORDER BY c.chunk_idx), '') AS clean_text
+    FROM chunks c LEFT JOIN hot h ON c.chunk = h.chunk
+    GROUP BY c.doc_id""",
+)
+def txt_boilerplate_removal(spark, sf_dir):
+    """Corpus-level boilerplate removal (curation.remove_boilerplate_chunks):
+    the C4-style "drop any line occurring in ≥2 documents" rule at
+    10-word-chunk granularity, with each document re-assembled from its
+    surviving chunks in order. The hot-chunk join is a plain shuffle
+    join (NOT broadcast — at corpus scale the repeated-chunk set can be
+    a large fraction of all chunks); per-doc state is bounded by doc
+    length."""
+    docs = load_table(spark, sf_dir, "documents")
+    from semantic_cpp_spark.pipeline import curation
+
+    return curation.remove_boilerplate_chunks(
+        docs, F.col("text"), F.col("doc_id"), chunk_size=10, min_docs=2
+    )
+
+
+_SPLIT_TH1 = curation.sample_threshold(0.8)
+_SPLIT_TH2 = curation.sample_threshold(0.9)
+
+
+@register(
+    "samp_train_val_split",
+    f"""WITH assign AS (
+      SELECT lang, n_chars,
+             CASE WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       < {_SPLIT_TH1} THEN 'train'
+                  WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       < {_SPLIT_TH2} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    FROM assign GROUP BY split, lang""",
+)
+def samp_train_val_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment from the content
+    hash (curation.split_assign): pure int64-threshold decision, so a
+    document's split never changes across runs, engines, or cluster
+    sizes — the anti-leakage property df.randomSplit cannot give.
+    Output: per (split, lang) doc and char counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "split", curation.split_assign(F.col("doc_id"), (0.8, 0.1))
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+def _incremental_minhash_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> ({a} * (('0x' || substr(md5(s),1,8))::BIGINT) + {b}) % {dedup.MINHASH_P}))"
+        for a, b in zip(dedup.MINHASH_A, dedup.MINHASH_B)
+    )
+    r, nb = dedup.LSH_ROWS, dedup.LSH_BANDS
+    return f"""WITH {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, [{mins}] AS sig FROM sh WHERE len(shingles) > 0),
+    bands AS (
+      SELECT doc_id, t.band,
+             array_to_string(sig[t.band * {r} + 1 : t.band * {r} + {r}], '_') AS key
+      FROM sigs, (SELECT unnest(range(0, {nb})) AS band) t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7)
+    SELECT c.new_id, c.dup_of,
+           round(length(list_filter(range(1, {dedup.NUM_HASHES} + 1),
+                                    i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+                 / {dedup.NUM_HASHES}, 6) AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.new_id
+    JOIN sigs sb ON sb.doc_id = c.dup_of
+    WHERE length(list_filter(range(1, {dedup.NUM_HASHES} + 1),
+                             i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+          / {dedup.NUM_HASHES} >= 0.5"""
+
+
+@register("dedup_incremental_batch", _incremental_minhash_sql())
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental batch-vs-corpus near-dup (dedup.incremental_near_dup):
+    docs with doc_id % 10 == 7 play the role of today's ingest batch, the
+    rest the existing corpus; emit (new_id, dup_of, est_jaccard ≥ 0.5).
+    The corpus is only touched through the MinHash band-key equi-join —
+    the index-lookup shape that avoids re-running full-corpus dedup per
+    batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return dedup.incremental_near_dup(
+        corpus, batch, F.col("text"), F.col("doc_id")
+    )

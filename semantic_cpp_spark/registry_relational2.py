@@ -12,6 +12,7 @@ switches to shuffle joins beyond it. Fact-fact joins shuffle on orderkey.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from semantic_cpp_spark.registry import register
@@ -655,5 +656,84 @@ def rel_price_histogram(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("b_min"),
             F.round(F.max("o_totalprice"), 2).alias("b_max"),
+        )
+    )
+
+
+# -- round 6: grouping sets + lead/lag order gaps ----------------------------
+
+@register(
+    "rel_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+              grouping(l_returnflag)::BIGINT AS g_flag,
+              grouping(l_linestatus)::BIGINT AS g_status,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_price,
+              count(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                               (l_returnflag), ())""",
+)
+def rel_grouping_sets(spark, sf_dir):
+    """GROUPING SETS: detail, per-flag subtotal, and grand total in ONE
+    pass (Spark expands the sets in a single Expand+Aggregate — no
+    N-scan union). grouping() flags disambiguate rollup NULLs from data
+    NULLs. Complements rel_rollup_order_priority / rel_cube_flag_status
+    with the explicit-sets form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flag, status = F.col("l_returnflag"), F.col("l_linestatus")
+    return (
+        li.groupingSets([[flag, status], [flag], []], flag, status)
+        .agg(
+            F.grouping(flag).cast("long").alias("g_flag"),
+            F.grouping(status).cast("long").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "rel_order_gaps_lead_lag",
+    """WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(CAST(o_orderdate AS DATE)) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders)
+    SELECT c_mktsegment,
+           count(gap_days) AS n_gaps,
+           round(avg(gap_days), 6) AS avg_gap_days,
+           max(gap_days) AS max_gap_days
+    FROM g JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment""",
+)
+def rel_order_gaps(spark, sf_dir):
+    """Inter-order gap analysis via lag(): days since the customer's
+    previous order, aggregated per market segment. The window partitions
+    by o_custkey — state is one row per customer, parallelism is the
+    number of customers (scales with SF); ties broken by orderkey for a
+    deterministic lag. customer carries no broadcast hint (scales with
+    SF; AQE decides)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).cast("long").alias("gap_days"),
+    )
+    return (
+        g.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
         )
     )

@@ -483,3 +483,124 @@ def test_fuzzy_match_edit1_blocking_lossless(spark):
         for r in retrieval.fuzzy_match_edit1(qdf, vdf).collect()
     )
     assert got == exp
+
+
+# -- round 6: word chunks, boilerplate removal, containment, splits ---------
+
+def test_word_chunks_shapes(spark):
+    df = _docs(spark, ["a b c d e f g h i j k l", "x y", "solo"])
+    out = df.select(
+        "doc_id", curation.word_chunks(F.col("text"), 5).alias("ch")
+    ).collect()
+    by_id = {r["doc_id"]: r["ch"] for r in out}
+    assert by_id[0] == ["a b c d e", "f g h i j", "k l"]  # short last chunk
+    assert by_id[1] == ["x y"]
+    assert by_id[2] == ["solo"]
+
+
+def test_remove_boilerplate_chunks(spark):
+    # chunk_size=2; "dup dup" appears in docs 0 and 1 -> boilerplate;
+    # doc 2 shares nothing.
+    df = _docs(
+        spark,
+        [
+            "dup dup keep one",
+            "dup dup other text here",
+            "clean words only",
+        ],
+    )
+    out = curation.remove_boilerplate_chunks(
+        df, F.col("text"), F.col("doc_id"), chunk_size=2, min_docs=2
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_chunks"] == 2 and by_id[0]["n_kept"] == 1
+    assert by_id[0]["clean_text"] == "keep one"
+    assert by_id[1]["n_chunks"] == 3 and by_id[1]["n_kept"] == 2
+    assert by_id[1]["clean_text"] == "other text here"  # order preserved
+    assert by_id[2]["n_kept"] == by_id[2]["n_chunks"] == 2
+    assert by_id[2]["clean_text"] == "clean words only"
+
+
+def test_remove_boilerplate_within_doc_repeat_not_hot(spark):
+    # a chunk repeated twice in the SAME doc is not boilerplate
+    # (min_docs counts DISTINCT docs).
+    df = _docs(spark, ["aa bb aa bb cc dd", "zz yy xx ww vv uu"])
+    out = curation.remove_boilerplate_chunks(
+        df, F.col("text"), F.col("doc_id"), chunk_size=2, min_docs=2
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_kept"] == 3
+    assert by_id[0]["clean_text"] == "aa bb aa bb cc dd"
+
+
+def test_containment_directed_vs_jaccard(spark):
+    # doc 0 is fully contained in doc 1 (a strict prefix); the union
+    # denominator keeps Jaccard low, but containment(0 -> 1) == 1.0.
+    short = "q w e r t y u"
+    long_ = short + " " + " ".join(f"pad{i}" for i in range(40))
+    df = _docs(spark, [short, long_])
+    pairs = dedup.containment_pairs(
+        df, F.col("text"), F.col("doc_id"), k=3, threshold=0.5
+    ).collect()
+    directed = {(r["d1"], r["d2"]): r["containment"] for r in pairs}
+    assert directed[(0, 1)] == 1.0
+    assert (1, 0) not in directed  # long doc is NOT contained in short
+    jac = dedup.ngram_jaccard_pairs(
+        df, F.col("text"), F.col("doc_id"), k=3, threshold=0.5
+    ).collect()
+    assert jac == []  # symmetric Jaccard misses the subset duplicate
+
+
+def test_split_assign_deterministic_and_fractions(spark):
+    df = spark.range(5_000).select(F.col("id").alias("doc_id"))
+    out = df.select(
+        "doc_id", curation.split_assign(F.col("doc_id")).alias("split")
+    )
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5_000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5_000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5_000 - 0.1) < 0.02
+    # repartitioning must not move any document between splits
+    again = {
+        r["doc_id"]: r["split"]
+        for r in df.repartition(13).select(
+            "doc_id", curation.split_assign(F.col("doc_id")).alias("split")
+        ).collect()
+    }
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_incremental_near_dup_matches_self_join_restriction(spark):
+    # corpus with a planted near-duplicate pair crossing the batch split:
+    # doc 7 (batch) duplicates doc 2 (corpus); doc 17 (batch) is unique.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (2, base),
+        (7, base + " tail"),        # near-dup of 2, lands in the batch
+        (17, "totally different words with no overlap at all here now"),
+        (4, "another unrelated corpus document with its own content set"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = df.filter(F.col("doc_id") % 10 == 7)
+    corpus = df.filter(F.col("doc_id") % 10 != 7)
+    out = dedup.incremental_near_dup(
+        corpus, batch, F.col("text"), F.col("doc_id")
+    ).collect()
+    got = {(r["new_id"], r["dup_of"]): r["est_jaccard"] for r in out}
+    assert (7, 2) in got and got[(7, 2)] >= 0.5
+    assert all(n in (7, 17) for n, _ in got)  # only batch docs on the left
+    # agreement with the full self-join restricted to cross-split pairs
+    full = dedup.minhash_lsh_pairs(
+        df, F.col("text"), F.col("doc_id")
+    ).collect()
+    cross = {
+        (max(r["d1"], r["d2"]) if (max(r["d1"], r["d2"]) % 10 == 7) else min(r["d1"], r["d2"])):
+        r["est_jaccard"]
+        for r in full
+        if (r["d1"] % 10 == 7) != (r["d2"] % 10 == 7)
+    }
+    for (n, _), ej in got.items():
+        assert cross.get(n) == ej
