@@ -209,3 +209,46 @@ def merge_intervals(
         F.max(end).alias("b_end"),
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    steps: list[str],
+    percentiles: list[float] = (0.5, 0.9),
+    user: str = "user_id",
+    tus: str = "tus",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion-latency profile: for users who complete the
+    whole funnel, the distribution of t_last − t_first (first-step to
+    final-conversion time), as one summary row — n_converted,
+    avg_latency_s, and exact percentiles.
+
+    Builds on ``funnel`` (one scan, one shuffle), so per-user state never
+    exceeds the step count. The latency table is one row per CONVERTED
+    user — it scales with users, so the percentiles use the distributed
+    sort + rank selection path (stats.percentiles_exact_sorted), never a
+    one-reducer ``F.percentile`` merge. avg is an exact integer-micros
+    sum over a count — order-independent at any scale."""
+    from semantic_cpp_spark.functions import stats
+
+    k = len(steps)
+    f = funnel(df, steps, user=user, tus=tus, type_col=type_col)
+    lat = f.filter(F.col("stage") == k).select(
+        (F.col(f"t_{k}") - F.col("t_1")).alias("__lat")
+    )
+    base = lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(
+            (F.sum("__lat") / F.count(F.lit(1))) / F.lit(1e6), 6
+        ).alias("avg_latency_s"),
+    )
+    names = [f"p{int(p * 100)}_latency_s" for p in percentiles]
+    pct = stats.percentiles_exact_sorted(
+        lat, F.col("__lat").cast("double"), list(percentiles), names
+    )
+    pct = pct.select(
+        *[F.round(F.col(nm) / F.lit(1e6), 6).alias(nm) for nm in names]
+    )
+    # both sides are 1-row aggregates — the scalar-broadcast cross join
+    return base.crossJoin(F.broadcast(pct))

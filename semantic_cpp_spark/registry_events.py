@@ -343,3 +343,35 @@ def evt_user_trend(spark, sf_dir):
             ).alias("intercept"),
         )
     )
+
+
+@register(
+    "evt_conversion_latency",
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t
+                  FROM events
+                  WHERE event_type IN ('signup', 'view', 'purchase')),
+    a1 AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'signup' THEN t END) AS t_1
+           FROM e GROUP BY user_id),
+    a2 AS (SELECT e.user_id, min(t) AS t_2
+           FROM e JOIN a1 ON e.user_id = a1.user_id
+           WHERE event_type = 'view' AND t > t_1 GROUP BY e.user_id),
+    a3 AS (SELECT e.user_id, min(t) AS t_3
+           FROM e JOIN a2 ON e.user_id = a2.user_id
+           WHERE event_type = 'purchase' AND t > t_2 GROUP BY e.user_id),
+    lat AS (SELECT t_3 - a1.t_1 AS l
+            FROM a3 JOIN a1 ON a3.user_id = a1.user_id)
+    SELECT count(*)::BIGINT AS n_converted,
+           round((sum(l)::DOUBLE / count(*)) / 1e6, 6) AS avg_latency_s,
+           round(quantile_cont(l::DOUBLE, 0.5) / 1e6, 6) AS p50_latency_s,
+           round(quantile_cont(l::DOUBLE, 0.9) / 1e6, 6) AS p90_latency_s
+    FROM lat""",
+)
+def evt_conversion_latency(spark, sf_dir):
+    """Funnel conversion latency (eventflow.conversion_latency): for
+    users completing signup→view→purchase, the first-step-to-conversion
+    time profile — count, mean, and EXACT p50/p90 via the distributed
+    sort + rank-selection percentile path (one row per converted user
+    scales with the corpus; no one-reducer percentile merge)."""
+    ev = _events(spark, sf_dir)
+    return eventflow.conversion_latency(ev, ["signup", "view", "purchase"])

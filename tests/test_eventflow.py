@@ -259,3 +259,39 @@ def test_merge_intervals_semantics(spark):
         (1, 1): (31, 40, 2),
         (2, 0): (0, 1, 1),
     }
+
+
+def test_conversion_latency_hand_computed(spark):
+    # converted users 1..4 with latencies 20s, 40s, 60s, 80s;
+    # user 5 stalls at stage 2 and must not contribute.
+    rows = []
+    eid = 0
+    for u, lat_s in [(1, 20), (2, 40), (3, 60), (4, 80)]:
+        rows += [
+            (eid, u, 0, "signup", 0.0),
+            (eid + 1, u, 5 * M, "view", 0.0),
+            (eid + 2, u, lat_s * M, "purchase", 0.0),
+        ]
+        eid += 3
+    rows += [(eid, 5, 0, "signup", 0.0), (eid + 1, 5, M, "view", 0.0)]
+    out = eventflow.conversion_latency(
+        _events(spark, rows), ["signup", "view", "purchase"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_converted"] == 4
+    assert r["avg_latency_s"] == 50.0
+    # rank p*(n-1): p50 -> rank 1.5 -> 40 + 0.5*(60-40) = 50
+    assert r["p50_latency_s"] == 50.0
+    # p90 -> rank 2.7 -> 60 + 0.7*(80-60) = 74
+    assert r["p90_latency_s"] == 74.0
+
+
+def test_conversion_latency_no_conversions(spark):
+    rows = [(0, 1, 0, "signup", 0.0), (1, 1, M, "view", 0.0)]
+    out = eventflow.conversion_latency(
+        _events(spark, rows), ["signup", "view", "purchase"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_converted"] == 0
+    assert out[0]["p50_latency_s"] is None
