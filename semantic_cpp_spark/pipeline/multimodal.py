@@ -288,6 +288,208 @@ def render_png(doc_id: int) -> bytes:
     )
 
 
+def _gif_lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW compression of an index stream (LSB-first variable-
+    width codes). Width pairing with the decoder below: the decoder's
+    table lags the encoder's by one entry (it learns entry k while
+    processing code k+1), so the encoder grows the code width when its
+    next free slot reaches 2^width + 1 — exactly when the decoder's
+    reaches 2^width. At slot 4096 a Clear code resets both sides
+    (code_size is capped at 12 bits by the format)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    code_size = min_code_size + 1
+    next_code = end + 1
+    emit(clear, code_size)
+    w = b""
+    for byte in indices:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = end + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF LZW decompression (LSB-first variable-width codes, Clear/End
+    control codes, KwKwK case, width growth when the table reaches
+    2^width entries, 12-bit cap with deferred-clear tolerance)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                # real-world GIFs may omit the End code and rely on the
+                # 0-length block terminator (e.g. the canonical 43-byte
+                # 1×1 GIF) — return what decoded; the image-level caller
+                # validates the pixel count.
+                return bytes(out)
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if code < len(table) and (code < clear or code > end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL GIF decode, pure stdlib/pure-Python: header + logical screen
+    descriptor, global/local color tables, extension-block skipping, and
+    a full variable-width LZW decompressor — GIF's codec IS LZW, which
+    needs no external library. First image block only (animation frames
+    beyond the first are ignored); interlaced images raise
+    NotImplementedError; corrupt structure raises ValueError
+    (quarantine path). Returns (width, height, 255, rgb_bytes)."""
+    import struct
+
+    if bytes(payload[:6]) not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated before screen descriptor")
+    _, _, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct: bytes = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = bytes(payload[pos : pos + 3 * n])
+        if len(gct) != 3 * n:
+            raise ValueError("GIF global color table truncated")
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks until 0-length
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("GIF image descriptor truncated")
+            _, _, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad GIF dimensions {w}x{h}")
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = bytes(payload[pos : pos + 3 * n])
+                if len(ct) != 3 * n:
+                    raise ValueError("GIF local color table truncated")
+                pos += 3 * n
+            if not ct:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise ValueError(f"bad LZW min code size {min_code}")
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(lzw), min_code)
+            if len(idx) < w * h:
+                raise ValueError(f"GIF raster truncated: {len(idx)} of {w * h}")
+            ncolors = len(ct) // 3
+            rgb = bytearray(w * h * 3)
+            for i in range(w * h):
+                j = idx[i]
+                if j >= ncolors:
+                    raise ValueError(f"palette index {j} out of range")
+                rgb[3 * i : 3 * i + 3] = ct[3 * j : 3 * j + 3]
+            return w, h, 255, bytes(rgb)
+        elif block == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image block")
+
+
+def render_gif(doc_id: int) -> bytes:
+    """Deterministic GIF89a payload with the PPM closed-form size
+    (w = 8 + id%9, h = 8 + (id//9)%9) and a 256-entry GRAYSCALE global
+    color table, pixel index i = (id·31 + i) % 256 — so the decoded RGB
+    raster is each gray value tripled and the feature oracle stays a
+    closed form (mean over v = mean over raster). Real LZW compression
+    via _gif_lzw_encode."""
+    import struct
+
+    w = 8 + doc_id % 9
+    h = 8 + (doc_id // 9) % 9
+    idx = bytes((doc_id * 31 + i) % 256 for i in range(w * h))
+    gct = bytes(v for j in range(256) for v in (j, j, j))
+    lzw = _gif_lzw_encode(idx, 8)
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        part = lzw[off : off + 255]
+        blocks += bytes([len(part)]) + part
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + gct
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([8])
+        + bytes(blocks)
+        + b"\x00\x3b"
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL image decode, pure stdlib: netpbm PPM binary (P6) / ASCII
     (P3), uncompressed 24-bit BMP, and PNG (8-bit gray/RGB/palette/RGBA
@@ -302,13 +504,15 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     magic = bytes(payload[:2])
     if bytes(payload[:8]) == _PNG_MAGIC:
         return _decode_png(payload)
+    if bytes(payload[:3]) == b"GIF":
+        return _decode_gif(payload)
     if magic == b"BM":
         return _decode_bmp(payload)
     if magic not in (b"P6", b"P3"):
         raise NotImplementedError(
             f"no stdlib decoder for magic {magic!r} — PPM P6/P3, "
-            "uncompressed 24-bit BMP, and PNG only; JPEG/audio/video "
-            "require PIL/libjpeg/ffmpeg"
+            "uncompressed 24-bit BMP, PNG, and GIF only; JPEG/audio/"
+            "video require PIL/libjpeg/ffmpeg"
         )
     toks, pos = _pnm_tokens(payload, 4)
     width, height, maxval = int(toks[1]), int(toks[2]), int(toks[3])
@@ -376,6 +580,26 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.struct(
             F.lit("image/png").alias("mime"),
             F.lit("png").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render a real GIF89a payload per document (see render_gif) with
+    image metadata — the palette+LZW container ingest shape, decodable by
+    the pure-Python LZW decoder."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def _render(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: render_gif(int(i)))
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _render(F.col(id_col)).alias("payload"),
+        F.struct(
+            F.lit("image/gif").alias("mime"),
+            F.lit("gif").alias("codec"),
         ).alias("meta"),
     )
 
@@ -451,7 +675,9 @@ def extract_features(df: DataFrame) -> DataFrame:
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 b = bytes(payload)
                 stdlib_claimed = (
-                    b[:2] in (b"P6", b"P3", b"BM") or b[:8] == _PNG_MAGIC
+                    b[:2] in (b"P6", b"P3", b"BM")
+                    or b[:8] == _PNG_MAGIC
+                    or b[:3] == b"GIF"
                 )
                 if stdlib_claimed or plugin is not None:
                     try:

@@ -672,6 +672,7 @@ _PRIORITY: list[str] = [
     "rel_order_gaps_lead_lag",     # NEW: lag() inter-order gap analysis
     "dedup_incremental_batch",     # NEW: batch-vs-corpus index-lookup dedup
     "evt_conversion_latency",      # NEW: funnel latency percentile profile
+    "mm_gif_features",             # NEW: real pure-Python GIF LZW decode
     # -- backfill: oldest-vintage rows age out (stale vouching). All 42
     #    queries whose latest green row is r03; the window holds 50, so the
     #    final two entries below spill to the r7 window --
@@ -701,10 +702,10 @@ _PRIORITY: list[str] = [
     "emb_kmeans_step",
     "ir_bm25_topk",
     "shard_token_budget",
-    "txt_decontaminate",
     # -- spill to r7 (positions 51+; lowest-risk of the r3 batch — simple
     #    relational analogues green in two prior driver windows, displaced
     #    by the five new r6 operators above) --
+    "txt_decontaminate",
     "txt_pii_redact",
     "txt_word_count_topk",
     "rel_q4_semi_join",

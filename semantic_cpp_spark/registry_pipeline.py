@@ -1545,3 +1545,39 @@ def dedup_incremental_batch(spark, sf_dir):
     return dedup.incremental_near_dup(
         corpus, batch, F.col("text"), F.col("doc_id")
     )
+
+
+@register(
+    "mm_gif_features",
+    """WITH sz AS (SELECT doc_id,
+                          (8 + doc_id % 9)::INT AS w,
+                          (8 + (doc_id // 9) % 9)::INT AS h
+                   FROM documents),
+    px AS (SELECT doc_id, w, h, (doc_id * 31 + r.range) % 256 AS v
+           FROM sz CROSS JOIN range(0, 256) r
+           WHERE r.range < w * h)
+    SELECT doc_id, w AS width, h AS height,
+           round(sum(v) / (w * h) / 255.0, 9) AS feat_mean,
+           TRUE AS decoded
+    FROM px GROUP BY doc_id, w, h""",
+)
+def mm_gif_features(spark, sf_dir):
+    """Multimodal features through the REAL pure-Python GIF decode path:
+    each doc gets a true GIF89a container (grayscale global color table,
+    variable-width LZW raster — multimodal.render_gif) whose pixel
+    indices follow the closed form v_i = (id·31+i) % 256 over w·h pixels;
+    the kernel runs the full LZW decompressor + palette mapping
+    (multimodal._decode_gif, round-trip- and real-world-artifact-pinned),
+    and the oracle recomputes width/height/mean from the closed form
+    (gray tripling cancels in the mean). n_bytes excluded (LZW output
+    size is not SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_gif_payload(docs)
+    feats = multimodal.extract_features(payload)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("feat_mean", 9).alias("feat_mean"),
+        "decoded",
+    )

@@ -877,3 +877,64 @@ def test_lsh_derived_planes_end_to_end(spark):
     assert all(r["q_id"] == 5 and r["vec_id"] != 5 for r in out)
     ivf = sim.ivf_topk(df, [2], k=4, dims=16).collect()
     assert all(r["q_id"] == 2 for r in ivf)
+
+
+def test_gif_lzw_roundtrip_and_wild_file():
+    """The GIF LZW pair must round-trip across every code-width boundary
+    (9→12 bits) and the 4096-entry reset, and the decoder must read a
+    REAL-WORLD artifact: the canonical 43-byte 1×1 GIF (which omits the
+    End code and relies on the block terminator)."""
+    import base64
+    import random
+
+    rng = random.Random(7)
+    for n in (0, 1, 5, 300, 5000, 40000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert multimodal._gif_lzw_decode(multimodal._gif_lzw_encode(data)) == data
+    for pat in (b"a" * 30000, b"ab" * 20000, bytes(range(256)) * 200):
+        assert multimodal._gif_lzw_decode(multimodal._gif_lzw_encode(pat)) == pat
+    small = bytes(rng.randrange(4) for _ in range(10000))
+    assert multimodal._gif_lzw_decode(multimodal._gif_lzw_encode(small, 2), 2) == small
+    wild = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    w, h, mv, rgb = multimodal._decode_gif(wild)
+    assert (w, h, rgb) == (1, 1, b"\x00\x00\x00")
+
+
+def test_gif_decode_closed_form_and_corrupt():
+    for did in (0, 5, 81, 123456):
+        w, h, mv, rgb = multimodal.decode_image(multimodal.render_gif(did))
+        ew, eh = 8 + did % 9, 8 + (did // 9) % 9
+        assert (w, h, mv) == (ew, eh, 255)
+        exp = bytes(
+            v for i in range(ew * eh) for v in ((did * 31 + i) % 256,) * 3
+        )
+        assert rgb == exp
+    import pytest as _pt
+
+    with _pt.raises(ValueError):  # signature only, no blocks
+        multimodal._decode_gif(b"GIF89a")
+    with _pt.raises(ValueError):  # truncated mid-structure
+        multimodal._decode_gif(multimodal.render_gif(3)[:40])
+    # interlaced flag → honest NotImplementedError
+    g = bytearray(multimodal.render_gif(2))
+    idesc = 6 + 7 + 768  # header + LSD + 256-entry GCT (0x2C also occurs
+    assert g[idesc] == 0x2C  # as a gray palette byte — fixed offset, not index())
+    g[idesc + 9] |= 0x40
+    with _pt.raises(NotImplementedError):
+        multimodal._decode_gif(bytes(g))
+
+
+def test_gif_flows_through_extract_features(spark):
+    rows = [
+        (5, multimodal.render_gif(5)),
+        (6, b"GIF89a corrupt body with no blocks at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in multimodal.extract_features(df).collect()}
+    w, h = 8 + 5 % 9, 8 + (5 // 9) % 9
+    assert out[5]["decoded"] is True and (out[5]["width"], out[5]["height"]) == (w, h)
+    expect_mean = sum((5 * 31 + i) % 256 for i in range(w * h)) / (w * h) / 255
+    assert abs(out[5]["feat_mean"] - expect_mean) < 1e-12
+    assert out[6]["decoded"] is False and out[6]["width"] is None
