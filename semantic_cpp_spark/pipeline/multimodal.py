@@ -433,6 +433,8 @@ def _decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
                 pos += 3 * n
             if not ct:
                 raise ValueError("GIF image has no color table")
+            if pos >= len(payload):
+                raise ValueError("GIF truncated before LZW min code size")
             min_code = payload[pos]
             pos += 1
             if not 2 <= min_code <= 8:

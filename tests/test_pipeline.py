@@ -703,7 +703,7 @@ def test_decoders_fail_cleanly_on_hostile_bytes():
 
     rng = random.Random(99)
     magics = [b"", b"P6", b"P3", b"BM", b"RIFF", b"YUV4MPEG2", b"RIFFxxxxWAVE",
-              b"\x89PNG\r\n\x1a\n", b"\x89PNG"]
+              b"\x89PNG\r\n\x1a\n", b"\x89PNG", b"GIF87a", b"GIF89a", b"GIF"]
     decoders = [
         multimodal.decode_image,
         multimodal.decode_audio,
@@ -723,6 +723,7 @@ def test_decoders_fail_cleanly_on_hostile_bytes():
         for whole, dec in (
             (multimodal.render_ppm(3), multimodal.decode_image),
             (multimodal.render_png(3), multimodal.decode_image),
+            (multimodal.render_gif(3), multimodal.decode_image),
             (multimodal.render_wav(3), multimodal.decode_audio),
             (multimodal.render_y4m(3), multimodal.decode_video),
         ):
@@ -730,6 +731,26 @@ def test_decoders_fail_cleanly_on_hostile_bytes():
                 dec(whole[: len(whole) - cut])
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_gif_decoder_survives_random_mutations():
+    """Bit-flip fuzz on VALID GIFs: short random payloads die at the
+    header guards, so mutate real containers to reach the deep paths
+    (LZW code stream, palette indices, sub-block lengths). Contract:
+    decode correctly or raise ValueError/NotImplementedError — never an
+    internal exception type."""
+    import random
+
+    rng = random.Random(4242)
+    base = [bytearray(multimodal.render_gif(d)) for d in (1, 9, 40)]
+    for _ in range(400):
+        g = bytearray(rng.choice(base))
+        for _ in range(rng.randrange(1, 4)):
+            g[rng.randrange(len(g))] ^= 1 << rng.randrange(8)
+        try:
+            multimodal._decode_gif(bytes(g))
+        except (ValueError, NotImplementedError):
+            pass
 
 
 def test_y4m_render_decode_roundtrip(spark):
