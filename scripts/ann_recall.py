@@ -158,6 +158,38 @@ def main():
             ),
         )
         row("ivf nprobe=1", f"K={K}", recall(b, truth), cands)
+    for nprobe in (2, 3):
+        K = 45
+        b = topk_sets(
+            similarity.ivf_multiprobe_topk(
+                emb, qids, k=k, dims=64, nprobe=nprobe, n_centroids=K
+            ).collect()
+        )
+        from pyspark.sql import Window as W
+
+        assigned = similarity.ivf_assign(emb, 64, n_centroids=K)
+        cents = assigned.filter(F.col("vec_id") < K).select(
+            F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+        )
+        qv = assigned.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+        ccos = similarity.safe_cos(F.col("qv"), F.col("cv"))
+        wq = W.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("c_id"))
+        probes = (
+            qv.crossJoin(F.broadcast(cents))
+            .select("q_id", "c_id", ccos.alias("ccos"))
+            .withColumn("__r", F.row_number().over(wq))
+            .filter(F.col("__r") <= nprobe)
+            .select("q_id", F.col("c_id").alias("key"))
+        )
+        cands = (
+            assigned.select("vec_id", F.col("centroid_id").alias("key"))
+            .join(F.broadcast(probes), "key")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .count()
+        ) / len(qids)
+        row(f"ivf nprobe={nprobe}", f"K={K}", recall(b, truth), cands)
 
 
 if __name__ == "__main__":

@@ -588,6 +588,66 @@ def ivf_topk(
     )
 
 
+def ivf_multiprobe_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dims: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+) -> DataFrame:
+    """IVF top-k with nprobe > 1: each query scans the inverted lists of
+    its ``nprobe`` nearest centroids instead of only the nearest one —
+    the standard recall/cost dial for IVF (the r6 recall sweep measured
+    nprobe=1 at 0.876 recall@5 scanning 2.2% of the corpus; widening the
+    probe set recovers the neighbors that fall just across a Voronoi
+    boundary, at nprobe× the scan).
+
+    Scale shape is unchanged from ivf_topk: the corpus is partitioned
+    into inverted lists ONCE (each vector in exactly one list, so
+    candidates need no dedup); only the broadcast query side fans out,
+    nprobe rows per query. Output (q_id, rk, vec_id, cos)."""
+    if n_centroids is None:
+        n_centroids = derived_ivf_k(df.count())
+    assigned = ivf_assign(df, dims, id_col, vec_col, n_centroids)
+    cents = assigned.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    qv = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    ccos = safe_cos(F.col("qv"), F.col("cv"))
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id")
+    )
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("q_id", "qv", "c_id", ccos.alias("ccos"))
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("q_id", "qv", F.col("c_id").alias("probe_cent"))
+    )
+    cos = safe_cos(F.col("v"), F.col("qv"))
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("centroid_id") == F.col("probe_cent"))
+        & (F.col("vec_id") != F.col("q_id")),
+    ).select("q_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            F.col("rk").cast("long").alias("rk"),
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
 # Above this derived plane count the single whole-signature key would
 # exceed derived_lsh_planes' clamp — switch to banding (8-bit bands keep
 # per-band collision probability meaningful at any width).

@@ -1581,3 +1581,45 @@ def mm_gif_features(spark, sf_dir):
         F.round("feat_mean", 9).alias("feat_mean"),
         "decoded",
     )
+
+
+_IVF_MP_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {similarity.IVF_K}),
+scored AS (
+  SELECT e.vec_id, e.v, c.c_id,
+         {_sql_cos('e.v', 'c.cv')} AS ccos
+  FROM e, c),
+assigned AS (
+  SELECT vec_id, v, c_id AS centroid_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC NULLS LAST, c_id) AS r
+        FROM scored)
+  WHERE r = 1),
+qp AS (
+  SELECT vec_id AS q_id, v AS qv, c_id AS probe_cent
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC NULLS LAST, c_id) AS r
+        FROM scored WHERE vec_id IN (0, 1, 2))
+  WHERE r <= 2),
+sc AS (SELECT qp.q_id, a.vec_id,
+              {_sql_cos('a.v', 'qp.qv')} AS cos
+       FROM assigned a JOIN qp
+         ON a.centroid_id = qp.probe_cent AND a.vec_id <> qp.q_id),
+r AS (SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC NULLS LAST, vec_id) AS rk
+      FROM sc)
+SELECT q_id, rk, vec_id, round(cos, 6) AS cos FROM r WHERE rk <= 5"""
+
+
+@register("sim_ivf_multiprobe", _IVF_MP_SQL)
+def sim_ivf_multiprobe(spark, sf_dir):
+    """IVF top-5 at nprobe=2 (similarity.ivf_multiprobe_topk): each query
+    scans its TWO nearest centroids' inverted lists — the standard IVF
+    recall dial, recovering neighbors just across a Voronoi boundary at
+    2× the (still ~2·n/K) scan. Corpus partitioning unchanged; only the
+    broadcast query side fans out."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_multiprobe_topk(
+        emb, [0, 1, 2], k=5, dims=64, nprobe=2, n_centroids=similarity.IVF_K
+    )

@@ -452,6 +452,15 @@ def test_ann_recall_floors(spark):
         )
     )
     assert r_ivf >= 0.5  # K≈√n: measured 0.64 @ n=500, 0.876 @ n=2000
+    r_ivf2 = rec(
+        similarity.ivf_multiprobe_topk(
+            emb, qids, k=k, dims=64, nprobe=2,
+            n_centroids=similarity.derived_ivf_k(n),
+        )
+    )
+    # nprobe=2 probes a SUPERSET of nprobe=1's lists (same ranking, rank
+    # ≤2 vs ==1) and rescoring is exact, so recall is monotone in nprobe.
+    assert r_ivf2 >= r_ivf
 
 
 def test_raw_lsh_planes_shared_derivation():
