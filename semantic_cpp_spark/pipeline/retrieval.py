@@ -186,6 +186,49 @@ def unigram_cross_entropy(
     )
 
 
+def bigram_cross_entropy(
+    df: DataFrame, text: Column, id_col: Column
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus BIGRAM LM:
+    H₂(d) = −(1/(|d|−1))·Σᵢ ln p(wᵢ | wᵢ₋₁), with the conditional
+    p(w|v) = count(v,w) / count(v,·) estimated from the whole corpus.
+    The stronger LM-quality signal over the unigram form: it penalises
+    improbable TRANSITIONS (word-salad, shuffled text) that a unigram
+    model scores identically. As with unigram_cross_entropy, every
+    scored bigram is in the model by construction (the corpus scores
+    itself), so no smoothing term is needed.
+
+    Plan: one explode produces (doc, v, w) bigram rows feeding three
+    co-partitioned aggregations — the bigram model (groupBy v,w), the
+    left-context totals (groupBy v), and the scoring join back on (v,w)
+    then v; per-doc mean is one aggregation on doc_id. Documents shorter
+    than 2 tokens have no bigrams and drop out (mirrored in the oracle).
+    Output (doc_id, n_bigrams, cross_entropy2)."""
+    t = tokens(F.lower(text))
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("v"),
+        F.slice(t, 2, F.size(t) - 1).alias("w"),
+    )
+    bg = (
+        df.filter(F.size(t) >= 2)
+        .select(id_col.alias("doc_id"), F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    )
+    model = bg.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    left = model.groupBy("v").agg(F.sum("cnt").cast("long").alias("lcnt"))
+    scored = (
+        bg.join(model, ["v", "w"])
+        .join(left, "v")
+        .select("doc_id", (-F.log(F.col("cnt") / F.col("lcnt"))).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("cross_entropy2"),
+    )
+
+
 def _edit1_block_keys(term: Column) -> Column:
     """Blocking keys for edit-distance ≤ 1: any two strings of length ≥ 2
     within one edit share their FIRST character or their LAST character

@@ -674,6 +674,7 @@ _PRIORITY: list[str] = [
     "evt_conversion_latency",      # NEW: funnel latency percentile profile
     "mm_gif_features",             # NEW: real pure-Python GIF LZW decode
     "sim_ivf_multiprobe",          # NEW: IVF nprobe=2 recall dial
+    "txt_bigram_cross_entropy",    # NEW: transition-aware LM quality signal
     # -- backfill: oldest-vintage rows age out (stale vouching). All 42
     #    queries whose latest green row is r03; the window holds 50, so the
     #    final two entries below spill to the r7 window --

@@ -1623,3 +1623,31 @@ def sim_ivf_multiprobe(spark, sf_dir):
     return similarity.ivf_multiprobe_topk(
         emb, [0, 1, 2], k=5, dims=64, nprobe=2, n_centroids=similarity.IVF_K
     )
+
+
+@register(
+    "txt_bigram_cross_entropy",
+    r"""WITH w AS (SELECT doc_id,
+                          regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                   FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest([ws[i] for i in range(1, len(ws))]) AS v,
+                  unnest([ws[i + 1] for i in range(1, len(ws))]) AS w2
+           FROM w WHERE len(ws) >= 2),
+    model AS (SELECT v, w2, count(*)::BIGINT AS cnt FROM bg GROUP BY v, w2),
+    lft AS (SELECT v, sum(cnt)::BIGINT AS lcnt FROM model GROUP BY v)
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(sum(-ln(cnt::DOUBLE / lcnt)) / count(*), 6) AS cross_entropy2
+    FROM bg JOIN model USING (v, w2) JOIN lft USING (v)
+    GROUP BY doc_id""",
+)
+def txt_bigram_cross_entropy(spark, sf_dir):
+    """Corpus bigram-LM cross-entropy per document
+    (retrieval.bigram_cross_entropy): −mean ln p(wᵢ|wᵢ₋₁) with the
+    conditional estimated from the corpus itself — the transition-aware
+    quality signal the unigram model can't see. Co-partitioned term
+    joins; no smoothing needed (self-scoring corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bigram_cross_entropy(
+        docs, F.col("text"), F.col("doc_id")
+    )

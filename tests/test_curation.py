@@ -604,3 +604,21 @@ def test_incremental_near_dup_matches_self_join_restriction(spark):
     }
     for (n, _), ej in got.items():
         assert cross.get(n) == ej
+
+
+def test_bigram_cross_entropy_hand_computed(spark):
+    # corpus: "a b a b" and "a b c". bigram counts: (a,b)=3, (b,a)=1,
+    # (b,c)=1; left totals: a·=3, b·=2.
+    # doc0 bigrams: ab, ba, ab -> nll = -ln(3/3) -ln(1/2) -ln(3/3) = ln2
+    #   H = ln2 / 3
+    # doc1 bigrams: ab, bc -> nll = -ln(3/3) - ln(1/2) = ln2; H = ln2/2
+    import math
+
+    df = _docs(spark, ["a b a b", "a b c", "solo"])
+    out = {r["doc_id"]: r for r in retrieval.bigram_cross_entropy(
+        df, F.col("text"), F.col("doc_id")).collect()}
+    assert set(out) == {0, 1}  # 1-token doc has no bigrams
+    assert out[0]["n_bigrams"] == 3
+    assert abs(out[0]["cross_entropy2"] - round(math.log(2) / 3, 6)) < 1e-9
+    assert out[1]["n_bigrams"] == 2
+    assert abs(out[1]["cross_entropy2"] - round(math.log(2) / 2, 6)) < 1e-9
