@@ -207,3 +207,51 @@ def test_sessionize_single_window_exchange(spark, qs):
 
     user_exchanges = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
     assert user_exchanges == 1, plan[:2000]
+
+
+def test_boilerplate_hot_set_is_not_broadcast(spark, qs):
+    """remove_boilerplate_chunks joins the hot-chunk set with a plain
+    shuffle join, DELIBERATELY: "chunks in >=2 docs" can be a large
+    fraction of all chunks at corpus scale, unlike a df-cap heavy-hitter
+    set. The analyzed plan must carry no broadcast hint, and the
+    physical join on the chunk key must not be a broadcast join forced
+    by us (AQE may still smallify it at toy scale — so pin the HINT
+    absence, which is what survives a 100x scale-up)."""
+    df = qs["txt_boilerplate_removal"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+def test_containment_hot_shingles_broadcast_anti(spark, qs):
+    """dedup_containment shares the Jaccard df-cap plan: the heavy-hitter
+    shingle set (small by construction) is broadcast for the anti-join."""
+    plan = _plan(qs["dedup_containment"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_split_assign_is_zero_exchange(spark, qs):
+    """samp_train_val_split: the split decision is a pure narrow map —
+    the only exchange in the whole plan is the final groupBy(split,lang)
+    aggregation."""
+    plan = _plan(qs["samp_train_val_split"](spark, SF))
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_incremental_dedup_corpus_join_not_hinted(spark, qs):
+    """incremental_near_dup: neither side of the band-key equi-join may
+    carry an explicit broadcast hint — a backfill-sized batch must be
+    allowed to shuffle; AQE decides at runtime."""
+    df = qs["dedup_incremental_batch"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+def test_conversion_latency_no_global_percentile_reducer(spark, qs):
+    """evt_conversion_latency routes p50/p90 through the distributed
+    sort + rank-selection path: the plan must contain a range exchange
+    (the parallel sort) and no `percentile(` aggregate."""
+    plan = _plan(qs["evt_conversion_latency"](spark, SF))
+    assert "rangepartitioning" in plan.lower()
+    assert "percentile(" not in plan
