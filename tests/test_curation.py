@@ -622,3 +622,59 @@ def test_bigram_cross_entropy_hand_computed(spark):
     assert abs(out[0]["cross_entropy2"] - round(math.log(2) / 3, 6)) < 1e-9
     assert out[1]["n_bigrams"] == 2
     assert abs(out[1]["cross_entropy2"] - round(math.log(2) / 2, 6)) < 1e-9
+
+
+def test_boilerplate_identity_when_nothing_hot(spark):
+    # min_docs above the corpus size: nothing is hot, so every doc
+    # re-assembles to its whitespace-normalised self.
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{j}" for j in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 35)))
+        for _ in range(25)
+    ]
+    df = _docs(spark, texts)
+    out = {r["doc_id"]: r for r in curation.remove_boilerplate_chunks(
+        df, F.col("text"), F.col("doc_id"), chunk_size=7, min_docs=999
+    ).collect()}
+    for i, t in enumerate(texts):
+        assert out[i]["n_kept"] == out[i]["n_chunks"]
+        assert out[i]["clean_text"] == t
+
+
+def test_containment_uncapped_vs_naive(spark):
+    # randomized differential: containment_pairs with the df-cap OFF must
+    # equal a naive pure-Python all-pairs computation.
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"t{j}" for j in range(12)]  # small vocab -> dense overlaps
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 25)))
+        for _ in range(18)
+    ]
+    k, th = 3, 0.3
+    sh = []
+    for t in texts:
+        ws = t.split()
+        sh.append({" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+                  if len(ws) >= k else set())
+    expect = {}
+    for a in range(len(texts)):
+        for b in range(len(texts)):
+            if a == b or not sh[a]:
+                continue
+            c = len(sh[a] & sh[b]) / len(sh[a])
+            if c >= th:
+                expect[(a, b)] = round(c, 6)
+    df = _docs(spark, texts)
+    got = {
+        (r["d1"], r["d2"]): r["containment"]
+        for r in dedup.containment_pairs(
+            df, F.col("text"), F.col("doc_id"), k=k, threshold=th,
+            max_shingle_df=None,
+        ).collect()
+    }
+    assert got == expect
