@@ -252,3 +252,61 @@ def conversion_latency(
     )
     # both sides are 1-row aggregates — the scalar-broadcast cross join
     return base.crossJoin(F.broadcast(pct))
+
+
+def rfm_segments(
+    df: DataFrame,
+    purchase_type: str = "purchase",
+    user: str = "user_id",
+    tus: str = "tus",
+    value: str = "value",
+) -> DataFrame:
+    """RFM user segmentation: per user with ≥1 purchase, recency
+    (µs between their last purchase and the corpus's latest purchase),
+    frequency (purchase count) and monetary (2dp-exact value sum), each
+    banded into corpus-relative terciles. Bands are ASCENDING in the
+    metric (band 0 = lowest third), so r_band 0 = most recent.
+
+    The scale-correct banding shape (same as curation.quality_bands):
+    cutoffs come from ONE 1-row exact-percentile aggregate that is
+    broadcast, then banding is a pure narrow CASE — never an ntile()
+    global window. Per-user state is one row; everything after the
+    groupBy(user) is map-side. Output (user_id, recency_us,
+    n_purchases, monetary, r_band, f_band, m_band)."""
+    p = df.filter(F.col("event_type") == purchase_type)
+    per_user = p.groupBy(F.col(user).alias("user_id")).agg(
+        F.max(tus).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.round(F.sum(value), 2).alias("monetary"),
+    )
+    gmax = p.agg(F.max(tus).alias("__gmax"))
+    per_user = (
+        per_user.crossJoin(F.broadcast(gmax))
+        .withColumn("recency_us", (F.col("__gmax") - F.col("__last")).cast("long"))
+        .drop("__gmax", "__last")
+    )
+    cut_exprs = []
+    for metric in ("recency_us", "n_purchases", "monetary"):
+        for i, frac in enumerate((1.0 / 3.0, 2.0 / 3.0)):
+            cut_exprs.append(
+                F.expr(f"percentile({metric}, {frac!r})").alias(
+                    f"__{metric}_c{i}"
+                )
+            )
+    cuts = per_user.agg(*cut_exprs)
+    out = per_user.crossJoin(F.broadcast(cuts))
+    for metric, band in (
+        ("recency_us", "r_band"),
+        ("n_purchases", "f_band"),
+        ("monetary", "m_band"),
+    ):
+        b = F.lit(0)
+        for i in range(2):
+            b = F.when(
+                F.col(metric) >= F.col(f"__{metric}_c{i}"), i + 1
+            ).otherwise(b)
+        out = out.withColumn(band, b.cast("long"))
+    return out.select(
+        "user_id", "recency_us", "n_purchases", "monetary",
+        "r_band", "f_band", "m_band",
+    )

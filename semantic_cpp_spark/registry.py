@@ -675,6 +675,7 @@ _PRIORITY: list[str] = [
     "mm_gif_features",             # NEW: real pure-Python GIF LZW decode
     "sim_ivf_multiprobe",          # NEW: IVF nprobe=2 recall dial
     "txt_bigram_cross_entropy",    # NEW: transition-aware LM quality signal
+    "evt_rfm_segments",            # NEW: tercile-banded RFM segmentation
     # -- backfill: oldest-vintage rows age out (stale vouching). All 42
     #    queries whose latest green row is r03; the window holds 50, so the
     #    final two entries below spill to the r7 window --

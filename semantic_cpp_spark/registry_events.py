@@ -375,3 +375,42 @@ def evt_conversion_latency(spark, sf_dir):
     scales with the corpus; no one-reducer percentile merge)."""
     ev = _events(spark, sf_dir)
     return eventflow.conversion_latency(ev, ["signup", "view", "purchase"])
+
+
+@register(
+    "evt_rfm_segments",
+    """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS t, value
+                  FROM events WHERE event_type = 'purchase'),
+    u AS (SELECT user_id,
+                 count(*)::BIGINT AS n_purchases,
+                 round(sum(value), 2) AS monetary,
+                 max(t) AS last_t
+          FROM p GROUP BY user_id),
+    g AS (SELECT max(t) AS gmax FROM p),
+    m AS (SELECT user_id, n_purchases, monetary,
+                 (gmax - last_t)::BIGINT AS recency_us
+          FROM u, g),
+    c AS (SELECT quantile_cont(recency_us, 0.3333333333333333) AS r0,
+                 quantile_cont(recency_us, 0.6666666666666666) AS r1,
+                 quantile_cont(n_purchases, 0.3333333333333333) AS f0,
+                 quantile_cont(n_purchases, 0.6666666666666666) AS f1,
+                 quantile_cont(monetary, 0.3333333333333333) AS m0,
+                 quantile_cont(monetary, 0.6666666666666666) AS m1
+          FROM m)
+    SELECT user_id, recency_us, n_purchases, monetary,
+           (CASE WHEN recency_us >= r1 THEN 2
+                 WHEN recency_us >= r0 THEN 1 ELSE 0 END)::BIGINT AS r_band,
+           (CASE WHEN n_purchases >= f1 THEN 2
+                 WHEN n_purchases >= f0 THEN 1 ELSE 0 END)::BIGINT AS f_band,
+           (CASE WHEN monetary >= m1 THEN 2
+                 WHEN monetary >= m0 THEN 1 ELSE 0 END)::BIGINT AS m_band
+    FROM m, c""",
+)
+def evt_rfm_segments(spark, sf_dir):
+    """RFM user segmentation (eventflow.rfm_segments): recency/frequency/
+    monetary per purchasing user, tercile-banded against broadcast 1-row
+    exact-percentile cutoffs — the scale-correct CASE banding, never a
+    global ntile() window. Bands ascend in the metric (r_band 0 = most
+    recent third)."""
+    ev = _events(spark, sf_dir)
+    return eventflow.rfm_segments(ev)

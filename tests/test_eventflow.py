@@ -295,3 +295,30 @@ def test_conversion_latency_no_conversions(spark):
     assert len(out) == 1
     assert out[0]["n_converted"] == 0
     assert out[0]["p50_latency_s"] is None
+
+
+def test_rfm_segments_hand_computed(spark):
+    # three purchasers with clearly separated metrics; one non-purchaser.
+    rows = [
+        # user 1: 1 purchase, old, small
+        (0, 1, 0, "purchase", 10.0),
+        # user 2: 2 purchases, mid-recent, mid
+        (1, 2, 10 * M, "purchase", 20.0),
+        (2, 2, 50 * M, "purchase", 25.0),
+        # user 3: 3 purchases, most recent, big
+        (3, 3, 30 * M, "purchase", 40.0),
+        (4, 3, 60 * M, "purchase", 40.0),
+        (5, 3, 100 * M, "purchase", 40.0),
+        # user 4: views only -> excluded
+        (6, 4, 90 * M, "view", 99.0),
+    ]
+    out = {r["user_id"]: r for r in eventflow.rfm_segments(
+        _events(spark, rows)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["recency_us"] == 100 * M and out[3]["recency_us"] == 0
+    assert out[3]["n_purchases"] == 3 and out[3]["monetary"] == 120.0
+    # ascending tercile bands: user3 lowest recency -> r_band 0;
+    # user1 highest recency -> r_band 2; frequency/monetary reverse.
+    assert (out[3]["r_band"], out[3]["f_band"], out[3]["m_band"]) == (0, 2, 2)
+    assert (out[1]["r_band"], out[1]["f_band"], out[1]["m_band"]) == (2, 0, 0)
+    assert (out[2]["r_band"], out[2]["f_band"], out[2]["m_band"]) == (1, 1, 1)
