@@ -676,6 +676,7 @@ _PRIORITY: list[str] = [
     "sim_ivf_multiprobe",          # NEW: IVF nprobe=2 recall dial
     "txt_bigram_cross_entropy",    # NEW: transition-aware LM quality signal
     "evt_rfm_segments",            # NEW: tercile-banded RFM segmentation
+    "emb_dim_stats",               # NEW: per-dimension whitening-prep stats
     # -- backfill: oldest-vintage rows age out (stale vouching). All 42
     #    queries whose latest green row is r03; the window holds 50, so the
     #    final two entries below spill to the r7 window --
@@ -698,10 +699,10 @@ _PRIORITY: list[str] = [
     "rel_q19_bracketed_discounts",
     "rel_q22_idle_balance",
     "udaf_per_order_weighted_avg",
-    "agg_distribution_profile",
     "agg_corr_covar",
     "agg_salted_hot_key",
     "dedup_cc_clusters",
+    "agg_distribution_profile",
     "emb_kmeans_step",
     "ir_bm25_topk",
     "shard_token_budget",

@@ -1651,3 +1651,36 @@ def txt_bigram_cross_entropy(spark, sf_dir):
     return retrieval.bigram_cross_entropy(
         docs, F.col("text"), F.col("doc_id")
     )
+
+
+@register(
+    "emb_dim_stats",
+    """WITH d AS (SELECT unnest(range(0, 64)) AS dim),
+    x AS (SELECT d.dim, e.embedding[d.dim + 1]::DOUBLE AS v
+          FROM embeddings e, d)
+    SELECT dim::BIGINT AS dim,
+           round(sum(v) / count(*), 6) AS mean,
+           round(sqrt(sum(v * v) / count(*) - (sum(v) / count(*)) ^ 2), 6)
+             AS std_pop
+    FROM x GROUP BY dim""",
+)
+def emb_dim_stats(spark, sf_dir):
+    """Per-dimension mean and population std over the embedding corpus —
+    the normalization/whitening prep aggregate. posexplode fans each
+    vector into (dim, value) rows; one groupBy over 64 keys with
+    map-side partial aggregation, so shuffle volume is 64 rows per
+    partition regardless of corpus size. Variance from power sums
+    (sum, sum-of-squares) matching the oracle's expression exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("dim", "v")
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("v")
+    s2 = F.sum(F.col("v") * F.col("v"))
+    return x.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.round(s / n, 6).alias("mean"),
+        F.round(F.sqrt(s2 / n - (s / n) * (s / n)), 6).alias("std_pop"),
+    )
