@@ -677,6 +677,7 @@ _PRIORITY: list[str] = [
     "txt_bigram_cross_entropy",    # NEW: transition-aware LM quality signal
     "evt_rfm_segments",            # NEW: tercile-banded RFM segmentation
     "emb_dim_stats",               # NEW: per-dimension whitening-prep stats
+    "stream_funnel_stages",        # NEW: stateful streaming funnel
     # -- backfill: oldest-vintage rows age out (stale vouching). All 42
     #    queries whose latest green row is r03; the window holds 50, so the
     #    final two entries below spill to the r7 window --
@@ -699,9 +700,9 @@ _PRIORITY: list[str] = [
     "rel_q19_bracketed_discounts",
     "rel_q22_idle_balance",
     "udaf_per_order_weighted_avg",
-    "agg_corr_covar",
     "agg_salted_hot_key",
     "dedup_cc_clusters",
+    "agg_corr_covar",
     "agg_distribution_profile",
     "emb_kmeans_step",
     "ir_bm25_topk",

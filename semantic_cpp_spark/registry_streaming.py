@@ -203,3 +203,36 @@ def stream_static_enrich(spark, sf_dir):
         "user_total_value",
     )
     return ops.run_to_memory(enriched, "append")
+
+
+@register(
+    "stream_funnel_stages",
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t
+                  FROM events
+                  WHERE event_type IN ('signup', 'view', 'purchase')),
+    a1 AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'signup' THEN t END) AS t_1
+           FROM e GROUP BY user_id),
+    a2 AS (SELECT e.user_id, min(t) AS t_2
+           FROM e JOIN a1 ON e.user_id = a1.user_id
+           WHERE event_type = 'view' AND t > t_1 GROUP BY e.user_id),
+    a3 AS (SELECT e.user_id, min(t) AS t_3
+           FROM e JOIN a2 ON e.user_id = a2.user_id
+           WHERE event_type = 'purchase' AND t > t_2 GROUP BY e.user_id)
+    SELECT a1.user_id, t_1, t_2, t_3,
+           (CASE WHEN t_3 IS NOT NULL THEN 3
+                 WHEN t_2 IS NOT NULL THEN 2
+                 WHEN t_1 IS NOT NULL THEN 1
+                 ELSE 0 END)::BIGINT AS stage
+    FROM a1
+    LEFT JOIN a2 ON a1.user_id = a2.user_id
+    LEFT JOIN a3 ON a1.user_id = a3.user_id""",
+)
+def stream_funnel_stages(spark, sf_dir):
+    """Custom stateful operator: per-user ordered-funnel progress via
+    applyInPandasWithState (streaming.ops.funnel_stages_per_user) —
+    three longs of state per user, greedy chronological slot filling
+    that equals the batch funnel's earliest-after semantics on a
+    time-ordered stream. Oracle = the batch funnel SQL."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(ops.funnel_stages_per_user(ev), "update")

@@ -429,3 +429,87 @@ def use_rocksdb_state_store(spark: SparkSession) -> None:
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
     )
+
+
+_FUNNEL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t_1", T.LongType()),
+        T.StructField("t_2", T.LongType()),
+        T.StructField("t_3", T.LongType()),
+        T.StructField("stage", T.LongType()),
+    ]
+)
+_FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("t1", T.LongType()),
+        T.StructField("t2", T.LongType()),
+        T.StructField("t3", T.LongType()),
+    ]
+)
+
+
+def _make_funnel_update(steps: Tuple[str, str, str]):
+    s1, s2, s3 = steps
+
+    def _funnel_update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Streaming ordered funnel: per-user slot times for step k
+        strictly after step k−1, maintained as three longs of state
+        (sentinel −1 = unset). Greedy chronological filling equals the
+        batch funnel's earliest-after semantics when events arrive in
+        time order (single-pass monotone stream — the same assumption the
+        count-window operator makes); out-of-order arrival would need
+        watermark buffering, which the batch operator covers instead."""
+        if state.exists:
+            t1, t2, t3 = state.get
+        else:
+            t1 = t2 = t3 = -1
+        rows = pd.concat(list(pdfs)).sort_values(["tus", "event_id"])
+        for et, t in zip(rows["event_type"], rows["tus"]):
+            t = int(t)
+            if et == s1 and t1 < 0:
+                t1 = t
+            elif et == s2 and t1 >= 0 and t2 < 0 and t > t1:
+                t2 = t
+            elif et == s3 and t2 >= 0 and t3 < 0 and t > t2:
+                t3 = t
+        state.update((t1, t2, t3))
+        stage = 3 if t3 >= 0 else 2 if t2 >= 0 else 1 if t1 >= 0 else 0
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "t_1": None if t1 < 0 else t1,
+                    "t_2": None if t2 < 0 else t2,
+                    "t_3": None if t3 < 0 else t3,
+                    "stage": stage,
+                }
+            ]
+        )
+
+    return _funnel_update
+
+
+def funnel_stages_per_user(
+    events: DataFrame, steps: Tuple[str, str, str] = ("signup", "view", "purchase")
+) -> DataFrame:
+    """Custom stateful operator #4: per-user ordered-funnel progress
+    (earliest step-k event strictly after step k−1) across micro-batches.
+    State is three longs per user — bounded by key cardinality, never by
+    stream length."""
+    from semantic_cpp_spark.session import ts_micros
+
+    ev = events.filter(F.col("event_type").isin(*steps)).select(
+        "user_id", "event_id", "event_type", ts_micros(events).alias("tus")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _make_funnel_update(steps),
+        outputStructType=_FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -34,7 +34,7 @@ TOUCHED_IN_R6 = [
 # backfill = 58 candidates for 50 slots (udaf_per_order_weighted_avg is
 # both touched and an r3 backfill); the last 8 _PRIORITY entries
 # deliberately spill to the r7 window.
-EXPECTED_SPILL = 20  # 8 original + 12 r3-vintage displaced by the twelve new r6 ops
+EXPECTED_SPILL = 21  # 8 original + 13 r3-vintage displaced by the thirteen new r6 ops
 
 
 def test_r6_touched_queries_inside_50_window():

@@ -372,3 +372,58 @@ def test_use_infinite_stream_affine(spark):
     wrap = lambda c: F.when(c < 100, c + 1).otherwise(F.lit(0))  # noqa: E731
     with pytest.raises(ValueError, match="not affine"):
         use_infinite_stream(spark, 0, wrap, rows_per_batch=10)
+
+
+def test_funnel_stages_across_micro_batches(spark, tmp_path):
+    """Funnel state must stitch across micro-batches ON A TIME-ORDERED
+    stream (the operator's documented assumption): signup, view, and
+    purchase arrive in three separate time-sliced files (written
+    sequentially → increasing mtimes → trigger order), and the final
+    update per user equals the batch funnel."""
+    import os
+    import time as _time
+
+    from semantic_cpp_spark.operators import eventflow
+
+    M = 1_000_000
+    # user 1 completes across 3 slices; user 2 stalls at view; user 3's
+    # purchase precedes its view (never completes stage 3).
+    slices = [
+        [(0, 1, 10, "signup", 0.0), (1, 2, 11, "signup", 0.0),
+         (2, 3, 12, "signup", 0.0), (3, 3, 13, "purchase", 0.0)],
+        [(4, 1, 20, "view", 0.0), (5, 2, 21, "view", 0.0)],
+        [(6, 1, 30, "purchase", 0.0), (7, 3, 31, "view", 0.0)],
+    ]
+    src = str(tmp_path / "funnel_slices")
+    os.makedirs(src)
+    schema = "event_id long, user_id long, ts long, event_type string, value double"
+    for i, rows in enumerate(slices):
+        scaled = [(e, u, t * M * 1000, et, v) for e, u, t, et, v in rows]  # ns
+        spark.createDataFrame(scaled, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic trigger order
+    stream = _stream(spark, src)
+    out = ops.run_to_memory(ops.funnel_stages_per_user(stream), "update")
+    latest = {}
+    for r in out.collect():
+        cur = latest.get(r["user_id"])
+        if cur is None or r["stage"] >= cur["stage"]:
+            latest[r["user_id"]] = r
+    batch = spark.read.parquet(src).withColumn(
+        "tus", ts_micros(spark.read.parquet(src))
+    )
+    expect = {
+        r["user_id"]: r
+        for r in eventflow.funnel(
+            batch, ["signup", "view", "purchase"]
+        ).collect()
+    }
+    assert set(latest) == set(expect) == {1, 2, 3}
+    for u in expect:
+        for c in ("t_1", "t_2", "t_3", "stage"):
+            assert latest[u][c] == expect[u][c], (u, c)
+    assert latest[1]["stage"] == 3 and latest[2]["stage"] == 2
+    # user 3's early purchase (before any view) never fills stage 3, but
+    # the later view still advances it to stage 2 — batch semantics.
+    assert latest[3]["stage"] == 2 and latest[3]["t_3"] is None
