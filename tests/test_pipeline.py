@@ -968,3 +968,30 @@ def test_gif_flows_through_extract_features(spark):
     expect_mean = sum((5 * 31 + i) % 256 for i in range(w * h)) / (w * h) / 255
     assert abs(out[5]["feat_mean"] - expect_mean) < 1e-12
     assert out[6]["decoded"] is False and out[6]["width"] is None
+
+
+def test_gif_local_color_table_and_87a():
+    """Decoder paths not exercised by render_gif: a GIF87a container
+    whose image block carries a LOCAL color table (no global one), plus
+    a skipped extension block before the image descriptor."""
+    import struct
+
+    w, h = 3, 2
+    idx = bytes([0, 1, 1, 0, 1, 0])
+    lct = bytes([10, 20, 30, 200, 210, 220]) * 1  # 2 entries (size bits 0)
+    lzw = multimodal._gif_lzw_encode(idx, 2)
+    blocks = bytes([len(lzw)]) + lzw + b"\x00"
+    gif = (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0x00, 0, 0)  # no global table
+        + b"\x21\xfe" + bytes([3]) + b"abc" + b"\x00"  # comment extension
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x80)  # LCT flag, 2 colors
+        + lct
+        + bytes([2])
+        + blocks
+        + b"\x3b"
+    )
+    dw, dh, mv, rgb = multimodal._decode_gif(gif)
+    assert (dw, dh, mv) == (w, h, 255)
+    c0, c1 = lct[0:3], lct[3:6]
+    assert rgb == b"".join(c1 if i else c0 for i in idx)
