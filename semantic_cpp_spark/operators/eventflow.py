@@ -211,6 +211,38 @@ def merge_intervals(
     )
 
 
+# plan-keyed persisted-intermediate memo (flushed by
+# indexing.release_ordinal_caches via the shared release hook — the same
+# lifecycle as dedup's signature cache): conversion_latency and
+# rfm_segments both feed one derived table into several downstream jobs
+# (counts, rank selections, 1-row aggregates); without a persist the
+# expensive upstream (funnel scan+shuffle / per-user rollup) re-executes
+# per job (self-review r6).
+_DF_MEMO: dict = {}
+
+
+def _flush_df_memo() -> None:
+    while _DF_MEMO:
+        _, df = _DF_MEMO.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+from semantic_cpp_spark.indexing import _RELEASE_HOOKS  # noqa: E402
+
+_RELEASE_HOOKS.append(_flush_df_memo)
+
+
+def _persisted(df: DataFrame) -> DataFrame:
+    key = df._jdf.queryExecution().analyzed().semanticHash()
+    hit = _DF_MEMO.get(key)
+    if hit is None:
+        hit = _DF_MEMO[key] = df.persist()
+    return hit
+
+
 def conversion_latency(
     df: DataFrame,
     steps: list[str],
@@ -234,8 +266,12 @@ def conversion_latency(
 
     k = len(steps)
     f = funnel(df, steps, user=user, tus=tus, type_col=type_col)
-    lat = f.filter(F.col("stage") == k).select(
-        (F.col(f"t_{k}") - F.col("t_1")).alias("__lat")
+    # persist: the count, rank-selection, and 1-row mean jobs would each
+    # re-run the funnel scan+shuffle otherwise (3-4× the documented cost)
+    lat = _persisted(
+        f.filter(F.col("stage") == k).select(
+            (F.col(f"t_{k}") - F.col("t_1")).alias("__lat")
+        )
     )
     base = lat.agg(
         F.count(F.lit(1)).cast("long").alias("n_converted"),
@@ -267,12 +303,14 @@ def rfm_segments(
     banded into corpus-relative terciles. Bands are ASCENDING in the
     metric (band 0 = lowest third), so r_band 0 = most recent.
 
-    The scale-correct banding shape (same as curation.quality_bands):
-    cutoffs come from ONE 1-row exact-percentile aggregate that is
-    broadcast, then banding is a pure narrow CASE — never an ntile()
-    global window. Per-user state is one row; everything after the
-    groupBy(user) is map-side. Output (user_id, recency_us,
-    n_purchases, monetary, r_band, f_band, m_band)."""
+    The scale-correct banding shape: tercile cutoffs per metric come
+    from broadcast 1-row aggregates, then banding is a pure narrow CASE
+    — never an ntile() global window. The per-user table scales with
+    user cardinality, so the cutoffs go through the distributed
+    sort + rank-selection path (stats.percentiles_exact_sorted), not a
+    one-reducer `percentile` merge (self-review r6); the table is
+    persisted across the three percentile passes. Output (user_id,
+    recency_us, n_purchases, monetary, r_band, f_band, m_band)."""
     p = df.filter(F.col("event_type") == purchase_type)
     per_user = p.groupBy(F.col(user).alias("user_id")).agg(
         F.max(tus).alias("__last"),
@@ -280,21 +318,22 @@ def rfm_segments(
         F.round(F.sum(value), 2).alias("monetary"),
     )
     gmax = p.agg(F.max(tus).alias("__gmax"))
-    per_user = (
+    per_user = _persisted(
         per_user.crossJoin(F.broadcast(gmax))
         .withColumn("recency_us", (F.col("__gmax") - F.col("__last")).cast("long"))
         .drop("__gmax", "__last")
     )
-    cut_exprs = []
+    from semantic_cpp_spark.functions import stats
+
+    out = per_user
     for metric in ("recency_us", "n_purchases", "monetary"):
-        for i, frac in enumerate((1.0 / 3.0, 2.0 / 3.0)):
-            cut_exprs.append(
-                F.expr(f"percentile({metric}, {frac!r})").alias(
-                    f"__{metric}_c{i}"
-                )
-            )
-    cuts = per_user.agg(*cut_exprs)
-    out = per_user.crossJoin(F.broadcast(cuts))
+        cuts = stats.percentiles_exact_sorted(
+            per_user,
+            F.col(metric).cast("double"),
+            [1.0 / 3.0, 2.0 / 3.0],
+            [f"__{metric}_c0", f"__{metric}_c1"],
+        )
+        out = out.crossJoin(F.broadcast(cuts))
     for metric, band in (
         ("recency_us", "r_band"),
         ("n_purchases", "f_band"),

@@ -431,7 +431,14 @@ def incremental_near_dup(
         F.col("bk.band").alias("band"),
         F.col("bk.key").alias("key"),
     )
-    cand = bb.join(cb, ["band", "key"]).dropDuplicates(["new_id", "dup_of"])
+    # a batch re-ingesting an id already in the corpus (re-crawl /
+    # backfill overlap) would otherwise report the doc as a near-dup of
+    # itself (self-review r6)
+    cand = (
+        bb.join(cb, ["band", "key"])
+        .filter(F.col("new_id") != F.col("dup_of"))
+        .dropDuplicates(["new_id", "dup_of"])
+    )
     agree = F.size(
         F.filter(
             F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda eq: eq

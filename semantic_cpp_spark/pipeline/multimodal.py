@@ -188,6 +188,11 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("PNG chunk truncated")
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            # guard the unpack: a corrupt length field would otherwise
+            # surface struct.error — an internal exception type the
+            # quarantine filter does not catch (self-review r6)
+            if len(data) != 13:
+                raise ValueError(f"bad PNG IHDR length {len(data)}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             plte = data
@@ -209,12 +214,17 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     if w <= 0 or h <= 0 or w * h > 64_000_000:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     channels = {0: 1, 2: 3, 3: 1, 6: 4}[ctype_n]
+    stride = w * channels
+    expected = h * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # cap the inflate at the declared raster size (+1 to detect
+        # overrun): a hostile tiny payload can otherwise expand ~1000×
+        # BEFORE the size check runs (decompression bomb, self-review r6)
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as ex:
         raise ValueError(f"PNG IDAT inflate failed: {ex}") from ex
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected or not (d.eof or len(d.unconsumed_tail) == 0):
         raise ValueError("PNG raster size mismatch")
     prev = bytearray(stride)
     out = bytearray()
@@ -339,10 +349,17 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
     return bytes(out)
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int = 8, max_out: int | None = None
+) -> bytes:
     """GIF LZW decompression (LSB-first variable-width codes, Clear/End
     control codes, KwKwK case, width growth when the table reaches
-    2^width entries, 12-bit cap with deferred-clear tolerance)."""
+    2^width entries, 12-bit cap with deferred-clear tolerance).
+
+    ``max_out`` caps the decompressed size: LZW expands up to ~2700×, so
+    a small hostile payload could otherwise allocate gigabytes before the
+    caller's raster-size check runs (decompression bomb, self-review r6).
+    """
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     base = [bytes([i]) for i in range(clear)] + [b"", b""]
     table = list(base)
@@ -378,6 +395,10 @@ def _gif_lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
         else:
             raise ValueError(f"bad LZW code {code}")
         out += entry
+        if max_out is not None and len(out) > max_out:
+            raise ValueError(
+                f"LZW output exceeds declared raster size {max_out}"
+            )
         if prev is not None and len(table) < 4096:
             table.append(prev + entry[:1])
             if len(table) == (1 << code_size) and code_size < 12:
@@ -444,7 +465,10 @@ def _decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
                 ln = payload[pos]
                 lzw += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
-            idx = _gif_lzw_decode(bytes(lzw), min_code)
+            # slack of one max-length table entry: real encoders may let
+            # the final entry run past the raster edge; beyond that the
+            # stream is hostile, not sloppy
+            idx = _gif_lzw_decode(bytes(lzw), min_code, max_out=w * h + 4096)
             if len(idx) < w * h:
                 raise ValueError(f"GIF raster truncated: {len(idx)} of {w * h}")
             ncolors = len(ct) // 3
@@ -1062,7 +1086,13 @@ def decode_text_blob(payload: bytes) -> tuple[str, str]:
     try:
         if b[:2] == b"\x1f\x8b":
             return "gzip", gzip.decompress(b).decode("utf-8", "replace")
-        if b[:1] == b"\x78" and len(b) >= 2 and (b[0] * 256 + b[1]) % 31 == 0:
+        # zlib has no strong magic — any 0x78 byte followed by a check
+        # byte (sum % 31 == 0) "looks like" zlib, which false-positives
+        # on raw ASCII like "x = 5" (0x78 0x20). Restrict to the four
+        # canonical FLG values real deflate levels emit (self-review r6);
+        # the residual 2-byte ambiguity ("x^…" = 78 5E) is inherent to
+        # magic sniffing and documented.
+        if b[:1] == b"\x78" and len(b) >= 2 and b[1] in (0x01, 0x5E, 0x9C, 0xDA):
             return "zlib", zlib.decompress(b).decode("utf-8", "replace")
         if b[:3] == b"BZh":
             return "bz2", bz2.decompress(b).decode("utf-8", "replace")
@@ -1122,6 +1152,14 @@ def extract_text_blob_features(df: DataFrame) -> DataFrame:
     streams yield NULL stats + decoded=false (same quarantine contract
     as extract_features)."""
 
+    import re
+
+    # token counting must mirror the oracle's RE2 semantics exactly:
+    # DuckDB trim() strips SPACES only and RE2 \s is ASCII [\t\n\f\r ]
+    # (no \v, no \xa0) — Python's str.split() disagrees on empty strings
+    # (0 vs 1 fields) and unicode whitespace (self-review r6).
+    _ws = re.compile(r"[\t\n\f\r ]+")
+
     def kernel(batches):
         for batch in batches:
             out = []
@@ -1135,7 +1173,7 @@ def extract_text_blob_features(df: DataFrame) -> DataFrame:
                             "codec": codec,
                             "n_comp_bytes": len(b),
                             "n_chars": len(text),
-                            "n_tokens": len(text.split()),
+                            "n_tokens": len(_ws.split(text.strip(" "))),
                             "decoded": True,
                         }
                     )

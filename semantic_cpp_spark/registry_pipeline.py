@@ -1656,11 +1656,14 @@ def txt_bigram_cross_entropy(spark, sf_dir):
 @register(
     "emb_dim_stats",
     """WITH d AS (SELECT unnest(range(0, 64)) AS dim),
-    x AS (SELECT d.dim, e.embedding[d.dim + 1]::DOUBLE AS v
+    x AS (SELECT d.dim,
+                 CAST(round(e.embedding[d.dim + 1]::DOUBLE * 1000000.0)
+                      AS BIGINT) AS w
           FROM embeddings e, d)
     SELECT dim::BIGINT AS dim,
-           round(sum(v) / count(*), 6) AS mean,
-           round(sqrt(sum(v * v) / count(*) - (sum(v) / count(*)) ^ 2), 6)
+           round(sum(w)::DOUBLE / count(*) / 1e6, 6) AS mean,
+           round(sqrt(sum(w * w)::DOUBLE / count(*) / 1e12
+                      - (sum(w)::DOUBLE / count(*) / 1e6) ^ 2), 6)
              AS std_pop
     FROM x GROUP BY dim""",
 )
@@ -1669,18 +1672,29 @@ def emb_dim_stats(spark, sf_dir):
     the normalization/whitening prep aggregate. posexplode fans each
     vector into (dim, value) rows; one groupBy over 64 keys with
     map-side partial aggregation, so shuffle volume is 64 rows per
-    partition regardless of corpus size. Variance from power sums
-    (sum, sum-of-squares) matching the oracle's expression exactly."""
+    partition regardless of corpus size.
+
+    Values are quantised to 1e-6 units (comparable to float32's own
+    precision at unit scale) and accumulated as EXACT int64 power sums —
+    order-independent, so Spark's partial-aggregation order can never
+    drift a rounding boundary against DuckDB's sequential sum (the same
+    summation-order class fixed for the weighted-avg queries;
+    self-review r6). int64 bounds: Σw² per dim stays < 2^63 up to ~9e6
+    unit-scale vectors per dimension; beyond that accumulate in
+    DECIMAL(38) — noted, not needed at fixture scales."""
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(
         F.posexplode(
             F.transform("embedding", lambda v: v.cast("double"))
         ).alias("dim", "v")
+    ).select(
+        "dim", F.round(F.col("v") * 1e6, 0).cast("long").alias("w")
     )
     n = F.count(F.lit(1))
-    s = F.sum("v")
-    s2 = F.sum(F.col("v") * F.col("v"))
+    s = F.sum("w")
+    s2 = F.sum(F.col("w") * F.col("w"))
+    mean = s / n / F.lit(1e6)
     return x.groupBy(F.col("dim").cast("long").alias("dim")).agg(
-        F.round(s / n, 6).alias("mean"),
-        F.round(F.sqrt(s2 / n - (s / n) * (s / n)), 6).alias("std_pop"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(s2 / n / F.lit(1e12) - mean * mean), 6).alias("std_pop"),
     )

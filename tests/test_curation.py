@@ -678,3 +678,19 @@ def test_containment_uncapped_vs_naive(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_incremental_near_dup_never_self_pairs(spark):
+    # a batch re-ingesting an id already in the corpus must not report
+    # the doc as a near-dup of itself.
+    base = "one two three four five six seven eight nine ten " * 2
+    df_corpus = spark.createDataFrame(
+        [(7, base), (2, "entirely different corpus content here")],
+        "doc_id long, text string",
+    )
+    df_batch = spark.createDataFrame([(7, base)], "doc_id long, text string")
+    out = dedup.incremental_near_dup(
+        df_corpus, df_batch, F.col("text"), F.col("doc_id")
+    ).collect()
+    assert all(r["new_id"] != r["dup_of"] for r in out)
+    assert out == []  # identical doc is its only collision -> filtered
