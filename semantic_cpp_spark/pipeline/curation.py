@@ -177,10 +177,16 @@ def quality_above_median(df: DataFrame, quality: Column) -> DataFrame:
     """Corpus-relative filter: keep rows whose quality is at or above the
     corpus median. The median is a 1-row exact-percentile aggregate
     broadcast back by crossJoin — the scalar-threshold pattern every
-    "top half of the corpus" filter uses (production would swap in
-    approx_percentile; exact keeps the oracle bit-checkable)."""
+    "top half of the corpus" filter uses. Computed via the distributed
+    sort + rank-selection path (stats.percentiles_exact_sorted), never
+    `F.percentile`'s one-reducer merge — the quality column scales with
+    the corpus (r6, same change as agg_quantiles/rfm_segments)."""
+    from semantic_cpp_spark.functions import stats
+
     scored = df.withColumn("__q", quality)
-    med = scored.agg(F.expr("percentile(__q, 0.5)").alias("__med"))
+    med = stats.percentiles_exact_sorted(
+        scored, F.col("__q"), [0.5], ["__med"]
+    )
     return (
         scored.crossJoin(F.broadcast(med))
         .filter(F.col("__q") >= F.col("__med"))
@@ -220,11 +226,13 @@ def quality_bands(
     [cut_i, cut_{i+1}), so rows equal to a cutoff go to the upper band
     (deterministic, unlike ntile's count-balanced splits)."""
     scored = df.withColumn("__q", quality)
-    agg = scored.agg(
-        *[
-            F.expr(f"percentile(__q, {c})").alias(f"__c{i}")
-            for i, c in enumerate(cuts)
-        ]
+    from semantic_cpp_spark.functions import stats
+
+    # distributed sort + rank selection, not F.percentile's one-reducer
+    # merge: the quality column scales with the corpus (r6)
+    agg = stats.percentiles_exact_sorted(
+        scored, F.col("__q"), list(cuts),
+        [f"__c{i}" for i in range(len(cuts))],
     )
     band = F.lit(0)
     for i in range(len(cuts)):

@@ -681,6 +681,8 @@ _PRIORITY: list[str] = [
     "evt_rfm_segments",            # NEW: tercile-banded RFM segmentation
     "emb_dim_stats",               # NEW: per-dimension whitening-prep stats
     "stream_funnel_stages",        # NEW: stateful streaming funnel
+    "txt_quality_bands",           # cutoffs now distributed rank-selection (r6)
+    "txt_quality_above_median",    # median now distributed rank-selection (r6)
     # -- backfill: oldest-vintage rows age out (stale vouching). The 21
     #    entries through dedup_cc_clusters fill the window to exactly 50;
     #    riskier families (streaming, fact-join relational, salted agg,
@@ -697,8 +699,6 @@ _PRIORITY: list[str] = [
     "rel_q7_nation_volume",
     "rel_q8_market_share",
     "rel_q10_returned_items",
-    "rel_q13_order_histogram",
-    "rel_q14_promo_share",
     "rel_q17_small_qty_revenue",
     "rel_q18_large_orders",
     "rel_q19_bracketed_discounts",
@@ -706,6 +706,8 @@ _PRIORITY: list[str] = [
     "udaf_per_order_weighted_avg",
     "agg_salted_hot_key",
     "dedup_cc_clusters",
+    "rel_q13_order_histogram",
+    "rel_q14_promo_share",
     # -- spill to r7 (positions 50+): lowest-risk of the r3 batch —
     #    built-in-aggregate and simple-relational queries green in two
     #    prior driver windows, displaced by the 13 new r6 operators above.

@@ -28,13 +28,15 @@ TOUCHED_IN_R6 = [
     "sim_lsh_multiprobe_topk",     # NEW: Hamming-1 multi-probe LSH
     "mm_png_features",             # NEW: real stdlib PNG decode
     "mm_compressed_text",          # NEW: real gzip/zlib/bz2/xz text ingest
+    "txt_quality_bands",           # percentile cutoffs -> distributed path
+    "txt_quality_above_median",    # median -> distributed path
 ]
 
 # r6 window policy (VERDICT r5 #4): 16+1 touched/new + the r3-vintage
 # backfill = 58 candidates for 50 slots (udaf_per_order_weighted_avg is
 # both touched and an r3 backfill); the last 8 _PRIORITY entries
 # deliberately spill to the r7 window.
-EXPECTED_SPILL = 21  # 8 original + 13 r3-vintage displaced by the thirteen new r6 ops
+EXPECTED_SPILL = 23  # 8 original + 15 r3-vintage displaced by r6 new ops + touched-query refresh
 
 
 def test_r6_touched_queries_inside_50_window():
