@@ -349,3 +349,26 @@ def rfm_segments(
         "user_id", "recency_us", "n_purchases", "monetary",
         "r_band", "f_band", "m_band",
     )
+
+
+def debounce(
+    df: DataFrame,
+    gap_us: int,
+    user: str = "user_id",
+    tus: str = "tus",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Event debouncing: flag an event as a duplicate when the PREVIOUS
+    event of the same (user, type) lies within ``gap_us`` — the standard
+    idempotent-ingest cleaning rule for at-least-once delivery (retried
+    clicks, double-fired webhooks). lag()-based: the gap is measured to
+    the previous RAW event (SQL-expressible, one window pass); a
+    last-KEPT-event variant is a stateful sweep — the streaming
+    deduplication operator covers that shape.
+
+    One exchange on (user, type); adds a boolean ``keep``."""
+    w = Window.partitionBy(user, type_col).orderBy(tus, "event_id")
+    prev = F.lag(F.col(tus)).over(w)
+    return df.withColumn(
+        "keep", prev.isNull() | (F.col(tus) - prev > F.lit(gap_us))
+    )

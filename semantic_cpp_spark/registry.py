@@ -683,6 +683,8 @@ _PRIORITY: list[str] = [
     "stream_funnel_stages",        # NEW: stateful streaming funnel
     "txt_quality_bands",           # cutoffs now distributed rank-selection (r6)
     "txt_quality_above_median",    # median now distributed rank-selection (r6)
+    "evt_debounce",                # NEW: at-least-once ingest cleaning
+    "rel_equidepth_histogram",     # NEW: quartile-cutoff equi-depth histogram
     # -- backfill: oldest-vintage rows age out (stale vouching). The 21
     #    entries through dedup_cc_clusters fill the window to exactly 50;
     #    riskier families (streaming, fact-join relational, salted agg,
@@ -699,13 +701,13 @@ _PRIORITY: list[str] = [
     "rel_q7_nation_volume",
     "rel_q8_market_share",
     "rel_q10_returned_items",
-    "rel_q17_small_qty_revenue",
     "rel_q18_large_orders",
-    "rel_q19_bracketed_discounts",
     "rel_q22_idle_balance",
     "udaf_per_order_weighted_avg",
     "agg_salted_hot_key",
     "dedup_cc_clusters",
+    "rel_q17_small_qty_revenue",
+    "rel_q19_bracketed_discounts",
     "rel_q13_order_histogram",
     "rel_q14_promo_share",
     # -- spill to r7 (positions 50+): lowest-risk of the r3 batch —

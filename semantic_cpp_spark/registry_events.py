@@ -414,3 +414,37 @@ def evt_rfm_segments(spark, sf_dir):
     recent third)."""
     ev = _events(spark, sf_dir)
     return eventflow.rfm_segments(ev)
+
+
+_DEBOUNCE_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "evt_debounce",
+    f"""WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_ns(ts) // 1000 AS t
+                   FROM events),
+    f AS (SELECT event_type,
+                 CASE WHEN lag(t) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY t, event_id) IS NULL
+                        OR t - lag(t) OVER (PARTITION BY user_id, event_type
+                                            ORDER BY t, event_id)
+                           > {_DEBOUNCE_US}
+                      THEN 1 ELSE 0 END AS k
+          FROM e)
+    SELECT event_type, sum(k)::BIGINT AS n_kept,
+           (count(*) - sum(k))::BIGINT AS n_dropped
+    FROM f GROUP BY event_type""",
+)
+def evt_debounce(spark, sf_dir):
+    """Event debouncing (eventflow.debounce): drop an event when the
+    previous same-(user,type) event lies within 30 minutes — the
+    at-least-once-ingest cleaning rule. One lag() window per (user,type)
+    key; reported as kept/dropped counts per type."""
+    ev = _events(spark, sf_dir)
+    d = eventflow.debounce(ev, _DEBOUNCE_US)
+    k = F.when(F.col("keep"), 1).otherwise(0)
+    return d.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(k)).cast("long").alias("n_dropped"),
+    )

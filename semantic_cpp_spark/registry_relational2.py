@@ -737,3 +737,49 @@ def rel_order_gaps(spark, sf_dir):
             F.max("gap_days").alias("max_gap_days"),
         )
     )
+
+
+@register(
+    "rel_equidepth_histogram",
+    """WITH c AS (SELECT quantile_cont(o_totalprice, 0.25) AS c0,
+                         quantile_cont(o_totalprice, 0.5) AS c1,
+                         quantile_cont(o_totalprice, 0.75) AS c2
+                  FROM orders)
+       SELECT (CASE WHEN o_totalprice >= c2 THEN 3
+                    WHEN o_totalprice >= c1 THEN 2
+                    WHEN o_totalprice >= c0 THEN 1 ELSE 0 END)::BIGINT AS bucket,
+              count(*) AS n,
+              round(min(o_totalprice), 2) AS lo,
+              round(max(o_totalprice), 2) AS hi
+       FROM orders, c
+       GROUP BY bucket""",
+)
+def rel_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram of order value: quartile cutoffs via the
+    distributed sort + rank-selection percentile path (broadcast 1-row
+    cutoffs + CASE — the same scale shape as the quality bands),
+    complementing rel_price_histogram's equi-WIDTH form. Bucket
+    populations are ~n/4 by construction — the histogram optimizers
+    build for selectivity estimation."""
+    from semantic_cpp_spark.functions import stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = stats.percentiles_exact_sorted(
+        orders, F.col("o_totalprice"), [0.25, 0.5, 0.75],
+        ["__c0", "__c1", "__c2"],
+    )
+    bucket = F.lit(0)
+    for i in range(3):
+        bucket = F.when(
+            F.col("o_totalprice") >= F.col(f"__c{i}"), i + 1
+        ).otherwise(bucket)
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

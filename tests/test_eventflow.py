@@ -322,3 +322,17 @@ def test_rfm_segments_hand_computed(spark):
     assert (out[3]["r_band"], out[3]["f_band"], out[3]["m_band"]) == (0, 2, 2)
     assert (out[1]["r_band"], out[1]["f_band"], out[1]["m_band"]) == (2, 0, 0)
     assert (out[2]["r_band"], out[2]["f_band"], out[2]["m_band"]) == (1, 1, 1)
+
+
+def test_debounce_gap_boundary(spark):
+    gap = 10 * M
+    rows = [
+        (0, 1, 0, "click", 0.0),
+        (1, 1, 10 * M, "click", 0.0),       # exactly gap -> duplicate (> test)
+        (2, 1, 20 * M + 1, "click", 0.0),   # gap+1 from #1 -> kept
+        (3, 1, 5 * M, "view", 0.0),         # other type independent -> kept
+        (4, 2, 6 * M, "click", 0.0),        # other user independent -> kept
+    ]
+    out = {r["event_id"]: r["keep"] for r in eventflow.debounce(
+        _events(spark, rows), gap).collect()}
+    assert out == {0: True, 1: False, 2: True, 3: True, 4: True}
