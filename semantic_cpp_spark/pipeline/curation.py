@@ -384,3 +384,38 @@ def split_assign(
         .when(u < F.lit(th2), "val")
         .otherwise("test")
     )
+
+
+def clean_corpus_summary(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
+    """End-to-end corpus-cleaning funnel — the composition a real
+    pretraining pipeline runs, in one Spark plan: exact dedup (keep the
+    smallest id per normalised fingerprint) → corpus-relative quality
+    filter (≥ median of the DEDUPED set, distributed rank-selection
+    median) → deterministic 80/10/10 split assignment. Returns ONE row:
+    (n_total, n_unique, n_final, n_train, n_val, n_test).
+
+    Composition shape: the keep-list join is co-keyed on doc_id; the
+    median is a broadcast 1-row aggregate; the split is a narrow map —
+    so the funnel adds ONE join and one broadcast over the cost of its
+    stages. Each stage is also available separately (exact_dedup,
+    quality_above_median, split_assign)."""
+    from semantic_cpp_spark.pipeline.text import fingerprint, quality_score
+
+    base = df.select(id_col.alias("doc_id"), text.alias("text"))
+    groups = base.select("doc_id", fingerprint(F.col("text")).alias("__fp"))
+    keep = groups.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    totals = groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.count_distinct("__fp").cast("long").alias("n_unique"),
+    )
+    uniq = base.join(keep.select("doc_id"), "doc_id")
+    fin = quality_above_median(uniq, quality_score(F.col("text")))
+    split = split_assign(F.col("doc_id"))
+    stage2 = fin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_final"),
+        *[
+            F.count(F.when(split == s, 1)).cast("long").alias(f"n_{s}")
+            for s in ("train", "val", "test")
+        ],
+    )
+    return totals.crossJoin(F.broadcast(stage2))

@@ -685,6 +685,7 @@ _PRIORITY: list[str] = [
     "txt_quality_above_median",    # median now distributed rank-selection (r6)
     "evt_debounce",                # NEW: at-least-once ingest cleaning
     "rel_equidepth_histogram",     # NEW: quartile-cutoff equi-depth histogram
+    "pipe_clean_corpus",           # NEW: end-to-end cleaning funnel composition
     # -- backfill: oldest-vintage rows age out (stale vouching). The 21
     #    entries through dedup_cc_clusters fill the window to exactly 50;
     #    riskier families (streaming, fact-join relational, salted agg,
@@ -697,7 +698,6 @@ _PRIORITY: list[str] = [
     "stream_count_windows",
     "stream_stream_join",
     "stream_topk_per_user",
-    "rel_q6_forecast_revenue",
     "rel_q7_nation_volume",
     "rel_q8_market_share",
     "rel_q10_returned_items",
@@ -706,6 +706,7 @@ _PRIORITY: list[str] = [
     "udaf_per_order_weighted_avg",
     "agg_salted_hot_key",
     "dedup_cc_clusters",
+    "rel_q6_forecast_revenue",
     "rel_q17_small_qty_revenue",
     "rel_q19_bracketed_discounts",
     "rel_q13_order_histogram",

@@ -1698,3 +1698,41 @@ def emb_dim_stats(spark, sf_dir):
         F.round(mean, 6).alias("mean"),
         F.round(F.sqrt(s2 / n / F.lit(1e12) - mean * mean), 6).alias("std_pop"),
     )
+
+
+@register(
+    "pipe_clean_corpus",
+    f"""WITH fp AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    uniq AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+    q AS (SELECT doc_id, {_QUALITY_SQL} AS q FROM uniq),
+    m AS (SELECT quantile_cont(q, 0.5) AS med FROM q),
+    fin AS (SELECT doc_id FROM q, m WHERE q >= med),
+    sp AS (SELECT CASE WHEN u < {_SPLIT_TH1} THEN 'train'
+                       WHEN u < {_SPLIT_TH2} THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT AS u
+                 FROM fin))
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_total,
+           (SELECT count(*) FROM keep)::BIGINT AS n_unique,
+           count(*)::BIGINT AS n_final,
+           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+           sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+           sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+    FROM sp""",
+)
+def pipe_clean_corpus(spark, sf_dir):
+    """The end-to-end cleaning funnel (curation.clean_corpus_summary):
+    exact dedup → quality-above-median (median of the DEDUPED set,
+    distributed rank selection) → deterministic 80/10/10 split, reported
+    as one funnel row. Composes three independently-verified operators
+    in one plan — the composition itself is what this query verifies."""
+    docs = load_table(spark, sf_dir, "documents")
+    from semantic_cpp_spark.pipeline import curation
+
+    return curation.clean_corpus_summary(
+        docs, F.col("text"), F.col("doc_id")
+    )

@@ -694,3 +694,26 @@ def test_incremental_near_dup_never_self_pairs(spark):
     ).collect()
     assert all(r["new_id"] != r["dup_of"] for r in out)
     assert out == []  # identical doc is its only collision -> filtered
+
+
+def test_clean_corpus_summary_funnel(spark):
+    # 6 docs: 2 exact dups of doc 0 (whitespace/case variants), leaving
+    # 4 unique; median filter keeps the top half (>= med of 4 uniques).
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "THE  Quick  brown fox jumps over the lazy dog"),  # dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),    # dup of 0
+        (3, "zz yy xx ww vv uu tt ss"),
+        (4, "the a of and to in is it the a of and"),
+        (5, "mixed words the and some other tokens here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.clean_corpus_summary(
+        df, F.col("text"), F.col("doc_id")
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_total"] == 6 and r["n_unique"] == 4
+    # >= median of 4 values keeps at least 2 (both middle values tie-free)
+    assert 2 <= r["n_final"] <= 4
+    assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_final"]

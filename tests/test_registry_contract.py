@@ -36,7 +36,7 @@ TOUCHED_IN_R6 = [
 # backfill = 58 candidates for 50 slots (udaf_per_order_weighted_avg is
 # both touched and an r3 backfill); the last 8 _PRIORITY entries
 # deliberately spill to the r7 window.
-EXPECTED_SPILL = 25  # 8 original + 17 r3-vintage displaced by r6 new ops + touched-query refresh
+EXPECTED_SPILL = 26  # 8 original + 18 r3-vintage displaced by r6 new ops + touched-query refresh
 
 
 def test_r6_touched_queries_inside_50_window():
