@@ -165,23 +165,10 @@ def main():
                 emb, qids, k=k, dims=64, nprobe=nprobe, n_centroids=K
             ).collect()
         )
-        from pyspark.sql import Window as W
-
         assigned = similarity.ivf_assign(emb, 64, n_centroids=K)
-        cents = assigned.filter(F.col("vec_id") < K).select(
-            F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
-        )
-        qv = assigned.filter(F.col("vec_id").isin(qids)).select(
-            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-        )
-        ccos = similarity.safe_cos(F.col("qv"), F.col("cv"))
-        wq = W.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("c_id"))
-        probes = (
-            qv.crossJoin(F.broadcast(cents))
-            .select("q_id", "c_id", ccos.alias("ccos"))
-            .withColumn("__r", F.row_number().over(wq))
-            .filter(F.col("__r") <= nprobe)
-            .select("q_id", F.col("c_id").alias("key"))
+        # the OPERATOR's own probe selection — measurement can't diverge
+        probes = similarity.ivf_query_probes(assigned, qids, nprobe, K).select(
+            "q_id", F.col("probe_cent").alias("key")
         )
         cands = (
             assigned.select("vec_id", F.col("centroid_id").alias("key"))

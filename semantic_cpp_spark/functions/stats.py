@@ -172,3 +172,16 @@ def percentiles_exact_sorted(df, col: Column, ps: list[float], names: list[str])
         v = F.col(f"__lo{i}") + F.lit(frac) * (F.col(f"__hi{i}") - F.col(f"__lo{i}"))
         outs.append(v.alias(names[i]))
     return picked.select(*outs)
+
+
+def band_by_cuts(col: Column, cut_cols: list[str]) -> Column:
+    """Band index from ascending broadcast cutoffs: band 0 below the
+    first cutoff, band i+1 at/above cutoff i — half-open intervals, ties
+    go UP (deterministic, unlike ntile's count-balanced splits). The one
+    shared fold for every cutoff-banding operator (quality bands, RFM
+    terciles, equi-depth histogram), so the tie/boundary semantics can
+    never diverge between them."""
+    band = F.lit(0)
+    for i, c in enumerate(cut_cols):
+        band = F.when(col >= F.col(c), i + 1).otherwise(band)
+    return band.cast("long")

@@ -236,7 +236,13 @@ _RELEASE_HOOKS.append(_flush_df_memo)
 
 
 def _persisted(df: DataFrame) -> DataFrame:
-    key = df._jdf.queryExecution().analyzed().semanticHash()
+    # key includes the resolved input files, like dedup._persisted_signatures:
+    # appending files to a source directory leaves the plan's semanticHash
+    # unchanged, and a hash-only key would silently serve the old snapshot
+    key = (
+        df._jdf.queryExecution().analyzed().semanticHash(),
+        hash(tuple(sorted(df.inputFiles()))),
+    )
     hit = _DF_MEMO.get(key)
     if hit is None:
         hit = _DF_MEMO[key] = df.persist()
@@ -339,12 +345,12 @@ def rfm_segments(
         ("n_purchases", "f_band"),
         ("monetary", "m_band"),
     ):
-        b = F.lit(0)
-        for i in range(2):
-            b = F.when(
-                F.col(metric) >= F.col(f"__{metric}_c{i}"), i + 1
-            ).otherwise(b)
-        out = out.withColumn(band, b.cast("long"))
+        out = out.withColumn(
+            band,
+            stats.band_by_cuts(
+                F.col(metric), [f"__{metric}_c0", f"__{metric}_c1"]
+            ),
+        )
     return out.select(
         "user_id", "recency_us", "n_purchases", "monetary",
         "r_band", "f_band", "m_band",

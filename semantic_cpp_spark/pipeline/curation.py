@@ -234,12 +234,12 @@ def quality_bands(
         scored, F.col("__q"), list(cuts),
         [f"__c{i}" for i in range(len(cuts))],
     )
-    band = F.lit(0)
-    for i in range(len(cuts)):
-        band = F.when(F.col("__q") >= F.col(f"__c{i}"), i + 1).otherwise(band)
+    band = stats.band_by_cuts(
+        F.col("__q"), [f"__c{i}" for i in range(len(cuts))]
+    )
     return (
         scored.crossJoin(F.broadcast(agg))
-        .withColumn("band", band.cast("long"))
+        .withColumn("band", band)
         .drop(*[f"__c{i}" for i in range(len(cuts))], "__q")
     )
 

@@ -224,8 +224,11 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as ex:
         raise ValueError(f"PNG IDAT inflate failed: {ex}") from ex
-    if len(raw) != expected or not (d.eof or len(d.unconsumed_tail) == 0):
-        raise ValueError("PNG raster size mismatch")
+    # d.eof is REQUIRED: a stream truncated after its last deflate block
+    # can yield exactly `expected` bytes without ever reaching the stream
+    # end / adler32 trailer (self-review r6 round 2)
+    if len(raw) != expected or not d.eof:
+        raise ValueError("PNG raster size mismatch or truncated stream")
     prev = bytearray(stride)
     out = bytearray()
     for r in range(h):
@@ -441,7 +444,10 @@ def _decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("GIF image descriptor truncated")
             _, _, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
             pos += 10
-            if w <= 0 or h <= 0:
+            if w <= 0 or h <= 0 or w * h > 64_000_000:
+                # same pixel cap as PNG: max_out derives from these
+                # attacker-declared dimensions, so they must be bounded
+                # BEFORE sizing any buffer
                 raise ValueError(f"bad GIF dimensions {w}x{h}")
             if ipacked & 0x40:
                 raise NotImplementedError("interlaced GIF unsupported")

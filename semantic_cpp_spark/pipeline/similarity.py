@@ -559,32 +559,48 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: search only the query's centroid list
-    (nprobe=1). The inverted lists partition the corpus, so the scan
-    touches ~n/K vectors per query — the index-style scale path
-    complementing the LSH variant. Output (q_id, rk, vec_id, cos)."""
-    assigned = ivf_assign(df, dims, id_col, vec_col, n_centroids)
-    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("centroid_id").alias("q_cent"),
+    """IVF approximate top-k: search only the query's centroid list.
+    The inverted lists partition the corpus, so the scan touches ~n/K
+    vectors per query — the index-style scale path complementing the LSH
+    variant. Output (q_id, rk, vec_id, cos).
+
+    Exactly the nprobe=1 case of ivf_multiprobe_topk (a query's rank-1
+    probe centroid IS its ivf_assign centroid — same ranking), so it
+    delegates: one pipeline to keep tie-breaks/rounding in sync."""
+    return ivf_multiprobe_topk(
+        df, query_ids, k=k, dims=dims, nprobe=1,
+        id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
     )
-    cos = safe_cos(F.col("v"), F.col("qv"))
-    scored = assigned.join(
-        F.broadcast(q),
-        (F.col("centroid_id") == F.col("q_cent"))
-        & (F.col("vec_id") != F.col("q_id")),
-    ).select("q_id", "vec_id", cos.alias("cos"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+
+
+def ivf_query_probes(
+    assigned: DataFrame,
+    query_ids: list[int],
+    nprobe: int,
+    n_centroids: int,
+) -> DataFrame:
+    """Per-query probe set: the query's ``nprobe`` nearest centroids by
+    the same (cosine desc, c_id) ranking ivf_assign uses — rank 1 is
+    exactly the query's own inverted list. Shared by ivf_multiprobe_topk
+    and the recall-measurement script so the measured probe set can
+    never diverge from the one the operator scans. Returns
+    (q_id, qv, probe_cent)."""
+    cents = assigned.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    qv = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    ccos = safe_cos(F.col("qv"), F.col("cv"))
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id")
+    )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "q_id",
-            F.col("rk").cast("long").alias("rk"),
-            "vec_id",
-            F.round("cos", 6).alias("cos"),
-        )
+        qv.crossJoin(F.broadcast(cents))
+        .select("q_id", "qv", "c_id", ccos.alias("ccos"))
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("q_id", "qv", F.col("c_id").alias("probe_cent"))
     )
 
 
@@ -612,23 +628,7 @@ def ivf_multiprobe_topk(
     if n_centroids is None:
         n_centroids = derived_ivf_k(df.count())
     assigned = ivf_assign(df, dims, id_col, vec_col, n_centroids)
-    cents = assigned.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
-    )
-    qv = assigned.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    ccos = safe_cos(F.col("qv"), F.col("cv"))
-    wq = Window.partitionBy("q_id").orderBy(
-        F.col("ccos").desc(), F.col("c_id")
-    )
-    probes = (
-        qv.crossJoin(F.broadcast(cents))
-        .select("q_id", "qv", "c_id", ccos.alias("ccos"))
-        .withColumn("__r", F.row_number().over(wq))
-        .filter(F.col("__r") <= nprobe)
-        .select("q_id", "qv", F.col("c_id").alias("probe_cent"))
-    )
+    probes = ivf_query_probes(assigned, query_ids, nprobe, n_centroids)
     cos = safe_cos(F.col("v"), F.col("qv"))
     scored = assigned.join(
         F.broadcast(probes),

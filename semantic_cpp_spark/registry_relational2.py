@@ -768,14 +768,12 @@ def rel_equidepth_histogram(spark, sf_dir):
         orders, F.col("o_totalprice"), [0.25, 0.5, 0.75],
         ["__c0", "__c1", "__c2"],
     )
-    bucket = F.lit(0)
-    for i in range(3):
-        bucket = F.when(
-            F.col("o_totalprice") >= F.col(f"__c{i}"), i + 1
-        ).otherwise(bucket)
+    bucket = stats.band_by_cuts(
+        F.col("o_totalprice"), ["__c0", "__c1", "__c2"]
+    )
     return (
         orders.crossJoin(F.broadcast(cuts))
-        .withColumn("bucket", bucket.cast("long"))
+        .withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

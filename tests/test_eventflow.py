@@ -336,3 +336,36 @@ def test_debounce_gap_boundary(spark):
     out = {r["event_id"]: r["keep"] for r in eventflow.debounce(
         _events(spark, rows), gap).collect()}
     assert out == {0: True, 1: False, 2: True, 3: True, 4: True}
+
+
+def test_persisted_memo_sees_appended_files(spark, tmp_path):
+    """The persisted-intermediate memo must key on the resolved input
+    files, not just the plan hash: appending files to a source directory
+    leaves semanticHash unchanged, and a hash-only key would silently
+    serve the old snapshot (self-review r6 round 2)."""
+    src = str(tmp_path / "conv_src")
+    batch1 = [
+        (0, 1, 0, "signup", 0.0),
+        (1, 1, 10 * M, "view", 0.0),
+        (2, 1, 20 * M, "purchase", 0.0),
+    ]
+    schema = "event_id long, user_id long, tus long, event_type string, value double"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+
+    def run():
+        df = spark.read.parquet(src)
+        return eventflow.conversion_latency(
+            df, ["signup", "view", "purchase"]
+        ).collect()[0]
+
+    assert run()["n_converted"] == 1
+    # second converted user arrives in an appended file
+    batch2 = [
+        (3, 2, 0, "signup", 0.0),
+        (4, 2, 5 * M, "view", 0.0),
+        (5, 2, 40 * M, "purchase", 0.0),
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert run()["n_converted"] == 2  # stale memo would still say 1

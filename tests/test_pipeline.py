@@ -995,3 +995,38 @@ def test_gif_local_color_table_and_87a():
     assert (dw, dh, mv) == (w, h, 255)
     c0, c1 = lct[0:3], lct[3:6]
     assert rgb == b"".join(c1 if i else c0 for i in idx)
+
+
+def test_png_truncated_stream_rejected_even_at_exact_length():
+    """A zlib stream truncated after its last deflate block can yield
+    exactly the expected byte count without reaching the stream end —
+    the d.eof requirement is what rejects it (self-review r6 round 2)."""
+    import struct as _s
+    import zlib as _z
+
+    w, h = 11, 8
+    px = bytes((3 * 31 + i) % 256 for i in range(w * h * 3))
+    raw = b"".join(b"\x00" + px[r * w * 3:(r + 1) * w * 3] for r in range(h))
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (multimodal._PNG_MAGIC + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", _z.compress(raw)[:-4]) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        multimodal._decode_png(png)
+
+
+def test_gif_dimension_bomb_rejected():
+    """Attacker-declared huge dimensions must be rejected BEFORE any
+    buffer is sized from them (the LZW cap derives from w*h)."""
+    import struct as _s
+
+    g = bytearray(multimodal.render_gif(1))
+    idesc = 6 + 7 + 768
+    assert g[idesc] == 0x2C
+    _s.pack_into("<HH", g, idesc + 5, 65535, 65535)  # w, h
+    with pytest.raises(ValueError):
+        multimodal._decode_gif(bytes(g))

@@ -32,10 +32,11 @@ TOUCHED_IN_R6 = [
     "txt_quality_above_median",    # median -> distributed path
 ]
 
-# r6 window policy (VERDICT r5 #4): 16+1 touched/new + the r3-vintage
-# backfill = 58 candidates for 50 slots (udaf_per_order_weighted_avg is
-# both touched and an r3 backfill); the last 8 _PRIORITY entries
-# deliberately spill to the r7 window.
+# r6 window policy (VERDICT r5 #4): the 50-slot driver window holds every
+# r6-touched/new query first, then r3-vintage backfill; EXPECTED_SPILL
+# _PRIORITY entries deliberately spill to the r7 window (the cut is
+# marked "WINDOW CUT" in registry._PRIORITY — recount, don't trust
+# comment position, when rotating).
 EXPECTED_SPILL = 26  # 8 original + 18 r3-vintage displaced by r6 new ops + touched-query refresh
 
 
