@@ -1736,3 +1736,73 @@ def pipe_clean_corpus(spark, sf_dir):
     return curation.clean_corpus_summary(
         docs, F.col("text"), F.col("doc_id")
     )
+
+
+@register(
+    "emb_whiten_norms",
+    """WITH d AS (SELECT unnest(range(0, 64)) AS dim),
+    x AS (SELECT d.dim,
+                 CAST(round(e.embedding[d.dim + 1]::DOUBLE * 1000000.0)
+                      AS BIGINT) AS w
+          FROM embeddings e, d),
+    st AS (SELECT dim,
+                  sum(w)::DOUBLE / count(*) / 1e6 AS mean,
+                  sqrt(sum(w * w)::DOUBLE / count(*) / 1e12
+                       - (sum(w)::DOUBLE / count(*) / 1e6) ^ 2) AS std
+           FROM x GROUP BY dim),
+    arrs AS (SELECT list(mean ORDER BY dim) AS ms,
+                    list(std ORDER BY dim) AS ss
+             FROM st)
+    SELECT vec_id,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> ((embedding[i]::DOUBLE - ms[i]) / ss[i]) ^ 2)), 6)
+             AS wnorm2
+    FROM embeddings, arrs""",
+)
+def emb_whiten_norms(spark, sf_dir):
+    """Whitening application (the consumer of emb_dim_stats): per vector,
+    the squared norm after per-dimension standardisation ((x−μ_d)/σ_d) —
+    the sanity statistic of a whitening pass (its corpus mean is ~dims).
+
+    Scale shape: the stats are the same exact-int64 64-key aggregate as
+    emb_dim_stats, collapsed into two 64-element arrays and broadcast —
+    the projection itself is a zero-exchange narrow map, like
+    pca_project. The per-vector sum is a LEFT-TO-RIGHT fold
+    (F.aggregate), bit-matching DuckDB's list_sum over list_transform —
+    no group-sum order nondeterminism."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("dim", "v")
+    ).select("dim", F.round(F.col("v") * 1e6, 0).cast("long").alias("w"))
+    n = F.count(F.lit(1))
+    s = F.sum("w")
+    s2 = F.sum(F.col("w") * F.col("w"))
+    mean = s / n / F.lit(1e6)
+    st = x.groupBy("dim").agg(
+        mean.alias("mean"),
+        F.sqrt(s2 / n / F.lit(1e12) - mean * mean).alias("std"),
+    )
+    arrs = st.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mean", "std"))
+        ).alias("__a")
+    ).select(
+        F.transform("__a", lambda r: r["mean"]).alias("ms"),
+        F.transform("__a", lambda r: r["std"]).alias("ss"),
+    )
+    v = F.transform("embedding", lambda c: c.cast("double"))
+    wnorm2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.pow(
+            (F.element_at(v, i + 1) - F.element_at("ms", i + 1))
+            / F.element_at("ss", i + 1),
+            2,
+        ),
+    )
+    return emb.crossJoin(F.broadcast(arrs)).select(
+        "vec_id", F.round(wnorm2, 6).alias("wnorm2")
+    )
