@@ -393,6 +393,63 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_containment_pairs(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    k: int = 3,
+    j_threshold: float = 0.5,
+    c_threshold: float = 0.5,
+) -> DataFrame:
+    """Containment ESTIMATED from MinHash — the LSH-scale form of
+    containment_pairs. From the estimated Jaccard ĵ and exact distinct-
+    shingle counts |A|, |B|, the intersection is |A∩B| = ĵ·(|A|+|B|)/
+    (1+ĵ), so Ĉ(A→B) = ĵ·(|A|+|B|) / ((1+ĵ)·|A|) — both directions
+    derived from ONE symmetric LSH candidate pass (the '<'-ordered band
+    join), no directed self-join at all. Use when the exact operator's
+    shingle-collision join is too dense (its cost scales with shingle
+    co-occurrence; this scales with band collisions).
+
+    Sizes come from one narrow aggregate over the same shingle explode.
+    Emits (d1, d2, est_containment) for BOTH directions ≥ c_threshold of
+    every LSH pair with ĵ ≥ j_threshold (candidate recall is bounded by
+    the LSH bands, exactly as for minhash_lsh_pairs)."""
+    pairs = minhash_lsh_pairs(df, text, id_col, k, threshold=j_threshold)
+    sizes = (
+        exploded_shingles(df, text, id_col, k)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_sh"))
+    )
+    j = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "d1"), "d1")
+        .withColumnRenamed("n_sh", "na")
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("d2"), F.col("n_sh").alias("nb")
+            ),
+            "d2",
+        )
+    )
+    inter = F.col("est_jaccard") * (F.col("na") + F.col("nb")) / (
+        1 + F.col("est_jaccard")
+    )
+    fwd = j.select(
+        "d1", "d2", (inter / F.col("na")).alias("est_containment")
+    )
+    rev = j.select(
+        F.col("d2").alias("d1"),
+        F.col("d1").alias("d2"),
+        (inter / F.col("nb")).alias("est_containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("est_containment") >= c_threshold)
+        .select(
+            "d1", "d2", F.round("est_containment", 6).alias("est_containment")
+        )
+    )
+
+
 def incremental_near_dup(
     corpus: DataFrame,
     batch: DataFrame,

@@ -687,6 +687,7 @@ _PRIORITY: list[str] = [
     "rel_equidepth_histogram",     # NEW: quartile-cutoff equi-depth histogram
     "pipe_clean_corpus",           # NEW: end-to-end cleaning funnel composition
     "emb_whiten_norms",            # NEW: whitening application, fold-exact
+    "dedup_minhash_containment",   # NEW: LSH-scale containment estimate
     # -- backfill: oldest-vintage rows age out (stale vouching). The 21
     #    entries through dedup_cc_clusters fill the window to exactly 50;
     #    riskier families (streaming, fact-join relational, salted agg,
@@ -702,10 +703,10 @@ _PRIORITY: list[str] = [
     "rel_q7_nation_volume",
     "rel_q8_market_share",
     "rel_q10_returned_items",
-    "rel_q18_large_orders",
     "udaf_per_order_weighted_avg",
     "agg_salted_hot_key",
     "dedup_cc_clusters",
+    "rel_q18_large_orders",
     "rel_q22_idle_balance",
     "rel_q6_forecast_revenue",
     "rel_q17_small_qty_revenue",

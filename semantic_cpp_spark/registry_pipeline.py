@@ -1806,3 +1806,54 @@ def emb_whiten_norms(spark, sf_dir):
     return emb.crossJoin(F.broadcast(arrs)).select(
         "vec_id", F.round(wnorm2, 6).alias("wnorm2")
     )
+
+
+def _minhash_containment_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> ({a} * (('0x' || substr(md5(s),1,8))::BIGINT) + {b}) % {dedup.MINHASH_P}))"
+        for a, b in zip(dedup.MINHASH_A, dedup.MINHASH_B)
+    )
+    r, nb = dedup.LSH_ROWS, dedup.LSH_BANDS
+    return f"""WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, len(shingles)::BIGINT AS n_sh FROM sh),
+    sigs AS (SELECT doc_id, [{mins}] AS sig FROM sh WHERE len(shingles) > 0),
+    bands AS (
+      SELECT doc_id, t.band,
+             array_to_string(sig[t.band * {r} + 1 : t.band * {r} + {r}], '_') AS key
+      FROM sigs, (SELECT unnest(range(0, {nb})) AS band) t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    jac AS (
+      SELECT c.d1, c.d2,
+             length(list_filter(range(1, {dedup.NUM_HASHES} + 1),
+                                i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+               / {dedup.NUM_HASHES} AS ej
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.d1
+      JOIN sigs sb ON sb.doc_id = c.d2),
+    sized AS (
+      SELECT j.d1, j.d2, j.ej, za.n_sh AS na, zb.n_sh AS nb
+      FROM jac j JOIN sz za ON za.doc_id = j.d1
+                 JOIN sz zb ON zb.doc_id = j.d2
+      WHERE j.ej >= 0.5),
+    dirs AS (
+      SELECT d1, d2, ej * (na + nb) / (1 + ej) / na AS c FROM sized
+      UNION ALL
+      SELECT d2 AS d1, d1 AS d2, ej * (na + nb) / (1 + ej) / nb AS c FROM sized)
+    SELECT d1, d2, round(c, 6) AS est_containment
+    FROM dirs WHERE c >= 0.5"""
+
+
+@register("dedup_minhash_containment", _minhash_containment_sql())
+def dedup_minhash_containment(spark, sf_dir):
+    """LSH-scale containment estimate (dedup.minhash_containment_pairs):
+    Ĉ(A→B) derived from the estimated Jaccard + exact shingle-set sizes
+    of ONE symmetric band-join pass — both directions, no directed
+    self-join. The scalable companion to dedup_containment (whose exact
+    join scales with shingle co-occurrence density)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_containment_pairs(
+        docs, F.col("text"), F.col("doc_id")
+    )

@@ -717,3 +717,21 @@ def test_clean_corpus_summary_funnel(spark):
     # >= median of 4 values keeps at least 2 (both middle values tie-free)
     assert 2 <= r["n_final"] <= 4
     assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_final"]
+
+
+def test_minhash_containment_detects_subset_dup(spark):
+    # the same planted subset-duplicate scenario as the exact operator:
+    # short doc contained in a long one. The minhash estimate must flag
+    # the same direction and roughly agree with exact containment.
+    short = "q w e r t y u i o p a s d f g h"
+    long_ = short + " " + " ".join(f"pad{i}" for i in range(10))
+    df = _docs(spark, [short, long_, "unrelated other words entirely here"])
+    got = {
+        (r["d1"], r["d2"]): r["est_containment"]
+        for r in dedup.minhash_containment_pairs(
+            df, F.col("text"), F.col("doc_id"), j_threshold=0.3,
+            c_threshold=0.5,
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 0.7  # short mostly inside long
+    assert (1, 0) not in got or got[(1, 0)] < got[(0, 1)]
