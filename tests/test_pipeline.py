@@ -1030,3 +1030,35 @@ def test_gif_dimension_bomb_rejected():
     _s.pack_into("<HH", g, idesc + 5, 65535, 65535)  # w, h
     with pytest.raises(ValueError):
         multimodal._decode_gif(bytes(g))
+
+
+def test_gif_lzw_hypothesis_roundtrip():
+    """Property: ANY byte stream round-trips through the GIF LZW pair at
+    any legal min code size whose alphabet covers the stream. Exercises
+    KwKwK, width growth, and reset boundaries far beyond the fixed
+    vectors."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.binary(min_size=0, max_size=4000),
+        st.sampled_from([8]),
+    )
+    def roundtrip_full_alphabet(data, mcs):
+        assert multimodal._gif_lzw_decode(
+            multimodal._gif_lzw_encode(data, mcs), mcs
+        ) == data
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=3), max_size=4000),
+        st.sampled_from([2, 4]),
+    )
+    def roundtrip_small_alphabet(vals, mcs):
+        data = bytes(vals)
+        assert multimodal._gif_lzw_decode(
+            multimodal._gif_lzw_encode(data, mcs), mcs
+        ) == data
+
+    roundtrip_full_alphabet()
+    roundtrip_small_alphabet()
