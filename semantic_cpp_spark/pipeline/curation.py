@@ -419,3 +419,118 @@ def clean_corpus_summary(df: DataFrame, text: Column, id_col: Column) -> DataFra
         ],
     )
     return totals.crossJoin(F.broadcast(stage2))
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    k: int,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    'Weighted random sampling with a reservoir', IPL 2006): each row gets
+    priority = −ln(u)/w with u uniform in (0,1]; the k smallest
+    priorities are a weighted sample without replacement — exactly the
+    distribution of drawing k items sequentially with probability
+    proportional to weight. The pretraining use-case: sample documents
+    proportional to length (token budget) or quality weight.
+
+    Determinism: u is md5-derived ((u60+1)/2^60, never 0 so ln is
+    finite), so the sample is reproducible across runs, engines, and
+    cluster sizes — same rationale as bernoulli_sample.
+
+    Scale shape: priority is a pure narrow expression; the k-smallest
+    selection is a TakeOrdered (per-partition top-k + driver merge of
+    k·partitions rows), never a global sort. Weights must be > 0."""
+    u = (hash_u60(key, salt) + F.lit(1)).cast("double") / F.lit(float(HASH_SPACE))
+    pri = -F.log(u) / weight.cast("double")
+    return (
+        df.withColumn("__pri", pri)
+        .orderBy("__pri")
+        .limit(k)
+        .withColumnRenamed("__pri", "priority")
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    size: int = 120,
+    stride: int = 90,
+) -> DataFrame:
+    """RAG-style overlapping character chunking: windows of ``size``
+    chars starting every ``stride`` chars (overlap = size − stride; the
+    final chunks may be shorter; an empty text yields one empty chunk).
+    Returns (doc_id, chunk_idx, chunk, chunk_len).
+
+    Scale shape: pure narrow generator — sequence(1, len, stride) →
+    posexplode → substring; zero exchanges, fully codegen'd JVM-side,
+    and the output inherits the input partitioning (each chunk row lands
+    where its document was read). The expansion factor is bounded by
+    ⌈len/stride⌉ per document."""
+    if stride <= 0 or size <= 0:
+        raise ValueError(f"size and stride must be > 0, got {size}, {stride}")
+    t = text
+    starts = F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(stride))
+    return df.select(
+        id_col.alias("doc_id"),
+        t.alias("__t"),
+        F.posexplode(starts).alias("chunk_idx", "__pos"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.substring(F.col("__t"), F.col("__pos"), F.lit(size)).alias("chunk"),
+        F.length(F.substring(F.col("__t"), F.col("__pos"), F.lit(size)))
+        .cast("long")
+        .alias("chunk_len"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    chunk_size: int = 10,
+) -> DataFrame:
+    """Corpus-level keep-FIRST-occurrence chunk dedup (the C4 rule
+    "discard all but one of any three-sentence span occurring more than
+    once", at word-chunk granularity — the complement of
+    remove_boilerplate_chunks, which drops EVERY occurrence of a hot
+    chunk): for each repeated chunk, the occurrence with the smallest
+    (doc_id, chunk_idx) survives and all later occurrences are removed;
+    each document is re-assembled from its surviving chunks in order.
+
+    Returns (doc_id, n_chunks, n_kept, clean_text).
+
+    Plan: posexplode chunks → min(struct(doc_id, chunk_idx)) per chunk
+    (the global first occurrence under lexicographic order — a single
+    map-side-combinable aggregate, no window) → shuffle join back on the
+    chunk text (join key equals the groupBy key, exchange reused) →
+    re-assemble per doc. Per-chunk state is O(1); per-doc state is
+    bounded by document length."""
+    ch = df.select(
+        id_col.alias("doc_id"),
+        F.posexplode(word_chunks(text, chunk_size)).alias("chunk_idx", "chunk"),
+    )
+    first = ch.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("__first")
+    )
+    flagged = ch.join(first, "chunk")
+    keep = (F.col("doc_id") == F.col("__first.doc_id")) & (
+        F.col("chunk_idx") == F.col("__first.chunk_idx")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count(F.when(keep, 1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("chunk_idx", "chunk")))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

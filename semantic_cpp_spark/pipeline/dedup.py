@@ -732,3 +732,93 @@ def dedup_keep_list(
     return untouched.withColumn("is_cluster_rep", F.lit(False)).union(
         reps.withColumn("is_cluster_rep", F.lit(True))
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    k: int = 3,
+    tau_num: int = 4,
+    tau_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (Chaudhuri et
+    al. SSJoin ICDE'06 / Bayardo et al. AllPairs WWW'07 / Xiao et al.
+    PPJoin): all pairs with Jaccard ≥ τ = tau_num/tau_den over distinct
+    k-word shingles — LOSSLESS, unlike ngram_jaccard_pairs' df-cap
+    (which silently ignores hot shingles in both candidate generation
+    and the score).
+
+    Theory: order every doc's shingle set by the canonical total order
+    (global document frequency asc, then shingle — rarest first). If
+    J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉, so any (|A|−⌈τ·|A|⌉+1)-length
+    prefix of A must contain an intersection element, and likewise for
+    B; since both prefixes hold each set's RAREST elements under the
+    same total order, the pair shares a token lying in both prefixes
+    (the classic prefix-filter lemma). Candidates = prefix-prefix
+    self-join; exact verification on the full sets.
+
+    Why this scales where the naive self-join doesn't: a boilerplate
+    shingle in f docs contributes f² join pairs, but hot shingles sort
+    LAST in the canonical order and fall outside almost every prefix —
+    the candidate join only meets docs through their rarest ⌈(1−τ)·n⌉+1
+    shingles. ⌈τ·n⌉ is computed in INTEGER arithmetic ((num·n+num−1+…)
+    floor-div) so a float ulp can never shorten the prefix below the
+    lossless bound.
+
+    Plan: explode → df count (groupBy sh) → join back (co-keyed,
+    exchange reused) → per-doc sort_array(collect_list(struct(df,sh)))
+    → slice prefix → prefix self-join → verify candidates against the
+    two full sorted sets with array_intersect (per-pair cost bounded by
+    doc length, no further explode).
+
+    Returns (d1, d2, jaccard) with d1 < d2.
+    """
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(f"need 0 < tau_num <= tau_den, got {tau_num}/{tau_den}")
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    ex = df.repartition(n_part).select(
+        id_col.alias("doc_id"), F.explode(shingles(text, k)).alias("sh")
+    )
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    grouped = (
+        ex.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("sh")))
+            ).alias("__ord")
+        )
+        .select(
+            "doc_id",
+            F.transform("__ord", lambda s: s["sh"]).alias("shs"),
+        )
+    )
+    n = F.size("shs")
+    # ceil(tau*n) in exact integer math: (tau_num*n + tau_den - 1) // tau_den
+    ceil_tau_n = F.floor(
+        (F.lit(tau_num) * n + F.lit(tau_den - 1)) / F.lit(tau_den)
+    ).cast("int")
+    prefix_len = n - ceil_tau_n + F.lit(1)
+    pref = grouped.select(
+        "doc_id", F.explode(F.slice("shs", F.lit(1), prefix_len)).alias("sh")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = grouped.select(F.col("doc_id").alias("d1"), F.col("shs").alias("__s1"))
+    s2 = grouped.select(F.col("doc_id").alias("d2"), F.col("shs").alias("__s2"))
+    common = F.size(F.array_intersect("__s1", "__s2"))
+    denom = F.size("__s1") + F.size("__s2") - common
+    jac = common.cast("double") / denom
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        # threshold test in INTEGER cross-multiplication (common·den ≥
+        # num·denom) — no float in the keep/drop decision
+        .filter(common * F.lit(tau_den) >= F.lit(tau_num) * denom)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )

@@ -666,6 +666,7 @@ _PRIORITY: list[str] = [
     "mm_resize_features",          # extract_features kernel changed (decoded)
     "dedup_minhash_lsh",           # triangle band join + narrow-dedup plan
     "udaf_weighted_avg",           # decimal-exact int64-cents accumulation
+    "udaf_per_order_weighted_avg", # same fix, pandas-UDAF form
     "evt_user_trend",              # exact-cents OLS sums + -0.0 normalize
     # -- round-6 NEW operators (need their first driver row) --
     "dedup_containment",           # NEW: directed containment near-dup
@@ -688,10 +689,14 @@ _PRIORITY: list[str] = [
     "pipe_clean_corpus",           # NEW: end-to-end cleaning funnel composition
     "emb_whiten_norms",            # NEW: whitening application, fold-exact
     "dedup_minhash_containment",   # NEW: LSH-scale containment estimate
-    # -- backfill: oldest-vintage rows age out (stale vouching). The 21
-    #    entries through dedup_cc_clusters fill the window to exactly 50;
-    #    riskier families (streaming, fact-join relational, salted agg,
-    #    connected components) take the slots --
+    "samp_weighted_topk",          # NEW: Efraimidis–Spirakis weighted sample
+    "txt_chunk_overlap",           # NEW: RAG-style overlapping chunking
+    "txt_line_dedup",              # NEW: keep-first-occurrence chunk dedup
+    "dedup_prefix_filter",         # NEW: lossless PPJoin-style prefix filter
+    # -- backfill: oldest-vintage rows age out (stale vouching). The 10
+    #    entries through rel_q8_market_share fill the window to exactly 50
+    #    (WINDOW CUT after rel_q8_market_share — recount when rotating);
+    #    riskier families (streaming, fact-join relational) take the slots --
     "stream_tumble_hour",
     "stream_slide_2h_30m",
     "stream_session_5m",
@@ -702,8 +707,12 @@ _PRIORITY: list[str] = [
     "stream_topk_per_user",
     "rel_q7_nation_volume",
     "rel_q8_market_share",
+    # -- spill to r7 (positions 50+): lowest-risk of the r3 batch —
+    #    built-in-aggregate and simple-relational queries green in two
+    #    prior driver windows, displaced by the r6 new operators above.
+    #    All re-executed by the smoke test and the committed HEAD
+    #    verify.out.log --
     "rel_q10_returned_items",
-    "udaf_per_order_weighted_avg",
     "agg_salted_hot_key",
     "dedup_cc_clusters",
     "rel_q18_large_orders",
@@ -713,11 +722,6 @@ _PRIORITY: list[str] = [
     "rel_q19_bracketed_discounts",
     "rel_q13_order_histogram",
     "rel_q14_promo_share",
-    # -- spill to r7 (positions 50+): lowest-risk of the r3 batch —
-    #    built-in-aggregate and simple-relational queries green in two
-    #    prior driver windows, displaced by the 13 new r6 operators above.
-    #    All re-executed by the smoke test and the committed HEAD
-    #    verify.out.log --
     "agg_corr_covar",
     "agg_distribution_profile",
     "emb_kmeans_step",

@@ -1857,3 +1857,135 @@ def dedup_minhash_containment(spark, sf_dir):
     return dedup.minhash_containment_pairs(
         docs, F.col("text"), F.col("doc_id")
     )
+
+
+# -- round-6 session additions: weighted sampling, chunking, line dedup ------
+
+@register(
+    "samp_weighted_topk",
+    """SELECT doc_id,
+              round(-ln((('0x' || substr(md5('wsamp' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                        / 1152921504606846976.0) / n_chars, 6) AS priority
+       FROM documents
+       ORDER BY -ln((('0x' || substr(md5('wsamp' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                    / 1152921504606846976.0) / n_chars
+       LIMIT 50""",
+)
+def samp_weighted_topk(spark, sf_dir):
+    """Weighted sampling without replacement, k=50 with weight = n_chars
+    (curation.weighted_sample_k — Efraimidis–Spirakis A-ES priorities
+    −ln(u)/w over md5-derived u): longer documents are proportionally
+    more likely to be drawn, the standard token-budget sampling rule.
+    Priority is a pure narrow expression; selection is TakeOrdered (never
+    a global sort). ln() is the one float transcendental in the repo's
+    oracles — round(·,6) absorbs the ≤1-ulp libm difference between
+    engines, and the hash-derived priorities make a rank tie at the k
+    boundary measure-zero."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.weighted_sample_k(
+        docs, F.col("doc_id"), F.col("n_chars"), k=50, salt="wsamp"
+    )
+    return out.select("doc_id", F.round("priority", 6).alias("priority"))
+
+
+@register(
+    "txt_chunk_overlap",
+    """WITH p AS (
+         SELECT doc_id, text,
+                unnest(range(1, greatest(length(text), 1) + 1, 90)) AS pos
+         FROM documents)
+       SELECT doc_id,
+              ((pos - 1) // 90)::BIGINT AS chunk_idx,
+              substr(text, pos::INTEGER, 120) AS chunk,
+              length(substr(text, pos::INTEGER, 120))::BIGINT AS chunk_len
+       FROM p""",
+)
+def txt_chunk_overlap(spark, sf_dir):
+    """RAG-style overlapping chunking (curation.chunk_text): 120-char
+    windows every 90 chars (30-char overlap), the retrieval-index
+    granularity. Zero-exchange narrow generator — sequence → posexplode
+    → substring, fully codegen'd; output inherits the scan partitioning
+    so a 100 TB corpus chunks without a single shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.chunk_text(
+        docs, F.col("text"), F.col("doc_id"), size=120, stride=90
+    )
+
+
+@register(
+    "txt_line_dedup",
+    r"""WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS chunk_idx,
+             unnest([array_to_string(ws[(i * 10 + 1):(i * 10 + 10)], ' ')
+                     for i in range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))]) AS chunk
+      FROM ws),
+    first_occ AS (
+      SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS first_key
+      FROM chunks GROUP BY chunk)
+    SELECT c.doc_id, count(*) AS n_chunks,
+           count(CASE WHEN c.doc_id * 1000000 + c.chunk_idx = f.first_key
+                      THEN 1 END) AS n_kept,
+           coalesce(string_agg(CASE WHEN c.doc_id * 1000000 + c.chunk_idx = f.first_key
+                                    THEN c.chunk END,
+                               ' ' ORDER BY c.chunk_idx), '') AS clean_text
+    FROM chunks c JOIN first_occ f ON c.chunk = f.chunk
+    GROUP BY c.doc_id""",
+)
+def txt_line_dedup(spark, sf_dir):
+    """Corpus-level keep-FIRST-occurrence chunk dedup (curation.line_dedup
+    — the C4 'discard all but one of any repeated span' rule, at 10-word
+    -chunk granularity; complement of txt_boilerplate_removal which drops
+    EVERY occurrence): the smallest (doc_id, chunk_idx) occurrence of
+    each chunk survives, later copies are removed, documents re-assembled
+    in order. One map-side-combinable min-struct aggregate + one shuffle
+    join keyed identically (exchange reused) — no window function.
+
+    The oracle linearises min(struct(doc_id, chunk_idx)) as
+    min(doc_id·10⁶ + chunk_idx), valid while chunk_idx < 10⁶ (a 10⁷-word
+    document) — the fixture max is ~60 words."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.line_dedup(
+        docs, F.col("text"), F.col("doc_id"), chunk_size=10
+    )
+
+
+@register(
+    "dedup_prefix_filter",
+    f"""WITH {_SHINGLES_CTE},
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfq AS (SELECT s, count(*) AS dfc FROM ex GROUP BY s),
+    ords AS (
+      SELECT e.doc_id, list(e.s ORDER BY dfc, e.s) AS shs
+      FROM ex e JOIN dfq USING (s) GROUP BY e.doc_id),
+    pref AS (
+      SELECT doc_id,
+             unnest(shs[1 : len(shs) - ((4 * len(shs) + 4) // 5) + 1]) AS s
+      FROM ords),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+    v AS (
+      SELECT c.d1, c.d2,
+             len(list_intersect(o1.shs, o2.shs)) AS common,
+             len(o1.shs) AS n1, len(o2.shs) AS n2
+      FROM cand c JOIN ords o1 ON o1.doc_id = c.d1
+                  JOIN ords o2 ON o2.doc_id = c.d2)
+    SELECT d1, d2, round(common::DOUBLE / (n1 + n2 - common), 6) AS jaccard
+    FROM v WHERE common * 5 >= 4 * (n1 + n2 - common)""",
+)
+def dedup_prefix_filter(spark, sf_dir):
+    """EXACT Jaccard ≥ 0.8 self-join via prefix filtering
+    (dedup.prefix_filter_jaccard_pairs — SSJoin/AllPairs/PPJoin):
+    lossless where dedup_ngram_jaccard's df-cap is approximate. Docs
+    meet only through their rarest ⌈(1−τ)n⌉+1 shingles (canonical
+    df-asc order pushes hot boilerplate out of every prefix), so the
+    candidate join stays near-linear WITHOUT dropping any true pair;
+    ⌈τn⌉ is integer-exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_jaccard_pairs(
+        docs, F.col("text"), F.col("doc_id"), k=3, tau_num=4, tau_den=5
+    )

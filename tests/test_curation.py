@@ -735,3 +735,151 @@ def test_minhash_containment_detects_subset_dup(spark):
     }
     assert (0, 1) in got and got[(0, 1)] >= 0.7  # short mostly inside long
     assert (1, 0) not in got or got[(1, 0)] < got[(0, 1)]
+
+
+# -- weighted sampling / chunking / line dedup (round-6 session) -------------
+
+def test_weighted_sample_k_basics(spark):
+    from semantic_cpp_spark.pipeline import curation
+
+    df = spark.createDataFrame(
+        [(i, 1 if i else 10**9) for i in range(100)], "id long, w long"
+    )
+    out = curation.weighted_sample_k(df, F.col("id"), F.col("w"), k=10)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r.priority > 0 for r in rows)
+    # priority = -ln(u)/w: the 10^9-weight row's priority is ~1e-9 scale
+    # vs ~1.0 for the unit-weight rows, so it must be drawn.
+    assert 0 in {r.id for r in rows}
+    # deterministic: a second invocation selects the identical set
+    again = {r.id for r in curation.weighted_sample_k(
+        df, F.col("id"), F.col("w"), k=10).collect()}
+    assert again == {r.id for r in rows}
+    # k >= n returns everything
+    assert curation.weighted_sample_k(df, F.col("id"), F.col("w"), k=500).count() == 100
+
+
+def test_weighted_sample_salt_changes_sample(spark):
+    from semantic_cpp_spark.pipeline import curation
+
+    df = spark.createDataFrame([(i, 1) for i in range(200)], "id long, w long")
+    a = {r.id for r in curation.weighted_sample_k(df, F.col("id"), F.col("w"), 20, salt="a").collect()}
+    b = {r.id for r in curation.weighted_sample_k(df, F.col("id"), F.col("w"), 20, salt="b").collect()}
+    assert a != b  # measure-zero collision for 200 hashed priorities
+
+
+def test_chunk_text_exact_windows(spark):
+    from semantic_cpp_spark.pipeline import curation
+
+    df = spark.createDataFrame([(1, "abcdefghij"), (2, ""), (3, "xy")],
+                               "doc_id long, text string")
+    out = curation.chunk_text(df, F.col("text"), F.col("doc_id"), size=4, stride=3)
+    got = {(r.doc_id, r.chunk_idx): (r.chunk, r.chunk_len) for r in out.collect()}
+    # doc 1, len 10: starts 1,4,7,10 -> abcd defg hij j
+    assert got[(1, 0)] == ("abcd", 4)
+    assert got[(1, 1)] == ("defg", 4)
+    assert got[(1, 2)] == ("ghij", 4)
+    assert got[(1, 3)] == ("j", 1)
+    # empty text: one empty chunk (start position clamped to 1)
+    assert got[(2, 0)] == ("", 0)
+    # short text: single partial chunk
+    assert got[(3, 0)] == ("xy", 2)
+    assert len(got) == 6
+    # overlap: consecutive chunks share size-stride chars
+    assert got[(1, 0)][0][3:] == got[(1, 1)][0][:1]
+
+
+def test_chunk_text_rejects_bad_params(spark):
+    from semantic_cpp_spark.pipeline import curation
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        curation.chunk_text(df, F.col("text"), F.col("doc_id"), size=0, stride=3)
+    with pytest.raises(ValueError):
+        curation.chunk_text(df, F.col("text"), F.col("doc_id"), size=4, stride=0)
+
+
+def test_line_dedup_keeps_first_occurrence_only(spark):
+    from semantic_cpp_spark.pipeline import curation
+
+    rep = "a b c d e f g h i j"          # one full 10-word chunk
+    uniq1 = "k l m n o p q r s t"
+    uniq2 = "u v w x y z aa bb cc dd"
+    df = spark.createDataFrame(
+        [(1, rep + " " + uniq1), (2, uniq2 + " " + rep), (3, rep)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation.line_dedup(
+        df, F.col("text"), F.col("doc_id"), chunk_size=10).collect()}
+    # doc 1 holds the first occurrence (smallest doc_id) -> keeps both chunks
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 2)
+    assert out[1].clean_text == rep + " " + uniq1
+    # doc 2's copy of rep (chunk_idx 1) is a later occurrence -> removed
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 1)
+    assert out[2].clean_text == uniq2
+    # doc 3 is nothing but a later occurrence -> emptied, row still present
+    assert (out[3].n_chunks, out[3].n_kept) == (1, 0)
+    assert out[3].clean_text == ""
+
+
+def test_line_dedup_first_by_chunk_idx_within_doc(spark):
+    from semantic_cpp_spark.pipeline import curation
+
+    rep = "a b c d e f g h i j"
+    # same doc repeats the chunk twice: idx 0 survives, idx 1 removed
+    df = spark.createDataFrame([(7, rep + " " + rep)], "doc_id long, text string")
+    r = curation.line_dedup(df, F.col("text"), F.col("doc_id"), 10).collect()[0]
+    assert (r.n_chunks, r.n_kept, r.clean_text) == (2, 1, rep)
+
+
+def test_prefix_filter_matches_exact_allpairs(spark):
+    """Losslessness: prefix filtering must return EXACTLY the pairs the
+    uncapped all-pairs shingle join returns (same τ, same shingles)."""
+    from semantic_cpp_spark.pipeline import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i}") for i in range(20)]           # near-dups
+    rows += [(100 + i, f"u{i} v{i} w{i} x{i} y{i} z{i} q{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.d1, r.d2, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            df, F.col("text"), F.col("doc_id"), k=3, threshold=0.8,
+            max_shingle_df=None,
+        ).collect()
+    }
+    got = {
+        (r.d1, r.d2, r.jaccard)
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, F.col("text"), F.col("doc_id"), k=3, tau_num=4, tau_den=5
+        ).collect()
+    }
+    assert got == exact and len(got) > 0
+
+
+def test_prefix_filter_integer_ceil_boundary(spark):
+    """J exactly = τ with τ·n integral (9 shingles sharing 8, union 10 →
+    J = 0.8): a float ceil(0.8·9)=ceil(7.2000…0001) is harmless but
+    ceil(0.8·10) computed as 9 instead of 8 would shorten doc prefixes
+    below the lossless bound — the integer-exact ceil keeps the pair."""
+    from semantic_cpp_spark.pipeline import dedup
+
+    w = [f"w{i}" for i in range(11)]
+    d1 = " ".join(w)                       # 9 shingles
+    d2 = " ".join(w[:10] + ["DIFF"])       # shares 8 of its 9 shingles
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    rows = dedup.prefix_filter_jaccard_pairs(
+        df, F.col("text"), F.col("doc_id"), k=3, tau_num=4, tau_den=5
+    ).collect()
+    assert [(r.d1, r.d2, r.jaccard) for r in rows] == [(1, 2, 0.8)]
+
+
+def test_prefix_filter_rejects_bad_tau(spark):
+    from semantic_cpp_spark.pipeline import dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.prefix_filter_jaccard_pairs(df, F.col("text"), F.col("doc_id"), tau_num=0)
+    with pytest.raises(ValueError):
+        dedup.prefix_filter_jaccard_pairs(df, F.col("text"), F.col("doc_id"), tau_num=6, tau_den=5)
