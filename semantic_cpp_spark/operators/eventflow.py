@@ -378,3 +378,62 @@ def debounce(
     return df.withColumn(
         "keep", prev.isNull() | (F.col(tus) - prev > F.lit(gap_us))
     )
+
+
+DAY_US = 86_400_000_000
+
+
+def max_concurrency_per_day(
+    df: DataFrame,
+    user: str = "user_id",
+    tus: str = "tus",
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Peak concurrent sessions per epoch-day (the capacity-planning
+    question "how many users were on at once?"): classic sweep-line —
+    each session [t_start, t_end] (inclusive, from session_summary)
+    contributes +1 at its clipped start and −1 just after its clipped
+    end; the running sum over time is the concurrency; its max per day
+    is the answer. Returns (day, n_sessions, max_concurrent) where
+    n_sessions counts sessions ACTIVE that day (a midnight-spanning
+    session counts in both days).
+
+    Scale shape: deltas at the same instant are pre-summed
+    (groupBy(day, t) — map-side combinable, and it makes the running
+    sum tie-order-free), then ONE window partitioned BY DAY: state is a
+    single counter, work per partition is bounded by that day's session
+    count, and a longer retention horizon only adds partitions. Day
+    arithmetic is pure int64 epoch-day division — no calendar/timezone
+    semantics (same rule as retention_cohorts)."""
+    s = session_summary(df, user=user, tus=tus, gap_us=gap_us).select(
+        F.col("t_start"), F.col("t_end")
+    )
+    ex = s.select(
+        "t_start",
+        "t_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"t_start div {DAY_US}"), F.expr(f"t_end div {DAY_US}")
+            )
+        ).alias("day"),
+    )
+    clip_s = F.greatest(F.col("t_start"), F.col("day") * DAY_US)
+    clip_e = F.least(F.col("t_end"), (F.col("day") + 1) * DAY_US - 1)
+    deltas = ex.select(
+        "day", clip_s.alias("t"), F.lit(1).alias("d")
+    ).unionAll(ex.select("day", (clip_e + 1).alias("t"), F.lit(-1).alias("d")))
+    agg = deltas.groupBy("day", "t").agg(F.sum("d").alias("d"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    conc = agg.withColumn("c", F.sum("d").over(w))
+    peaks = conc.groupBy("day").agg(
+        F.max("c").cast("long").alias("max_concurrent")
+    )
+    n = ex.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return (
+        peaks.join(n, "day")
+        .select(F.col("day").cast("long").alias("day"), "n_sessions", "max_concurrent")
+    )

@@ -112,3 +112,67 @@ def pca_project(
         "vec_id",
         F.array(*[F.col(f"p{i}") for i in range(len(components))]).alias("proj"),
     )
+
+
+# -- Johnson–Lindenstrauss random projection ---------------------------------
+
+JL_SCALE_8 = 0.35355339059327373  # 1/sqrt(8), shared literal with the oracle
+
+
+def jl_signs(out_dims: int, in_dims: int, salt: str = "jl") -> list[list[int]]:
+    """Deterministic ±1 sign matrix for JL random projection (Achlioptas,
+    'Database-friendly random projections', JPDC 2003: ±1 entries satisfy
+    the JL lemma with the same distortion bound as Gaussians). Entry
+    (j, i) is derived from md5 — reproducible across runs, engines, and
+    cluster sizes, and cheap enough to regenerate anywhere (no model
+    state to ship)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{salt}-{j}-{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    out_dims: int = 8,
+    in_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "jl",
+) -> DataFrame:
+    """JL random projection 64→k: y_j = (1/√k)·Σ_i sign(j,i)·x_i. The
+    cheap dimensionality reduction before ANN when no PCA fit is wanted
+    — data-independent, single narrow pass, preserves pairwise
+    distances within (1±ε) w.h.p. (JL lemma).
+
+    Scale shape: the sign matrix is folded into literal expressions
+    (same zero-exchange pattern as pca_project — pure JVM map, no
+    Python, no shuffle, no model state). Each dot is a LEFT-TO-RIGHT
+    fold over exact ±1·float32 terms, so the DuckDB oracle's
+    list_sum(list_transform(...)) reproduces it bit-for-bit; the 1/√k
+    scale is applied once at the end from a shared literal. Output is
+    exploded to scalar rows (vec_id, out_dim, value)."""
+    if out_dims != 8 or in_dims != 64:
+        # JL_SCALE_8 is the 1/sqrt(8) literal shared with the SQL oracle;
+        # other shapes would need their own shared scale constant.
+        raise ValueError("jl_project is pinned to 64 -> 8 (shared oracle scale)")
+    signs = jl_signs(out_dims, in_dims, salt)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dots = [
+        (dot(v, F.array(*[F.lit(float(s)) for s in row])) * F.lit(JL_SCALE_8)).alias(
+            f"p{j}"
+        )
+        for j, row in enumerate(signs)
+    ]
+    wide = df.select(F.col(id_col).alias("vec_id"), *dots)
+    return wide.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.round(F.col(f"p{j}"), 6) for j in range(out_dims)])
+        ).alias("out_dim", "value"),
+    ).select("vec_id", F.col("out_dim").cast("long").alias("out_dim"), "value")

@@ -693,6 +693,8 @@ _PRIORITY: list[str] = [
     "txt_chunk_overlap",           # NEW: RAG-style overlapping chunking
     "txt_line_dedup",              # NEW: keep-first-occurrence chunk dedup
     "dedup_prefix_filter",         # NEW: lossless PPJoin-style prefix filter
+    "evt_max_concurrency",         # NEW: per-day sweep-line peak sessions
+    "emb_jl_project",              # NEW: JL ±1 projection, hard value oracle
     # -- backfill: oldest-vintage rows age out (stale vouching). The 10
     #    entries through rel_q8_market_share fill the window to exactly 50
     #    (WINDOW CUT after rel_q8_market_share — recount when rotating);

@@ -448,3 +448,50 @@ def evt_debounce(spark, sf_dir):
         F.sum(k).cast("long").alias("n_kept"),
         (F.count(F.lit(1)) - F.sum(k)).cast("long").alias("n_dropped"),
     )
+
+
+@register(
+    "evt_max_concurrency",
+    f"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus
+                   FROM events),
+    f AS (SELECT *,
+                 CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                                                ORDER BY tus, event_id) IS NULL
+                        OR tus - lag(tus) OVER (PARTITION BY user_id
+                                                ORDER BY tus, event_id) > {_GAP_US}
+                      THEN 1 ELSE 0 END AS ns
+          FROM e),
+    sx AS (SELECT *,
+                  (sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
+           FROM f),
+    s AS (SELECT user_id, session_idx, min(tus) AS t_start, max(tus) AS t_end
+          FROM sx GROUP BY user_id, session_idx),
+    ex AS (SELECT t_start, t_end,
+                  unnest(range(t_start // 86400000000,
+                               t_end // 86400000000 + 1)) AS day
+           FROM s),
+    del AS (
+      SELECT day, greatest(t_start, day * 86400000000) AS t, 1 AS d FROM ex
+      UNION ALL
+      SELECT day, least(t_end, (day + 1) * 86400000000 - 1) + 1 AS t, -1 AS d
+      FROM ex),
+    ag AS (SELECT day, t, sum(d) AS d FROM del GROUP BY day, t),
+    c AS (SELECT day, sum(d) OVER (PARTITION BY day ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS c
+          FROM ag),
+    pk AS (SELECT day, max(c) AS max_concurrent FROM c GROUP BY day),
+    n AS (SELECT day, count(*) AS n_sessions FROM ex GROUP BY day)
+    SELECT pk.day::BIGINT AS day, n.n_sessions::BIGINT AS n_sessions,
+           pk.max_concurrent::BIGINT AS max_concurrent
+    FROM pk JOIN n USING (day)""",
+)
+def evt_max_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per epoch-day
+    (eventflow.max_concurrency_per_day): sweep-line +1/−1 deltas over
+    30-min-gap sessions, running-sum window partitioned BY DAY (never a
+    global sort), same-instant deltas pre-summed so the cumulative sum
+    is tie-order-free. Midnight-spanning sessions are clipped into both
+    days."""
+    ev = _events(spark, sf_dir)
+    return eventflow.max_concurrency_per_day(ev, gap_us=_GAP_US)

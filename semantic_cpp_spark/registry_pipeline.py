@@ -1989,3 +1989,34 @@ def dedup_prefix_filter(spark, sf_dir):
     return dedup.prefix_filter_jaccard_pairs(
         docs, F.col("text"), F.col("doc_id"), k=3, tau_num=4, tau_den=5
     )
+
+
+from semantic_cpp_spark.pipeline import decomposition  # noqa: E402
+
+_JL_MATRIX_SQL = "[" + ", ".join(
+    "[" + ", ".join(f"{s}.0" for s in row) + "]"
+    for row in decomposition.jl_signs(8, 64)
+) + "]"
+
+
+@register(
+    "emb_jl_project",
+    f"""WITH m AS (SELECT {_JL_MATRIX_SQL} AS R),
+    dims AS (SELECT unnest(range(0, 8)) AS od)
+    SELECT vec_id, od::BIGINT AS out_dim,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> embedding[i]::DOUBLE * R[od + 1][i]))
+                 * {decomposition.JL_SCALE_8}, 6) AS value
+    FROM embeddings, m, dims""",
+)
+def emb_jl_project(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection 64→8
+    (decomposition.jl_project): data-independent ±1 sign matrix
+    (Achlioptas 2003) derived from md5 — the no-fit dimensionality
+    reduction before ANN. Signs folded into literal expressions: pure
+    JVM narrow map, zero exchanges (same shape as pca_project), and —
+    unlike PCA's eigen path — fully SQL-expressible, so this one has a
+    HARD value oracle. Dots are LTR folds over exact ±1·float32 terms;
+    the shared 1/√8 literal keeps both engines bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return decomposition.jl_project(emb)

@@ -883,3 +883,38 @@ def test_prefix_filter_rejects_bad_tau(spark):
         dedup.prefix_filter_jaccard_pairs(df, F.col("text"), F.col("doc_id"), tau_num=0)
     with pytest.raises(ValueError):
         dedup.prefix_filter_jaccard_pairs(df, F.col("text"), F.col("doc_id"), tau_num=6, tau_den=5)
+
+
+def test_jl_project_matches_numpy_and_preserves_distance(spark):
+    """jl_project vs a numpy reference of the same ±1/√8 matrix, plus a
+    JL sanity check: projected pairwise distance within a loose (1±0.9)
+    band of the original for k=8 (the lemma's ε at this k is weak — this
+    pins sign/scale wiring, not tight distortion)."""
+    import numpy as np
+
+    from semantic_cpp_spark.pipeline import decomposition
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(20, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = decomposition.jl_project(df).collect()
+    R = np.array(decomposition.jl_signs(8, 64), dtype=np.float64)
+    Y = (X.astype(np.float64) @ R.T) * decomposition.JL_SCALE_8
+    got = np.zeros_like(Y)
+    for r in out:
+        got[r.vec_id, r.out_dim] = r.value
+    assert np.allclose(got, Y, atol=1e-6)
+    d_orig = np.linalg.norm(X[0].astype(np.float64) - X[1].astype(np.float64))
+    d_proj = np.linalg.norm(Y[0] - Y[1])
+    assert 0.1 * d_orig < d_proj < 1.9 * d_orig
+
+
+def test_jl_project_rejects_unpinned_shapes(spark):
+    from semantic_cpp_spark.pipeline import decomposition
+
+    df = spark.createDataFrame([(1, [0.0] * 64)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        decomposition.jl_project(df, out_dims=4)

@@ -369,3 +369,53 @@ def test_persisted_memo_sees_appended_files(spark, tmp_path):
         "append"
     ).parquet(src)
     assert run()["n_converted"] == 2  # stale memo would still say 1
+
+
+def test_max_concurrency_sweep_line_hand_computed(spark):
+    """Three users on day 0: u1 [0s,100s], u2 [50s,150s], u3 [140s,200s]
+    → peak 2 (u1∩u2 and u2∩u3 overlap, never all three)."""
+    gap = 10 * M
+    rows = []
+    eid = 0
+    for uid, (s, e) in [(1, (0, 100)), (2, (50, 150)), (3, (140, 200))]:
+        for t in range(s, e + 1, 5):   # 5s cadence < gap → one session each
+            rows.append((eid, uid, t * M, "a", 0.0))
+            eid += 1
+    out = eventflow.max_concurrency_per_day(_events(spark, rows), gap_us=gap).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.day, r.n_sessions, r.max_concurrent) == (0, 3, 2)
+
+
+def test_max_concurrency_midnight_spanning_session(spark):
+    """A session crossing the day boundary counts in BOTH days, and the
+    inclusive-end semantics make it concurrent with a session starting
+    at its last instant."""
+    day = 86_400_000_000
+    rows = [
+        # u1: session from day0 23:59:50 into day1 00:00:10 (5s cadence)
+        *[(i, 1, day - 10 * M + t * M, "a", 0.0) for i, t in enumerate(range(0, 21, 5))],
+        # u2: single-event session on day1 at exactly u1's end instant
+        (100, 2, day + 10 * M, "a", 0.0),
+    ]
+    out = {r.day: r for r in eventflow.max_concurrency_per_day(
+        _events(spark, rows), gap_us=10 * M).collect()}
+    assert (out[0].n_sessions, out[0].max_concurrent) == (1, 1)
+    assert (out[1].n_sessions, out[1].max_concurrent) == (2, 2)
+
+
+def test_max_concurrency_same_instant_deltas(spark):
+    """One session ENDS at the exact instant another starts (inclusive
+    ends → they overlap at that instant → concurrency 2), and a
+    back-to-back pair where the end precedes the start by 1µs stays at
+    1 — pins the pre-summed tie handling."""
+    gap = 10 * M
+    rows = [
+        (0, 1, 0, "a", 0.0), (1, 1, 100 * M, "a", 0.0),          # u1 [0,100s]
+        (2, 2, 100 * M, "a", 0.0), (3, 2, 200 * M, "a", 0.0),    # u2 [100s,200s]
+    ]
+    out = eventflow.max_concurrency_per_day(_events(spark, rows), gap_us=gap).collect()
+    # u1 and u2 sessions here: within each user, events 100s apart > gap
+    # → each user has TWO single-event sessions; u1's at 100s and u2's at
+    # 100s coincide exactly → peak 2
+    assert out[0].max_concurrent == 2
