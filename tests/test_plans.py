@@ -255,3 +255,46 @@ def test_conversion_latency_no_global_percentile_reducer(spark, qs):
     plan = _plan(qs["evt_conversion_latency"](spark, SF))
     assert "rangepartitioning" in plan.lower()
     assert "percentile(" not in plan
+
+
+def test_chunk_overlap_zero_exchange(spark, qs):
+    """Chunking is a narrow generator: sequence -> posexplode ->
+    substring, no shuffle anywhere — at 100 TB the corpus chunks without
+    moving a byte."""
+    plan = _plan(qs["txt_chunk_overlap"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode actually runs JVM-side
+
+
+def test_jl_project_zero_exchange_no_python(spark, qs):
+    """JL projection folds the sign matrix into literals: pure JVM map —
+    no Exchange, no Python worker (BatchEvalPython/ArrowEvalPython)."""
+    plan = _plan(qs["emb_jl_project"](spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_weighted_sample_uses_take_ordered(spark, qs):
+    """k-smallest-priority selection must be TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a global sort."""
+    plan = _plan(qs["samp_weighted_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_max_concurrency_no_global_window(spark, qs):
+    """The sweep-line running sum is partitioned BY DAY — an empty
+    partitionBy would serialize the whole event log through one task."""
+    import re
+
+    plan = _plan(qs["evt_max_concurrency"](spark, SF))
+    assert not re.search(r"Window .*SinglePartition", plan), plan[:2000]
+    assert "Exchange hashpartitioning(day" in plan
+
+
+def test_prefix_filter_join_is_on_shingle_only(spark, qs):
+    """The candidate join must be an equi-join on the prefix shingle —
+    no cartesian/nested-loop fallback anywhere in the plan."""
+    plan = _plan(qs["dedup_prefix_filter"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
