@@ -285,3 +285,116 @@ def fuzzy_match_edit1(
         .withColumn("dist", F.levenshtein("q", "term").cast("long"))
         .filter(F.col("dist") <= 1)
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text: Column,
+    min_count: int = 5,
+    k: int = 25,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks, CL 1990): PMI(x,y) = ln(p(x,y) / (p(x)·p(y))) with
+    p(x,y) = c_xy/M (bigram frequency) and p(x) = c_x/N (unigram
+    frequency) — the corpus-analysis primitive behind phrase mining and
+    tokenizer-merge candidates. Bigrams below ``min_count`` are dropped
+    first (PMI's low-count bias).
+
+    Scale shape: adjacent-pair explode is narrow; bigram and unigram
+    counts are map-side-combinable groupBys; the two unigram joins
+    shuffle on the word key (vocab-bounded — NOT broadcast, a 100 TB
+    corpus's vocabulary can be GBs); N and M ride in as one broadcast
+    scalar row; final selection is TakeOrdered on the ROUNDED score
+    (cross-engine ties resolved by the word columns, so the top-k set
+    is deterministic). PMI is computed as a ln-sum — no int64 products
+    that could overflow at corpus scale.
+
+    Returns (w1, w2, n_pair, pmi) — the k highest-PMI bigrams."""
+    t = tokens(text)
+    n_t = F.size(t)
+    pairs = F.arrays_zip(
+        F.slice(t, 1, n_t - 1).alias("w1"), F.slice(t, 2, n_t - 1).alias("w2")
+    )
+    big = (
+        df.select(F.explode(F.when(n_t >= 2, pairs)).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = df.agg(
+        F.sum(n_t).alias("n_tokens"),
+        F.sum(F.greatest(n_t - 1, F.lit(0))).alias("n_bigrams"),
+    )
+    j = (
+        big.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = (
+        F.log("n_pair")
+        + F.lit(2.0) * F.log("n_tokens")
+        - F.log("n_bigrams")
+        - F.log("c1")
+        - F.log("c2")
+    )
+    return (
+        j.select("w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def zipf_fit(df: DataFrame, text: Column, top_n: int = 100) -> DataFrame:
+    """Zipf power-law fit over the corpus frequency spectrum: OLS of
+    ln(freq) on ln(rank) for the ``top_n`` most frequent terms — the
+    standard corpus-health diagnostic (natural language sits near slope
+    −1; extreme deviation flags boilerplate floods or synthetic text).
+    Returns ONE row (n_terms, slope, intercept, r2).
+
+    Scale shape: the unigram count is a map-side-combinable groupBy;
+    the top-n selection is TakeOrdered with a term tie-break (both
+    engines pick the identical set); the rank window then runs over AT
+    MOST ``top_n`` rows — bounded by construction, so the single-
+    partition sort is a constant, not a scale risk. The OLS reduces the
+    n rows to closed-form power sums (one tiny aggregate)."""
+    from pyspark.sql import Window
+
+    t = tokens(text)
+    top = (
+        df.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .orderBy(F.desc("n_w"), "w")
+        .limit(top_n)
+    )
+    # ≤ top_n rows from here on — the un-partitioned window is bounded
+    w = Window.orderBy(F.desc("n_w"), "w")
+    pts = top.withColumn("rnk", F.row_number().over(w)).select(
+        F.log("rnk").alias("x"), F.log("n_w").alias("y")
+    )
+    a = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    return a.select(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )

@@ -695,6 +695,8 @@ _PRIORITY: list[str] = [
     "dedup_prefix_filter",         # NEW: lossless PPJoin-style prefix filter
     "evt_max_concurrency",         # NEW: per-day sweep-line peak sessions
     "emb_jl_project",              # NEW: JL ±1 projection, hard value oracle
+    "txt_pmi_bigrams",             # NEW: PMI collocations, tie-broken top-k
+    "txt_zipf_fit",                # NEW: power-law OLS corpus diagnostic
     # -- backfill: oldest-vintage rows age out (stale vouching). The 10
     #    entries through rel_q8_market_share fill the window to exactly 50
     #    (WINDOW CUT after rel_q8_market_share — recount when rotating);

@@ -2020,3 +2020,71 @@ def emb_jl_project(spark, sf_dir):
     the shared 1/√8 literal keeps both engines bit-identical."""
     emb = load_table(spark, sf_dir, "embeddings")
     return decomposition.jl_project(emb)
+
+
+@register(
+    "txt_pmi_bigrams",
+    r"""WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents),
+    big AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS n_pair
+      FROM ws, LATERAL unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+      GROUP BY ws[i], ws[i + 1]
+      HAVING count(*) >= 5),
+    uni AS (
+      SELECT w, count(*) AS n_w
+      FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY w),
+    tot AS (
+      SELECT sum(len(ws))::BIGINT AS n_tokens,
+             sum(greatest(len(ws) - 1, 0))::BIGINT AS n_bigrams
+      FROM ws)
+    SELECT b.w1, b.w2, b.n_pair::BIGINT AS n_pair,
+           round(ln(b.n_pair) + 2.0 * ln(n_tokens) - ln(n_bigrams)
+                 - ln(u1.n_w) - ln(u2.n_w), 6) AS pmi
+    FROM big b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2, tot
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 25""",
+)
+def txt_pmi_bigrams(spark, sf_dir):
+    """Top-25 collocations by PMI over adjacent word pairs
+    (retrieval.pmi_bigrams, Church & Hanks 1990) with the ≥5-count
+    floor. Vocab-keyed shuffle joins (never broadcast — a 100 TB vocab
+    is GBs), scalar totals broadcast, TakeOrdered on the rounded score
+    with word-column tie-breaks so the top-k set is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.pmi_bigrams(docs, F.col("text"), min_count=5, k=25)
+
+
+@register(
+    "txt_zipf_fit",
+    r"""WITH uni AS (
+      SELECT w, count(*) AS n_w
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            FROM documents)
+      GROUP BY w ORDER BY n_w DESC, w LIMIT 100),
+    pts AS (
+      SELECT ln(row_number() OVER (ORDER BY n_w DESC, w)) AS x,
+             ln(n_w) AS y
+      FROM uni),
+    a AS (
+      SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pts)
+    SELECT n::BIGINT AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM a""",
+)
+def txt_zipf_fit(spark, sf_dir):
+    """Zipf power-law fit (retrieval.zipf_fit): OLS of ln(freq) on
+    ln(rank) for the top-100 terms — corpus-health diagnostic (natural
+    text ≈ slope −1). TakeOrdered top-n with term tie-breaks keeps the
+    fitted set engine-identical; the rank window is bounded at 100 rows
+    by construction; OLS collapses to closed-form power sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.zipf_fit(docs, F.col("text"), top_n=100)

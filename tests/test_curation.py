@@ -918,3 +918,39 @@ def test_jl_project_rejects_unpinned_shapes(spark):
     df = spark.createDataFrame([(1, [0.0] * 64)], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         decomposition.jl_project(df, out_dims=4)
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    """Corpus where 'x y' always co-occur vs independent fillers: PMI of
+    (x,y) must top the list and equal the closed form."""
+    import math
+
+    from semantic_cpp_spark.pipeline import retrieval
+
+    docs = [(i, "x y " + f"f{i} g{i}") for i in range(6)]  # 6 docs, 4 tokens each
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = retrieval.pmi_bigrams(df, F.col("text"), min_count=5, k=10).collect()
+    # only ('x','y') reaches count >= 5 (6 occurrences); all others unique
+    assert [(r.w1, r.w2, r.n_pair) for r in out] == [("x", "y", 6)]
+    n_tokens, n_bigrams, c_xy, c_x, c_y = 24, 18, 6, 6, 6
+    expect = math.log(c_xy) + 2 * math.log(n_tokens) - math.log(n_bigrams) \
+        - math.log(c_x) - math.log(c_y)
+    assert abs(out[0].pmi - round(expect, 6)) < 1e-9
+
+
+def test_zipf_fit_recovers_known_slope(spark):
+    """A corpus built with freq(rank r) = round(1000·r^-0.8) must fit
+    slope ≈ -0.8 with r² ≈ 1 (exact-integer rounding gives tiny
+    residue)."""
+    from semantic_cpp_spark.pipeline import retrieval
+
+    words = []
+    for r in range(1, 51):
+        words += [f"w{r:03d}"] * max(1, round(1000 * r ** -0.8))
+    # spread over docs so nothing depends on document boundaries
+    docs = [(i, " ".join(words[i::20])) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = retrieval.zipf_fit(df, F.col("text"), top_n=50).collect()[0]
+    assert row.n_terms == 50
+    assert abs(row.slope - (-0.8)) < 0.02
+    assert row.r2 > 0.999
