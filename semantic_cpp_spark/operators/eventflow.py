@@ -437,3 +437,59 @@ def max_concurrency_per_day(
         peaks.join(n, "day")
         .select(F.col("day").cast("long").alias("day"), "n_sessions", "max_concurrent")
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click", "signup"),
+    lookback_us: int = 7 * 86_400_000_000,
+    user: str = "user_id",
+    tus: str = "tus",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch marketing attribution: for every conversion event, the
+    most recent STRICTLY-PRECEDING touch event of the same user within
+    ``lookback_us`` — which campaign touch gets credit for the purchase.
+    Returns one row per conversion:
+    (event_id, user_id, t_conv, t_touch, touch_type, latency_us) with
+    NULL touch columns for unattributed conversions.
+
+    Scale shape: ONE window partitioned by user ordered by time — the
+    running "latest touch so far" is carried as a max over an
+    integer-ENCODED (tus, type_rank) value with rows UNBOUNDED
+    PRECEDING..1 PRECEDING (strictly before), so no self-join per
+    conversion and no per-step scan; the encoding (t·8 + alphabetical
+    type rank, valid for ≤8 touch types and epoch-micros < 2^59) keeps
+    the carry a plain int64 max — identical semantics and bit-identical
+    results in the SQL oracle, with same-instant touches tie-broken by
+    type name. The lookback filter is applied after the carry (window
+    state stays one value either way)."""
+    ranked = sorted(touch_types)
+    if len(ranked) > 8:
+        raise ValueError("at most 8 touch types (3-bit rank encoding)")
+    rank = F.lit(None).cast("long")
+    for i, ty in enumerate(ranked):
+        rank = F.when(F.col(type_col) == ty, i).otherwise(rank)
+    w = (
+        Window.partitionBy(user)
+        .orderBy(F.col(tus), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enc = F.col(tus) * 8 + rank  # NULL for non-touch rows -> max skips them
+    carried = df.withColumn("__lt", F.max(enc).over(w))
+    conv = carried.filter(F.col(type_col) == conversion_type)
+    # integer div, NOT float: t·8 ≈ 1.4e16 exceeds double's 2^53 exactness
+    t_touch = F.expr("__lt div 8")
+    decode = F.lit(None).cast("string")
+    for i, ty in enumerate(ranked):
+        decode = F.when(F.col("__lt") % 8 == i, ty).otherwise(decode)
+    in_window = F.col("__lt").isNotNull() & (F.col(tus) - t_touch <= lookback_us)
+    return conv.select(
+        "event_id",
+        F.col(user).alias("user_id"),
+        F.col(tus).alias("t_conv"),
+        F.when(in_window, t_touch).alias("t_touch"),
+        F.when(in_window, decode).alias("touch_type"),
+        F.when(in_window, F.col(tus) - t_touch).alias("latency_us"),
+    )

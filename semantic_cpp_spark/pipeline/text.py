@@ -229,3 +229,40 @@ def bpe_tokens(col: Column) -> Column:
 
 def bpe_token_count(col: Column) -> Column:
     return F.size(bpe_tokens(col)).cast("long")
+
+
+def token_entropy(df, text: Column, id_col: Column):
+    """Per-document Shannon entropy of the token distribution (nats) +
+    type-token ratio — the repetitiveness quality signal (a doc that
+    loops one phrase scores near 0; diverse text approaches ln(n)).
+    H = ln(n) − (Σ c·ln c)/n over per-doc token counts c.
+
+    Returns (doc_id, n_tokens, n_types, entropy, ttr).
+
+    Scale shape: explode → (doc, token) count → per-doc re-assembly;
+    per-doc state bounded by the doc's vocabulary. The Σ c·ln c sum is
+    a LEFT-TO-RIGHT fold over counts sorted by token (engine-stable
+    order), matching DuckDB's list_sum over list(c ORDER BY w) — no
+    group-sum float nondeterminism."""
+    from pyspark.sql import functions as F
+
+    ex = df.select(id_col.alias("doc_id"), F.explode(tokens(text)).alias("w"))
+    counts = ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.array_sort(F.collect_list(F.struct("w", "c"))).alias("__wc"),
+    )
+    clogc = F.aggregate(
+        F.col("__wc"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["c"].cast("double") * F.log(s["c"].cast("double")),
+    )
+    n = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.log(n) - clogc / n, 6).alias("entropy"),
+        F.round(F.col("n_types") / n, 6).alias("ttr"),
+    )

@@ -495,3 +495,44 @@ def evt_max_concurrency(spark, sf_dir):
     days."""
     ev = _events(spark, sf_dir)
     return eventflow.max_concurrency_per_day(ev, gap_us=_GAP_US)
+
+
+_LOOKBACK_US = 7 * 86_400_000_000
+
+
+@register(
+    "evt_last_touch_attribution",
+    f"""WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_ns(ts) // 1000 AS tus
+                   FROM events),
+    enc AS (SELECT *,
+                   max(CASE WHEN event_type = 'click' THEN tus * 8 + 0
+                            WHEN event_type = 'signup' THEN tus * 8 + 1
+                            WHEN event_type = 'view' THEN tus * 8 + 2 END)
+                     OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS lt
+            FROM e)
+    SELECT event_id, user_id, tus AS t_conv,
+           CASE WHEN lt IS NOT NULL AND tus - lt // 8 <= {_LOOKBACK_US}
+                THEN lt // 8 END AS t_touch,
+           CASE WHEN lt IS NOT NULL AND tus - lt // 8 <= {_LOOKBACK_US}
+                THEN CASE lt % 8 WHEN 0 THEN 'click' WHEN 1 THEN 'signup'
+                                 WHEN 2 THEN 'view' END END AS touch_type,
+           CASE WHEN lt IS NOT NULL AND tus - lt // 8 <= {_LOOKBACK_US}
+                THEN tus - lt // 8 END AS latency_us
+    FROM enc WHERE event_type = 'purchase'""",
+)
+def evt_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution (eventflow.last_touch_attribution): for
+    each purchase, the most recent strictly-preceding
+    click/signup/view of the same user within a 7-day lookback. ONE
+    user-partitioned window carrying an int64-encoded (t·8 + type
+    rank) running max — no per-conversion self-join; encode/decode is
+    integer-exact in both engines (t·8 ≈ 1.4e16 would NOT survive a
+    float division)."""
+    ev = _events(spark, sf_dir)
+    return eventflow.last_touch_attribution(
+        ev, conversion_type="purchase",
+        touch_types=("view", "click", "signup"), lookback_us=_LOOKBACK_US,
+    )

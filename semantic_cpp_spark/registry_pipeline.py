@@ -2088,3 +2088,33 @@ def txt_zipf_fit(spark, sf_dir):
     by construction; OLS collapses to closed-form power sums."""
     docs = load_table(spark, sf_dir, "documents")
     return retrieval.zipf_fit(docs, F.col("text"), top_n=100)
+
+
+@register(
+    "txt_token_entropy",
+    r"""WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents),
+    cnt AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS w FROM ws) GROUP BY doc_id, w),
+    pd AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+             list(c ORDER BY w) AS cs
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           round(ln(n_tokens)
+                 - list_sum(list_transform(cs, c -> c::DOUBLE * ln(c::DOUBLE)))
+                   / n_tokens, 6) AS entropy,
+           round(n_types::DOUBLE / n_tokens, 6) AS ttr
+    FROM pd""",
+)
+def txt_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy + type-token ratio
+    (text.token_entropy): the repetitiveness quality signal. The
+    Σ c·ln c term is a LEFT-TO-RIGHT fold over counts sorted by token,
+    bit-matching DuckDB's list_sum over list(c ORDER BY w) — no
+    group-sum float nondeterminism; per-doc state bounded by the doc's
+    vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_entropy(docs, F.col("text"), F.col("doc_id"))

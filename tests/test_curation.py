@@ -954,3 +954,20 @@ def test_zipf_fit_recovers_known_slope(spark):
     assert row.n_terms == 50
     assert abs(row.slope - (-0.8)) < 0.02
     assert row.r2 > 0.999
+
+
+def test_token_entropy_hand_computed(spark):
+    """'a a a a' → H=0, ttr=0.25; 'a b c d' → H=ln 4, ttr=1; 'a a b b'
+    → H=ln 2."""
+    import math
+
+    from semantic_cpp_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.token_entropy(df, F.col("text"), F.col("doc_id")).collect()}
+    assert (out[1].n_tokens, out[1].n_types, out[1].entropy, out[1].ttr) == (4, 1, 0.0, 0.25)
+    assert out[2].entropy == round(math.log(4), 6) and out[2].ttr == 1.0
+    assert out[3].entropy == round(math.log(2), 6) and out[3].ttr == 0.5

@@ -419,3 +419,41 @@ def test_max_concurrency_same_instant_deltas(spark):
     # → each user has TWO single-event sessions; u1's at 100s and u2's at
     # 100s coincide exactly → peak 2
     assert out[0].max_concurrent == 2
+
+
+def test_last_touch_attribution_hand_computed(spark):
+    """u1: view@10s, click@20s, purchase@30s → attributed to click@20s.
+    u2: purchase with touch outside lookback → unattributed.
+    u3: purchase with NO preceding touch → unattributed."""
+    lb = 50 * M
+    rows = [
+        (0, 1, 10 * M, "view", 0.0),
+        (1, 1, 20 * M, "click", 0.0),
+        (2, 1, 30 * M, "purchase", 0.0),
+        (3, 2, 0, "view", 0.0),
+        (4, 2, 100 * M, "purchase", 0.0),   # 100s > 50s lookback
+        (5, 3, 10 * M, "error", 0.0),
+        (6, 3, 20 * M, "purchase", 0.0),
+    ]
+    out = {r.event_id: r for r in eventflow.last_touch_attribution(
+        _events(spark, rows), conversion_type="purchase",
+        touch_types=("view", "click", "signup"), lookback_us=lb).collect()}
+    assert (out[2].t_touch, out[2].touch_type, out[2].latency_us) == (20 * M, "click", 10 * M)
+    assert out[4].t_touch is None and out[4].touch_type is None
+    assert out[6].t_touch is None
+
+
+def test_last_touch_same_instant_tie_and_strictness(spark):
+    """A touch AT the conversion instant with a smaller event_id counts
+    (ROWS ... 1 PRECEDING is row-based); two touches at the same instant
+    resolve to the alphabetically-last type (the documented encode
+    tie-break)."""
+    rows = [
+        (0, 1, 10 * M, "click", 0.0),
+        (1, 1, 10 * M, "view", 0.0),     # same instant, higher rank
+        (2, 1, 10 * M, "purchase", 0.0), # same instant, later row
+    ]
+    out = eventflow.last_touch_attribution(
+        _events(spark, rows), lookback_us=60 * M).collect()
+    assert len(out) == 1
+    assert (out[0].t_touch, out[0].touch_type, out[0].latency_us) == (10 * M, "view", 0)
