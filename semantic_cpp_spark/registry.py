@@ -699,6 +699,7 @@ _PRIORITY: list[str] = [
     "txt_zipf_fit",                # NEW: power-law OLS corpus diagnostic
     "txt_token_entropy",           # NEW: per-doc Shannon entropy + TTR
     "evt_last_touch_attribution",  # NEW: int64-encoded running-max carry
+    "graph_triangle_counts",       # NEW: degree-oriented wedge join
     # -- backfill: oldest-vintage rows age out (stale vouching). The 10
     #    entries through rel_q8_market_share fill the window to exactly 50
     #    (WINDOW CUT after rel_q8_market_share — recount when rotating);

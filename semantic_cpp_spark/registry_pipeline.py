@@ -2118,3 +2118,50 @@ def txt_token_entropy(spark, sf_dir):
     vocabulary."""
     docs = load_table(spark, sf_dir, "documents")
     return text.token_entropy(docs, F.col("text"), F.col("doc_id"))
+
+
+from semantic_cpp_spark.operators import graph as graph_ops  # noqa: E402
+
+
+@register(
+    "graph_triangle_counts",
+    f"""WITH {_SHINGLES_CTE},
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfq AS (SELECT s, count(*) AS dfc FROM ex0 GROUP BY s),
+    exf AS (SELECT e.doc_id, e.s FROM ex0 e JOIN dfq USING (s) WHERE dfc <= 100),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM exf GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    edges AS (
+      SELECT d1 AS u, d2 AS v
+      FROM p JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+      WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.8),
+    deg AS (
+      SELECT node, count(*) AS deg
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node),
+    o AS (
+      SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                  THEN u ELSE v END AS a,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                  THEN v ELSE u END AS b
+      FROM edges JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+    w AS (SELECT o1.a, o1.b AS x, o2.b AS y
+          FROM o o1 JOIN o o2 ON o1.a = o2.a AND o1.b < o2.b),
+    t AS (SELECT w.a, w.x, w.y FROM w JOIN edges e ON e.u = w.x AND e.v = w.y),
+    n AS (SELECT unnest([a, x, y]) AS node FROM t)
+    SELECT node, count(*)::BIGINT AS n_tri FROM n GROUP BY node""",
+)
+def graph_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts over the Jaccard≥0.8 near-dup pair graph
+    (graph_ops.triangle_count): node-iterator++ with DEGREE orientation
+    — wedge fan-out per apex bounded by O(√m) out-degree, so one hub
+    node can never explode the join (Suri & Vassilvitskii WWW'11). The
+    duplicate-cluster density diagnostic next to connected_components."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(
+        docs, F.col("text"), F.col("doc_id"), k=3, threshold=0.8
+    )
+    return graph_ops.triangle_count(edges)

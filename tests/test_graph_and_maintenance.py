@@ -122,3 +122,54 @@ def test_zorder_improves_bucket_locality(spark):
     # x bits (1,0,1) land at positions 0,2,4 → 1 + 16; y bits (1,1,0)
     # land at 1,3,5 → 2 + 8  ⇒ 27
     assert row["z"] == 27
+
+
+def test_triangle_count_hand_built_graphs(spark):
+    """K4 → every node in C(3,2)=3 triangles; a star (no triangles) →
+    empty; a hub with one closing edge → exactly that triangle."""
+    from semantic_cpp_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = {r.node: r.n_tri for r in triangle_count(
+        spark.createDataFrame(k4, "d1 long, d2 long")).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    star = [(0, i) for i in range(1, 6)]
+    assert triangle_count(spark.createDataFrame(star, "d1 long, d2 long")).count() == 0
+
+    hub = star + [(1, 2)]
+    out = {r.node: r.n_tri for r in triangle_count(
+        spark.createDataFrame(hub, "d1 long, d2 long")).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_ignores_duplicates_loops_and_direction(spark):
+    """Reversed duplicates, repeated edges, and self-loops must not
+    change the count (canonicalize + distinct before anything else)."""
+    from semantic_cpp_spark.operators.graph import triangle_count
+
+    edges = [(0, 1), (1, 0), (1, 2), (1, 2), (2, 0), (1, 1)]
+    out = {r.node: r.n_tri for r in triangle_count(
+        spark.createDataFrame(edges, "d1 long, d2 long")).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_matches_naive_on_random_graph(spark):
+    """Erdős–Rényi G(30, 0.25) vs the naive all-triple count."""
+    import itertools
+    import random
+
+    from semantic_cpp_spark.operators.graph import triangle_count
+
+    rng = random.Random(11)
+    edges = [(a, b) for a, b in itertools.combinations(range(30), 2)
+             if rng.random() < 0.25]
+    eset = set(edges)
+    expect: dict[int, int] = {}
+    for a, b, c in itertools.combinations(range(30), 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    out = {r.node: r.n_tri for r in triangle_count(
+        spark.createDataFrame(edges, "d1 long, d2 long")).collect()}
+    assert out == expect and sum(expect.values()) > 0
