@@ -493,3 +493,61 @@ def last_touch_attribution(
         F.when(in_window, decode).alias("touch_type"),
         F.when(in_window, F.col(tus) - t_touch).alias("latency_us"),
     )
+
+
+def decayed_activity(
+    df: DataFrame,
+    half_life_days: int = 1,
+    horizon_days: int = 30,
+    user: str = "user_id",
+    tus: str = "tus",
+    value: str = "value",
+) -> DataFrame:
+    """Time-decayed per-user activity score — recency-weighted
+    engagement: score = Σ value·0.5^(Δdays/half_life) over the last
+    ``horizon_days`` epoch-days, Δdays measured from the corpus's max
+    day (so the score is a deterministic function of the data, not of
+    wall-clock). Events older than the horizon are excluded (their
+    weight is < 2^-30 ≈ 1e-9 at the default).
+
+    EXACT cross-engine arithmetic — no transcendental in the sum: with
+    integer day steps the decay weights are powers of two, so each term
+    is value_cents · 2^(horizon−Δ) — an INT64 shift — and the group sum
+    runs in DECIMAL(38,0) (HUGEINT in DuckDB), overflow-free to ~10¹⁸
+    events. One float division at the very end (sum / (100·2^horizon)),
+    deterministic IEEE in both engines. An exp(−λΔt) variant with
+    micro-second resolution would put a 1-ulp libm difference inside a
+    per-term rounding — at 10⁶+ events some term WILL land on a
+    boundary; the power-of-two day grid is what makes the oracle
+    hash-exact at any scale.
+
+    Scale shape: the max-day is one broadcast scalar; the rest is a
+    narrow map + one map-side-combinable groupBy(user).
+    Returns (user_id, n_recent, score)."""
+    if horizon_days % half_life_days != 0:
+        raise ValueError("horizon_days must be a multiple of half_life_days")
+    steps = horizon_days // half_life_days  # max exponent
+    day = F.expr(f"{tus} div {DAY_US}")
+    mx = df.agg(F.max(day).alias("__T"))
+    # decay exponent in INTEGER arithmetic; shiftleft goes through an SQL
+    # expr (the pyspark wrapper only takes a literal int shift amount)
+    cents = F.round(F.col(value) * 100).cast("long")
+    term = cents * F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"{steps} - CAST((__T - {tus} div {DAY_US}) div {half_life_days} AS INT))"
+    )
+    scale = float(100 * (1 << steps))
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .filter(F.col("__T") - day <= horizon_days)
+        .groupBy(F.col(user).alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_recent"),
+            F.sum(term.cast("decimal(38,0)")).alias("__s"),
+        )
+        .select(
+            "user_id",
+            "n_recent",
+            F.round(F.col("__s").cast("double") / F.lit(scale), 6).alias("score"),
+        )
+    )

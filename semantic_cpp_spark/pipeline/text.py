@@ -266,3 +266,37 @@ def token_entropy(df, text: Column, id_col: Column):
         F.round(F.log(n) - clogc / n, 6).alias("entropy"),
         F.round(F.col("n_types") / n, 6).alias("ttr"),
     )
+
+
+def ngram_novelty(df, text: Column, id_col, span_words: int = 5):
+    """Per-document novelty against EARLIER documents (by id): the
+    fraction of the doc's distinct ``span_words``-word spans whose first
+    corpus occurrence (min doc_id) is its own — the memorization /
+    staleness curation signal (a doc whose spans all appeared before is
+    recycled content even when no single pair crosses a Jaccard
+    threshold). Returns (doc_id, n_spans, n_seen_before, novelty).
+
+    Scale shape: same explode → per-doc distinct → groupBy(span) as
+    shared_spans; the min(doc_id) first-occurrence table joins back
+    CO-KEYED on the span (exchange reused). At 100 TB the shuffle key
+    should be the span's 64-bit hash (identical plan, 8-byte keys); the
+    text key keeps this oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.pipeline.text import word_ngrams
+
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    ex = (
+        df.select(id_col.alias("doc_id"), F.explode(word_ngrams(toks, span_words)).alias("span"))
+        .dropDuplicates(["doc_id", "span"])
+    )
+    first = ex.groupBy("span").agg(F.min("doc_id").alias("__first"))
+    flagged = ex.join(first, "span")
+    seen = F.col("__first") < F.col("doc_id")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.count(F.when(seen, 1)).cast("long").alias("n_seen_before"),
+        F.round(
+            F.lit(1.0) - F.count(F.when(seen, 1)) / F.count(F.lit(1)), 6
+        ).alias("novelty"),
+    )

@@ -700,6 +700,8 @@ _PRIORITY: list[str] = [
     "txt_token_entropy",           # NEW: per-doc Shannon entropy + TTR
     "evt_last_touch_attribution",  # NEW: int64-encoded running-max carry
     "graph_triangle_counts",       # NEW: degree-oriented wedge join
+    "txt_ngram_novelty",           # NEW: recycled-content fraction
+    "evt_decayed_activity",        # NEW: power-of-two exact decay sum
     # -- backfill: oldest-vintage rows age out (stale vouching). The 10
     #    entries through rel_q8_market_share fill the window to exactly 50
     #    (WINDOW CUT after rel_q8_market_share — recount when rotating);

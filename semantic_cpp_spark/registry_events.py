@@ -536,3 +536,28 @@ def evt_last_touch_attribution(spark, sf_dir):
         ev, conversion_type="purchase",
         touch_types=("view", "click", "signup"), lookback_us=_LOOKBACK_US,
     )
+
+
+@register(
+    "evt_decayed_activity",
+    """WITH e AS (SELECT user_id, value,
+                         (epoch_ns(ts) // 1000) // 86400000000 AS d
+                  FROM events),
+    mx AS (SELECT max(d) AS T FROM e)
+    SELECT user_id, count(*)::BIGINT AS n_recent,
+           round(sum(CAST(round(value * 100) AS BIGINT)
+                     * (1::BIGINT << (30 - (T - d))))::DOUBLE
+                 / 107374182400.0, 6) AS score
+    FROM e, mx WHERE T - d <= 30
+    GROUP BY user_id""",
+)
+def evt_decayed_activity(spark, sf_dir):
+    """Recency-weighted engagement (eventflow.decayed_activity): per
+    user Σ value·0.5^Δdays over a 30-day horizon from the corpus max
+    day. EXACT cross-engine: integer-day decay makes every weight a
+    power of two, so terms are value_cents·2^(30−Δ) int64 shifts summed
+    in DECIMAL(38,0)/HUGEINT — no exp(), no per-term float rounding to
+    land on a boundary at 10⁶ events. Max-day broadcasts as one scalar;
+    the rest is a narrow map + one combinable groupBy."""
+    ev = _events(spark, sf_dir)
+    return eventflow.decayed_activity(ev, half_life_days=1, horizon_days=30)

@@ -2165,3 +2165,31 @@ def graph_triangle_counts(spark, sf_dir):
         docs, F.col("text"), F.col("doc_id"), k=3, threshold=0.8
     )
     return graph_ops.triangle_count(edges)
+
+
+@register(
+    "txt_ngram_novelty",
+    r"""WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      FROM documents),
+    sp AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(ws[i : i + 4], ' ') AS span
+      FROM ws, LATERAL unnest(range(1, len(ws) - 3)) AS t(i)
+      WHERE len(ws) >= 5),
+    fo AS (SELECT span, min(doc_id) AS first_doc FROM sp GROUP BY span)
+    SELECT s.doc_id, count(*)::BIGINT AS n_spans,
+           count(CASE WHEN fo.first_doc < s.doc_id THEN 1 END)::BIGINT
+             AS n_seen_before,
+           round(1.0 - count(CASE WHEN fo.first_doc < s.doc_id THEN 1 END)::DOUBLE
+                 / count(*), 6) AS novelty
+    FROM sp s JOIN fo USING (span)
+    GROUP BY s.doc_id""",
+)
+def txt_ngram_novelty(spark, sf_dir):
+    """Per-doc novelty vs earlier docs (text.ngram_novelty): fraction of
+    distinct 5-word spans first seen in THIS doc — the recycled-content
+    signal that catches gradual corpus staleness no pairwise threshold
+    sees. First-occurrence table joins back co-keyed on the span."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ngram_novelty(docs, F.col("text"), F.col("doc_id"), span_words=5)

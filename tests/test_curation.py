@@ -971,3 +971,20 @@ def test_token_entropy_hand_computed(spark):
     assert (out[1].n_tokens, out[1].n_types, out[1].entropy, out[1].ttr) == (4, 1, 0.0, 0.25)
     assert out[2].entropy == round(math.log(4), 6) and out[2].ttr == 1.0
     assert out[3].entropy == round(math.log(2), 6) and out[3].ttr == 0.5
+
+
+def test_ngram_novelty_first_doc_wins(spark):
+    from semantic_cpp_spark.pipeline import text as T
+
+    span = "one two three four five"
+    df = spark.createDataFrame(
+        [(1, span + " six seven eight nine ten"),
+         (2, span),                      # entirely recycled from doc 1
+         (3, "a b c d e f g h i j")],    # entirely novel
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.ngram_novelty(
+        df, F.col("text"), F.col("doc_id"), span_words=5).collect()}
+    assert out[1].novelty == 1.0            # first occurrence of everything
+    assert (out[2].n_spans, out[2].n_seen_before, out[2].novelty) == (1, 1, 0.0)
+    assert out[3].novelty == 1.0

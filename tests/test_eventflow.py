@@ -3,6 +3,7 @@
 operator contracts: gap boundaries, strict funnel ordering, cohort
 first-day assignment)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from semantic_cpp_spark.operators import eventflow
@@ -457,3 +458,27 @@ def test_last_touch_same_instant_tie_and_strictness(spark):
         _events(spark, rows), lookback_us=60 * M).collect()
     assert len(out) == 1
     assert (out[0].t_touch, out[0].touch_type, out[0].latency_us) == (10 * M, "view", 0)
+
+
+def test_decayed_activity_power_of_two_exact(spark):
+    """Hand-computed: events 0, 1, 2 days before the max day with value
+    100 each → score = 100·(1 + 0.5 + 0.25); a 31-day-old event is
+    excluded; n_recent counts survivors."""
+    day = 86_400_000_000
+    rows = [
+        (0, 1, 40 * day, "a", 100.0),
+        (1, 1, 39 * day, "a", 100.0),
+        (2, 1, 38 * day, "a", 100.0),
+        (3, 1, 9 * day, "a", 100.0),    # 31 days old -> excluded
+        (4, 2, 40 * day, "a", 0.25),    # fractional cents-exact value
+    ]
+    out = {r.user_id: r for r in eventflow.decayed_activity(
+        _events(spark, rows)).collect()}
+    assert (out[1].n_recent, out[1].score) == (3, 175.0)
+    assert (out[2].n_recent, out[2].score) == (1, 0.25)
+
+
+def test_decayed_activity_half_life_validation(spark):
+    df = _events(spark, [(0, 1, 0, "a", 1.0)])
+    with pytest.raises(ValueError):
+        eventflow.decayed_activity(df, half_life_days=7, horizon_days=30)

@@ -37,7 +37,7 @@ TOUCHED_IN_R6 = [
 # _PRIORITY entries deliberately spill to the r7 window (the cut is
 # marked "WINDOW CUT" in registry._PRIORITY — recount, don't trust
 # comment position, when rotating).
-EXPECTED_SPILL = 39  # 8 original + 30 r3-vintage displaced by r6 new ops + touched-query refresh
+EXPECTED_SPILL = 41  # 8 original + 30 r3-vintage displaced by r6 new ops + touched-query refresh
 
 
 def test_r6_touched_queries_inside_50_window():
