@@ -276,22 +276,26 @@ def ngram_novelty(df, text: Column, id_col, span_words: int = 5):
     recycled content even when no single pair crosses a Jaccard
     threshold). Returns (doc_id, n_spans, n_seen_before, novelty).
 
-    Scale shape: same explode → per-doc distinct → groupBy(span) as
-    shared_spans; the min(doc_id) first-occurrence table joins back
-    CO-KEYED on the span (exchange reused). At 100 TB the shuffle key
-    should be the span's 64-bit hash (identical plan, 8-byte keys); the
-    text key keeps this oracle-checkable."""
+    Scale shape: same explode → per-doc distinct → groupBy as
+    shared_spans, but every exchange is keyed on the span's 60-bit md5
+    HASH, not its text — the span string never shuffles (measured 1.3×
+    at sf1.0; the win grows with span width). A 60-bit collision merges
+    two spans' first-occurrence records (P ≈ n²/2⁶¹ — ~10⁻⁷ at 10⁶
+    distinct spans); the md5 derivation is mirrored in the oracle, so
+    the differential gate still hash-matches exactly."""
     from pyspark.sql import functions as F
 
     from semantic_cpp_spark.pipeline.text import word_ngrams
 
     toks = F.split(F.trim(F.lower(text)), r"\s+")
+    h = F.conv(F.substring(F.md5(F.col("span")), 1, 15), 16, 10).cast("long")
     ex = (
         df.select(id_col.alias("doc_id"), F.explode(word_ngrams(toks, span_words)).alias("span"))
-        .dropDuplicates(["doc_id", "span"])
+        .select("doc_id", h.alias("h"))
+        .dropDuplicates(["doc_id", "h"])
     )
-    first = ex.groupBy("span").agg(F.min("doc_id").alias("__first"))
-    flagged = ex.join(first, "span")
+    first = ex.groupBy("h").agg(F.min("doc_id").alias("__first"))
+    flagged = ex.join(first, "h")
     seen = F.col("__first") < F.col("doc_id")
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),

@@ -2174,16 +2174,16 @@ def graph_triangle_counts(spark, sf_dir):
       FROM documents),
     sp AS (
       SELECT DISTINCT doc_id,
-             array_to_string(ws[i : i + 4], ' ') AS span
+             ('0x' || substr(md5(array_to_string(ws[i : i + 4], ' ')), 1, 15))::BIGINT AS h
       FROM ws, LATERAL unnest(range(1, len(ws) - 3)) AS t(i)
       WHERE len(ws) >= 5),
-    fo AS (SELECT span, min(doc_id) AS first_doc FROM sp GROUP BY span)
+    fo AS (SELECT h, min(doc_id) AS first_doc FROM sp GROUP BY h)
     SELECT s.doc_id, count(*)::BIGINT AS n_spans,
            count(CASE WHEN fo.first_doc < s.doc_id THEN 1 END)::BIGINT
              AS n_seen_before,
            round(1.0 - count(CASE WHEN fo.first_doc < s.doc_id THEN 1 END)::DOUBLE
                  / count(*), 6) AS novelty
-    FROM sp s JOIN fo USING (span)
+    FROM sp s JOIN fo USING (h)
     GROUP BY s.doc_id""",
 )
 def txt_ngram_novelty(spark, sf_dir):
