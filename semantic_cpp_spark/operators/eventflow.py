@@ -551,3 +551,52 @@ def decayed_activity(
             F.round(F.col("__s").cast("double") / F.lit(scale), 6).alias("score"),
         )
     )
+
+
+MAD_CONSISTENCY = 0.6745  # Φ⁻¹(0.75): makes MAD a consistent σ estimator
+
+
+def mad_outliers(
+    df: DataFrame,
+    group: str = "event_type",
+    value: str = "value",
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier detection (Iglewicz & Hoaglin '93
+    modified z-score): flag x where |0.6745·(x − med)/MAD| > ``z_cut``,
+    with med and MAD = median(|x − med|) computed PER GROUP — the
+    monitoring primitive that survives the very outliers it hunts
+    (mean/stddev z-scores are dragged by heavy tails; median/MAD have
+    50% breakdown).
+
+    Plan: two grouped exact-percentile passes (medians, then MAD over
+    the re-joined absolute deviations) — per-GROUP percentile buffers,
+    the rel_grouped_percentiles argument: groups land on separate
+    reducers, and a skewed/huge group would salt or take the sort-path
+    per group. The tiny per-group stats table broadcasts back for the
+    final narrow filter. Groups with MAD = 0 (over half the values
+    identical) are excluded — the modified z-score is undefined there
+    (documented; an MAD=0 fallback to mean-abs-dev is the standard
+    extension).
+
+    Returns flagged rows only: (event_id, group, value, robust_z)."""
+    med = df.groupBy(group).agg(
+        F.percentile(F.col(value), F.lit(0.5)).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), group).withColumn(
+        "__ad", F.abs(F.col(value) - F.col("__med"))
+    )
+    mad = dev.groupBy(group).agg(
+        F.percentile(F.col("__ad"), F.lit(0.5)).alias("__mad")
+    )
+    z = F.lit(MAD_CONSISTENCY) * (F.col(value) - F.col("__med")) / F.col("__mad")
+    return (
+        dev.join(F.broadcast(mad), group)
+        .filter((F.col("__mad") > 0) & (F.abs(z) > z_cut))
+        .select(
+            "event_id",
+            F.col(group),
+            F.col(value),
+            F.round(z, 6).alias("robust_z"),
+        )
+    )

@@ -658,9 +658,7 @@ _PRIORITY: list[str] = [
     "mm_compressed_text",          # NEW: real gzip/zlib/bz2/xz text ingest
     "sim_cosine_topk",             # oracle: guarded cos + NULLS LAST
     "sim_lsh_bucket_topk",         # oracle: guarded cos + NULLS LAST
-    "sim_quantized_topk",          # oracle: guarded cos ×2 + NULLS LAST
     "sim_lsh_banded_topk",         # oracle: guarded cos + parameterized SQL
-    "sim_embedding_near_dup",      # oracle: guarded cos
     "sim_ivf_topk",                # oracle: guarded cos ×2 + NULLS LAST
     "mm_feature_extract",          # NEW `decoded` column in result + oracle
     "mm_resize_features",          # extract_features kernel changed (decoded)
@@ -702,6 +700,15 @@ _PRIORITY: list[str] = [
     "graph_triangle_counts",       # NEW: degree-oriented wedge join
     "txt_ngram_novelty",           # NEW: recycled-content fraction
     "evt_decayed_activity",        # NEW: power-of-two exact decay sum
+    "evt_mad_outliers",            # NEW: robust modified-z outliers
+    "txt_source_report",           # NEW: per-source corpus health rollup
+    # -- oracle-guard-only refreshes, deliberately below the new ops: the
+    #    r6 oracle edit (zero-norm cos guard) is result-identical on the
+    #    fixtures and the committed full-gate verify log at HEAD runs the
+    #    NEW oracle text green — a repeat driver row is the weakest
+    #    evidence in the stack, so it spills first when slots run out --
+    "sim_quantized_topk",          # oracle: guarded cos ×2 + NULLS LAST
+    "sim_embedding_near_dup",      # oracle: guarded cos
     # -- backfill: oldest-vintage rows age out (stale vouching). The 10
     #    entries through rel_q8_market_share fill the window to exactly 50
     #    (WINDOW CUT after rel_q8_market_share — recount when rotating);

@@ -561,3 +561,29 @@ def evt_decayed_activity(spark, sf_dir):
     the rest is a narrow map + one combinable groupBy."""
     ev = _events(spark, sf_dir)
     return eventflow.decayed_activity(ev, half_life_days=1, horizon_days=30)
+
+
+@register(
+    "evt_mad_outliers",
+    """WITH e AS (SELECT event_id, event_type, value FROM events),
+    m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM e GROUP BY event_type),
+    d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                 abs(e.value - m.med) AS ad
+          FROM e JOIN m USING (event_type)),
+    md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+           FROM d GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value,
+           round(0.6745 * (d.value - d.med) / md.mad, 6) AS robust_z
+    FROM d JOIN md USING (event_type)
+    WHERE md.mad > 0 AND abs(0.6745 * (d.value - d.med) / md.mad) > 3.5""",
+)
+def evt_mad_outliers(spark, sf_dir):
+    """Robust per-type outliers (eventflow.mad_outliers, Iglewicz &
+    Hoaglin modified z-score): |0.6745·(x−med)/MAD| > 3.5 with med and
+    MAD exact per-group percentiles — the monitoring rule that survives
+    the very outliers it hunts (50% breakdown vs mean/σ). Two grouped
+    percentile passes; the per-group stats broadcast back for a narrow
+    final filter."""
+    ev = _events(spark, sf_dir)
+    return eventflow.mad_outliers(ev, group="event_type", value="value", z_cut=3.5)

@@ -2193,3 +2193,40 @@ def txt_ngram_novelty(spark, sf_dir):
     sees. First-occurrence table joins back co-keyed on the span."""
     docs = load_table(spark, sf_dir, "documents")
     return text.ngram_novelty(docs, F.col("text"), F.col("doc_id"), span_words=5)
+
+
+@register(
+    "txt_source_report",
+    f"""WITH q AS (
+      SELECT source, lang,
+             CAST(round(({_QUALITY_SQL}) * 1000000) AS BIGINT) AS qm,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           round(sum(qm)::DOUBLE / count(*) / 1000000.0, 6) AS avg_quality,
+           count(DISTINCT fp)::BIGINT AS n_unique,
+           round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate,
+           count(DISTINCT lang)::BIGINT AS n_langs
+    FROM q GROUP BY source""",
+)
+def txt_source_report(spark, sf_dir):
+    """Per-source corpus health ("which crawl source is garbage"): doc
+    count, mean quality, exact-dup rate, language spread. Mean quality
+    is summed as int64 MICRO-units (each doc's score rounded once,
+    identically in both engines) so the group sum is order-exact — the
+    float-sum nondeterminism dodge used throughout. One groupBy(source);
+    dup rate via count_distinct on the 32-byte fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    qm = F.round(text.quality_score(F.col("text")) * 1e6, 0).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum(qm) / F.count(F.lit(1)) / F.lit(1e6), 6).alias("avg_quality"),
+        F.count_distinct(text.fingerprint(F.col("text"))).cast("long").alias("n_unique"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(text.fingerprint(F.col("text"))) / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+    )

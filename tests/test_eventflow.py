@@ -482,3 +482,19 @@ def test_decayed_activity_half_life_validation(spark):
     df = _events(spark, [(0, 1, 0, "a", 1.0)])
     with pytest.raises(ValueError):
         eventflow.decayed_activity(df, half_life_days=7, horizon_days=30)
+
+
+def test_mad_outliers_hand_computed(spark):
+    """Nine values at 1..9 plus a 1000 spike: med=5.5, MAD=2.5 →
+    z(1000) = 0.6745·994.5/2.5 ≈ 268 flagged; z(9) ≈ 0.94 not."""
+    rows = [(i, 1, i * M, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    out = eventflow.mad_outliers(_events(spark, rows), z_cut=3.5).collect()
+    assert [(r.event_id, r.value) for r in out] == [(9, 1000.0)]
+    assert abs(out[0].robust_z - round(0.6745 * (1000 - 5.5) / 2.5, 6)) < 1e-9
+
+
+def test_mad_outliers_zero_mad_group_excluded(spark):
+    """A group where >50% of values are identical has MAD=0 — excluded
+    entirely (modified z undefined), even though a spike exists."""
+    rows = [(i, 1, i * M, "a", 5.0) for i in range(9)] + [(9, 1, 9 * M, "a", 99.0)]
+    assert eventflow.mad_outliers(_events(spark, rows)).count() == 0
