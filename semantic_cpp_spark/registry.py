@@ -659,7 +659,6 @@ _PRIORITY: list[str] = [
     "sim_cosine_topk",             # oracle: guarded cos + NULLS LAST
     "sim_lsh_bucket_topk",         # oracle: guarded cos + NULLS LAST
     "sim_lsh_banded_topk",         # oracle: guarded cos + parameterized SQL
-    "sim_ivf_topk",                # oracle: guarded cos ×2 + NULLS LAST
     "mm_feature_extract",          # NEW `decoded` column in result + oracle
     "mm_resize_features",          # extract_features kernel changed (decoded)
     "dedup_minhash_lsh",           # triangle band join + narrow-dedup plan
@@ -702,6 +701,7 @@ _PRIORITY: list[str] = [
     "evt_decayed_activity",        # NEW: power-of-two exact decay sum
     "evt_mad_outliers",            # NEW: robust modified-z outliers
     "txt_source_report",           # NEW: per-source corpus health rollup
+    "stream_last_touch",           # NEW: stateful streaming attribution
     # -- oracle-guard-only refreshes, deliberately below the new ops: the
     #    r6 oracle edit (zero-norm cos guard) is result-identical on the
     #    fixtures and the committed full-gate verify log at HEAD runs the
@@ -709,6 +709,7 @@ _PRIORITY: list[str] = [
     #    evidence in the stack, so it spills first when slots run out --
     "sim_quantized_topk",          # oracle: guarded cos ×2 + NULLS LAST
     "sim_embedding_near_dup",      # oracle: guarded cos
+    "sim_ivf_topk",                # oracle: guarded cos ×2 + NULLS LAST
     # -- backfill: oldest-vintage rows age out (stale vouching). The 10
     #    entries through rel_q8_market_share fill the window to exactly 50
     #    (WINDOW CUT after rel_q8_market_share — recount when rotating);

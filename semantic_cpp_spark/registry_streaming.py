@@ -236,3 +236,37 @@ def stream_funnel_stages(spark, sf_dir):
     time-ordered stream. Oracle = the batch funnel SQL."""
     ev = ops.read_events_stream(spark, sf_dir)
     return ops.run_to_memory(ops.funnel_stages_per_user(ev), "update")
+
+
+@register(
+    "stream_last_touch",
+    f"""WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_ns(ts) // 1000 AS tus
+                   FROM events),
+    enc AS (SELECT *,
+                   max(CASE WHEN event_type = 'click' THEN tus * 8 + 0
+                            WHEN event_type = 'signup' THEN tus * 8 + 1
+                            WHEN event_type = 'view' THEN tus * 8 + 2 END)
+                     OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS lt
+            FROM e)
+    SELECT event_id, user_id, tus AS t_conv,
+           CASE WHEN lt IS NOT NULL AND tus - lt // 8 <= {7 * 86_400_000_000}
+                THEN lt // 8 END AS t_touch,
+           CASE WHEN lt IS NOT NULL AND tus - lt // 8 <= {7 * 86_400_000_000}
+                THEN CASE lt % 8 WHEN 0 THEN 'click' WHEN 1 THEN 'signup'
+                                 WHEN 2 THEN 'view' END END AS touch_type,
+           CASE WHEN lt IS NOT NULL AND tus - lt // 8 <= {7 * 86_400_000_000}
+                THEN tus - lt // 8 END AS latency_us
+    FROM enc WHERE event_type = 'purchase'""",
+)
+def stream_last_touch(spark, sf_dir):
+    """Custom stateful operator: streaming last-touch attribution
+    (streaming.ops.last_touch_per_user) — one long of state per user
+    holding the batch operator's exact int64 (t·8 + rank) touch
+    encoding, so the streamed answer equals the batch window's
+    strictly-preceding semantics bit-for-bit. Oracle = the batch
+    attribution SQL."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(ops.last_touch_per_user(ev), "append")

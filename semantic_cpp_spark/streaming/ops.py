@@ -513,3 +513,91 @@ def funnel_stages_per_user(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- custom stateful operator #5: streaming last-touch attribution -----------
+
+_ATTR_OUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t_conv", T.LongType()),
+        T.StructField("t_touch", T.LongType()),
+        T.StructField("touch_type", T.StringType()),
+        T.StructField("latency_us", T.LongType()),
+    ]
+)
+_ATTR_STATE = T.StructType([T.StructField("lt", T.LongType())])
+
+
+def _make_attr_update(
+    conversion: str, ranked: Tuple[str, ...], lookback_us: int
+):
+    rank = {ty: i for i, ty in enumerate(ranked)}
+
+    def _attr_update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Streaming last-touch attribution: ONE long of state per user —
+        the int64-encoded (t·8 + type rank) latest touch, the exact
+        encoding of the batch operator (eventflow.last_touch_attribution),
+        so batch/stream parity is bit-level. Rows process in (tus,
+        event_id) order; a conversion reads the state BEFORE same-row
+        touches update it — the strictly-preceding (ROWS …1 PRECEDING)
+        semantics. Same time-ordered-stream assumption as the funnel
+        kernel; out-of-order arrival would need watermark buffering."""
+        lt = state.get[0] if state.exists else -1
+        rows = pd.concat(list(pdfs)).sort_values(["tus", "event_id"])
+        out = []
+        uid = key[0]
+        for eid, et, t in zip(rows["event_id"], rows["event_type"], rows["tus"]):
+            t = int(t)
+            if et == conversion:
+                if lt >= 0 and t - lt // 8 <= lookback_us:
+                    out.append(
+                        (int(eid), uid, t, lt // 8, ranked[lt % 8], t - lt // 8)
+                    )
+                else:
+                    out.append((int(eid), uid, t, None, None, None))
+            r = rank.get(et)
+            if r is not None:
+                enc = t * 8 + r
+                if enc > lt:
+                    lt = enc
+        state.update((lt,))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_id", "user_id", "t_conv",
+                "t_touch", "touch_type", "latency_us",
+            ],
+        )
+
+    return _attr_update
+
+
+def last_touch_per_user(
+    events: DataFrame,
+    conversion: str = "purchase",
+    touch_types: Tuple[str, ...] = ("view", "click", "signup"),
+    lookback_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Custom stateful operator #5: streaming last-touch attribution —
+    one attribution row per conversion as it arrives, against a single
+    long of per-user state (the batch operator's int64 touch encoding).
+    State is bounded by key cardinality, never stream length."""
+    from semantic_cpp_spark.session import ts_micros
+
+    ranked = tuple(sorted(touch_types))
+    ev = events.filter(
+        F.col("event_type").isin(conversion, *touch_types)
+    ).select("user_id", "event_id", "event_type", ts_micros(events).alias("tus"))
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _make_attr_update(conversion, ranked, lookback_us),
+        outputStructType=_ATTR_OUT,
+        stateStructType=_ATTR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -427,3 +427,45 @@ def test_funnel_stages_across_micro_batches(spark, tmp_path):
     # user 3's early purchase (before any view) never fills stage 3, but
     # the later view still advances it to stage 2 — batch semantics.
     assert latest[3]["stage"] == 2 and latest[3]["t_3"] is None
+
+
+def test_last_touch_across_micro_batches(spark, tmp_path):
+    """Attribution state must stitch across micro-batches on a
+    time-ordered stream: a touch in file 1 credits a conversion in
+    file 3, a newer touch in file 2 supersedes the older one, and the
+    streamed rows equal the batch operator exactly."""
+    import os
+    import time as _time
+
+    from semantic_cpp_spark.operators import eventflow
+
+    M = 1_000_000
+    slices = [
+        [(0, 1, 10, "view", 0.0), (1, 2, 11, "click", 0.0)],
+        [(2, 1, 20, "click", 0.0), (3, 2, 21, "purchase", 0.0)],
+        [(4, 1, 30, "purchase", 0.0), (5, 3, 31, "purchase", 0.0)],
+    ]
+    src = str(tmp_path / "attr_slices")
+    os.makedirs(src)
+    schema = "event_id long, user_id long, ts long, event_type string, value double"
+    for rows in slices:
+        scaled = [(e, u, t * M * 1000, et, v) for e, u, t, et, v in rows]
+        spark.createDataFrame(scaled, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+    stream = _stream(spark, src)
+    out = {r["event_id"]: r for r in ops.run_to_memory(
+        ops.last_touch_per_user(stream), "append").collect()}
+    batch = spark.read.parquet(src)
+    batch = batch.withColumn("tus", ts_micros(batch))
+    expect = {r["event_id"]: r for r in eventflow.last_touch_attribution(
+        batch, lookback_us=7 * 86_400_000_000).collect()}
+    assert set(out) == set(expect) == {3, 4, 5}
+    for eid in expect:
+        for c in ("user_id", "t_conv", "t_touch", "touch_type", "latency_us"):
+            assert out[eid][c] == expect[eid][c], (eid, c)
+    # cross-batch: u1's purchase credits the NEWER click from file 2
+    assert out[4]["touch_type"] == "click" and out[4]["t_touch"] == 20 * M
+    # u3 never touched -> unattributed row still emitted
+    assert out[5]["t_touch"] is None
