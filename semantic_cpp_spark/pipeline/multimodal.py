@@ -540,9 +540,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return _decode_gif(payload)
     if magic == b"BM":
         return _decode_bmp(payload)
+    if magic in (b"P5", b"P2", b"P4", b"P1"):
+        return _decode_pnm_gray(payload)
     if magic not in (b"P6", b"P3"):
         raise NotImplementedError(
-            f"no stdlib decoder for magic {magic!r} — PPM P6/P3, "
+            f"no stdlib decoder for magic {magic!r} — netpbm P1–P6, "
             "uncompressed 24-bit BMP, PNG, and GIF only; JPEG/audio/"
             "video require PIL/libjpeg/ffmpeg"
         )
@@ -561,6 +563,90 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return width, height, maxval, raster
     samples, _ = _pnm_tokens(payload, 4 + n)
     return width, height, maxval, bytes(int(t) for t in samples[4:])
+
+
+def _decode_pnm_gray(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL decode for the grayscale/bitmap half of the netpbm family —
+    PGM binary (P5) / ASCII (P2) and PBM packed-bitmap (P4) / ASCII
+    (P1), pure stdlib. Returns the decode_image contract
+    (width, height, maxval, rgb_bytes) with each gray sample replicated
+    into R=G=B; PBM follows the netpbm convention 1=black(0),
+    0=white(255), rows byte-padded in P4."""
+    magic = bytes(payload[:2])
+    if magic in (b"P5", b"P2"):
+        toks, pos = _pnm_tokens(payload, 4)
+        width, height, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+        if width <= 0 or height <= 0:
+            raise ValueError(f"bad PGM dimensions {width}x{height}")
+        if not 0 < maxval < 256:
+            raise NotImplementedError("16-bit-per-sample PGM unsupported")
+        n = width * height
+        if magic == b"P5":
+            gray = bytes(payload[pos + 1 : pos + 1 + n])
+            if len(gray) != n:
+                raise ValueError(f"P5 raster truncated: {len(gray)} of {n} bytes")
+        else:
+            samples, _ = _pnm_tokens(payload, 4 + n)
+            gray = bytes(int(t) for t in samples[4:])
+    else:  # P4 / P1 bitmap: header is magic + w + h, NO maxval token
+        toks, pos = _pnm_tokens(payload, 3)
+        width, height = int(toks[1]), int(toks[2])
+        if width <= 0 or height <= 0:
+            raise ValueError(f"bad PBM dimensions {width}x{height}")
+        maxval = 255
+        if magic == b"P4":
+            row_bytes = (width + 7) // 8
+            raster = bytes(payload[pos + 1 : pos + 1 + row_bytes * height])
+            if len(raster) != row_bytes * height:
+                raise ValueError(
+                    f"P4 raster truncated: {len(raster)} of {row_bytes * height} bytes"
+                )
+            gray = bytes(
+                0 if (raster[r * row_bytes + c // 8] >> (7 - c % 8)) & 1 else 255
+                for r in range(height)
+                for c in range(width)
+            )
+        else:
+            bits = [b for b in payload[pos:] if b in (0x30, 0x31)]
+            if len(bits) < width * height:
+                raise ValueError(
+                    f"P1 bitmap truncated: {len(bits)} of {width * height} bits"
+                )
+            gray = bytes(
+                0 if bits[i] == 0x31 else 255 for i in range(width * height)
+            )
+    rgb = bytes(g for g in gray for _ in range(3))
+    return width, height, maxval, rgb
+
+
+def render_pgm(doc_id: int) -> bytes:
+    """Deterministic P5 PGM payload for fixture doc ``doc_id``: same size
+    law as render_ppm, gray byte i = (doc_id·37 + i·7) % 256 — a closed
+    form the DuckDB oracle replays, giving the grayscale decode path its
+    own hard value check."""
+    w = 8 + doc_id % 9
+    h = 8 + (doc_id // 9) % 9
+    header = f"P5\n{w} {h}\n255\n".encode("ascii")
+    return header + bytes((doc_id * 37 + i * 7) % 256 for i in range(w * h))
+
+
+def attach_pgm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render a real PGM grayscale payload per document (render_pgm) —
+    the single-channel ingest shape, decodable by _decode_pnm_gray."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def _render(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: render_pgm(int(i)))
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _render(F.col(id_col)).alias("payload"),
+        F.struct(
+            F.lit("image/x-portable-graymap").alias("mime"),
+            F.lit("pgm").alias("codec"),
+        ).alias("meta"),
+    )
 
 
 def render_ppm(doc_id: int) -> bytes:
@@ -707,7 +793,7 @@ def extract_features(df: DataFrame) -> DataFrame:
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 b = bytes(payload)
                 stdlib_claimed = (
-                    b[:2] in (b"P6", b"P3", b"BM")
+                    b[:2] in (b"P6", b"P3", b"P5", b"P2", b"P4", b"P1", b"BM")
                     or b[:8] == _PNG_MAGIC
                     or b[:3] == b"GIF"
                 )

@@ -657,7 +657,6 @@ _PRIORITY: list[str] = [
     "mm_png_features",             # NEW: real stdlib PNG decode (zlib+filters)
     "mm_compressed_text",          # NEW: real gzip/zlib/bz2/xz text ingest
     "sim_cosine_topk",             # oracle: guarded cos + NULLS LAST
-    "sim_lsh_bucket_topk",         # oracle: guarded cos + NULLS LAST
     "sim_lsh_banded_topk",         # oracle: guarded cos + parameterized SQL
     "mm_feature_extract",          # NEW `decoded` column in result + oracle
     "mm_resize_features",          # extract_features kernel changed (decoded)
@@ -702,6 +701,7 @@ _PRIORITY: list[str] = [
     "evt_mad_outliers",            # NEW: robust modified-z outliers
     "txt_source_report",           # NEW: per-source corpus health rollup
     "stream_last_touch",           # NEW: stateful streaming attribution
+    "mm_pgm_features",             # NEW: real P5/P2/P4/P1 netpbm decode
     # -- oracle-guard-only refreshes, deliberately below the new ops: the
     #    r6 oracle edit (zero-norm cos guard) is result-identical on the
     #    fixtures and the committed full-gate verify log at HEAD runs the
@@ -710,6 +710,7 @@ _PRIORITY: list[str] = [
     "sim_quantized_topk",          # oracle: guarded cos ×2 + NULLS LAST
     "sim_embedding_near_dup",      # oracle: guarded cos
     "sim_ivf_topk",                # oracle: guarded cos ×2 + NULLS LAST
+    "sim_lsh_bucket_topk",         # oracle: guarded cos + NULLS LAST
     # -- backfill: oldest-vintage rows age out (stale vouching). The 10
     #    entries through rel_q8_market_share fill the window to exactly 50
     #    (WINDOW CUT after rel_q8_market_share — recount when rotating);

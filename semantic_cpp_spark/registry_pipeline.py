@@ -2230,3 +2230,37 @@ def txt_source_report(spark, sf_dir):
         ).alias("dup_rate"),
         F.count_distinct("lang").cast("long").alias("n_langs"),
     )
+
+
+@register(
+    "mm_pgm_features",
+    """WITH sz AS (SELECT doc_id,
+                          (8 + doc_id % 9)::INT AS w,
+                          (8 + (doc_id // 9) % 9)::INT AS h
+                   FROM documents),
+    px AS (SELECT doc_id, w, h, (doc_id * 37 + r.range * 7) % 256 AS v
+           FROM sz CROSS JOIN range(0, 256) r
+           WHERE r.range < w * h)
+    SELECT doc_id,
+           (9 + length(w::VARCHAR) + length(h::VARCHAR) + w * h)::BIGINT
+             AS n_bytes,
+           w AS width, h AS height,
+           round(sum(v) / (w * h) / 255.0, 9) AS feat_mean,
+           TRUE AS decoded
+    FROM px GROUP BY doc_id, w, h""",
+)
+def mm_pgm_features(spark, sf_dir):
+    """Multimodal features through the REAL grayscale netpbm decode path
+    (multimodal._decode_pnm_gray — P5/P2 PGM and P4/P1 PBM complete the
+    netpbm family): each doc carries a true P5 container with a
+    closed-form raster (render_pgm), the kernel parses header + raster
+    and replicates gray into R=G=B (so the rgb mean equals the gray
+    mean), and the oracle recomputes width/height/n_bytes/mean from the
+    closed form."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_pgm_payload(docs)
+    feats = multimodal.extract_features(payload)
+    return feats.select(
+        "doc_id", "n_bytes", "width", "height",
+        F.round("feat_mean", 9).alias("feat_mean"), "decoded",
+    )

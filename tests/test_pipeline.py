@@ -1062,3 +1062,51 @@ def test_gif_lzw_hypothesis_roundtrip():
 
     roundtrip_full_alphabet()
     roundtrip_small_alphabet()
+
+
+def test_pnm_gray_family_decode():
+    """P5/P2/P4/P1 all decode to gray-replicated RGB with the netpbm
+    1=black convention and P4 byte-padded rows."""
+    from semantic_cpp_spark.pipeline.multimodal import decode_image
+
+    # P5 binary gray 2x2
+    w, h, mv, px = decode_image(b"P5\n2 2\n255\n" + bytes([0, 128, 255, 7]))
+    assert (w, h, mv) == (2, 2, 255)
+    assert px == bytes([0, 0, 0, 128, 128, 128, 255, 255, 255, 7, 7, 7])
+    # P2 ASCII gray with a comment
+    w, h, mv, px = decode_image(b"P2\n# c\n2 1\n255\n0 200\n")
+    assert (w, h, px) == (2, 1, bytes([0, 0, 0, 200, 200, 200]))
+    # P4 packed bitmap 3x2: rows padded to one byte; 1=black
+    #   row0: bits 101 -> 0b10100000 ; row1: bits 010 -> 0b01000000
+    w, h, mv, px = decode_image(b"P4\n3 2\n" + bytes([0b10100000, 0b01000000]))
+    assert (w, h, mv) == (3, 2, 255)
+    grays = px[::3]
+    assert grays == bytes([0, 255, 0, 255, 0, 255])
+    # P1 ASCII bitmap, whitespace-separated and packed digits both legal
+    w, h, mv, px = decode_image(b"P1\n3 1\n1 01")
+    assert px[::3] == bytes([0, 255, 0])
+
+
+def test_pnm_gray_truncation_raises():
+    import pytest as _pytest
+
+    from semantic_cpp_spark.pipeline.multimodal import decode_image
+
+    with _pytest.raises(ValueError):
+        decode_image(b"P5\n4 4\n255\n" + b"\x00" * 15)
+    with _pytest.raises(ValueError):
+        decode_image(b"P4\n9 2\n" + b"\x00" * 3)  # needs 2 row-bytes x 2
+    with _pytest.raises(ValueError):
+        decode_image(b"P1\n2 2\n101")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+
+
+def test_pgm_render_decode_roundtrip():
+    from semantic_cpp_spark.pipeline.multimodal import decode_image, render_pgm
+
+    for doc_id in (0, 5, 77):
+        w, h, mv, px = decode_image(render_pgm(doc_id))
+        assert (w, h) == (8 + doc_id % 9, 8 + (doc_id // 9) % 9)
+        expect = [(doc_id * 37 + i * 7) % 256 for i in range(w * h)]
+        assert list(px[::3]) == expect and px[1::3] == px[::3]
