@@ -988,3 +988,45 @@ def test_ngram_novelty_first_doc_wins(spark):
     assert out[1].novelty == 1.0            # first occurrence of everything
     assert (out[2].n_spans, out[2].n_seen_before, out[2].novelty) == (1, 1, 0.0)
     assert out[3].novelty == 1.0
+
+
+def test_prefix_filter_randomized_losslessness(spark):
+    """Randomized differential: on corpora with planted near-dup families
+    plus noise, prefix filtering must equal the uncapped all-pairs join
+    at every tested threshold (the lossless claim, not just one case)."""
+    import random
+
+    from semantic_cpp_spark.pipeline import dedup
+
+    rng = random.Random(1234)
+    vocab = [f"t{i}" for i in range(60)]
+    rows = []
+    doc_id = 0
+    for fam in range(5):                      # planted families of 4
+        base = rng.sample(vocab, 12)
+        for v in range(4):
+            toks = list(base)
+            for _ in range(rng.randrange(0, 3)):
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            rows.append((doc_id, " ".join(toks)))
+            doc_id += 1
+    for _ in range(15):                        # noise docs
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(10))))
+        doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for num, den in ((1, 2), (7, 10), (4, 5)):
+        exact = {
+            (r.d1, r.d2, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                df, F.col("text"), F.col("doc_id"), k=3,
+                threshold=num / den, max_shingle_df=None,
+            ).collect()
+        }
+        got = {
+            (r.d1, r.d2, r.jaccard)
+            for r in dedup.prefix_filter_jaccard_pairs(
+                df, F.col("text"), F.col("doc_id"), k=3,
+                tau_num=num, tau_den=den,
+            ).collect()
+        }
+        assert got == exact, (num, den, got ^ exact)

@@ -298,3 +298,44 @@ def test_prefix_filter_join_is_on_shingle_only(spark, qs):
     plan = _plan(qs["dedup_prefix_filter"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mad_outliers_stats_broadcast(spark, qs):
+    """Both per-group stats tables (med, MAD) must come back as
+    broadcast joins — tiny by construction (one row per group)."""
+    plan = _plan(qs["evt_mad_outliers"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_report_exchanges_all_source_keyed(spark, qs):
+    """Two count_distincts trigger Spark's multi-distinct Expand rewrite
+    → exactly TWO source-keyed exchanges, and no exchange on any other
+    key (everything stays partitioned by the report key)."""
+    import re
+
+    plan = _plan(qs["txt_source_report"](spark, SF))
+    all_ex = re.findall(r"Exchange hashpartitioning\(\w+", plan)
+    assert all_ex and all(e.endswith("(source") for e in all_ex), all_ex
+    assert len(all_ex) == 2
+    assert "Expand" in plan  # the documented multi-distinct shape
+
+
+def test_last_touch_single_user_exchange(spark, qs):
+    """Attribution is ONE window on user_id — one hash exchange, no
+    joins anywhere in the plan."""
+    import re
+
+    plan = _plan(qs["evt_last_touch_attribution"](spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_decayed_activity_scalar_broadcast_only(spark, qs):
+    """The max-day scalar rides in via a broadcast nested-loop of a
+    1-row aggregate (the scalar-broadcast pattern); the only hash
+    exchange is the final groupBy(user_id)."""
+    import re
+
+    plan = _plan(qs["evt_decayed_activity"](spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
