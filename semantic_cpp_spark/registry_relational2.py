@@ -781,3 +781,65 @@ def rel_equidepth_histogram(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "rel_basket_lift",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    item AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY l_partkey),
+    p AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS support
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING count(*) >= 3)
+    SELECT x, y, support::BIGINT AS support,
+           round(support::DOUBLE * n_orders / (ix.c * iy.c), 6) AS lift
+    FROM p JOIN item ix ON ix.l_partkey = x
+           JOIN item iy ON iy.l_partkey = y, tot
+    ORDER BY round(support::DOUBLE * n_orders / (ix.c * iy.c), 6) DESC, x, y
+    LIMIT 50""",
+)
+def rel_basket_lift(spark, sf_dir):
+    """Market-basket association: the top-50 part pairs by lift
+    (P(x,y)/(P(x)·P(y)) over orders) with support ≥ 3 — the classic
+    co-occurrence mining query (Agrawal–Srikant association-rule
+    support/lift, without the rule expansion).
+
+    Scale shape: the self-join is keyed on l_orderkey with fan-out
+    bounded by items-per-order (≤17 in TPC-H → ≤136 pairs/order — never
+    quadratic in the table); item counts join back keyed on the part;
+    order total rides in as one broadcast scalar; selection is
+    TakeOrdered on the ROUNDED lift with (x, y) tie-breaks so the
+    boundary is engine-stable. Lift in double (support·N as an int64
+    product could overflow at 10⁹ orders)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    tot = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ix = item.select(F.col("l_partkey").alias("x"), F.col("c").alias("cx"))
+    iy = item.select(F.col("l_partkey").alias("y"), F.col("c").alias("cy"))
+    lift = F.round(
+        F.col("support").cast("double") * F.col("n_orders") / (F.col("cx") * F.col("cy")),
+        6,
+    )
+    return (
+        pairs.join(ix, "x")
+        .join(iy, "y")
+        .crossJoin(F.broadcast(tot))
+        .select("x", "y", F.col("support").cast("long").alias("support"), lift.alias("lift"))
+        .orderBy(F.desc("lift"), "x", "y")
+        .limit(50)
+    )
