@@ -64,3 +64,63 @@ def asof_join(
     for c in right_payload:
         out = out.withColumn(c, F.col("__match")[c])
     return out.drop("__match")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """FORWARD as-of join: every left row + the payload of the EARLIEST
+    right row at-or-after its time (nulls when none follows) — the
+    "what happened next" complement of asof_join (next fill after an
+    order, next purchase after a signup, next reading after a fault).
+
+    Same scalable shape as the backward form: union + ONE key-partitioned
+    window — here first_value(ignorenulls) over rows CURRENT..UNBOUNDED
+    FOLLOWING, with left rows ordered before right rows at equal times so
+    an exactly-simultaneous right row is matched (inclusive at-or-after).
+    ``tiebreak`` optionally orders simultaneous right rows (needed only
+    when the payload is row-identifying rather than the time itself)."""
+    lt = left.withColumn("__t", F.col(left_time)).withColumn("__side", F.lit(0))
+    rt = (
+        right.select(
+            key,
+            F.col(right_time).alias("__t"),
+            F.struct(*[F.col(c) for c in right_payload]).alias("__rp"),
+            *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
+        )
+        .withColumn("__side", F.lit(1))
+    )
+    lt = lt.withColumn("__rp", F.lit(None).cast(rt.schema["__rp"].dataType))
+    if tiebreak:
+        lt = lt.withColumn("__tb", F.lit(None).cast(rt.schema["__tb"].dataType))
+    unioned = lt.select(
+        key, "__t", "__side", "__rp",
+        *(["__tb"] if tiebreak else []),
+        *[c for c in left.columns if c != key],
+    ).unionByName(
+        rt.select(key, "__t", "__side", "__rp", *(["__tb"] if tiebreak else [])),
+        allowMissingColumns=True,
+    )
+    order = [F.col("__t"), F.col("__side")] + (
+        [F.col("__tb").asc_nulls_first()] if tiebreak else []
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = unioned.withColumn(
+        "__match", F.first("__rp", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 0).drop(
+        "__t", "__side", "__rp", *(["__tb"] if tiebreak else [])
+    )
+    for c in right_payload:
+        out = out.withColumn(c, F.col("__match")[c])
+    return out.drop("__match")

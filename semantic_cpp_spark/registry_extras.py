@@ -655,3 +655,54 @@ def agg_salted_hot_key(spark, sf_dir):
     return out.select(
         "key", "n", F.round("total", 2).alias("total"), "hi"
     )
+
+
+@register(
+    "asof_next_purchase_after_signup",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                         epoch_ns(ts) // 1000 AS tus
+                  FROM events),
+    u AS (
+      SELECT user_id, tus,
+             CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS side,
+             CASE WHEN event_type = 'purchase' THEN tus END AS ptus,
+             event_id
+      FROM e WHERE event_type IN ('purchase', 'signup')),
+    c AS (
+      SELECT *,
+             first_value(ptus IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS t_next
+      FROM u)
+    SELECT event_id AS signup_id, user_id, tus AS t_signup, t_next,
+           t_next - tus AS latency_us
+    FROM c WHERE side = 0""",
+)
+def asof_next_purchase_after_signup(spark, sf_dir):
+    """FORWARD as-of join (operators.asof.asof_join_forward): each
+    signup matched to the SAME user's earliest purchase at-or-after it
+    — union + running first_value over CURRENT..UNBOUNDED FOLLOWING,
+    one key-partitioned window, the "what happened next" complement of
+    asof_purchase_last_signup. Emitting the matched TIME keeps ties
+    scalar-deterministic without a tiebreak column."""
+    from semantic_cpp_spark.operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("tus", ts_micros(ev))
+    signs = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"),
+        F.col("tus").alias("t_signup"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("tus").alias("p_tus"),
+        F.col("tus").alias("t_next"),
+    )
+    out = asof_join_forward(
+        signs, buys, key="user_id", left_time="t_signup",
+        right_time="p_tus", right_payload=["t_next"],
+    )
+    return out.select(
+        "signup_id", "user_id", "t_signup", "t_next",
+        (F.col("t_next") - F.col("t_signup")).alias("latency_us"),
+    )

@@ -498,3 +498,40 @@ def test_mad_outliers_zero_mad_group_excluded(spark):
     entirely (modified z undefined), even though a spike exists."""
     rows = [(i, 1, i * M, "a", 5.0) for i in range(9)] + [(9, 1, 9 * M, "a", 99.0)]
     assert eventflow.mad_outliers(_events(spark, rows)).count() == 0
+
+
+def test_asof_join_forward_hand_computed(spark):
+    """Forward as-of: inclusive at-or-after matching, per key, nulls
+    when nothing follows; simultaneous right rows resolved by tiebreak."""
+    from semantic_cpp_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (2, 5, "c"), (3, 1, "d")],
+        "k long, lt long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (1, 30, 300.0), (2, 4, 400.0)],
+        "k long, rt long, pay double",
+    )
+    out = {r.tag: r for r in asof_join_forward(
+        left, right, key="k", left_time="lt", right_time="rt",
+        right_payload=["pay"]).collect()}
+    assert out["a"].pay == 100.0   # inclusive: right AT left time matches
+    assert out["b"].pay == 300.0   # next-after
+    assert out["c"].pay is None    # only earlier right rows exist
+    assert out["d"].pay is None    # key has no right rows at all
+
+
+def test_asof_forward_tiebreak_orders_simultaneous_rights(spark):
+    from semantic_cpp_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame([(1, 10)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 10, 7, "late"), (1, 10, 3, "early")],
+        "k long, rt long, rid long, name string",
+    )
+    out = asof_join_forward(
+        left, right, key="k", left_time="lt", right_time="rt",
+        right_payload=["name"], tiebreak="rid",
+    ).collect()
+    assert out[0].name == "early"

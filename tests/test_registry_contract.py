@@ -72,6 +72,7 @@ def test_priority_fills_the_window_exactly():
 # tests. MUST be rotated into the r7 window first.
 R6_WINDOW_OVERFLOW = [
     "rel_basket_lift",
+    "asof_next_purchase_after_signup",
 ]
 
 
