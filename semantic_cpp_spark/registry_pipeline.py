@@ -2264,3 +2264,46 @@ def mm_pgm_features(spark, sf_dir):
         "doc_id", "n_bytes", "width", "height",
         F.round("feat_mean", 9).alias("feat_mean"), "decoded",
     )
+
+
+def _cluster_hist_sql() -> str:
+    return f"""WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    edges AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, l) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v),
+    comp AS (SELECT v AS doc_id, min(l) AS component FROM reach GROUP BY v),
+    sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT cluster_size::BIGINT AS cluster_size,
+           count(*)::BIGINT AS n_clusters,
+           sum(cluster_size)::BIGINT AS n_docs,
+           (sum(cluster_size) - count(*))::BIGINT AS n_removable
+    FROM sizes GROUP BY cluster_size"""
+
+
+@register("dedup_cluster_stats", _cluster_hist_sql())
+def dedup_cluster_stats(spark, sf_dir):
+    """Duplicate-cluster SIZE HISTOGRAM — the dedup summary a corpus
+    report leads with: for each cluster size, how many clusters, how
+    many docs they hold, and how many are removable (all but one rep per
+    cluster). Composes minhash_lsh_pairs → connected_components → two
+    tiny groupBys (component, then size — the second input is one row
+    per cluster, the first one row per dup doc: both shrink
+    monotonically). Oracle recomputes through the independent
+    recursive-CTE components."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, F.col("text"), F.col("doc_id"))
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+        (F.sum("cluster_size") - F.count(F.lit(1))).cast("long").alias("n_removable"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters", "n_docs", "n_removable",
+    )

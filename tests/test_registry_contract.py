@@ -73,6 +73,7 @@ def test_priority_fills_the_window_exactly():
 R6_WINDOW_OVERFLOW = [
     "rel_basket_lift",
     "asof_next_purchase_after_signup",
+    "dedup_cluster_stats",
 ]
 
 
