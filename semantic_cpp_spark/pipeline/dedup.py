@@ -766,19 +766,28 @@ def prefix_filter_jaccard_pairs(
     floor-div) so a float ulp can never shorten the prefix below the
     lossless bound.
 
-    Plan: explode → df count (groupBy sh) → join back (co-keyed,
-    exchange reused) → per-doc sort_array(collect_list(struct(df,sh)))
-    → slice prefix → prefix self-join → verify candidates against the
-    two full sorted sets with array_intersect (per-pair cost bounded by
-    doc length, no further explode).
+    Plan: explode → hash each shingle ONCE to its 60-bit md5 long (the
+    text never shuffles — every downstream exchange, array, and
+    intersect runs on 8-byte keys; the canonical order becomes
+    (df, hash), which is just as total) → df count (groupBy h) → join
+    back (co-keyed, exchange reused) → per-doc
+    sort_array(collect_list(struct(df,h))) → slice prefix → prefix
+    self-join → verify candidates against the two full sorted hash
+    sets with array_intersect (per-pair cost bounded by doc length, no
+    further explode). A 60-bit collision (P ≈ n²/2⁶¹) would merge two
+    shingles corpus-wide; the oracle mirrors the same md5 derivation so
+    the differential gate stays hash-exact regardless.
 
     Returns (d1, d2, jaccard) with d1 < d2.
     """
     if not (0 < tau_num <= tau_den):
         raise ValueError(f"need 0 < tau_num <= tau_den, got {tau_num}/{tau_den}")
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    ex = df.repartition(n_part).select(
-        id_col.alias("doc_id"), F.explode(shingles(text, k)).alias("sh")
+    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+    ex = (
+        df.repartition(n_part)
+        .select(id_col.alias("doc_id"), F.explode(shingles(text, k)).alias("sh"))
+        .select("doc_id", h.alias("sh"))
     )
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     grouped = (

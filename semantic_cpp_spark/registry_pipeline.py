@@ -1956,7 +1956,8 @@ def txt_line_dedup(spark, sf_dir):
 @register(
     "dedup_prefix_filter",
     f"""WITH {_SHINGLES_CTE},
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ex AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s
+           FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
     dfq AS (SELECT s, count(*) AS dfc FROM ex GROUP BY s),
     ords AS (
       SELECT e.doc_id, list(e.s ORDER BY dfc, e.s) AS shs
