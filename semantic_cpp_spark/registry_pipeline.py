@@ -135,7 +135,8 @@ sh AS (
 @register(
     "dedup_ngram_jaccard",
     f"""WITH {_SHINGLES_CTE},
-    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ex0 AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
     dfq AS (SELECT s, count(*) AS dfc FROM ex0 GROUP BY s),
     ex AS (SELECT e.doc_id, e.s FROM ex0 e JOIN dfq USING (s) WHERE dfc <= 100),
     sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
@@ -1406,7 +1407,8 @@ def txt_fuzzy_vocab_match(spark, sf_dir):
 @register(
     "dedup_containment",
     f"""WITH {_SHINGLES_CTE},
-    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ex0 AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
     dfq AS (SELECT s, count(*) AS dfc FROM ex0 GROUP BY s),
     ex AS (SELECT e.doc_id, e.s FROM ex0 e JOIN dfq USING (s) WHERE dfc <= 100),
     sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
@@ -2127,7 +2129,8 @@ from semantic_cpp_spark.operators import graph as graph_ops  # noqa: E402
 @register(
     "graph_triangle_counts",
     f"""WITH {_SHINGLES_CTE},
-    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ex0 AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
     dfq AS (SELECT s, count(*) AS dfc FROM ex0 GROUP BY s),
     exf AS (SELECT e.doc_id, e.s FROM ex0 e JOIN dfq USING (s) WHERE dfc <= 100),
     sz AS (SELECT doc_id, count(*) AS n_sh FROM exf GROUP BY doc_id),

@@ -70,6 +70,11 @@ def test_priority_fills_the_window_exactly():
 # until then their verification is the local gate replica (hash-green in the
 # committed verify.out.log at HEAD), the registry smoke test, and their unit
 # tests. MUST be rotated into the r7 window first.
+# dedup_ngram_jaccard was ALSO touched after saturation (shingle exchanges
+# re-keyed to 60-bit hashes, oracle mirrored): its historical green rows
+# predate the re-keying, so until the r7 window its vouching is the committed
+# full-gate verify log at HEAD (hash-green with the mirrored oracle) plus the
+# family unit tests. Rotate it into the r7 window alongside the overflow.
 R6_WINDOW_OVERFLOW = [
     "rel_basket_lift",
     "asof_next_purchase_after_signup",
