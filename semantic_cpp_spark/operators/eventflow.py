@@ -600,3 +600,43 @@ def mad_outliers(
             F.round(z, 6).alias("robust_z"),
         )
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    user: str = "user_id",
+    tus: str = "tus",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user event-type transition matrix — first-order Markov
+    estimate of session flow: for each ordered pair (cur → next) of
+    consecutive events in a user's timeline, the count and the
+    conditional probability P(next | cur) = n_pair / n_from. The
+    what-do-users-do-next analysis (and the generator of the bigram-LM
+    analogue over event streams).
+
+    Plan: ONE lag window per user (the sessionize exchange shape), then
+    a groupBy on the (cur, next) pair; P(next|cur) joins the pair counts
+    against the per-cur totals CO-KEYED on cur (exchange reused — the
+    totals are themselves a groupBy(cur)). Probability = exact integer
+    counts divided once at the end.
+
+    Returns (cur, next, n_pair, p) over all observed transitions."""
+    w = Window.partitionBy(user).orderBy(F.col(tus), F.col("event_id"))
+    nxt = F.lead(type_col).over(w)
+    pairs = (
+        df.withColumn("__next", nxt)
+        .filter(F.col("__next").isNotNull())
+        .groupBy(F.col(type_col).alias("cur"), F.col("__next").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    totals = pairs.groupBy("cur").agg(F.sum("n_pair").alias("n_from"))
+    return (
+        pairs.join(totals, "cur")
+        .select(
+            "cur",
+            "next",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(F.col("n_pair") / F.col("n_from"), 6).alias("p"),
+        )
+    )

@@ -398,3 +398,58 @@ def zipf_fit(df: DataFrame, text: Column, top_n: int = 100) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(cov * cov / (varx * vary), 6).alias("r2"),
     )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    text: Column,
+    id_col: Column,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 20,
+    k_each: int = 100,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    Büttcher, SIGIR'09): fuse a lexical BM25 ranking and a vector cosine
+    ranking over the SAME id space with
+    RRF(d) = Σ_lists 1/(c + rank_list(d)) — the standard hybrid-search
+    merge (rank-based, so the two scoring scales never need calibration).
+    Docs appearing in only one list still score (the other term is 0).
+
+    Plan: each branch is its own already-scalable top-``k_each``
+    retrieval (BM25 = TakeOrdered, cosine = broadcast-query scan); the
+    fusion then runs on two ≤k_each-row lists — the full-outer join and
+    re-rank are bounded by construction, a driver-scale epilogue to two
+    distributed rankings. 1/(c+rank) is a single exact IEEE division,
+    and the two-term sum has fixed order — engine-stable without
+    rounding tricks; the final cut orders on the ROUNDED score with a
+    doc_id tie-break.
+
+    Returns (doc_id, rk, rrf, lex_rank, vec_rank)."""
+    from pyspark.sql import Window
+
+    from semantic_cpp_spark.pipeline.similarity import cosine_topk
+
+    lex = bm25_topk(docs, text, id_col, query_terms, k=k_each)
+    wl = Window.orderBy(F.col("score").desc(), "doc_id")  # ≤k_each rows
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+    vec_r = cosine_topk(emb, [query_vec_id], k=k_each).select(
+        F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rank")
+    )
+    j = lex_r.join(vec_r, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(c)) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(c)) + F.col("vec_rank")), F.lit(0.0)
+    )
+    wf = Window.orderBy(F.round(rrf, 6).desc(), "doc_id")  # ≤2·k_each rows
+    return (
+        j.withColumn("rrf", F.round(rrf, 6))
+        .withColumn("rk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "rk", "rrf", "lex_rank", "vec_rank")
+    )

@@ -587,3 +587,28 @@ def evt_mad_outliers(spark, sf_dir):
     final filter."""
     ev = _events(spark, sf_dir)
     return eventflow.mad_outliers(ev, group="event_type", value="value", z_cut=3.5)
+
+
+@register(
+    "evt_markov_transitions",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                         epoch_ns(ts) // 1000 AS tus
+                  FROM events),
+    nx AS (SELECT event_type AS cur,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY tus, event_id) AS next
+           FROM e),
+    p AS (SELECT cur, next, count(*) AS n_pair
+          FROM nx WHERE next IS NOT NULL GROUP BY cur, next),
+    t AS (SELECT cur, sum(n_pair) AS n_from FROM p GROUP BY cur)
+    SELECT p.cur, p.next, p.n_pair::BIGINT AS n_pair,
+           round(p.n_pair / t.n_from, 6) AS p
+    FROM p JOIN t USING (cur)""",
+)
+def evt_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    timeline (eventflow.markov_transitions): one lead() window per user
+    + a pair groupBy; P(next|cur) joins pair counts to per-cur totals
+    co-keyed on cur. Exact integer counts, one division at the end."""
+    ev = _events(spark, sf_dir)
+    return eventflow.markov_transitions(ev)

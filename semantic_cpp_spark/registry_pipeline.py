@@ -2311,3 +2311,44 @@ def dedup_cluster_stats(spark, sf_dir):
         F.col("cluster_size").cast("long").alias("cluster_size"),
         "n_clusters", "n_docs", "n_removable",
     )
+
+
+@register(
+    "ir_hybrid_rrf",
+    f"""WITH lex0 AS (SELECT * FROM ({retrieval.bm25_sql(_BM25_TERMS, 100)})),
+    lexr AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+             FROM lex0),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id = 0),
+    sc AS (SELECT e.vec_id AS doc_id, {_sql_cos('e.v', 'q.qv')} AS cos
+           FROM e, q WHERE e.vec_id <> q.q_id),
+    vecr AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY cos DESC NULLS LAST, doc_id)
+                      AS vec_rank
+             FROM sc QUALIFY vec_rank <= 100),
+    fused AS (
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             round(coalesce(1.0 / (60.0 + l.lex_rank), 0.0)
+                   + coalesce(1.0 / (60.0 + v.vec_rank), 0.0), 6) AS rrf
+      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+    SELECT doc_id,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk,
+           rrf, lex_rank, vec_rank
+    FROM fused
+    QUALIFY rk <= 20""",
+)
+def ir_hybrid_rrf(spark, sf_dir):
+    """Hybrid search by Reciprocal Rank Fusion (retrieval.hybrid_rrf,
+    Cormack et al. SIGIR'09): BM25 top-100 for the keyword query fused
+    with cosine top-100 for query vector 0 over the shared doc/vec id
+    space — rank-based, so the two score scales never need calibration.
+    Each branch is its own scalable retrieval; the fusion is a bounded
+    ≤2·100-row epilogue."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retrieval.hybrid_rrf(
+        docs, emb, F.col("text"), F.col("doc_id"),
+        _BM25_TERMS, query_vec_id=0, k=20, k_each=100,
+    )

@@ -1030,3 +1030,39 @@ def test_prefix_filter_randomized_losslessness(spark):
             ).collect()
         }
         assert got == exact, (num, den, got ^ exact)
+
+
+def test_hybrid_rrf_hand_computed(spark):
+    """Tiny id-aligned corpus: doc present in both lists outranks docs
+    in one list; exact 1/(60+r) sums."""
+    from semantic_cpp_spark.pipeline import retrieval
+
+    docs = spark.createDataFrame(
+        [(0, "query data spark engine"),      # matches all 3 terms
+         (1, "data data data data"),          # strong on one term
+         (2, "nothing relevant here at all"),
+         (3, "query spark")],
+        "doc_id long, text string",
+    )
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # the query vector
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = retrieval.hybrid_rrf(
+        docs, emb, F.col("text"), F.col("doc_id"),
+        ["data", "query", "spark"], query_vec_id=0, k=4, k_each=10,
+    ).collect()
+    by_doc = {r.doc_id: r for r in out}
+    # doc 1: lexical hit AND vec rank 1 -> both terms present
+    assert by_doc[1].lex_rank is not None and by_doc[1].vec_rank == 1
+    assert abs(by_doc[1].rrf - round(1 / (60 + by_doc[1].lex_rank) + 1 / 61, 6)) < 1e-9
+    # doc 2: no lexical match -> vec-only contribution
+    assert by_doc[2].lex_rank is None
+    assert abs(by_doc[2].rrf - round(1 / (60 + by_doc[2].vec_rank), 6)) < 1e-9
+    # fused ranking is 1..4 with rrf non-increasing
+    rks = sorted(out, key=lambda r: r.rk)
+    assert [r.rk for r in rks] == [1, 2, 3, 4]
+    assert all(rks[i].rrf >= rks[i + 1].rrf for i in range(3))

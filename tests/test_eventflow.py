@@ -535,3 +535,17 @@ def test_asof_forward_tiebreak_orders_simultaneous_rights(spark):
         right_payload=["name"], tiebreak="rid",
     ).collect()
     assert out[0].name == "early"
+
+
+def test_markov_transitions_hand_computed(spark):
+    """u1: a->b->a ; u2: a->b. Transitions: a->b x2, b->a x1.
+    P(b|a)=1.0, P(a|b)=1.0; cross-user pairs must NOT appear."""
+    rows = [
+        (0, 1, 0, "a", 0.0), (1, 1, M, "b", 0.0), (2, 1, 2 * M, "a", 0.0),
+        (3, 2, 0, "a", 0.0), (4, 2, M, "b", 0.0),
+    ]
+    out = {(r.cur, r.next): r for r in eventflow.markov_transitions(
+        _events(spark, rows)).collect()}
+    assert set(out) == {("a", "b"), ("b", "a")}
+    assert (out[("a", "b")].n_pair, out[("a", "b")].p) == (2, 1.0)
+    assert (out[("b", "a")].n_pair, out[("b", "a")].p) == (1, 1.0)

@@ -79,6 +79,8 @@ R6_WINDOW_OVERFLOW = [
     "rel_basket_lift",
     "asof_next_purchase_after_signup",
     "dedup_cluster_stats",
+    "evt_markov_transitions",
+    "ir_hybrid_rrf",
 ]
 
 
