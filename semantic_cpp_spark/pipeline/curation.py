@@ -534,3 +534,64 @@ def line_dedup(
             " ",
         ).alias("clean_text"),
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    n_items: DataFrame,
+    k: int = 5,
+    margin: int = 5,
+    user_col: str = "user",
+    item_col: str = "item",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / recommender
+    training pairs: for each user in ``positives`` (user, item), up to
+    ``k`` items the user did NOT interact with, drawn pseudo-randomly
+    from the dense 0..n_items-1 id space by the md5 hash of
+    (salt, user, j) — reproducible across runs, engines, and cluster
+    sizes (the same anti-leakage rationale as bernoulli_sample; a
+    seeded RNG would re-deal on every repartition).
+
+    ``n_items`` is a 1-row DataFrame (column ``n_items``) so the item
+    count is derived from data, not hard-coded per scale factor.
+
+    Plan: explode k+margin candidate draws per user (narrow), drop
+    collisions with the positives by LEFT ANTI join on (user, item) —
+    co-keyed with the dedup groupBy that follows — then keep the first
+    k survivors per user by draw order (window bounded by k+margin rows
+    per user). Users whose margin is exhausted by positives/duplicate
+    draws yield fewer than k rows, deterministically.
+
+    Returns (user, item, rank) with rank 1..k in draw order."""
+    from pyspark.sql import Window
+
+    users = positives.select(F.col(user_col).alias("user")).distinct()
+    cand = (
+        users.crossJoin(F.broadcast(n_items))
+        .select(
+            "user",
+            F.explode(F.sequence(F.lit(0), F.lit(k + margin - 1))).alias("j"),
+            F.col("n_items"),
+        )
+        .withColumn(
+            "item",
+            hash_u60(
+                F.concat(F.col("user").cast("string"), F.lit("-"), F.col("j")),
+                salt,
+            )
+            % F.col("n_items"),
+        )
+        .drop("n_items")
+    )
+    pos = positives.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("item")
+    )
+    neg = cand.join(pos, ["user", "item"], "left_anti")
+    first = neg.groupBy("user", "item").agg(F.min("j").alias("j"))
+    w = Window.partitionBy("user").orderBy("j", "item")
+    return (
+        first.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("user"), F.col("item"), "rank")
+    )

@@ -2352,3 +2352,44 @@ def ir_hybrid_rrf(spark, sf_dir):
         docs, emb, F.col("text"), F.col("doc_id"),
         _BM25_TERMS, query_vec_id=0, k=20, k_each=100,
     )
+
+
+@register(
+    "samp_negative_pairs",
+    """WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    np AS (SELECT count(*) AS n_items FROM part),
+    cand AS (
+      SELECT u, j.range AS j,
+             ('0x' || substr(md5('neg' || u::VARCHAR || '-' || j.range::VARCHAR),
+                             1, 15))::BIGINT % n_items AS item
+      FROM (SELECT DISTINCT u FROM pos), np, range(0, 10) j),
+    neg AS (
+      SELECT c.u, c.item, min(c.j) AS j
+      FROM cand c ANTI JOIN pos p ON p.u = c.u AND p.item = c.item
+      GROUP BY c.u, c.item)
+    SELECT u AS user, item,
+           row_number() OVER (PARTITION BY u ORDER BY j, item) AS rank
+    FROM neg
+    QUALIFY rank <= 5""",
+)
+def samp_negative_pairs(spark, sf_dir):
+    """Deterministic negative sampling (curation.negative_samples): up
+    to 5 parts each customer never ordered, drawn by md5(user, draw) —
+    the contrastive-training counterpart of the positive (customer,
+    part) pairs, reproducible at any cluster size. Item count derives
+    from the part table (broadcast 1-row scalar), candidates explode
+    narrowly, the anti-join keys (user, item) co-keyed with the dedup
+    groupBy, and the final per-user cut is a bounded ≤10-row window."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    n_items = part.agg(F.count(F.lit(1)).alias("n_items"))
+    out = curation.negative_samples(pos, n_items, k=5, margin=5)
+    return out.select(F.col("user"), "item", "rank")

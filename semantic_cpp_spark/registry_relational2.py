@@ -843,3 +843,51 @@ def rel_basket_lift(spark, sf_dir):
         .orderBy(F.desc("lift"), "x", "y")
         .limit(50)
     )
+
+
+@register(
+    "rel_scd2_customer_history",
+    """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+                  FROM orders),
+    v AS (SELECT o_custkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS version,
+                 o_orderdate AS valid_from,
+                 lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey)
+                   AS valid_to,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING) AS cum_cents
+          FROM o)
+    SELECT o_custkey AS custkey, version::BIGINT AS version,
+           valid_from::VARCHAR AS valid_from,
+           coalesce(valid_to::VARCHAR, '9999-12-31') AS valid_to,
+           round(cum_cents / 100.0, 2) AS cum_spend,
+           (valid_to IS NULL) AS is_current
+    FROM v""",
+)
+def rel_scd2_customer_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build — the lakehouse CDC
+    pattern: each customer's order stream becomes versioned validity
+    intervals [valid_from, valid_to) with a running lifetime spend and
+    an is_current flag (open interval = sentinel high date). ONE window
+    per customer carries version, next-date, and the running sum in a
+    single exchange+sort; the running sum is exact int64 cents (a
+    running DOUBLE sum would drift order-dependently across engines).
+    Dates project to strings for the hash compare (repo convention)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = F.sum(
+        F.round(F.col("o_totalprice") * 100).cast("long")
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("o_orderdate").cast("string").alias("valid_from"),
+        F.coalesce(nxt.cast("string"), F.lit("9999-12-31")).alias("valid_to"),
+        F.round(cum / F.lit(100.0), 2).alias("cum_spend"),
+        nxt.isNull().alias("is_current"),
+    )

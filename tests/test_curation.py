@@ -1066,3 +1066,40 @@ def test_hybrid_rrf_hand_computed(spark):
     rks = sorted(out, key=lambda r: r.rk)
     assert [r.rk for r in rks] == [1, 2, 3, 4]
     assert all(rks[i].rrf >= rks[i + 1].rrf for i in range(3))
+
+
+def test_negative_samples_contract(spark):
+    from semantic_cpp_spark.pipeline import curation
+
+    pos = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 5)], "user long, item long"
+    )
+    n_items = spark.createDataFrame([(50,)], "n_items long")
+    out = curation.negative_samples(pos, n_items, k=3, margin=4)
+    rows = out.collect()
+    pos_set = {(1, 0), (1, 1), (2, 5)}
+    assert all((r.user, r.item) not in pos_set for r in rows)
+    assert all(0 <= r.item < 50 for r in rows)
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user, []).append(r.rank)
+    for u, ranks in by_user.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    # determinism across invocations
+    again = {(r.user, r.item, r.rank) for r in curation.negative_samples(
+        pos, n_items, k=3, margin=4).collect()}
+    assert again == {(r.user, r.item, r.rank) for r in rows}
+
+
+def test_negative_samples_margin_exhaustion(spark):
+    """With a 2-item universe where the user owns one item, at most one
+    distinct negative can exist regardless of k."""
+    from semantic_cpp_spark.pipeline import curation
+
+    pos = spark.createDataFrame([(7, 0)], "user long, item long")
+    n_items = spark.createDataFrame([(2,)], "n_items long")
+    rows = curation.negative_samples(pos, n_items, k=5, margin=5).collect()
+    assert len(rows) <= 1
+    if rows:
+        assert rows[0].item == 1 and rows[0].rank == 1

@@ -81,6 +81,8 @@ R6_WINDOW_OVERFLOW = [
     "dedup_cluster_stats",
     "evt_markov_transitions",
     "ir_hybrid_rrf",
+    "rel_scd2_customer_history",
+    "samp_negative_pairs",
 ]
 
 
