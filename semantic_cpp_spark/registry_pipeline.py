@@ -2393,3 +2393,43 @@ def samp_negative_pairs(spark, sf_dir):
     n_items = part.agg(F.count(F.lit(1)).alias("n_items"))
     out = curation.negative_samples(pos, n_items, k=5, margin=5)
     return out.select(F.col("user"), "item", "rank")
+
+
+@register(
+    "sim_lsh_recall_at_5",
+    f"""WITH ex AS (SELECT q_id, vec_id FROM ({_COS_SQL})),
+    ap AS (SELECT q_id, vec_id FROM ({_lsh_sql()})),
+    hits AS (
+      SELECT e.q_id, count(a.vec_id) AS n_hits
+      FROM ex e LEFT JOIN ap a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+      GROUP BY e.q_id)
+    SELECT q_id, n_hits::BIGINT AS n_hits,
+           round(n_hits / 5.0, 6) AS recall_at_5
+    FROM hits""",
+)
+def sim_lsh_recall_at_5(spark, sf_dir):
+    """Measured retrieval QUALITY as a first-class query: recall@5 of
+    the bucket-LSH ANN against the exact cosine baseline, per query —
+    the quantity the sim_* determinism oracles deliberately don't check
+    (they reproduce the blocking; this scores it). Both branches are
+    the registered operators themselves; the comparison is a bounded
+    ≤15-row join. The sweep across planes/K lives in scripts/
+    ann_recall.py + SCALING.md; this pins the headline number under the
+    driver gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, [0, 1, 2], k=5).select("q_id", "vec_id")
+    approx = similarity.lsh_bucket_topk(
+        emb, [0, 1, 2], k=5, dims=64, planes=similarity.LSH_PLANES
+    ).select(F.col("q_id").alias("aq"), F.col("vec_id").alias("av"))
+    hits = (
+        exact.join(
+            approx,
+            (F.col("aq") == F.col("q_id")) & (F.col("av") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("av").cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        "q_id", "n_hits", F.round(F.col("n_hits") / F.lit(5.0), 6).alias("recall_at_5")
+    )

@@ -83,6 +83,7 @@ R6_WINDOW_OVERFLOW = [
     "ir_hybrid_rrf",
     "rel_scd2_customer_history",
     "samp_negative_pairs",
+    "sim_lsh_recall_at_5",
 ]
 
 
