@@ -132,3 +132,114 @@ def test_find_at_any_index(spark, xs, i):
         assert got == xs[i]
     else:
         assert got == xs[(n - ((-i) % n)) % n]
+
+
+# -- round-6 session operators: randomized property pins ---------------------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**6), min_size=5, max_size=25),
+    st.integers(min_value=1, max_value=8),
+)
+def test_weighted_sample_monotone_in_weight(spark, weights, k):
+    """A-ES property: with the hash fixed per id, priority = -ln(u)/w is
+    strictly decreasing in w — so doubling a selected row's weight can
+    never evict it from the sample."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.pipeline import curation
+
+    rows = list(enumerate(weights))
+    df = spark.createDataFrame(rows, "id long, w long")
+    k = min(k, len(rows))
+    picked = {r.id for r in curation.weighted_sample_k(
+        df, F.col("id"), F.col("w"), k).collect()}
+    boosted = [(i, w * 2 if i in picked else w) for i, w in rows]
+    df2 = spark.createDataFrame(boosted, "id long, w long")
+    picked2 = {r.id for r in curation.weighted_sample_k(
+        df2, F.col("id"), F.col("w"), k).collect()}
+    assert picked <= picked2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.text(alphabet="abc d", min_size=0, max_size=80),
+    st.integers(min_value=1, max_value=20),
+)
+def test_chunk_text_covers_exactly(spark, text, size):
+    """With stride == size (no overlap) the chunks concatenate back to
+    the exact original text, and with stride < size every consecutive
+    pair overlaps by size - stride chars."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.pipeline import curation
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    parts = sorted(
+        curation.chunk_text(df, F.col("text"), F.col("doc_id"), size, size).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert "".join(p.chunk for p in parts) == text
+    stride = max(1, size - 1)
+    over = sorted(
+        curation.chunk_text(df, F.col("text"), F.col("doc_id"), size, stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    for a, b in zip(over, over[1:]):
+        if len(a.chunk) == size:  # full window
+            assert a.chunk[stride:] == b.chunk[: size - stride]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3)),
+                min_size=2, max_size=40))
+def test_markov_rows_normalize(spark, evs):
+    """P(next|cur) sums to 1 per cur over any event log."""
+    from semantic_cpp_spark.operators import eventflow
+
+    rows = [(i, u, i * 1_000_000, f"t{t}", 0.0) for i, (u, t) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, tus long, event_type string, value double"
+    )
+    out = eventflow.markov_transitions(df).collect()
+    sums: dict[str, float] = {}
+    for r in out:
+        sums[r.cur] = sums.get(r.cur, 0.0) + r.p
+    for cur, s in sums.items():
+        assert abs(s - 1.0) < 1e-4, (cur, s)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 3), st.integers(0, 400)),
+                min_size=1, max_size=30, unique_by=lambda t: (t[0], t[1])))
+def test_scd2_versions_chain(spark, orders):
+    """SCD2 contract on random order sets: per customer, versions are
+    1..n in date order, each valid_to equals the next valid_from,
+    exactly one open (is_current) interval, and cum_spend is
+    non-decreasing."""
+    import datetime
+
+    qs = __import__("__spark_entry__").queries()
+    rows = [
+        (u * 100000 + d, u, datetime.date(2024, 1, 1) + datetime.timedelta(days=d),
+         float(10 + d % 7))
+        for u, d in orders
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    import tempfile, os
+    tmp = tempfile.mkdtemp(prefix="scd2_")
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+    out = qs["rel_scd2_customer_history"](spark, tmp).collect()
+    by_cust: dict[int, list] = {}
+    for r in out:
+        by_cust.setdefault(r.custkey, []).append(r)
+    for cust, vs in by_cust.items():
+        vs.sort(key=lambda r: r.version)
+        assert [v.version for v in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for v in vs if v.is_current) == 1
+        assert vs[-1].is_current and vs[-1].valid_to == "9999-12-31"
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.cum_spend <= b.cum_spend
