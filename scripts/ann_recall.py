@@ -178,6 +178,20 @@ def main():
         ) / len(qids)
         row(f"ivf nprobe={nprobe}", f"K={K}", recall(b, truth), cands)
 
+    # JL projected-space brute force: rank in the 8-dim projection (8×
+    # cheaper dots), score recall of that ranking vs the 64-dim truth —
+    # how much neighborhood structure the data-independent ±1 projection
+    # keeps at this k (the JL lemma's ε at out_dims=8 is loose; this is
+    # the measured reality check).
+    from semantic_cpp_spark.pipeline import decomposition
+
+    proj = decomposition.jl_project_wide(emb).cache()
+    jl = topk_sets(
+        similarity.cosine_topk(proj, qids, k=k, vec_col="proj").collect()
+    )
+    row("jl_projected_brute", "out_dims=8", recall(jl, truth), n - 1)
+    proj.unpersist()
+
 
 if __name__ == "__main__":
     main()

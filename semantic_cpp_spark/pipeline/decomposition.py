@@ -161,6 +161,27 @@ def jl_project(
         # JL_SCALE_8 is the 1/sqrt(8) literal shared with the SQL oracle;
         # other shapes would need their own shared scale constant.
         raise ValueError("jl_project is pinned to 64 -> 8 (shared oracle scale)")
+    wide = jl_project_wide(df, out_dims, in_dims, id_col, vec_col, salt)
+    return wide.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("proj", lambda p: F.round(p, 6))
+        ).alias("out_dim", "value"),
+    ).select("vec_id", F.col("out_dim").cast("long").alias("out_dim"), "value")
+
+
+def jl_project_wide(
+    df: DataFrame,
+    out_dims: int = 8,
+    in_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "jl",
+) -> DataFrame:
+    """jl_project's array form: (vec_id, proj array<double>) — the shape
+    downstream vector ops (cosine_topk over the projected space, ANN
+    pre-filtering) consume directly. Same zero-exchange literal-matrix
+    plan; the driver-gate query uses the exploded scalar form."""
     signs = jl_signs(out_dims, in_dims, salt)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dots = [
@@ -172,7 +193,5 @@ def jl_project(
     wide = df.select(F.col(id_col).alias("vec_id"), *dots)
     return wide.select(
         "vec_id",
-        F.posexplode(
-            F.array(*[F.round(F.col(f"p{j}"), 6) for j in range(out_dims)])
-        ).alias("out_dim", "value"),
-    ).select("vec_id", F.col("out_dim").cast("long").alias("out_dim"), "value")
+        F.array(*[F.col(f"p{j}") for j in range(out_dims)]).alias("proj"),
+    )

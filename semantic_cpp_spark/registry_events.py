@@ -612,3 +612,45 @@ def evt_markov_transitions(spark, sf_dir):
     co-keyed on cur. Exact integer counts, one division at the end."""
     ev = _events(spark, sf_dir)
     return eventflow.markov_transitions(ev)
+
+
+@register(
+    "evt_sliding_uniques",
+    """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) // 3600000000 AS hr
+                  FROM events),
+    w AS (SELECT user_id, hr, unnest(range(hr - 5, hr + 1)) AS win_start
+          FROM e),
+    g AS (SELECT win_start, count(DISTINCT user_id) AS n_users
+          FROM w GROUP BY win_start),
+    bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e)
+    SELECT win_start::BIGINT AS win_start, n_users::BIGINT AS n_users
+    FROM g, bounds WHERE win_start BETWEEN lo AND hi - 5""",
+)
+def evt_sliding_uniques(spark, sf_dir):
+    """Sliding-window distinct users (6-hour window, 1-hour step):
+    replicate-explode each event into the ≤6 windows containing its
+    hour, then ONE count_distinct groupBy per window — the
+    sliding-distinct shape that needs no window function and no
+    state (the win_slide replicate pattern applied to a distinct
+    aggregate). Edge windows that extend past the stream bounds are
+    trimmed (only fully-covered windows emit — the batch analogue of a
+    closed streaming window). Replication factor is the window/step
+    ratio, bounded by construction."""
+    ev = _events(spark, sf_dir)
+    hr = F.expr("tus div 3600000000")
+    w = ev.select(
+        "user_id",
+        hr.alias("hr"),
+        F.explode(F.sequence(hr - 5, hr)).alias("win_start"),
+    )
+    g = w.groupBy("win_start").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+    bounds = ev.agg(
+        F.min(hr).alias("lo"), (F.max(hr) - 5).alias("hi")
+    )
+    return (
+        g.crossJoin(F.broadcast(bounds))
+        .filter((F.col("win_start") >= F.col("lo")) & (F.col("win_start") <= F.col("hi")))
+        .select(F.col("win_start").cast("long").alias("win_start"), "n_users")
+    )

@@ -84,6 +84,7 @@ R6_WINDOW_OVERFLOW = [
     "rel_scd2_customer_history",
     "samp_negative_pairs",
     "sim_lsh_recall_at_5",
+    "evt_sliding_uniques",
 ]
 
 
