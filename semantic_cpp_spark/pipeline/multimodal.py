@@ -1289,3 +1289,40 @@ def extract_text_blob_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, schema=TEXT_BLOB_SCHEMA)
+
+
+HIST_SCHEMA = "doc_id long, bin long, n_px long"
+
+
+def image_histograms(df: DataFrame, n_bins: int = 4) -> DataFrame:
+    """Per-image luma histogram through the REAL decode path: decode →
+    integer luma (r+g+b)//3 per pixel → ``n_bins`` equal-width bins →
+    counts. The image-analytics aggregate (exposure/contrast profiling,
+    near-black/near-white fraction filters) as a 1→n_bins mapInPandas
+    fan-out — Arrow-batched, narrow, partition-preserving; all integer
+    arithmetic, so the oracle replays it exactly from the closed-form
+    fixture raster. Payloads that fail to decode contribute NO rows
+    (quarantine-by-absence; the feature kernel's `decoded` flag is the
+    per-doc signal)."""
+    if 256 % n_bins != 0:
+        raise ValueError("n_bins must divide 256")
+    width = 256 // n_bins
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                try:
+                    _, _, _, px = decode_image(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                counts = [0] * n_bins
+                for i in range(0, len(px), 3):
+                    luma = (px[i] + px[i + 1] + px[i + 2]) // 3
+                    counts[luma // width] += 1
+                for b, c in enumerate(counts):
+                    if c:
+                        out.append((int(doc_id), b, c))
+            yield pd.DataFrame(out, columns=["doc_id", "bin", "n_px"])
+
+    return df.mapInPandas(kernel, schema=HIST_SCHEMA)

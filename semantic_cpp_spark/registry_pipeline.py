@@ -2433,3 +2433,31 @@ def sim_lsh_recall_at_5(spark, sf_dir):
     return hits.select(
         "q_id", "n_hits", F.round(F.col("n_hits") / F.lit(5.0), 6).alias("recall_at_5")
     )
+
+
+@register(
+    "mm_image_histogram",
+    """WITH sz AS (SELECT doc_id,
+                          (8 + doc_id % 9)::INT AS w,
+                          (8 + (doc_id // 9) % 9)::INT AS h
+                   FROM documents),
+    px AS (SELECT doc_id, r.range AS p
+           FROM sz CROSS JOIN range(0, 256) r
+           WHERE r.range < w * h),
+    l AS (SELECT doc_id,
+                 (((doc_id * 31 + 3 * p) % 256)
+                  + ((doc_id * 31 + 3 * p + 1) % 256)
+                  + ((doc_id * 31 + 3 * p + 2) % 256)) // 3 AS luma
+          FROM px)
+    SELECT doc_id, (luma // 64)::BIGINT AS bin, count(*)::BIGINT AS n_px
+    FROM l GROUP BY doc_id, luma // 64""",
+)
+def mm_image_histogram(spark, sf_dir):
+    """Per-image 4-bin luma histogram through the REAL PPM decode
+    (multimodal.image_histograms): integer (r+g+b)//3 luma, equal-width
+    bins — the exposure-profile aggregate, with the oracle replaying
+    the closed-form raster pixel-for-pixel. 1→bins Arrow fan-out, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_ppm_payload(docs)
+    return multimodal.image_histograms(payload, n_bins=4)

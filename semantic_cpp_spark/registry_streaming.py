@@ -270,3 +270,24 @@ def stream_last_touch(spark, sf_dir):
     attribution SQL."""
     ev = ops.read_events_stream(spark, sf_dir)
     return ops.run_to_memory(ops.last_touch_per_user(ev), "append")
+
+
+@register(
+    "stream_sliding_uniques",
+    """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) // 3600000000 AS hr
+                  FROM events),
+    w AS (SELECT user_id, unnest(range(hr - 5, hr + 1)) AS win_start FROM e)
+    SELECT win_start::BIGINT AS win_start,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM w GROUP BY win_start""",
+)
+def stream_sliding_uniques(spark, sf_dir):
+    """Streaming sliding distinct users (streaming.ops.
+    sliding_unique_users): replicate-explode + streaming dropDuplicates
+    + running count in complete mode — dedup-then-count standing in for
+    the unsupported streaming count(DISTINCT). Oracle = the batch
+    sliding-distinct SQL over all windows (the batch evt_sliding_uniques
+    additionally trims partial edge windows; the stream emits them all,
+    so its oracle doesn't trim)."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(ops.sliding_unique_users(ev), "complete")

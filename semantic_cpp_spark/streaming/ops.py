@@ -601,3 +601,32 @@ def last_touch_per_user(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sliding_unique_users(
+    events: DataFrame, window_hours: int = 6, step_hours: int = 1
+) -> DataFrame:
+    """Streaming sliding-window distinct users — the replicate-explode
+    distinct shape (batch: evt_sliding_uniques) lifted to a stream:
+    each event explodes into the ≤window/step hour-windows containing
+    it, streaming dropDuplicates removes (user, window) repeats, and a
+    running count per window aggregates in complete mode. Streaming
+    count(DISTINCT) is unsupported by design — dedup-then-count is the
+    standard equivalent. State = one row per distinct (user, window);
+    production bounds it with a watermark + dropDuplicatesWithinWatermark
+    (the bounded fixture stream pins exact parity instead)."""
+    from semantic_cpp_spark.session import ts_micros
+
+    hr = F.expr(f"tus div {3_600_000_000}")
+    ev = events.select("user_id", ts_micros(events).alias("tus")).select(
+        "user_id",
+        F.explode(
+            F.sequence(hr - (window_hours // step_hours - 1), hr)
+        ).alias("win_start"),
+    )
+    return (
+        ev.dropDuplicates(["user_id", "win_start"])
+        .groupBy("win_start")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.col("win_start").cast("long").alias("win_start"), "n_users")
+    )

@@ -1110,3 +1110,27 @@ def test_pgm_render_decode_roundtrip():
         assert (w, h) == (8 + doc_id % 9, 8 + (doc_id // 9) % 9)
         expect = [(doc_id * 37 + i * 7) % 256 for i in range(w * h)]
         assert list(px[::3]) == expect and px[1::3] == px[::3]
+
+
+def test_image_histograms_hand_computed(spark):
+    """2x1 P6 image with pixels (0,0,0) and (255,255,255): luma 0 -> bin
+    0 and luma 255 -> bin 3; an undecodable payload contributes NO rows."""
+    from semantic_cpp_spark.pipeline.multimodal import image_histograms
+
+    ppm = b"P6\n2 1\n255\n" + bytes([0, 0, 0, 255, 255, 255])
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(b"\xff\xd8JPEGish"))],
+        "doc_id long, payload binary",
+    )
+    rows = {(r.doc_id, r.bin): r.n_px for r in image_histograms(df, 4).collect()}
+    assert rows == {(1, 0): 1, (1, 3): 1}
+
+
+def test_image_histograms_rejects_bad_bins(spark):
+    import pytest as _pytest
+
+    from semantic_cpp_spark.pipeline.multimodal import image_histograms
+
+    df = spark.createDataFrame([(1, bytearray(b"P6"))], "doc_id long, payload binary")
+    with _pytest.raises(ValueError):
+        image_histograms(df, n_bins=7)

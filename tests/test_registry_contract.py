@@ -85,6 +85,8 @@ R6_WINDOW_OVERFLOW = [
     "samp_negative_pairs",
     "sim_lsh_recall_at_5",
     "evt_sliding_uniques",
+    "stream_sliding_uniques",
+    "mm_image_histogram",
 ]
 
 
