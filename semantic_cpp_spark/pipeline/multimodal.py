@@ -1309,6 +1309,8 @@ def image_histograms(df: DataFrame, n_bins: int = 4) -> DataFrame:
     width = 256 // n_bins
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for batch in batches:
             out = []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
@@ -1316,13 +1318,15 @@ def image_histograms(df: DataFrame, n_bins: int = 4) -> DataFrame:
                     _, _, _, px = decode_image(bytes(payload))
                 except (ValueError, NotImplementedError):
                     continue
-                counts = [0] * n_bins
-                for i in range(0, len(px), 3):
-                    luma = (px[i] + px[i + 1] + px[i + 2]) // 3
-                    counts[luma // width] += 1
-                for b, c in enumerate(counts):
-                    if c:
-                        out.append((int(doc_id), b, c))
+                # vectorized: a megapixel raster must not walk a Python
+                # loop. int16 sum keeps (r+g+b) <= 765 exact; // stays
+                # integer, matching the closed-form oracle bit-for-bit.
+                a = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
+                luma = a.astype(np.int16).sum(axis=1) // 3
+                counts = np.bincount(luma // width, minlength=n_bins)
+                for b in range(n_bins):
+                    if counts[b]:
+                        out.append((int(doc_id), b, int(counts[b])))
             yield pd.DataFrame(out, columns=["doc_id", "bin", "n_px"])
 
     return df.mapInPandas(kernel, schema=HIST_SCHEMA)
