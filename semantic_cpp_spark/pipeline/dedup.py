@@ -748,6 +748,61 @@ def dedup_keep_list(
     )
 
 
+def _prefix_filter_candidates(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    k: int,
+    tau_num: int,
+    tau_den: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate-generation stage of prefix_filter_jaccard_pairs, exposed
+    so tests can COUNT the candidate set — the quantity the prefix-filter
+    guarantee is about (hot boilerplate shingles sort last in the
+    canonical order and fall outside every prefix, so candidates stay
+    near-linear where the naive any-shared-shingle join goes quadratic).
+    Returns (per-doc sorted hash sets, distinct candidate pairs)."""
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(f"need 0 < tau_num <= tau_den, got {tau_num}/{tau_den}")
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+    ex = (
+        df.repartition(n_part)
+        .select(id_col.alias("doc_id"), F.explode(shingles(text, k)).alias("sh"))
+        .select("doc_id", h.alias("sh"))
+    )
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    grouped = (
+        ex.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("sh")))
+            ).alias("__ord")
+        )
+        .select(
+            "doc_id",
+            F.transform("__ord", lambda s: s["sh"]).alias("shs"),
+        )
+    )
+    n = F.size("shs")
+    # ceil(tau*n) in exact integer math: (tau_num*n + tau_den - 1) // tau_den
+    ceil_tau_n = F.floor(
+        (F.lit(tau_num) * n + F.lit(tau_den - 1)) / F.lit(tau_den)
+    ).cast("int")
+    prefix_len = n - ceil_tau_n + F.lit(1)
+    pref = grouped.select(
+        "doc_id", F.explode(F.slice("shs", F.lit(1), prefix_len)).alias("sh")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return grouped, cand
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text: Column,
@@ -794,43 +849,8 @@ def prefix_filter_jaccard_pairs(
 
     Returns (d1, d2, jaccard) with d1 < d2.
     """
-    if not (0 < tau_num <= tau_den):
-        raise ValueError(f"need 0 < tau_num <= tau_den, got {tau_num}/{tau_den}")
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
-    ex = (
-        df.repartition(n_part)
-        .select(id_col.alias("doc_id"), F.explode(shingles(text, k)).alias("sh"))
-        .select("doc_id", h.alias("sh"))
-    )
-    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    grouped = (
-        ex.join(dfreq, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("__df"), F.col("sh")))
-            ).alias("__ord")
-        )
-        .select(
-            "doc_id",
-            F.transform("__ord", lambda s: s["sh"]).alias("shs"),
-        )
-    )
-    n = F.size("shs")
-    # ceil(tau*n) in exact integer math: (tau_num*n + tau_den - 1) // tau_den
-    ceil_tau_n = F.floor(
-        (F.lit(tau_num) * n + F.lit(tau_den - 1)) / F.lit(tau_den)
-    ).cast("int")
-    prefix_len = n - ceil_tau_n + F.lit(1)
-    pref = grouped.select(
-        "doc_id", F.explode(F.slice("shs", F.lit(1), prefix_len)).alias("sh")
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
+    grouped, cand = _prefix_filter_candidates(
+        df, text, id_col, k, tau_num, tau_den
     )
     s1 = grouped.select(F.col("doc_id").alias("d1"), F.col("shs").alias("__s1"))
     s2 = grouped.select(F.col("doc_id").alias("d2"), F.col("shs").alias("__s2"))

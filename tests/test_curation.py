@@ -1103,3 +1103,31 @@ def test_negative_samples_margin_exhaustion(spark):
     assert len(rows) <= 1
     if rows:
         assert rows[0].item == 1 and rows[0].rank == 1
+
+
+def test_prefix_filter_hot_shingle_candidates_stay_linear(spark):
+    """The prefix-filter scale guarantee, asserted on the CANDIDATE
+    count: 120 docs all sharing one hot 14-token boilerplate prefix plus
+    unique tails. The naive any-shared-shingle join meets every pair
+    through the boilerplate (120·119/2 = 7140 candidates); the canonical
+    df-asc order pushes those hot shingles out of every prefix, so
+    prefix candidates collapse to ~0 — near-linear, with zero loss (the
+    exact result has no pairs: the unique tails push Jaccard below τ)."""
+    from semantic_cpp_spark.pipeline import dedup
+
+    boiler = " ".join(f"b{i}" for i in range(14))
+    docs = [(i, boiler + f" u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(120)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    _, cand = dedup._prefix_filter_candidates(
+        df, F.col("text"), F.col("doc_id"), k=3, tau_num=4, tau_den=5
+    )
+    n_cand = cand.count()
+    naive_pairs = 120 * 119 // 2
+    assert n_cand < naive_pairs / 50, (n_cand, naive_pairs)
+    # and the guarantee is not vacuous: losslessness on the same corpus
+    assert dedup.prefix_filter_jaccard_pairs(
+        df, F.col("text"), F.col("doc_id"), k=3, tau_num=4, tau_den=5
+    ).count() == dedup.ngram_jaccard_pairs(
+        df, F.col("text"), F.col("doc_id"), k=3, threshold=0.8,
+        max_shingle_df=None,
+    ).count()
