@@ -640,3 +640,43 @@ def markov_transitions(
             F.round(F.col("n_pair") / F.col("n_from"), 6).alias("p"),
         )
     )
+
+
+def top_session_paths(
+    df: DataFrame,
+    k: int = 20,
+    path_len: int = 3,
+    user: str = "user_id",
+    tus: str = "tus",
+    type_col: str = "event_type",
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Top-k most common event-type PATHS of length ``path_len`` within
+    sessions — the product-analytics "what do users actually do"
+    sequence mining (session-bounded so cross-session gaps never form a
+    path). Currently path_len must be 3 (two leads; longer paths would
+    chain more leads in the same window).
+
+    Plan: sessionize (one user-keyed window), then two lead()s INSIDE
+    (user, session_idx) — sharing the session window's exchange — then a
+    map-side-combinable path groupBy and a TakeOrdered on (count desc,
+    path). Returns (path, n) with path as 'a>b>c'."""
+    if path_len != 3:
+        raise ValueError("path_len is pinned to 3 (two chained leads)")
+    s = sessionize(df, user=user, tus=tus, gap_us=gap_us)
+    w = Window.partitionBy(user, "session_idx").orderBy(F.col(tus), F.col("event_id"))
+    n1 = F.lead(type_col, 1).over(w)
+    n2 = F.lead(type_col, 2).over(w)
+    # window exprs must be staged as columns before the filter (a window
+    # function can't appear in WHERE — same staging rule as sessionize)
+    paths = (
+        s.withColumn("__n1", n1)
+        .withColumn("__n2", n2)
+        .filter(F.col("__n2").isNotNull())
+        .select(
+            F.concat_ws(">", F.col(type_col), "__n1", "__n2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return paths.orderBy(F.desc("n"), "path").limit(k)

@@ -654,3 +654,39 @@ def evt_sliding_uniques(spark, sf_dir):
         .filter((F.col("win_start") >= F.col("lo")) & (F.col("win_start") <= F.col("hi")))
         .select(F.col("win_start").cast("long").alias("win_start"), "n_users")
     )
+
+
+@register(
+    "evt_top_paths",
+    f"""WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_ns(ts) // 1000 AS tus
+                   FROM events),
+    f AS (SELECT *,
+                 CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                                                ORDER BY tus, event_id) IS NULL
+                        OR tus - lag(tus) OVER (PARTITION BY user_id
+                                                ORDER BY tus, event_id) > {_GAP_US}
+                      THEN 1 ELSE 0 END AS ns
+          FROM e),
+    sx AS (SELECT *,
+                  (sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
+           FROM f),
+    p AS (SELECT event_type || '>' ||
+                 lead(event_type, 1) OVER (PARTITION BY user_id, session_idx
+                                           ORDER BY tus, event_id) || '>' ||
+                 lead(event_type, 2) OVER (PARTITION BY user_id, session_idx
+                                           ORDER BY tus, event_id) AS path,
+                 lead(event_type, 2) OVER (PARTITION BY user_id, session_idx
+                                           ORDER BY tus, event_id) AS nx2
+          FROM sx),
+    g AS (SELECT path, count(*) AS n FROM p WHERE nx2 IS NOT NULL GROUP BY path)
+    SELECT path, n::BIGINT AS n FROM g ORDER BY n DESC, path LIMIT 20""",
+)
+def evt_top_paths(spark, sf_dir):
+    """Top-20 in-session 3-step event paths
+    (eventflow.top_session_paths): sessionize + two leads inside
+    (user, session) sharing the window exchange, then a combinable path
+    groupBy and TakeOrdered with path tie-breaks."""
+    ev = _events(spark, sf_dir)
+    return eventflow.top_session_paths(ev, k=20, gap_us=_GAP_US)

@@ -549,3 +549,22 @@ def test_markov_transitions_hand_computed(spark):
     assert set(out) == {("a", "b"), ("b", "a")}
     assert (out[("a", "b")].n_pair, out[("a", "b")].p) == (2, 1.0)
     assert (out[("b", "a")].n_pair, out[("b", "a")].p) == (1, 1.0)
+
+
+def test_top_session_paths_respects_session_boundary(spark):
+    """a>b>c appears only when all three fall in ONE session: a 31-min
+    gap splits the triple and no path forms across it."""
+    gap = 30 * 60 * M
+    rows = [
+        (0, 1, 0, "a", 0.0), (1, 1, M, "b", 0.0), (2, 1, 2 * M, "c", 0.0),
+        (3, 2, 0, "a", 0.0), (4, 2, M, "b", 0.0),
+        (5, 2, M + gap + M, "c", 0.0),       # next session -> no a>b>c
+    ]
+    out = {r.path: r.n for r in eventflow.top_session_paths(
+        _events(spark, rows), k=10, gap_us=gap).collect()}
+    assert out == {"a>b>c": 1}
+
+
+def test_top_session_paths_rejects_other_lengths(spark):
+    with pytest.raises(ValueError):
+        eventflow.top_session_paths(_events(spark, [(0, 1, 0, "a", 0.0)]), path_len=4)

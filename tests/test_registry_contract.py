@@ -87,6 +87,7 @@ R6_WINDOW_OVERFLOW = [
     "evt_sliding_uniques",
     "stream_sliding_uniques",
     "mm_image_histogram",
+    "evt_top_paths",
 ]
 
 
