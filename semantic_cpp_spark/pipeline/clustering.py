@@ -190,3 +190,76 @@ def kmeans_fit(
                 new_cents[r["c_id"]] = [r[f"s{d}"] / r["n"] for d in range(dims)]
         cents = new_cents
     return cents, assigned
+
+
+def cluster_cohesion(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster MEAN PAIRWISE COSINE — the cluster-quality diagnostic
+    (a near-dup cluster scores ~1, a garbage cluster ~0) — in O(n)
+    instead of the naive O(n²) pair enumeration, via the sum identity
+    over unit-normalized vectors:
+
+        Σ_{i≠j} cos(x_i, x_j) = ‖Σ_i u_i‖² − n      (u_i = x_i/‖x_i‖)
+
+    so mean_pair_cos = (‖s‖² − n) / (n(n−1)) with s = Σu — one
+    aggregate per cluster, no pair join at ANY scale.
+
+    Cross-engine exactness: each unit vector's components are rounded
+    to int64 MICRO-units before the group sum (the emb_dim_stats
+    dodge), so the only order-sensitive float sum becomes an exact
+    integer sum; ‖s‖² then folds 64 exact terms left-to-right.
+    Zero-norm vectors are excluded (undefined direction). Singleton
+    clusters report NULL (no pairs).
+
+    Returns (c_id, n_members, mean_pair_cos)."""
+    from semantic_cpp_spark.functions.vectors import norm
+
+    assigned = kmeans_assign(df, k, id_col, vec_col)
+    nrm = norm(F.col("v"))
+    # the division is null-safe via nullif even though zero-norm rows are
+    # filtered: under ANSI mode the projected expression can be evaluated
+    # in a stage where the filter hasn't pruned the row yet, and x/0
+    # would throw instead of never materializing
+    safe_nrm = F.nullif(nrm, F.lit(0.0))
+    unit = assigned.filter(nrm > 0).select(
+        "c_id",
+        F.transform(
+            "v", lambda x: F.round(x / safe_nrm * 1e6, 0).cast("long")
+        ).alias("u"),
+    )
+    ex = unit.select("c_id", F.posexplode("u").alias("dim", "w"))
+    sums = ex.groupBy("c_id", "dim").agg(F.sum("w").alias("s"))
+    per_cluster = sums.groupBy("c_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))),
+            F.lit(0.0),
+            lambda acc, r: acc
+            + (r["s"].cast("double") / 1e6) * (r["s"].cast("double") / 1e6),
+        ).alias("s2")
+    )
+    # diagonal Σ_i‖u_i‖² as an EXACT integer (not the nominal n): the
+    # micro-rounding makes each ‖u_i‖² ≈ 1 ± 1e-5, and subtracting the
+    # true diagonal instead of n removes that bias entirely
+    diag = ex.groupBy("c_id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("__d"),
+        (F.count(F.lit(1)) / 64).cast("long").alias("n"),
+    )
+    n = F.col("n").cast("double")
+    return (
+        per_cluster.join(diag, "c_id")
+        .select(
+            "c_id",
+            F.col("n").alias("n_members"),
+            # denominator guarded via nullif, not when(): ANSI mode
+            # evaluates both branches, so n=1 would still divide by zero
+            F.round(
+                (F.col("s2") - F.col("__d").cast("double") / F.lit(1e12))
+                / F.nullif(n * (n - 1), F.lit(0.0)),
+                6,
+            ).alias("mean_pair_cos"),
+        )
+    )

@@ -2461,3 +2461,47 @@ def mm_image_histogram(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payload = multimodal.attach_ppm_payload(docs)
     return multimodal.image_histograms(payload, n_bins=4)
+
+
+@register(
+    "emb_cluster_cohesion",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {clustering.KMEANS_K}),
+    scored AS (SELECT e.vec_id, e.v, c.c_id,
+           list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+             + list_dot_product(c.cv, c.cv) AS d2
+       FROM e, c),
+    assigned AS (SELECT vec_id, v, c_id FROM
+       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS r
+        FROM scored) WHERE r = 1),
+    u AS (SELECT c_id,
+                 list_transform(v, x -> CAST(round(
+                     x / sqrt(list_sum(list_transform(v, y -> y * y)))
+                     * 1000000) AS BIGINT)) AS u
+          FROM assigned
+          WHERE list_sum(list_transform(v, y -> y * y)) > 0),
+    exu AS (SELECT c_id, d.dim, u.u[d.dim] AS w
+            FROM u, (SELECT unnest(range(1, 65)) AS dim) d),
+    sums AS (SELECT c_id, dim, sum(w) AS s FROM exu GROUP BY c_id, dim),
+    s2 AS (SELECT c_id,
+                  list_sum(list_transform(list(s ORDER BY dim),
+                        x -> (x / 1000000.0) * (x / 1000000.0))) AS s2
+           FROM sums GROUP BY c_id),
+    dg AS (SELECT c_id, sum(w * w) AS d, (count(*) // 64)::BIGINT AS n
+           FROM exu GROUP BY c_id)
+    SELECT s2.c_id, dg.n AS n_members,
+           CASE WHEN dg.n > 1
+                THEN round((s2.s2 - dg.d::DOUBLE / 1e12)
+                           / (dg.n * (dg.n - 1.0)), 6) END AS mean_pair_cos
+    FROM s2 JOIN dg USING (c_id)""",
+)
+def emb_cluster_cohesion(spark, sf_dir):
+    """Per-cluster mean pairwise cosine in O(n)
+    (clustering.cluster_cohesion): Σ_{i≠j}cos = ‖Σu‖² − Σ‖u‖² over
+    unit vectors — one aggregate per cluster, NO pair join at any
+    scale (the naive form is O(n²) per cluster). Unit components round
+    to int64 micro-units before the group sum (order-exact); the
+    diagonal is the EXACT integer Σ‖u‖², not the nominal n, so the
+    rounding bias cancels. Singletons report NULL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.cluster_cohesion(emb, clustering.KMEANS_K)

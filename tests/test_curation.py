@@ -1131,3 +1131,41 @@ def test_prefix_filter_hot_shingle_candidates_stay_linear(spark):
         df, F.col("text"), F.col("doc_id"), k=3, threshold=0.8,
         max_shingle_df=None,
     ).count()
+
+
+def test_cluster_cohesion_matches_naive_pairwise(spark):
+    """The O(n) sum identity vs the naive O(n²) pairwise mean on random
+    vectors, plus singleton-NULL and zero-vector exclusion."""
+    import itertools
+
+    import numpy as np
+
+    from semantic_cpp_spark.pipeline import clustering
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(30, 64))
+    # centroid seeds are ids < k: make ids 0..7 well-separated seeds
+    rows = [(i, [float(v) for v in X[i]]) for i in range(30)]
+    rows.append((30, [0.0] * 64))          # zero vector -> excluded
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.c_id: r for r in clustering.cluster_cohesion(df, k=8).collect()}
+    # recompute the naive mean pairwise cosine per cluster from the SAME
+    # assignment the operator used
+    assigned = clustering.kmeans_assign(df, 8).collect()
+    clusters: dict[int, list[np.ndarray]] = {}
+    for r in assigned:
+        v = np.array(r.v)
+        nv = np.linalg.norm(v)
+        if nv > 0:
+            clusters.setdefault(r.c_id, []).append(v / nv)
+    for cid, vs in clusters.items():
+        row = out[cid]
+        assert row.n_members == len(vs)
+        if len(vs) == 1:
+            assert row.mean_pair_cos is None
+            continue
+        naive = np.mean([
+            float(a @ b) for a, b in itertools.combinations(vs, 2)
+        ])
+        # two pairs (i,j)/(j,i) per combination -> same mean
+        assert abs(row.mean_pair_cos - naive) < 1e-4, (cid, row.mean_pair_cos, naive)

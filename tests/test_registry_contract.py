@@ -88,6 +88,7 @@ R6_WINDOW_OVERFLOW = [
     "stream_sliding_uniques",
     "mm_image_histogram",
     "evt_top_paths",
+    "emb_cluster_cohesion",
 ]
 
 
