@@ -690,3 +690,45 @@ def evt_top_paths(spark, sf_dir):
     groupBy and TakeOrdered with path tie-breaks."""
     ev = _events(spark, sf_dir)
     return eventflow.top_session_paths(ev, k=20, gap_us=_GAP_US)
+
+
+@register(
+    "evt_dau_wau_stickiness",
+    """WITH e AS (SELECT DISTINCT user_id,
+                         (epoch_ns(ts) // 1000) // 86400000000 AS d
+                  FROM events),
+    dau AS (SELECT d, count(*) AS dau FROM e GROUP BY d),
+    w AS (SELECT user_id, unnest(range(d, d + 7)) AS d FROM e),
+    wau AS (SELECT d, count(DISTINCT user_id) AS wau FROM w GROUP BY d),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM e)
+    SELECT dau.d::BIGINT AS day, dau.dau::BIGINT AS dau,
+           wau.wau::BIGINT AS wau,
+           round(dau.dau / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d, bounds
+    WHERE dau.d BETWEEN lo + 6 AND hi""",
+)
+def evt_dau_wau_stickiness(spark, sf_dir):
+    """DAU / WAU / stickiness per day — the canonical engagement
+    metric (stickiness = DAU/WAU ∈ [1/7, 1]): WAU via replicate-explode
+    of each active (user, day) into the 7 trailing windows it supports
+    (the sliding-distinct shape, factor bounded at 7), DAU a plain
+    distinct count, both co-keyed on the day. Days before a full
+    trailing week are trimmed against broadcast stream bounds."""
+    ev = _events(spark, sf_dir)
+    d = F.expr("tus div 86400000000")
+    ud = ev.select("user_id", d.alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    w = ud.select("user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("d"))
+    wau = w.groupBy("d").agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    bounds = ud.agg((F.min("d") + 6).alias("lo"), F.max("d").alias("hi"))
+    return (
+        dau.join(wau, "d")
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi")))
+        .select(
+            F.col("d").cast("long").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

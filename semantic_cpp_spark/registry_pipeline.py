@@ -2505,3 +2505,42 @@ def emb_cluster_cohesion(spark, sf_dir):
     rounding bias cancels. Singletons report NULL."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.cluster_cohesion(emb, clustering.KMEANS_K)
+
+
+@register(
+    "emb_ivf_balance",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {similarity.IVF_K}),
+    scored AS (
+      SELECT e.vec_id, c.c_id,
+             {_sql_cos('e.v', 'c.cv')} AS ccos
+      FROM e, c),
+    assigned AS (
+      SELECT vec_id, c_id AS centroid_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC NULLS LAST, c_id) AS r
+            FROM scored)
+      WHERE r = 1),
+    ls AS (SELECT centroid_id, count(*) AS sz FROM assigned GROUP BY centroid_id)
+    SELECT count(*)::BIGINT AS n_lists,
+           min(sz)::BIGINT AS min_sz, max(sz)::BIGINT AS max_sz,
+           round(avg(sz), 6) AS avg_sz,
+           round(max(sz)::DOUBLE / avg(sz), 6) AS imbalance
+    FROM ls""",
+)
+def emb_ivf_balance(spark, sf_dir):
+    """IVF index-health diagnostic: inverted-list size distribution
+    (min/max/avg and the max/avg imbalance factor — a hot list is the
+    IVF equivalent of a skewed shuffle partition: its queries scan
+    imbalance× the average work). One row; the same assignment CTEs as
+    sim_ivf_topk, then two tiny aggregates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = similarity.ivf_assign(emb, 64, n_centroids=similarity.IVF_K)
+    ls = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("sz"))
+    return ls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.min("sz").cast("long").alias("min_sz"),
+        F.max("sz").cast("long").alias("max_sz"),
+        F.round(F.avg("sz"), 6).alias("avg_sz"),
+        F.round(F.max("sz") / F.avg("sz"), 6).alias("imbalance"),
+    )

@@ -89,6 +89,8 @@ R6_WINDOW_OVERFLOW = [
     "mm_image_histogram",
     "evt_top_paths",
     "emb_cluster_cohesion",
+    "evt_dau_wau_stickiness",
+    "emb_ivf_balance",
 ]
 
 
