@@ -891,3 +891,46 @@ def rel_scd2_customer_history(spark, sf_dir):
         F.round(cum / F.lit(100.0), 2).alias("cum_spend"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "rel_brand_return_rate",
+    """SELECT p.p_brand,
+              count(*)::BIGINT AS n_items,
+              round(sum(l.l_quantity), 2) AS total_qty,
+              round(sum(CASE WHEN l.l_returnflag = 'R'
+                             THEN l.l_quantity ELSE 0 END), 2) AS returned_qty,
+              round(sum(CASE WHEN l.l_returnflag = 'R'
+                             THEN l.l_quantity ELSE 0 END)
+                    / sum(l.l_quantity), 6) AS return_rate,
+              round(sum(CASE WHEN l.l_returnflag = 'R'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0 END), 2) AS revenue_at_risk
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       GROUP BY p.p_brand""",
+)
+def rel_brand_return_rate(spark, sf_dir):
+    """Per-brand return analysis: return rate by quantity and the
+    discounted revenue sitting in returned items — the merchandising
+    follow-up to Q10's customer view. One fact⋈dim join (part un-hinted,
+    repo convention: it scales with SF, AQE decides) + a brand groupBy;
+    2dp-exact fixture sums, ratio rounded once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ret = F.col("l_returnflag") == "R"
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.sum(F.when(ret, F.col("l_quantity")).otherwise(0)), 2).alias("returned_qty"),
+            F.round(
+                F.sum(F.when(ret, F.col("l_quantity")).otherwise(0))
+                / F.sum("l_quantity"),
+                6,
+            ).alias("return_rate"),
+            F.round(F.sum(F.when(ret, rev).otherwise(0)), 2).alias("revenue_at_risk"),
+        )
+    )

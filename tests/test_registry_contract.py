@@ -91,6 +91,7 @@ R6_WINDOW_OVERFLOW = [
     "emb_cluster_cohesion",
     "evt_dau_wau_stickiness",
     "emb_ivf_balance",
+    "rel_brand_return_rate",
 ]
 
 
