@@ -243,3 +243,66 @@ def test_scd2_versions_chain(spark, orders):
         for a, b in zip(vs, vs[1:]):
             assert a.valid_to == b.valid_from
             assert a.cum_spend <= b.cum_spend
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.binary(min_size=81, max_size=81),
+    st.sampled_from(["P5", "P4"]),
+)
+def test_pnm_gray_decode_random_payloads(w, h, raw, magic):
+    """Randomized P5/P4 round-trip against a direct Python rendering:
+    the decoder must reproduce exactly the bytes/bits we packed."""
+    from semantic_cpp_spark.pipeline.multimodal import decode_image
+
+    if magic == "P5":
+        gray = list(raw[: w * h])
+        payload = f"P5\n{w} {h}\n255\n".encode() + bytes(gray)
+        got = decode_image(payload)
+        assert got[:3] == (w, h, 255)
+        assert list(got[3][::3]) == gray
+        assert got[3][1::3] == got[3][::3] == got[3][2::3]
+    else:
+        bits = [raw[r * w + c] & 1 for r in range(h) for c in range(w)]
+        row_bytes = (w + 7) // 8
+        packed = bytearray(row_bytes * h)
+        for r in range(h):
+            for c in range(w):
+                if bits[r * w + c]:
+                    packed[r * row_bytes + c // 8] |= 1 << (7 - c % 8)
+        payload = f"P4\n{w} {h}\n".encode() + bytes(packed)
+        got = decode_image(payload)
+        assert got[:3] == (w, h, 255)
+        assert [0 if b else 255 for b in bits] == list(got[3][::3])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(1, 4), st.integers(0, 40),
+              st.integers(0, 50000)),  # (user, day, value_cents)
+    min_size=1, max_size=40))
+def test_decayed_activity_matches_python_reference(spark, evs):
+    """The power-of-two decay sum must equal a direct Python float
+    computation EXACTLY (that is the point of the integer-shift design):
+    score = Σ cents·2^(30−Δ) / (100·2^30), Δ from the corpus max day."""
+    rows = [
+        (i, u, d * 86_400_000_000, "a", c / 100.0)
+        for i, (u, d, c) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, tus long, event_type string, value double"
+    )
+    from semantic_cpp_spark.operators import eventflow
+
+    out = {r.user_id: r for r in eventflow.decayed_activity(df).collect()}
+    T = max(d for _, d, _ in evs)
+    expect: dict[int, list] = {}
+    for u, d, c in evs:
+        if T - d <= 30:
+            expect.setdefault(u, []).append(c * (1 << (30 - (T - d))))
+    for u, terms in expect.items():
+        score = round(sum(terms) / (100 * (1 << 30)), 6)
+        assert out[u].n_recent == len(terms)
+        assert out[u].score == score, (u, out[u].score, score)
