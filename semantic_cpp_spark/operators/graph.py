@@ -87,28 +87,13 @@ def pagerank(
             pass
 
 
-def triangle_count(edges: DataFrame, src: str = "d1", dst: str = "d2") -> DataFrame:
-    """Exact per-node triangle counts over an undirected edge list — the
-    cluster-density diagnostic for near-dup pair graphs (a clique-ish
-    component is one duplicated document family; a triangle-free star is
-    one hub shingle wiring unrelated docs together).
-
-    Algorithm: node-iterator++ with DEGREE orientation (Schank &
-    Wagner '05; the MapReduce form is Suri & Vassilvitskii WWW'11):
-    canonicalize u<v, compute degrees, orient every edge from its
-    lower-(degree, id) endpoint to the higher one, build wedges by
-    self-joining oriented edges on the apex, and close each wedge
-    against the canonical edge set. Every triangle is counted exactly
-    once (at its unique degree-order-minimum vertex).
-
-    Why the orientation matters at 100 TB: the wedge join's fan-out per
-    apex is its OUT-degree, which degree orientation bounds by O(√m) —
-    a 10⁶-degree hub node in an id-oriented join would explode into
-    10¹² wedges; degree-oriented it contributes none (all its edges
-    point INTO it from the low-degree side). All steps are plain
-    equi-joins/groupBys — no windows, no iteration.
-
-    Returns (node, n_tri) for every node in at least one triangle."""
+def _oriented_wedges(edges: DataFrame, src: str = "d1", dst: str = "d2"):
+    """Canonicalization + degree orientation + wedge build of
+    triangle_count, exposed so tests can COUNT the wedge set — the
+    quantity the degree-orientation guarantee is about (a hub node with
+    degree n would generate ~n²/2 wedges id-oriented; degree-oriented
+    all its edges point INTO it and it generates none). Returns
+    (canonical edges, wedges)."""
     u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     e = (
         edges.select(u.alias("u"), v.alias("v"))
@@ -140,6 +125,32 @@ def triangle_count(edges: DataFrame, src: str = "d1", dst: str = "d2") -> DataFr
         F.col("o1.b").alias("x"),
         F.col("o2.b").alias("y"),
     )
+    return e, wedges
+
+
+def triangle_count(edges: DataFrame, src: str = "d1", dst: str = "d2") -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge list — the
+    cluster-density diagnostic for near-dup pair graphs (a clique-ish
+    component is one duplicated document family; a triangle-free star is
+    one hub shingle wiring unrelated docs together).
+
+    Algorithm: node-iterator++ with DEGREE orientation (Schank &
+    Wagner '05; the MapReduce form is Suri & Vassilvitskii WWW'11):
+    canonicalize u<v, compute degrees, orient every edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges by
+    self-joining oriented edges on the apex, and close each wedge
+    against the canonical edge set. Every triangle is counted exactly
+    once (at its unique degree-order-minimum vertex).
+
+    Why the orientation matters at 100 TB: the wedge join's fan-out per
+    apex is its OUT-degree, which degree orientation bounds by O(√m) —
+    a 10⁶-degree hub node in an id-oriented join would explode into
+    10¹² wedges; degree-oriented it contributes none (all its edges
+    point INTO it from the low-degree side). All steps are plain
+    equi-joins/groupBys — no windows, no iteration.
+
+    Returns (node, n_tri) for every node in at least one triangle."""
+    e, wedges = _oriented_wedges(edges, src, dst)
     tris = wedges.join(
         e, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v"))
     ).select("a", "x", "y")

@@ -173,3 +173,23 @@ def test_triangle_count_matches_naive_on_random_graph(spark):
     out = {r.node: r.n_tri for r in triangle_count(
         spark.createDataFrame(edges, "d1 long, d2 long")).collect()}
     assert out == expect and sum(expect.values()) > 0
+
+
+def test_triangle_wedges_degree_orientation_kills_hubs(spark):
+    """The scale claim, ASSERTED on the wedge count: a 400-leaf star
+    would generate C(399,2) = 79,401 wedges id-oriented (hub id 0 is the
+    smallest); degree orientation points every edge INTO the hub, so the
+    wedge set is EMPTY — and a closing triangle added between two leaves
+    still surfaces through its low-degree apexes."""
+    from semantic_cpp_spark.operators.graph import _oriented_wedges, triangle_count
+
+    star = [(0, i) for i in range(1, 400)]
+    _, wedges = _oriented_wedges(spark.createDataFrame(star, "d1 long, d2 long"))
+    assert wedges.count() == 0
+
+    withtri = star + [(1, 2)]
+    df = spark.createDataFrame(withtri, "d1 long, d2 long")
+    _, w2 = _oriented_wedges(df)
+    assert w2.count() <= 3  # leaves have out-degree <= 2
+    out = {r.node: r.n_tri for r in triangle_count(df).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
