@@ -595,3 +595,43 @@ def negative_samples(
         .filter(F.col("rank") <= k)
         .select(F.col("user"), F.col("item"), "rank")
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    stratum: Column,
+    target: dict[str, float],
+    default_target: float = 0.0,
+) -> DataFrame:
+    """Data-mixture importance reweighting: per stratum (language,
+    source, domain), the per-example weight target_share/actual_share
+    that makes weighted training draw from the TARGET mixture while
+    reading the corpus as-is — the standard alternative to physically
+    resampling (DoReMi-style mixture adjustment consumes exactly this
+    shape). Strata absent from ``target`` get ``default_target``.
+
+    Returns one row per stratum:
+    (stratum, n_docs, actual_share, target_share, weight) — the weight
+    column joins back to examples by stratum (broadcast — the stratum
+    table is tiny by construction).
+
+    Scale shape: ONE groupBy(stratum) + a broadcast 1-row total; shares
+    are exact-int ratios divided once; no per-row state."""
+    tgt = F.lit(float(default_target))
+    for k, v in target.items():
+        tgt = F.when(F.col("stratum") == k, F.lit(float(v))).otherwise(tgt)
+    counts = df.select(stratum.alias("stratum")).groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").cast("long").alias("__n"))
+    actual = F.col("n_docs") / F.col("__n")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "stratum",
+            "n_docs",
+            F.round(actual, 6).alias("actual_share"),
+            F.round(tgt, 6).alias("target_share"),
+            F.round(tgt / actual, 6).alias("weight"),
+        )
+    )

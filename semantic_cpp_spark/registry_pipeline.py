@@ -2544,3 +2544,29 @@ def emb_ivf_balance(spark, sf_dir):
         F.round(F.avg("sz"), 6).alias("avg_sz"),
         F.round(F.max("sz") / F.avg("sz"), 6).alias("imbalance"),
     )
+
+
+_MIX_TARGET = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+_MIX_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in _MIX_TARGET.items()
+) + " ELSE 0.0 END"
+
+
+@register(
+    "samp_importance_weights",
+    f"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (SELECT sum(n_docs) AS n FROM c)
+    SELECT lang AS stratum, n_docs::BIGINT AS n_docs,
+           round(n_docs / n, 6) AS actual_share,
+           round(CAST({_MIX_CASE} AS DOUBLE), 6) AS target_share,
+           round(({_MIX_CASE}) / (n_docs / n), 6) AS weight
+    FROM c, t""",
+)
+def samp_importance_weights(spark, sf_dir):
+    """Data-mixture importance reweighting (curation.importance_weights):
+    per-language weight = target_share/actual_share toward a 40/15×4
+    target mixture — weighted training draws the target distribution
+    while reading the corpus as-is (the DoReMi-consumable shape). One
+    groupBy + a broadcast scalar; shares divided once."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.importance_weights(docs, F.col("lang"), _MIX_TARGET)

@@ -1169,3 +1169,25 @@ def test_cluster_cohesion_matches_naive_pairwise(spark):
         ])
         # two pairs (i,j)/(j,i) per combination -> same mean
         assert abs(row.mean_pair_cos - naive) < 1e-4, (cid, row.mean_pair_cos, naive)
+
+
+def test_importance_weights_hand_computed(spark):
+    """50/50 corpus toward a 80/20 target: weights 1.6 and 0.4; a
+    stratum missing from the target gets default weight 0."""
+    from semantic_cpp_spark.pipeline import curation
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else ("b" if i < 100 else "c")) for i in range(110)],
+        "doc_id long, lang string",
+    )
+    out = {r.stratum: r for r in curation.importance_weights(
+        df, F.col("lang"), {"a": 0.8, "b": 0.2}).collect()}
+    assert out["a"].n_docs == 50 and out["b"].n_docs == 50 and out["c"].n_docs == 10
+    assert abs(out["a"].weight - round(0.8 / (50 / 110), 6)) < 1e-9
+    assert abs(out["b"].weight - round(0.2 / (50 / 110), 6)) < 1e-9
+    assert out["c"].weight == 0.0
+    # the weighted mixture reproduces the target on covered strata:
+    # n_docs * weight proportional to target share
+    wa = out["a"].n_docs * out["a"].weight
+    wb = out["b"].n_docs * out["b"].weight
+    assert abs(wa / wb - 0.8 / 0.2) < 1e-6

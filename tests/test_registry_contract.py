@@ -92,6 +92,7 @@ R6_WINDOW_OVERFLOW = [
     "evt_dau_wau_stickiness",
     "emb_ivf_balance",
     "rel_brand_return_rate",
+    "samp_importance_weights",
 ]
 
 
