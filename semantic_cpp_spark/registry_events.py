@@ -12,6 +12,7 @@ cast ::BIGINT. events.value carries 2dp fixture values, so sums are
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from semantic_cpp_spark.operators import eventflow
@@ -731,4 +732,44 @@ def evt_dau_wau_stickiness(spark, sf_dir):
             "wau",
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
+    )
+
+
+@register(
+    "evt_inter_event_gaps",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                         epoch_ns(ts) // 1000 AS tus
+                  FROM events),
+    g AS (SELECT event_type,
+                 tus - lag(tus) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY tus, event_id) AS gap
+          FROM e)
+    SELECT event_type, count(gap)::BIGINT AS n_gaps,
+           round(quantile_cont(gap, 0.5), 2) AS p50_us,
+           round(quantile_cont(gap, 0.9), 2) AS p90_us,
+           round(sum(gap)::DOUBLE / count(gap), 2) AS avg_us
+    FROM g WHERE gap IS NOT NULL GROUP BY event_type""",
+)
+def evt_inter_event_gaps(spark, sf_dir):
+    """Per-type inter-event gap distribution (burstiness / cadence
+    profile): one lag window per (user, type) — the debounce exchange
+    shape — then grouped exact percentiles (per-GROUP buffers, the
+    rel_grouped_percentiles argument; a skewed group would take the
+    sort-path per group). avg over exact int64 gaps."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("tus", "event_id")
+    g = ev.withColumn("gap", F.col("tus") - F.lag("tus").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    qs = F.percentile(F.col("gap"), F.array(F.lit(0.5), F.lit(0.9)))
+    return g.groupBy("event_type").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        # 2dp rounding: at 1e9-µs magnitudes a double's ulp (~1.2e-7)
+        # sits inside a 6dp rounding boundary; 2dp leaves 5 orders of
+        # margin, and sub-µs precision is meaningless here anyway.
+        # avg as explicit exact-int sum / count (incremental-avg order
+        # effects were the drift source).
+        F.round(qs[0], 2).alias("p50_us"),
+        F.round(qs[1], 2).alias("p90_us"),
+        F.round(F.sum("gap").cast("double") / F.count("gap"), 2).alias("avg_us"),
     )

@@ -93,6 +93,7 @@ R6_WINDOW_OVERFLOW = [
     "emb_ivf_balance",
     "rel_brand_return_rate",
     "samp_importance_weights",
+    "evt_inter_event_gaps",
 ]
 
 
