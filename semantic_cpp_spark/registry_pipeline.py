@@ -10,6 +10,7 @@ explicit 'g' flag to match Spark's replace-all behavior.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from semantic_cpp_spark.pipeline import dedup, multimodal, similarity, text
@@ -2570,3 +2571,49 @@ def samp_importance_weights(spark, sf_dir):
     groupBy + a broadcast scalar; shares divided once."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.importance_weights(docs, F.col("lang"), _MIX_TARGET)
+
+
+@register(
+    "txt_redundancy_curve",
+    r"""WITH tk AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents),
+    fo AS (SELECT w, min(doc_id) AS first_doc FROM tk GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    d AS (SELECT least(9, first_doc * 10 // n_docs) AS decile FROM fo, n),
+    g AS (SELECT decile, count(*) AS new_tokens FROM d GROUP BY decile),
+    c AS (SELECT decile, new_tokens,
+                 sum(new_tokens) OVER (ORDER BY decile
+                                       ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(new_tokens) OVER () AS total
+          FROM g)
+    SELECT decile::BIGINT AS decile, new_tokens::BIGINT AS new_tokens,
+           round(cum / total, 6) AS cum_coverage
+    FROM c""",
+)
+def txt_redundancy_curve(spark, sf_dir):
+    """Corpus diminishing-novelty curve: distinct tokens FIRST seen in
+    each doc-id decile and the cumulative vocabulary coverage — the
+    diagnostic behind "more of the same crawl adds little" decisions
+    (a steep early curve + flat tail = redundant source). First-seen is
+    one min groupBy on the token; the decile rollup is 10 rows, and the
+    cumulative window runs over those 10 (bounded by construction, same
+    argument as zipf_fit's rank window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("w"))
+    fo = tk.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    d = fo.crossJoin(F.broadcast(n)).select(
+        F.least(F.lit(9), F.expr("first_doc * 10 div n_docs")).alias("decile")
+    )
+    g = d.groupBy("decile").agg(F.count(F.lit(1)).alias("new_tokens"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    c = g.withColumn("cum", F.sum("new_tokens").over(w)).withColumn(
+        "total", F.sum("new_tokens").over(tot)
+    )
+    return c.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("new_tokens").cast("long").alias("new_tokens"),
+        F.round(F.col("cum") / F.col("total"), 6).alias("cum_coverage"),
+    )

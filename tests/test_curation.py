@@ -1191,3 +1191,23 @@ def test_importance_weights_hand_computed(spark):
     wa = out["a"].n_docs * out["a"].weight
     wb = out["b"].n_docs * out["b"].weight
     assert abs(wa / wb - 0.8 / 0.2) < 1e-6
+
+
+def test_redundancy_curve_mechanism(spark):
+    """A corpus whose second half introduces a fresh vocabulary shows
+    new tokens in BOTH halves with cumulative coverage reaching 1."""
+    qs = __import__("__spark_entry__").queries()
+    import os
+    import tempfile
+
+    docs = [(i, f"shared a b c u{i}") for i in range(10)]      # deciles 0-4ish
+    docs += [(10 + i, f"fresh x{i} y{i} z{i}") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tmp = tempfile.mkdtemp(prefix="redun_")
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    rows = sorted(qs["txt_redundancy_curve"](spark, tmp).collect(),
+                  key=lambda r: r.decile)
+    assert rows[-1].cum_coverage == 1.0
+    assert len(rows) >= 2 and all(r.new_tokens > 0 for r in rows)
+    # coverage is non-decreasing
+    assert all(a.cum_coverage <= b.cum_coverage for a, b in zip(rows, rows[1:]))

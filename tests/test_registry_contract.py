@@ -94,6 +94,7 @@ R6_WINDOW_OVERFLOW = [
     "rel_brand_return_rate",
     "samp_importance_weights",
     "evt_inter_event_gaps",
+    "txt_redundancy_curve",
 ]
 
 
