@@ -362,3 +362,80 @@ def test_rrf_fusion_reference(lex_ids, vec_ids):
     # ordering by fused score is total after (score, id) tie-break
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     assert len(ranked) == len(scores)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 2), st.integers(0, 60), st.integers(0, 15)),
+                min_size=1, max_size=25))
+def test_merge_intervals_matches_python_sweep(spark, ivs):
+    """merge_intervals vs a direct Python sweep on random per-key
+    interval sets (overlap, touching, containment, duplicates)."""
+    from semantic_cpp_spark.operators import eventflow
+
+    rows = [(k, s, s + d) for k, s, d in ivs]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got: dict[tuple, tuple] = {}
+    for r in eventflow.merge_intervals(df, "k", "s", "e").collect():
+        got[(r.k, r.block_idx)] = (r.b_start, r.b_end, r.n_intervals)
+    expect: dict[tuple, tuple] = {}
+    by_key: dict[int, list] = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, lst in by_key.items():
+        lst.sort()
+        blocks = []
+        for s, e in lst:
+            if blocks and s <= blocks[-1][1]:   # overlapping-or-touching
+                bs, be, n = blocks[-1]
+                blocks[-1] = (bs, max(be, e), n + 1)
+            else:
+                blocks.append((s, e, 1))
+        for i, b in enumerate(blocks):
+            expect[(k, i)] = b
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 4), st.integers(0, 30)),
+                min_size=2, max_size=40))
+def test_max_concurrency_matches_python_sweep(spark, evs):
+    """Per-day peak concurrency vs a brute-force Python scan over every
+    event instant (sessions degenerate to points/short runs on random
+    logs — the sweep still has to agree everywhere)."""
+    from semantic_cpp_spark.operators import eventflow
+
+    M = 1_000_000
+    rows = [(i, u, t * 60 * M, "a", 0.0) for i, (u, t) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, tus long, event_type string, value double"
+    )
+    gap = 10 * 60 * M
+    out = {r.day: r.max_concurrent for r in
+           eventflow.max_concurrency_per_day(df, gap_us=gap).collect()}
+    # Python reference: same sessionization (sorted per user, split on
+    # gap), then per-day point-wise max over candidate instants
+    sess: list[tuple[int, int]] = []
+    by_user: dict[int, list[int]] = {}
+    for _, u, t, _, _ in rows:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        ts.sort()
+        start = prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > gap:
+                sess.append((start, prev))
+                start = t
+            prev = t
+        sess.append((start, prev))
+    DAY = 86_400_000_000
+    days = {d for s, e in sess for d in range(s // DAY, e // DAY + 1)}
+    expect = {}
+    for d in days:
+        instants = sorted({max(s, d * DAY) for s, e in sess} |
+                          {min(e, (d + 1) * DAY - 1) for s, e in sess})
+        best = 0
+        for t in instants:
+            if d * DAY <= t < (d + 1) * DAY:
+                best = max(best, sum(1 for s, e in sess if s <= t <= e))
+        expect[d] = best
+    assert out == expect
