@@ -2617,3 +2617,52 @@ def txt_redundancy_curve(spark, sf_dir):
         F.col("new_tokens").cast("long").alias("new_tokens"),
         F.round(F.col("cum") / F.col("total"), 6).alias("cum_coverage"),
     )
+
+
+@register(
+    "pipe_dedup_funnel",
+    f"""WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    edges AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, l) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v),
+    comp AS (SELECT v AS doc_id, min(l) AS component FROM reach GROUP BY v)
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_total,
+           (SELECT count(*) FROM pairs)::BIGINT AS n_pairs,
+           (SELECT count(*) FROM comp)::BIGINT AS n_dup_docs,
+           (SELECT count(DISTINCT component) FROM comp)::BIGINT AS n_clusters,
+           (SELECT count(*) FROM comp WHERE doc_id <> component)::BIGINT
+             AS n_removed,
+           round(1.0 - (SELECT count(*) FROM comp WHERE doc_id <> component)
+                 / (SELECT count(*) FROM documents), 6) AS keep_rate""",
+)
+def pipe_dedup_funnel(spark, sf_dir):
+    """The end-to-end NEAR-dup funnel as one summary row (the companion
+    of pipe_clean_corpus's exact-dedup funnel): MinHash+LSH pairs →
+    connected components → removal counts — n_total, candidate pairs,
+    docs in any cluster, clusters, docs removed (all but one rep), and
+    the corpus keep rate. Composes three independently-verified
+    operators in one plan; every aggregate is a count over the already-
+    bounded pair/component tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, F.col("text"), F.col("doc_id"))
+    comp = dedup.connected_components(pairs)
+    n_total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    stats = comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_docs"),
+        F.count_distinct("component").cast("long").alias("n_clusters"),
+        F.count(F.when(F.col("doc_id") != F.col("component"), 1))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    return (
+        n_total.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "keep_rate",
+            F.round(F.lit(1.0) - F.col("n_removed") / F.col("n_total"), 6),
+        )
+    )

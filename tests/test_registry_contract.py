@@ -95,6 +95,7 @@ R6_WINDOW_OVERFLOW = [
     "samp_importance_weights",
     "evt_inter_event_gaps",
     "txt_redundancy_curve",
+    "pipe_dedup_funnel",
 ]
 
 
