@@ -439,3 +439,61 @@ def test_max_concurrency_matches_python_sweep(spark, evs):
                 best = max(best, sum(1 for s, e in sess if s <= t <= e))
         expect[d] = best
     assert out == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 4), min_size=10, max_size=30),
+                min_size=1, max_size=12))
+def test_line_dedup_matches_python_reference(spark, docs_tokens):
+    """Keep-first chunk dedup vs a direct Python reference on random
+    small-vocabulary corpora (heavy chunk collisions by construction)."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.pipeline import curation
+
+    docs = [(i, " ".join(f"t{t}" for t in toks))
+            for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_chunks, r.n_kept, r.clean_text)
+           for r in curation.line_dedup(df, F.col("text"), F.col("doc_id"), 10).collect()}
+    # python reference: chunks of 10 tokens, global first-(doc,idx) wins
+    chunks_by_doc = {}
+    for i, toks in enumerate(docs_tokens):
+        words = [f"t{t}" for t in toks]
+        chunks_by_doc[i] = [" ".join(words[j:j + 10])
+                            for j in range(0, len(words), 10)]
+    first: dict[str, tuple] = {}
+    for i in sorted(chunks_by_doc):
+        for j, ch in enumerate(chunks_by_doc[i]):
+            first.setdefault(ch, (i, j))
+    for i, chs in chunks_by_doc.items():
+        kept = [ch for j, ch in enumerate(chs) if first[ch] == (i, j)]
+        assert got[i] == (len(chs), len(kept), " ".join(kept)), i
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 19)),
+                min_size=1, max_size=30, unique=True),
+       st.integers(min_value=1, max_value=4))
+def test_negative_samples_random_contract(spark, pos_pairs, k):
+    """Contract invariants on random positive sets: no sampled pair is
+    positive, items stay in-range, ranks are 1..m per user, and every
+    user with a positive appears."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.pipeline import curation
+
+    pos = spark.createDataFrame(pos_pairs, "user long, item long")
+    n_items = spark.createDataFrame([(20,)], "n_items long")
+    rows = curation.negative_samples(pos, n_items, k=k, margin=4).collect()
+    pos_set = set(pos_pairs)
+    users = {u for u, _ in pos_pairs}
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        assert (r.user, r.item) not in pos_set
+        assert 0 <= r.item < 20
+        by_user.setdefault(r.user, []).append(r.rank)
+    for u, ranks in by_user.items():
+        assert u in users
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= k
