@@ -302,8 +302,16 @@ def test_decayed_activity_matches_python_reference(spark, evs):
     for u, d, c in evs:
         if T - d <= 30:
             expect.setdefault(u, []).append(c * (1 << (30 - (T - d))))
+    from decimal import ROUND_HALF_UP, Decimal
+
     for u, terms in expect.items():
-        score = round(sum(terms) / (100 * (1 << 30)), 6)
+        raw = sum(terms) / (100 * (1 << 30))
+        # Spark/DuckDB round(x, 6) is HALF_UP on the shortest decimal
+        # repr; Python's round() is banker's — emulate the engines
+        # (falsifying case: 9 cents at delta=5 -> exactly 0.0028125)
+        score = float(
+            Decimal(repr(raw)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
         assert out[u].n_recent == len(terms)
         assert out[u].score == score, (u, out[u].score, score)
 
