@@ -1484,7 +1484,7 @@ _SPLIT_TH2 = curation.sample_threshold(0.9)
                        < {_SPLIT_TH2} THEN 'val'
                   ELSE 'test' END AS split
       FROM documents)
-    SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    SELECT split, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
     FROM assign GROUP BY split, lang""",
 )
 def samp_train_val_split(spark, sf_dir):
@@ -2170,6 +2170,69 @@ def graph_triangle_counts(spark, sf_dir):
         docs, F.col("text"), F.col("doc_id"), k=3, threshold=0.8
     )
     return graph_ops.triangle_count(edges)
+
+
+def _pagerank_sql(n_iter: int = 15, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle for graph_ops.pagerank over the
+    MinHash+LSH near-dup pair graph. DuckDB's plain recursive CTEs cannot
+    aggregate over the recursive reference, so the 15 iterations are
+    generated as 15 chained CTEs (r1..r15), each mirroring the Spark
+    round EXACTLY in expression order: pr' = (1.0 - d)/n + d *
+    (coalesce(inflow, 0.0) + dang/n). Every node of the undirected pair
+    graph has out-degree >= 1, so the dangling term is identically 0.0
+    and drops out on both engines. Base CTEs are MATERIALIZED so the
+    minhash pair derivation runs once, not once per iteration."""
+    its = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        its.append(
+            f"""r{i} AS (
+      SELECT nd.node,
+             (1.0 - {damping}) / nc.n
+               + {damping} * coalesce(inf.inflow, 0.0) AS pr
+      FROM nodes nd CROSS JOIN ncount nc
+      LEFT JOIN (
+        SELECT e.t AS node, sum(p.pr / dg.deg) AS inflow
+        FROM {prev} p
+        JOIN deg dg ON dg.s = p.node
+        JOIN edges e ON e.s = p.node
+        GROUP BY e.t) inf ON inf.node = nd.node)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(its)
+    return f"""WITH pairs AS MATERIALIZED ({_minhash_sql()}),
+    edges AS MATERIALIZED (
+      SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM edges),
+    deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+    ncount AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nc.n AS pr FROM nodes CROSS JOIN ncount nc),
+    {chain}
+    SELECT node, pr FROM (
+      SELECT node::BIGINT AS node, round(pr, 6) AS pr FROM {prev})
+    ORDER BY pr DESC, node LIMIT 10"""
+
+
+@register("graph_pagerank_top10", _pagerank_sql())
+def graph_pagerank_top10(spark, sf_dir):
+    """Top-10 PageRank nodes of the MinHash+LSH near-dup pair graph
+    (graph_ops.pagerank, damping 0.85, 15 power-iteration rounds): which
+    documents sit at the center of the duplication structure — the
+    canonical-representative signal next to connected_components.
+    Iterative, but a HARD value oracle exists: the oracle replays the
+    identical 15 rounds as unrolled DuckDB CTEs, so agreement checks the
+    distributed join/groupBy iteration bit-for-bit (to round-6 digits).
+    Ordering is pinned on the ROUNDED rank then node id — symmetric
+    duplicate clusters hold mathematically-equal ranks, so raw-double
+    ordering would be an engine coin-flip at the boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, F.col("text"), F.col("doc_id"))
+    ranks = graph_ops.pagerank(pairs, src="d1", dst="d2", n_iter=15)
+    return (
+        ranks.select("node", F.round("pr", 6).alias("pr"))
+        .orderBy(F.desc("pr"), "node")
+        .limit(10)
+    )
 
 
 @register(

@@ -1,50 +1,65 @@
 """Registry-contract pins: the driver's correctness gate verifies only the
 first 50 entries of ``queries()`` in insertion order, so window membership is
-a load-bearing property, not cosmetics."""
+a load-bearing property, not cosmetics. Also pins the oracle RESULT-TYPE
+contract: every oracle column must land in the type set the driver
+canonicalizes identically to Spark (the r6 ``samp_train_val_split`` failure
+was DuckDB ``sum(INTEGER)`` silently returning HUGEINT)."""
 
 import json
+import os
 import pathlib
+
+import duckdb
+import pytest
 
 from semantic_cpp_spark import registry
 
-# Queries whose code path OR oracle changed (or which are new) in round 6 —
+# Queries whose code path OR oracle changed (or which are new) in round 7 —
 # a historical green row no longer vouches for the current code, so each must
 # sit inside this round's 50-slot driver window for a fresh one.
-# sim_quantized_topk / sim_embedding_near_dup / sim_ivf_topk /
-# sim_lsh_bucket_topk deliberately NOT pinned: their
-# r6 edit is oracle-guard-only (result-identical on fixtures — no zero-norm
-# vectors), the committed full-gate verify log at HEAD runs the new oracle
-# text green, and their window slots went to brand-new operators (first
-# driver rows beat repeat rows — the registry policy comment).
-TOUCHED_IN_R6 = [
-    "sim_ann_router_bucket",       # NEW: ann_topk router, single-key side
-    "sim_ann_router_banded",       # NEW: ann_topk router, banded side
-    "sim_cosine_topk",             # oracle: zero-norm guard + NULLS LAST
-    "sim_lsh_banded_topk",         # oracle: guard + parameterized band SQL
-    "mm_feature_extract",          # `decoded` column in result + oracle
-    "mm_resize_features",          # extract_features kernel changed
-    "dedup_minhash_lsh",           # triangle band join + narrow-dedup plan
-    "udaf_weighted_avg",           # decimal-exact int64-cents accumulation
-    "udaf_per_order_weighted_avg",  # same fix, pandas-UDAF form
-    "evt_user_trend",              # exact-cents OLS sums + -0.0 normalize
-    "sim_lsh_multiprobe_topk",     # NEW: Hamming-1 multi-probe LSH
-    "mm_png_features",             # NEW: real stdlib PNG decode
-    "mm_compressed_text",          # NEW: real gzip/zlib/bz2/xz text ingest
-    "txt_quality_bands",           # percentile cutoffs -> distributed path
-    "txt_quality_above_median",    # median -> distributed path
+TOUCHED_IN_R7 = [
+    "samp_train_val_split",   # r6 RED row: oracle sum(n_chars)::BIGINT fix
+    "graph_pagerank_top10",   # NEW: PageRank under the gate
 ]
 
-# r6 window policy (VERDICT r5 #4): the 50-slot driver window holds every
-# r6-touched/new query first, then r3-vintage backfill; EXPECTED_SPILL
-# _PRIORITY entries deliberately spill to the r7 window (the cut is
+# The 20 queries that reached r7 with no driver row ever (r6 window
+# overflow) — the weakest-vouched components in the repo, so all 20 hold
+# r7 window slots for their first row (VERDICT r6 #2).
+FIRST_ROW_IN_R7 = [
+    "asof_next_purchase_after_signup",
+    "dedup_cluster_stats",
+    "emb_cluster_cohesion",
+    "emb_ivf_balance",
+    "evt_dau_wau_stickiness",
+    "evt_inter_event_gaps",
+    "evt_markov_transitions",
+    "evt_sliding_uniques",
+    "evt_top_paths",
+    "ir_hybrid_rrf",
+    "mm_image_histogram",
+    "pipe_dedup_funnel",
+    "rel_basket_lift",
+    "rel_brand_return_rate",
+    "rel_scd2_customer_history",
+    "samp_importance_weights",
+    "samp_negative_pairs",
+    "sim_lsh_recall_at_5",
+    "stream_sliding_uniques",
+    "txt_redundancy_curve",
+]
+
+# r7 window policy (VERDICT r6 #2/#3 + the standing rotation policy in
+# registry._PRIORITY's comment): red-row refresh + first-row queries + the
+# new r7 operator + 28 riskiest r3-vintage backfill; the 13 lowest-risk
+# r3-vintage entries deliberately spill to the r8 window (the cut is
 # marked "WINDOW CUT" in registry._PRIORITY — recount, don't trust
 # comment position, when rotating).
-EXPECTED_SPILL = 45  # 8 original + 30 r3-vintage displaced by r6 new ops + touched-query refresh
+EXPECTED_SPILL = 13
 
 
-def test_r6_touched_queries_inside_50_window():
+def test_r7_touched_and_first_row_queries_inside_50_window():
     window = list(registry.queries())[:50]
-    missing = [n for n in TOUCHED_IN_R6 if n not in window]
+    missing = [n for n in TOUCHED_IN_R7 + FIRST_ROW_IN_R7 if n not in window]
     assert not missing, f"outside driver window: {missing}"
 
 
@@ -65,44 +80,10 @@ def test_priority_fills_the_window_exactly():
     )
 
 
-# New r6 queries that arrived AFTER the 50-slot window saturated with other
-# new/touched entries. They cannot receive a driver row until the r7 window;
-# until then their verification is the local gate replica (hash-green in the
-# committed verify.out.log at HEAD), the registry smoke test, and their unit
-# tests. MUST be rotated into the r7 window first.
-# dedup_ngram_jaccard was ALSO touched after saturation (shingle exchanges
-# re-keyed to 60-bit hashes, oracle mirrored): its historical green rows
-# predate the re-keying, so until the r7 window its vouching is the committed
-# full-gate verify log at HEAD (hash-green with the mirrored oracle) plus the
-# family unit tests. Rotate it into the r7 window alongside the overflow.
-R6_WINDOW_OVERFLOW = [
-    "rel_basket_lift",
-    "asof_next_purchase_after_signup",
-    "dedup_cluster_stats",
-    "evt_markov_transitions",
-    "ir_hybrid_rrf",
-    "rel_scd2_customer_history",
-    "samp_negative_pairs",
-    "sim_lsh_recall_at_5",
-    "evt_sliding_uniques",
-    "stream_sliding_uniques",
-    "mm_image_histogram",
-    "evt_top_paths",
-    "emb_cluster_cohesion",
-    "evt_dau_wau_stickiness",
-    "emb_ivf_balance",
-    "rel_brand_return_rate",
-    "samp_importance_weights",
-    "evt_inter_event_gaps",
-    "txt_redundancy_curve",
-    "pipe_dedup_funnel",
-]
-
-
 def test_no_registered_query_left_unverified():
     """Every name in the registry must either hold a green historical driver
-    row (CORRECTNESS_r01..r05), sit inside this round's 50-slot window, or
-    be explicitly listed as r6 window overflow (see R6_WINDOW_OVERFLOW)."""
+    row (CORRECTNESS_r01..r06) or sit inside this round's 50-slot window.
+    (The r6 overflow list is gone: all 20 entries now hold window slots.)"""
     root = pathlib.Path(__file__).resolve().parents[1]
     seen: set[str] = set()
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -119,18 +100,32 @@ def test_no_registered_query_left_unverified():
             ):
                 seen.add(name)
     window = set(list(registry.queries())[:50])
-    overflow = set(R6_WINDOW_OVERFLOW)
     orphans = [
-        n for n in registry.queries()
-        if n not in seen and n not in window and n not in overflow
+        n for n in registry.queries() if n not in seen and n not in window
     ]
     assert not orphans, f"never driver-verified and outside window: {orphans}"
-    # overflow entries must be real and actually outside the window —
-    # a stale allowlist would mask a future orphan
-    ghosts = [n for n in overflow if n not in registry.queries()]
-    assert not ghosts, f"R6_WINDOW_OVERFLOW names not registered: {ghosts}"
-    shadowed = [n for n in overflow if n in window or n in seen]
-    assert not shadowed, f"R6_WINDOW_OVERFLOW entries no longer overflow: {shadowed}"
+
+
+def test_rotation_invariant_no_row_older_than_4_rounds():
+    """The standing rotation policy: by each round N, no query's latest
+    driver row may be older than round N-4 unless the query sits in the
+    current window (it is about to get a fresh row). At r7 that means
+    every r3-vintage row is either in the window or in the documented
+    13-entry r8 spill section of _PRIORITY."""
+    root = pathlib.Path(__file__).resolve().parents[1]
+    latest: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(p.stem.split("_r")[1])
+        for name in json.loads(p.read_text()):
+            latest[name] = max(latest.get(name, 0), rnd)
+    window = set(list(registry.queries())[:50])
+    spill = set(registry._PRIORITY[50:])
+    stale = [
+        n for n, r in latest.items()
+        if r <= 3 and n in registry.queries()
+        and n not in window and n not in spill
+    ]
+    assert not stale, f"r3-vintage rows neither in window nor r8 spill: {stale}"
 
 
 def test_every_query_callable_and_oracles_subset():
@@ -147,3 +142,43 @@ def test_query_names_are_slugs():
 
     for name in registry.queries():
         assert re.fullmatch(r"[a-z0-9_]{3,60}", name), repr(name)[:80]
+
+
+# -- oracle result-type contract ---------------------------------------------
+# The driver compares Spark and DuckDB results after canonicalisation; the
+# only types proven to canonicalise identically on both engines are the ones
+# below (INTEGER included: the mm_* width/height columns are driver-green in
+# r6). DuckDB's sum(INTEGER) returns HUGEINT (int128), which the driver's
+# canonicaliser renders differently from Spark's BIGINT — that single class
+# cost samp_train_val_split its r6 row. DESCRIBE every oracle so it can
+# never recur.
+
+_ALLOWED_ORACLE_TYPES = {
+    "BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+}
+
+_SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_SF_DIR), reason="driver testdata not present"
+)
+def test_every_oracle_result_type_is_canonical():
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{_SF_DIR}/{t}.parquet')"
+        )
+    offenders = []
+    for name, sql in registry.oracle_sql().items():
+        for col, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+            if typ not in _ALLOWED_ORACLE_TYPES:
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        f"oracle result columns outside the canonical type set "
+        f"(cast them, e.g. ::BIGINT): {offenders}"
+    )
