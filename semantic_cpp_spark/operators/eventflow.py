@@ -504,11 +504,16 @@ def decayed_activity(
     value: str = "value",
 ) -> DataFrame:
     """Time-decayed per-user activity score — recency-weighted
-    engagement: score = Σ value·0.5^(Δdays/half_life) over the last
-    ``horizon_days`` epoch-days, Δdays measured from the corpus's max
-    day (so the score is a deterministic function of the data, not of
-    wall-clock). Events older than the horizon are excluded (their
-    weight is < 2^-30 ≈ 1e-9 at the default).
+    engagement: score = Σ value·0.5^floor(Δdays/half_life) over the
+    last ``horizon_days`` epoch-days, Δdays measured from the corpus's
+    max day (so the score is a deterministic function of the data, not
+    of wall-clock). The decay exponent is the FLOORED integer quotient
+    — for half_life_days > 1 the weight steps down once per full
+    half-life, a deliberate quantization: the power-of-two exactness
+    below depends on integer exponents (half_life_days=1, the
+    registered case, makes floor(Δ/1) = Δ exactly). Events older than
+    the horizon are excluded (their weight is < 2^-30 ≈ 1e-9 at the
+    default).
 
     EXACT cross-engine arithmetic — no transcendental in the sum: with
     integer day steps the decay weights are powers of two, so each term
@@ -608,10 +613,11 @@ def markov_transitions(
     tus: str = "tus",
     type_col: str = "event_type",
 ) -> DataFrame:
-    """Per-user event-type transition matrix — first-order Markov
-    estimate of session flow: for each ordered pair (cur → next) of
-    consecutive events in a user's timeline, the count and the
-    conditional probability P(next | cur) = n_pair / n_from. The
+    """Corpus-wide first-order transition matrix over PER-USER event
+    timelines: consecutive-event pairs (cur → next) are formed within
+    each user's own timeline (no cross-user transitions), then pair
+    counts and P(next | cur) = n_pair / n_from aggregate across ALL
+    users into one global matrix — not one matrix per user. The
     what-do-users-do-next analysis (and the generator of the bigram-LM
     analogue over event streams).
 

@@ -246,7 +246,9 @@ def cluster_cohesion(
     # true diagonal instead of n removes that bias entirely
     diag = ex.groupBy("c_id").agg(
         F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("__d"),
-        (F.count(F.lit(1)) / 64).cast("long").alias("n"),
+        # member count = rows at dim 0 (every vector has one), NOT
+        # count(*)/64: correct for any vec_col dimensionality
+        F.sum((F.col("dim") == 0).cast("long")).alias("n"),
     )
     n = F.col("n").cast("double")
     return (

@@ -607,7 +607,19 @@ def _decode_pnm_gray(payload: bytes) -> tuple[int, int, int, bytes]:
                 for c in range(width)
             )
         else:
-            bits = [b for b in payload[pos:] if b in (0x30, 0x31)]
+            # comment-aware raster scan: '#'-to-EOL comments are legal
+            # INSIDE the P1 raster too, and may contain 0/1 digit bytes —
+            # a plain digit filter would shift every later pixel
+            bits = []
+            i = pos
+            while i < len(payload):
+                b = payload[i]
+                if b == 0x23:  # '#'
+                    while i < len(payload) and payload[i] != 0x0A:
+                        i += 1
+                elif b in (0x30, 0x31):
+                    bits.append(b)
+                i += 1
             if len(bits) < width * height:
                 raise ValueError(
                     f"P1 bitmap truncated: {len(bits)} of {width * height} bits"

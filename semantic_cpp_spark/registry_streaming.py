@@ -285,9 +285,14 @@ def stream_sliding_uniques(spark, sf_dir):
     """Streaming sliding distinct users (streaming.ops.
     sliding_unique_users): replicate-explode + streaming dropDuplicates
     + running count in complete mode — dedup-then-count standing in for
-    the unsupported streaming count(DISTINCT). Oracle = the batch
-    sliding-distinct SQL over all windows (the batch evt_sliding_uniques
-    additionally trims partial edge windows; the stream emits them all,
-    so its oracle doesn't trim)."""
+    the unsupported streaming count(DISTINCT). Complete mode is the
+    exact-parity GATE form (every window visible on the bounded fixture
+    stream); the bounded-state production form is
+    ops.sliding_unique_users_bounded — applyInPandasWithState with an
+    event-time timeout that evicts each window's state at close,
+    pinned by test_sliding_uniques_bounded_closed_windows_and_eviction.
+    Oracle = the batch sliding-distinct SQL over all windows (the batch
+    evt_sliding_uniques additionally trims partial edge windows; the
+    stream emits them all, so its oracle doesn't trim)."""
     ev = ops.read_events_stream(spark, sf_dir)
     return ops.run_to_memory(ops.sliding_unique_users(ev), "complete")

@@ -603,6 +603,23 @@ def last_touch_per_user(
     )
 
 
+def _aligned_win_starts(hr, window_hours: int, step_hours: int):
+    """Array of step-ALIGNED sliding-window start hours covering event
+    hour ``hr``: candidates floor(hr/step)*step - i*step for
+    i in 0..ceil(window/step)-1, filtered to starts whose window
+    [s, s+window) still contains hr. Pure Column expression."""
+    import math
+
+    if step_hours < 1:
+        raise ValueError(f"step_hours must be >= 1, got {step_hours}")
+    n_cand = math.ceil(window_hours / step_hours)
+    top = hr - (hr % F.lit(step_hours))
+    seq = F.sequence(
+        top - F.lit((n_cand - 1) * step_hours), top, F.lit(step_hours)
+    )
+    return F.filter(seq, lambda s: s + F.lit(window_hours) > hr)
+
+
 def sliding_unique_users(
     events: DataFrame, window_hours: int = 6, step_hours: int = 1
 ) -> DataFrame:
@@ -613,20 +630,126 @@ def sliding_unique_users(
     running count per window aggregates in complete mode. Streaming
     count(DISTINCT) is unsupported by design — dedup-then-count is the
     standard equivalent. State = one row per distinct (user, window);
-    production bounds it with a watermark + dropDuplicatesWithinWatermark
-    (the bounded fixture stream pins exact parity instead)."""
+    sliding_unique_users_bounded is the watermarked production form that
+    EVICTS that state (this complete-mode form exists for exact-parity
+    gating on the bounded fixture stream, where every window closes).
+
+    Window starts are step-ALIGNED (multiples of step_hours): each event
+    explodes into the candidate starts floor(hr/step)*step - i*step and
+    keeps those whose window still covers the event — for step_hours=1
+    this is exactly the hr-(w-1)..hr sequence; for coarser steps it emits
+    the correct (fewer, aligned) windows instead of per-hour starts."""
     from semantic_cpp_spark.session import ts_micros
 
     hr = F.expr(f"tus div {3_600_000_000}")
     ev = events.select("user_id", ts_micros(events).alias("tus")).select(
         "user_id",
-        F.explode(
-            F.sequence(hr - (window_hours // step_hours - 1), hr)
-        ).alias("win_start"),
+        F.explode(_aligned_win_starts(hr, window_hours, step_hours)).alias(
+            "win_start"
+        ),
     )
     return (
         ev.dropDuplicates(["user_id", "win_start"])
         .groupBy("win_start")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .select(F.col("win_start").cast("long").alias("win_start"), "n_users")
+    )
+
+
+_SLIDE_UNIQ_OUT = T.StructType(
+    [
+        T.StructField("win_start", T.LongType()),
+        T.StructField("n_users", T.LongType()),
+    ]
+)
+
+_SLIDE_UNIQ_STATE = T.StructType(
+    [T.StructField("users", T.ArrayType(T.LongType()))]
+)
+
+
+def _make_sliding_uniq_update(window_hours: int):
+    def _update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        win_start = int(key[0])
+        end_ms = (win_start + window_hours) * 3_600_000
+        if state.hasTimedOut:
+            # watermark passed window end: emit the final count once and
+            # EVICT — this is the whole point of the bounded variant
+            (users,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"win_start": [win_start], "n_users": [len(users)]}
+            )
+            return
+        if state.getCurrentWatermarkMs() >= end_ms:
+            # late rows for an already-closed window: applyInPandasWithState
+            # does NOT filter late input itself — ignoring them here keeps
+            # closed windows immutable and prevents state resurrection
+            for _ in pdfs:
+                pass
+            return
+        users = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            users.update(int(u) for u in pdf["user_id"])
+        state.update((sorted(users),))
+        state.setTimeoutTimestamp(end_ms)
+
+    return _update
+
+
+def sliding_unique_users_bounded(
+    events: DataFrame,
+    window_hours: int = 6,
+    step_hours: int = 1,
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """BOUNDED-STATE streaming sliding-window distinct users — the
+    watermarked production form of sliding_unique_users (whose
+    complete-mode state holds every (user, window) ever seen).
+
+    Custom stateful operator #6: events explode into their step-aligned
+    window starts (same _aligned_win_starts expression as the
+    complete-mode form), then ONE applyInPandasWithState keyed on
+    win_start holds the window's distinct-user set and an EVENT-TIME
+    TIMEOUT at window end: when the watermark passes it, the window
+    emits its final count exactly once and the state row is REMOVED.
+    Late rows behind the watermark are explicitly ignored (closed
+    windows stay immutable — applyInPandasWithState does no late
+    filtering of its own). A single stateful stage by design: the
+    two-chained-aggregations form (sliding window+user, then window)
+    miscounts under watermark propagation across the stage boundary —
+    measured, not theorized — and a custom operator with explicit
+    eviction is this module's established pattern anyway.
+
+    State per key = the window's distinct users (the floor for EXACT
+    distinct; at 100 TB cardinalities the approx path is an HLL sketch
+    in the same state slot), bounded in TIME by eviction at close —
+    never stream-length. Emits win_start as epoch-hours to match the
+    complete-mode form and the batch oracle."""
+    from semantic_cpp_spark.session import ts_micros
+
+    hr = F.expr(f"tus div {3_600_000_000}")
+    ev = (
+        events.select(
+            "user_id", "event_time", ts_micros(events).alias("tus")
+        )
+        .withWatermark("event_time", lateness)
+        .select(
+            "user_id",
+            "event_time",
+            F.explode(
+                _aligned_win_starts(hr, window_hours, step_hours)
+            ).alias("win_start"),
+        )
+    )
+    return ev.groupBy("win_start").applyInPandasWithState(
+        _make_sliding_uniq_update(window_hours),
+        outputStructType=_SLIDE_UNIQ_OUT,
+        stateStructType=_SLIDE_UNIQ_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -1171,6 +1171,37 @@ def test_cluster_cohesion_matches_naive_pairwise(spark):
         assert abs(row.mean_pair_cos - naive) < 1e-4, (cid, row.mean_pair_cos, naive)
 
 
+def test_cluster_cohesion_non_64_dims(spark):
+    """n_members must come from the data, not a hardcoded /64 (ADVICE r6
+    #2): on 16-dim vectors the member counts and the pairwise-cosine mean
+    must still be right."""
+    import itertools
+
+    import numpy as np
+
+    from semantic_cpp_spark.pipeline import clustering
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(20, 16))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.c_id: r for r in clustering.cluster_cohesion(df, k=4).collect()}
+    clusters: dict[int, list[np.ndarray]] = {}
+    for r in clustering.kmeans_assign(df, 4).collect():
+        v = np.array(r.v)
+        clusters.setdefault(r.c_id, []).append(v / np.linalg.norm(v))
+    assert sum(r.n_members for r in out.values()) == 20
+    for cid, vs in clusters.items():
+        assert out[cid].n_members == len(vs)
+        if len(vs) > 1:
+            naive = np.mean(
+                [float(a @ b) for a, b in itertools.combinations(vs, 2)]
+            )
+            assert abs(out[cid].mean_pair_cos - naive) < 1e-4
+
+
 def test_importance_weights_hand_computed(spark):
     """50/50 corpus toward a 80/20 target: weights 1.6 and 0.4; a
     stratum missing from the target gets default weight 0."""

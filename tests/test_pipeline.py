@@ -1085,6 +1085,12 @@ def test_pnm_gray_family_decode():
     # P1 ASCII bitmap, whitespace-separated and packed digits both legal
     w, h, mv, px = decode_image(b"P1\n3 1\n1 01")
     assert px[::3] == bytes([0, 255, 0])
+    # P1 with a comment INSIDE the raster containing digit bytes: those
+    # digits are comment text, not pixels (ADVICE r6 #5 — a plain digit
+    # filter would shift every pixel after the comment)
+    w, h, mv, px = decode_image(b"P1\n2 2\n1 0\n# 111 not pixels\n0 1\n")
+    assert (w, h) == (2, 2)
+    assert px[::3] == bytes([0, 255, 255, 0])
 
 
 def test_pnm_gray_truncation_raises():

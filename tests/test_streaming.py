@@ -218,6 +218,115 @@ def test_salted_agg_matches_plain(spark):
     assert got == expect
 
 
+def test_sliding_uniques_step_alignment(spark):
+    """step_hours > 1 must emit step-ALIGNED window starts (multiples of
+    step) with the correct per-event window membership — the pre-r7 code
+    stepped the start sequence by 1 hour regardless of step_hours
+    (ADVICE r6 #1). Checked against a pure-Python reference on a tiny
+    batch frame (the op is batch/stream agnostic)."""
+    import collections
+
+    import pandas as pd
+
+    hour_ns = 3_600_000_000_000
+    base_hr = 472_229  # arbitrary epoch hour, NOT a multiple of 4
+    rows = [
+        (i, (base_hr + dh) * hour_ns, uid, "a", 1.0, "{}")
+        for i, (dh, uid) in enumerate(
+            [(0, 1), (1, 1), (2, 2), (5, 1), (6, 3), (9, 2), (10, 1)]
+        )
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+    )
+    for window_hours, step_hours in [(6, 2), (6, 3), (6, 4), (8, 4), (6, 1)]:
+        got = {
+            r["win_start"]: r["n_users"]
+            for r in ops.sliding_unique_users(
+                df, window_hours=window_hours, step_hours=step_hours
+            ).collect()
+        }
+        wins = collections.defaultdict(set)
+        for _, ts, uid, *_ in rows:
+            h = ts // hour_ns
+            for s in range(
+                (h - window_hours) // step_hours * step_hours,
+                h + step_hours + 1,
+                step_hours,
+            ):
+                if s % step_hours == 0 and s <= h < s + window_hours:
+                    wins[s].add(uid)
+        assert got == {s: len(u) for s, u in wins.items()}, (
+            window_hours,
+            step_hours,
+        )
+
+
+def test_sliding_uniques_bounded_closed_windows_and_eviction(spark, tmp_path):
+    """The watermarked production form (ops.sliding_unique_users_bounded):
+    append mode emits exactly the windows the final watermark CLOSED,
+    with counts equal to the complete-mode/batch answer over the on-time
+    rows, and a row arriving later than the watermark is DROPPED (state
+    for its windows was evicted) instead of mutating a closed window."""
+    import collections
+
+    import pandas as pd
+
+    src = str(tmp_path / "sliding_bounded")
+    hour_ns = 3_600_000_000_000
+    base_hr = 1_700_000_000_000_000_000 // hour_ns + 1  # aligned to an hour
+    b1_events = [  # (dh, uid)
+        (0, 1), (0, 2), (1, 1), (3, 3), (5, 2), (8, 1), (10, 4),
+    ]
+    b1 = pd.DataFrame(
+        {
+            "event_id": list(range(len(b1_events))),
+            "ts": [(base_hr + dh) * hour_ns for dh, _ in b1_events],
+            "user_id": [u for _, u in b1_events],
+            "event_type": ["a"] * len(b1_events),
+            "value": [1.0] * len(b1_events),
+            "props": ["{}"] * len(b1_events),
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            # late row 10h behind the b1 watermark (max base+10h − 1h
+            # lateness): every window containing hour base+0 closed long
+            # ago — MUST be dropped, user 99 must appear nowhere.
+            # Plus a far-future pusher that closes every b1 window.
+            "event_id": [100, 101],
+            "ts": [base_hr * hour_ns, (base_hr + 100) * hour_ns],
+            "user_id": [99, 50],
+            "event_type": ["a", "a"],
+            "value": [1.0, 1.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    # ONE part-file per logical batch: multi-part dirs + maxFilesPerTrigger=1
+    # would split a "batch" across micro-batches and advance the watermark
+    # mid-way, making on-time rows late by accident.
+    spark.createDataFrame(b1).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(f"{src}/f=2")
+    stream = _stream(spark, src)
+    out = ops.run_to_memory(
+        ops.sliding_unique_users_bounded(stream, 6, 1, "1 hour"), "append"
+    )
+    got = {r["win_start"]: r["n_users"] for r in out.collect()}
+    # reference: every window over the ON-TIME rows; final watermark
+    # (base+99h) closed all b1 windows; the pusher's own windows are
+    # still open, so user 50 appears nowhere.
+    wins = collections.defaultdict(set)
+    for dh, uid in b1_events:
+        h = base_hr + dh
+        for s in range(h - 5, h + 1):
+            wins[s].add(uid)
+    assert got == {s: len(u) for s, u in wins.items()}
+    assert all(99 not in u for u in wins.values())  # late row dropped
+
+
 def test_session_window_closes_in_append_mode(spark, tmp_path):
     """Append-mode session windows emit only once the watermark passes
     session end + gap: a later batch far in the future closes the first
