@@ -69,9 +69,23 @@ def _money(rng, n, lo, hi):
     return np.round(rng.uniform(lo, hi, n), 2)
 
 
-def generate(out_dir: str, sf: float, seed: int) -> None:
+def generate(
+    out_dir: str, sf: float, seed: int, tables: set[str] | None = None
+) -> None:
+    """``tables`` restricts which parquet files are written (None = all).
+    NOTE: skipping tables changes the RNG draw sequence, so a filtered
+    run is its OWN fixture, not a subset of the full one — use it for
+    single-table fixtures (e.g. the clustered-embeddings ANN recall set),
+    not to regenerate part of an existing directory."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
+
+    def want(name: str) -> bool:
+        return tables is None or name in tables
+
+    def w(name: str, table: pa.Table) -> None:
+        if want(name):
+            _write(out_dir, name, table)
 
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
@@ -82,24 +96,24 @@ def generate(out_dir: str, sf: float, seed: int) -> None:
     n_emb = int(20_000 * sf)
     n_user = max(1, int(15_000 * sf))
 
-    _write(out_dir, "region", pa.table({
+    w("region", pa.table({
         "r_regionkey": pa.array(range(5), pa.int32()),
         "r_name": REGIONS,
     }))
-    _write(out_dir, "nation", pa.table({
+    w("nation", pa.table({
         "n_nationkey": pa.array(range(25), pa.int32()),
         "n_name": [f"NATION_{i}" for i in range(25)],
         "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
     }))
 
-    _write(out_dir, "customer", pa.table({
+    w("customer", pa.table({
         "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
         "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
         "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
         "c_acctbal": _money(rng, n_cust, -1000, 10_000),
         "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]),
     }))
-    _write(out_dir, "supplier", pa.table({
+    w("supplier", pa.table({
         "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
         "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
         "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
@@ -107,7 +121,7 @@ def generate(out_dir: str, sf: float, seed: int) -> None:
     }))
     adj = rng.integers(0, len(P_ADJ), n_part)
     noun = rng.integers(0, len(P_NOUN), n_part)
-    _write(out_dir, "part", pa.table({
+    w("part", pa.table({
         "p_partkey": pa.array(np.arange(n_part), pa.int64()),
         "p_name": [f"{P_ADJ[a]} {P_NOUN[b]}" for a, b in zip(adj, noun)],
         "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n_part)],
@@ -117,7 +131,7 @@ def generate(out_dir: str, sf: float, seed: int) -> None:
     }))
 
     odate = ORDERDATE_LO + rng.integers(0, ORDERDATE_DAYS, n_ord) * DAY_US
-    _write(out_dir, "orders", pa.table({
+    w("orders", pa.table({
         "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
         "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
         "o_orderstatus": pa.array(np.array(STATUSES)[rng.integers(0, 3, n_ord)]),
@@ -135,7 +149,7 @@ def generate(out_dir: str, sf: float, seed: int) -> None:
         np.arange(n_li) - np.repeat(np.cumsum(per_order) - per_order, per_order) + 1
     )
     sdate = SHIPDATE_LO + rng.integers(0, SHIPDATE_DAYS, n_li) * DAY_US
-    _write(out_dir, "lineitem", pa.table({
+    w("lineitem", pa.table({
         "l_orderkey": pa.array(l_orderkey, pa.int64()),
         "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
         "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
@@ -152,7 +166,7 @@ def generate(out_dir: str, sf: float, seed: int) -> None:
     }))
 
     ts = np.sort(EVENTS_LO + rng.integers(0, EVENTS_SPAN_US, n_evt))
-    _write(out_dir, "events", pa.table({
+    w("events", pa.table({
         "event_id": pa.array(np.arange(n_evt), pa.int64()),
         "ts": pa.array(ts, pa.timestamp("us")),
         "user_id": pa.array(rng.integers(0, n_user, n_evt), pa.int64()),
@@ -174,7 +188,7 @@ def generate(out_dir: str, sf: float, seed: int) -> None:
     dup_idx = rng.choice(n_doc, max(2, n_doc // 500), replace=False)
     for i in range(1, len(dup_idx)):
         texts[dup_idx[i]] = texts[dup_idx[0]]
-    _write(out_dir, "documents", pa.table({
+    w("documents", pa.table({
         "doc_id": pa.array(np.arange(n_doc), pa.int64()),
         "text": texts,
         "lang": pa.array(np.array(LANGS)[rng.choice(5, n_doc, p=LANG_P)]),
@@ -186,7 +200,7 @@ def generate(out_dir: str, sf: float, seed: int) -> None:
     labels = rng.integers(0, 10, n_emb)
     centers = rng.normal(0, 1, (10, 64))
     vecs = (centers[labels] + rng.normal(0, 0.5, (n_emb, 64))).astype(np.float32)
-    _write(out_dir, "embeddings", pa.table({
+    w("embeddings", pa.table({
         "vec_id": pa.array(np.arange(n_emb), pa.int64()),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
         "label": pa.array(labels, pa.int32()),
@@ -198,9 +212,16 @@ def main() -> None:
     ap.add_argument("out_dir")
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=4242)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to write (changes the RNG "
+        "stream — a filtered run is its own fixture, see generate())",
+    )
     a = ap.parse_args()
+    tables = set(a.tables.split(",")) if a.tables else None
     print(f"generating sf={a.sf} fixtures into {a.out_dir} (seed {a.seed})")
-    generate(a.out_dir, a.sf, a.seed)
+    generate(a.out_dir, a.sf, a.seed, tables)
 
 
 if __name__ == "__main__":

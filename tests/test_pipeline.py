@@ -463,6 +463,72 @@ def test_ann_recall_floors(spark):
     assert r_ivf2 >= r_ivf
 
 
+def test_ann_recall_floors_clustered(spark):
+    """Clustered-embedding recall floors (VERDICT r6 #5): the driver
+    fixture is isotropic, which understates sign-LSH recall and the
+    banding/nprobe machinery — on a mixture-of-Gaussians set (the shape
+    real embeddings have) the gains must MATERIALIZE, not just be
+    plausible. Deterministic: fixed-seed data, hash-derived planes,
+    deterministic IVF seeding. Floors are the round-7 measured values
+    (bucket8 0.267, banded16/4 0.960, multiprobe8 0.693, IVF K=24
+    nprobe1/2/3 = 0.640/0.827/0.933) with safety margin; the KEY pin is
+    the nprobe dial: on clustered data nprobe=2 must beat nprobe=1 by a
+    real margin (+0.187 measured; +0.02 on isotropic), because nearest
+    neighbors of a boundary query sit in the adjacent Voronoi cell.
+    Full sweep: scripts/ann_recall.py on the --tables embeddings MoG
+    fixture → SCALING.md."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (10, 64))
+    labels = rng.integers(0, 10, 600)
+    X = (centers[labels] + rng.normal(0, 0.5, (600, 64))).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(600)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    qids = list(range(15))
+    k = 5
+
+    truth = {}
+    for r in similarity.cosine_topk(emb, qids, k=k).collect():
+        truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    def rec(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["q_id"], set()).add(r["vec_id"])
+        return sum(len(truth[q] & got.get(q, set())) for q in truth) / (
+            len(truth) * k
+        )
+
+    r_bucket = rec(similarity.lsh_bucket_topk(emb, qids, k=k, dims=64, planes=8))
+    r_banded = rec(
+        similarity.lsh_banded_topk(emb, qids, k=k, dims=64, planes=16, band_bits=4)
+    )
+    r_probe = rec(similarity.lsh_multiprobe_topk(emb, qids, k=k, dims=64, planes=8))
+    assert r_bucket >= 0.15
+    assert r_banded >= 0.85  # banding shines on clustered data
+    assert r_probe >= 0.5 and r_probe >= r_bucket
+
+    K = similarity.derived_ivf_k(600)
+    r1 = rec(similarity.ivf_topk(emb, qids, k=k, dims=64, n_centroids=K))
+    r2 = rec(
+        similarity.ivf_multiprobe_topk(
+            emb, qids, k=k, dims=64, nprobe=2, n_centroids=K
+        )
+    )
+    r3 = rec(
+        similarity.ivf_multiprobe_topk(
+            emb, qids, k=k, dims=64, nprobe=3, n_centroids=K
+        )
+    )
+    assert r1 >= 0.5
+    assert r2 >= r1 + 0.1  # the nprobe dial is REAL on clustered data
+    assert r3 >= r2  # probe-superset monotonicity
+    emb.unpersist()
+
+
 def test_raw_lsh_planes_shared_derivation():
     """ann_topk's router and derived_lsh_planes share ONE derivation
     (_raw_lsh_planes); the clamp is exactly min(24, raw) — pinning the
