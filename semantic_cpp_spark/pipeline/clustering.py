@@ -265,3 +265,67 @@ def cluster_cohesion(
             ).alias("mean_pair_cos"),
         )
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embeddings, then look for
+    near-duplicates ONLY within each cluster — the clustering IS the
+    blocking, so pair cost is Σ|cluster|² instead of n², and the
+    candidate join is a plain equi-join on c_id. This is the embedding
+    answer to what MinHash-LSH does for text: prune semantically
+    redundant items, not just byte-identical ones.
+
+    Keep policy (deterministic, recursion-free): a vector is REMOVED iff
+    some LOWER-id member of its own cluster lies within the cosine
+    threshold — the greedy keep-first-occurrence rule (the paper keeps
+    one arbitrary member per duplicate group; lowest-id is this repo's
+    standing determinism convention, cf. dedup.keep_list). Cosine is the
+    sequential-fold dot/norm expansion, so the DuckDB oracle reproduces
+    the threshold comparison bit-for-bit — no rounded-boundary coin
+    flips.
+
+    At 100 TB: assignment is the broadcast-centroid scan; the in-cluster
+    self-join's fan-out is bounded by cluster size — pick k ~ n/50k to
+    bound it (and a pathological hot cluster routes through the same
+    triangle-split machinery as hot LSH buckets, pipeline.blocking).
+
+    Returns (vec_id, c_id, keep) for every input vector."""
+    a = kmeans_assign(df, k, id_col, vec_col).select("vec_id", "v", "c_id")
+    lo = a.select(
+        "c_id",
+        F.col("vec_id").alias("lo_id"),
+        F.col("v").alias("lv"),
+    )
+    hi = a.select(
+        "c_id",
+        F.col("vec_id").alias("hi_id"),
+        F.col("v").alias("hv"),
+    )
+    cos = dot(F.col("hv"), F.col("lv")) / F.nullif(
+        F.sqrt(dot(F.col("hv"), F.col("hv")))
+        * F.sqrt(dot(F.col("lv"), F.col("lv"))),
+        F.lit(0.0),
+    )
+    removed = (
+        hi.join(lo, "c_id")
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("hi_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__rm", F.lit(1))
+    )
+    return (
+        a.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("c_id").cast("long").alias("c_id"),
+            F.col("__rm").isNull().alias("keep"),
+        )
+    )

@@ -689,6 +689,10 @@ _PRIORITY: list[str] = [
     # -- (b) new r7 operators --
     "graph_pagerank_top10",        # NEW: power-iteration PageRank, unrolled
                                    # DuckDB power-iteration oracle
+    "stream_sliding_uniques_bounded",  # NEW: event-time-timeout eviction
+                                       # form under the gate (append mode)
+    "emb_semdedup",                # NEW: SemDeDup cluster-blocked semantic
+                                   # dedup, bit-exact boolean oracle
     # -- (c) r3-vintage backfill, riskiest families first --
     "stream_tumble_hour",
     "stream_slide_2h_30m",
@@ -715,15 +719,17 @@ _PRIORITY: list[str] = [
     "rel_rollup_order_priority",
     "rel_pivot_status_by_flag",
     "agg_corr_covar",
-    "agg_distribution_profile",
     "emb_kmeans_step",
+    # -- WINDOW CUT after emb_kmeans_step (position 50) — recount, don't
+    #    trust comment position, when rotating --
+    # -- spill to r8 (positions 50+): ir_bm25_topk + agg_distribution_profile
+    #    (displaced by the second and third new r7 operators) + the 13
+    #    lowest-risk r3-vintage queries (scalar/string/simple-aggregate,
+    #    no joins), all green in two prior driver windows, re-executed by
+    #    the smoke test and the committed HEAD verify.out.log. These MUST
+    #    head the r8 backfill section. --
     "ir_bm25_topk",
-    # -- WINDOW CUT after ir_bm25_topk (position 50) — recount, don't trust
-    #    comment position, when rotating --
-    # -- spill to r8 (positions 50+): the 13 lowest-risk r3-vintage queries
-    #    (scalar/string/simple-aggregate, no joins), all green in two prior
-    #    driver windows, re-executed by the smoke test and the committed
-    #    HEAD verify.out.log. These MUST head the r8 backfill section. --
+    "agg_distribution_profile",
     "rel_datetime_parts",
     "str_charsequence_medley",
     "str_codepoint_sequence",

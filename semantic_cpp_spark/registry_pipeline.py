@@ -2729,3 +2729,40 @@ def pipe_dedup_funnel(spark, sf_dir):
             F.round(F.lit(1.0) - F.col("n_removed") / F.col("n_total"), 6),
         )
     )
+
+
+_SEMDEDUP_TH = 0.4
+
+
+@register(
+    "emb_semdedup",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {clustering.KMEANS_K}),
+    scored AS (SELECT e.vec_id, e.v, c.c_id,
+           list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+             + list_dot_product(c.cv, c.cv) AS d2
+       FROM e, c),
+    assigned AS (SELECT vec_id, v, c_id FROM
+       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS r
+        FROM scored) WHERE r = 1),
+    rm AS (SELECT DISTINCT b.vec_id
+           FROM assigned b JOIN assigned l
+             ON l.c_id = b.c_id AND l.vec_id < b.vec_id
+           WHERE list_dot_product(b.v, l.v)
+                 / nullif(sqrt(list_dot_product(b.v, b.v))
+                          * sqrt(list_dot_product(l.v, l.v)), 0.0)
+                 >= {_SEMDEDUP_TH})
+    SELECT a.vec_id, a.c_id::BIGINT AS c_id, (rm.vec_id IS NULL) AS keep
+    FROM assigned a LEFT JOIN rm ON rm.vec_id = a.vec_id""",
+)
+def emb_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup verdict per vector (clustering.semdedup,
+    Abbas et al. 2023): k-means clusters as the blocking structure, then
+    greedy keep-lowest-id within each cluster's cosine-threshold
+    neighborhood. The oracle replays the assignment (the emb_kmeans_step
+    CTE) plus the in-cluster EXISTS-lower-neighbor rule; the cosine is
+    the sequential-fold dot/norm expansion on both engines, so the >=
+    threshold comparison is bit-exact — a boolean output, no rounding
+    anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.semdedup(emb, threshold=_SEMDEDUP_TH)

@@ -296,3 +296,34 @@ def stream_sliding_uniques(spark, sf_dir):
     stream emits them all, so its oracle doesn't trim)."""
     ev = ops.read_events_stream(spark, sf_dir)
     return ops.run_to_memory(ops.sliding_unique_users(ev), "complete")
+
+
+@register(
+    "stream_sliding_uniques_bounded",
+    """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) AS tus FROM events),
+    w AS (SELECT user_id,
+                 unnest(range(tus // 3600000000 - 5, tus // 3600000000 + 1))
+                   AS win_start
+          FROM e),
+    wm AS (SELECT (max(tus) - 3600000000) // 1000 AS wm_ms FROM e)
+    SELECT win_start::BIGINT AS win_start,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM w, wm
+    WHERE (win_start + 6) * 3600000 < wm_ms
+    GROUP BY win_start""",
+)
+def stream_sliding_uniques_bounded(spark, sf_dir):
+    """BOUNDED-STATE streaming sliding distinct users under the driver
+    gate (streaming.ops.sliding_unique_users_bounded, r7): one
+    applyInPandasWithState keyed on win_start with an EVENT-TIME TIMEOUT
+    — each window emits its exact distinct count once when the watermark
+    passes its end, then its state is EVICTED (state rows = open
+    windows, never stream history; measured in SCALING.md "Streaming
+    step-up"). Append-mode semantics make the oracle the batch
+    sliding-distinct SQL restricted to CLOSED windows: end <
+    final watermark = max event time − 1 h lateness (strict <, mirroring
+    Spark's timeoutTimestamp < watermark firing rule). The single-file
+    fixture stream processes all rows in one micro-batch, so no row is
+    late and counts equal the batch answer on exactly those windows."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(ops.sliding_unique_users_bounded(ev), "append")

@@ -1202,6 +1202,50 @@ def test_cluster_cohesion_non_64_dims(spark):
             assert abs(out[cid].mean_pair_cos - naive) < 1e-4
 
 
+def test_semdedup_matches_naive_reference(spark):
+    """clustering.semdedup vs a naive numpy replay of the same policy
+    (assign to nearest deterministic seed, remove iff a lower-id member
+    of the SAME cluster has cosine >= threshold) on clustered data with
+    PLANTED near-duplicates; cross-cluster near-dups must NOT be removed
+    (blocking semantics), and every cluster keeps >= 1 member."""
+    import numpy as np
+
+    from semantic_cpp_spark.pipeline import clustering
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(0, 1, (4, 16))
+    labels = rng.integers(0, 4, 40)
+    X = centers[labels] + rng.normal(0, 0.4, (40, 16))
+    # plant near-dup pairs: docs 20/21 and 30/31 almost identical
+    X[21] = X[20] + rng.normal(0, 0.01, 16)
+    X[31] = X[30] + rng.normal(0, 0.01, 16)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    th = 0.9
+    got = {r.vec_id: r for r in clustering.semdedup(df, k=4, threshold=th).collect()}
+
+    seeds = X[:4]
+    d2 = ((X[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    cid = d2.argmin(axis=1)
+    unit = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for i in range(40):
+        same = [j for j in range(i) if cid[j] == cid[i]]
+        removed = any(float(unit[i] @ unit[j]) >= th for j in same)
+        assert got[i].keep == (not removed), i
+        assert got[i].c_id == cid[i], i
+    # planted dups: the higher id of each near-identical pair always goes
+    # (its partner sits below it in the same cluster at cos≈1); the lower
+    # one may ALSO go if it has its own natural lower near-neighbor —
+    # covered exactly by the reference loop above
+    assert not got[21].keep
+    assert not got[31].keep
+    # every cluster retains at least one member
+    kept_clusters = {r.c_id for r in got.values() if r.keep}
+    assert kept_clusters == set(cid.tolist())
+
+
 def test_importance_weights_hand_computed(spark):
     """50/50 corpus toward a 80/20 target: weights 1.6 and 0.4; a
     stratum missing from the target gets default weight 0."""

@@ -20,6 +20,8 @@ from semantic_cpp_spark import registry
 TOUCHED_IN_R7 = [
     "samp_train_val_split",   # r6 RED row: oracle sum(n_chars)::BIGINT fix
     "graph_pagerank_top10",   # NEW: PageRank under the gate
+    "stream_sliding_uniques_bounded",  # NEW: bounded-state eviction form
+    "emb_semdedup",           # NEW: SemDeDup cluster-blocked dedup
 ]
 
 # The 20 queries that reached r7 with no driver row ever (r6 window
@@ -54,7 +56,7 @@ FIRST_ROW_IN_R7 = [
 # r3-vintage entries deliberately spill to the r8 window (the cut is
 # marked "WINDOW CUT" in registry._PRIORITY — recount, don't trust
 # comment position, when rotating).
-EXPECTED_SPILL = 13
+EXPECTED_SPILL = 15  # ir_bm25_topk + agg_distribution_profile + 13 low-risk r3
 
 
 def test_r7_touched_and_first_row_queries_inside_50_window():
