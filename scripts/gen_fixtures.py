@@ -72,11 +72,13 @@ def _money(rng, n, lo, hi):
 def generate(
     out_dir: str, sf: float, seed: int, tables: set[str] | None = None
 ) -> None:
-    """``tables`` restricts which parquet files are written (None = all).
-    NOTE: skipping tables changes the RNG draw sequence, so a filtered
-    run is its OWN fixture, not a subset of the full one — use it for
-    single-table fixtures (e.g. the clustered-embeddings ANN recall set),
-    not to regenerate part of an existing directory."""
+    """``tables`` restricts which parquet files are WRITTEN (None = all).
+    Every table is still computed (the rng draws are eager arguments to
+    the write helper), so the RNG stream is unchanged and a filtered
+    run's tables are byte-identical to the full run's at the same
+    sf/seed — `--tables embeddings` writes exactly the embeddings the
+    full fixture would contain (used for the clustered-ANN recall set).
+    The flag saves write I/O and disk, not generation compute."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -215,8 +217,8 @@ def main() -> None:
     ap.add_argument(
         "--tables",
         default=None,
-        help="comma-separated subset of tables to write (changes the RNG "
-        "stream — a filtered run is its own fixture, see generate())",
+        help="comma-separated subset of tables to write (byte-identical "
+        "to the full run's tables — saves write I/O only, see generate())",
     )
     a = ap.parse_args()
     tables = set(a.tables.split(",")) if a.tables else None

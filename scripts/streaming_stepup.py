@@ -3,7 +3,7 @@
 The r6 batch step-up proved the batch operators survive 10×; this script
 runs the CUSTOM STATEFUL streaming operators (running-stats / count-
 windows / top-k trio, funnel, last-touch, bounded sliding-uniques) over
-the sf1.0 events fixture (1M events, ~150k users) on BOTH state-store
+the sf1.0 events fixture (1M events, 15k users) on BOTH state-store
 providers (default HDFS-heap and RocksDB), recording wall time,
 throughput, emitted rows, and the state-store's own size metrics
 (stateOperators.numRowsTotal / memoryUsedBytes from the query's final
@@ -79,9 +79,11 @@ def main() -> None:
     key = "spark.sql.streaming.stateStore.providerClass"
     default_provider = spark.conf.get(key)
 
+    from semantic_cpp_spark.session import load_table
+
     for sf_dir in sf_dirs:
-        n_events = ops.read_events_stream(spark, sf_dir)  # schema probe only
-        print(f"\n### {sf_dir}\n")
+        n_in = load_table(spark, sf_dir, "events").count()
+        print(f"\n### {sf_dir} ({n_in:,} events)\n")
         print(
             "| operator | provider | rows out | wall s | events/s "
             "| state rows | state MB |"
@@ -92,9 +94,6 @@ def main() -> None:
                 spark.conf.set(key, pclass or default_provider)
                 ev = ops.read_events_stream(spark, sf_dir)
                 n, wall, srows, smb = run_measured(mk(ev), mode)
-                from semantic_cpp_spark.session import load_table
-
-                n_in = load_table(spark, sf_dir, "events").count()
                 print(
                     f"| {label} | {pname} | {n} | {wall:.1f} | "
                     f"{n_in / wall:,.0f} | {srows:,} | {smb:.1f} |",

@@ -67,6 +67,10 @@ def pagerank(
         # the conf to this loop and restoring it in `finally` is sound: every
         # iteration executes inside the scope; the returned frame is already
         # materialized when the caller's first action runs.
+        # CAVEAT: the conf is session-global — a query PLANNED concurrently
+        # on this session during the loop would pick up the scoped value.
+        # The driver/registry runs queries sequentially; for concurrent
+        # planners, run pagerank on its own session.
         p = int(min(2048, max(4, m // 1_000_000 + 4)))
         old_parts = sess.conf.get("spark.sql.shuffle.partitions")
         sess.conf.set("spark.sql.shuffle.partitions", str(p))

@@ -297,21 +297,30 @@ def semdedup(
     triangle-split machinery as hot LSH buckets, pipeline.blocking).
 
     Returns (vec_id, c_id, keep) for every input vector."""
-    a = kmeans_assign(df, k, id_col, vec_col).select("vec_id", "v", "c_id")
+    # norm computed ONCE per vector before the self-join (bit-identical
+    # to the per-pair form — same fold, same sqrt — but O(n) folds
+    # instead of O(pairs), the difference between a scan and a straggler
+    # on a big cluster)
+    a = kmeans_assign(df, k, id_col, vec_col).select(
+        "vec_id",
+        "v",
+        "c_id",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
     lo = a.select(
         "c_id",
         F.col("vec_id").alias("lo_id"),
         F.col("v").alias("lv"),
+        F.col("nrm").alias("ln"),
     )
     hi = a.select(
         "c_id",
         F.col("vec_id").alias("hi_id"),
         F.col("v").alias("hv"),
+        F.col("nrm").alias("hn"),
     )
     cos = dot(F.col("hv"), F.col("lv")) / F.nullif(
-        F.sqrt(dot(F.col("hv"), F.col("hv")))
-        * F.sqrt(dot(F.col("lv"), F.col("lv"))),
-        F.lit(0.0),
+        F.col("hn") * F.col("ln"), F.lit(0.0)
     )
     removed = (
         hi.join(lo, "c_id")

@@ -651,20 +651,28 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r7 window: samp_train_val_split (r6 RED — oracle HUGEINT fix this round),
-# the 20 queries that had never had a driver row (r6 overflow), the new r7
-# operator (graph_pagerank_top10), then 28 of the 41 r3-vintage queries
-# (all 8 streaming, the 14 fact-join relational, dedup_cc_clusters +
-# agg_salted_hot_key + the 4 heavy agg/pipeline). The 13 lowest-risk
-# r3-vintage (simple strings/scalar queries, no joins) spill to r8 — listed
-# below the WINDOW CUT so the r8 rotation is explicit, completing the
-# no-row-older-than-r4 invariant by end of r8.
+# r7 window (exactly 50 = 1 + 1 + 20 + 3 + 25): samp_train_val_split (r6
+# RED — oracle HUGEINT fix this round), dedup_ngram_jaccard (code re-keyed
+# in r6 AFTER its last driver row — the r6 contract test's documented
+# carry-over), the 20 queries that had never had a driver row (r6
+# overflow), the 3 new r7 operators (graph_pagerank_top10,
+# stream_sliding_uniques_bounded, emb_semdedup), then 25 of the 41
+# r3-vintage queries (all 8 streaming, the 14 fact-join relational,
+# dedup_cc_clusters + agg_salted_hot_key + emb_kmeans_step). The 16
+# remaining r3-vintage (ir_bm25_topk, agg_corr_covar,
+# agg_distribution_profile + the 13 simple strings/scalar queries, no
+# joins) spill to r8 — listed below the WINDOW CUT so the r8 rotation is
+# explicit, completing the no-row-older-than-r4 invariant by end of r8.
 _PRIORITY: list[str] = [
     # -- (a) red-row refresh: oracle fixed this round (sum(n_chars)::BIGINT
     #    — DuckDB sum(INTEGER) returns HUGEINT, the only non-canonical
     #    result type in the registry; tests/test_registry_contract.py now
     #    DESCRIBEs every oracle to ban the class) --
     "samp_train_val_split",
+    # -- (a) code changed after its last driver row (r4): the r6 shingle
+    #    re-keying (60-bit hashes) postdates every green row it holds —
+    #    the r6 contract test documented this carry-over explicitly --
+    "dedup_ngram_jaccard",
     # -- (b) first driver rows: the 20 r6-overflow queries --
     "asof_next_purchase_after_signup",
     "dedup_cluster_stats",
@@ -718,17 +726,18 @@ _PRIORITY: list[str] = [
     "rel_customers_without_urgent_orders",
     "rel_rollup_order_priority",
     "rel_pivot_status_by_flag",
-    "agg_corr_covar",
     "emb_kmeans_step",
     # -- WINDOW CUT after emb_kmeans_step (position 50) — recount, don't
     #    trust comment position, when rotating --
-    # -- spill to r8 (positions 50+): ir_bm25_topk + agg_distribution_profile
-    #    (displaced by the second and third new r7 operators) + the 13
-    #    lowest-risk r3-vintage queries (scalar/string/simple-aggregate,
-    #    no joins), all green in two prior driver windows, re-executed by
-    #    the smoke test and the committed HEAD verify.out.log. These MUST
-    #    head the r8 backfill section. --
+    # -- spill to r8 (positions 50+): ir_bm25_topk + agg_corr_covar +
+    #    agg_distribution_profile (displaced by the r7 new operators and
+    #    the dedup_ngram_jaccard carry-over) + the 13 lowest-risk
+    #    r3-vintage queries (scalar/string/simple-aggregate, no joins),
+    #    all green in two prior driver windows, re-executed by the smoke
+    #    test and the committed HEAD verify.out.log. These MUST head the
+    #    r8 backfill section. --
     "ir_bm25_topk",
+    "agg_corr_covar",
     "agg_distribution_profile",
     "rel_datetime_parts",
     "str_charsequence_medley",

@@ -613,7 +613,10 @@ def _aligned_win_starts(hr, window_hours: int, step_hours: int):
     if step_hours < 1:
         raise ValueError(f"step_hours must be >= 1, got {step_hours}")
     n_cand = math.ceil(window_hours / step_hours)
-    top = hr - (hr % F.lit(step_hours))
+    # floor-mod (pmod), not %: Spark's % follows the dividend sign, so a
+    # negative epoch hour would round the top candidate UP past the event
+    # and assign it to a window that starts after it
+    top = hr - F.pmod(hr, F.lit(step_hours))
     seq = F.sequence(
         top - F.lit((n_cand - 1) * step_hours), top, F.lit(step_hours)
     )

@@ -19,6 +19,8 @@ from semantic_cpp_spark import registry
 # sit inside this round's 50-slot driver window for a fresh one.
 TOUCHED_IN_R7 = [
     "samp_train_val_split",   # r6 RED row: oracle sum(n_chars)::BIGINT fix
+    "dedup_ngram_jaccard",    # r6 shingle re-keying postdates its last (r4)
+                              # driver row — the documented r6 carry-over
     "graph_pagerank_top10",   # NEW: PageRank under the gate
     "stream_sliding_uniques_bounded",  # NEW: bounded-state eviction form
     "emb_semdedup",           # NEW: SemDeDup cluster-blocked dedup
@@ -56,7 +58,7 @@ FIRST_ROW_IN_R7 = [
 # r3-vintage entries deliberately spill to the r8 window (the cut is
 # marked "WINDOW CUT" in registry._PRIORITY — recount, don't trust
 # comment position, when rotating).
-EXPECTED_SPILL = 15  # ir_bm25_topk + agg_distribution_profile + 13 low-risk r3
+EXPECTED_SPILL = 16  # ir_bm25 + agg_corr_covar + agg_distribution + 13 low-risk r3
 
 
 def test_r7_touched_and_first_row_queries_inside_50_window():

@@ -236,6 +236,16 @@ def test_sliding_uniques_step_alignment(spark):
             [(0, 1), (1, 1), (2, 2), (5, 1), (6, 3), (9, 2), (10, 1)]
         )
     ]
+    # pre-1970 rows: negative epoch hours exercise the floor-mod (pmod)
+    # alignment — Spark's sign-following % would start a window AFTER
+    # the event. WHOLE hours on purpose: the upstream hour derivation
+    # (`tus div 3600000000`) truncates toward zero, so sub-hour negative
+    # timestamps are outside the operator's stated domain (the events
+    # fixture is post-2024).
+    rows += [
+        (100 + j, nh * hour_ns, 9, "a", 1.0, "{}")
+        for j, nh in enumerate([-5, -1, -8])
+    ]
     df = spark.createDataFrame(
         pd.DataFrame(
             rows,
