@@ -295,6 +295,11 @@ def semdedup(
     self-join's fan-out is bounded by cluster size — pick k ~ n/50k to
     bound it (and a pathological hot cluster routes through the same
     triangle-split machinery as hot LSH buckets, pipeline.blocking).
+    The assignment frame is referenced three times (both self-join sides
+    + the verdict re-attach) and recomputes per reference — a narrow
+    broadcast scan with no exchange; persist it between passes at scale,
+    same note as cluster_medoids. Plan shape pinned in
+    test_plans.test_semdedup_in_cluster_join_is_equi_join.
 
     Returns (vec_id, c_id, keep) for every input vector."""
     # norm computed ONCE per vector before the self-join (bit-identical

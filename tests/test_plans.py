@@ -339,3 +339,26 @@ def test_decayed_activity_scalar_broadcast_only(spark, qs):
 
     plan = _plan(qs["evt_decayed_activity"](spark, SF))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_semdedup_in_cluster_join_is_equi_join(spark, qs):
+    """SemDeDup's blocking claim IS the plan shape: the pair join and the
+    verdict re-attach are SortMergeJoin equi-joins (fan-out bounded by
+    cluster size), and every nested-loop join is the deliberate k-row
+    centroid broadcast (the assignment recomputes per self-join branch —
+    narrow scan, no exchange; persist it upstream at 100 TB, cf.
+    cluster_medoids). A CartesianProduct anywhere means the blocking
+    disappeared."""
+    import re
+
+    plan = _plan(qs["emb_semdedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    joins = re.findall(
+        r"BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin"
+        r"|ShuffledHashJoin",
+        plan,
+    )
+    # 2 equi-joins (c_id pair join + verdict left join), 3 broadcast
+    # centroid assigns (one per reference to the assignment frame)
+    assert joins.count("BroadcastNestedLoopJoin") == 3, joins
+    assert len([j for j in joins if j != "BroadcastNestedLoopJoin"]) == 2, joins
