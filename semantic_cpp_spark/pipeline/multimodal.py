@@ -522,12 +522,181 @@ def render_gif(doc_id: int) -> bytes:
     )
 
 
+_TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+
+def _decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL decode for uncompressed baseline TIFF (both byte orders),
+    pure stdlib struct: classic-TIFF header, one IFD, BYTE/SHORT/LONG
+    entry types with the inline-when-≤4-bytes value rule, strip assembly
+    via StripOffsets/StripByteCounts/RowsPerStrip, 8-bit grayscale
+    (PhotometricInterpretation 0 WhiteIsZero inverted per spec, 1
+    BlackIsZero) or 8-bit chunky RGB. Returns the decode_image contract
+    (width, height, maxval, rgb_bytes).
+
+    Compression values other than 1 (LZW/PackBits/JPEG-in-TIFF), tiled
+    layout, planar configuration 2, and sample depths other than 8 raise
+    NotImplementedError — the same honest boundary as the other
+    decoders; a libtiff-backed plug-in slots in via
+    register_image_decoder."""
+    import struct
+
+    if len(payload) < 8:
+        raise ValueError("TIFF header truncated")
+    bo = {b"II": "<", b"MM": ">"}.get(bytes(payload[:2]))
+    if bo is None or struct.unpack(bo + "H", payload[2:4])[0] != 42:
+        raise ValueError("not a classic TIFF header")
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset out of range")
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        ent = payload[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+        if len(ent) < 12:
+            raise ValueError("TIFF IFD truncated")
+        tag, typ, cnt = struct.unpack(bo + "HHI", ent[:8])
+        if typ not in type_size:  # RATIONAL etc. — no tag we need uses them
+            continue
+        nbytes = type_size[typ] * cnt
+        if nbytes <= 4:
+            raw = ent[8 : 8 + nbytes]
+        else:
+            (off,) = struct.unpack(bo + "I", ent[8:12])
+            raw = payload[off : off + nbytes]
+            if len(raw) < nbytes:
+                raise ValueError(f"TIFF tag {tag} value truncated")
+        tags[tag] = list(struct.unpack(bo + type_fmt[typ] * cnt, raw))
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF unsupported (strips only)")
+    compression = one(259, 1)
+    if compression != 1:
+        raise NotImplementedError(
+            f"TIFF compression {compression} needs libtiff-class codecs; "
+            "only 1 (uncompressed) decodes with stdlib"
+        )
+    if one(284, 1) != 1:
+        raise NotImplementedError("planar (non-chunky) TIFF unsupported")
+    width, height = one(256), one(257)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad TIFF dimensions {width}x{height}")
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if spp not in (1, 3) or any(b != 8 for b in bits):
+        raise NotImplementedError(
+            f"TIFF samples={spp} bits={bits} unsupported (8-bit gray/RGB only)"
+        )
+    photometric = one(262, 1)
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photometric} unsupported")
+    if photometric == 2 and spp != 3:
+        raise ValueError("RGB TIFF with SamplesPerPixel != 3")
+
+    offs = tags.get(273)
+    if not offs:
+        raise ValueError("TIFF missing StripOffsets")
+    counts = tags.get(279)
+    if counts is None:
+        if len(offs) != 1:
+            raise ValueError("TIFF multi-strip without StripByteCounts")
+        counts = [width * height * spp]
+    if len(counts) != len(offs):
+        raise ValueError("TIFF StripOffsets/StripByteCounts length mismatch")
+    raster = bytearray()
+    for off, cnt in zip(offs, counts):
+        strip = payload[off : off + cnt]
+        if len(strip) != cnt:
+            raise ValueError(f"TIFF strip truncated: {len(strip)} of {cnt} bytes")
+        raster += strip
+    n = width * height * spp
+    if len(raster) != n:
+        raise ValueError(f"TIFF raster {len(raster)} bytes, expected {n}")
+    if spp == 3:
+        return width, height, 255, bytes(raster)
+    if photometric == 0:  # WhiteIsZero: 0 is white → invert to standard gray
+        raster = bytes(255 - g for g in raster)
+    return width, height, 255, bytes(g for g in raster for _ in range(3))
+
+
+def render_tiff(doc_id: int) -> bytes:
+    """Deterministic uncompressed RGB TIFF payload with the SAME closed
+    form as render_ppm/render_png (w = 8 + id%9, h = 8 + (id//9)%9, byte
+    i = (id·31 + i) % 256), written with stdlib struct. Byte order
+    alternates by id parity (even → II little-endian, odd → MM
+    big-endian) and the raster is split into RowsPerStrip=4 strips, so
+    ONE gate query exercises both endian branches and real multi-strip
+    assembly. Container size is itself a closed form the oracle pins:
+    8 (header) + 126 (10-entry IFD) + 6 (BitsPerSample) + 8·ceil(h/4)
+    (offset+count arrays) + w·h·3 raster bytes."""
+    import struct
+
+    bo = "<" if doc_id % 2 == 0 else ">"
+    w = 8 + doc_id % 9
+    h = 8 + (doc_id // 9) % 9
+    px = bytes((doc_id * 31 + i) % 256 for i in range(w * h * 3))
+    rows_per_strip = 4
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    ifd_off = 8
+    ifd_len = 2 + 10 * 12 + 4
+    bps_off = ifd_off + ifd_len
+    so_off = bps_off + 6
+    sbc_off = so_off + 4 * n_strips
+    data_off = sbc_off + 4 * n_strips
+    strip_offs, strip_cnts, pos = [], [], data_off
+    for s in range(n_strips):
+        rows = min(rows_per_strip, h - s * rows_per_strip)
+        strip_offs.append(pos)
+        strip_cnts.append(rows * w * 3)
+        pos += rows * w * 3
+
+    def entry(tag: int, typ: int, cnt: int, val: bytes) -> bytes:
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val.ljust(4, b"\x00")
+
+    short = lambda v: struct.pack(bo + "H", v)  # noqa: E731
+    long_ = lambda v: struct.pack(bo + "I", v)  # noqa: E731
+    ifd = struct.pack(bo + "H", 10)
+    ifd += entry(256, 4, 1, long_(w))            # ImageWidth
+    ifd += entry(257, 4, 1, long_(h))            # ImageLength
+    ifd += entry(258, 3, 3, long_(bps_off))      # BitsPerSample → offset
+    ifd += entry(259, 3, 1, short(1))            # Compression: none
+    ifd += entry(262, 3, 1, short(2))            # Photometric: RGB
+    ifd += entry(273, 4, n_strips, long_(so_off))   # StripOffsets
+    ifd += entry(277, 3, 1, short(3))            # SamplesPerPixel
+    ifd += entry(278, 4, 1, long_(rows_per_strip))  # RowsPerStrip
+    ifd += entry(279, 4, n_strips, long_(sbc_off))  # StripByteCounts
+    ifd += entry(284, 3, 1, short(1))            # PlanarConfiguration: chunky
+    ifd += long_(0)  # next-IFD terminator
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    return (
+        magic
+        + struct.pack(bo + "I", ifd_off)
+        + ifd
+        + short(8) * 3
+        + b"".join(struct.pack(bo + "I", o) for o in strip_offs)
+        + b"".join(struct.pack(bo + "I", c) for c in strip_cnts)
+        + px
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL image decode, pure stdlib: netpbm PPM binary (P6) / ASCII
-    (P3), uncompressed 24-bit BMP, and PNG (8-bit gray/RGB/palette/RGBA
-    non-interlaced — DEFLATE via stdlib zlib + scanline unfiltering; no
-    codec library involved). Returns (width, height, maxval, rgb_bytes)
-    with the raster row-major top-down R,G,B.
+    (P3), uncompressed 24-bit BMP, uncompressed classic TIFF (both byte
+    orders, strips, 8-bit gray/RGB), PNG (8-bit gray/RGB/palette/RGBA
+    non-interlaced — DEFLATE via stdlib zlib + scanline unfiltering), and
+    GIF (pure-Python LZW; no codec library involved). Returns
+    (width, height, maxval, rgb_bytes) with the raster row-major
+    top-down R,G,B.
 
     JPEG and other DCT/entropy formats genuinely need libjpeg-class
     codecs this container doesn't ship — those magics raise
@@ -538,6 +707,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return _decode_png(payload)
     if bytes(payload[:3]) == b"GIF":
         return _decode_gif(payload)
+    if bytes(payload[:4]) in _TIFF_MAGICS:
+        return _decode_tiff(payload)
     if magic == b"BM":
         return _decode_bmp(payload)
     if magic in (b"P5", b"P2", b"P4", b"P1"):
@@ -545,8 +716,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     if magic not in (b"P6", b"P3"):
         raise NotImplementedError(
             f"no stdlib decoder for magic {magic!r} — netpbm P1–P6, "
-            "uncompressed 24-bit BMP, PNG, and GIF only; JPEG/audio/"
-            "video require PIL/libjpeg/ffmpeg"
+            "uncompressed 24-bit BMP, uncompressed TIFF, PNG, and GIF "
+            "only; JPEG/audio/video require PIL/libjpeg/ffmpeg"
         )
     toks, pos = _pnm_tokens(payload, 4)
     width, height, maxval = int(toks[1]), int(toks[2]), int(toks[3])
@@ -734,6 +905,27 @@ def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_tiff_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render a real uncompressed TIFF payload per document (see
+    render_tiff; byte order alternates by doc parity) with image
+    metadata — the IFD-structured container ingest shape, decodable by
+    the stdlib struct-based TIFF reader."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def _render(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: render_tiff(int(i)))
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _render(F.col(id_col)).alias("payload"),
+        F.struct(
+            F.lit("image/tiff").alias("mime"),
+            F.lit("tiff").alias("codec"),
+        ).alias("meta"),
+    )
+
+
 def _fake_features(doc_id: int, b: bytes) -> dict:
     """Deterministic FAKE feature row (stands in for decode+resize+embed
     of formats the container can't decode): pseudo width/height/mean from
@@ -808,6 +1000,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                     b[:2] in (b"P6", b"P3", b"P5", b"P2", b"P4", b"P1", b"BM")
                     or b[:8] == _PNG_MAGIC
                     or b[:3] == b"GIF"
+                    or b[:4] in _TIFF_MAGICS
                 )
                 if stdlib_claimed or plugin is not None:
                     try:

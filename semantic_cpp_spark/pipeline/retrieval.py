@@ -453,3 +453,152 @@ def hybrid_rrf(
         .filter(F.col("rk") <= k)
         .select("doc_id", "rk", "rrf", "lex_rank", "vec_rank")
     )
+
+
+def per_term_bm25_runs(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Ranked top-k run per single-term query: (query_id=term, doc_id, rk,
+    score). The multi-query companion of bm25_topk — the shape a retrieval
+    EVALUATION consumes (one ranking per query in a query set).
+
+    Plan: one tokenize + filtered explode builds (doc, term, tf) for query
+    terms only, df/N/avgdl as in bm25_topk, then a per-query-term ranking
+    window. partitionBy(term) scales with the QUERY SET (real evaluation
+    sets are thousands of queries); per-query work is the posting list of
+    that term, and the k-cut bounds the output."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        id_col.alias("doc_id"), tokens(F.lower(text)).alias("t")
+    ).select("doc_id", F.size("t").cast("long").alias("dl"), "t")
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_total"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(F.filter("t", lambda w: w.isin(terms))).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dfreq"))
+    scored = tf.join(F.broadcast(dft), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs_total") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.round(idf * sat, 6).desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("term").alias("query_id"),
+            "doc_id",
+            "rk",
+            F.round(idf * sat, 6).alias("score"),
+        )
+    )
+
+
+def rank_eval(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """Offline retrieval evaluation: per query, NDCG@k, MRR, precision@k
+    and recall@k of a ranked run against graded relevance labels — the
+    standard TREC-style metric set every retrieval pipeline (and every
+    RAG corpus build) reports.
+
+    Inputs: ``run`` (query_id, doc_id, rk) — rk 1-based, already cut or
+    cuttable at k; ``qrels`` (query_id, doc_id, rel) — graded integer
+    relevance, rel > 0 meaning relevant. Metrics:
+
+      DCG@k  = Σ_{rk≤k} (2^rel − 1) / log2(rk + 1)
+      NDCG@k = DCG@k / IDCG@k (ideal = qrels by rel desc, doc_id asc)
+      MRR    = 1 / (first rank with rel > 0), 0 if none retrieved
+      P@k    = |retrieved ∩ relevant| / k        (column ``p_at_k``)
+      R@k    = |retrieved ∩ relevant| / |relevant|  (column ``r_at_k``)
+
+    Cross-engine exactness: both DCG folds run LEFT-TO-RIGHT in rank
+    order (F.aggregate over the rank-sorted gain list — the list_sum
+    pairing emb_whiten_norms pinned); MRR/P/R are single divisions of
+    exact int64 counts. NDCG rounds at 6dp.
+
+    Scale shape: everything is keyed by query_id — the run is ≤k rows
+    per query by construction, qrels shuffle once for the ideal-ranking
+    window and once for the relevant-count aggregate; no stage touches
+    (query × corpus)."""
+    from pyspark.sql import Window
+
+    gain = lambda rel: (F.pow(F.lit(2.0), rel) - 1.0) / F.log2(  # noqa: E731
+        F.col("rk").cast("double") + 1.0
+    )
+    got = (
+        run.filter(F.col("rk") <= k)
+        .join(qrels, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "rk",
+            F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+        )
+    )
+    per_q = got.groupBy("query_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rk", gain(F.col("rel")).alias("g")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["g"],
+        ).alias("dcg"),
+        F.sum((F.col("rel") > 0).cast("long")).alias("hits"),
+        F.min(F.when(F.col("rel") > 0, F.col("rk"))).alias("first_rel"),
+    )
+    wi = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "doc_id")
+    ideal = (
+        qrels.filter(F.col("rel") > 0)
+        .withColumn("rk", F.row_number().over(wi).cast("long"))
+        .filter(F.col("rk") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("rk", gain(F.col("rel")).alias("g")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["g"],
+            ).alias("idcg")
+        )
+    )
+    n_rel = (
+        qrels.filter(F.col("rel") > 0)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    return (
+        per_q.join(ideal, "query_id", "left")
+        .join(n_rel, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(F.col("hits") / F.lit(float(k)), 6).alias("p_at_k"),
+            F.round(
+                F.coalesce(F.col("hits") / F.col("n_rel"), F.lit(0.0)), 6
+            ).alias("r_at_k"),
+        )
+    )

@@ -651,18 +651,22 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r7 window (exactly 50 = 1 + 1 + 20 + 3 + 25): samp_train_val_split (r6
+# r7 window (exactly 50 = 1 + 1 + 20 + 5 + 23): samp_train_val_split (r6
 # RED — oracle HUGEINT fix this round), dedup_ngram_jaccard (code re-keyed
 # in r6 AFTER its last driver row — the r6 contract test's documented
 # carry-over), the 20 queries that had never had a driver row (r6
-# overflow), the 3 new r7 operators (graph_pagerank_top10,
-# stream_sliding_uniques_bounded, emb_semdedup), then 25 of the 41
-# r3-vintage queries (all 8 streaming, the 14 fact-join relational,
-# dedup_cc_clusters + agg_salted_hot_key + emb_kmeans_step). The 16
+# overflow), the 5 new r7 operators (graph_pagerank_top10,
+# stream_sliding_uniques_bounded, emb_semdedup, mm_tiff_features,
+# ir_rank_metrics — first rows beat repeat rows, rule (b)), then 23 of
+# the 41 r3-vintage queries (all 8 streaming, 12 fact-join relational,
+# dedup_cc_clusters + agg_salted_hot_key + emb_kmeans_step). The 18
 # remaining r3-vintage (ir_bm25_topk, agg_corr_covar,
-# agg_distribution_profile + the 13 simple strings/scalar queries, no
-# joins) spill to r8 — listed below the WINDOW CUT so the r8 rotation is
-# explicit, completing the no-row-older-than-r4 invariant by end of r8.
+# agg_distribution_profile, rel_rollup_order_priority,
+# rel_pivot_status_by_flag — the two single-table no-join rel queries
+# displaced by the late-r7 TIFF/rank-metrics additions — + the 13 simple
+# strings/scalar queries, no joins) spill to r8 — listed below the
+# WINDOW CUT so the r8 rotation is explicit, completing the
+# no-row-older-than-r4 invariant by end of r8.
 _PRIORITY: list[str] = [
     # -- (a) red-row refresh: oracle fixed this round (sum(n_chars)::BIGINT
     #    — DuckDB sum(INTEGER) returns HUGEINT, the only non-canonical
@@ -701,6 +705,10 @@ _PRIORITY: list[str] = [
                                        # form under the gate (append mode)
     "emb_semdedup",                # NEW: SemDeDup cluster-blocked semantic
                                    # dedup, bit-exact boolean oracle
+    "mm_tiff_features",            # NEW: real uncompressed-TIFF decode,
+                                   # both byte orders, n_bytes size-law oracle
+    "ir_rank_metrics",             # NEW: NDCG@10/MRR/P@10/R@10 retrieval
+                                   # eval, rank-ordered LTR DCG folds
     # -- (c) r3-vintage backfill, riskiest families first --
     "stream_tumble_hour",
     "stream_slide_2h_30m",
@@ -724,18 +732,20 @@ _PRIORITY: list[str] = [
     "rel_q14_promo_share",
     "rel_q4_semi_join",
     "rel_customers_without_urgent_orders",
-    "rel_rollup_order_priority",
-    "rel_pivot_status_by_flag",
     "emb_kmeans_step",
     # -- WINDOW CUT after emb_kmeans_step (position 50) — recount, don't
     #    trust comment position, when rotating --
-    # -- spill to r8 (positions 50+): ir_bm25_topk + agg_corr_covar +
-    #    agg_distribution_profile (displaced by the r7 new operators and
-    #    the dedup_ngram_jaccard carry-over) + the 13 lowest-risk
-    #    r3-vintage queries (scalar/string/simple-aggregate, no joins),
-    #    all green in two prior driver windows, re-executed by the smoke
-    #    test and the committed HEAD verify.out.log. These MUST head the
-    #    r8 backfill section. --
+    # -- spill to r8 (positions 50+): rel_rollup_order_priority +
+    #    rel_pivot_status_by_flag (displaced by the late-r7
+    #    mm_tiff_features / ir_rank_metrics first rows) + ir_bm25_topk +
+    #    agg_corr_covar + agg_distribution_profile (displaced by the r7
+    #    new operators and the dedup_ngram_jaccard carry-over) + the 13
+    #    lowest-risk r3-vintage queries (scalar/string/simple-aggregate,
+    #    no joins), all green in two prior driver windows, re-executed by
+    #    the smoke test and the committed HEAD verify.out.log. These MUST
+    #    head the r8 backfill section. --
+    "rel_rollup_order_priority",
+    "rel_pivot_status_by_flag",
     "ir_bm25_topk",
     "agg_corr_covar",
     "agg_distribution_profile",

@@ -489,6 +489,45 @@ def mm_png_features(spark, sf_dir):
     )
 
 @register(
+    "mm_tiff_features",
+    """WITH sz AS (SELECT doc_id,
+                          (8 + doc_id % 9)::INT AS w,
+                          (8 + (doc_id // 9) % 9)::INT AS h
+                   FROM documents),
+    px AS (SELECT doc_id, w, h, (doc_id * 31 + r.range) % 256 AS v
+           FROM sz CROSS JOIN range(0, 768) r
+           WHERE r.range < w * h * 3)
+    SELECT doc_id,
+           (140 + 8 * ((h + 3) // 4) + w * h * 3)::BIGINT AS n_bytes,
+           w AS width, h AS height,
+           round(sum(v) / (w * h * 3) / 255.0, 9) AS feat_mean,
+           TRUE AS decoded
+    FROM px GROUP BY doc_id, w, h""",
+)
+def mm_tiff_features(spark, sf_dir):
+    """Multimodal features through the REAL stdlib TIFF decode path: each
+    doc gets a true classic-TIFF container (header + 10-entry IFD +
+    RowsPerStrip=4 strip layout — multimodal.render_tiff) holding the
+    same closed-form pixels as the PPM fixture; byte order ALTERNATES by
+    doc parity so one gate run covers both II and MM branches of the IFD
+    parser (multimodal._decode_tiff). Uncompressed TIFF's container size
+    is itself a closed form — 140 + 8·ceil(h/4) + w·h·3 — so unlike
+    PNG/GIF the oracle pins n_bytes too, value-checking the WRITER's
+    layout arithmetic alongside the reader."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_tiff_payload(docs)
+    feats = multimodal.extract_features(payload)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round("feat_mean", 9).alias("feat_mean"),
+        "decoded",
+    )
+
+
+@register(
     "mm_feature_extract",
     """WITH sz AS (SELECT doc_id,
                           (8 + doc_id % 9)::INT AS w,
@@ -2415,6 +2454,103 @@ def ir_hybrid_rrf(spark, sf_dir):
     return retrieval.hybrid_rrf(
         docs, emb, F.col("text"), F.col("doc_id"),
         _BM25_TERMS, query_vec_id=0, k=20, k_each=100,
+    )
+
+
+_EVAL_TERMS = ["data", "query", "spark", "merge", "filter"]
+
+
+@register(
+    "ir_rank_metrics",
+    f"""WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    b2 AS (SELECT doc_id, len(t)::BIGINT AS dl, t FROM base),
+    stats AS (SELECT count(*)::BIGINT AS n_docs_total, avg(dl) AS avgdl FROM b2),
+    tf AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, dl,
+                   unnest(list_filter(t, w -> w IN ({', '.join(repr(t) for t in _EVAL_TERMS)}))) AS term
+            FROM b2)
+      GROUP BY doc_id, dl, term),
+    dft AS (SELECT term, count(*)::BIGINT AS dfreq FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.term, tf.doc_id, tf.tf,
+             round(ln(1.0 + (stats.n_docs_total - dft.dfreq + 0.5)
+                            / (dft.dfreq + 0.5))
+                   * ((tf.tf * (1.2 + 1.0))
+                      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))),
+                   6) AS score
+      FROM tf JOIN dft USING (term), stats),
+    run AS (SELECT term AS query_id, doc_id,
+                   row_number() OVER (PARTITION BY term
+                                      ORDER BY score DESC, doc_id) AS rk
+            FROM scored QUALIFY rk <= 10),
+    qrels AS (SELECT term AS query_id, doc_id,
+                     least(greatest(tf - 1, 0), 2)::BIGINT AS rel
+              FROM tf),
+    got AS (SELECT r.query_id, r.rk, coalesce(q.rel, 0) AS rel
+            FROM run r LEFT JOIN qrels q USING (query_id, doc_id)),
+    perq AS (SELECT query_id,
+                    list_sum(list((pow(2.0, rel) - 1.0) / log2(rk + 1.0)
+                                  ORDER BY rk)) AS dcg,
+                    sum((rel > 0)::BIGINT) AS hits,
+                    min(CASE WHEN rel > 0 THEN rk END) AS first_rel
+             FROM got GROUP BY query_id),
+    ideal0 AS (SELECT query_id, rel,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, doc_id) AS rk
+               FROM qrels WHERE rel > 0),
+    ideal AS (SELECT query_id,
+                     list_sum(list((pow(2.0, rel) - 1.0) / log2(rk + 1.0)
+                                   ORDER BY rk)) AS idcg
+              FROM ideal0 WHERE rk <= 10 GROUP BY query_id),
+    nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel
+             FROM qrels WHERE rel > 0 GROUP BY query_id)
+    SELECT p.query_id,
+           round(coalesce(p.dcg / nullif(i.idcg, 0.0), 0.0), 6) AS ndcg,
+           round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr,
+           round(p.hits / 10.0, 6) AS p_at_k,
+           round(coalesce(p.hits / n.n_rel, 0.0), 6) AS r_at_k
+    FROM perq p LEFT JOIN ideal i USING (query_id)
+    LEFT JOIN nrel n USING (query_id)""",
+)
+def ir_rank_metrics(spark, sf_dir):
+    """TREC-style retrieval evaluation under the gate: per single-term
+    query, NDCG@10 / MRR / P@10 / R@10 of the BM25 ranking
+    (retrieval.per_term_bm25_runs) against graded labels derived from
+    the corpus itself — rel = min(max(tf−1, 0), 2), so tf=1 docs are
+    retrieved-but-irrelevant and BM25's length normalization (which
+    ranks short tf=1 docs above long tf=2 docs) makes every metric
+    non-trivial. Both DCG folds are rank-ordered left-to-right
+    (F.aggregate ↔ list_sum over an ORDER BY rk list — the
+    emb_whiten_norms pairing); MRR/P/R are single divisions of exact
+    int64 counts (retrieval.rank_eval)."""
+    docs = load_table(spark, sf_dir, "documents")
+    run = retrieval.per_term_bm25_runs(
+        docs, F.col("text"), F.col("doc_id"), _EVAL_TERMS, k=10
+    )
+    base = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("t")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.filter("t", lambda w: w.isin(_EVAL_TERMS))
+        ).alias("query_id"),
+    )
+    qrels = (
+        base.groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.least(F.greatest(F.col("tf") - 1, F.lit(0)), F.lit(2))
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    return retrieval.rank_eval(
+        run.select("query_id", "doc_id", "rk"), qrels, k=10
     )
 
 

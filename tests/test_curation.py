@@ -1286,3 +1286,55 @@ def test_redundancy_curve_mechanism(spark):
     assert len(rows) >= 2 and all(r.new_tokens > 0 for r in rows)
     # coverage is non-decreasing
     assert all(a.cum_coverage <= b.cum_coverage for a, b in zip(rows, rows[1:]))
+
+
+def test_rank_eval_matches_hand_computation(spark):
+    """NDCG@k/MRR/P@k/R@k from retrieval.rank_eval against a worked
+    example: graded gains in rank order, ideal ranking from qrels,
+    zero-relevant query floors every metric at 0."""
+    run = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3), ("q2", 9, 1)],
+        "query_id string, doc_id long, rk long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 2, 2), ("q1", 3, 1), ("q1", 4, 1), ("q2", 5, 1)],
+        "query_id string, doc_id long, rel long",
+    )
+    out = {r["query_id"]: r for r in retrieval.rank_eval(run, qrels, k=3).collect()}
+    dcg = (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    idcg = (2**2 - 1) / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    q1 = out["q1"]
+    assert q1["ndcg"] == round(dcg / idcg, 6)
+    assert q1["mrr"] == 0.5          # first relevant at rank 2
+    assert q1["p_at_k"] == round(2 / 3, 6)
+    assert q1["r_at_k"] == round(2 / 3, 6)   # 2 of 3 relevant retrieved
+    q2 = out["q2"]                   # nothing relevant retrieved
+    assert (q2["ndcg"], q2["mrr"], q2["p_at_k"], q2["r_at_k"]) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_per_term_bm25_runs_rank_per_query(spark):
+    """per_term_bm25_runs emits one independent k-cut ranking per term;
+    single-term scores equal bm25_topk on the same corpus."""
+    texts = [
+        "data data query",
+        "data fluff fluff fluff",
+        "query query data words",
+    ]
+    df = _docs(spark, texts)
+    runs = retrieval.per_term_bm25_runs(
+        df, F.col("text"), F.col("doc_id"), ["data", "query"], k=10
+    ).collect()
+    by_q = {}
+    for r in runs:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # every doc containing the term appears, ranks contiguous from 1
+    assert sorted(r["rk"] for r in by_q["data"]) == [1, 2, 3]
+    assert sorted(r["rk"] for r in by_q["query"]) == [1, 2]
+    single = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_topk(
+            df, F.col("text"), F.col("doc_id"), ["data"], 10
+        ).collect()
+    }
+    for r in by_q["data"]:
+        assert r["score"] == single[r["doc_id"]]
