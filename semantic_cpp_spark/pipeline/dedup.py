@@ -865,3 +865,93 @@ def prefix_filter_jaccard_pairs(
         .filter(common * F.lit(tau_den) >= F.lit(tau_num) * denom)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# -- Bloom-filter membership -------------------------------------------------
+# The index primitive for INCREMENTAL corpus dedup at 100 TB: build once
+# over the corpus's exact-dedup keys, broadcast to every probe batch, and
+# pay an anti-join against the full corpus only for the (tiny) maybe-member
+# set. Stored SPARSE — one (word_index, mask) row per 32-bit word with any
+# bit set — because the probe is a word-index equi-join, and a dense array
+# would force a driver-side assembly the join never needs.
+
+BLOOM_BITS = 1 << 22  # 4M bits — per-word 32-bit masks, so 131072 words max
+BLOOM_HASHES = 5
+
+
+def _bloom_positions(key: Column, n_bits: int, k_hashes: int) -> Column:
+    """Array of k md5-derived bit positions in [0, n_bits) for a key.
+    n_bits must be a power of two ≤ 2^60 (the modulo then takes the low
+    bits of the 60-bit md5 prefix — engine-portable like hash_u60)."""
+    from semantic_cpp_spark.pipeline.curation import hash_u60
+
+    return F.array(
+        *[hash_u60(key, f"bloom{i}-") % n_bits for i in range(k_hashes)]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key: Column,
+    n_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Distributed Bloom-filter build: returns the SPARSE filter as
+    (w, mask) rows — word index and the OR of its set bits (32 bits per
+    word, masks always positive in int64). One explode + one distinct +
+    one bit_or groupBy; no driver-side state, no collect — the filter IS
+    a DataFrame, persistable as parquet next to the corpus it indexes
+    (the precomputed-index shape dedup_incremental_batch documents for
+    its band table)."""
+    if n_bits & (n_bits - 1) or n_bits <= 0:
+        raise ValueError(f"n_bits must be a power of two, got {n_bits}")
+    pos = (
+        df.select(
+            F.explode(_bloom_positions(key, n_bits, k_hashes)).alias("pos")
+        )
+        .distinct()
+    )
+    return (
+        pos.select(
+            F.shiftright("pos", 5).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("mask"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    batch: DataFrame,
+    key: Column,
+    id_col: Column,
+    n_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Probe a batch against a sparse Bloom filter: (id, maybe_member)
+    per batch row — maybe_member true iff ALL k hashed bits are set (no
+    false negatives ever; false-positive rate ≈ (set_bits/n_bits)^k,
+    the caller's sizing knob). The probe fans each row into k (word,
+    bit) lookups, equi-joins the (≤n_bits/32-row, broadcastable) sparse
+    filter on the word index, and bool_ands back per id — no corpus
+    access at all, which is the point: only maybe-members proceed to
+    the exact verify join."""
+    probes = batch.select(
+        id_col.alias("__id"),
+        F.explode(_bloom_positions(key, n_bits, k_hashes)).alias("pos"),
+    ).select(
+        "__id",
+        F.shiftright("pos", 5).alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("b"),
+    )
+    hit = F.coalesce(
+        (F.col("mask").bitwiseAND(F.col("b")) != 0), F.lit(False)
+    )
+    return (
+        probes.join(F.broadcast(bloom), "w", "left")
+        .select("__id", hit.alias("__hit"))
+        .groupBy("__id")
+        .agg(F.bool_and("__hit").alias("maybe_member"))
+        .select(F.col("__id").alias("id"), "maybe_member")
+    )

@@ -651,22 +651,23 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r7 window (exactly 50 = 1 + 1 + 20 + 5 + 23): samp_train_val_split (r6
+# r7 window (exactly 50 = 1 + 1 + 20 + 6 + 22): samp_train_val_split (r6
 # RED — oracle HUGEINT fix this round), dedup_ngram_jaccard (code re-keyed
 # in r6 AFTER its last driver row — the r6 contract test's documented
 # carry-over), the 20 queries that had never had a driver row (r6
-# overflow), the 5 new r7 operators (graph_pagerank_top10,
+# overflow), the 6 new r7 operators (graph_pagerank_top10,
 # stream_sliding_uniques_bounded, emb_semdedup, mm_tiff_features,
-# ir_rank_metrics — first rows beat repeat rows, rule (b)), then 23 of
-# the 41 r3-vintage queries (all 8 streaming, 12 fact-join relational,
-# dedup_cc_clusters + agg_salted_hot_key + emb_kmeans_step). The 18
-# remaining r3-vintage (ir_bm25_topk, agg_corr_covar,
-# agg_distribution_profile, rel_rollup_order_priority,
-# rel_pivot_status_by_flag — the two single-table no-join rel queries
-# displaced by the late-r7 TIFF/rank-metrics additions — + the 13 simple
-# strings/scalar queries, no joins) spill to r8 — listed below the
-# WINDOW CUT so the r8 rotation is explicit, completing the
-# no-row-older-than-r4 invariant by end of r8.
+# ir_rank_metrics, dedup_bloom_probe — first rows beat repeat rows,
+# rule (b)), then 22 of the 41 r3-vintage queries (all 8 streaming, 11
+# fact-join relational, dedup_cc_clusters + agg_salted_hot_key +
+# emb_kmeans_step). The 19 remaining r3-vintage (ir_bm25_topk,
+# agg_corr_covar, agg_distribution_profile, rel_q6_forecast_revenue,
+# rel_rollup_order_priority, rel_pivot_status_by_flag — the three
+# single-table no-join rel queries displaced by the late-r7
+# TIFF/rank-metrics/Bloom additions — + the 13 simple strings/scalar
+# queries, no joins) spill to r8 — listed below the WINDOW CUT so the
+# r8 rotation is explicit, completing the no-row-older-than-r4
+# invariant by end of r8.
 _PRIORITY: list[str] = [
     # -- (a) red-row refresh: oracle fixed this round (sum(n_chars)::BIGINT
     #    — DuckDB sum(INTEGER) returns HUGEINT, the only non-canonical
@@ -709,6 +710,8 @@ _PRIORITY: list[str] = [
                                    # both byte orders, n_bytes size-law oracle
     "ir_rank_metrics",             # NEW: NDCG@10/MRR/P@10/R@10 retrieval
                                    # eval, rank-ordered LTR DCG folds
+    "dedup_bloom_probe",           # NEW: sparse Bloom build + broadcast
+                                   # probe, md5-deterministic membership
     # -- (c) r3-vintage backfill, riskiest families first --
     "stream_tumble_hour",
     "stream_slide_2h_30m",
@@ -725,7 +728,6 @@ _PRIORITY: list[str] = [
     "rel_q10_returned_items",
     "rel_q18_large_orders",
     "rel_q22_idle_balance",
-    "rel_q6_forecast_revenue",
     "rel_q17_small_qty_revenue",
     "rel_q19_bracketed_discounts",
     "rel_q13_order_histogram",
@@ -735,15 +737,18 @@ _PRIORITY: list[str] = [
     "emb_kmeans_step",
     # -- WINDOW CUT after emb_kmeans_step (position 50) — recount, don't
     #    trust comment position, when rotating --
-    # -- spill to r8 (positions 50+): rel_rollup_order_priority +
-    #    rel_pivot_status_by_flag (displaced by the late-r7
-    #    mm_tiff_features / ir_rank_metrics first rows) + ir_bm25_topk +
+    # -- spill to r8 (positions 50+): rel_q6_forecast_revenue (no-join
+    #    single-table scan-agg, displaced by the dedup_bloom_probe first
+    #    row) + rel_rollup_order_priority + rel_pivot_status_by_flag
+    #    (displaced by the late-r7 mm_tiff_features / ir_rank_metrics
+    #    first rows) + ir_bm25_topk +
     #    agg_corr_covar + agg_distribution_profile (displaced by the r7
     #    new operators and the dedup_ngram_jaccard carry-over) + the 13
     #    lowest-risk r3-vintage queries (scalar/string/simple-aggregate,
     #    no joins), all green in two prior driver windows, re-executed by
     #    the smoke test and the committed HEAD verify.out.log. These MUST
     #    head the r8 backfill section. --
+    "rel_q6_forecast_revenue",
     "rel_rollup_order_priority",
     "rel_pivot_status_by_flag",
     "ir_bm25_topk",

@@ -2457,6 +2457,55 @@ def ir_hybrid_rrf(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_bloom_probe",
+    """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+    pos AS (SELECT DISTINCT
+              ('0x' || substr(md5('bloom' || i.range::VARCHAR || '-' || text),
+                              1, 15))::BIGINT % 4194304 AS pos
+            FROM corpus CROSS JOIN range(0, 5) i),
+    filt AS (SELECT pos // 32 AS w,
+                    bit_or(1::BIGINT << (pos % 32)::INT) AS mask
+             FROM pos GROUP BY w),
+    probes AS (SELECT d.doc_id,
+                      ('0x' || substr(md5('bloom' || i.range::VARCHAR || '-'
+                                          || d.text), 1, 15))::BIGINT
+                        % 4194304 AS pos
+               FROM documents d CROSS JOIN range(0, 5) i),
+    p2 AS (SELECT doc_id, pos // 32 AS w,
+                  1::BIGINT << (pos % 32)::INT AS b
+           FROM probes),
+    hits AS (SELECT doc_id, coalesce((f.mask & p2.b) <> 0, FALSE) AS hit
+             FROM p2 LEFT JOIN filt f USING (w))
+    SELECT doc_id, bool_and(hit) AS maybe_member,
+           (doc_id % 10 <> 0) AS present
+    FROM hits GROUP BY doc_id""",
+)
+def dedup_bloom_probe(spark, sf_dir):
+    """Distributed Bloom-filter membership (dedup.bloom_build/probe) —
+    the incremental-dedup index primitive: the corpus (here docs with
+    doc_id % 10 ≠ 0) builds a SPARSE (word, mask) filter once, every
+    probe batch (here all docs) joins it broadcast on the word index,
+    and only maybe-members ever touch the corpus. No false negatives by
+    construction (every present doc probes true); false positives are
+    the sizing knob — 4M bits / 5 hashes ≈ (k·n/m)^k ≈ 1e-13 at this
+    SF, and the filter contents are a PURE md5 function of the data, so
+    the oracle replays membership (including any false positive)
+    bit-for-bit. At 100 TB the filter persists as parquet next to the
+    corpus (the precomputed-index shape of dedup_incremental_batch) and
+    the probe stays a broadcast join against ≤n_bits/32 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bloom = dedup.bloom_build(corpus, F.col("text"))
+    return dedup.bloom_probe(
+        bloom, docs, F.col("text"), F.col("doc_id")
+    ).select(
+        F.col("id").alias("doc_id"),
+        "maybe_member",
+        (F.col("id") % 10 != 0).alias("present"),
+    )
+
+
 _EVAL_TERMS = ["data", "query", "spark", "merge", "filter"]
 
 

@@ -1338,3 +1338,40 @@ def test_per_term_bm25_runs_rank_per_query(spark):
     }
     for r in by_q["data"]:
         assert r["score"] == single[r["doc_id"]]
+
+
+def test_bloom_filter_membership_properties(spark):
+    """Bloom build/probe invariants: NO false negatives ever; held-out
+    keys all miss at the 4M-bit sizing (FP ~1e-13); a deliberately
+    saturated 32-bit filter answers true for everything (the FP knob
+    made visible); empty corpus → all probes false; non-power-of-two
+    sizing rejected."""
+    corpus = spark.createDataFrame(
+        [(i, f"member-{i}") for i in range(200)], "id long, key string"
+    )
+    held_out = spark.createDataFrame(
+        [(i, f"absent-{i}") for i in range(200)], "id long, key string"
+    )
+    bloom = dedup.bloom_build(corpus, F.col("key"))
+    got = {
+        r["id"]: r["maybe_member"]
+        for r in dedup.bloom_probe(bloom, corpus, F.col("key"), F.col("id")).collect()
+    }
+    assert all(got.values()) and len(got) == 200  # no false negatives
+    miss = {
+        r["id"]: r["maybe_member"]
+        for r in dedup.bloom_probe(bloom, held_out, F.col("key"), F.col("id")).collect()
+    }
+    assert not any(miss.values())
+    # saturated filter: 200 keys x 5 hashes over 32 bits -> every bit set
+    sat = dedup.bloom_build(corpus, F.col("key"), n_bits=32)
+    sat_probe = dedup.bloom_probe(
+        sat, held_out, F.col("key"), F.col("id"), n_bits=32
+    ).collect()
+    assert all(r["maybe_member"] for r in sat_probe)
+    # empty corpus -> empty sparse filter -> everything misses
+    empty = dedup.bloom_build(corpus.filter(F.lit(False)), F.col("key"))
+    none = dedup.bloom_probe(empty, held_out, F.col("key"), F.col("id")).collect()
+    assert not any(r["maybe_member"] for r in none)
+    with pytest.raises(ValueError):
+        dedup.bloom_build(corpus, F.col("key"), n_bits=1000)
