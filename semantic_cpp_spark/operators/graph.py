@@ -201,3 +201,74 @@ def triangle_count(edges: DataFrame, src: str = "d1", dst: str = "d2") -> DataFr
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "d1",
+    dst: str = "d2",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Nodes of the k-core of an undirected graph — the maximal subgraph
+    where every node has degree ≥ k — by parallel peeling: each round
+    drops EVERY node currently under degree k (and its edges) at once,
+    until a fixpoint. The dense-cluster extractor for near-dup pair
+    graphs: a k-core survives only where duplication is mutual and
+    thick, where connected_components also chains through incidental
+    bridge pairs.
+
+    Returns (node, core_deg) — surviving nodes with their degree inside
+    the core.
+
+    Scale design: per round, one degree groupBy + two semi-joins keyed
+    on the node id, localCheckpointed (lineage truncation, as pagerank /
+    connected_components). Parallel peeling converges in rounds bounded
+    by the graph's DEGENERACY ORDERING DEPTH, not its size — near-dup
+    graphs (clique-like clusters + sparse bridges) settle in 1-3 rounds
+    at any scale; the adversarial worst case is a long path peeled from
+    the ends inward (O(diameter) rounds), which ``max_rounds`` caps —
+    the loop then returns the still-shrinking subgraph, a documented
+    truncation the registered gate query proves it never hits (its
+    convergence round count is test-pinned well under the cap)."""
+    src_edges = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).persist()
+    e = src_edges
+    n_edges = e.count()
+    try:
+        for _ in range(max_rounds):
+            if n_edges == 0:
+                break
+            deg = (
+                e.select(F.col("u").alias("node"))
+                .union(e.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("dg"))
+            )
+            keep = deg.filter(F.col("dg") >= k).select("node")
+            # localCheckpoint is EAGER (truncates per-round lineage, the
+            # pagerank requirement) and its blocks outlive the finally-
+            # block unpersist, which touches only the source frame
+            ne = (
+                e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint()
+            )
+            n_new = ne.count()
+            e = ne
+            if n_new == n_edges:
+                break
+            n_edges = n_new
+        return (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        )
+    finally:
+        try:
+            src_edges.unpersist()
+        except Exception:
+            pass

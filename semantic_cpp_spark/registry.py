@@ -651,23 +651,24 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r7 window (exactly 50 = 1 + 1 + 20 + 6 + 22): samp_train_val_split (r6
+# r7 window (exactly 50 = 1 + 1 + 20 + 7 + 21): samp_train_val_split (r6
 # RED — oracle HUGEINT fix this round), dedup_ngram_jaccard (code re-keyed
 # in r6 AFTER its last driver row — the r6 contract test's documented
 # carry-over), the 20 queries that had never had a driver row (r6
-# overflow), the 6 new r7 operators (graph_pagerank_top10,
+# overflow), the 7 new r7 operators (graph_pagerank_top10,
 # stream_sliding_uniques_bounded, emb_semdedup, mm_tiff_features,
-# ir_rank_metrics, dedup_bloom_probe — first rows beat repeat rows,
-# rule (b)), then 22 of the 41 r3-vintage queries (all 8 streaming, 11
-# fact-join relational, dedup_cc_clusters + agg_salted_hot_key +
-# emb_kmeans_step). The 19 remaining r3-vintage (ir_bm25_topk,
-# agg_corr_covar, agg_distribution_profile, rel_q6_forecast_revenue,
-# rel_rollup_order_priority, rel_pivot_status_by_flag — the three
-# single-table no-join rel queries displaced by the late-r7
-# TIFF/rank-metrics/Bloom additions — + the 13 simple strings/scalar
-# queries, no joins) spill to r8 — listed below the WINDOW CUT so the
-# r8 rotation is explicit, completing the no-row-older-than-r4
-# invariant by end of r8.
+# ir_rank_metrics, dedup_bloom_probe, graph_kcore_membership — first
+# rows beat repeat rows, rule (b)), then 21 of the 41 r3-vintage
+# queries (all 8 streaming, 10 fact-join relational, dedup_cc_clusters
+# + agg_salted_hot_key + emb_kmeans_step). The 20 remaining r3-vintage
+# (ir_bm25_topk, agg_corr_covar, agg_distribution_profile,
+# rel_q13_order_histogram, rel_q6_forecast_revenue,
+# rel_rollup_order_priority, rel_pivot_status_by_flag — the four
+# lowest-risk rel queries displaced by the late-r7
+# TIFF/rank-metrics/Bloom/k-core additions — + the 13 simple
+# strings/scalar queries, no joins) spill to r8 — listed below the
+# WINDOW CUT so the r8 rotation is explicit, completing the
+# no-row-older-than-r4 invariant by end of r8.
 _PRIORITY: list[str] = [
     # -- (a) red-row refresh: oracle fixed this round (sum(n_chars)::BIGINT
     #    — DuckDB sum(INTEGER) returns HUGEINT, the only non-canonical
@@ -712,6 +713,8 @@ _PRIORITY: list[str] = [
                                    # eval, rank-ordered LTR DCG folds
     "dedup_bloom_probe",           # NEW: sparse Bloom build + broadcast
                                    # probe, md5-deterministic membership
+    "graph_kcore_membership",      # NEW: parallel-peeling 2-core,
+                                   # materialized 12-round unroll oracle
     # -- (c) r3-vintage backfill, riskiest families first --
     "stream_tumble_hour",
     "stream_slide_2h_30m",
@@ -730,7 +733,6 @@ _PRIORITY: list[str] = [
     "rel_q22_idle_balance",
     "rel_q17_small_qty_revenue",
     "rel_q19_bracketed_discounts",
-    "rel_q13_order_histogram",
     "rel_q14_promo_share",
     "rel_q4_semi_join",
     "rel_customers_without_urgent_orders",
@@ -748,6 +750,7 @@ _PRIORITY: list[str] = [
     #    no joins), all green in two prior driver windows, re-executed by
     #    the smoke test and the committed HEAD verify.out.log. These MUST
     #    head the r8 backfill section. --
+    "rel_q13_order_histogram",
     "rel_q6_forecast_revenue",
     "rel_rollup_order_priority",
     "rel_pivot_status_by_flag",

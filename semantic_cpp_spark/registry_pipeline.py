@@ -2211,6 +2211,57 @@ def graph_triangle_counts(spark, sf_dir):
     return graph_ops.triangle_count(edges)
 
 
+def _kcore_sql(k: int = 3, rounds: int = 12) -> str:
+    """Unrolled parallel-peeling oracle for graph_ops.kcore over the
+    MinHash+LSH near-dup pair graph: each of the ``rounds`` chained CTEs
+    recomputes degrees and keeps edges whose BOTH endpoints still hold
+    degree ≥ k — bitwise the same monotone shrink as the Spark loop.
+    Peeling is idempotent at the fixpoint, so a fixed unroll equals the
+    early-exiting Spark iteration whenever convergence lands inside the
+    cap (pinned by test_kcore_gate_graph_converges_fast). Every round
+    CTE is MATERIALIZED: each references its predecessor several times,
+    and DuckDB's default CTE inlining would otherwise blow the plan up
+    exponentially in the round count (measured: un-materialized 12-round
+    unroll never finishes; materialized runs in seconds)."""
+    its = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node, count(*) AS dg
+      FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+      GROUP BY node),
+    e{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN d{i} da ON da.node = e.u JOIN d{i} db ON db.node = e.v
+      WHERE da.dg >= {k} AND db.dg >= {k})"""
+        )
+        prev = f"e{i}"
+    chain = ",\n    ".join(its)
+    return f"""WITH pairs AS MATERIALIZED ({_minhash_sql()}),
+    e0 AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM pairs),
+    {chain}
+    SELECT node::BIGINT AS node, count(*)::BIGINT AS core_deg
+    FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+    GROUP BY node"""
+
+
+@register("graph_kcore_membership", _kcore_sql(k=2))
+def graph_kcore_membership(spark, sf_dir):
+    """2-core of the MinHash+LSH near-dup pair graph (graph_ops.kcore,
+    parallel peeling): the cyclic-duplication extractor — nodes survive
+    only inside cycles of mutual near-duplication, where
+    connected_components would also chain through incidental bridge
+    pairs (every tree-like tendril peels away). Iterative, but a HARD
+    value oracle exists: peeling is monotone and idempotent at the
+    fixpoint, so a fixed 12-round MATERIALIZED DuckDB unroll equals the
+    early-exiting Spark loop (convergence inside the cap is pinned by
+    test_kcore_gate_graph_converges_fast). Returns (node, core_deg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, F.col("text"), F.col("doc_id"))
+    return graph_ops.kcore(pairs, k=2)
+
+
 def _pagerank_sql(n_iter: int = 15, damping: float = 0.85) -> str:
     """Unrolled power-iteration oracle for graph_ops.pagerank over the
     MinHash+LSH near-dup pair graph. DuckDB's plain recursive CTEs cannot

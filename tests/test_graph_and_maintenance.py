@@ -193,3 +193,53 @@ def test_triangle_wedges_degree_orientation_kills_hubs(spark):
     assert w2.count() <= 3  # leaves have out-degree <= 2
     out = {r.node: r.n_tri for r in triangle_count(df).collect()}
     assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_kcore_hand_built_graphs(spark):
+    """k-core by parallel peeling on graphs with known cores: a K4 with a
+    pendant path keeps exactly the K4 at k=3 (core degrees all 3); a
+    cycle IS its own 2-core; a path has an empty 2-core (peeled from the
+    ends inward — the multi-round case); k=1 keeps every non-isolated
+    node."""
+    from semantic_cpp_spark.operators.graph import kcore
+
+    def pairs(*e):
+        return spark.createDataFrame(list(e), "d1 long, d2 long")
+
+    # K4 on 0-3 plus pendant path 3-4-5
+    g = pairs((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5))
+    core3 = {r["node"]: r["core_deg"] for r in kcore(g, k=3).collect()}
+    assert core3 == {0: 3, 1: 3, 2: 3, 3: 3}
+    # 5-cycle: its own 2-core
+    cyc = pairs((0, 1), (1, 2), (2, 3), (3, 4), (4, 0))
+    core2 = {r["node"]: r["core_deg"] for r in kcore(cyc, k=2).collect()}
+    assert core2 == {i: 2 for i in range(5)}
+    # 6-path: 2-core empty, needs 3 peel rounds (ends inward)
+    path = pairs((0, 1), (1, 2), (2, 3), (3, 4), (4, 5))
+    assert kcore(path, k=2).count() == 0
+    # k=1 keeps everything with an edge
+    assert kcore(path, k=1).count() == 6
+    # max_rounds cap: the 6-path truncated at 1 round has peeled only
+    # the two endpoints (documented truncation behavior)
+    trunc = {r["node"] for r in kcore(path, k=2, max_rounds=1).collect()}
+    assert trunc == {1, 2, 3, 4}
+
+
+def test_kcore_gate_graph_converges_fast(spark):
+    """The unrolled 12-round oracle equals Spark's early-exiting loop
+    only if peeling converges inside the cap: pin that the gate graph's
+    2-core is already stable after THREE rounds (clique-like near-dup
+    clusters peel their tendrils immediately — the documented 1-3 round
+    regime, far under max_rounds=12)."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.operators.graph import kcore
+    from semantic_cpp_spark.pipeline import dedup
+    from semantic_cpp_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, F.col("text"), F.col("doc_id")).persist()
+    full = sorted(map(tuple, kcore(pairs, k=2).collect()))
+    capped = sorted(map(tuple, kcore(pairs, k=2, max_rounds=3).collect()))
+    assert full == capped
+    pairs.unpersist()
