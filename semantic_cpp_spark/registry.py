@@ -651,21 +651,22 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r7 window (exactly 50 = 1 + 1 + 20 + 7 + 21): samp_train_val_split (r6
+# r7 window (exactly 50 = 1 + 1 + 20 + 8 + 20): samp_train_val_split (r6
 # RED — oracle HUGEINT fix this round), dedup_ngram_jaccard (code re-keyed
 # in r6 AFTER its last driver row — the r6 contract test's documented
 # carry-over), the 20 queries that had never had a driver row (r6
-# overflow), the 7 new r7 operators (graph_pagerank_top10,
+# overflow), the 8 new r7 operators (graph_pagerank_top10,
 # stream_sliding_uniques_bounded, emb_semdedup, mm_tiff_features,
-# ir_rank_metrics, dedup_bloom_probe, graph_kcore_membership — first
-# rows beat repeat rows, rule (b)), then 21 of the 41 r3-vintage
-# queries (all 8 streaming, 10 fact-join relational, dedup_cc_clusters
-# + agg_salted_hot_key + emb_kmeans_step). The 20 remaining r3-vintage
-# (ir_bm25_topk, agg_corr_covar, agg_distribution_profile,
+# ir_rank_metrics, dedup_bloom_probe, graph_kcore_membership,
+# sim_dim_truncation_recall — first rows beat repeat rows, rule (b)),
+# then 20 of the 41 r3-vintage queries (all 8 streaming, 9 fact-join
+# relational, dedup_cc_clusters + agg_salted_hot_key + emb_kmeans_step).
+# The 21 remaining r3-vintage (ir_bm25_topk, agg_corr_covar,
+# agg_distribution_profile, rel_q14_promo_share,
 # rel_q13_order_histogram, rel_q6_forecast_revenue,
-# rel_rollup_order_priority, rel_pivot_status_by_flag — the four
+# rel_rollup_order_priority, rel_pivot_status_by_flag — the five
 # lowest-risk rel queries displaced by the late-r7
-# TIFF/rank-metrics/Bloom/k-core additions — + the 13 simple
+# TIFF/rank-metrics/Bloom/k-core/truncation additions — + the 13 simple
 # strings/scalar queries, no joins) spill to r8 — listed below the
 # WINDOW CUT so the r8 rotation is explicit, completing the
 # no-row-older-than-r4 invariant by end of r8.
@@ -715,6 +716,8 @@ _PRIORITY: list[str] = [
                                    # probe, md5-deterministic membership
     "graph_kcore_membership",      # NEW: parallel-peeling 2-core,
                                    # materialized 12-round unroll oracle
+    "sim_dim_truncation_recall",   # NEW: matryoshka truncation recall@5
+                                   # vs the 64-dim exact baseline
     # -- (c) r3-vintage backfill, riskiest families first --
     "stream_tumble_hour",
     "stream_slide_2h_30m",
@@ -733,7 +736,6 @@ _PRIORITY: list[str] = [
     "rel_q22_idle_balance",
     "rel_q17_small_qty_revenue",
     "rel_q19_bracketed_discounts",
-    "rel_q14_promo_share",
     "rel_q4_semi_join",
     "rel_customers_without_urgent_orders",
     "emb_kmeans_step",
@@ -750,6 +752,7 @@ _PRIORITY: list[str] = [
     #    no joins), all green in two prior driver windows, re-executed by
     #    the smoke test and the committed HEAD verify.out.log. These MUST
     #    head the r8 backfill section. --
+    "rel_q14_promo_share",
     "rel_q13_order_histogram",
     "rel_q6_forecast_revenue",
     "rel_rollup_order_priority",

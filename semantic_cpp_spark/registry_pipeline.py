@@ -2735,6 +2735,84 @@ def sim_lsh_recall_at_5(spark, sf_dir):
     )
 
 
+_TRUNC_DIMS = [8, 16, 32]
+
+
+def _trunc_recall_sql() -> str:
+    """Per-truncation recall oracle: exact full-64-dim top-5 vs top-5
+    over the first d dims (DuckDB list slice v[1:d] — same LTR
+    list_dot_product fold as the full-width cosine)."""
+    trunc_ctes = ",\n    ".join(
+        f"""t{d} AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id, {_sql_cos(f'e.v[1:{d}]', f'q.qv[1:{d}]')} AS cos,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY cos DESC NULLS LAST, e.vec_id) AS rk
+        FROM e, q WHERE e.vec_id <> q.q_id)
+      WHERE rk <= 5)"""
+        for d in _TRUNC_DIMS
+    )
+    unions = "\n      UNION ALL ".join(
+        f"""SELECT {d} AS dims, ex.q_id, count(a.vec_id) AS n_hits
+      FROM exact ex LEFT JOIN t{d} a
+        ON a.q_id = ex.q_id AND a.vec_id = ex.vec_id
+      GROUP BY ex.q_id"""
+        for d in _TRUNC_DIMS
+    )
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id, {_sql_cos('e.v', 'q.qv')} AS cos,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY cos DESC NULLS LAST, e.vec_id) AS rk
+        FROM e, q WHERE e.vec_id <> q.q_id)
+      WHERE rk <= 5),
+    {trunc_ctes}
+    SELECT dims::BIGINT AS dims, q_id, n_hits::BIGINT AS n_hits,
+           round(n_hits / 5.0, 6) AS recall_at_5
+    FROM ({unions})"""
+
+
+@register("sim_dim_truncation_recall", _trunc_recall_sql())
+def sim_dim_truncation_recall(spark, sf_dir):
+    """Matryoshka-style dimension-truncation diagnostic under the gate:
+    recall@5 of brute cosine over the first d ∈ {8, 16, 32} dims against
+    the exact 64-dim baseline, per query — the "can we store a prefix of
+    the embedding" question every vector-storage budget asks (truncation
+    = 8×/4×/2× memory + bandwidth savings if recall holds). Each branch
+    is the same broadcast-query corpus scan as sim_cosine_topk with
+    F.slice on the vector (the fold shortens, the plan shape is
+    unchanged); the comparison joins are bounded ≤15-row epilogues."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, [0, 1, 2], k=5).select("q_id", "vec_id")
+    out = None
+    for d in _TRUNC_DIMS:
+        trunc = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        approx = similarity.cosine_topk(trunc, [0, 1, 2], k=5).select(
+            F.col("q_id").alias("aq"), F.col("vec_id").alias("av")
+        )
+        hits = (
+            exact.join(
+                approx,
+                (F.col("aq") == F.col("q_id")) & (F.col("av") == F.col("vec_id")),
+                "left",
+            )
+            .groupBy("q_id")
+            .agg(F.count("av").cast("long").alias("n_hits"))
+            .select(
+                F.lit(d).cast("long").alias("dims"),
+                "q_id",
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(5.0), 6).alias("recall_at_5"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
 @register(
     "mm_image_histogram",
     """WITH sz AS (SELECT doc_id,

@@ -58,10 +58,10 @@ FIRST_ROW_IN_R7 = [
 # r3-vintage entries deliberately spill to the r8 window (the cut is
 # marked "WINDOW CUT" in registry._PRIORITY — recount, don't trust
 # comment position, when rotating).
-EXPECTED_SPILL = 20  # rel_q13 + rel_q6 + rel_rollup + rel_pivot (displaced by
-#                      late-r7 tiff/rank-metrics/bloom/kcore first rows) +
-#                      ir_bm25 + agg_corr_covar + agg_distribution +
-#                      13 low-risk r3
+EXPECTED_SPILL = 21  # rel_q14 + rel_q13 + rel_q6 + rel_rollup + rel_pivot
+#                      (displaced by the late-r7 tiff / rank-metrics / bloom /
+#                      kcore / truncation-recall first rows) + ir_bm25 +
+#                      agg_corr_covar + agg_distribution + 13 low-risk r3
 
 
 def test_r7_touched_and_first_row_queries_inside_50_window():
