@@ -219,7 +219,11 @@ def kcore(
     bridge pairs.
 
     Returns (node, core_deg) — surviving nodes with their degree inside
-    the core.
+    the core. Input is treated as a MULTIGRAPH: duplicate or
+    bidirectional edge rows count toward degree twice (the gate feeds
+    canonical d1<d2 distinct pairs, where this never arises; dedupe
+    upstream if your edge list isn't canonical — the oracle counts the
+    same raw rows).
 
     Scale design: per round, one degree groupBy + two semi-joins keyed
     on the node id, localCheckpointed (lineage truncation, as pagerank /

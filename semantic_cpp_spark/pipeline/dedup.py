@@ -936,7 +936,8 @@ def bloom_probe(
     bit) lookups, equi-joins the (≤n_bits/32-row, broadcastable) sparse
     filter on the word index, and bool_ands back per id — no corpus
     access at all, which is the point: only maybe-members proceed to
-    the exact verify join."""
+    the exact verify join. ``id_col`` must identify batch rows uniquely
+    (duplicate ids would bool_and across DIFFERENT keys' probes)."""
     probes = batch.select(
         id_col.alias("__id"),
         F.explode(_bloom_positions(key, n_bits, k_hashes)).alias("pos"),

@@ -362,3 +362,38 @@ def test_semdedup_in_cluster_join_is_equi_join(spark, qs):
     # centroid assigns (one per reference to the assignment frame)
     assert joins.count("BroadcastNestedLoopJoin") == 3, joins
     assert len([j for j in joins if j != "BroadcastNestedLoopJoin"]) == 2, joins
+
+
+def test_bloom_probe_joins_filter_broadcast(spark, qs):
+    """The Bloom probe's scale contract is its plan: the sparse filter
+    (≤n_bits/32 rows) joins the probe fan-out as a BroadcastHashJoin on
+    the word index — the corpus never joins itself and nothing
+    cartesian appears. The build side upstream is exchange-light: one
+    distinct + one bit_or groupBy."""
+    plan = _plan(qs["dedup_bloom_probe"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tiff_features_is_narrow_map(spark, qs):
+    """TIFF feature extraction must stay a narrow Arrow map over the
+    scan — decode is per-row work; any exchange before the kernel means
+    payload bytes are shuffling."""
+    plan = _plan(qs["mm_tiff_features"](spark, SF))
+    assert "MapInPandas" in plan, "Arrow kernel missing from plan"
+    # scan → render → decode → select is one narrow pipeline: payload
+    # bytes must never shuffle, so the whole plan is exchange-free
+    assert "Exchange" not in plan
+
+
+def test_rank_metrics_no_cartesian(spark, qs):
+    """Rank evaluation composes scans + query-keyed joins/windows; the
+    only nested-loop joins allowed are the two 1-row scalar broadcasts
+    (corpus N/avgdl) the BM25 scorer uses."""
+    import re
+
+    plan = _plan(qs["ir_rank_metrics"](spark, SF))
+    assert "CartesianProduct" not in plan
+    nlj = re.findall(r"BroadcastNestedLoopJoin", plan)
+    assert len(nlj) <= 2, nlj
