@@ -937,7 +937,14 @@ def bloom_probe(
     filter on the word index, and bool_ands back per id — no corpus
     access at all, which is the point: only maybe-members proceed to
     the exact verify join. ``id_col`` must identify batch rows uniquely
-    (duplicate ids would bool_and across DIFFERENT keys' probes)."""
+    (duplicate ids would bool_and across DIFFERENT keys' probes), and
+    ``n_bits``/``k_hashes`` MUST match the build call — a mismatch maps
+    probes onto bits the build never set, silently breaking the
+    no-false-negative guarantee (hence the same sizing validation as
+    bloom_build; at scale, persist the two numbers next to the filter
+    parquet and read them back rather than re-typing them)."""
+    if n_bits & (n_bits - 1) or n_bits <= 0:
+        raise ValueError(f"n_bits must be a power of two, got {n_bits}")
     probes = batch.select(
         id_col.alias("__id"),
         F.explode(_bloom_positions(key, n_bits, k_hashes)).alias("pos"),

@@ -561,6 +561,8 @@ def _decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
         tag, typ, cnt = struct.unpack(bo + "HHI", ent[:8])
         if typ not in type_size:  # RATIONAL etc. — no tag we need uses them
             continue
+        if cnt == 0:  # count-0 entry = corrupt; treat the tag as absent
+            continue  # (a required tag then raises ValueError via one())
         nbytes = type_size[typ] * cnt
         if nbytes <= 4:
             raw = ent[8 : 8 + nbytes]

@@ -455,6 +455,29 @@ def hybrid_rrf(
     )
 
 
+def term_tf(
+    df: DataFrame, text: Column, id_col: Column, terms: list[str]
+) -> DataFrame:
+    """(doc_id, dl, term, tf) for the query terms only — the
+    filter-before-explode posting slice both the per-term runs and any
+    tf-derived relevance labels consume. Exposed so callers can build
+    BOTH from ONE frame: identical subtrees reuse the shuffle
+    (ReusedExchange) instead of re-tokenizing the corpus per consumer
+    (the ir_rank_metrics gate query does exactly this)."""
+    base = df.select(
+        id_col.alias("doc_id"), tokens(F.lower(text)).alias("t")
+    ).select("doc_id", F.size("t").cast("long").alias("dl"), "t")
+    return (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(F.filter("t", lambda w: w.isin(terms))).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
 def per_term_bm25_runs(
     df: DataFrame,
     text: Column,
@@ -463,16 +486,18 @@ def per_term_bm25_runs(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Ranked top-k run per single-term query: (query_id=term, doc_id, rk,
     score). The multi-query companion of bm25_topk — the shape a retrieval
     EVALUATION consumes (one ranking per query in a query set).
 
     Plan: one tokenize + filtered explode builds (doc, term, tf) for query
-    terms only, df/N/avgdl as in bm25_topk, then a per-query-term ranking
-    window. partitionBy(term) scales with the QUERY SET (real evaluation
-    sets are thousands of queries); per-query work is the posting list of
-    that term, and the k-cut bounds the output."""
+    terms only (pass a shared ``term_tf`` frame via ``tf`` to reuse it
+    across consumers), df/N/avgdl as in bm25_topk, then a per-query-term
+    ranking window. partitionBy(term) scales with the QUERY SET (real
+    evaluation sets are thousands of queries); per-query work is the
+    posting list of that term, and the k-cut bounds the output."""
     from pyspark.sql import Window
 
     base = df.select(
@@ -482,15 +507,8 @@ def per_term_bm25_runs(
         F.count(F.lit(1)).cast("long").alias("n_docs_total"),
         F.avg("dl").alias("avgdl"),
     )
-    tf = (
-        base.select(
-            "doc_id",
-            "dl",
-            F.explode(F.filter("t", lambda w: w.isin(terms))).alias("term"),
-        )
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+    if tf is None:
+        tf = term_tf(df, text, id_col, terms)
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dfreq"))
     scored = tf.join(F.broadcast(dft), "term").crossJoin(F.broadcast(stats))
     idf = F.log(

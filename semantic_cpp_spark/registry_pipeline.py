@@ -2627,27 +2627,18 @@ def ir_rank_metrics(spark, sf_dir):
     emb_whiten_norms pairing); MRR/P/R are single divisions of exact
     int64 counts (retrieval.rank_eval)."""
     docs = load_table(spark, sf_dir, "documents")
+    tf = retrieval.term_tf(docs, F.col("text"), F.col("doc_id"), _EVAL_TERMS)
     run = retrieval.per_term_bm25_runs(
-        docs, F.col("text"), F.col("doc_id"), _EVAL_TERMS, k=10
+        docs, F.col("text"), F.col("doc_id"), _EVAL_TERMS, k=10, tf=tf
     )
-    base = docs.select(
-        "doc_id", text.tokens(F.lower(F.col("text"))).alias("t")
-    ).select(
+    # qrels derive from the SAME tf frame the run consumes — one
+    # tokenize + one (doc, term) shuffle, reused across both branches
+    qrels = tf.select(
+        F.col("term").alias("query_id"),
         "doc_id",
-        F.explode(
-            F.filter("t", lambda w: w.isin(_EVAL_TERMS))
-        ).alias("query_id"),
-    )
-    qrels = (
-        base.groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.least(F.greatest(F.col("tf") - 1, F.lit(0)), F.lit(2))
-            .cast("long")
-            .alias("rel"),
-        )
+        F.least(F.greatest(F.col("tf") - 1, F.lit(0)), F.lit(2))
+        .cast("long")
+        .alias("rel"),
     )
     return retrieval.rank_eval(
         run.select("query_id", "doc_id", "rk"), qrels, k=10

@@ -763,6 +763,13 @@ def test_tiff_decode_roundtrip_and_variants():
         multimodal.decode_image(multimodal.render_tiff(4)[:-10])
     with pytest.raises(ValueError):  # IFD offset out of range
         multimodal.decode_image(b"II*\x00" + struct.pack("<I", 9999))
+    with pytest.raises(ValueError):  # count-0 entry for a required tag:
+        # must be ValueError (quarantineable), never IndexError (which
+        # would escape extract_features' except net and kill the task)
+        ifd0 = (struct.pack("<H", 1)
+                + struct.pack("<HHI", 256, 3, 0) + b"\x00\x00\x00\x00"
+                + struct.pack("<I", 0))
+        multimodal.decode_image(b"II*\x00" + struct.pack("<I", 8) + ifd0)
     with pytest.raises(NotImplementedError):  # BigTIFF (version 43) magic
         multimodal.decode_image(b"II+\x00" + bytes(12))
 

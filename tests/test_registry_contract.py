@@ -24,6 +24,11 @@ TOUCHED_IN_R7 = [
     "graph_pagerank_top10",   # NEW: PageRank under the gate
     "stream_sliding_uniques_bounded",  # NEW: bounded-state eviction form
     "emb_semdedup",           # NEW: SemDeDup cluster-blocked dedup
+    "mm_tiff_features",       # NEW: uncompressed-TIFF decode, size-law oracle
+    "ir_rank_metrics",        # NEW: NDCG/MRR/P/R rank evaluation
+    "dedup_bloom_probe",      # NEW: sparse Bloom membership
+    "graph_kcore_membership",  # NEW: parallel-peeling 2-core
+    "sim_dim_truncation_recall",  # NEW: matryoshka truncation recall
 ]
 
 # The 20 queries that reached r7 with no driver row ever (r6 window
@@ -53,8 +58,9 @@ FIRST_ROW_IN_R7 = [
 ]
 
 # r7 window policy (VERDICT r6 #2/#3 + the standing rotation policy in
-# registry._PRIORITY's comment): red-row refresh + first-row queries + the
-# new r7 operator + 28 riskiest r3-vintage backfill; the 13 lowest-risk
+# registry._PRIORITY's comment): red-row refresh (1) + carry-over (1) +
+# the 20 first-row queries + the 8 new r7 operators + 20 riskiest
+# r3-vintage backfill = exactly 50; the EXPECTED_SPILL lowest-risk
 # r3-vintage entries deliberately spill to the r8 window (the cut is
 # marked "WINDOW CUT" in registry._PRIORITY — recount, don't trust
 # comment position, when rotating).
@@ -118,7 +124,7 @@ def test_rotation_invariant_no_row_older_than_4_rounds():
     driver row may be older than round N-4 unless the query sits in the
     current window (it is about to get a fresh row). At r7 that means
     every r3-vintage row is either in the window or in the documented
-    13-entry r8 spill section of _PRIORITY."""
+    EXPECTED_SPILL-entry r8 spill section of _PRIORITY."""
     root = pathlib.Path(__file__).resolve().parents[1]
     latest: dict[str, int] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
