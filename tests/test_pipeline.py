@@ -1296,3 +1296,25 @@ def test_image_histograms_rejects_bad_bins(spark):
     df = spark.createDataFrame([(1, bytearray(b"P6"))], "doc_id long, payload binary")
     with _pytest.raises(ValueError):
         image_histograms(df, n_bins=7)
+
+
+def test_tiff_decoder_survives_random_mutations():
+    """Bit-flip fuzz on VALID TIFFs (both byte orders): mutations reach
+    the deep paths — IFD entry types/counts/offsets, strip offset and
+    byte-count arrays, the raster itself. Contract: decode correctly or
+    raise ValueError/NotImplementedError — never IndexError/struct.error,
+    which would escape extract_features' quarantine net and kill the
+    task (the count-0 case in test_tiff_decode_roundtrip_and_variants
+    was exactly such an escape)."""
+    import random
+
+    rng = random.Random(2424)
+    base = [bytearray(multimodal.render_tiff(d)) for d in (2, 7, 41)]
+    for _ in range(400):
+        g = bytearray(rng.choice(base))
+        for _ in range(rng.randrange(1, 4)):
+            g[rng.randrange(len(g))] ^= 1 << rng.randrange(8)
+        try:
+            multimodal._decode_tiff(bytes(g))
+        except (ValueError, NotImplementedError):
+            pass
