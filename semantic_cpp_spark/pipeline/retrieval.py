@@ -541,7 +541,10 @@ def rank_eval(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
 
     Inputs: ``run`` (query_id, doc_id, rk) — rk 1-based, already cut or
     cuttable at k; ``qrels`` (query_id, doc_id, rel) — graded integer
-    relevance, rel > 0 meaning relevant. Metrics:
+    relevance, rel > 0 meaning relevant. Both are the standard TREC
+    shapes and assumed key-unique per (query_id, doc_id) — a duplicate
+    qrels row would double-join its run entry and double-count its
+    gain. Metrics:
 
       DCG@k  = Σ_{rk≤k} (2^rel − 1) / log2(rk + 1)
       NDCG@k = DCG@k / IDCG@k (ideal = qrels by rel desc, doc_id asc)
