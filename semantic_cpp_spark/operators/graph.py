@@ -43,14 +43,13 @@ def pagerank(
     runs when the graph actually HAS dangling nodes (an undirected graph
     never does; the one-time count decides). Measured on a 47-node gate
     graph: 3.5 s/round -> 1.1 s/round."""
-    sess = pairs.sparkSession
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
     if not directed:
         edges = edges.union(
             edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
         )
-    edges = edges.persist()
-    old_parts = None
+    edges0 = edges = edges.persist()
+    nodes = None
     try:
         nodes = (
             edges.select(F.col("s").alias("node"))
@@ -63,22 +62,28 @@ def pagerank(
         # default: every in-loop exchange carries (node, long, double) rows
         # only, so ~1M rows per task keeps tasks seconds-long at any scale,
         # while a gate-sized graph runs 4 tasks per stage instead of 200
-        # mostly-empty ones per round. localCheckpoint() is EAGER, so scoping
-        # the conf to this loop and restoring it in `finally` is sound: every
-        # iteration executes inside the scope; the returned frame is already
-        # materialized when the caller's first action runs.
-        # CAVEAT: the conf is session-global — a query PLANNED concurrently
-        # on this session during the loop would pick up the scoped value.
-        # The driver/registry runs queries sequentially; for concurrent
-        # planners, run pagerank on its own session.
+        # mostly-empty ones per round. Scoped PER PLAN via explicit
+        # repartition(p, key) on the loop frames — never by flipping the
+        # session-global shuffle-partitions conf, which would leak into any
+        # query another caller plans on the same session mid-loop (r7 ADVICE).
+        # Explicit-N repartitions are exempt from AQE coalescing, and the
+        # contrib join / groupBy / base join all reuse the hash(p) layout
+        # (EnsureRequirements sees co-partitioned children), so each round
+        # still runs exactly one rank-sized exchange.
         p = int(min(2048, max(4, m // 1_000_000 + 4)))
-        old_parts = sess.conf.get("spark.sql.shuffle.partitions")
-        sess.conf.set("spark.sql.shuffle.partitions", str(p))
+        # edges pre-partitioned on the join key once, outside the loop
+        edges = edges.repartition(p, "s").persist()
         deg = edges.groupBy(F.col("s").alias("node")).agg(
             F.count(F.lit(1)).alias("deg")
         )
-        # static (node, deg) base — deg is null only for dangling nodes
-        base = nodes.join(deg, "node", "left").localCheckpoint()
+        # static (node, deg) base — deg is null only for dangling nodes;
+        # hash(node, p) layout survives the checkpoint, so the per-round
+        # left join back onto base never re-shuffles base
+        base = (
+            nodes.join(deg, "node", "left")
+            .repartition(p, "node")
+            .localCheckpoint()
+        )
         has_dangling = base.filter(F.col("deg").isNull()).count() > 0
         ranks = base.withColumn("pr", F.lit(1.0 / n)).localCheckpoint()
         for _ in range(n_iter):
@@ -88,7 +93,9 @@ def pagerank(
                     F.col("node").alias("s_src"),
                     (F.col("pr") / F.col("deg")).alias("w"),
                 )
+                .repartition(p, "s_src")
                 .join(edges, F.col("s_src") == F.col("s"))
+                .repartition(p, "t")
                 .groupBy(F.col("t").alias("node"))
                 .agg(F.sum("w").alias("inflow"))
             )
@@ -120,13 +127,12 @@ def pagerank(
                 ).localCheckpoint()
         return ranks.select("node", "pr")
     finally:
-        if old_parts is not None:
-            sess.conf.set("spark.sql.shuffle.partitions", old_parts)
-        edges.unpersist()
-        try:
-            nodes.unpersist()
-        except Exception:
-            pass
+        for fr in (edges, edges0, nodes):
+            try:
+                if fr is not None:
+                    fr.unpersist()
+            except Exception:
+                pass
 
 
 def _oriented_wedges(edges: DataFrame, src: str = "d1", dst: str = "d2"):

@@ -283,13 +283,18 @@ def semdedup(
     redundant items, not just byte-identical ones.
 
     Keep policy (deterministic, recursion-free): a vector is REMOVED iff
-    some LOWER-id member of its own cluster lies within the cosine
-    threshold — the greedy keep-first-occurrence rule (the paper keeps
-    one arbitrary member per duplicate group; lowest-id is this repo's
-    standing determinism convention, cf. dedup.keep_list). Cosine is the
-    sequential-fold dot/norm expansion, so the DuckDB oracle reproduces
-    the threshold comparison bit-for-bit — no rounded-boundary coin
-    flips.
+    ANY lower-id member of its own cluster lies within the cosine
+    threshold — whether or not that neighbor was itself removed. This
+    "independent lower-neighbor" rule is STRICTER than greedy
+    keep-first-occurrence: on a chain a(0)~b(1), b(1)~c(2), a≁c, a
+    greedy scan over kept survivors retains c (its only near neighbor b
+    is already gone), while this rule removes both b and c. The
+    non-recursive form is what makes the operator one self-join instead
+    of a sequential scan (the paper keeps one arbitrary member per
+    duplicate group; lowest-id is this repo's standing determinism
+    convention, cf. dedup.keep_list). Cosine is the sequential-fold
+    dot/norm expansion, so the DuckDB oracle reproduces the threshold
+    comparison bit-for-bit — no rounded-boundary coin flips.
 
     At 100 TB: assignment is the broadcast-centroid scan; the in-cluster
     self-join's fan-out is bounded by cluster size — pick k ~ n/50k to

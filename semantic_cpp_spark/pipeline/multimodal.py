@@ -631,7 +631,7 @@ def _decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 255, bytes(g for g in raster for _ in range(3))
 
 
-def render_tiff(doc_id: int) -> bytes:
+def render_tiff(doc_id: int, dims: tuple[int, int] | None = None) -> bytes:
     """Deterministic uncompressed RGB TIFF payload with the SAME closed
     form as render_ppm/render_png (w = 8 + id%9, h = 8 + (id//9)%9, byte
     i = (id·31 + i) % 256), written with stdlib struct. Byte order
@@ -640,21 +640,34 @@ def render_tiff(doc_id: int) -> bytes:
     ONE gate query exercises both endian branches and real multi-strip
     assembly. Container size is itself a closed form the oracle pins:
     8 (header) + 126 (10-entry IFD) + 6 (BitsPerSample) + 8·ceil(h/4)
-    (offset+count arrays) + w·h·3 raster bytes."""
+    (offset+count arrays) + w·h·3 raster bytes (the 8·ceil(h/4) term is
+    0 when ceil(h/4) == 1 — single-strip arrays are written INLINE in
+    the entry value field, spec rule; the closed-form h ∈ [8,16] never
+    takes that branch, the ``dims`` test override can).
+
+    ``dims`` overrides (w, h) for tests only; the gate always uses the
+    closed form so the oracle's size law holds."""
     import struct
 
     bo = "<" if doc_id % 2 == 0 else ">"
-    w = 8 + doc_id % 9
-    h = 8 + (doc_id // 9) % 9
+    w = 8 + doc_id % 9 if dims is None else dims[0]
+    h = 8 + (doc_id // 9) % 9 if dims is None else dims[1]
     px = bytes((doc_id * 31 + i) % 256 for i in range(w * h * 3))
     rows_per_strip = 4
     n_strips = (h + rows_per_strip - 1) // rows_per_strip
     ifd_off = 8
     ifd_len = 2 + 10 * 12 + 4
     bps_off = ifd_off + ifd_len
+    # A count-1 LONG strip array fits in the 4-byte entry value field, and
+    # the TIFF spec (and _decode_tiff's inline-when-<=4-bytes rule) requires
+    # it INLINE — a pointer there would be read as the strip offset itself.
+    # Unreachable with the current closed-form dims (h >= 8 forces
+    # n_strips >= 2 at rows_per_strip=4) but handled so a dims change can't
+    # silently emit corrupt containers.
+    inline_strips = n_strips == 1
     so_off = bps_off + 6
-    sbc_off = so_off + 4 * n_strips
-    data_off = sbc_off + 4 * n_strips
+    sbc_off = so_off + (0 if inline_strips else 4 * n_strips)
+    data_off = sbc_off + (0 if inline_strips else 4 * n_strips)
     strip_offs, strip_cnts, pos = [], [], data_off
     for s in range(n_strips):
         rows = min(rows_per_strip, h - s * rows_per_strip)
@@ -673,10 +686,14 @@ def render_tiff(doc_id: int) -> bytes:
     ifd += entry(258, 3, 3, long_(bps_off))      # BitsPerSample → offset
     ifd += entry(259, 3, 1, short(1))            # Compression: none
     ifd += entry(262, 3, 1, short(2))            # Photometric: RGB
-    ifd += entry(273, 4, n_strips, long_(so_off))   # StripOffsets
+    ifd += entry(  # StripOffsets (inline when the single value fits)
+        273, 4, n_strips, long_(strip_offs[0] if inline_strips else so_off)
+    )
     ifd += entry(277, 3, 1, short(3))            # SamplesPerPixel
     ifd += entry(278, 4, 1, long_(rows_per_strip))  # RowsPerStrip
-    ifd += entry(279, 4, n_strips, long_(sbc_off))  # StripByteCounts
+    ifd += entry(  # StripByteCounts (inline when the single value fits)
+        279, 4, n_strips, long_(strip_cnts[0] if inline_strips else sbc_off)
+    )
     ifd += entry(284, 3, 1, short(1))            # PlanarConfiguration: chunky
     ifd += long_(0)  # next-IFD terminator
     magic = b"II*\x00" if bo == "<" else b"MM\x00*"
@@ -685,8 +702,12 @@ def render_tiff(doc_id: int) -> bytes:
         + struct.pack(bo + "I", ifd_off)
         + ifd
         + short(8) * 3
-        + b"".join(struct.pack(bo + "I", o) for o in strip_offs)
-        + b"".join(struct.pack(bo + "I", c) for c in strip_cnts)
+        + (
+            b""
+            if inline_strips
+            else b"".join(struct.pack(bo + "I", o) for o in strip_offs)
+            + b"".join(struct.pack(bo + "I", c) for c in strip_cnts)
+        )
         + px
     )
 

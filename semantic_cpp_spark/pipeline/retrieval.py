@@ -557,6 +557,16 @@ def rank_eval(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     pairing emb_whiten_norms pinned); MRR/P/R are single divisions of
     exact int64 counts. NDCG rounds at 6dp.
 
+    Output contract: RUN-KEYED — one row per query_id present in
+    ``run``. A query that appears only in qrels (retrieved nothing)
+    emits NO row, so a downstream mean over this output scores the
+    retrieved query set, not the full evaluation set (trec_eval's
+    default; ``-c`` semantics would emit all-zero rows instead). Callers
+    averaging over an evaluation set larger than the run's key set must
+    right-join their query list and coalesce the metrics to 0 — the
+    gate query's run and qrels derive from the same term-tf frame, so
+    the key sets coincide there by construction.
+
     Scale shape: everything is keyed by query_id — the run is ≤k rows
     per query by construction, qrels shuffle once for the ideal-ranking
     window and once for the relevant-count aggregate; no stage touches

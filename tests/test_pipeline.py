@@ -722,6 +722,17 @@ def test_tiff_decode_roundtrip_and_variants():
         assert px == bytes((doc_id * 31 + i) % 256 for i in range(w * h * 3))
         assert len(b) == 140 + 8 * ((h + 3) // 4) + w * h * 3
 
+    # single-strip writer path (dims override; unreachable from the h≥8
+    # closed form): count-1 LONG strip arrays must be written INLINE in
+    # the entry value field per spec — a pointer there would be decoded
+    # AS the strip offset (r7 ADVICE latent bug). Both byte orders.
+    for doc_id in (4, 7):
+        b = multimodal.render_tiff(doc_id, dims=(5, 3))
+        w, h, maxval, px = multimodal.decode_image(b)
+        assert (w, h, maxval) == (5, 3, 255)
+        assert px == bytes((doc_id * 31 + i) % 256 for i in range(45))
+        assert len(b) == 140 + 45  # no external offset/count arrays
+
     def make_tiff(w, h, raster, photometric=1, compression=1, spp=1,
                   extra_entries=(), bits=8):
         # minimal II TIFF: single strip, inline count-1 values (the
