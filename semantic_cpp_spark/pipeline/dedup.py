@@ -921,6 +921,15 @@ def bloom_build(
     )
 
 
+# Above this bit count the sparse filter stops being broadcastable:
+# n_bits/32 (word, mask) rows at ~12 bytes each crosses the default 10 MB
+# autoBroadcastJoinThreshold around 2^28 bits, and the probe becomes a
+# plain shuffle equi-join on the word index — same plan shape, no driver
+# or executor-memory bitmap ever (the SCALING.md 100 TB sizing: 10^10 keys
+# at 1% FP ≈ 2^37 bits ≈ 12 GB of sparse rows takes this path).
+BLOOM_BROADCAST_MAX_BITS = 1 << 28
+
+
 def bloom_probe(
     bloom: DataFrame,
     batch: DataFrame,
@@ -928,6 +937,7 @@ def bloom_probe(
     id_col: Column,
     n_bits: int = BLOOM_BITS,
     k_hashes: int = BLOOM_HASHES,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Probe a batch against a sparse Bloom filter: (id, maybe_member)
     per batch row — maybe_member true iff ALL k hashed bits are set (no
@@ -942,9 +952,18 @@ def bloom_probe(
     probes onto bits the build never set, silently breaking the
     no-false-negative guarantee (hence the same sizing validation as
     bloom_build; at scale, persist the two numbers next to the filter
-    parquet and read them back rather than re-typing them)."""
+    parquet and read them back rather than re-typing them —
+    bloom_save/bloom_load do exactly that).
+
+    Join strategy: the filter side broadcasts while it fits (n_bits ≤
+    BLOOM_BROADCAST_MAX_BITS, ~10 MB of sparse rows) and degrades to a
+    plain shuffle equi-join on the word index beyond that — the SAME
+    logical plan, so the transition is free; ``broadcast`` overrides the
+    size-derived choice either way."""
     if n_bits & (n_bits - 1) or n_bits <= 0:
         raise ValueError(f"n_bits must be a power of two, got {n_bits}")
+    if broadcast is None:
+        broadcast = n_bits <= BLOOM_BROADCAST_MAX_BITS
     probes = batch.select(
         id_col.alias("__id"),
         F.explode(_bloom_positions(key, n_bits, k_hashes)).alias("pos"),
@@ -956,10 +975,48 @@ def bloom_probe(
     hit = F.coalesce(
         (F.col("mask").bitwiseAND(F.col("b")) != 0), F.lit(False)
     )
+    filt = F.broadcast(bloom) if broadcast else bloom.hint("shuffle_merge")
     return (
-        probes.join(F.broadcast(bloom), "w", "left")
+        probes.join(filt, "w", "left")
         .select("__id", hit.alias("__hit"))
         .groupBy("__id")
         .agg(F.bool_and("__hit").alias("maybe_member"))
         .select(F.col("__id").alias("id"), "maybe_member")
+    )
+
+
+def bloom_save(
+    bloom: DataFrame,
+    path: str,
+    n_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_HASHES,
+) -> None:
+    """Persist a sparse Bloom filter NEXT TO its sizing parameters —
+    the at-scale shape the probe docstring mandates: a probe against a
+    filter re-read with the wrong (n_bits, k_hashes) silently loses the
+    no-false-negative guarantee, so the two numbers travel in a sidecar
+    parquet under the same root (``<path>/filter`` + ``<path>/params``)
+    and bloom_load refuses to hand back one without the other. The
+    filter rows stay distributed end to end (a 2^37-bit corpus index is
+    ~12 GB of (w, mask) rows — never driver state)."""
+    bloom.select(
+        F.col("w").cast("long"), F.col("mask").cast("long")
+    ).write.mode("overwrite").parquet(f"{path}/filter")
+    bloom.sparkSession.createDataFrame(
+        [(int(n_bits), int(k_hashes))], "n_bits long, k_hashes int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def bloom_load(spark, path: str) -> tuple[DataFrame, int, int]:
+    """Re-open a bloom_save'd filter: returns (filter frame, n_bits,
+    k_hashes) so the caller probes with the EXACT sizing the build used
+    instead of re-typing constants. The params sidecar is one row; the
+    filter scan stays lazy/distributed."""
+    p = spark.read.parquet(f"{path}/params").collect()
+    if len(p) != 1:
+        raise ValueError(f"bloom params sidecar must hold exactly 1 row, got {len(p)}")
+    return (
+        spark.read.parquet(f"{path}/filter"),
+        int(p[0]["n_bits"]),
+        int(p[0]["k_hashes"]),
     )

@@ -1375,3 +1375,37 @@ def test_bloom_filter_membership_properties(spark):
     assert not any(r["maybe_member"] for r in none)
     with pytest.raises(ValueError):
         dedup.bloom_build(corpus, F.col("key"), n_bits=1000)
+
+
+def test_bloom_save_load_roundtrip(spark, tmp_path):
+    """The persisted-index shape SCALING.md describes: bloom_save writes
+    the sparse filter WITH its sizing sidecar, bloom_load hands both
+    back, and a probe through the round-trip keeps the no-false-negative
+    guarantee and the same miss set as the in-memory filter — the
+    mismatch class (probing with re-typed wrong constants) is exactly
+    what the sidecar exists to prevent."""
+    corpus = spark.createDataFrame(
+        [(i, f"member-{i}") for i in range(200)], "id long, key string"
+    )
+    held_out = spark.createDataFrame(
+        [(i, f"absent-{i}") for i in range(200)], "id long, key string"
+    )
+    n_bits, k_hashes = 1 << 16, 4
+    bloom = dedup.bloom_build(corpus, F.col("key"), n_bits=n_bits, k_hashes=k_hashes)
+    root = str(tmp_path / "bloom_idx")
+    dedup.bloom_save(bloom, root, n_bits=n_bits, k_hashes=k_hashes)
+    loaded, got_bits, got_k = dedup.bloom_load(spark, root)
+    assert (got_bits, got_k) == (n_bits, k_hashes)
+    # identical sparse rows survive the parquet round-trip
+    assert sorted(map(tuple, bloom.collect())) == sorted(map(tuple, loaded.collect()))
+    hits = dedup.bloom_probe(
+        loaded, corpus, F.col("key"), F.col("id"), n_bits=got_bits, k_hashes=got_k
+    ).collect()
+    assert all(r["maybe_member"] for r in hits) and len(hits) == 200
+    direct = dedup.bloom_probe(
+        bloom, held_out, F.col("key"), F.col("id"), n_bits=n_bits, k_hashes=k_hashes
+    ).collect()
+    via_disk = dedup.bloom_probe(
+        loaded, held_out, F.col("key"), F.col("id"), n_bits=got_bits, k_hashes=got_k
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_disk))

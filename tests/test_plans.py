@@ -376,6 +376,33 @@ def test_bloom_probe_joins_filter_broadcast(spark, qs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bloom_probe_big_filter_takes_shuffle_join(spark):
+    """Past BLOOM_BROADCAST_MAX_BITS the sparse filter stops fitting a
+    broadcast (SCALING.md's 100 TB sizing: 2^37 bits ≈ 12 GB of rows) and
+    the probe must degrade to a plain shuffle equi-join on the word index
+    — same logical plan, no broadcast anywhere. Pinned both ways: the
+    auto size-derived choice and the explicit broadcast=False override."""
+    from semantic_cpp_spark.pipeline import dedup
+
+    corpus = spark.range(64).select(
+        F.col("id"), F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    big_bits = dedup.BLOOM_BROADCAST_MAX_BITS * 2
+    bloom = dedup.bloom_build(corpus, F.col("key"), n_bits=big_bits)
+    auto = _plan(
+        dedup.bloom_probe(
+            bloom, corpus, F.col("key"), F.col("id"), n_bits=big_bits
+        )
+    )
+    assert "SortMergeJoin" in auto and "BroadcastHashJoin" not in auto
+    forced = _plan(
+        dedup.bloom_probe(
+            bloom, corpus, F.col("key"), F.col("id"), broadcast=False
+        )
+    )
+    assert "SortMergeJoin" in forced and "BroadcastHashJoin" not in forced
+
+
 def test_tiff_features_is_narrow_map(spark, qs):
     """TIFF feature extraction must stay a narrow Arrow map over the
     scan — decode is per-row work; any exchange before the kernel means
