@@ -3039,10 +3039,15 @@ def pipe_dedup_funnel(spark, sf_dir):
 _SEMDEDUP_TH = 0.4
 
 
-@register(
-    "emb_semdedup",
-    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {clustering.KMEANS_K}),
+def _semdedup_sql(k_expr: str) -> str:
+    """Shared SemDeDup oracle: k-means assignment from the k-smallest-id
+    seeds (the emb_kmeans_step CTE) + the in-cluster EXISTS-lower-
+    neighbor removal rule. ``k_expr`` is a scalar SQL expression for the
+    cluster count — a literal for the fixed-k gate, a count(*) closed
+    form for the scaled one."""
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    kk AS (SELECT ({k_expr})::BIGINT AS k),
+    c AS (SELECT vec_id AS c_id, v AS cv FROM e, kk WHERE vec_id < kk.k),
     scored AS (SELECT e.vec_id, e.v, c.c_id,
            list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
              + list_dot_product(c.cv, c.cv) AS d2
@@ -3058,8 +3063,10 @@ _SEMDEDUP_TH = 0.4
                           * sqrt(list_dot_product(l.v, l.v)), 0.0)
                  >= {_SEMDEDUP_TH})
     SELECT a.vec_id, a.c_id::BIGINT AS c_id, (rm.vec_id IS NULL) AS keep
-    FROM assigned a LEFT JOIN rm ON rm.vec_id = a.vec_id""",
-)
+    FROM assigned a LEFT JOIN rm ON rm.vec_id = a.vec_id"""
+
+
+@register("emb_semdedup", _semdedup_sql(str(clustering.KMEANS_K)))
 def emb_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup verdict per vector (clustering.semdedup,
     Abbas et al. 2023): k-means clusters as the blocking structure, then
@@ -3071,3 +3078,23 @@ def emb_semdedup(spark, sf_dir):
     anywhere."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.semdedup(emb, threshold=_SEMDEDUP_TH)
+
+
+@register(
+    "emb_semdedup_scaled",
+    _semdedup_sql(
+        f"SELECT greatest({clustering.SEMDEDUP_MIN_K},"
+        f" count(*) // {clustering.SEMDEDUP_N_PER_K}) FROM e"
+    ),
+)
+def emb_semdedup_scaled(spark, sf_dir):
+    """SemDeDup with the PRODUCTION cluster sizing under the gate
+    (clustering.semdedup_scaled): k = max(8, n // 75) is a pure closed
+    form of count(*), so the oracle replays the identical derivation —
+    the r7 verdict's watch item (fixed-k gate ran quadratic at the
+    step-up while the documented knob lived outside the gate) closed by
+    making the gated plan the production plan. Pair cost Σ|cluster|² ≈
+    n·75 is linear in the corpus. Boolean output, bit-exact cosine fold
+    — same oracle family as emb_semdedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.semdedup_scaled(emb, threshold=_SEMDEDUP_TH)

@@ -1246,6 +1246,32 @@ def test_semdedup_matches_naive_reference(spark):
     assert kept_clusters == set(cid.tolist())
 
 
+def test_semdedup_scaled_derives_k_from_corpus_size(spark):
+    """semdedup_scaled's k = max(8, n // n_per_k) closed form: on a
+    900-vector corpus with n_per_k=75 it must equal semdedup(k=12)
+    verbatim (same assignments, same verdicts — more than 8 distinct
+    clusters proves the derived k actually took effect), and under the
+    floor (n=100) it must equal the k=8 form."""
+    import numpy as np
+
+    from semantic_cpp_spark.pipeline import clustering
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(0, 1, (900, 8))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(900)],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(map(tuple, clustering.semdedup_scaled(df, threshold=0.95).collect()))
+    want = sorted(map(tuple, clustering.semdedup(df, k=12, threshold=0.95).collect()))
+    assert got == want
+    assert len({c for _, c, _ in got}) > 8  # k=12 visibly in play
+    small = df.filter(F.col("vec_id") < 100)
+    got_s = sorted(map(tuple, clustering.semdedup_scaled(small, threshold=0.95).collect()))
+    want_s = sorted(map(tuple, clustering.semdedup(small, k=8, threshold=0.95).collect()))
+    assert got_s == want_s
+
+
 def test_importance_weights_hand_computed(spark):
     """50/50 corpus toward a 80/20 target: weights 1.6 and 0.4; a
     stratum missing from the target gets default weight 0."""
