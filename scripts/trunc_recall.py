@@ -66,8 +66,22 @@ def main():
             )
             approx = topk_sets(similarity.cosine_topk(trunc, qids, k=5).collect())
             cells.append(f"{recall(approx, truth):.3f}")
-        emb.unpersist()
         print(f"| {label} | " + " | ".join(cells) + " |")
+
+        # two-stage rescore: d=16 prefix candidates, exact 64-dim rescore —
+        # recall@5 vs the candidate budget C (the knob that buys back what
+        # one-stage truncation loses)
+        cs = [10, 25, 50, 100, 200]
+        rcells = []
+        for c in cs:
+            two = topk_sets(
+                similarity.truncated_rescore_topk(
+                    emb, qids, k=5, prefix_dims=16, n_candidates=c
+                ).collect()
+            )
+            rcells.append(f"C={c}: {recall(two, truth):.3f}")
+        emb.unpersist()
+        print(f"|   + d=16 rescore | " + " | ".join(rcells) + " |")
 
 
 if __name__ == "__main__":

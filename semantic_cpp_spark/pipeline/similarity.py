@@ -356,6 +356,71 @@ def quantized_topk(
     )
 
 
+def truncated_rescore_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    prefix_dims: int = 16,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage truncation ANN: candidate generation by cosine over the
+    first ``prefix_dims`` dimensions (top-``n_candidates`` per query),
+    then EXACT full-width rescore of the survivors — the standard
+    pattern that makes prefix truncation useful on ANY embedding
+    regime, not just matryoshka-trained ones (the
+    sim_dim_truncation_recall diagnostic measured one-stage d=48
+    truncation at 0.464 recall@5 on non-MRL vectors; the rescore stage
+    recovers what the cheap scan misses as long as the true neighbors
+    sit anywhere in the top-C prefix ranking).
+
+    Scale shape: the candidate scan reads ONLY the prefix slice — at
+    rest, store the first ``prefix_dims`` dims as their own column and
+    the scan's bandwidth drops dims/prefix_dims-fold (4× at 16/64) —
+    while full vectors are fetched by an equi-join for just
+    C·|queries| rows. Both stages are the broadcast-query pattern of
+    cosine_topk; candidate ties cut deterministically on
+    (prefix_cos DESC, vec_id), so the oracle replays the exact same
+    candidate set. Output: (q_id, rk, vec_id, cos) ranked by the
+    rescored full-width cosine."""
+    e = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    pref = e.select("vec_id", F.slice("v", 1, prefix_dims).alias("p"))
+    qp = pref.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("p").alias("qp")
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("pcos").desc(), F.col("vec_id"))
+    cand = (
+        pref.crossJoin(F.broadcast(qp))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", safe_cos(F.col("p"), F.col("qp")).alias("pcos"))
+        .withColumn("__rc", F.row_number().over(wc))
+        .filter(F.col("__rc") <= n_candidates)
+        .select("q_id", "vec_id")
+    )
+    qf = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    rescored = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(qf), "q_id")
+        .select("q_id", "vec_id", safe_cos(F.col("v"), F.col("qv")).alias("cos"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            F.col("rk").cast("long").alias("rk"),
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query_ids: list[int],

@@ -2805,6 +2805,43 @@ def sim_dim_truncation_recall(spark, sf_dir):
 
 
 @register(
+    "sim_truncation_rescore",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id, v[1:16] AS p FROM e),
+    qp AS (SELECT vec_id AS q_id, p AS qpv FROM p WHERE vec_id IN (0, 1, 2)),
+    cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT qp.q_id, p.vec_id, {_sql_cos('p.p', 'qp.qpv')} AS pcos,
+               row_number() OVER (PARTITION BY qp.q_id
+                                  ORDER BY pcos DESC NULLS LAST, p.vec_id) AS rc
+        FROM p, qp WHERE p.vec_id <> qp.q_id)
+      WHERE rc <= 50),
+    qf AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2))
+    SELECT q_id, rk::BIGINT AS rk, vec_id, round(cos, 6) AS cos FROM (
+      SELECT c.q_id, e.vec_id, {_sql_cos('e.v', 'qf.qv')} AS cos,
+             row_number() OVER (PARTITION BY c.q_id
+                                ORDER BY {_sql_cos('e.v', 'qf.qv')} DESC NULLS LAST,
+                                         e.vec_id) AS rk
+      FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN qf ON qf.q_id = c.q_id)
+    WHERE rk <= 5""",
+)
+def sim_truncation_rescore(spark, sf_dir):
+    """Two-stage truncation ANN under the gate
+    (similarity.truncated_rescore_topk): d=16 prefix-cosine candidate
+    scan (top-50/query, 4× less scan bandwidth when the prefix is its
+    own column) + exact 64-dim rescore of the survivors — the standard
+    pattern that repairs one-stage truncation's recall collapse on
+    non-matryoshka embeddings (sim_dim_truncation_recall's honest
+    negative). Deterministic candidate cut on (prefix_cos, vec_id), so
+    the oracle replays the identical two windows; recall vs C measured
+    on both embedding regimes in scripts/trunc_recall.py + SCALING.md."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.truncated_rescore_topk(
+        emb, [0, 1, 2], k=5, prefix_dims=16, n_candidates=50
+    )
+
+
+@register(
     "mm_image_histogram",
     """WITH sz AS (SELECT doc_id,
                           (8 + doc_id % 9)::INT AS w,

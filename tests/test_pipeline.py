@@ -526,6 +526,37 @@ def test_ann_recall_floors_clustered(spark):
     assert r1 >= 0.5
     assert r2 >= r1 + 0.1  # the nprobe dial is REAL on clustered data
     assert r3 >= r2  # probe-superset monotonicity
+
+    # two-stage truncation rescore (r8): candidate set grows with C and
+    # rescore is exact, so recall is monotone in C; at C = n the candidate
+    # stage is a no-op and the output IS the exact top-k; and any C ≥ k
+    # dominates one-stage d=16 truncation (whose top-5 equals the C=5
+    # candidate set). Measured on this fixture: C=50 → 0.973, C=200 → 1.0.
+    r_c10 = rec(similarity.truncated_rescore_topk(emb, qids, k=k, n_candidates=10))
+    r_c50 = rec(similarity.truncated_rescore_topk(emb, qids, k=k, n_candidates=50))
+    r_c200 = rec(similarity.truncated_rescore_topk(emb, qids, k=k, n_candidates=200))
+    one_stage = rec(
+        similarity.cosine_topk(
+            emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+            qids,
+            k=k,
+        )
+    )
+    assert r_c10 <= r_c50 <= r_c200
+    assert r_c50 >= one_stage  # rescore can only recover, never lose
+    assert r_c200 >= 0.85
+    exact_rows = sorted(
+        map(tuple, similarity.cosine_topk(emb, qids, k=k).collect())
+    )
+    full_c = sorted(
+        map(
+            tuple,
+            similarity.truncated_rescore_topk(
+                emb, qids, k=k, n_candidates=600
+            ).collect(),
+        )
+    )
+    assert full_c == exact_rows  # C = n degenerates to exact search
     emb.unpersist()
 
 
