@@ -282,3 +282,56 @@ def kcore(
             src_edges.unpersist()
         except Exception:
             pass
+
+
+def core_numbers(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_k: int = 6,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Full core decomposition: per-node CORE NUMBER — the largest k for
+    which the node survives in the k-core — by iterated parallel
+    peeling k = 1, 2, ... (each level starts from the previous level's
+    fixpoint edge set, since the (k+1)-core is a subgraph of the
+    k-core). Where kcore(k=2) gives the dedup funnel a single
+    membership bit, this gives the full cluster-density profile: core 1
+    = tendril, core 2 = cycle, core c = sits inside a (c+1)-clique-ish
+    region of mutual near-duplication.
+
+    Same multigraph degree convention as kcore. ``max_k`` caps the
+    decomposition (nodes denser than max_k report max_k) — the
+    registered gate pins a cap the fixture graph's degeneracy stays
+    under, test-verified, so the cap never binds there; ``max_rounds``
+    caps each level's peel exactly as in kcore.
+
+    Scale design: total work is Σ_k (k-core peel), and each level's
+    edge set only shrinks — the level-k pass scans the (k-1)-core, not
+    the input graph. Rounds per level are bounded by the peel depth
+    (1-3 on near-dup topologies); levels by the graph degeneracy, which
+    for dedup pair graphs is the max duplicate-cluster density, a data
+    property independent of corpus size. Returns (node, core_num) for
+    every non-isolated node."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    levels: DataFrame | None = None
+    for k in range(1, max_k + 1):
+        surv = kcore(e, k=k, src="u", dst="v", max_rounds=max_rounds)
+        lv = surv.select("node", F.lit(k).alias("k")).localCheckpoint()
+        if lv.count() == 0:
+            break
+        levels = lv if levels is None else levels.union(lv)
+        keep = lv.select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    if levels is None:
+        return e.select(F.col("u").alias("node")).limit(0).withColumn(
+            "core_num", F.lit(0).cast("long")
+        )
+    return levels.groupBy("node").agg(
+        F.max("k").cast("long").alias("core_num")
+    )

@@ -2246,6 +2246,63 @@ def _kcore_sql(k: int = 3, rounds: int = 12) -> str:
     GROUP BY node"""
 
 
+def _core_numbers_sql(max_k: int = 6, rounds: int = 12) -> str:
+    """Chained unroll oracle for graph_ops.core_numbers: level k's peel
+    starts from level k-1's fixpoint edge set (the (k+1)-core is a
+    subgraph of the k-core; at the fixpoint the induced-survivor
+    restriction and the final edge set coincide — the same argument the
+    Spark loop relies on), each level unrolled ``rounds`` times exactly
+    like _kcore_sql. Core number = max level whose survivor set holds
+    the node. MATERIALIZED per round for the same plan-explosion reason
+    as _kcore_sql."""
+    ctes, lvls = [], []
+    prev = "e0"
+    for k in range(1, max_k + 1):
+        for i in range(1, rounds + 1):
+            ctes.append(
+                f"""dk{k}r{i} AS MATERIALIZED (
+      SELECT node, count(*) AS dg
+      FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+      GROUP BY node),
+    ek{k}r{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN dk{k}r{i} da ON da.node = e.u JOIN dk{k}r{i} db ON db.node = e.v
+      WHERE da.dg >= {k} AND db.dg >= {k})"""
+            )
+            prev = f"ek{k}r{i}"
+        lvls.append(
+            f"""SELECT node, {k} AS k
+      FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+      GROUP BY node"""
+        )
+    chain = ",\n    ".join(ctes)
+    unions = "\n      UNION ALL ".join(lvls)
+    return f"""WITH pairs AS MATERIALIZED ({_minhash_sql()}),
+    e0 AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM pairs),
+    {chain}
+    SELECT node::BIGINT AS node, max(k)::BIGINT AS core_num
+    FROM ({unions})
+    GROUP BY node"""
+
+
+@register("graph_core_numbers", _core_numbers_sql(max_k=6))
+def graph_core_numbers(spark, sf_dir):
+    """Full core decomposition of the MinHash+LSH near-dup pair graph
+    (graph_ops.core_numbers): per-node core number by iterated parallel
+    peeling k = 1, 2, ... — the cluster-density PROFILE where
+    graph_kcore_membership gives one k=2 bit (core 1 = tendril, core 2 =
+    cycle, core c = inside a (c+1)-clique-ish duplication region).
+    Iterative, but HARD-oracle-checkable: each level is monotone and
+    idempotent at its fixpoint, so a chained 6-level × 12-round
+    MATERIALIZED DuckDB unroll equals the early-exiting Spark loop
+    (convergence inside both caps pinned by
+    test_core_numbers_gate_graph_within_caps). max_k=6 on both engines —
+    the cap binds identically if a cluster is ever denser."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, F.col("text"), F.col("doc_id"))
+    return graph_ops.core_numbers(pairs, max_k=6)
+
+
 @register("graph_kcore_membership", _kcore_sql(k=2))
 def graph_kcore_membership(spark, sf_dir):
     """2-core of the MinHash+LSH near-dup pair graph (graph_ops.kcore,

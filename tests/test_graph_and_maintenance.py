@@ -243,3 +243,85 @@ def test_kcore_gate_graph_converges_fast(spark):
     capped = sorted(map(tuple, kcore(pairs, k=2, max_rounds=3).collect()))
     assert full == capped
     pairs.unpersist()
+
+
+def test_core_numbers_hand_built_graphs(spark):
+    """Full core decomposition on known graphs: K4 + pendant path gives
+    core 3 on the clique, core 1 along the tendril; a 5-cycle is
+    uniformly core 2; two K3s bridged by an edge are uniformly core 2
+    everywhere except nothing (both triangles survive the 2-peel, the
+    bridge endpoints keep degree >= 2); a random graph matches a naive
+    networkx-style peel in numpy."""
+    from semantic_cpp_spark.operators.graph import core_numbers
+
+    def pairs(*e):
+        return spark.createDataFrame(list(e), "d1 long, d2 long")
+
+    g = pairs((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5))
+    got = {r["node"]: r["core_num"] for r in core_numbers(g).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
+    cyc = pairs((0, 1), (1, 2), (2, 3), (3, 4), (4, 0))
+    got = {r["node"]: r["core_num"] for r in core_numbers(cyc).collect()}
+    assert got == {i: 2 for i in range(5)}
+    # empty input -> empty typed frame
+    empty = core_numbers(pairs((0, 1)).filter("d1 < 0"))
+    assert empty.count() == 0 and empty.columns == ["node", "core_num"]
+    # max_k cap binds: a K5 (true core 4) capped at max_k=2 reports 2
+    k5 = pairs(*[(i, j) for i in range(5) for j in range(i + 1, 5)])
+    capped = {r["node"]: r["core_num"] for r in core_numbers(k5, max_k=2).collect()}
+    assert capped == {i: 2 for i in range(5)}
+
+
+def test_core_numbers_matches_naive_on_random_graph(spark):
+    """core_numbers vs a naive sequential min-degree peel (the textbook
+    Matula-Beck algorithm) on a seeded random graph — parallel and
+    sequential peeling provably agree on core numbers."""
+    import random as rnd
+
+    from semantic_cpp_spark.operators.graph import core_numbers
+
+    r = rnd.Random(7)
+    edges = sorted({(r.randrange(30), r.randrange(30)) for _ in range(90)})
+    edges = [(a, b) for a, b in edges if a != b]
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+
+    # naive: repeatedly remove a min-degree node; its core number is the
+    # running max of min-degrees seen when it is removed
+    adj = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, kmax = {}, 0
+    live = {n: set(vs) for n, vs in adj.items()}
+    while live:
+        n = min(live, key=lambda x: (len(live[x]), x))
+        kmax = max(kmax, len(live[n]))
+        want[n] = kmax
+        for m in live[n]:
+            live[m].discard(n)
+        del live[n]
+
+    df = spark.createDataFrame(canon, "d1 long, d2 long")
+    got = {r2["node"]: r2["core_num"] for r2 in core_numbers(df, max_k=10).collect()}
+    assert got == {n: k for n, k in want.items() if k >= 1}
+
+
+def test_core_numbers_gate_graph_within_caps(spark):
+    """The chained 6-level x 12-round oracle equals Spark's early-exit
+    loop only while convergence sits inside BOTH caps: pin that on the
+    gate graph (a) every level's peel stabilises within 3 rounds and
+    (b) the decomposition exhausts below max_k=6, so the cap never
+    binds at gate scale."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.operators.graph import core_numbers
+    from semantic_cpp_spark.pipeline import dedup
+    from semantic_cpp_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, F.col("text"), F.col("doc_id")).persist()
+    full = sorted(map(tuple, core_numbers(pairs, max_k=6).collect()))
+    fast = sorted(map(tuple, core_numbers(pairs, max_k=6, max_rounds=3).collect()))
+    assert full == fast
+    assert max(k for _, k in full) < 6  # cap headroom at gate scale
+    pairs.unpersist()
