@@ -45,6 +45,28 @@ def _partials_fn(dims: int):
     return f
 
 
+def _covariance(df: DataFrame, dims: int, vec_col: str):
+    """Distributed covariance: Arrow-batched (n, Σx, ΣxᵀX) partials →
+    driver combine. Returns (n, mean, cov) with cov = ss/n − μμᵀ —
+    numpy arrays, KB-scale model state."""
+    import numpy as np
+
+    vecs = df.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    )
+    parts = vecs.mapInPandas(
+        _partials_fn(dims), "n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    if n == 0:
+        raise ValueError("pca fit on empty input")
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    ss = np.sum([np.array(r["ss"]).reshape(dims, dims) for r in parts], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
 def pca_fit(
     df: DataFrame,
     k: int,
@@ -58,19 +80,7 @@ def pca_fit(
     deterministic."""
     import numpy as np
 
-    vecs = df.select(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
-    )
-    parts = vecs.mapInPandas(
-        _partials_fn(dims), "n long, s array<double>, ss array<double>"
-    ).collect()
-    n = sum(r["n"] for r in parts)
-    if n == 0:
-        raise ValueError("pca_fit on empty input")
-    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
-    ss = np.sum([np.array(r["ss"]).reshape(dims, dims) for r in parts], axis=0)
-    mean = s / n
-    cov = ss / n - np.outer(mean, mean)
+    _, mean, cov = _covariance(df, dims, vec_col)
     vals, vecs_ = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:k]
     comps = []
@@ -111,6 +121,55 @@ def pca_project(
     return wide.select(
         "vec_id",
         F.array(*[F.col(f"p{i}") for i in range(len(components))]).alias("proj"),
+    )
+
+
+def pca_power_fit(
+    df: DataFrame,
+    k: int = 4,
+    rounds: int = 15,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[list[float]], list[float], float]:
+    """PCA by FIXED-ROUND power iteration with deflation — the
+    oracle-replayable fit: exactly ``rounds`` iterations per component
+    from v₀ = 1⃗/√dims (no convergence test, no early exit), λ by
+    Rayleigh quotient, then deflate C ← C − λvvᵀ and repeat. Because
+    every step is a fixed arithmetic recurrence on the covariance, a
+    SQL engine can replay the identical rounds as unrolled CTEs and the
+    results agree to well past 6dp — the same replay contract as
+    graph_pagerank_top10, which is what buys emb_pca_project a HARD
+    value oracle where eigh (LAPACK-internal iteration, sign-arbitrary)
+    cannot have one. Sign needs no canonicalisation: v₀ and the
+    positive-norm normalisation fix it deterministically on both
+    engines.
+
+    The distributed work is the covariance pass (_covariance, Arrow
+    partials); the k×rounds matrix-vector products run on the dims²
+    driver-state matrix — sub-millisecond at any corpus size, identical
+    shape to pca_fit. Returns (mean, components, eigenvalues,
+    trace(cov)) — trace is Σ per-dim variances, the explained-ratio
+    denominator."""
+    import numpy as np
+
+    _, mean, cov = _covariance(df, dims, vec_col)
+    C = cov.copy()
+    comps, vals = [], []
+    for _c in range(k):
+        v = np.full(dims, 1.0 / np.sqrt(dims))
+        for _t in range(rounds):
+            w = C @ v
+            v = w / np.linalg.norm(w)
+        lam = float(v @ (C @ v))
+        comps.append([float(x) for x in v])
+        vals.append(lam)
+        C = C - lam * np.outer(v, v)
+    return (
+        [float(x) for x in mean],
+        comps,
+        vals,
+        float(np.trace(cov)),
     )
 
 

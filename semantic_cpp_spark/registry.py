@@ -651,107 +651,21 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r7 window (exactly 50 = 1 + 1 + 20 + 8 + 20): samp_train_val_split (r6
-# RED — oracle HUGEINT fix this round), dedup_ngram_jaccard (code re-keyed
-# in r6 AFTER its last driver row — the r6 contract test's documented
-# carry-over), the 20 queries that had never had a driver row (r6
-# overflow), the 8 new r7 operators (graph_pagerank_top10,
-# stream_sliding_uniques_bounded, emb_semdedup, mm_tiff_features,
-# ir_rank_metrics, dedup_bloom_probe, graph_kcore_membership,
-# sim_dim_truncation_recall — first rows beat repeat rows, rule (b)),
-# then 20 of the 41 r3-vintage queries (all 8 streaming, 9 fact-join
-# relational, dedup_cc_clusters + agg_salted_hot_key + emb_kmeans_step).
-# The 21 remaining r3-vintage (ir_bm25_topk, agg_corr_covar,
-# agg_distribution_profile, rel_q14_promo_share,
-# rel_q13_order_histogram, rel_q6_forecast_revenue,
-# rel_rollup_order_priority, rel_pivot_status_by_flag — the five
-# lowest-risk rel queries displaced by the late-r7
-# TIFF/rank-metrics/Bloom/k-core/truncation additions — + the 13 simple
-# strings/scalar queries, no joins) spill to r8 — listed below the
-# WINDOW CUT so the r8 rotation is explicit, completing the
-# no-row-older-than-r4 invariant by end of r8.
+# r8 window (50 = 21 + 5 + 4 + 20): the 21 r3-vintage spills LEAD (the r7
+# policy's own deadline — after this round no latest row predates r4); then
+# rule (a) code-or-oracle-changed refreshes (emb_pca_project: power-iteration
+# fit + brand-new hard oracle replacing the rows-only row;
+# graph_pagerank_top10: per-plan repartition rewrite; dedup_bloom_probe:
+# join-strategy selection; mm_tiff_features: inline-strip writer path;
+# emb_semdedup: oracle text refactored through _semdedup_sql); then rule (b)
+# first rows for the new r8 operators (emb_pca_variance, emb_semdedup_scaled,
+# graph_core_numbers, sim_truncation_rescore — extend HERE if more land this
+# round and drop the same number off the backfill tail); then 20 r4-vintage
+# backfill, riskiest families first (dedup, embedding/pipeline, events,
+# streaming-adjacent windows, heavy relational, quantile/moment aggs). The 36
+# r4-vintage entries left over spill to r9 under the same policy.
 _PRIORITY: list[str] = [
-    # -- (a) red-row refresh: oracle fixed this round (sum(n_chars)::BIGINT
-    #    — DuckDB sum(INTEGER) returns HUGEINT, the only non-canonical
-    #    result type in the registry; tests/test_registry_contract.py now
-    #    DESCRIBEs every oracle to ban the class) --
-    "samp_train_val_split",
-    # -- (a) code changed after its last driver row (r4): the r6 shingle
-    #    re-keying (60-bit hashes) postdates every green row it holds —
-    #    the r6 contract test documented this carry-over explicitly --
-    "dedup_ngram_jaccard",
-    # -- (b) first driver rows: the 20 r6-overflow queries --
-    "asof_next_purchase_after_signup",
-    "dedup_cluster_stats",
-    "emb_cluster_cohesion",
-    "emb_ivf_balance",
-    "evt_dau_wau_stickiness",
-    "evt_inter_event_gaps",
-    "evt_markov_transitions",
-    "evt_sliding_uniques",
-    "evt_top_paths",
-    "ir_hybrid_rrf",
-    "mm_image_histogram",
-    "pipe_dedup_funnel",
-    "rel_basket_lift",
-    "rel_brand_return_rate",
-    "rel_scd2_customer_history",
-    "samp_importance_weights",
-    "samp_negative_pairs",
-    "sim_lsh_recall_at_5",
-    "stream_sliding_uniques",
-    "txt_redundancy_curve",
-    # -- (b) new r7 operators --
-    "graph_pagerank_top10",        # NEW: power-iteration PageRank, unrolled
-                                   # DuckDB power-iteration oracle
-    "stream_sliding_uniques_bounded",  # NEW: event-time-timeout eviction
-                                       # form under the gate (append mode)
-    "emb_semdedup",                # NEW: SemDeDup cluster-blocked semantic
-                                   # dedup, bit-exact boolean oracle
-    "mm_tiff_features",            # NEW: real uncompressed-TIFF decode,
-                                   # both byte orders, n_bytes size-law oracle
-    "ir_rank_metrics",             # NEW: NDCG@10/MRR/P@10/R@10 retrieval
-                                   # eval, rank-ordered LTR DCG folds
-    "dedup_bloom_probe",           # NEW: sparse Bloom build + broadcast
-                                   # probe, md5-deterministic membership
-    "graph_kcore_membership",      # NEW: parallel-peeling 2-core,
-                                   # materialized 12-round unroll oracle
-    "sim_dim_truncation_recall",   # NEW: matryoshka truncation recall@5
-                                   # vs the 64-dim exact baseline
-    # -- (c) r3-vintage backfill, riskiest families first --
-    "stream_tumble_hour",
-    "stream_slide_2h_30m",
-    "stream_session_5m",
-    "stream_distinct_keys",
-    "stream_running_stats",
-    "stream_count_windows",
-    "stream_stream_join",
-    "stream_topk_per_user",
-    "dedup_cc_clusters",
-    "agg_salted_hot_key",
-    "rel_q7_nation_volume",
-    "rel_q8_market_share",
-    "rel_q10_returned_items",
-    "rel_q18_large_orders",
-    "rel_q22_idle_balance",
-    "rel_q17_small_qty_revenue",
-    "rel_q19_bracketed_discounts",
-    "rel_q4_semi_join",
-    "rel_customers_without_urgent_orders",
-    "emb_kmeans_step",
-    # -- WINDOW CUT after emb_kmeans_step (position 50) — recount, don't
-    #    trust comment position, when rotating --
-    # -- spill to r8 (positions 50+): rel_q6_forecast_revenue (no-join
-    #    single-table scan-agg, displaced by the dedup_bloom_probe first
-    #    row) + rel_rollup_order_priority + rel_pivot_status_by_flag
-    #    (displaced by the late-r7 mm_tiff_features / ir_rank_metrics
-    #    first rows) + ir_bm25_topk +
-    #    agg_corr_covar + agg_distribution_profile (displaced by the r7
-    #    new operators and the dedup_ngram_jaccard carry-over) + the 13
-    #    lowest-risk r3-vintage queries (scalar/string/simple-aggregate,
-    #    no joins), all green in two prior driver windows, re-executed by
-    #    the smoke test and the committed HEAD verify.out.log. These MUST
-    #    head the r8 backfill section. --
+    # -- the 21 r3-vintage spills from the r7 WINDOW CUT (policy deadline) --
     "rel_q14_promo_share",
     "rel_q13_order_histogram",
     "rel_q6_forecast_revenue",
@@ -773,6 +687,46 @@ _PRIORITY: list[str] = [
     "txt_decontaminate",
     "txt_pii_redact",
     "txt_word_count_topk",
+    # -- (a) code or oracle changed in r8 --
+    "emb_pca_project",
+    "graph_pagerank_top10",
+    "dedup_bloom_probe",
+    "mm_tiff_features",
+    "emb_semdedup",
+    # -- (b) first driver rows: new r8 operators --
+    "emb_pca_variance",
+    "emb_semdedup_scaled",
+    "graph_core_numbers",
+    "sim_truncation_rescore",
+    # -- (c) r4-vintage backfill (20 of 36), riskiest families first --
+    "dedup_exact",
+    "dedup_keep_list",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "corpus_diff_versions",
+    "emb_cluster_medoids",
+    "pack_token_sequences",
+    "evt_sessionize",
+    "evt_retention_cohorts",
+    "evt_hourly_anomalies",
+    "evt_merged_activity",
+    "evt_hourly_moving_avg",
+    "stream_static_enrich",
+    "win_tumble",
+    "win_slide",
+    "rel_grouped_percentiles",
+    "rel_running_customer_revenue",
+    "agg_quantiles",
+    "agg_skew_kurt",
+    "txt_unigram_cross_entropy",
+    # -- WINDOW CUT at position 50 — recount, don't trust comment position,
+    #    when rotating. r9 spill (16 r4-vintage): agg_mode_deterministic,
+    #    rel_cube_flag_status, rel_price_histogram, rel_profile_lineitem,
+    #    rel_zorder_bucket_stats, samp_fixed_k_per_lang, sem_* (5),
+    #    sig_fft100_pad_truncate, grp_group_encounter_order,
+    #    grp_partition_chunks, txt_fuzzy_vocab_match, txt_tfidf_keywords —
+    #    all green in 2+ prior windows, re-executed by the smoke test and
+    #    the committed HEAD verify log. --
 ]
 
 

@@ -1244,22 +1244,110 @@ def txt_unigram_cross_entropy(spark, sf_dir):
     return retrieval.unigram_cross_entropy(docs, F.col("text"), F.col("doc_id"))
 
 
-@register("emb_pca_project")  # no SQL oracle: eigendecomposition (rows-only check)
+_PCA_K, _PCA_ROUNDS = 4, 15
+
+
+def _pca_power_ctes(k: int = _PCA_K, rounds: int = _PCA_ROUNDS) -> str:
+    """Shared CTE chain replaying decomposition.pca_power_fit exactly:
+    covariance from the exploded per-dim table (cov = ΣxᵢxⱼT/n − μᵢμⱼ,
+    the same formula the Arrow-partial combine uses), then per
+    component ``rounds`` unrolled power-iteration steps from
+    v₀ = 1/√64, a Rayleigh-quotient eigenvalue, and a λvvᵀ deflation —
+    the graph_pagerank_top10 replay pattern applied to eigen work.
+    Every round CTE is MATERIALIZED (each is referenced twice: the
+    next matrix-vector product and its own normaliser)."""
+    parts = [
+        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM e),
+    d AS MATERIALIZED (SELECT vec_id, i, v[i] AS x FROM e, dims),
+    m AS MATERIALIZED (SELECT i, sum(x) / (SELECT n FROM nn) AS mu
+                       FROM d GROUP BY i),
+    cov0 AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) / (SELECT n FROM nn) AS pp
+      FROM d a JOIN d b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+    cv1 AS MATERIALIZED (
+      SELECT c.i, c.j, c.pp - ma.mu * mb.mu AS c
+      FROM cov0 c JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j)"""
+    ]
+    for c in range(1, k + 1):
+        parts.append(
+            f"v{c}r0 AS (SELECT i, 1.0 / sqrt(64.0) AS x FROM dims)"
+        )
+        for t in range(1, rounds + 1):
+            parts.append(
+                f"""w{c}r{t} AS MATERIALIZED (
+      SELECT cm.i, sum(cm.c * v.x) AS w
+      FROM cv{c} cm JOIN v{c}r{t - 1} v ON v.i = cm.j GROUP BY cm.i),
+    v{c}r{t} AS MATERIALIZED (
+      SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w{c}r{t}) AS x
+      FROM w{c}r{t})"""
+            )
+        parts.append(
+            f"""lam{c} AS MATERIALIZED (
+      SELECT sum(a.x * cm.c * b.x) AS lam
+      FROM cv{c} cm JOIN v{c}r{rounds} a ON a.i = cm.i
+      JOIN v{c}r{rounds} b ON b.i = cm.j)"""
+        )
+        if c < k:
+            parts.append(
+                f"""cv{c + 1} AS MATERIALIZED (
+      SELECT cm.i, cm.j, cm.c - (SELECT lam FROM lam{c}) * (a.x * b.x) AS c
+      FROM cv{c} cm JOIN v{c}r{rounds} a ON a.i = cm.i
+      JOIN v{c}r{rounds} b ON b.i = cm.j)"""
+            )
+    return ",\n    ".join(parts)
+
+
+def _pca_project_sql(k: int = _PCA_K, rounds: int = _PCA_ROUNDS) -> str:
+    unions = "\n      UNION ALL ".join(
+        f"""SELECT d.vec_id, {c - 1} AS axis, sum((d.x - m.mu) * v.x) AS value
+      FROM d JOIN m ON m.i = d.i JOIN v{c}r{rounds} v ON v.i = d.i
+      GROUP BY d.vec_id"""
+        for c in range(1, k + 1)
+    )
+    return f"""WITH {_pca_power_ctes(k, rounds)}
+    SELECT vec_id, axis::BIGINT AS axis, round(value, 6) AS value
+    FROM ({unions})"""
+
+
+def _pca_variance_sql(k: int = _PCA_K, rounds: int = _PCA_ROUNDS) -> str:
+    unions = "\n      UNION ALL ".join(
+        f"""SELECT {c - 1} AS component,
+             (SELECT lam FROM lam{c}) AS eigenvalue,
+             (SELECT lam FROM lam{c}) / (SELECT tr FROM tr) AS explained_ratio"""
+        for c in range(1, k + 1)
+    )
+    return f"""WITH {_pca_power_ctes(k, rounds)},
+    tr AS (SELECT sum(c) AS tr FROM cv1 WHERE i = j)
+    SELECT component::BIGINT AS component, round(eigenvalue, 6) AS eigenvalue,
+           round(explained_ratio, 6) AS explained_ratio
+    FROM ({unions})"""
+
+
+@register("emb_pca_project", _pca_project_sql())
 def emb_pca_project(spark, sf_dir):
     """PCA projection of the embedding corpus onto its top-4 principal
-    axes (pipeline.decomposition): Arrow-batched covariance partials →
-    driver eigh (model state) → zero-exchange literal-matrix projection.
-    Eigen work is not SQL-expressible — numpy-pinned in tests; the
-    driver records the rows-only check.
+    axes — with a HARD value oracle (r7 verdict item #2, retiring the
+    registry's last rows-only row): the fit is
+    decomposition.pca_power_fit, FIXED-ROUND power iteration with
+    deflation (15 rounds/component from v₀ = 1/√64), which DuckDB
+    replays as unrolled CTEs the way the pagerank oracle replays its 15
+    rounds. Sign is pinned by v₀ + positive normalisation on both
+    engines — no eigenvector sign coin-flip. The distributed work is
+    unchanged: Arrow-partial covariance → KB driver state →
+    zero-exchange literal-matrix projection (eigh keeps its own hard
+    pin via emb_pca_norm_preserved's full-rank invariant).
 
-    Output is EXPLODED to scalar rows (vec_id, axis, value): the driver's
-    canonicalizer hashes pandas columns, and an ArrayType column is
-    unhashable there (CORRECTNESS_r04 err) — scalar doubles keep the
-    rows-only check alive."""
+    Output stays EXPLODED to scalar rows (vec_id, axis, value): the
+    driver's canonicalizer hashes pandas columns, and an ArrayType
+    column is unhashable there (CORRECTNESS_r04 err)."""
     from semantic_cpp_spark.pipeline import decomposition
 
     emb = load_table(spark, sf_dir, "embeddings")
-    mean, comps, _ = decomposition.pca_fit(emb, k=4, dims=64)
+    mean, comps, _, _ = decomposition.pca_power_fit(
+        emb, k=_PCA_K, rounds=_PCA_ROUNDS, dims=64
+    )
     out = decomposition.pca_project(emb, mean, comps)
     return out.select(
         "vec_id", F.posexplode(F.col("proj")).alias("axis", "value")
@@ -1267,6 +1355,30 @@ def emb_pca_project(spark, sf_dir):
         "vec_id",
         F.col("axis").cast("long").alias("axis"),
         F.round("value", 6).alias("value"),
+    )
+
+
+@register("emb_pca_variance", _pca_variance_sql())
+def emb_pca_variance(spark, sf_dir):
+    """Per-component explained variance of the top-4 principal axes:
+    eigenvalue (Rayleigh quotient after the fixed 15-round power
+    iteration) and its share of total variance (λ_c / trace(cov)) —
+    the scree diagnostic behind every "how many dims do we actually
+    need" storage decision, as a 4-row hard-oracle query. Same replayed
+    fit as emb_pca_project; trace is the covariance diagonal sum, which
+    the oracle computes directly from the covariance CTE."""
+    from semantic_cpp_spark.pipeline import decomposition
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, vals, trace = decomposition.pca_power_fit(
+        emb, k=_PCA_K, rounds=_PCA_ROUNDS, dims=64
+    )
+    rows = [
+        (c, round(float(v), 6), round(float(v) / trace, 6))
+        for c, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "component long, eigenvalue double, explained_ratio double"
     )
 
 

@@ -388,6 +388,36 @@ def test_pca_project_variances_match_eigenvalues(spark):
     assert "Exchange" not in plan
 
 
+def test_pca_power_fit_converges_to_eigh(spark):
+    """pca_power_fit (the oracle-replayable fixed-round fit) must agree
+    with eigh on a well-separated spectrum: eigenvalues to 1e-6 rel,
+    components to |cos| ≈ 1 (power-iteration sign is pinned by v0, eigh
+    sign is arbitrary — compare up to sign), trace = Σ all eigenvalues,
+    and explained ratios descending. 15 rounds on eigengap ratios ≥ 2
+    converge far past 6dp — the margin the DuckDB replay relies on."""
+    rng = np.random.RandomState(3)
+    X = rng.normal(0, 1, (400, 6)) * np.array([6.0, 3.0, 1.5, 0.7, 0.3, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    from semantic_cpp_spark.pipeline import decomposition
+
+    mean, comps, vals, trace = decomposition.pca_power_fit(
+        df, k=3, rounds=15, dims=6
+    )
+    cov = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    np.testing.assert_allclose(mean, X.mean(axis=0), rtol=1e-9)
+    assert trace == pytest.approx(float(evals.sum()), rel=1e-9)
+    for j in range(3):
+        assert vals[j] == pytest.approx(float(evals[order[j]]), rel=1e-6)
+        cosang = abs(float(np.dot(comps[j], evecs[:, order[j]])))
+        assert cosang == pytest.approx(1.0, abs=1e-6)
+    assert vals[0] > vals[1] > vals[2] > 0
+
+
 # -- edge cases across the r3 operator families ------------------------------
 
 def test_empty_input_edges(spark):

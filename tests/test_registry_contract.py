@@ -14,66 +14,65 @@ import pytest
 
 from semantic_cpp_spark import registry
 
-# Queries whose code path OR oracle changed (or which are new) in round 7 —
+# Queries whose code path OR oracle changed (or which are new) in round 8 —
 # a historical green row no longer vouches for the current code, so each must
 # sit inside this round's 50-slot driver window for a fresh one.
-TOUCHED_IN_R7 = [
-    "samp_train_val_split",   # r6 RED row: oracle sum(n_chars)::BIGINT fix
-    "dedup_ngram_jaccard",    # r6 shingle re-keying postdates its last (r4)
-                              # driver row — the documented r6 carry-over
-    "graph_pagerank_top10",   # NEW: PageRank under the gate
-    "stream_sliding_uniques_bounded",  # NEW: bounded-state eviction form
-    "emb_semdedup",           # NEW: SemDeDup cluster-blocked dedup
-    "mm_tiff_features",       # NEW: uncompressed-TIFF decode, size-law oracle
-    "ir_rank_metrics",        # NEW: NDCG/MRR/P/R rank evaluation
-    "dedup_bloom_probe",      # NEW: sparse Bloom membership
-    "graph_kcore_membership",  # NEW: parallel-peeling 2-core
-    "sim_dim_truncation_recall",  # NEW: matryoshka truncation recall
+TOUCHED_IN_R8 = [
+    "emb_pca_project",        # power-iteration fit + NEW hard oracle
+                              # (replaces the registry's last rows-only row)
+    "graph_pagerank_top10",   # per-plan repartition rewrite (r7 ADVICE)
+    "dedup_bloom_probe",      # size-derived broadcast-vs-shuffle join
+    "mm_tiff_features",       # inline single-strip writer path
+    "emb_semdedup",           # oracle text refactored via _semdedup_sql
+    # NEW r8 operators (first rows):
+    "emb_pca_variance",
+    "emb_semdedup_scaled",
+    "graph_core_numbers",
+    "sim_truncation_rescore",
 ]
 
-# The 20 queries that reached r7 with no driver row ever (r6 window
-# overflow) — the weakest-vouched components in the repo, so all 20 hold
-# r7 window slots for their first row (VERDICT r6 #2).
-FIRST_ROW_IN_R7 = [
-    "asof_next_purchase_after_signup",
-    "dedup_cluster_stats",
-    "emb_cluster_cohesion",
-    "emb_ivf_balance",
-    "evt_dau_wau_stickiness",
-    "evt_inter_event_gaps",
-    "evt_markov_transitions",
-    "evt_sliding_uniques",
-    "evt_top_paths",
-    "ir_hybrid_rrf",
-    "mm_image_histogram",
-    "pipe_dedup_funnel",
-    "rel_basket_lift",
-    "rel_brand_return_rate",
-    "rel_scd2_customer_history",
-    "samp_importance_weights",
-    "samp_negative_pairs",
-    "sim_lsh_recall_at_5",
-    "stream_sliding_uniques",
-    "txt_redundancy_curve",
+# The 21 r3-vintage queries the r7 window deliberately spilled (listed under
+# its WINDOW CUT) — the r7 policy's own deadline says they lead the r8
+# window so no latest row predates r4 after this round.
+SPILL_FROM_R7 = [
+    "rel_q14_promo_share",
+    "rel_q13_order_histogram",
+    "rel_q6_forecast_revenue",
+    "rel_rollup_order_priority",
+    "rel_pivot_status_by_flag",
+    "ir_bm25_topk",
+    "agg_corr_covar",
+    "agg_distribution_profile",
+    "rel_datetime_parts",
+    "str_charsequence_medley",
+    "str_codepoint_sequence",
+    "str_compare_and_join",
+    "str_levenshtein_to_anchor",
+    "evt_json_extract",
+    "grp_frequency_capped",
+    "reduce_bit_xor",
+    "shard_token_budget",
+    "src_blob_bytes",
+    "txt_decontaminate",
+    "txt_pii_redact",
+    "txt_word_count_topk",
 ]
 
-# r7 window policy (VERDICT r6 #2/#3 + the standing rotation policy in
-# registry._PRIORITY's comment): red-row refresh (1) + carry-over (1) +
-# the 20 first-row queries + the 8 new r7 operators + 20 riskiest
-# r3-vintage backfill = exactly 50; the EXPECTED_SPILL lowest-risk
-# r3-vintage entries deliberately spill to the r8 window (the cut is
-# marked "WINDOW CUT" in registry._PRIORITY — recount, don't trust
-# comment position, when rotating).
-EXPECTED_SPILL = 21  # rel_q14 + rel_q13 + rel_q6 + rel_rollup + rel_pivot
-#                      (displaced by the late-r7 tiff / rank-metrics / bloom /
-#                      kcore / truncation-recall first rows) + ir_bm25 +
-#                      agg_corr_covar + agg_distribution + 13 low-risk r3
+# r8 window policy (VERDICT r7 #1 + the standing rotation policy in
+# registry._PRIORITY's comment): the 21 r7 spills + 5 code-or-oracle-changed
+# + 4 new-operator first rows + 20 riskiest r4-vintage backfill = exactly
+# 50. Nothing is pushed below the cut this round (_PRIORITY holds exactly
+# the window); the 36 r4-vintage leftovers rotate in r9 on their green
+# prior rows + the committed HEAD verify log.
+EXPECTED_SPILL = 0
 
 
-def test_r7_touched_and_first_row_queries_inside_50_window():
+def test_r8_touched_and_spill_queries_inside_50_window():
     window = list(registry.queries())[:50]
-    missing = [n for n in TOUCHED_IN_R7 + FIRST_ROW_IN_R7 if n not in window]
+    missing = [n for n in SPILL_FROM_R7 + TOUCHED_IN_R8 if n not in window]
     assert not missing, f"outside driver window: {missing}"
+    # the policy deadline: the 21 spills LEAD the window
+    assert window[:21] == SPILL_FROM_R7
 
 
 def test_priority_names_all_exist():
