@@ -327,3 +327,55 @@ def stream_sliding_uniques_bounded(spark, sf_dir):
     late and counts equal the batch answer on exactly those windows."""
     ev = ops.read_events_stream(spark, sf_dir)
     return ops.run_to_memory(ops.sliding_unique_users_bounded(ev), "append")
+
+
+@register(
+    "stream_sliding_uniques_hll",
+    f"""WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) AS tus FROM events),
+    w AS (SELECT user_id,
+                 unnest(range(tus // 3600000000 - 5, tus // 3600000000 + 1))
+                   AS win_start
+          FROM e),
+    wm AS (SELECT (max(tus) - 3600000000) // 1000 AS wm_ms FROM e),
+    cw AS (SELECT win_start, user_id FROM w, wm
+           WHERE (win_start + 6) * 3600000 < wm_ms),
+    h AS (SELECT win_start,
+                 ('0x' || substr(md5('hll-' || user_id::VARCHAR), 1, 15))::BIGINT
+                   AS h
+          FROM cw),
+    r AS (SELECT win_start, h % {ops.HLL_M} AS idx,
+                 CASE WHEN h // {ops.HLL_M} = 0 THEN 51
+                      ELSE 51 - length(bin(h // {ops.HLL_M})) END AS rho
+          FROM h),
+    regs AS (SELECT win_start, idx, max(rho) AS m
+             FROM r GROUP BY win_start, idx),
+    agg AS (SELECT win_start,
+                   sum(power(2.0, -m)) AS s_used,
+                   count(*) AS n_used
+            FROM regs GROUP BY win_start),
+    est AS (SELECT win_start,
+                   ({ops.HLL_ALPHA!r}::DOUBLE * {ops.HLL_M} * {ops.HLL_M})
+                     / (s_used + ({ops.HLL_M} - n_used) * 1.0) AS e,
+                   {ops.HLL_M} - n_used AS v
+            FROM agg)
+    SELECT win_start::BIGINT AS win_start,
+           round(CASE WHEN e <= 2.5 * {ops.HLL_M} AND v > 0
+                      THEN {ops.HLL_M} * ln({ops.HLL_M}::DOUBLE / v)
+                      ELSE e END, 4) AS hll_users
+    FROM est""",
+)
+def stream_sliding_uniques_hll(spark, sf_dir):
+    """Sliding distinct users with HYPERLOGLOG sketch state under the
+    driver gate (streaming.ops.sliding_unique_users_hll, r8 — the
+    VERDICT r7 #7 approx path): per open window the stateful operator
+    holds 1024 md5-derived registers instead of the distinct-user set,
+    so state is ~4 KB per window at ANY cardinality; eviction and
+    closed-window semantics are identical to the exact bounded form.
+    Registers are deterministic (hash_u60-convention md5), so this
+    holds a HARD value oracle: DuckDB recomputes every closed window's
+    registers (idx = low 10 bits, rho via length(bin(rest)) — identical
+    minimal-binary semantics on both engines) and the bias-corrected
+    Flajolet estimator with the same alpha literal. Estimate-vs-exact
+    error is pinned <= 2% in test_sliding_uniques_hll_parity_band."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(ops.sliding_unique_users_hll(ev), "append")

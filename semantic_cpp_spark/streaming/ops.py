@@ -756,3 +756,146 @@ def sliding_unique_users_bounded(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# -- HyperLogLog sketch state for sliding uniques ----------------------------
+# The approx path sliding_unique_users_bounded's docstring names for 100 TB
+# cardinalities: a window's state becomes m = 2^p fixed registers instead of
+# its distinct-user set. Hashing is md5-derived (the hash_u60 convention), so
+# registers — and therefore the estimate — are DETERMINISTIC and replayable
+# by the DuckDB oracle: idx = low p bits, rho = leading-zero rank of the
+# remaining 50 bits (via bit_length, = length(bin(x)) on both engines).
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+# the standard alpha_m bias constant for m >= 128 (Flajolet et al. 2007);
+# written as the same arithmetic expression the SQL oracle evaluates
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_h60(key: Any) -> int:
+    """60-bit md5 hash of a key, salt 'hll-' (hash_u60 convention)."""
+    import hashlib
+
+    return int(hashlib.md5(f"hll-{key}".encode()).hexdigest()[:15], 16)
+
+
+def hll_rho(rest: int) -> int:
+    """Rank of the first 1-bit in the 50-bit post-index remainder
+    (1-based from the MSB); 51 when the remainder is all zeros."""
+    return 51 - rest.bit_length() if rest else 51
+
+
+def hll_add(regs: list, key: Any) -> None:
+    h = hll_h60(key)
+    idx = h % HLL_M
+    rho = hll_rho(h >> HLL_P)
+    if rho > regs[idx]:
+        regs[idx] = rho
+
+
+def hll_estimate(regs) -> float:
+    """Flajolet et al. 2007 estimator with the small-range linear-counting
+    correction (E <= 2.5m with empty registers). The register sum runs in
+    index order; the oracle's group-sum differs only at ~1e-15, far under
+    the 4dp output rounding."""
+    import math
+
+    s = 0.0
+    v = 0
+    for r in regs:
+        s += 2.0 ** (-int(r))
+        if r == 0:
+            v += 1
+    e = HLL_ALPHA * HLL_M * HLL_M / s
+    if e <= 2.5 * HLL_M and v > 0:
+        e = HLL_M * math.log(HLL_M / v)
+    return e
+
+
+_SLIDE_UNIQ_HLL_OUT = T.StructType(
+    [
+        T.StructField("win_start", T.LongType()),
+        T.StructField("hll_users", T.DoubleType()),
+    ]
+)
+
+_SLIDE_UNIQ_HLL_STATE = T.StructType(
+    [T.StructField("regs", T.ArrayType(T.IntegerType()))]
+)
+
+
+def _make_sliding_uniq_hll_update(window_hours: int):
+    def _update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        win_start = int(key[0])
+        end_ms = (win_start + window_hours) * 3_600_000
+        if state.hasTimedOut:
+            (regs,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "win_start": [win_start],
+                    "hll_users": [round(hll_estimate(regs), 4)],
+                }
+            )
+            return
+        if state.getCurrentWatermarkMs() >= end_ms:
+            for _ in pdfs:  # late rows for a closed window: ignore
+                pass
+            return
+        regs = list(state.get[0]) if state.exists else [0] * HLL_M
+        for pdf in pdfs:
+            for u in pdf["user_id"]:
+                hll_add(regs, int(u))
+        state.update((regs,))
+        state.setTimeoutTimestamp(end_ms)
+
+    return _update
+
+
+def sliding_unique_users_hll(
+    events: DataFrame,
+    window_hours: int = 6,
+    step_hours: int = 1,
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """sliding_unique_users_bounded with HYPERLOGLOG sketch state — the
+    100 TB form: state per open window is m = 1024 int registers
+    (~4 KB) REGARDLESS of cardinality, where the exact form's
+    distinct-user set grows with the window's audience (measured floor:
+    37.6 MB at sf1.0, SCALING.md). Same single applyInPandasWithState
+    stage, same event-time-timeout eviction, same closed-window
+    immutability; only the state payload and the emitted value change
+    (estimate, not exact count — error ~1.04/√m ≈ 3.3% theoretical,
+    ≤2% measured on the fixture, test-pinned).
+
+    Deterministic by construction (md5-derived registers), so the gate
+    holds a HARD value oracle: DuckDB replays register assignment and
+    the bias-corrected estimator formula per closed window."""
+    from semantic_cpp_spark.session import ts_micros
+
+    hr = F.expr(f"tus div {3_600_000_000}")
+    ev = (
+        events.select(
+            "user_id", "event_time", ts_micros(events).alias("tus")
+        )
+        .withWatermark("event_time", lateness)
+        .select(
+            "user_id",
+            "event_time",
+            F.explode(
+                _aligned_win_starts(hr, window_hours, step_hours)
+            ).alias("win_start"),
+        )
+    )
+    return ev.groupBy("win_start").applyInPandasWithState(
+        _make_sliding_uniq_hll_update(window_hours),
+        outputStructType=_SLIDE_UNIQ_HLL_OUT,
+        stateStructType=_SLIDE_UNIQ_HLL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -337,6 +337,49 @@ def test_sliding_uniques_bounded_closed_windows_and_eviction(spark, tmp_path):
     assert all(99 not in u for u in wins.values())  # late row dropped
 
 
+def test_sliding_uniques_hll_parity_band(spark):
+    """The HLL sketch form vs the exact bounded form on the fixture
+    stream: identical closed-window key set, every estimate within 2%
+    relative (+ a small absolute floor for the tiny-count windows where
+    linear counting is exact-ish) of the true distinct count, and state
+    payload is the 1024-register constant, not the audience size. Also
+    pins the pure-Python estimator against direct cardinalities."""
+    from semantic_cpp_spark.streaming.ops import (
+        HLL_M,
+        hll_add,
+        hll_estimate,
+        sliding_unique_users_bounded,
+        sliding_unique_users_hll,
+    )
+
+    # estimator sanity on known cardinalities (deterministic hashes)
+    for n in (10, 100, 1000, 5000):
+        regs = [0] * HLL_M
+        for i in range(n):
+            hll_add(regs, i)
+        est = hll_estimate(regs)
+        assert abs(est - n) / n < 0.05, (n, est)
+
+    ev = ops.read_events_stream(spark, "/root/testdata/sf0.001")
+    exact = {
+        r["win_start"]: r["n_users"]
+        for r in ops.run_to_memory(
+            sliding_unique_users_bounded(ev), "append"
+        ).collect()
+    }
+    ev2 = ops.read_events_stream(spark, "/root/testdata/sf0.001")
+    approx = {
+        r["win_start"]: r["hll_users"]
+        for r in ops.run_to_memory(
+            sliding_unique_users_hll(ev2), "append"
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    assert exact  # fixture closes windows
+    for s, n in exact.items():
+        assert abs(approx[s] - n) <= max(0.02 * n, 1.5), (s, n, approx[s])
+
+
 def test_session_window_closes_in_append_mode(spark, tmp_path):
     """Append-mode session windows emit only once the watermark passes
     session end + gap: a later batch far in the future closes the first
