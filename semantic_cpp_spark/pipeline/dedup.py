@@ -1020,3 +1020,70 @@ def bloom_load(spark, path: str) -> tuple[DataFrame, int, int]:
         int(p[0]["n_bits"]),
         int(p[0]["k_hashes"]),
     )
+
+
+# -- HyperLogLog cardinality sketch ------------------------------------------
+# The batch companion of streaming.ops.sliding_unique_users_hll, sharing its
+# exact register derivation (md5 'hll-' salt, idx = low bits, rho from the
+# minimal-binary length of the remainder) so the two surfaces are mutually
+# checkable. The corpus-cardinality primitive at 100 TB: "how many distinct
+# users/keys/fingerprints" as one 2^p-row aggregate instead of a full
+# count(DISTINCT) shuffle of every distinct key.
+
+HLL_REGS = 1 << 10
+
+
+def hll_distinct(df: DataFrame, key: Column, n_regs: int = HLL_REGS) -> DataFrame:
+    """Approximate distinct count by HyperLogLog (Flajolet et al. 2007)
+    in PURE Column expressions — no UDF, no driver state: md5-hash each
+    key (hash_u60, salt 'hll-'), split into a register index (low bits)
+    and a 50-bit remainder whose leading-zero rank is the register
+    value, groupBy(idx).max(rho) builds the 2^p registers, and a final
+    1-row aggregate applies the bias-corrected estimator with the
+    small-range linear-counting correction.
+
+    Determinism: registers are md5-derived, so the estimate is exactly
+    reproducible across runs, engines (the DuckDB oracle replays it
+    verbatim — bin() has identical minimal-binary semantics), and
+    cluster sizes. Standard error ~1.04/√m ≈ 3.3% at the default 1024
+    registers; raise n_regs for tighter bands.
+
+    Scale shape: the only exchange carries ≤ n_regs rows per partition
+    (max() is map-side combinable), vs count(DISTINCT)'s shuffle of
+    every distinct key — the difference between 8 KB and terabytes at
+    10^10 keys. Returns one row (n_regs, hll_count)."""
+    from semantic_cpp_spark.pipeline.curation import hash_u60
+
+    if n_regs & (n_regs - 1) or n_regs < 128:
+        raise ValueError(f"n_regs must be a power of two >= 128, got {n_regs}")
+    alpha = 0.7213 / (1.0 + 1.079 / n_regs)
+    h = hash_u60(key, "hll-")
+    # shiftright, NOT float division: h spans 60 bits and a double round
+    # trip would corrupt the low bits of the quotient past 2^53
+    p = n_regs.bit_length() - 1
+    rest = F.shiftright(h, p)
+    max_rho = 60 - p + 1  # all-zero remainder rank (51 at p=10)
+    rho = F.when(rest == 0, F.lit(max_rho)).otherwise(
+        F.lit(max_rho) - F.length(F.bin(rest))
+    )
+    regs = (
+        df.select((h % n_regs).alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("m"))
+    )
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_used"),
+        F.count(F.lit(1)).alias("n_used"),
+    )
+    e = (F.lit(alpha) * n_regs * n_regs) / (
+        F.col("s_used") + (F.lit(n_regs) - F.col("n_used")) * F.lit(1.0)
+    )
+    v = F.lit(n_regs) - F.col("n_used")
+    est = F.when(
+        (e <= F.lit(2.5 * n_regs)) & (v > 0),
+        F.lit(float(n_regs)) * F.log(F.lit(float(n_regs)) / v),
+    ).otherwise(e)
+    return agg.select(
+        F.lit(n_regs).cast("long").alias("n_regs"),
+        F.round(est, 4).alias("hll_count"),
+    )

@@ -773,3 +773,40 @@ def evt_inter_event_gaps(spark, sf_dir):
         F.round(qs[1], 2).alias("p90_us"),
         F.round(F.sum("gap").cast("double") / F.count("gap"), 2).alias("avg_us"),
     )
+
+
+@register(
+    "agg_hll_distinct_users",
+    f"""WITH h AS (
+      SELECT ('0x' || substr(md5('hll-' || user_id::VARCHAR), 1, 15))::BIGINT
+               AS h
+      FROM events),
+    r AS (SELECT h % 1024 AS idx,
+                 CASE WHEN h // 1024 = 0 THEN 51
+                      ELSE 51 - length(bin(h // 1024)) END AS rho
+          FROM h),
+    regs AS (SELECT idx, max(rho) AS m FROM r GROUP BY idx),
+    agg AS (SELECT sum(power(2.0, -m)) AS s_used, count(*) AS n_used FROM regs),
+    est AS (SELECT ({0.7213 / (1.0 + 1.079 / 1024)!r}::DOUBLE * 1024 * 1024)
+                     / (s_used + (1024 - n_used) * 1.0) AS e,
+                   1024 - n_used AS v
+            FROM agg)
+    SELECT 1024::BIGINT AS n_regs,
+           round(CASE WHEN e <= 2560.0 AND v > 0
+                      THEN 1024 * ln(1024.0 / v) ELSE e END, 4) AS hll_count
+    FROM est""",
+)
+def agg_hll_distinct_users(spark, sf_dir):
+    """Approximate distinct-user cardinality by HyperLogLog in pure
+    Column expressions (dedup.hll_distinct, r8 — the batch companion of
+    stream_sliding_uniques_hll, same md5 register derivation): ONE
+    <=1024-row map-side-combinable aggregate replaces count(DISTINCT)'s
+    shuffle of every distinct key — 8 KB of exchange at 10^10 keys.
+    Deterministic registers make the estimate itself a hard-oracle
+    value: DuckDB replays idx/rho/max/estimator verbatim. Error band
+    (~3.3% theoretical at m=1024) is pinned against exact counts in
+    test_hll_distinct_error_band."""
+    from semantic_cpp_spark.pipeline import dedup as dedup_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_ops.hll_distinct(ev, F.col("user_id"))

@@ -1465,3 +1465,30 @@ def test_bloom_save_load_roundtrip(spark, tmp_path):
         loaded, held_out, F.col("key"), F.col("id"), n_bits=got_bits, k_hashes=got_k
     ).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_disk))
+
+
+def test_hll_distinct_error_band(spark):
+    """Batch HLL (dedup.hll_distinct): estimate within 5% of the exact
+    distinct count across two orders of magnitude, EXACTLY equal to the
+    pure-Python streaming estimator on the same key set (shared md5
+    register derivation — the two surfaces are mutually checkable), and
+    invariant to duplication of the input. Bad sizing rejected."""
+    from semantic_cpp_spark.pipeline.dedup import hll_distinct
+    from semantic_cpp_spark.streaming.ops import HLL_M, hll_add, hll_estimate
+
+    for n in (50, 1000, 20000):
+        df = spark.range(n).select(F.col("id"))
+        got = hll_distinct(df, F.col("id")).collect()[0]
+        assert abs(got["hll_count"] - n) / n < 0.05, (n, got)
+        regs = [0] * HLL_M
+        for i in range(n):
+            hll_add(regs, i)
+        assert got["hll_count"] == pytest.approx(
+            round(hll_estimate(regs), 4), abs=1e-4
+        )
+        # duplication invariance: registers are max-merged
+        dup = spark.range(n).select((F.col("id") % n).alias("id")).union(df)
+        got2 = hll_distinct(dup, F.col("id")).collect()[0]
+        assert got2["hll_count"] == got["hll_count"]
+    with pytest.raises(ValueError):
+        hll_distinct(spark.range(5), F.col("id"), n_regs=100)
