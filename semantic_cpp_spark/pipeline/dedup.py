@@ -1087,3 +1087,89 @@ def hll_distinct(df: DataFrame, key: Column, n_regs: int = HLL_REGS) -> DataFram
         F.lit(n_regs).cast("long").alias("n_regs"),
         F.round(est, 4).alias("hll_count"),
     )
+
+
+# -- Count-Min frequency sketch ----------------------------------------------
+# The third classic sketch next to the Bloom membership index and the HLL
+# cardinality estimator: approximate per-key frequencies in d × w counters
+# regardless of key cardinality. md5-derived row hashes keep it replayable.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 10
+
+
+def cms_build(
+    df: DataFrame,
+    key: Column,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Distributed Count-Min sketch build (Cormode & Muthukrishnan
+    2005): every input row increments one counter per hash row, so the
+    whole build is one explode to ``depth`` (r, c) cells + one groupBy
+    — the only exchange carries ≤ depth·width map-side-combined rows
+    per partition (64 KB at the defaults) no matter how many distinct
+    keys the corpus holds. The frequency analog of hll_distinct's
+    cardinality registers: count(*) GROUP BY key shuffles every
+    distinct key; this never does.
+
+    Returned sparse as (r, c, cnt) rows — persistable next to the
+    corpus like the Bloom filter, and mergeable across corpus deltas by
+    summing cells."""
+    from semantic_cpp_spark.pipeline.curation import hash_u60
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (hash_u60(key, f"cms{r}-") % width).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("cell"))
+        .select("cell.r", "cell.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key: Column,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query a Count-Min sketch for every row of ``keys``:
+    estimate = min over the ``depth`` rows of the key's counter — an
+    OVERESTIMATE of the true frequency with probability ≥ 1 − e^-depth
+    of the excess staying under (e/width)·N (the one-sided CMS
+    guarantee; both properties test-pinned). The probe fans each key
+    into ``depth`` cell lookups and equi-joins the ≤ depth·width-row
+    sparse sketch — broadcastable at any corpus size because the
+    sketch size is a constant of (depth, width), never of the data
+    (the bloom_probe argument without the big-m regime). Returns
+    (key, cms_count)."""
+    from semantic_cpp_spark.pipeline.curation import hash_u60
+
+    probes = keys.select(
+        key.alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (hash_u60(key, f"cms{r}-") % width).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("key", "cell.r", "cell.c")
+    return (
+        probes.join(F.broadcast(cms), ["r", "c"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_count"))
+    )

@@ -651,7 +651,7 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r8 window (50 = 21 + 5 + 6 + 18): the 21 r3-vintage spills LEAD (the r7
+# r8 window (50 = 21 + 5 + 7 + 17): the 21 r3-vintage spills LEAD (the r7
 # policy's own deadline — after this round no latest row predates r4); then
 # rule (a) code-or-oracle-changed refreshes (emb_pca_project: power-iteration
 # fit + brand-new hard oracle replacing the rows-only row;
@@ -661,11 +661,11 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # first rows for the new r8 operators (emb_pca_variance, emb_semdedup_scaled,
 # graph_core_numbers, sim_truncation_rescore, stream_sliding_uniques_hll —
 # extend HERE if more land this
-# round and drop the same number off the backfill tail); then 18 r4-vintage
+# round and drop the same number off the backfill tail); then 17 r4-vintage
 # backfill, riskiest families first (dedup, embedding/pipeline, events,
 # streaming-adjacent windows, heavy relational, quantile/moment aggs). The 36
 # r4-vintage entries left over (incl. txt_unigram_cross_entropy and
-# agg_skew_kurt) spill to
+# agg_skew_kurt and agg_quantiles) spill to
 # r9 under the same policy.
 _PRIORITY: list[str] = [
     # -- the 21 r3-vintage spills from the r7 WINDOW CUT (policy deadline) --
@@ -703,7 +703,8 @@ _PRIORITY: list[str] = [
     "sim_truncation_rescore",
     "stream_sliding_uniques_hll",
     "agg_hll_distinct_users",
-    # -- (c) r4-vintage backfill (18 of 36), riskiest families first --
+    "agg_cms_user_freq",
+    # -- (c) r4-vintage backfill (17 of 36), riskiest families first --
     "dedup_exact",
     "dedup_keep_list",
     "dedup_simhash",
@@ -721,7 +722,6 @@ _PRIORITY: list[str] = [
     "win_slide",
     "rel_grouped_percentiles",
     "rel_running_customer_revenue",
-    "agg_quantiles",
     # -- WINDOW CUT at position 50 — recount, don't trust comment position,
     #    when rotating. r9 spill (16 r4-vintage): agg_mode_deterministic,
     #    rel_cube_flag_status, rel_price_histogram, rel_profile_lineitem,

@@ -1492,3 +1492,57 @@ def test_hll_distinct_error_band(spark):
         assert got2["hll_count"] == got["hll_count"]
     with pytest.raises(ValueError):
         hll_distinct(spark.range(5), F.col("id"), n_regs=100)
+
+
+def test_cms_one_sided_bound_and_heavy_hitters(spark):
+    """Count-Min invariants on a zipf-ish corpus: the estimate NEVER
+    undercounts (structural: min over rows of sums that each include
+    the key's own increments); the excess stays within the
+    (e/width)*N guarantee with generous margin; absent keys estimate
+    only collision mass; and sketches over corpus deltas MERGE by
+    cell-summing to the whole-corpus sketch exactly."""
+    import collections
+
+    from semantic_cpp_spark.pipeline.dedup import cms_build, cms_estimate
+
+    # zipf-ish: key k appears ~1000/k times
+    rows = [k for k in range(1, 60) for _ in range(1000 // k)]
+    exact = collections.Counter(rows)
+    n_total = len(rows)
+    df = spark.createDataFrame([(k,) for k in rows], "k long")
+    cms = cms_build(df, F.col("k")).cache()
+    keys = spark.createDataFrame([(k,) for k in exact], "k long")
+    est = {
+        r["key"]: r["cms_count"]
+        for r in cms_estimate(cms, keys, F.col("k")).collect()
+    }
+    import math
+
+    bound = math.e / 1024 * n_total
+    for k, n in exact.items():
+        assert est[k] >= n, (k, n, est[k])
+        assert est[k] - n <= 4 * bound, (k, n, est[k], bound)
+    # top-10 by estimate contains the true top-5 heavy hitters
+    top_est = sorted(est, key=lambda k: (-est[k], k))[:10]
+    assert set(range(1, 6)) <= set(top_est)
+    # absent keys: only collision mass, far below the heavy hitters
+    absent = spark.createDataFrame([(10_000 + i,) for i in range(20)], "k long")
+    ab = cms_estimate(cms, absent, F.col("k")).collect()
+    assert all(r["cms_count"] <= 4 * bound for r in ab)
+    # mergeability: sum of per-delta sketches == whole-corpus sketch
+    d1 = cms_build(
+        spark.createDataFrame([(k,) for k in rows[:2000]], "k long"), F.col("k")
+    )
+    d2 = cms_build(
+        spark.createDataFrame([(k,) for k in rows[2000:]], "k long"), F.col("k")
+    )
+    merged = {
+        (r["r"], r["c"]): r["s"]
+        for r in d1.unionByName(d2)
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    }
+    whole = {(r["r"], r["c"]): r["cnt"] for r in cms.collect()}
+    assert merged == whole
+    cms.unpersist()

@@ -31,6 +31,7 @@ TOUCHED_IN_R8 = [
     "sim_truncation_rescore",
     "stream_sliding_uniques_hll",
     "agg_hll_distinct_users",
+    "agg_cms_user_freq",
 ]
 
 # The 21 r3-vintage queries the r7 window deliberately spilled (listed under
@@ -62,9 +63,9 @@ SPILL_FROM_R7 = [
 
 # r8 window policy (VERDICT r7 #1 + the standing rotation policy in
 # registry._PRIORITY's comment): the 21 r7 spills + 5 code-or-oracle-changed
-# + 6 new-operator first rows + 18 riskiest r4-vintage backfill = exactly
+# + 7 new-operator first rows + 17 riskiest r4-vintage backfill = exactly
 # 50. Nothing is pushed below the cut this round (_PRIORITY holds exactly
-# the window); the 38 r4-vintage leftovers rotate in r9 on their green
+# the window); the 39 r4-vintage leftovers rotate in r9 on their green
 # prior rows + the committed HEAD verify log.
 EXPECTED_SPILL = 0
 
