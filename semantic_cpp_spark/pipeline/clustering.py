@@ -307,11 +307,18 @@ def semdedup(
     test_plans.test_semdedup_in_cluster_join_is_equi_join.
 
     Returns (vec_id, c_id, keep) for every input vector."""
+    return _semdedup_verdicts(kmeans_assign(df, k, id_col, vec_col), threshold)
+
+
+def _semdedup_verdicts(assigned: DataFrame, threshold: float) -> DataFrame:
+    """The in-cluster removal pass shared by semdedup (exact assignment)
+    and semdedup_scaled (two-level IVF assignment): expects
+    (vec_id, v, c_id), returns (vec_id, c_id, keep)."""
     # norm computed ONCE per vector before the self-join (bit-identical
     # to the per-pair form — same fold, same sqrt — but O(n) folds
     # instead of O(pairs), the difference between a scan and a straggler
     # on a big cluster)
-    a = kmeans_assign(df, k, id_col, vec_col).select(
+    a = assigned.select(
         "vec_id",
         "v",
         "c_id",
@@ -359,6 +366,76 @@ SEMDEDUP_MIN_K = 8
 SEMDEDUP_N_PER_K = 75
 
 
+def _isqrt_seed_count(k: int, floor_k: int = 4) -> int:
+    """Coarse-level seed count for two-level assignment:
+    max(floor_k, floor(sqrt(k))) — the same IEEE double sqrt both
+    engines evaluate (exact for k < 2^52), so the oracle replays it."""
+    import math
+
+    return max(floor_k, int(math.floor(math.sqrt(k))))
+
+
+def kmeans_assign_ivf(
+    df: DataFrame,
+    k: int,
+    k_coarse: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TWO-LEVEL (IVF-style) approximate nearest-seed assignment — the
+    scale repair for brute-force kmeans_assign when k grows with the
+    corpus (the SemDeDup regime, where exact assignment is n·k = n²/75
+    and was MEASURED quadratic: 32× wall at the 10× step-up, SCALING.md
+    r8): route every vector to its nearest of √k coarse seeds, then
+    argmin only over the fine seeds that themselves routed to that
+    coarse cell — n·(√k + k/√k avg) ≈ 2n√k distance folds instead of
+    n·k. This is the paper's own regime (SemDeDup assigns with ANN, not
+    brute force); the approximation is DETERMINISTIC (ties → smaller
+    id at both levels, seeds = smallest ids as everywhere else), so a
+    SQL oracle replays it verbatim — a boundary vector may land in a
+    neighboring fine cluster vs exact argmin, identically on both
+    engines. Every coarse seed is also a fine seed (ids < k_coarse ≤ k)
+    and routes to itself at distance 0, so no cell is ever empty and no
+    vector is dropped. Returns (vec_id, v, c_id)."""
+    if k_coarse is None:
+        k_coarse = _isqrt_seed_count(k)
+    k_coarse = min(k_coarse, k)
+    e = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    coarse = e.filter(F.col("vec_id") < k_coarse).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("gv")
+    )
+    fine = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+
+    def route(frame, idc, vc):
+        w = Window.partitionBy(idc).orderBy(F.col("__d2"), F.col("cell"))
+        return (
+            frame.crossJoin(F.broadcast(coarse))
+            .select(
+                "*", sq_dist(F.col(vc), F.col("gv")).alias("__d2")
+            )
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .drop("gv", "__d2", "__r")
+        )
+
+    fine_cells = route(fine, "c_id", "cv")
+    v_cells = route(e, "vec_id", "v")
+    w2 = Window.partitionBy("vec_id").orderBy(F.col("__f2"), F.col("c_id"))
+    return (
+        v_cells.join(F.broadcast(fine_cells), "cell")
+        .select(
+            "vec_id", "v", "c_id", sq_dist(F.col("v"), F.col("cv")).alias("__f2")
+        )
+        .withColumn("__r", F.row_number().over(w2))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "v", "c_id")
+    )
+
+
 def semdedup_scaled(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -366,17 +443,21 @@ def semdedup_scaled(
     threshold: float = 0.4,
     n_per_k: int = SEMDEDUP_N_PER_K,
 ) -> DataFrame:
-    """semdedup with the cluster count DERIVED from the corpus size:
-    k = max(SEMDEDUP_MIN_K, n // n_per_k) — the production sizing rule
-    (k ~ n/50k in the paper's regime; n/75 at gate scale) as code
-    rather than as a docstring note. Because k is a pure closed form of
-    count(*), a SQL oracle can replay the identical derivation and the
-    gated plan IS the production plan — the fixed-k gate's quadratic
-    step-up artifact (r7 verdict: 11.4× wall at 10× data) disappears,
-    since Σ|cluster|² ≈ n²/k = n·n_per_k grows linearly.
+    """semdedup with the PRODUCTION sizing and assignment strategy:
+    k = max(SEMDEDUP_MIN_K, n // n_per_k) (the paper's k ~ n/50k rule;
+    n/75 at gate scale) and TWO-LEVEL IVF assignment
+    (kmeans_assign_ivf) — with derived k, brute-force assignment is
+    n·k = n²/n_per_k and was measured quadratic at the 10× step-up
+    (32×, SCALING.md r8); two-level routing cuts it to ~2n√k, leaving
+    the linear pair stage (Σ|cluster|² ≈ n·n_per_k) the asymptotic
+    cost. Both the k derivation (pure closed form of count(*)) and the
+    routing (deterministic tie-breaks) replay in SQL, so the gated plan
+    is the production plan under a hard oracle.
 
     The count() is one scalar action over the id column (column-pruned
-    scan); everything downstream is the semdedup plan unchanged."""
+    scan); the removal pass is semdedup's unchanged."""
     n = df.select(F.col(id_col)).count()
     k = max(SEMDEDUP_MIN_K, n // n_per_k)
-    return semdedup(df, k=k, id_col=id_col, vec_col=vec_col, threshold=threshold)
+    return _semdedup_verdicts(
+        kmeans_assign_ivf(df, k, id_col=id_col, vec_col=vec_col), threshold
+    )

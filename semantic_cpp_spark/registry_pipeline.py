@@ -3286,21 +3286,61 @@ def emb_semdedup(spark, sf_dir):
     return clustering.semdedup(emb, threshold=_SEMDEDUP_TH)
 
 
-@register(
-    "emb_semdedup_scaled",
-    _semdedup_sql(
-        f"SELECT greatest({clustering.SEMDEDUP_MIN_K},"
-        f" count(*) // {clustering.SEMDEDUP_N_PER_K}) FROM e"
-    ),
-)
+def _semdedup_scaled_sql() -> str:
+    """Oracle for semdedup_scaled: replays the derived k, the TWO-LEVEL
+    IVF routing (fine seeds → coarse cell, vectors → coarse cell, argmin
+    over same-cell fine seeds; ties → smaller id at every level — the
+    kmeans_assign_ivf rules verbatim) and the shared removal pass. All
+    distances are the sequential dot-expansion both engines fold
+    identically."""
+    d2 = (
+        "list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b})"
+    )
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    kk AS (SELECT greatest({clustering.SEMDEDUP_MIN_K},
+                           (SELECT count(*) FROM e)
+                             // {clustering.SEMDEDUP_N_PER_K})::BIGINT AS k),
+    kc AS (SELECT least(greatest(4, floor(sqrt(k))::BIGINT), k) AS kc FROM kk),
+    g AS (SELECT vec_id AS cell, v AS gv FROM e, kc WHERE vec_id < kc.kc),
+    f AS (SELECT vec_id AS c_id, v AS cv FROM e, kk WHERE vec_id < kk.k),
+    fr AS (SELECT c_id, cv, cell FROM (
+        SELECT f.c_id, f.cv, g.cell,
+               row_number() OVER (PARTITION BY f.c_id
+                 ORDER BY {d2.format(a='f.cv', b='g.gv')}, g.cell) AS r
+        FROM f, g) WHERE r = 1),
+    vr AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, g.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {d2.format(a='e.v', b='g.gv')}, g.cell) AS r
+        FROM e, g) WHERE r = 1),
+    assigned AS (SELECT vec_id, v, c_id FROM (
+        SELECT vr.vec_id, vr.v, fr.c_id,
+               row_number() OVER (PARTITION BY vr.vec_id
+                 ORDER BY {d2.format(a='vr.v', b='fr.cv')}, fr.c_id) AS r
+        FROM vr JOIN fr USING (cell)) WHERE r = 1),
+    rm AS (SELECT DISTINCT b.vec_id
+           FROM assigned b JOIN assigned l
+             ON l.c_id = b.c_id AND l.vec_id < b.vec_id
+           WHERE list_dot_product(b.v, l.v)
+                 / nullif(sqrt(list_dot_product(b.v, b.v))
+                          * sqrt(list_dot_product(l.v, l.v)), 0.0)
+                 >= {_SEMDEDUP_TH})
+    SELECT a.vec_id, a.c_id::BIGINT AS c_id, (rm.vec_id IS NULL) AS keep
+    FROM assigned a LEFT JOIN rm ON rm.vec_id = a.vec_id"""
+
+
+@register("emb_semdedup_scaled", _semdedup_scaled_sql())
 def emb_semdedup_scaled(spark, sf_dir):
-    """SemDeDup with the PRODUCTION cluster sizing under the gate
-    (clustering.semdedup_scaled): k = max(8, n // 75) is a pure closed
-    form of count(*), so the oracle replays the identical derivation —
-    the r7 verdict's watch item (fixed-k gate ran quadratic at the
-    step-up while the documented knob lived outside the gate) closed by
-    making the gated plan the production plan. Pair cost Σ|cluster|² ≈
-    n·75 is linear in the corpus. Boolean output, bit-exact cosine fold
-    — same oracle family as emb_semdedup."""
+    """SemDeDup with the PRODUCTION sizing AND assignment under the gate
+    (clustering.semdedup_scaled): k = max(8, n // 75) derived as a pure
+    closed form of count(*), and TWO-LEVEL IVF routing for the
+    assignment — with derived k, brute-force assignment is n·k =
+    n²/75 and measured quadratic at the 10× step-up (32×, SCALING.md
+    r8); routing through √k coarse seeds cuts it to ~2n√k, leaving the
+    linear pair stage the dominant cost. Every level is deterministic
+    (smallest-id seeds and tie-breaks), so the oracle replays k
+    derivation, routing, and the removal pass verbatim. Boolean output,
+    bit-exact cosine fold — same oracle family as emb_semdedup."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.semdedup_scaled(emb, threshold=_SEMDEDUP_TH)

@@ -1276,30 +1276,61 @@ def test_semdedup_matches_naive_reference(spark):
     assert kept_clusters == set(cid.tolist())
 
 
-def test_semdedup_scaled_derives_k_from_corpus_size(spark):
-    """semdedup_scaled's k = max(8, n // n_per_k) closed form: on a
-    900-vector corpus with n_per_k=75 it must equal semdedup(k=12)
-    verbatim (same assignments, same verdicts — more than 8 distinct
-    clusters proves the derived k actually took effect), and under the
-    floor (n=100) it must equal the k=8 form."""
+def test_semdedup_scaled_matches_naive_two_level_replay(spark):
+    """semdedup_scaled = derived k (max(8, n // 75)) + TWO-LEVEL IVF
+    assignment + the shared removal pass — pinned against a naive numpy
+    replay of exactly those rules on a 900-vector corpus (k=12,
+    k_coarse=4, so both the derivation and the routing are visibly in
+    play) and on an 80-vector corpus at the k=8 floor. Every coarse
+    seed must route to itself, so no cluster id outside [0, k) and no
+    vector dropped."""
     import numpy as np
 
     from semantic_cpp_spark.pipeline import clustering
 
+    def naive(X, th):
+        n = len(X)
+        k = max(8, n // 75)
+        kc = min(max(4, int(np.floor(np.sqrt(k)))), k)
+        d2 = lambda a, b: float(((a - b) ** 2).sum())  # noqa: E731
+        def route(v, seeds):
+            ds = [(d2(v, X[s]), s) for s in seeds]
+            return min(ds)[1]
+        coarse = list(range(kc))
+        fine_cell = {f: route(X[f], coarse) for f in range(k)}
+        cid = {}
+        for i in range(n):
+            cell = route(X[i], coarse)
+            cands = [f for f in range(k) if fine_cell[f] == cell]
+            cid[i] = min((d2(X[i], X[f]), f) for f in cands)[1]
+        unit = X / np.linalg.norm(X, axis=1, keepdims=True)
+        keep = {}
+        for i in range(n):
+            same = [j for j in range(i) if cid[j] == cid[i]]
+            keep[i] = not any(float(unit[i] @ unit[j]) >= th for j in same)
+        return cid, keep
+
     rng = np.random.default_rng(11)
-    X = rng.normal(0, 1, (900, 8))
-    df = spark.createDataFrame(
-        [(i, [float(v) for v in X[i]]) for i in range(900)],
-        "vec_id long, embedding array<double>",
-    )
-    got = sorted(map(tuple, clustering.semdedup_scaled(df, threshold=0.95).collect()))
-    want = sorted(map(tuple, clustering.semdedup(df, k=12, threshold=0.95).collect()))
-    assert got == want
-    assert len({c for _, c, _ in got}) > 8  # k=12 visibly in play
-    small = df.filter(F.col("vec_id") < 100)
-    got_s = sorted(map(tuple, clustering.semdedup_scaled(small, threshold=0.95).collect()))
-    want_s = sorted(map(tuple, clustering.semdedup(small, k=8, threshold=0.95).collect()))
-    assert got_s == want_s
+    for n in (900, 80):
+        X = rng.normal(0, 1, (n, 8))
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in X[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r.vec_id: r
+            for r in clustering.semdedup_scaled(df, threshold=0.9).collect()
+        }
+        cid, keep = naive(X, 0.9)
+        assert len(got) == n
+        for i in range(n):
+            assert got[i].c_id == cid[i], (n, i)
+            assert got[i].keep == keep[i], (n, i)
+        k = max(8, n // 75)
+        assert {r.c_id for r in got.values()} <= set(range(k))
+        # derived k visibly in play on the big corpus
+        if n == 900:
+            assert len({r.c_id for r in got.values()}) > 8
 
 
 def test_importance_weights_hand_computed(spark):
