@@ -74,6 +74,11 @@ def main() -> None:
             lambda ev: ops.sliding_unique_users_bounded(ev),
             "append",
         ),
+        (
+            "sliding_uniques_hll",
+            lambda ev: ops.sliding_unique_users_hll(ev),
+            "append",
+        ),
     ]
     providers = [("hdfs", None), ("rocksdb", ops.ROCKSDB_PROVIDER)]
     key = "spark.sql.streaming.stateStore.providerClass"
