@@ -424,3 +424,50 @@ def test_rank_metrics_no_cartesian(spark, qs):
     assert "CartesianProduct" not in plan
     nlj = re.findall(r"BroadcastNestedLoopJoin", plan)
     assert len(nlj) <= 2, nlj
+
+
+def test_hll_distinct_exchange_is_register_sized(spark, qs):
+    """The batch HLL's whole point is the exchange shape: the only
+    shuffles carry the <=1024-row register table (map-side-combined
+    partial max) and the 1-row estimator epilogue — the raw key column
+    must never shuffle, and nothing joins."""
+    plan = _plan(qs["agg_hll_distinct_users"](spark, SF))
+    assert "Join" not in plan
+    # partial_max before the exchange = map-side combine of registers
+    assert "partial_max" in plan or "HashAggregate" in plan
+    import re
+
+    assert len(re.findall(r"Exchange", plan)) <= 2, plan
+
+
+def test_cms_probe_is_broadcast_and_build_is_bounded_groupby(spark, qs):
+    """CMS plan shape: the sketch (<= depth*width rows, a constant of
+    the sizing) joins the probe fan-out as a broadcast; no cartesian
+    anywhere; the build aggregates cells (map-side combinable)."""
+    plan = _plan(qs["agg_cms_user_freq"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pca_project_stays_exchange_free_after_power_fit(spark, qs):
+    """emb_pca_project's scoring path contract survives the r8 oracle
+    rewrite: after the covariance/power-fit (driver model state), the
+    projection itself is a literal-matrix narrow map — the exploded
+    output plan holds no exchange and no Python."""
+    plan = _plan(qs["emb_pca_project"](spark, SF))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_semdedup_scaled_no_cartesian_beyond_broadcast_routing(spark, qs):
+    """The two-level IVF assignment must keep semdedup's blocking story:
+    the only nested-loop joins are the broadcast coarse/fine seed
+    routings (bounded by k, never by the corpus); the pair join and the
+    verdict re-attach stay equi-joins; no CartesianProduct."""
+    import re
+
+    plan = _plan(qs["emb_semdedup_scaled"](spark, SF))
+    assert "CartesianProduct" not in plan
+    eq = re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)
+    assert len(eq) >= 2, eq  # in-cluster pair join + verdict left join
