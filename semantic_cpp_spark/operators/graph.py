@@ -30,10 +30,23 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 15,
     directed: bool = False,
+    seeds: list | None = None,
 ) -> DataFrame:
     """PageRank over an edge list (undirected by default — each pair
     contributes both directions, matching the near-dup use case).
     Returns (node, pr) with Σpr = 1.
+
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport
+    distribution concentrates on the seed nodes (1/|seeds| each, 0
+    elsewhere) instead of uniform 1/n, and pr₀ = teleport — ranking
+    every node by proximity to the seed set (the "which documents
+    duplicate-orbit around these known-good ones" question). The
+    uniform branch keeps its exact original arithmetic ((1−d)/n as one
+    driver-side double) so existing oracles replay unchanged; the
+    seeded branch uses (1−d)·t_v + d·(inflow + dang·t_v), the classic
+    PPR recurrence with dangling mass redistributed BY the teleport. A
+    seed absent from the graph contributes nothing (its teleport mass
+    is simply lost and Σpr < 1 — deterministic, documented).
 
     Per-iteration cost is exactly one equi-join of the rank vector with
     the (persisted) edges + one groupBy-sum + one left join back onto the
@@ -43,6 +56,8 @@ def pagerank(
     runs when the graph actually HAS dangling nodes (an undirected graph
     never does; the one-time count decides). Measured on a 47-node gate
     graph: 3.5 s/round -> 1.1 s/round."""
+    if seeds is not None and len(seeds) == 0:
+        raise ValueError("seeds must be a non-empty list (or None for uniform)")
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
     if not directed:
         edges = edges.union(
@@ -79,13 +94,22 @@ def pagerank(
         # static (node, deg) base — deg is null only for dangling nodes;
         # hash(node, p) layout survives the checkpoint, so the per-round
         # left join back onto base never re-shuffles base
-        base = (
-            nodes.join(deg, "node", "left")
-            .repartition(p, "node")
-            .localCheckpoint()
-        )
+        base = nodes.join(deg, "node", "left")
+        if seeds is not None:
+            # teleport column is STATIC per node, so it rides the
+            # checkpointed base frame exactly like deg does
+            base = base.withColumn(
+                "tele",
+                F.when(
+                    F.col("node").isin(list(seeds)),
+                    F.lit(1.0 / len(seeds)),
+                ).otherwise(F.lit(0.0)),
+            )
+        base = base.repartition(p, "node").localCheckpoint()
         has_dangling = base.filter(F.col("deg").isNull()).count() > 0
-        ranks = base.withColumn("pr", F.lit(1.0 / n)).localCheckpoint()
+        keep_cols = ("node", "deg", "tele") if seeds is not None else ("node", "deg")
+        init_pr = F.col("tele") if seeds is not None else F.lit(1.0 / n)
+        ranks = base.withColumn("pr", init_pr).localCheckpoint()
         for _ in range(n_iter):
             contrib = (
                 ranks.filter(F.col("deg").isNotNull())
@@ -99,32 +123,34 @@ def pagerank(
                 .groupBy(F.col("t").alias("node"))
                 .agg(F.sum("w").alias("inflow"))
             )
+            joined = base.join(contrib, "node", "left")
+            inflow = F.coalesce(F.col("inflow"), F.lit(0.0))
             if has_dangling:
-                # mass from dangling nodes (deg null) spreads uniformly
+                # mass from dangling nodes (deg null) spreads by the
+                # teleport (uniform branch: /n == uniform teleport)
                 dangling = ranks.filter(F.col("deg").isNull()).agg(
                     F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
                 )
-                new_pr = (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.col("dang") / n
+                joined = joined.crossJoin(F.broadcast(dangling))
+                if seeds is None:
+                    new_pr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+                        inflow + F.col("dang") / n
                     )
-                )
-                ranks = (
-                    base.join(contrib, "node", "left")
-                    .crossJoin(F.broadcast(dangling))
-                    .select("node", "deg", new_pr.alias("pr"))
-                ).localCheckpoint()
+                else:
+                    new_pr = F.lit(1.0 - damping) * F.col("tele") + F.lit(
+                        damping
+                    ) * (inflow + F.col("dang") * F.col("tele"))
             else:
-                new_pr = F.lit((1.0 - damping) / n) + F.lit(
-                    damping
-                ) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ranks = (
-                    base.join(contrib, "node", "left")
-                    .select("node", "deg", new_pr.alias("pr"))
-                ).localCheckpoint()
+                if seeds is None:
+                    new_pr = F.lit((1.0 - damping) / n) + F.lit(damping) * inflow
+                else:
+                    new_pr = (
+                        F.lit(1.0 - damping) * F.col("tele")
+                        + F.lit(damping) * inflow
+                    )
+            ranks = joined.select(
+                *keep_cols, new_pr.alias("pr")
+            ).localCheckpoint()
         return ranks.select("node", "pr")
     finally:
         for fr in (edges, edges0, nodes):

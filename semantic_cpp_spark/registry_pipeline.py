@@ -2472,6 +2472,96 @@ def _pagerank_sql(n_iter: int = 15, damping: float = 0.85) -> str:
     ORDER BY pr DESC, node LIMIT 10"""
 
 
+def _ppr_sql(n_iter: int = 15, damping: float = 0.85, n_seeds: int = 3) -> str:
+    """Unrolled power-iteration oracle for PERSONALIZED pagerank
+    (graph_ops.pagerank with seeds): teleport concentrates 1/|seeds| on
+    the ``n_seeds`` smallest node ids of the near-dup pair graph — the
+    same deterministic seed rule the Spark query derives — and each of
+    the chained CTEs replays pr' = (1−d)·t_v + d·inflow_v exactly (the
+    undirected pair graph has no dangling nodes, so the dangling·t_v
+    term is identically 0.0 on both engines, as in _pagerank_sql).
+    (1−d) is emitted as the PYTHON-computed double literal so both
+    engines multiply by the identical IEEE value."""
+    its = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        its.append(
+            f"""r{i} AS (
+      SELECT te.node, {1.0 - damping!r} * te.tl
+               + {damping} * coalesce(inf.inflow, 0.0) AS pr
+      FROM tele te
+      LEFT JOIN (
+        SELECT e.t AS node, sum(p.pr / dg.deg) AS inflow
+        FROM {prev} p
+        JOIN deg dg ON dg.s = p.node
+        JOIN edges e ON e.s = p.node
+        GROUP BY e.t) inf ON inf.node = te.node)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(its)
+    return f"""WITH pairs AS MATERIALIZED ({_minhash_sql()}),
+    edges AS MATERIALIZED (
+      SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM edges),
+    deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+    seeds AS MATERIALIZED (SELECT node FROM nodes ORDER BY node LIMIT {n_seeds}),
+    sc AS (SELECT count(*)::DOUBLE AS k FROM seeds),
+    tele AS MATERIALIZED (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL THEN 1.0 / sc.k ELSE 0.0 END AS tl
+      FROM nodes n CROSS JOIN sc LEFT JOIN seeds s ON s.node = n.node),
+    r0 AS (SELECT node, tl AS pr FROM tele),
+    {chain}
+    SELECT node, pr FROM (
+      SELECT node::BIGINT AS node, round(pr, 6) AS pr FROM {prev})
+    ORDER BY pr DESC, node LIMIT 10"""
+
+
+@register("graph_ppr_seeds", _ppr_sql())
+def graph_ppr_seeds(spark, sf_dir):
+    """Top-10 PERSONALIZED PageRank over the MinHash+LSH near-dup pair
+    graph (graph_ops.pagerank with ``seeds``): teleport mass
+    concentrates on the 3 smallest node ids of the graph — a
+    deterministic stand-in for "known-good documents" — so the ranking
+    answers which documents duplicate-orbit AROUND the seed set
+    (trust/contamination propagation from a labeled anchor set), where
+    uniform PageRank answers global centrality. Seeds are derived by a
+    pure rule both engines replay (3 smallest graph nodes, collected
+    driver-side as KB-scale parameters like k-means centroids); the
+    oracle unrolls the identical 15 PPR rounds as chained DuckDB CTEs.
+    Ordering pinned on (rounded pr DESC, node) — nodes outside the
+    seeds' components hold exactly 0.0 and would otherwise tie-break by
+    engine whim."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, F.col("text"), F.col("doc_id")
+    ).persist()
+    try:
+        seeds = [
+            r["node"]
+            for r in pairs.select(F.col("d1").alias("node"))
+            .union(pairs.select(F.col("d2").alias("node")))
+            .distinct()
+            .orderBy("node")
+            .limit(3)
+            .collect()
+        ]
+        if not seeds:
+            return spark.createDataFrame([], "node long, pr double")
+        # pagerank runs its iteration EAGERLY (localCheckpoint), so the
+        # returned frame is checkpoint-backed and pairs can unpersist
+        ranks = graph_ops.pagerank(
+            pairs, src="d1", dst="d2", n_iter=15, seeds=seeds
+        )
+    finally:
+        pairs.unpersist()
+    return (
+        ranks.select("node", F.round("pr", 6).alias("pr"))
+        .orderBy(F.desc("pr"), "node")
+        .limit(10)
+    )
+
+
 @register("graph_pagerank_top10", _pagerank_sql())
 def graph_pagerank_top10(spark, sf_dir):
     """Top-10 PageRank nodes of the MinHash+LSH near-dup pair graph

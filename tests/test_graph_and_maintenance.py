@@ -59,6 +59,88 @@ def test_pagerank_undirected_hub_ranks_highest(spark):
     assert out[0] == max(out.values())
 
 
+def _numpy_ppr(edges, n, seeds, d=0.85, iters=15, directed=False):
+    A = np.zeros((n, n))
+    for s, t in edges:
+        A[s, t] = 1.0
+        if not directed:
+            A[t, s] = 1.0
+    deg = A.sum(axis=1)
+    tele = np.zeros(n)
+    for s in seeds:
+        if 0 <= s < n:
+            tele[s] = 1.0 / len(seeds)
+    pr = tele.copy()
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        dang = 0.0
+        for v in range(n):
+            if deg[v] > 0:
+                inflow += pr[v] / deg[v] * A[v]
+            else:
+                dang += pr[v]
+        pr = (1 - d) * tele + d * (inflow + dang * tele)
+    return pr
+
+
+def test_personalized_pagerank_matches_numpy_with_dangling(spark):
+    # directed graph with a sink (5) so the dangling-mass-to-teleport
+    # branch runs; seeds {0, 3} concentrate the teleport
+    edges = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5), (1, 0)]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    out = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            pairs, n_iter=10, directed=True, seeds=[0, 3]
+        ).collect()
+    }
+    exp = _numpy_ppr(edges, 6, [0, 3], iters=10, directed=True)
+    assert set(out) == set(range(6))
+    for v in range(6):
+        assert out[v] == pytest.approx(exp[v], rel=1e-9)
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_undirected_locality(spark):
+    # two 3-cliques bridged by one edge; seeding in clique A must rank
+    # every A node above every B node (proximity, not global degree)
+    a = [(0, 1), (0, 2), (1, 2)]
+    b = [(3, 4), (3, 5), (4, 5)]
+    edges = a + b + [(2, 3)]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    out = {
+        r["node"]: r["pr"]
+        for r in pagerank(pairs, n_iter=15, seeds=[0]).collect()
+    }
+    exp = _numpy_ppr(edges, 6, [0], iters=15)
+    for v in range(6):
+        assert out[v] == pytest.approx(exp[v], rel=1e-9)
+    assert min(out[v] for v in (0, 1, 2)) > max(out[v] for v in (4, 5))
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_absent_seed_loses_mass(spark):
+    # seed 99 is not in the graph: its teleport mass is simply lost
+    # (documented) and the result is deterministic with sum < 1
+    edges = [(0, 1), (1, 2), (2, 0)]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    out = {
+        r["node"]: r["pr"]
+        for r in pagerank(pairs, n_iter=10, seeds=[0, 99]).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert sum(out.values()) < 1.0
+    exp = _numpy_ppr(edges, 3, [0, 99], iters=10)
+    for v in range(3):
+        assert out[v] == pytest.approx(exp[v], rel=1e-9)
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark):
+    pairs = spark.createDataFrame([(0, 1)], "d1 long, d2 long")
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank(pairs, seeds=[])
+
+
 def test_compact_parquet_reduces_file_count(spark):
     with tempfile.TemporaryDirectory(prefix="compact_") as tmp:
         src, dst = os.path.join(tmp, "src"), os.path.join(tmp, "dst")
