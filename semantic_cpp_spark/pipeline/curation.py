@@ -78,6 +78,70 @@ def stratified_sample(
     return df.filter(hash_u60(key, salt) < thresh)
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    key: Column,
+    domain: Column,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based domain mixture sampling (the mT5 / UNIMAX
+    α-sampling pattern): sample so the kept corpus follows the
+    FLATTENED mixture p_d ∝ n_d^α instead of the raw domain counts —
+    α < 1 downsamples dominant domains and keeps rare ones (nearly)
+    whole, the standard rebalance before multilingual / multi-source
+    pretraining. ``budget_frac`` sets the total kept fraction.
+
+    Determinism & cross-engine exactness: per-domain counts are
+    collected driver-side (one tiny agg — #domains rows, the k-means-
+    centroid pattern), then the per-domain keep THRESHOLD is computed
+    in EXACT integer arithmetic: w_d = floor(n_d^α · 1e6) (for α = 0.5
+    this is floor(sqrt(n_d)·1e6) — IEEE sqrt and multiply are
+    correctly rounded, so Python and any SQL engine produce the
+    identical int64), and thr_d = min(2^60, budget · w_d · 2^60 //
+    (Σw · n_d)) in arbitrary-precision ints — no float division
+    anywhere in the keep decision (the decayed-activity exactness
+    discipline). Domains whose target exceeds their size are kept
+    whole (sampling caps at rate 1; repeat-upsampling is a caller
+    concern). The filter itself is the stratified_sample CASE shape: a
+    pure narrow filter, no join, partition-invariant.
+
+    100 TB: counts are one map-side-combined groupBy over the domain
+    column (#domains rows back to the driver); the keep pass is a
+    narrow md5-compare scan. Nothing scales with corpus size except
+    the two linear scans."""
+    import math
+
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError(f"budget_frac must be in (0,1], got {budget_frac}")
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(domain.alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    if alpha == 0.5:
+        w = {d: int(math.floor(math.sqrt(n) * 1e6)) for d, n in counts.items()}
+    else:
+        w = {d: int(math.floor(n**alpha * 1e6)) for d, n in counts.items()}
+    total = sum(counts.values())
+    sw = sum(w.values())
+    budget = int(budget_frac * total)
+    thr = {
+        d: min(HASH_SPACE, budget * w[d] * HASH_SPACE // (sw * counts[d]))
+        for d in counts
+    }
+    t: Column = F.lit(0).cast("long")
+    for d, th in thr.items():
+        t = F.when(domain == d, F.lit(th)).otherwise(t)
+    return df.filter(hash_u60(key, salt) < t)
+
+
 def contaminated_docs(
     df: DataFrame,
     text: Column,

@@ -955,6 +955,56 @@ def samp_stratified(spark, sf_dir):
 
 
 @register(
+    "samp_temperature_mixture",
+    """WITH c AS (SELECT source AS d, count(*)::BIGINT AS n
+                  FROM documents GROUP BY source),
+       t AS (SELECT sum(n)::BIGINT AS total FROM c),
+       w AS (SELECT d, n, floor(sqrt(n::DOUBLE) * 1000000.0)::BIGINT AS wt
+             FROM c),
+       s AS (SELECT sum(wt)::HUGEINT AS sw FROM w),
+       thr AS (SELECT d,
+                      least(1152921504606846976::HUGEINT,
+                            ((total // 2)::HUGEINT * wt::HUGEINT
+                             * 1152921504606846976::HUGEINT)
+                            // (sw * n::HUGEINT)) AS th
+               FROM w CROSS JOIN s CROSS JOIN t),
+       u AS (SELECT doc_id, source,
+                    ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 15))::BIGINT AS u60
+             FROM documents)
+       SELECT u.source, count(*)::BIGINT AS n_docs,
+              count(CASE WHEN u60::HUGEINT < th THEN 1 END)::BIGINT AS n_kept
+       FROM u JOIN thr ON thr.d = u.source
+       GROUP BY u.source""",
+)
+def samp_temperature_mixture(spark, sf_dir):
+    """Temperature-based domain mixture sampling
+    (curation.temperature_mixture_sample, α = 0.5, budget 50%): rebalance
+    the corpus toward p_d ∝ √n_d — dominant sources downsampled, rare
+    ones kept (nearly) whole, the mT5/UNIMAX assembly step the plain
+    Bernoulli/stratified samplers can't express because its rates DERIVE
+    from the data. Every keep decision is exact integer arithmetic
+    (w_d = floor(√n_d·1e6) via correctly-rounded IEEE sqrt, thresholds
+    in Python bigints / DuckDB HUGEINT — no float division anywhere), so
+    both engines agree bit-for-bit at any scale. Output: per-source
+    totals and kept counts (the flattening is the visible signal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curation.temperature_mixture_sample(
+        docs, F.col("doc_id"), F.col("source"), alpha=0.5, budget_frac=0.5
+    )
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    k = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return tot.join(k, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+@register(
     "txt_decontaminate",
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
                   FROM documents),

@@ -53,6 +53,92 @@ def test_bernoulli_rate_bounds():
     assert curation.sample_threshold(1.0) == curation.HASH_SPACE
 
 
+def _brute_temperature_kept(rows, alpha, budget_frac, salt):
+    """Naive Python replica of temperature_mixture_sample's keep set:
+    same exact-integer threshold arithmetic, per-row md5 compare."""
+    import hashlib
+    from collections import Counter
+
+    counts = Counter(d for _, d in rows)
+    if alpha == 0.5:
+        w = {d: int(math.floor(math.sqrt(n) * 1e6)) for d, n in counts.items()}
+    else:
+        w = {d: int(math.floor(n**alpha * 1e6)) for d, n in counts.items()}
+    total, sw = sum(counts.values()), sum(w.values())
+    budget = int(budget_frac * total)
+    thr = {
+        d: min(
+            curation.HASH_SPACE,
+            budget * w[d] * curation.HASH_SPACE // (sw * counts[d]),
+        )
+        for d in counts
+    }
+    kept = set()
+    for k, d in rows:
+        u = int(hashlib.md5(f"{salt}{k}".encode()).hexdigest()[:15], 16)
+        if u < thr[d]:
+            kept.add(k)
+    return kept, thr
+
+
+def test_temperature_mixture_matches_naive_and_flattens(spark):
+    # skewed domains: 'big' dominates 10:1; alpha=0.5 must cut big's
+    # keep RATE below small's (the flattening that defines the operator)
+    rows = [(i, "big" if i < 5_000 else "small") for i in range(5_500)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = curation.temperature_mixture_sample(
+        df, F.col("doc_id"), F.col("dom"), alpha=0.5, budget_frac=0.5, salt="tm"
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    exp, thr = _brute_temperature_kept(rows, 0.5, 0.5, "tm")
+    assert got == exp  # bit-exact vs the naive integer-threshold replica
+    kept_big = sum(1 for k in got if k < 5_000) / 5_000
+    kept_small = sum(1 for k in got if k >= 5_000) / 500
+    assert kept_small > kept_big  # rare domain keeps a higher fraction
+    # overall budget respected within binomial noise
+    assert abs(len(got) - 2_750) < 4 * math.sqrt(2_750)
+
+
+def test_temperature_mixture_alpha_one_is_proportional(spark):
+    # alpha=1: thresholds collapse to the flat budget rate for every
+    # domain (w_d ∝ n_d cancels n_d) — proportional sampling
+    rows = [(i, "a" if i % 3 == 0 else "b") for i in range(3_000)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    _, thr = _brute_temperature_kept(rows, 1.0, 0.4, "tm2")
+    rates = {d: t / curation.HASH_SPACE for d, t in thr.items()}
+    assert rates["a"] == pytest.approx(rates["b"], rel=1e-4)
+    assert rates["a"] == pytest.approx(0.4, rel=1e-3)
+    out = curation.temperature_mixture_sample(
+        df, F.col("doc_id"), F.col("dom"), alpha=1.0, budget_frac=0.4, salt="tm2"
+    )
+    exp, _ = _brute_temperature_kept(rows, 1.0, 0.4, "tm2")
+    assert {r["doc_id"] for r in out.collect()} == exp
+
+
+def test_temperature_mixture_rare_domain_kept_whole(spark):
+    # a tiny domain whose sqrt-share target exceeds its size caps at
+    # rate 1.0 — every row survives
+    rows = [(i, "huge") for i in range(10_000)] + [(10_000 + i, "rare") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = curation.temperature_mixture_sample(
+        df, F.col("doc_id"), F.col("dom"), alpha=0.5, budget_frac=0.5, salt="tm3"
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    assert all(10_000 + i in got for i in range(5))
+
+
+def test_temperature_mixture_arg_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, dom string")
+    with pytest.raises(ValueError, match="budget_frac"):
+        curation.temperature_mixture_sample(
+            df, F.col("doc_id"), F.col("dom"), budget_frac=0.0
+        )
+    with pytest.raises(ValueError, match="alpha"):
+        curation.temperature_mixture_sample(
+            df, F.col("doc_id"), F.col("dom"), alpha=-1.0
+        )
+
+
 def test_stratified_sample_rates(spark):
     df = spark.createDataFrame(
         [(i, "a" if i % 2 == 0 else "b") for i in range(4_000)],
