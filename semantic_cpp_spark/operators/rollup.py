@@ -1,0 +1,78 @@
+"""Mergeable aggregate state — the continuous-aggregate / materialized-
+view-maintenance primitive (TimescaleDB's hypertable rollups, Druid's
+delta ingestion, every incremental OLAP pipeline): compute a per-key
+PARTIAL state once, store it, and fold new deltas in WITHOUT rescanning
+the already-aggregated history.
+
+The state is the classic commutative monoid (n, sum, min, max): merging
+is itself one groupBy with (sum, sum, min, max) — associative and
+commutative, so state tables can be merged in any order, any grouping,
+any number of increments, and the result is bit-identical to a direct
+aggregation over the union of the inputs (exactness requires an exact
+value column — int64 cents in the gate query, the decayed-activity
+discipline; float sums would make merge order observable in the last
+ulp).
+
+100 TB design: agg_state is one map-side-combinable groupBy over the
+delta ONLY — the whole point is that history costs zero scan. The state
+table is one row per (key) — bounded by key cardinality, not event
+count. merge_states unions KB..MB-scale state tables and re-groups;
+finalize is a narrow projection. This is what Spark's partial
+aggregation does INSIDE one query, exposed as a dataset-level API so it
+works ACROSS queries, days, and pipeline runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+STATE_COLS = ("st_n", "st_sum", "st_min", "st_max")
+
+
+def agg_state(df: DataFrame, keys: list[str], value: Column) -> DataFrame:
+    """Per-key mergeable state (st_n, st_sum, st_min, st_max) over
+    ``value``. One map-side-combinable groupBy; output rows = distinct
+    keys in ``df`` (keys absent from a delta simply contribute no row —
+    merge_states treats absence as the monoid identity)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("st_n"),
+        F.sum(value).cast("long").alias("st_sum"),
+        F.min(value).cast("long").alias("st_min"),
+        F.max(value).cast("long").alias("st_max"),
+    )
+
+
+def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Fold any number of state tables into one: union + one groupBy
+    with (sum, sum, min, max). Associative and commutative — daily
+    states can merge into weeks, weeks into months, in any order, and
+    equal the state of the concatenated raw data (test-pinned)."""
+    if not states:
+        raise ValueError("merge_states needs at least one state table")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.sum("st_n").cast("long").alias("st_n"),
+        F.sum("st_sum").cast("long").alias("st_sum"),
+        F.min("st_min").cast("long").alias("st_min"),
+        F.max("st_max").cast("long").alias("st_max"),
+    )
+
+
+def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Resolve a state table to user-facing aggregates: count, sum,
+    min, max, and the derived mean (exact int sum / exact int count,
+    rounded to 6dp — the only float in the whole path)."""
+    return state.select(
+        *keys,
+        F.col("st_n").alias("n"),
+        F.col("st_sum").alias("total"),
+        F.col("st_min").alias("vmin"),
+        F.col("st_max").alias("vmax"),
+        F.round(
+            F.col("st_sum").cast("double") / F.col("st_n").cast("double"), 6
+        ).alias("vavg"),
+    )

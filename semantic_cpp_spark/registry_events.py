@@ -865,3 +865,58 @@ def agg_cms_user_freq(spark, sf_dir):
             "cms_count",
         )
     )
+
+
+@register(
+    "evt_rollup_merge",
+    """WITH e AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
+                         round(value * 100)::BIGINT AS cents
+                  FROM events)
+       SELECT hour_id, count(*)::BIGINT AS n,
+              sum(cents)::BIGINT AS total,
+              min(cents)::BIGINT AS vmin,
+              max(cents)::BIGINT AS vmax,
+              round(sum(cents)::DOUBLE / count(*)::DOUBLE, 6) AS vavg
+       FROM e GROUP BY hour_id""",
+)
+def evt_rollup_merge(spark, sf_dir):
+    """Incremental hourly rollup by MERGEABLE STATE (operators.rollup):
+    the events table is split into three increments (event_id mod 3 —
+    standing in for day-1 history, day-2 delta, late-arriving rows),
+    each reduced to per-hour partial state (n, sum, min, max) over exact
+    int64 cents, the states merged with one groupBy, and the merge
+    finalized. The oracle aggregates the WHOLE table directly — so a
+    green row proves merge(state(A), state(B), state(C)) ≡
+    state(A ∪ B ∪ C) bit-for-bit, the identity that lets a 100 TB
+    pipeline fold a daily delta into a stored rollup without rescanning
+    history (state rows = key cardinality; the delta is the only thing
+    scanned). Mean derives from the exact integer sums at the end —
+    the only float in the path (6dp, boundary-safe on 2dp fixture
+    values)."""
+    from semantic_cpp_spark.operators import rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id"),
+        ts_micros(ev).alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).select(
+        "event_id",
+        F.expr("tus div 3600000000").alias("hour_id"),
+        "cents",
+    )
+    parts = [
+        rollup.agg_state(
+            base.filter(F.col("event_id") % 3 == i), ["hour_id"], F.col("cents")
+        )
+        for i in range(3)
+    ]
+    merged = rollup.merge_states(parts, ["hour_id"])
+    return rollup.finalize(merged, ["hour_id"]).select(
+        "hour_id",
+        F.col("n"),
+        "total",
+        "vmin",
+        "vmax",
+        "vavg",
+    )

@@ -1,0 +1,80 @@
+"""Pins for the mergeable-aggregate-state operator (operators.rollup):
+the monoid identity merge(state(A), state(B)) == state(A ∪ B) in any
+order and grouping — the property that makes incremental rollup
+maintenance correct."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.operators import rollup
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def _collect_state(df):
+    return {
+        r["k"]: (r["st_n"], r["st_sum"], r["st_min"], r["st_max"])
+        for r in df.collect()
+    }
+
+
+def test_merge_equals_direct_state(spark):
+    a = _frame(spark, [("x", 5), ("x", -2), ("y", 7)])
+    b = _frame(spark, [("x", 100), ("z", 0)])
+    c = _frame(spark, [("y", -50), ("y", 3)])
+    full = a.unionByName(b).unionByName(c)
+    direct = _collect_state(rollup.agg_state(full, ["k"], F.col("v")))
+    merged = _collect_state(
+        rollup.merge_states(
+            [rollup.agg_state(d, ["k"], F.col("v")) for d in (a, b, c)], ["k"]
+        )
+    )
+    assert merged == direct
+    assert direct["x"] == (3, 103, -2, 100)
+    assert direct["y"] == (3, -40, -50, 7)
+    assert direct["z"] == (1, 0, 0, 0)
+
+
+def test_merge_is_order_and_grouping_invariant(spark):
+    a = _frame(spark, [("x", 1), ("y", 2)])
+    b = _frame(spark, [("x", 3)])
+    c = _frame(spark, [("x", 5), ("y", -9)])
+    sa, sb, sc = (rollup.agg_state(d, ["k"], F.col("v")) for d in (a, b, c))
+    m1 = _collect_state(rollup.merge_states([sa, sb, sc], ["k"]))
+    m2 = _collect_state(rollup.merge_states([sc, sa, sb], ["k"]))
+    # associativity: merge(merge(a,b), c) — a merged state IS a state
+    m3 = _collect_state(
+        rollup.merge_states([rollup.merge_states([sa, sb], ["k"]), sc], ["k"])
+    )
+    assert m1 == m2 == m3
+
+
+def test_absent_key_is_identity(spark):
+    # a delta with no rows for a key leaves that key's state untouched
+    a = _frame(spark, [("x", 4), ("y", 8)])
+    b = _frame(spark, [("y", 1)])
+    sa = rollup.agg_state(a, ["k"], F.col("v"))
+    sb = rollup.agg_state(b, ["k"], F.col("v"))
+    merged = _collect_state(rollup.merge_states([sa, sb], ["k"]))
+    assert merged["x"] == (1, 4, 4, 4)
+    assert merged["y"] == (2, 9, 1, 8)
+
+
+def test_finalize_outputs_exact_mean(spark):
+    a = _frame(spark, [("x", 1), ("x", 2)])
+    out = {
+        r["k"]: r
+        for r in rollup.finalize(
+            rollup.agg_state(a, ["k"], F.col("v")), ["k"]
+        ).collect()
+    }
+    assert out["x"]["n"] == 2
+    assert out["x"]["total"] == 3
+    assert out["x"]["vavg"] == pytest.approx(1.5)
+
+
+def test_merge_states_empty_list_raises(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        rollup.merge_states([], ["k"])
