@@ -1558,3 +1558,128 @@ def image_histograms(df: DataFrame, n_bins: int = 4) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "bin", "n_px"])
 
     return df.mapInPandas(kernel, schema=HIST_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id long, h1 long, h2 long"
+
+
+def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) through the REAL decode path —
+    the image near-duplicate fingerprint (the visual analog of SimHash):
+    decode → integer luma (r+g+b)//3 → partition the raster into a
+    grid×grid block grid (pixel (x, y) → block ((x·grid)//w,
+    (y·grid)//h) — every pixel lands in exactly one block, no
+    interpolation) → integer block means (floor) → bit_b = 1 iff
+    m_b·grid² > Σm (strict compare against the global mean WITHOUT
+    division — all int, so the closed-form oracle replays every bit) →
+    the grid² bits packed little-endian into two int64 halves
+    (h1 = bits 0..31, h2 = bits 32..63; each ≤ 2³²−1, sign-safe).
+
+    Robustness comes from the block-mean: re-encodes, small crops, and
+    resizes of the same picture move few bits, so near-dups sit at small
+    Hamming distance (ahash_pairs). 1→1 mapInPandas, Arrow-batched,
+    narrow, partition-preserving; undecodable payloads contribute no
+    row (quarantine-by-absence, as image_histograms)."""
+    if not 2 <= grid <= 8:
+        raise ValueError(f"grid must be in [2, 8] (≤64 bits), got {grid}")
+    nb = grid * grid
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                try:
+                    w, h, _, px = decode_image(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                luma = a.astype(np.int16).sum(axis=2) // 3
+                bx = (np.arange(w) * grid) // w
+                by = (np.arange(h) * grid) // h
+                bidx = (by[:, None] * grid + bx[None, :]).ravel()
+                # float64 bincount sums are exact (< 2^53 » 255·w·h)
+                s = np.bincount(
+                    bidx, weights=luma.ravel(), minlength=nb
+                ).astype(np.int64)
+                c = np.bincount(bidx, minlength=nb)
+                m = s // c
+                bits = (m * nb) > m.sum()
+                h1 = int(sum(1 << i for i in range(min(32, nb)) if bits[i]))
+                h2 = int(
+                    sum(1 << (i - 32) for i in range(32, nb) if bits[i])
+                )
+                out.append((int(doc_id), h1, h2))
+            yield pd.DataFrame(out, columns=["doc_id", "h1", "h2"])
+
+    return df.mapInPandas(kernel, schema=AHASH_SCHEMA)
+
+
+def ahash_pairs(hashes: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Near-duplicate image pairs from aHash fingerprints: PIGEONHOLE
+    chunk blocking (the SimHash discipline, dedup.py) — the 64 bits
+    split into 4 × 16-bit chunks; two hashes within Hamming distance
+    ≤ 3 must agree on at least one chunk, so candidates come from 4
+    equi-joins on (chunk_idx, chunk_value), never an all-pairs compare,
+    then the exact distance filter is bit_count(xor) on both halves.
+    ``max_dist`` ≤ 3 keeps the pigeonhole guarantee exact (d+1 chunks
+    would be needed beyond); raising it trades recall.
+
+    Returns (d1, d2, hamming) with d1 < d2, distinct. 100 TB: identical
+    to the SimHash scale argument — candidate volume is bounded by
+    chunk-bucket sizes; a degenerate bucket (all-zero images) is a data
+    property the same skew treatment applies to."""
+    if not 0 <= max_dist <= 3:
+        raise ValueError(f"max_dist must be in [0, 3], got {max_dist}")
+    chunks = hashes.select(
+        F.col("doc_id"),
+        F.col("h1"),
+        F.col("h2"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("ci"),
+                    (F.col("h1") % 65536).alias("cv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("ci"),
+                    F.shiftright(F.col("h1"), 16).alias("cv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("ci"),
+                    (F.col("h2") % 65536).alias("cv"),
+                ),
+                F.struct(
+                    F.lit(3).alias("ci"),
+                    F.shiftright(F.col("h2"), 16).alias("cv"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "h1", "h2", "c.ci", "c.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.h1").alias("x1"),
+            F.col("a.h2").alias("x2"),
+            F.col("b.h1").alias("y1"),
+            F.col("b.h2").alias("y2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("x1").bitwiseXOR(F.col("y1"))) + F.bit_count(
+        F.col("x2").bitwiseXOR(F.col("y2"))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_dist)
+        .select("d1", "d2", "hamming")
+    )

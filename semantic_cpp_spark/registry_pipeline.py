@@ -3179,6 +3179,53 @@ def mm_image_histogram(spark, sf_dir):
 
 
 @register(
+    "mm_image_ahash",
+    """WITH sz AS (SELECT doc_id,
+                          (8 + doc_id % 9)::BIGINT AS w,
+                          (8 + (doc_id // 9) % 9)::BIGINT AS h
+                   FROM documents),
+    px AS (SELECT doc_id, w, h, r.range AS p
+           FROM sz CROSS JOIN range(0, 256) r
+           WHERE r.range < w * h),
+    l AS (SELECT doc_id, w, h, p,
+                 (((doc_id * 31 + 3 * p) % 256)
+                  + ((doc_id * 31 + 3 * p + 1) % 256)
+                  + ((doc_id * 31 + 3 * p + 2) % 256)) // 3 AS luma
+          FROM px),
+    bk AS (SELECT doc_id,
+                  ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS b,
+                  luma
+           FROM l),
+    m AS (SELECT doc_id, b, (sum(luma) // count(*))::BIGINT AS m
+          FROM bk GROUP BY doc_id, b),
+    g AS (SELECT doc_id, sum(m)::BIGINT AS tot FROM m GROUP BY doc_id),
+    bits AS (SELECT m.doc_id, b,
+                    CASE WHEN m * 64 > tot THEN 1::BIGINT
+                         ELSE 0::BIGINT END AS bit
+             FROM m JOIN g ON g.doc_id = m.doc_id)
+    SELECT doc_id,
+           sum(CASE WHEN b < 32 THEN bit << b ELSE 0 END)::BIGINT AS h1,
+           sum(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END)::BIGINT AS h2
+    FROM bits GROUP BY doc_id""",
+)
+def mm_image_ahash(spark, sf_dir):
+    """Perceptual average-hash per image through the REAL PPM decode
+    (multimodal.image_ahash): integer luma → 8×8 block-mean downscale
+    (each pixel to exactly one block, no interpolation) → bit_b =
+    m_b·64 > Σm (strict, division-free) → 64 bits packed into two
+    sign-safe int64 halves. The visual near-dup fingerprint next to
+    SimHash-for-text; the oracle replays decode, block mapping, floor
+    means, and bit packing from the closed-form raster bit-for-bit.
+    Near-dup PAIRS (pigeonhole chunk blocking + bit_count(xor), never
+    all-pairs) are pinned in tests — the fixture corpus has no
+    planted visual duplicates, so the pair set is trivially empty
+    there."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_ppm_payload(docs)
+    return multimodal.image_ahash(payload, grid=8)
+
+
+@register(
     "emb_cluster_cohesion",
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {clustering.KMEANS_K}),

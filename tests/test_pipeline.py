@@ -1360,3 +1360,75 @@ def test_tiff_decoder_survives_random_mutations():
             multimodal._decode_tiff(bytes(g))
         except (ValueError, NotImplementedError):
             pass
+
+
+# -- perceptual average-hash (aHash) ----------------------------------------
+
+def _p6(w, h, px_bytes):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(px_bytes)
+
+
+def _gray(w, h, v):
+    return _p6(w, h, [v] * (w * h * 3))
+
+
+def test_ahash_flat_image_is_zero(spark):
+    # every block mean equals the global mean — strict > sets no bit
+    df = spark.createDataFrame(
+        [(1, bytearray(_gray(16, 16, 128)))], "doc_id long, payload binary"
+    )
+    row = multimodal.image_ahash(df).collect()[0]
+    assert (row["h1"], row["h2"]) == (0, 0)
+
+
+def test_ahash_half_split_known_bits(spark):
+    # left half black, right half white on 16x16: every row of blocks is
+    # 0b11110000 -> both halves pack to 0xF0F0F0F0
+    px = []
+    for y in range(16):
+        for x in range(16):
+            px += [0, 0, 0] if x < 8 else [255, 255, 255]
+    df = spark.createDataFrame(
+        [(1, bytearray(_p6(16, 16, px)))], "doc_id long, payload binary"
+    )
+    row = multimodal.image_ahash(df).collect()[0]
+    assert row["h1"] == 0xF0F0F0F0
+    assert row["h2"] == 0xF0F0F0F0
+
+
+def test_ahash_pairs_finds_near_dup_and_matches_brute_force(spark):
+    # 20 fixture rasters + one single-pixel-perturbed copy of raster 3:
+    # the pair search must equal the brute-force hamming<=3 pair set
+    rows = [(i, bytearray(multimodal.render_ppm(i))) for i in range(20)]
+    perturbed = bytearray(multimodal.render_ppm(3))
+    perturbed[-1] = (perturbed[-1] + 4) % 256  # nudge one channel
+    rows.append((100, perturbed))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = multimodal.image_ahash(df)
+    hs = {r["doc_id"]: (r["h1"], r["h2"]) for r in hashes.collect()}
+    assert len(hs) == 21
+    brute = set()
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(
+                hs[a][1] ^ hs[b][1]
+            ).count("1")
+            if d <= 3:
+                brute.add((a, b))
+    got = {
+        (r["d1"], r["d2"])
+        for r in multimodal.ahash_pairs(hashes, max_dist=3).collect()
+    }
+    assert got == brute
+    assert (3, 100) in got  # the planted near-duplicate survives
+
+
+def test_ahash_arg_validation(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_gray(8, 8, 0)))], "doc_id long, payload binary"
+    )
+    with pytest.raises(ValueError, match="grid"):
+        multimodal.image_ahash(df, grid=9)
+    with pytest.raises(ValueError, match="max_dist"):
+        multimodal.ahash_pairs(multimodal.image_ahash(df), max_dist=4)

@@ -471,3 +471,12 @@ def test_semdedup_scaled_no_cartesian_beyond_broadcast_routing(spark, qs):
     assert "CartesianProduct" not in plan
     eq = re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)
     assert len(eq) >= 2, eq  # in-cluster pair join + verdict left join
+
+
+def test_image_ahash_is_narrow_map(spark, qs):
+    """aHash fingerprints are per-row decode work: one narrow Arrow map
+    over the scan, exchange-free — payload bytes must never shuffle
+    (the mm_tiff_features discipline)."""
+    plan = _plan(qs["mm_image_ahash"](spark, SF))
+    assert "MapInPandas" in plan, "Arrow kernel missing from plan"
+    assert "Exchange" not in plan
