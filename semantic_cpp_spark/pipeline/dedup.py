@@ -1173,3 +1173,75 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_count"))
     )
+
+
+def _hll_idx_rho(key: Column, n_regs: int) -> tuple[Column, Column]:
+    """(register index, leading-zero rank) for one key — the exact
+    derivation hll_distinct uses (md5 'hll-' salt, shiftright, bin)."""
+    from semantic_cpp_spark.pipeline.curation import hash_u60
+
+    h = hash_u60(key, "hll-")
+    p = n_regs.bit_length() - 1
+    rest = F.shiftright(h, p)
+    max_rho = 60 - p + 1
+    rho = F.when(rest == 0, F.lit(max_rho)).otherwise(
+        F.lit(max_rho) - F.length(F.bin(rest))
+    )
+    return (h % n_regs), rho
+
+
+def hll_state(
+    df: DataFrame, group_keys: list[str], key: Column, n_regs: int = HLL_REGS
+) -> DataFrame:
+    """Per-group HLL register state (group_keys..., idx, m) — the
+    MERGEABLE form of hll_distinct: sparse register rows (only touched
+    registers appear), ≤ n_regs rows per group regardless of how many
+    keys the group saw. The sketch analog of rollup.agg_state, with a
+    property plain counts can't have: merging is idempotent max(), so
+    OVERLAPPING increments (re-ingested days, replayed batches) merge
+    WITHOUT double counting — test-pinned."""
+    if n_regs & (n_regs - 1) or n_regs < 128:
+        raise ValueError(f"n_regs must be a power of two >= 128, got {n_regs}")
+    idx, rho = _hll_idx_rho(key, n_regs)
+    return (
+        df.select(*group_keys, idx.alias("idx"), rho.alias("rho"))
+        .groupBy(*group_keys, "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_merge(states: list[DataFrame], group_keys: list[str]) -> DataFrame:
+    """Fold HLL state tables: union + groupBy(keys, idx).max(m).
+    Associative, commutative, AND idempotent — merge(s, s) == s, so
+    at-least-once pipelines stay correct. State size stays ≤ n_regs
+    rows per group no matter how many increments fold in."""
+    if not states:
+        raise ValueError("hll_merge needs at least one state table")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*group_keys, "idx").agg(F.max("m").alias("m"))
+
+
+def hll_finalize(
+    state: DataFrame, group_keys: list[str], n_regs: int = HLL_REGS
+) -> DataFrame:
+    """Resolve per-group register states to cardinality estimates:
+    the bias-corrected HLL estimator with the small-range
+    linear-counting correction, per group (the same arithmetic as
+    hll_distinct's single-group epilogue, rounded to 4dp). Returns
+    (group_keys..., hll_count)."""
+    alpha = 0.7213 / (1.0 + 1.079 / n_regs)
+    agg = state.groupBy(*group_keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_used"),
+        F.count(F.lit(1)).alias("n_used"),
+    )
+    e = (F.lit(alpha) * n_regs * n_regs) / (
+        F.col("s_used") + (F.lit(n_regs) - F.col("n_used")) * F.lit(1.0)
+    )
+    v = F.lit(n_regs) - F.col("n_used")
+    est = F.when(
+        (e <= F.lit(2.5 * n_regs)) & (v > 0),
+        F.lit(float(n_regs)) * F.log(F.lit(float(n_regs)) / v),
+    ).otherwise(e)
+    return agg.select(*group_keys, F.round(est, 4).alias("hll_count"))

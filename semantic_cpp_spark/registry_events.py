@@ -920,3 +920,65 @@ def evt_rollup_merge(spark, sf_dir):
         "vmax",
         "vavg",
     )
+
+
+@register(
+    "evt_rollup_hll_merge",
+    f"""WITH e AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
+                   ('0x' || substr(md5('hll-' || user_id::VARCHAR), 1, 15))::BIGINT
+                     AS h
+            FROM events),
+    r AS (SELECT hour_id, h % 1024 AS idx,
+                 CASE WHEN h // 1024 = 0 THEN 51
+                      ELSE 51 - length(bin(h // 1024)) END AS rho
+          FROM e),
+    regs AS (SELECT hour_id, idx, max(rho) AS m FROM r GROUP BY hour_id, idx),
+    agg AS (SELECT hour_id, sum(power(2.0, -m)) AS s_used, count(*) AS n_used
+            FROM regs GROUP BY hour_id),
+    est AS (SELECT hour_id,
+                   ({0.7213 / (1.0 + 1.079 / 1024)!r}::DOUBLE * 1024 * 1024)
+                     / (s_used + (1024 - n_used) * 1.0) AS e,
+                   1024 - n_used AS v
+            FROM agg)
+    SELECT hour_id,
+           round(CASE WHEN e <= 2560.0 AND v > 0
+                      THEN 1024 * ln(1024.0 / v) ELSE e END, 4) AS hll_count
+    FROM est""",
+)
+def evt_rollup_hll_merge(spark, sf_dir):
+    """Incremental per-hour DISTINCT-user maintenance by mergeable HLL
+    register states (dedup.hll_state/hll_merge/hll_finalize): the
+    events table splits into three increments (event_id mod 3), each
+    reduced to sparse per-(hour, register) max-rank rows, merged with
+    one idempotent max-groupBy, and finalized with the bias-corrected
+    estimator per hour. The oracle computes the per-hour HLL DIRECTLY —
+    a green row proves merge(state(A), state(B), state(C)) ≡
+    state(A ∪ B ∪ C) register-for-register. This is the sketch half of
+    the continuous-aggregate pair with evt_rollup_merge: counts/sums
+    merge by +, distincts CANNOT — but their register files merge by
+    max, idempotently, so replayed or overlapping increments never
+    double-count (test-pinned). State ≤ 1024 rows per hour at ANY user
+    cardinality; exact per-hour distinct would shuffle every (hour,
+    user) pair instead."""
+    from semantic_cpp_spark.pipeline import dedup as dedup_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id"),
+        ts_micros(ev).alias("tus"),
+        F.col("user_id"),
+    ).select(
+        "event_id",
+        F.expr("tus div 3600000000").alias("hour_id"),
+        "user_id",
+    )
+    parts = [
+        dedup_ops.hll_state(
+            base.filter(F.col("event_id") % 3 == i),
+            ["hour_id"],
+            F.col("user_id"),
+        )
+        for i in range(3)
+    ]
+    merged = dedup_ops.hll_merge(parts, ["hour_id"])
+    return dedup_ops.hll_finalize(merged, ["hour_id"])

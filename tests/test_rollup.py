@@ -78,3 +78,72 @@ def test_finalize_outputs_exact_mean(spark):
 def test_merge_states_empty_list_raises(spark):
     with pytest.raises(ValueError, match="at least one"):
         rollup.merge_states([], ["k"])
+
+
+# -- mergeable HLL register states (dedup.hll_state/merge/finalize) ---------
+
+from semantic_cpp_spark.pipeline import dedup
+
+
+def _events_frame(spark, rows):
+    return spark.createDataFrame(rows, "g string, uid long")
+
+
+def _regs(df):
+    return {(r["g"], r["idx"]): r["m"] for r in df.collect()}
+
+
+def test_hll_merge_equals_direct_state(spark):
+    rows = [("h1", i % 40) for i in range(200)] + [
+        ("h2", i % 7) for i in range(50)
+    ]
+    full = _events_frame(spark, rows)
+    a = full.filter(F.col("uid") % 2 == 0)
+    b = full.filter(F.col("uid") % 2 == 1)
+    direct = _regs(dedup.hll_state(full, ["g"], F.col("uid")))
+    merged = _regs(
+        dedup.hll_merge(
+            [
+                dedup.hll_state(a, ["g"], F.col("uid")),
+                dedup.hll_state(b, ["g"], F.col("uid")),
+            ],
+            ["g"],
+        )
+    )
+    assert merged == direct
+
+
+def test_hll_merge_is_idempotent_and_overlap_safe(spark):
+    # the property plain counts cannot have: re-merging the SAME or an
+    # OVERLAPPING increment changes nothing — at-least-once safe
+    full = _events_frame(spark, [("g", i) for i in range(100)])
+    s = dedup.hll_state(full, ["g"], F.col("uid"))
+    assert _regs(dedup.hll_merge([s, s], ["g"])) == _regs(s)
+    first70 = dedup.hll_state(
+        full.filter(F.col("uid") < 70), ["g"], F.col("uid")
+    )
+    last60 = dedup.hll_state(
+        full.filter(F.col("uid") >= 40), ["g"], F.col("uid")
+    )  # uids 40-69 overlap
+    assert _regs(dedup.hll_merge([first70, last60], ["g"])) == _regs(s)
+
+
+def test_hll_finalize_matches_single_group_hll_distinct(spark):
+    # the per-group estimator must equal hll_distinct's single-group
+    # epilogue on the same data
+    full = _events_frame(spark, [("only", i * 13) for i in range(500)])
+    via_state = dedup.hll_finalize(
+        dedup.hll_state(full, ["g"], F.col("uid")), ["g"]
+    ).collect()[0]["hll_count"]
+    direct = dedup.hll_distinct(full, F.col("uid")).collect()[0]["hll_count"]
+    assert via_state == direct
+    # and the estimate sits in the ~3.3% band around the exact 500
+    assert abs(via_state - 500) / 500 < 0.12
+
+
+def test_hll_state_validates_n_regs(spark):
+    df = _events_frame(spark, [("g", 1)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="power of two"):
+        dedup.hll_state(df, ["g"], F.col("uid"), n_regs=1000)
