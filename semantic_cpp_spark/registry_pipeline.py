@@ -3226,6 +3226,36 @@ def mm_image_ahash(spark, sf_dir):
 
 
 @register(
+    "mm_audio_fingerprint",
+    """WITH sz AS (SELECT doc_id, (256 + doc_id % 128)::BIGINT AS n
+                   FROM documents),
+    smp AS (SELECT doc_id, n, r.range AS i,
+                   ((doc_id * 17 + r.range * 13) % 2001) - 1000 AS s
+            FROM sz CROSS JOIN range(0, 384) r
+            WHERE r.range < n),
+    fr AS (SELECT doc_id, (i * 33) // n AS f, s FROM smp),
+    en AS (SELECT doc_id, f, (sum(s * s) // count(*))::BIGINT AS m
+           FROM fr GROUP BY doc_id, f),
+    d AS (SELECT a.doc_id, a.f,
+                 CASE WHEN a.m > b.m THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+          FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+          WHERE a.f < 32)
+    SELECT doc_id, sum(bit << f)::BIGINT AS fp FROM d GROUP BY doc_id""",
+)
+def mm_audio_fingerprint(spark, sf_dir):
+    """Acoustic fingerprint per clip through the REAL WAV decode
+    (multimodal.audio_fingerprints): 33 equal-occupancy frames →
+    integer mean energies → 32 energy-delta bits in one sign-safe
+    int64 — the audio near-dup descriptor next to mm_image_ahash, with
+    the oracle replaying decode, framing, floor means, and bit packing
+    from the closed-form sample formula bit-for-bit. Near-dup PAIRS
+    (4×8-bit pigeonhole chunks + bit_count(xor)) are pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_wav_payload(docs)
+    return multimodal.audio_fingerprints(payload)
+
+
+@register(
     "emb_cluster_cohesion",
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {clustering.KMEANS_K}),

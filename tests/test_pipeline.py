@@ -1432,3 +1432,79 @@ def test_ahash_arg_validation(spark):
         multimodal.image_ahash(df, grid=9)
     with pytest.raises(ValueError, match="max_dist"):
         multimodal.ahash_pairs(multimodal.image_ahash(df), max_dist=4)
+
+
+# -- acoustic fingerprint (energy-delta hash) --------------------------------
+
+def _wav(samples):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_audio_fp_silence_is_zero_and_decreasing_is_all_ones(spark):
+    silence = _wav([0] * 330)
+    # amplitude drops per frame -> strictly decreasing frame energies ->
+    # every delta bit set
+    dec = _wav([1000 - ((i * 33) // 330) * 30 for i in range(330)])
+    df = spark.createDataFrame(
+        [(1, bytearray(silence)), (2, bytearray(dec))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r["fp"] for r in multimodal.audio_fingerprints(df).collect()}
+    assert out[1] == 0
+    assert out[2] == 0xFFFFFFFF
+
+
+def test_audio_fp_short_clip_contributes_no_row(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav([5] * 10)))], "doc_id long, payload binary"
+    )
+    assert multimodal.audio_fingerprints(df).count() == 0
+
+
+def test_audio_fp_pairs_finds_near_dup_and_matches_brute_force(spark):
+    rows = [(i, bytearray(multimodal.render_wav(i))) for i in range(20)]
+    import struct
+    import wave
+    import io
+
+    # perturbed copy of clip 7: nudge one sample
+    raw = multimodal.render_wav(7)
+    with wave.open(io.BytesIO(raw), "rb") as w:
+        n = w.getnframes()
+        samples = list(struct.unpack(f"<{n}h", w.readframes(n)))
+    samples[-1] += 3
+    rows.append((100, bytearray(_wav(samples))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fps = multimodal.audio_fingerprints(df)
+    hs = {r["doc_id"]: r["fp"] for r in fps.collect()}
+    assert len(hs) == 21
+    brute = set()
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(hs[a] ^ hs[b]).count("1") <= 3:
+                brute.add((a, b))
+    got = {
+        (r["d1"], r["d2"])
+        for r in multimodal.audio_fp_pairs(fps, max_dist=3).collect()
+    }
+    assert got == brute
+    assert (7, 100) in got
+
+
+def test_audio_fp_pairs_arg_validation(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav([0] * 40)))], "doc_id long, payload binary"
+    )
+    with pytest.raises(ValueError, match="max_dist"):
+        multimodal.audio_fp_pairs(multimodal.audio_fingerprints(df), max_dist=9)

@@ -480,3 +480,11 @@ def test_image_ahash_is_narrow_map(spark, qs):
     plan = _plan(qs["mm_image_ahash"](spark, SF))
     assert "MapInPandas" in plan, "Arrow kernel missing from plan"
     assert "Exchange" not in plan
+
+
+def test_audio_fingerprint_is_narrow_map(spark, qs):
+    """Acoustic fingerprints are per-row decode work: one narrow Arrow
+    map over the scan, exchange-free (the mm_image_ahash discipline)."""
+    plan = _plan(qs["mm_audio_fingerprint"](spark, SF))
+    assert "MapInPandas" in plan, "Arrow kernel missing from plan"
+    assert "Exchange" not in plan
