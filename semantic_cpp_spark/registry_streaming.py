@@ -379,3 +379,50 @@ def stream_sliding_uniques_hll(spark, sf_dir):
     error is pinned <= 2% in test_sliding_uniques_hll_parity_band."""
     ev = ops.read_events_stream(spark, sf_dir)
     return ops.run_to_memory(ops.sliding_unique_users_hll(ev), "append")
+
+
+@register(
+    "stream_sliding_cms_freq",
+    f"""WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) AS tus FROM events),
+    w AS (SELECT user_id,
+                 unnest(range(tus // 3600000000 - 5, tus // 3600000000 + 1))
+                   AS win_start
+          FROM e),
+    wm AS (SELECT (max(tus) - 3600000000) // 1000 AS wm_ms FROM e),
+    cw AS (SELECT win_start, user_id FROM w, wm
+           WHERE (win_start + 6) * 3600000 < wm_ms),
+    rr AS (SELECT unnest(range(0, {ops.CMS_D})) AS r),
+    cells AS (SELECT win_start, rr.r,
+                     ('0x' || substr(md5('cms' || rr.r || '-'
+                                         || user_id::VARCHAR), 1, 15))::BIGINT
+                       % {ops.CMS_W} AS c
+              FROM cw, rr),
+    cms AS (SELECT win_start, r, c, count(*) AS cnt
+            FROM cells GROUP BY win_start, r, c),
+    pw AS (SELECT DISTINCT win_start FROM cw),
+    pu AS (SELECT pw.win_start, u.range AS user_id, rr.r,
+                  ('0x' || substr(md5('cms' || rr.r || '-'
+                                      || u.range::VARCHAR), 1, 15))::BIGINT
+                    % {ops.CMS_W} AS c
+           FROM pw CROSS JOIN range(0, 10) u CROSS JOIN rr)
+    SELECT pu.win_start::BIGINT AS win_start,
+           pu.user_id::BIGINT AS user_id,
+           min(coalesce(cms.cnt, 0))::BIGINT AS cms_count
+    FROM pu LEFT JOIN cms ON cms.win_start = pu.win_start
+                         AND cms.r = pu.r AND cms.c = pu.c
+    GROUP BY pu.win_start, pu.user_id""",
+)
+def stream_sliding_cms_freq(spark, sf_dir):
+    """Sliding per-user frequency with COUNT-MIN sketch state under the
+    driver gate (streaming.ops.sliding_user_freq_cms — the frequency
+    twin of stream_sliding_uniques_hll): per open window the stateful
+    operator holds a 4×1024 counter grid (32 KB at ANY cardinality)
+    instead of a per-user count table; closed windows emit point
+    estimates for the fixed 10-user probe set, each ≥ the true
+    frequency by the one-sided CMS guarantee. Counters are
+    md5-deterministic (dedup.cms_build convention), so DuckDB replays
+    every closed window's touched cells and the min(coalesce(cnt, 0))
+    probe — empty cells count as 0, which is why the probe LEFT-joins
+    the sketch."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(ops.sliding_user_freq_cms(ev), "append")

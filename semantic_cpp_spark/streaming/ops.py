@@ -899,3 +899,119 @@ def sliding_unique_users_hll(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# -- sliding Count-Min frequency state ---------------------------------------
+# The frequency companion of the HLL register state above: per open window
+# the state is a depth x width counter grid (4 x 1024 int64 = 32 KB)
+# REGARDLESS of how many distinct users the window sees; at close the
+# sketch answers point-frequency queries for a fixed probe set. Hash
+# convention matches pipeline.dedup.cms_build (salt 'cms{r}-', md5 60-bit,
+# % width), so the counters are deterministic and oracle-replayable.
+
+CMS_D = 4
+CMS_W = 1024
+CMS_PROBE_USERS = tuple(range(10))
+
+
+def cms_cell(key: Any, r: int) -> int:
+    """Counter column for a key in hash row r (dedup.cms_build convention:
+    md5('cms{r}-' || key) 60-bit % width)."""
+    import hashlib
+
+    return int(hashlib.md5(f"cms{r}-{key}".encode()).hexdigest()[:15], 16) % CMS_W
+
+
+_SLIDE_CMS_OUT = T.StructType(
+    [
+        T.StructField("win_start", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cms_count", T.LongType()),
+    ]
+)
+
+_SLIDE_CMS_STATE = T.StructType(
+    [T.StructField("cnt", T.ArrayType(T.LongType()))]
+)
+
+
+def _make_sliding_cms_update(window_hours: int):
+    def _update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        win_start = int(key[0])
+        end_ms = (win_start + window_hours) * 3_600_000
+        if state.hasTimedOut:
+            (cnt,) = state.get
+            state.remove()
+            rows = [
+                (
+                    win_start,
+                    u,
+                    min(cnt[r * CMS_W + cms_cell(u, r)] for r in range(CMS_D)),
+                )
+                for u in CMS_PROBE_USERS
+            ]
+            yield pd.DataFrame(
+                rows, columns=["win_start", "user_id", "cms_count"]
+            )
+            return
+        if state.getCurrentWatermarkMs() >= end_ms:
+            for _ in pdfs:  # late rows for a closed window: ignore
+                pass
+            return
+        cnt = list(state.get[0]) if state.exists else [0] * (CMS_D * CMS_W)
+        for pdf in pdfs:
+            for u in pdf["user_id"]:
+                for r in range(CMS_D):
+                    cnt[r * CMS_W + cms_cell(int(u), r)] += 1
+        state.update((cnt,))
+        state.setTimeoutTimestamp(end_ms)
+
+    return _update
+
+
+def sliding_user_freq_cms(
+    events: DataFrame,
+    window_hours: int = 6,
+    step_hours: int = 1,
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Sliding per-user frequency estimation with COUNT-MIN sketch state
+    — the frequency twin of sliding_unique_users_hll: per open window
+    the state is the 4×1024 counter grid (32 KB) at ANY user
+    cardinality, where an exact per-(window, user) count table grows
+    with the audience. Same single applyInPandasWithState stage, same
+    event-time-timeout eviction and closed-window immutability; at
+    close the sketch is point-queried for the fixed probe set
+    CMS_PROBE_USERS and emits (win_start, user_id, cms_count) rows,
+    with cms_count ≥ the true in-window frequency by the one-sided CMS
+    guarantee (dedup.cms_build is the batch form; identical hash
+    convention, so counters are md5-deterministic and the gate holds a
+    HARD value oracle — DuckDB rebuilds every closed window's touched
+    cells and probes with min(coalesce(cnt, 0)))."""
+    from semantic_cpp_spark.session import ts_micros
+
+    hr = F.expr(f"tus div {3_600_000_000}")
+    ev = (
+        events.select(
+            "user_id", "event_time", ts_micros(events).alias("tus")
+        )
+        .withWatermark("event_time", lateness)
+        .select(
+            "user_id",
+            "event_time",
+            F.explode(
+                _aligned_win_starts(hr, window_hours, step_hours)
+            ).alias("win_start"),
+        )
+    )
+    return ev.groupBy("win_start").applyInPandasWithState(
+        _make_sliding_cms_update(window_hours),
+        outputStructType=_SLIDE_CMS_OUT,
+        stateStructType=_SLIDE_CMS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

