@@ -1781,3 +1781,61 @@ def audio_fp_pairs(fps: DataFrame, max_dist: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_dist)
         .select("d1", "d2", "hamming")
     )
+
+
+VIDEO_MOTION_SCHEMA = (
+    "doc_id long, n_frames long, sum_abs_delta long, motion_ppm long"
+)
+
+
+def video_motion(df: DataFrame) -> DataFrame:
+    """Temporal motion profile through the REAL Y4M decode — the video
+    analytics feature the frame-sample/per-frame queries don't cover:
+    per clip, the summed absolute luma delta between consecutive frames
+    (the shot-boundary / static-scene discriminant every video curation
+    pipeline thresholds on; a slideshows-vs-camera-motion filter).
+    Integer-exact END TO END: sum_abs_delta = ΣΣ|Y_{f+1}(i) − Y_f(i)|
+    in int64, and motion_ppm = sad·10⁶ // (n_pixels·(n_frames−1)) — the
+    mean per-pixel per-transition delta in exact integer micro-units
+    (a float round here drifts: Python's decimal-correct round() and
+    SQL engines' multiply-then-round disagree in the last digit on
+    fixture values — measured, hence the ppm integer). Single-frame
+    clips report sum 0 and NULL motion (no transition).
+
+    1→1 mapInPandas, Arrow-batched, narrow; undecodable payloads
+    contribute no row (the image/audio quarantine discipline)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                try:
+                    w, h, frames = decode_video(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                nf = len(frames)
+                if nf == 0:
+                    continue
+                sad = 0
+                if nf > 1:
+                    stack = np.stack(
+                        [
+                            np.frombuffer(f, dtype=np.uint8).astype(np.int64)
+                            for f in frames
+                        ]
+                    )
+                    sad = int(np.abs(np.diff(stack, axis=0)).sum())
+                motion = (
+                    sad * 1_000_000 // (w * h * (nf - 1))
+                    if nf > 1
+                    else None
+                )
+                out.append((int(doc_id), nf, sad, motion))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_frames", "sum_abs_delta", "motion_ppm"],
+            )
+
+    return df.mapInPandas(kernel, schema=VIDEO_MOTION_SCHEMA)

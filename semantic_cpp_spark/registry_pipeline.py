@@ -3256,6 +3256,37 @@ def mm_audio_fingerprint(spark, sf_dir):
 
 
 @register(
+    "mm_video_motion",
+    """WITH sz AS (SELECT doc_id, (4 + doc_id % 4)::BIGINT AS nf
+                   FROM documents),
+    tr AS (SELECT doc_id, nf, f.range AS f, i.range AS i
+           FROM sz CROSS JOIN range(0, 6) f CROSS JOIN range(0, 64) i
+           WHERE f.range < nf - 1),
+    d AS (SELECT doc_id, nf,
+                 abs(((doc_id * 7 + (f + 1) * 11 + i) % 256)
+                     - ((doc_id * 7 + f * 11 + i) % 256)) AS ad
+          FROM tr)
+    SELECT doc_id, max(nf)::BIGINT AS n_frames,
+           sum(ad)::BIGINT AS sum_abs_delta,
+           (sum(ad) * 1000000 // (64 * (max(nf) - 1)))::BIGINT AS motion_ppm
+    FROM d GROUP BY doc_id""",
+)
+def mm_video_motion(spark, sf_dir):
+    """Per-clip temporal motion profile through the REAL Y4M decode
+    (multimodal.video_motion): summed |luma delta| between consecutive
+    frames in exact int64 + the mean per-pixel per-transition delta in
+    integer micro-units (ppm — a float round here measurably drifts
+    between Python and SQL rounding) —
+    the shot-boundary / static-scene discriminant video curation
+    thresholds on, completing the image (aHash) / audio (energy-delta)
+    / video (motion) multimodal analytics triad. The oracle replays
+    frame walking and the per-pixel closed form bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_y4m_payload(docs)
+    return multimodal.video_motion(payload)
+
+
+@register(
     "emb_cluster_cohesion",
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {clustering.KMEANS_K}),

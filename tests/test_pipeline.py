@@ -1508,3 +1508,29 @@ def test_audio_fp_pairs_arg_validation(spark):
     )
     with pytest.raises(ValueError, match="max_dist"):
         multimodal.audio_fp_pairs(multimodal.audio_fingerprints(df), max_dist=9)
+
+
+# -- video motion profile ----------------------------------------------------
+
+def _y4m(frames, w=8, h=8):
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode())
+    for f in frames:
+        out += b"FRAME\n" + bytes(f)
+    return bytes(out)
+
+
+def test_video_motion_known_delta_and_single_frame(spark):
+    two = _y4m([[10] * 64, [25] * 64])  # constant +15 per pixel
+    one = _y4m([[7] * 64])
+    df = spark.createDataFrame(
+        [(1, bytearray(two)), (2, bytearray(one)), (3, bytearray(b"mp4junk"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.video_motion(df).collect()}
+    assert set(out) == {1, 2}  # undecodable doc 3 quarantined by absence
+    assert out[1]["n_frames"] == 2
+    assert out[1]["sum_abs_delta"] == 64 * 15
+    assert out[1]["motion_ppm"] == 15_000_000  # 15.0 per pixel-transition
+    assert out[2]["n_frames"] == 1
+    assert out[2]["sum_abs_delta"] == 0
+    assert out[2]["motion_ppm"] is None  # no transition to measure

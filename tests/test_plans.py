@@ -488,3 +488,11 @@ def test_audio_fingerprint_is_narrow_map(spark, qs):
     plan = _plan(qs["mm_audio_fingerprint"](spark, SF))
     assert "MapInPandas" in plan, "Arrow kernel missing from plan"
     assert "Exchange" not in plan
+
+
+def test_video_motion_is_narrow_map(spark, qs):
+    """Motion profiling is per-row decode work: one narrow Arrow map,
+    exchange-free (the multimodal discipline)."""
+    plan = _plan(qs["mm_video_motion"](spark, SF))
+    assert "MapInPandas" in plan, "Arrow kernel missing from plan"
+    assert "Exchange" not in plan
