@@ -1245,3 +1245,21 @@ def hll_finalize(
         F.lit(float(n_regs)) * F.log(F.lit(float(n_regs)) / v),
     ).otherwise(e)
     return agg.select(*group_keys, F.round(est, 4).alias("hll_count"))
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Fold Count-Min sketches built with the same (depth, width,
+    salt) over corpus deltas: union + groupBy(r, c).sum — counters are
+    additive, so merge(cms(A), cms(B)) == cms(A ∪ B) cell-for-cell
+    (test-pinned), completing the mergeable-state trio: counts/sums
+    merge by + (rollup.merge_states), HLL registers by idempotent max
+    (hll_merge), CMS cells by + — NOT idempotent, so exactly-once
+    increment semantics are the caller's contract (unlike hll_merge,
+    re-merging the same delta double-counts; that is inherent to any
+    additive sketch). ≤ depth·width rows per sketch at any scale."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("r", "c").agg(F.sum("cnt").cast("long").alias("cnt"))

@@ -147,3 +147,32 @@ def test_hll_state_validates_n_regs(spark):
 
     with _pytest.raises(ValueError, match="power of two"):
         dedup.hll_state(df, ["g"], F.col("uid"), n_regs=1000)
+
+
+def test_cms_merge_equals_direct_and_estimates_agree(spark):
+    # cms(A) + cms(B) must equal cms(A u B) cell-for-cell, and the
+    # point estimates through the merged sketch match the direct ones
+    full = spark.createDataFrame(
+        [(i, i % 13) for i in range(400)], "rid long, uid long"
+    )
+    a = full.filter(F.col("rid") % 2 == 0)
+    b = full.filter(F.col("rid") % 2 == 1)
+    direct = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in dedup.cms_build(full, F.col("uid")).collect()
+    }
+    merged = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in dedup.cms_merge(
+            [
+                dedup.cms_build(a, F.col("uid")),
+                dedup.cms_build(b, F.col("uid")),
+            ]
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_cms_merge_empty_list_raises(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        dedup.cms_merge([])
