@@ -1263,3 +1263,67 @@ def cms_merge(sketches: list[DataFrame]) -> DataFrame:
     for s in sketches[1:]:
         u = u.unionByName(s)
     return u.groupBy("r", "c").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def duplicate_span_cuts(
+    df: DataFrame, text: Column, id_col: Column, n: int = 8
+) -> DataFrame:
+    """EXACT-SUBSTRING deduplication planner (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" pass,
+    re-expressed shuffle-friendly in token space): find, for every
+    document, the maximal token regions whose content already occurs
+    earlier in the corpus — the regions an exact-substring dedup cuts,
+    where document-level dedup (exact/MinHash) keeps or drops whole
+    docs and misses the 30%-boilerplate-70%-novel case entirely.
+
+    Construction: every n-word span occurrence (doc, pos) that is NOT
+    the span's GLOBAL first occurrence is a duplicate occurrence
+    (within-doc repeats count — only the corpus-wide first survives);
+    its covered interval is [pos, pos+n); per-doc interval coalescing
+    (operators.eventflow.merge_intervals) yields the cut list.
+    COMPLETENESS: a duplicated region of m ≥ n tokens contributes
+    exactly m−n+1 duplicated n-gram occurrences whose union covers it
+    precisely, so the merged blocks equal the maximal duplicated
+    regions — no suffix array needed, and regions shorter than n
+    tokens are below the cut threshold by definition (Lee et al. use
+    50 BPE tokens; n≈8 words is the same order).
+
+    Scale shape: spans shuffle as 60-bit md5 HASHES, never text (the
+    ngram_novelty discipline; collisions merge two spans' first-
+    occurrence records at P ≈ n²/2⁶¹ — mirrored in the oracle).
+    First-occurrence = one min() over the PACKED int64
+    doc_id·2²⁰ + pos (single map-side-combinable agg, no window over
+    the corpus; requires pos < 2²⁰ — documents beyond a million words
+    should chunk first). The interval merge runs per doc. Returns
+    (doc_id, cut_start, cut_end, n_spans), token-indexed, half-open."""
+    from semantic_cpp_spark.operators.eventflow import merge_intervals
+    from semantic_cpp_spark.pipeline.text import word_ngrams
+
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    h = F.conv(F.substring(F.md5(F.col("span")), 1, 15), 16, 10).cast("long")
+    occ = (
+        df.select(
+            id_col.alias("doc_id"),
+            F.posexplode(word_ngrams(toks, n)).alias("pos", "span"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            h.alias("h"),
+        )
+        .withColumn("pk", F.col("doc_id") * F.lit(1 << 20) + F.col("pos"))
+    )
+    first = occ.groupBy("h").agg(F.min("pk").alias("first_pk"))
+    dup = occ.join(first, "h").filter(F.col("pk") != F.col("first_pk"))
+    iv = dup.select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + n).alias("e"),
+    )
+    m = merge_intervals(iv, "doc_id", "s", "e")
+    return m.select(
+        "doc_id",
+        F.col("b_start").cast("long").alias("cut_start"),
+        F.col("b_end").cast("long").alias("cut_end"),
+        F.col("n_intervals").cast("long").alias("n_spans"),
+    )

@@ -1005,6 +1005,50 @@ def samp_temperature_mixture(spark, sf_dir):
 
 
 @register(
+    "dedup_span_cuts",
+    r"""WITH t AS (SELECT doc_id,
+                          regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                   FROM documents),
+    g AS (SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(array_to_string(ws[i : i + 7], ' ')),
+                                 1, 15))::BIGINT AS h
+          FROM t, LATERAL unnest(range(1, len(ws) - 6)) AS u(i)
+          WHERE len(ws) >= 8),
+    occ AS (SELECT doc_id, pos, h, doc_id * 1048576 + pos AS pk FROM g),
+    fst AS (SELECT h, min(pk) AS first_pk FROM occ GROUP BY h),
+    dup AS (SELECT o.doc_id, o.pos
+            FROM occ o JOIN fst USING (h) WHERE o.pk <> fst.first_pk),
+    iv AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM dup),
+    o2 AS (SELECT doc_id, s, e,
+                  CASE WHEN s > coalesce(
+                           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS nb
+           FROM iv),
+    g2 AS (SELECT *, sum(nb) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+           FROM o2)
+    SELECT doc_id, min(s)::BIGINT AS cut_start, max(e)::BIGINT AS cut_end,
+           count(*)::BIGINT AS n_spans
+    FROM g2 GROUP BY doc_id, grp""",
+)
+def dedup_span_cuts(spark, sf_dir):
+    """Exact-substring deduplication planner under the gate
+    (dedup.duplicate_span_cuts, Lee et al. 2022 re-expressed in token
+    space): per doc, the maximal token regions whose 8-word spans all
+    occurred earlier in the corpus — what an exact-substring dedup pass
+    cuts, catching the partial-boilerplate case document-level dedup
+    cannot. Spans shuffle as 60-bit hashes; first occurrence is one
+    packed-int64 min (no corpus-wide window); the oracle replays span
+    hashing, the packed min, and the gaps-and-islands interval merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_span_cuts(
+        docs, F.col("text"), F.col("doc_id"), n=8
+    )
+
+
+@register(
     "txt_decontaminate",
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
                   FROM documents),

@@ -1663,3 +1663,63 @@ def test_cms_one_sided_bound_and_heavy_hitters(spark):
     whole = {(r["r"], r["c"]): r["cnt"] for r in cms.collect()}
     assert merged == whole
     cms.unpersist()
+
+
+# -- exact-substring dedup planner (duplicate_span_cuts) --------------------
+
+def test_span_cuts_identical_doc_fully_cut(spark):
+    words = " ".join(f"w{i}" for i in range(20))
+    df = _docs(spark, [words, words, "totally different content here now ok"])
+    out = dedup.duplicate_span_cuts(
+        df, F.col("text"), F.col("doc_id"), n=8
+    ).collect()
+    # doc 1 is a verbatim copy: one cut covering all 20 tokens; doc 0
+    # (first occurrence) and doc 2 (novel) emit nothing
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["cut_start"], r["cut_end"]) == (1, 0, 20)
+    assert r["n_spans"] == 13  # 20 - 8 + 1 duplicated span starts
+
+
+def test_span_cuts_embedded_region_exact_coverage(spark):
+    # the completeness argument: a 12-token shared region embedded in
+    # DIFFERENT contexts is cut exactly, boundaries included, because
+    # its 5 duplicated 8-gram occurrences union to [start, start+12)
+    shared = " ".join(f"s{i}" for i in range(12))
+    doc_a = "x1 x2 x3 x4 x5 " + shared + " y1 y2 y3 y4 y5"
+    doc_b = "z1 z2 z3 " + shared + " w1 w2 w3 w4 w5 w6 w7 w8"
+    df = _docs(spark, [doc_a, doc_b])
+    out = dedup.duplicate_span_cuts(
+        df, F.col("text"), F.col("doc_id"), n=8
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["cut_start"], r["cut_end"]) == (1, 3, 15)
+    assert r["n_spans"] == 5  # 12 - 8 + 1
+
+
+def test_span_cuts_within_doc_repeat(spark):
+    # only the corpus-wide FIRST occurrence survives — a doc repeating
+    # its own 10 words gets its second occurrence cut
+    block = " ".join(f"b{i}" for i in range(10))
+    df = _docs(spark, [block + " mid1 mid2 " + block])
+    out = dedup.duplicate_span_cuts(
+        df, F.col("text"), F.col("doc_id"), n=8
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["cut_start"], r["cut_end"]) == (12, 22)
+
+
+def test_span_cuts_no_duplication_is_empty(spark):
+    df = _docs(
+        spark,
+        [
+            " ".join(f"a{i}" for i in range(15)),
+            " ".join(f"b{i}" for i in range(15)),
+        ],
+    )
+    assert (
+        dedup.duplicate_span_cuts(df, F.col("text"), F.col("doc_id")).count()
+        == 0
+    )
