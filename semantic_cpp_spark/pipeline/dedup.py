@@ -1327,3 +1327,54 @@ def duplicate_span_cuts(
         F.col("b_end").cast("long").alias("cut_end"),
         F.col("n_intervals").cast("long").alias("n_spans"),
     )
+
+
+def apply_span_cuts(
+    df: DataFrame, text: Column, id_col: Column, cuts: DataFrame
+) -> DataFrame:
+    """Execute an exact-substring dedup plan: remove every token whose
+    position falls inside one of the doc's ``cuts`` intervals (the
+    duplicate_span_cuts output) and re-join the survivors — the
+    write-side of the Lee et al. pass. The surgery is PURE higher-order
+    Column work (transform-with-index + exists + filter over the token
+    array), so the only exchange is the broadcast-sized per-doc cut
+    list join — document bodies never shuffle, and docs with no cuts
+    pass through verbatim. Returns (doc_id, n_tokens, n_cut,
+    clean_fp) with clean_fp = md5 of the cleaned single-space-joined
+    text (the fingerprint downstream dedup stages key on — emit the
+    full clean text instead by adapting the final select if the
+    pipeline materializes it)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    per_doc = cuts.groupBy("doc_id").agg(
+        F.collect_list(F.struct("cut_start", "cut_end")).alias("cut_list")
+    )
+    j = (
+        df.select(id_col.alias("doc_id"), toks.alias("ws"))
+        .join(per_doc, "doc_id", "left")
+        .withColumn(
+            "cut_list",
+            F.coalesce(
+                F.col("cut_list"),
+                F.array().cast(
+                    "array<struct<cut_start:bigint,cut_end:bigint>>"
+                ),
+            ),
+        )
+    )
+    indexed = F.transform(
+        F.col("ws"), lambda w, i: F.struct(w.alias("w"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("cut_list"),
+            lambda c: (c["cut_start"] <= s["i"]) & (s["i"] < c["cut_end"]),
+        ),
+    )
+    clean = F.concat_ws(" ", F.transform(kept, lambda s: s["w"]))
+    return j.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        (F.size("ws") - F.size(kept)).cast("long").alias("n_cut"),
+        F.md5(clean).alias("clean_fp"),
+    )

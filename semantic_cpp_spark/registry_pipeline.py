@@ -1004,9 +1004,9 @@ def samp_temperature_mixture(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_span_cuts",
-    r"""WITH t AS (SELECT doc_id,
+# The span-cut CTE chain, shared by the planner oracle and the apply
+# oracle (ends with cuts(doc_id, cut_start, cut_end, n_spans)).
+_SPAN_CUTS_CTE = r"""t AS (SELECT doc_id,
                           regexp_split_to_array(trim(lower(text)), '\s+') AS ws
                    FROM documents),
     g AS (SELECT doc_id, i - 1 AS pos,
@@ -1028,10 +1028,16 @@ def samp_temperature_mixture(spark, sf_dir):
            FROM iv),
     g2 AS (SELECT *, sum(nb) OVER (PARTITION BY doc_id ORDER BY s, e
                                    ROWS UNBOUNDED PRECEDING) AS grp
-           FROM o2)
-    SELECT doc_id, min(s)::BIGINT AS cut_start, max(e)::BIGINT AS cut_end,
-           count(*)::BIGINT AS n_spans
-    FROM g2 GROUP BY doc_id, grp""",
+           FROM o2),
+    cuts AS (SELECT doc_id, min(s)::BIGINT AS cut_start,
+                    max(e)::BIGINT AS cut_end, count(*)::BIGINT AS n_spans
+             FROM g2 GROUP BY doc_id, grp)"""
+
+
+@register(
+    "dedup_span_cuts",
+    f"""WITH {_SPAN_CUTS_CTE}
+    SELECT doc_id, cut_start, cut_end, n_spans FROM cuts""",
 )
 def dedup_span_cuts(spark, sf_dir):
     """Exact-substring deduplication planner under the gate
@@ -1046,6 +1052,41 @@ def dedup_span_cuts(spark, sf_dir):
     return dedup.duplicate_span_cuts(
         docs, F.col("text"), F.col("doc_id"), n=8
     )
+
+
+@register(
+    "dedup_span_cuts_apply",
+    f"""WITH {_SPAN_CUTS_CTE},
+    tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+            FROM t, LATERAL unnest(range(1, len(ws) + 1)) AS u(i)),
+    kept AS (SELECT k.doc_id, k.pos, k.w FROM tok k
+             WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                               WHERE c.doc_id = k.doc_id
+                                 AND c.cut_start <= k.pos
+                                 AND k.pos < c.cut_end)),
+    agg AS (SELECT doc_id,
+                   array_to_string(list(w ORDER BY pos), ' ') AS clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    base AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM t)
+    SELECT b.doc_id, b.n_tokens,
+           (b.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_cut,
+           md5(coalesce(a.clean, '')) AS clean_fp
+    FROM base b LEFT JOIN agg a USING (doc_id)""",
+)
+def dedup_span_cuts_apply(spark, sf_dir):
+    """The write-side of exact-substring dedup (dedup.apply_span_cuts
+    over duplicate_span_cuts): remove every token inside a cut
+    interval, re-join the survivors, and fingerprint the cleaned text —
+    end-to-end Lee et al. 2022 under the gate. The surgery is pure
+    higher-order Column work (transform-with-index + exists + filter on
+    the token array): document bodies never shuffle; the only exchange
+    is the per-doc cut list. The oracle rebuilds the cleaned text by
+    position anti-join and must produce the IDENTICAL md5 per doc —
+    the strongest possible check on the token-index arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = dedup.duplicate_span_cuts(docs, F.col("text"), F.col("doc_id"), n=8)
+    return dedup.apply_span_cuts(docs, F.col("text"), F.col("doc_id"), cuts)
 
 
 @register(

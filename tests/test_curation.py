@@ -1723,3 +1723,33 @@ def test_span_cuts_no_duplication_is_empty(spark):
         dedup.duplicate_span_cuts(df, F.col("text"), F.col("doc_id")).count()
         == 0
     )
+
+
+def test_apply_span_cuts_surgery(spark):
+    words = " ".join(f"w{i}" for i in range(20))
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = _docs(
+        spark,
+        [
+            words,                                   # 0: first occurrence, untouched
+            words,                                   # 1: verbatim copy, fully cut
+            "a1 a2 a3 " + shared + " b1 b2 b3 b4 b5",  # 2: novel context
+            "c1 c2 " + shared + " d1 d2 d3 d4 d5 d6",  # 3: shared region cut
+        ],
+    )
+    cuts = dedup.duplicate_span_cuts(docs, F.col("text"), F.col("doc_id"), n=8)
+    out = {
+        r["doc_id"]: r
+        for r in dedup.apply_span_cuts(
+            docs, F.col("text"), F.col("doc_id"), cuts
+        ).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[0]["n_cut"] == 0 and out[0]["clean_fp"] == md5(words)
+    assert out[1]["n_cut"] == 20 and out[1]["clean_fp"] == md5("")
+    assert out[2]["n_cut"] == 0  # first occurrence of the shared region
+    assert out[3]["n_cut"] == 12
+    assert out[3]["clean_fp"] == md5("c1 c2 d1 d2 d3 d4 d5 d6")
+    assert out[3]["n_tokens"] == 20
