@@ -124,3 +124,56 @@ def asof_join_forward(
     for c in right_payload:
         out = out.withColumn(c, F.col("__match")[c])
     return out.drop("__match")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """NEAREST as-of join: every left row + the payload of the right row
+    minimizing |right_time − left_time| — the third standard as-of
+    variant (sensor alignment, closest-quote matching, nearest-context
+    attribution) next to the backward and forward forms. Equidistant
+    before/after candidates resolve to the EARLIER (backward) row —
+    deterministic. Adds ``asof_dist`` (|Δt|, null when the key has no
+    right rows at all).
+
+    Composed from the two existing passes — one backward + one forward
+    union-window (both key-partitioned, both skew-handled the same
+    way), then a pure Column argmin over the two candidates. Still no
+    range explosion and no pandas; ``left_time``/``right_time`` must be
+    numeric (the engine's int64 epoch-micros currency)."""
+    rb = right.withColumn("__bt", F.col(right_time))
+    out = asof_join(
+        left, rb, key, left_time, right_time, right_payload + ["__bt"]
+    )
+    for c in right_payload:
+        out = out.withColumnRenamed(c, f"__b_{c}")
+    rf = right.withColumn("__ft", F.col(right_time))
+    out = asof_join_forward(
+        out, rf, key, left_time, right_time, right_payload + ["__ft"], tiebreak
+    )
+    for c in right_payload:
+        out = out.withColumnRenamed(c, f"__f_{c}")
+    db = F.col(left_time) - F.col("__bt")
+    df_ = F.col("__ft") - F.col(left_time)
+    take_b = F.col("__ft").isNull() | (
+        F.col("__bt").isNotNull() & (db <= df_)
+    )
+    for c in right_payload:
+        out = out.withColumn(
+            c, F.when(take_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+        )
+    nt = F.when(take_b, F.col("__bt")).otherwise(F.col("__ft"))
+    out = out.withColumn(
+        "asof_dist", F.abs(nt - F.col(left_time)).cast("long")
+    )
+    drop = ["__bt", "__ft"]
+    drop += [f"__b_{c}" for c in right_payload]
+    drop += [f"__f_{c}" for c in right_payload]
+    return out.drop(*drop)

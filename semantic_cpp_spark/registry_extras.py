@@ -706,3 +706,53 @@ def asof_next_purchase_after_signup(spark, sf_dir):
         "signup_id", "user_id", "t_signup", "t_next",
         (F.col("t_next") - F.col("t_signup")).alias("latency_us"),
     )
+
+
+@register(
+    "asof_nearest_signup",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                         epoch_ns(ts) // 1000 AS tus
+                  FROM events),
+    p AS (SELECT user_id, event_id AS purchase_id, tus AS p_t
+          FROM e WHERE event_type = 'purchase'),
+    s AS (SELECT user_id, event_id AS signup_id, tus AS s_t
+          FROM e WHERE event_type = 'signup'),
+    j AS (SELECT p.user_id, p.purchase_id, s.signup_id, s.s_t, p.p_t,
+                 row_number() OVER (
+                   PARTITION BY p.purchase_id
+                   ORDER BY abs(s.s_t - p.p_t), s.s_t, s.signup_id
+                 ) AS rn
+          FROM p LEFT JOIN s ON s.user_id = p.user_id)
+    SELECT user_id, purchase_id, signup_id,
+           (CASE WHEN signup_id IS NOT NULL
+                 THEN abs(s_t - p_t) END)::BIGINT AS asof_dist
+    FROM j WHERE rn = 1""",
+)
+def asof_nearest_signup(spark, sf_dir):
+    """NEAREST as-of join (operators.asof.asof_join_nearest): each
+    purchase matched to the SAME user's closest signup in TIME — before
+    or after, whichever is nearer; equidistant ties take the earlier
+    (backward) row. Spark composes the backward and forward
+    union-window passes plus a Column argmin (two key-partitioned
+    windows total, no range explosion); the oracle brute-forces the
+    per-purchase argmin over an all-pairs user join — small at gate
+    scale, and exactly the plan shape the operator exists to avoid."""
+    from semantic_cpp_spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("tus", ts_micros(ev))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "tus",
+    )
+    signs = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("tus").alias("s_tus"),
+    )
+    out = asof_join_nearest(
+        buys, signs, key="user_id", left_time="tus", right_time="s_tus",
+        right_payload=["signup_id"],
+    )
+    return out.select("user_id", "purchase_id", "signup_id", "asof_dist")

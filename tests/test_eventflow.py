@@ -568,3 +568,34 @@ def test_top_session_paths_respects_session_boundary(spark):
 def test_top_session_paths_rejects_other_lengths(spark):
     with pytest.raises(ValueError):
         eventflow.top_session_paths(_events(spark, [(0, 1, 0, "a", 0.0)]), path_len=4)
+
+
+def test_asof_join_nearest_semantics(spark):
+    from semantic_cpp_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [
+            ("a", 1, 100),   # nearest right: 90 (back 10) vs 130 (fwd 30)
+            ("a", 2, 128),   # nearest right: 130 (fwd 2) vs 90 (back 38)
+            ("a", 3, 110),   # EQUIDISTANT 90/130 -> backward (90) wins
+            ("b", 4, 50),    # only a forward right row exists (80)
+            ("c", 5, 10),    # no right rows at all -> nulls
+        ],
+        "k string, lid long, lt long",
+    )
+    right = spark.createDataFrame(
+        [("a", 901, 90), ("a", 902, 130), ("b", 903, 80)],
+        "k string, rid long, rt long",
+    )
+    out = {
+        r["lid"]: (r["rid"], r["asof_dist"])
+        for r in asof_join_nearest(
+            left, right, key="k", left_time="lt", right_time="rt",
+            right_payload=["rid"],
+        ).collect()
+    }
+    assert out[1] == (901, 10)
+    assert out[2] == (902, 2)
+    assert out[3] == (901, 20)  # tie -> earlier (backward) row
+    assert out[4] == (903, 30)  # forward-only match
+    assert out[5] == (None, None)  # no candidates on key c
