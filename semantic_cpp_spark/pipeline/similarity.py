@@ -764,3 +764,115 @@ def lsh_plane_sql_literal(dims: int, planes: int = LSH_PLANES) -> str:
         )
         rows.append(f"[{entries}]")
     return "[" + ", ".join(rows) + "]"
+
+
+# -- product quantization (PQ) ----------------------------------------------
+# The FAISS-style compression path past scalar int8 (quantize_q127) and
+# prefix truncation (truncated_rescore_topk): split each vector into M
+# subspaces, learn K centroids per subspace, store each vector as M
+# small codes (M·log2(K) bits — 16 bits here vs 256 float bytes), and
+# answer queries by ADC (asymmetric distance computation): exact
+# query-to-centroid tables + code lookups, never touching the original
+# vectors at probe time.
+
+PQ_M = 4     # subspaces
+PQ_K = 16    # centroids per subspace -> 4-bit codes
+PQ_SUB = 16  # dims per subspace (PQ_M * PQ_SUB = the 64-dim fixture)
+
+
+def pq_books(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-subspace codebooks (m, c_id, cv) seeded from the PQ_K
+    smallest vector ids' subvectors — the deterministic id-seeding
+    discipline kmeans_assign/ivf_assign use, so the oracle replays the
+    books exactly (production would Lloyd-iterate each subspace with
+    the emb_kmeans_step replay pattern; the PQ machinery is identical
+    either way). PQ_M·PQ_K rows — broadcast-sized at any corpus."""
+    from semantic_cpp_spark.pipeline.clustering import _as_double
+
+    e = emb.filter(F.col(id_col) < PQ_K).select(
+        F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    return e.select("c_id", ms, "v").select(
+        "m",
+        "c_id",
+        F.slice(F.col("v"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("cv"),
+    )
+
+
+def pq_encode(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """PQ codes (vec_id, m, code): per subspace, the nearest codebook
+    centroid by squared euclidean (ties → smallest c_id). One narrow
+    4×-explode + a broadcast join against the 64-row codebook + one
+    per-(vec, m) argmin window — 16 bits of index state per vector at
+    any scale. The 100 TB shape: codes persist next to the corpus like
+    the Bloom/CMS sidecars; re-encoding only touches new vectors."""
+    from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
+
+    books = pq_books(emb, id_col, vec_col)
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    sub = e.select("vec_id", ms, "v").select(
+        "vec_id",
+        "m",
+        F.slice(F.col("v"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("xv"),
+    )
+    scored = sub.join(F.broadcast(books), "m").select(
+        "vec_id", "m", "c_id", sq_dist(F.col("xv"), F.col("cv")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("c_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "m", F.col("c_id").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by PQ ASYMMETRIC distance: the query stays exact; per
+    subspace its distance to each of the 16 centroids forms a lookup
+    table (|Q|·PQ_M·PQ_K rows — broadcast), and a candidate's distance
+    is the SUM of table entries at its codes — the original vectors are
+    never read at probe time. Ordering pinned on (rounded adc, vec_id);
+    self-matches excluded. Returns (q_id, rk, vec_id, adc) — an
+    APPROXIMATION whose recall-vs-compression trade is pinned in
+    tests/measured in SCALING.md, the standard memory-bound regime
+    (16 bits vs 256 bytes per vector = 128×)."""
+    from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
+
+    books = pq_books(emb, id_col, vec_col)
+    codes = pq_encode(emb, id_col, vec_col)
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    qsub = q.select("q_id", ms, "qv").select(
+        "q_id",
+        "m",
+        F.slice(F.col("qv"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("qx"),
+    )
+    lut = qsub.join(F.broadcast(books), "m").select(
+        "q_id", "m", "c_id", sq_dist(F.col("qx"), F.col("cv")).alias("qd2")
+    )
+    c, l = codes.alias("c"), lut.alias("l")
+    joined = c.join(
+        F.broadcast(l),
+        (F.col("c.m") == F.col("l.m")) & (F.col("c.code") == F.col("l.c_id")),
+    ).select(F.col("l.q_id"), F.col("c.vec_id"), F.col("l.qd2"))
+    adc = joined.groupBy("q_id", "vec_id").agg(
+        F.round(F.sum("qd2"), 6).alias("adc")
+    ).filter(F.col("q_id") != F.col("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("vec_id"))
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("rk").cast("long").alias("rk"), "vec_id", "adc")
+    )

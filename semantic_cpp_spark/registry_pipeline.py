@@ -3264,6 +3264,53 @@ def mm_image_histogram(spark, sf_dir):
 
 
 @register(
+    "sim_pq_adc_topk",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    mrange AS (SELECT unnest(range(0, 4)) AS m),
+    books AS (SELECT m, vec_id AS c_id, v[m*16+1 : m*16+16] AS cv
+              FROM e, mrange WHERE vec_id < 16),
+    sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS xv FROM e, mrange),
+    sc AS (SELECT s.vec_id, s.m, b.c_id,
+                  list_dot_product(s.xv, s.xv)
+                    - 2.0 * list_dot_product(s.xv, b.cv)
+                    + list_dot_product(b.cv, b.cv) AS d2
+           FROM sub s JOIN books b ON b.m = s.m),
+    codes AS (SELECT vec_id, m, c_id AS code FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                            ORDER BY d2, c_id) AS r
+               FROM sc) WHERE r = 1),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+    qsub AS (SELECT q_id, m, qv[m*16+1 : m*16+16] AS qx FROM q, mrange),
+    lut AS (SELECT qs.q_id, qs.m, b.c_id,
+                   list_dot_product(qs.qx, qs.qx)
+                     - 2.0 * list_dot_product(qs.qx, b.cv)
+                     + list_dot_product(b.cv, b.cv) AS qd2
+            FROM qsub qs JOIN books b ON b.m = qs.m),
+    adc AS (SELECT l.q_id, c.vec_id, round(sum(l.qd2), 6) AS adc
+            FROM codes c JOIN lut l ON l.m = c.m AND l.c_id = c.code
+            GROUP BY l.q_id, c.vec_id)
+    SELECT q_id, rk::BIGINT AS rk, vec_id, adc FROM
+      (SELECT *, row_number() OVER (PARTITION BY q_id
+                                    ORDER BY adc, vec_id) AS rk
+       FROM adc WHERE q_id <> vec_id)
+    WHERE rk <= 5""",
+)
+def sim_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN under the gate (similarity.pq_books/
+    pq_encode/pq_adc_topk — the FAISS IVF-PQ compression path): 4
+    subspaces × 16 id-seeded centroids → 4-bit codes (16 bits per
+    vector vs 256 float bytes, 128×), queries answered by ASYMMETRIC
+    distance — exact query-to-centroid tables + code lookups, the
+    original vectors never read at probe time. Codebooks are
+    deterministic (id-seeded, the kmeans_assign discipline), so the
+    oracle replays books, encoding argmins, and the ADC sums exactly;
+    recall-vs-compression is pinned in tests and measured in
+    SCALING.md. Ordering on (rounded adc, vec_id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(emb, [0, 1, 2], k=5)
+
+
+@register(
     "mm_image_ahash",
     """WITH sz AS (SELECT doc_id,
                           (8 + doc_id % 9)::BIGINT AS w,
