@@ -496,3 +496,21 @@ def test_video_motion_is_narrow_map(spark, qs):
     plan = _plan(qs["mm_video_motion"](spark, SF))
     assert "MapInPandas" in plan, "Arrow kernel missing from plan"
     assert "Exchange" not in plan
+
+
+def test_pq_adc_probe_is_broadcast_shaped(spark, qs):
+    """PQ's codebook (64 rows) and LUT (|Q|*64 rows) must broadcast —
+    a shuffle or cartesian against either would defeat the point of
+    probing codes instead of vectors."""
+    plan = _plan(qs["sim_pq_adc_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_cuts_no_cartesian_and_hash_keyed(spark, qs):
+    """The exact-substring planner joins occurrences to first
+    occurrences on the 60-bit span HASH — never on span text, never
+    all-pairs."""
+    plan = _plan(qs["dedup_span_cuts"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
