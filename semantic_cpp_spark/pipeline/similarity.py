@@ -800,7 +800,12 @@ def pq_books(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding")
     )
 
 
-def pq_encode(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def pq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: DataFrame | None = None,
+) -> DataFrame:
     """PQ codes (vec_id, m, code): per subspace, the nearest codebook
     centroid by squared euclidean (ties → smallest c_id). One narrow
     4×-explode + a broadcast join against the 64-row codebook + one
@@ -809,7 +814,8 @@ def pq_encode(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
     the Bloom/CMS sidecars; re-encoding only touches new vectors."""
     from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
 
-    books = pq_books(emb, id_col, vec_col)
+    if books is None:
+        books = pq_books(emb, id_col, vec_col)
     e = emb.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -836,6 +842,7 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trained: bool = False,
 ) -> DataFrame:
     """Top-k by PQ ASYMMETRIC distance: the query stays exact; per
     subspace its distance to each of the 16 centroids forms a lookup
@@ -848,8 +855,12 @@ def pq_adc_topk(
     (16 bits vs 256 bytes per vector = 128×)."""
     from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
 
-    books = pq_books(emb, id_col, vec_col)
-    codes = pq_encode(emb, id_col, vec_col)
+    books = (
+        pq_books_trained(emb, id_col, vec_col)
+        if trained
+        else pq_books(emb, id_col, vec_col)
+    )
+    codes = pq_encode(emb, id_col, vec_col, books=books)
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -875,4 +886,110 @@ def pq_adc_topk(
         adc.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", F.col("rk").cast("long").alias("rk"), "vec_id", "adc")
+    )
+
+
+PQ_TRAIN_OFF = 4_000_000  # positivity shift for exact floor division
+
+
+def pq_books_trained(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One exactness-disciplined Lloyd step over the id-seeded books:
+    assign every subvector to its nearest seed centroid, then replace
+    each centroid with its members' element-wise mean — computed so
+    BOTH engines produce the bit-identical result: components round to
+    int64 micro-units before the group sum (order-exact, the
+    cluster_cohesion discipline), the mean is an exact positive-shifted
+    integer floor division ((Σ + OFF·n) // n − OFF — `div`/`//` agree
+    on positives where they differ on negatives), and only the final
+    /1e6 returns to double (correctly rounded identically everywhere).
+    Empty clusters keep their seed. The 1e-6 centroid quantization is
+    noise against the quantization PQ itself introduces; what it buys
+    is a TRAINED codebook the DuckDB oracle can replay exactly
+    (sim_pq_train_means verifies the integer means table cell-for-cell)
+    — production would iterate this step k times, same replay pattern
+    as emb_kmeans_step.
+
+    HONEST FINDING (measured, both fixtures): at 4-bit codes ONE
+    training step does not reliably beat the id seeding — recall@5
+    moved 0.13→0.33 (isotropic sf0.001), 0.33→0.27 (sf0.01), and
+    0.13→0.07 (clustered) — the code budget, not centroid placement,
+    dominates ADC error at 16 bits. The recall lever that does work is
+    the candidate+exact-rescore stage (0.73–0.87 at C=100,
+    test-pinned); training pays off only with more iterations AND a
+    bigger code budget."""
+    trained = (
+        pq_train_means(emb, id_col, vec_col)
+        .groupBy("m", "c_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "q"))),
+                lambda st: st["q"].cast("double") / F.lit(1e6),
+            ).alias("cv")
+        )
+    )
+    books0 = pq_books(emb, id_col, vec_col)
+    # empty clusters keep their seed centroid
+    b0 = books0.alias("b0")
+    t = trained.alias("t")
+    return b0.join(
+        t,
+        (F.col("b0.m") == F.col("t.m")) & (F.col("b0.c_id") == F.col("t.c_id")),
+        "left",
+    ).select(
+        F.col("b0.m").alias("m"),
+        F.col("b0.c_id").alias("c_id"),
+        F.coalesce(F.col("t.cv"), F.col("b0.cv")).alias("cv"),
+    )
+
+
+def pq_train_means(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The exact integer means table behind pq_books_trained:
+    (m, c_id, dim, q) with q = the trained centroid component in
+    micro-units — pure int64 end to end, so a differential oracle can
+    verify the whole assign→group→mean pipeline cell-for-cell with no
+    float anywhere. Only clusters with members appear."""
+    from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
+
+    books0 = pq_books(emb, id_col, vec_col)
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    sub = e.select("vec_id", ms, "v").select(
+        "vec_id",
+        "m",
+        F.slice(F.col("v"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("xv"),
+    )
+    scored = sub.join(F.broadcast(books0), "m").select(
+        "vec_id", "m", "c_id", "xv",
+        sq_dist(F.col("xv"), F.col("cv")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("c_id"))
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("m", "c_id", "xv")
+    )
+    dims = assigned.select(
+        "m", "c_id",
+        F.posexplode(F.col("xv")).alias("dim", "x"),
+    ).select(
+        "m", "c_id", "dim",
+        F.round(F.col("x") * 1e6).cast("long").alias("xi"),
+    )
+    # integer `div` on the positive-shifted numerator — never a double
+    # quotient (whose rounding could cross an integer before truncation)
+    return dims.groupBy("m", "c_id", "dim").agg(
+        F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "m",
+        "c_id",
+        F.col("dim").cast("long").alias("dim"),
+        (
+            F.expr(f"(s + {PQ_TRAIN_OFF}L * n) div n") - F.lit(PQ_TRAIN_OFF)
+        ).alias("q"),
     )

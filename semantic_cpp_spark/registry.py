@@ -651,7 +651,7 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r8 window (50 = 21 + 5 + 19 + 5): the 21 r3-vintage spills LEAD (the r7
+# r8 window (50 = 21 + 5 + 20 + 4): the 21 r3-vintage spills LEAD (the r7
 # policy's own deadline — after this round no latest row predates r4); then
 # rule (a) code-or-oracle-changed refreshes (emb_pca_project: power-iteration
 # fit + brand-new hard oracle replacing the rows-only row;
@@ -716,14 +716,15 @@ _PRIORITY: list[str] = [
     "dedup_span_cuts_apply",
     "asof_nearest_signup",
     "sim_pq_adc_topk",
-    # -- (c) r4-vintage backfill (5 of 36), riskiest families first --
+    "sim_pq_train_means",
+    # -- (c) r4-vintage backfill (4 of 36), riskiest families first --
     "dedup_exact",
     "dedup_keep_list",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "corpus_diff_versions",
     # -- WINDOW CUT at position 50 — recount, don't trust comment position,
-    #    when rotating. r9 spill (28 r4-vintage): emb_cluster_medoids,
+    #    when rotating. r9 spill (29 r4-vintage): corpus_diff_versions,
+    #    emb_cluster_medoids,
     #    pack_token_sequences,
     #    evt_sessionize,
     #    evt_retention_cohorts,

@@ -3311,6 +3311,44 @@ def sim_pq_adc_topk(spark, sf_dir):
 
 
 @register(
+    "sim_pq_train_means",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    mrange AS (SELECT unnest(range(0, 4)) AS m),
+    books AS (SELECT m, vec_id AS c_id, v[m*16+1 : m*16+16] AS cv
+              FROM e, mrange WHERE vec_id < 16),
+    sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS xv FROM e, mrange),
+    sc AS (SELECT s.vec_id, s.m, s.xv, b.c_id,
+                  list_dot_product(s.xv, s.xv)
+                    - 2.0 * list_dot_product(s.xv, b.cv)
+                    + list_dot_product(b.cv, b.cv) AS d2
+           FROM sub s JOIN books b ON b.m = s.m),
+    asgn AS (SELECT vec_id, m, c_id, xv FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d2, c_id) AS r
+              FROM sc) WHERE r = 1),
+    dims AS (SELECT a.m, a.c_id, d.range AS dim,
+                    round(a.xv[d.range + 1] * 1000000.0)::BIGINT AS xi
+             FROM asgn a CROSS JOIN range(0, 16) d)
+    SELECT m, c_id, dim::BIGINT AS dim,
+           ((sum(xi) + 4000000 * count(*)) // count(*) - 4000000)::BIGINT AS q
+    FROM dims GROUP BY m, c_id, dim""",
+)
+def sim_pq_train_means(spark, sf_dir):
+    """One distributed PQ codebook training step as an EXACT INTEGER
+    table (similarity.pq_train_means → pq_books_trained): per-subspace
+    nearest-seed assignment, then each centroid component as the
+    members' mean in micro-units — components round to int64 before
+    the group sum (order-exact) and the mean is a positive-shifted
+    integer floor division, so the oracle verifies the whole
+    assign→group→mean pipeline cell-for-cell with no float anywhere.
+    The honest recall finding for the trained books at 4-bit codes is
+    measured and documented in pq_books_trained: the rescore stage,
+    not one training step, is the recall lever at this code budget."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_train_means(emb)
+
+
+@register(
     "mm_image_ahash",
     """WITH sz AS (SELECT doc_id,
                           (8 + doc_id % 9)::BIGINT AS w,

@@ -1638,3 +1638,42 @@ def test_pq_recall_floors_and_rescore_monotonicity(spark):
     assert r25 >= adc_only
     assert r100 >= r25
     assert r100 >= 0.6
+
+
+def test_pq_trained_books_structure_and_hand_mean(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(24, 64)
+    df = _emb_frame(spark, vecs)
+    books = similarity.pq_books_trained(df)
+    rows = books.collect()
+    assert len(rows) == similarity.PQ_M * similarity.PQ_K  # fallback fills
+    assert all(len(r["cv"]) == similarity.PQ_SUB for r in rows)
+    # replicate one trained component by hand: subspace 0, the exact
+    # integer-micro-unit mean over the assigned members
+    v32 = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    seeds = v32[:16, :16]
+    sub = v32[:, :16]
+    d2 = ((sub[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # numpy ties break low-id like the engine
+    got = {r["c_id"]: r["cv"] for r in rows if r["m"] == 0}
+    for c in set(assign):
+        members = sub[assign == c]
+        # round-half-away-from-zero, the Spark/DuckDB round() convention
+        xi = np.sign(members) * np.floor(np.abs(members) * 1e6 + 0.5)
+        s = xi.sum(axis=0).astype(np.int64)
+        n = len(members)
+        q = (s + 4_000_000 * n) // n - 4_000_000
+        exp = q / 1e6
+        assert np.allclose(got[int(c)], exp, atol=0), (c,)
+
+
+def test_pq_trained_adc_runs_and_differs_from_seeded(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    df = _emb_frame(spark, rng.randn(60, 64))
+    seeded = similarity.pq_adc_topk(df, [0], k=3).collect()
+    trained = similarity.pq_adc_topk(df, [0], k=3, trained=True).collect()
+    assert len(seeded) == 3 and len(trained) == 3

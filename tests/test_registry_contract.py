@@ -44,6 +44,7 @@ TOUCHED_IN_R8 = [
     "dedup_span_cuts_apply",
     "asof_nearest_signup",
     "sim_pq_adc_topk",
+    "sim_pq_train_means",
 ]
 
 # The 21 r3-vintage queries the r7 window deliberately spilled (listed under
@@ -75,7 +76,7 @@ SPILL_FROM_R7 = [
 
 # r8 window policy (VERDICT r7 #1 + the standing rotation policy in
 # registry._PRIORITY's comment): the 21 r7 spills + 5 code-or-oracle-changed
-# + 19 new-operator first rows + 5 riskiest r4-vintage backfill = exactly
+# + 20 new-operator first rows + 4 riskiest r4-vintage backfill = exactly
 # 50. Nothing is pushed below the cut this round (_PRIORITY holds exactly
 # the window); the r4-vintage leftovers (incl. rel_running_customer_revenue,
 # bumped for graph_ppr_seeds) rotate in r9 on their green prior rows + the
