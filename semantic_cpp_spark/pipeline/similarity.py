@@ -993,3 +993,53 @@ def pq_train_means(
             F.expr(f"(s + {PQ_TRAIN_OFF}L * n) div n") - F.lit(PQ_TRAIN_OFF)
         ).alias("q"),
     )
+
+
+def pq_index_save(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trained: bool = False,
+) -> None:
+    """Persist a PQ index NEXT TO its codebooks — the bloom_save
+    discipline applied to ANN: codes probed against the wrong books
+    silently return garbage distances (no error, just wrong
+    neighbors), so books and codes travel under one root
+    (``<path>/books`` + ``<path>/codes`` + ``<path>/params``) and
+    pq_index_load refuses to hand back a partial index. Codes stay
+    distributed end to end (16 bits/vector: a 10¹⁰-vector corpus is
+    ~20 GB of code rows — never driver state); books are 64 rows."""
+    books = (
+        pq_books_trained(emb, id_col, vec_col)
+        if trained
+        else pq_books(emb, id_col, vec_col)
+    )
+    codes = pq_encode(emb, id_col, vec_col, books=books)
+    books.write.mode("overwrite").parquet(f"{path}/books")
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    emb.sparkSession.createDataFrame(
+        [(PQ_M, PQ_K, PQ_SUB, bool(trained))],
+        "pq_m int, pq_k int, pq_sub int, trained boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def pq_index_load(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
+    """Re-open a pq_index_save'd index: (books, codes, params). The
+    params sidecar is one row; books/codes scans stay lazy."""
+    p = spark.read.parquet(f"{path}/params").collect()
+    if len(p) != 1:
+        raise ValueError(
+            f"pq params sidecar must hold exactly 1 row, got {len(p)}"
+        )
+    params = {
+        "pq_m": int(p[0]["pq_m"]),
+        "pq_k": int(p[0]["pq_k"]),
+        "pq_sub": int(p[0]["pq_sub"]),
+        "trained": bool(p[0]["trained"]),
+    }
+    return (
+        spark.read.parquet(f"{path}/books"),
+        spark.read.parquet(f"{path}/codes"),
+        params,
+    )

@@ -1677,3 +1677,34 @@ def test_pq_trained_adc_runs_and_differs_from_seeded(spark):
     seeded = similarity.pq_adc_topk(df, [0], k=3).collect()
     trained = similarity.pq_adc_topk(df, [0], k=3, trained=True).collect()
     assert len(seeded) == 3 and len(trained) == 3
+
+
+def test_pq_index_save_load_round_trip(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    df = _emb_frame(spark, rng.randn(40, 64))
+    root = str(tmp_path / "pqidx")
+    similarity.pq_index_save(df, root)
+    books, codes, params = similarity.pq_index_load(spark, root)
+    assert params == {"pq_m": 4, "pq_k": 16, "pq_sub": 16, "trained": False}
+    # reloaded codes match a fresh encode against the reloaded books
+    fresh = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in similarity.pq_encode(df, books=books).collect()
+    }
+    stored = {
+        (r["vec_id"], r["m"]): r["code"] for r in codes.collect()
+    }
+    assert stored == fresh
+    assert books.count() == 64
+
+
+def test_pq_index_load_refuses_partial(spark, tmp_path):
+    root = str(tmp_path / "broken")
+    spark.createDataFrame(
+        [(4, 16, 16, False), (4, 16, 16, False)],
+        "pq_m int, pq_k int, pq_sub int, trained boolean",
+    ).write.mode("overwrite").parquet(f"{root}/params")
+    with pytest.raises(ValueError, match="exactly 1 row"):
+        similarity.pq_index_load(spark, root)
