@@ -1708,3 +1708,30 @@ def test_pq_index_load_refuses_partial(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{root}/params")
     with pytest.raises(ValueError, match="exactly 1 row"):
         similarity.pq_index_load(spark, root)
+
+
+def test_ahash_pairs_compose_into_visual_dup_clusters(spark):
+    """The full visual-dedup pipeline composes: decode -> aHash ->
+    pigeonhole pair search -> connected components, exactly like the
+    text MinHash funnel — three re-encodes of raster A and two of
+    raster B resolve into two clusters keyed by their smallest ids."""
+    from semantic_cpp_spark.pipeline import dedup as dedup_ops
+
+    a, b = multimodal.render_ppm(3), multimodal.render_ppm(8)
+    a2, b2 = bytearray(a), bytearray(b)
+    a2[-1] = (a2[-1] + 2) % 256  # near-dup re-encode of A
+    b2[-2] = (b2[-2] + 2) % 256
+    rows = [
+        (1, bytearray(a)), (2, a2), (3, bytearray(a)),
+        (10, bytearray(b)), (11, b2),
+        (99, bytearray(multimodal.render_ppm(40))),  # unrelated singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = multimodal.ahash_pairs(multimodal.image_ahash(df), max_dist=3)
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup_ops.connected_components(pairs).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert 99 not in comp  # singletons never enter the pair graph
