@@ -1735,3 +1735,28 @@ def test_ahash_pairs_compose_into_visual_dup_clusters(spark):
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[10] == comp[11] == 10
     assert 99 not in comp  # singletons never enter the pair graph
+
+
+def test_pq_rescore_topk_exact_at_full_candidate_budget(spark):
+    # C = n degenerates to exact search: rescore over ALL candidates
+    # must equal brute-force euclidean top-k
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    vecs = rng.randn(50, 64)
+    df = _emb_frame(spark, vecs)
+    got = {
+        (r["q_id"], r["rk"]): r["vec_id"]
+        for r in similarity.pq_rescore_topk(
+            df, [0, 1], k=3, n_candidates=49
+        ).collect()
+    }
+    v = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    for qid in (0, 1):
+        d = ((v - v[qid]) ** 2).sum(axis=1)
+        order = sorted(
+            (i for i in range(50) if i != qid),
+            key=lambda i: (round(d[i], 6), i),
+        )
+        for rk in (1, 2, 3):
+            assert got[(qid, rk)] == order[rk - 1]
