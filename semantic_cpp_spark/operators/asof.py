@@ -28,39 +28,76 @@ def asof_join(
     left_time: str,
     right_time: str,
     right_payload: list[str],
+    tiebreak: str | None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + the payload of the latest right
     row at-or-before its time (nulls when no prior right row exists).
+
+    ``tiebreak`` pins which of several SIMULTANEOUS right rows wins (the
+    smallest tiebreak value — mirroring asof_join_forward's contract);
+    without it the pick among equal (key, right_time) rows is
+    plan-dependent, fine only when the payload is the time itself.
+    ``tolerance`` (same units as the time columns) nulls out matches
+    farther than ``tolerance`` behind the left row — the pandas
+    ``merge_asof(tolerance=)`` max-gap contract, boundary-INCLUSIVE
+    (a match exactly ``tolerance`` away survives).
 
     ``left`` and ``right`` must not share payload column names other than
     the key.
     """
     lt = left.withColumn("__t", F.col(left_time)).withColumn("__side", F.lit(1))
+    # the match's own time rides inside the payload struct so the
+    # tolerance check needs no second pass over the right side
     rt = (
         right.select(
             key,
             F.col(right_time).alias("__t"),
-            F.struct(*[F.col(c) for c in right_payload]).alias("__rp"),
+            F.struct(
+                *[F.col(c) for c in right_payload],
+                F.col(right_time).alias("__mt"),
+            ).alias("__rp"),
+            *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
         )
         .withColumn("__side", F.lit(0))
     )
     lt = lt.withColumn("__rp", F.lit(None).cast(rt.schema["__rp"].dataType))
+    if tiebreak:
+        lt = lt.withColumn("__tb", F.lit(None).cast(rt.schema["__tb"].dataType))
     unioned = lt.select(
-        key, "__t", "__side", "__rp", *[c for c in left.columns if c != key]
+        key, "__t", "__side", "__rp",
+        *(["__tb"] if tiebreak else []),
+        *[c for c in left.columns if c != key],
     ).unionByName(
-        rt.select(key, "__t", "__side", "__rp"), allowMissingColumns=True
+        rt.select(key, "__t", "__side", "__rp", *(["__tb"] if tiebreak else [])),
+        allowMissingColumns=True,
     )
     # right rows sort before left rows at the same instant → a right row
-    # exactly at left_time is visible to that left row
+    # exactly at left_time is visible to that left row; simultaneous
+    # right rows order by tiebreak DESC so the LAST one carried (the one
+    # last_value picks) is the SMALLEST tiebreak — the deterministic pick
+    order = [F.col("__t"), F.col("__side")] + (
+        [F.col("__tb").desc_nulls_last()] if tiebreak else []
+    )
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__t"), F.col("__side"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn(
         "__match", F.last("__rp", ignorenulls=True).over(w)
     )
-    out = carried.filter(F.col("__side") == 1).drop("__t", "__side", "__rp")
+    if tolerance is not None:
+        carried = carried.withColumn(
+            "__match",
+            F.when(
+                F.col("__t") - F.col("__match")["__mt"] <= F.lit(tolerance),
+                F.col("__match"),
+            ),
+        )
+    out = carried.filter(F.col("__side") == 1).drop(
+        "__t", "__side", "__rp", *(["__tb"] if tiebreak else [])
+    )
     for c in right_payload:
         out = out.withColumn(c, F.col("__match")[c])
     return out.drop("__match")
@@ -74,6 +111,7 @@ def asof_join_forward(
     right_time: str,
     right_payload: list[str],
     tiebreak: str | None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """FORWARD as-of join: every left row + the payload of the EARLIEST
     right row at-or-after its time (nulls when none follows) — the
@@ -85,13 +123,18 @@ def asof_join_forward(
     FOLLOWING, with left rows ordered before right rows at equal times so
     an exactly-simultaneous right row is matched (inclusive at-or-after).
     ``tiebreak`` optionally orders simultaneous right rows (needed only
-    when the payload is row-identifying rather than the time itself)."""
+    when the payload is row-identifying rather than the time itself);
+    ``tolerance`` nulls matches farther than that max gap AHEAD of the
+    left row (boundary-inclusive), mirroring the backward form."""
     lt = left.withColumn("__t", F.col(left_time)).withColumn("__side", F.lit(0))
     rt = (
         right.select(
             key,
             F.col(right_time).alias("__t"),
-            F.struct(*[F.col(c) for c in right_payload]).alias("__rp"),
+            F.struct(
+                *[F.col(c) for c in right_payload],
+                F.col(right_time).alias("__mt"),
+            ).alias("__rp"),
             *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
         )
         .withColumn("__side", F.lit(1))
@@ -118,6 +161,14 @@ def asof_join_forward(
     carried = unioned.withColumn(
         "__match", F.first("__rp", ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        carried = carried.withColumn(
+            "__match",
+            F.when(
+                F.col("__match")["__mt"] - F.col("__t") <= F.lit(tolerance),
+                F.col("__match"),
+            ),
+        )
     out = carried.filter(F.col("__side") == 0).drop(
         "__t", "__side", "__rp", *(["__tb"] if tiebreak else [])
     )
@@ -134,6 +185,7 @@ def asof_join_nearest(
     right_time: str,
     right_payload: list[str],
     tiebreak: str | None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """NEAREST as-of join: every left row + the payload of the right row
     minimizing |right_time − left_time| — the third standard as-of
@@ -141,7 +193,16 @@ def asof_join_nearest(
     attribution) next to the backward and forward forms. Equidistant
     before/after candidates resolve to the EARLIER (backward) row —
     deterministic. Adds ``asof_dist`` (|Δt|, null when the key has no
-    right rows at all).
+    right rows at all, or none within ``tolerance``).
+
+    ``tiebreak`` threads through BOTH passes (each picks the smallest
+    tiebreak among simultaneous right rows), so two right rows at the
+    identical (key, right_time) resolve identically on every engine —
+    without it that pick is plan-dependent. ``tolerance`` is the max
+    |Δt| (boundary-inclusive): each directional candidate beyond it
+    nulls out before the argmin, so a match exists iff SOME right row
+    sits within the gap — the pandas ``merge_asof(tolerance=)``
+    contract.
 
     Composed from the two existing passes — one backward + one forward
     union-window (both key-partitioned, both skew-handled the same
@@ -150,13 +211,15 @@ def asof_join_nearest(
     numeric (the engine's int64 epoch-micros currency)."""
     rb = right.withColumn("__bt", F.col(right_time))
     out = asof_join(
-        left, rb, key, left_time, right_time, right_payload + ["__bt"]
+        left, rb, key, left_time, right_time, right_payload + ["__bt"],
+        tiebreak, tolerance,
     )
     for c in right_payload:
         out = out.withColumnRenamed(c, f"__b_{c}")
     rf = right.withColumn("__ft", F.col(right_time))
     out = asof_join_forward(
-        out, rf, key, left_time, right_time, right_payload + ["__ft"], tiebreak
+        out, rf, key, left_time, right_time, right_payload + ["__ft"],
+        tiebreak, tolerance,
     )
     for c in right_payload:
         out = out.withColumnRenamed(c, f"__f_{c}")

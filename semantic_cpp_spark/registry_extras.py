@@ -736,7 +736,10 @@ def asof_nearest_signup(spark, sf_dir):
     union-window passes plus a Column argmin (two key-partitioned
     windows total, no range explosion); the oracle brute-forces the
     per-purchase argmin over an all-pairs user join — small at gate
-    scale, and exactly the plan shape the operator exists to avoid."""
+    scale, and exactly the plan shape the operator exists to avoid.
+    ``tiebreak="signup_id"`` threads through BOTH passes so two signups
+    at the identical (user, time) resolve to min(signup_id) on every
+    engine — matching the oracle's ORDER BY pin (ADVICE r8)."""
     from semantic_cpp_spark.operators.asof import asof_join_nearest
 
     ev = load_table(spark, sf_dir, "events")
@@ -753,6 +756,66 @@ def asof_nearest_signup(spark, sf_dir):
     )
     out = asof_join_nearest(
         buys, signs, key="user_id", left_time="tus", right_time="s_tus",
-        right_payload=["signup_id"],
+        right_payload=["signup_id"], tiebreak="signup_id",
+    )
+    return out.select("user_id", "purchase_id", "signup_id", "asof_dist")
+
+
+# 3 days in epoch-micros — wide enough that most purchases keep a match
+# on the 30-day fixture span, narrow enough that a measurable fraction
+# nulls out (both branches exercised at gate scale).
+ASOF_TOL_US = 3 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "asof_nearest_tol",
+    f"""WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_ns(ts) // 1000 AS tus
+                   FROM events),
+    p AS (SELECT user_id, event_id AS purchase_id, tus AS p_t
+          FROM e WHERE event_type = 'purchase'),
+    s AS (SELECT user_id, event_id AS signup_id, tus AS s_t
+          FROM e WHERE event_type = 'signup'),
+    j AS (SELECT p.user_id, p.purchase_id, s.signup_id, s.s_t, p.p_t,
+                 row_number() OVER (
+                   PARTITION BY p.purchase_id
+                   ORDER BY abs(s.s_t - p.p_t), s.s_t, s.signup_id
+                 ) AS rn
+          FROM p LEFT JOIN s ON s.user_id = p.user_id
+                            AND abs(s.s_t - p.p_t) <= {ASOF_TOL_US})
+    SELECT user_id, purchase_id, signup_id,
+           (CASE WHEN signup_id IS NOT NULL
+                 THEN abs(s_t - p_t) END)::BIGINT AS asof_dist
+    FROM j WHERE rn = 1""",
+)
+def asof_nearest_tol(spark, sf_dir):
+    """NEAREST as-of join with a MAX-GAP tolerance (operators.asof,
+    ``tolerance=`` — the pandas ``merge_asof(tolerance=)`` contract):
+    each purchase matches the same user's closest signup only if it
+    lies within ±3 days; beyond the gap the match nulls out
+    (boundary-INCLUSIVE — a signup exactly 3 days away matches,
+    pinned in test_asof_tolerance_boundary_inclusive). Same two
+    key-partitioned union-window passes as asof_nearest_signup — the
+    tolerance is a pure Column null-out before the argmin, zero extra
+    exchanges; the oracle restricts its brute-force candidate set with
+    the identical inclusive predicate."""
+    from semantic_cpp_spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("tus", ts_micros(ev))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "tus",
+    )
+    signs = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("tus").alias("s_tus"),
+    )
+    out = asof_join_nearest(
+        buys, signs, key="user_id", left_time="tus", right_time="s_tus",
+        right_payload=["signup_id"], tiebreak="signup_id",
+        tolerance=ASOF_TOL_US,
     )
     return out.select("user_id", "purchase_id", "signup_id", "asof_dist")

@@ -599,3 +599,99 @@ def test_asof_join_nearest_semantics(spark):
     assert out[3] == (901, 20)  # tie -> earlier (backward) row
     assert out[4] == (903, 30)  # forward-only match
     assert out[5] == (None, None)  # no candidates on key c
+
+
+def test_asof_backward_tiebreak_picks_smallest_on_simultaneous(spark):
+    """ADVICE r8 (medium): two right rows at the IDENTICAL (key, time)
+    at-or-before the left row must resolve to the smallest tiebreak —
+    without the tiebreak the backward pick is plan-dependent."""
+    from semantic_cpp_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 10, 7, "late"), (1, 10, 3, "early"), (1, 5, 1, "older")],
+        "k long, rt long, rid long, name string",
+    )
+    out = asof_join(
+        left, right, key="k", left_time="lt", right_time="rt",
+        right_payload=["name"], tiebreak="rid",
+    ).collect()
+    assert out[0].name == "early"
+
+
+def test_asof_nearest_tiebreak_both_passes(spark):
+    """The nearest composition threads the tiebreak through BOTH the
+    backward and the forward pass: simultaneous right rows on either
+    side of the left row resolve to min(tiebreak) deterministically."""
+    from semantic_cpp_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([(1, 10), (1, 30)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 8, 12), (1, 8, 4), (1, 33, 9), (1, 33, 2)],
+        "k long, rt long, rid long",
+    )
+    out = {
+        r["lt"]: r["rid"]
+        for r in asof_join_nearest(
+            left, right, key="k", left_time="lt", right_time="rt",
+            right_payload=["rid"], tiebreak="rid",
+        ).collect()
+    }
+    assert out[10] == 4   # backward pair at t=8 -> min rid
+    assert out[30] == 2   # forward pair at t=33 -> min rid
+
+
+def test_asof_tolerance_boundary_inclusive(spark):
+    """tolerance= is the pandas merge_asof max-gap contract, boundary-
+    INCLUSIVE: a match exactly `tolerance` away survives on all three
+    variants; one unit beyond nulls out."""
+    from semantic_cpp_spark.operators.asof import (
+        asof_join, asof_join_forward, asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100), (2, 100)], "k long, lt long"
+    )
+    # k=1: right exactly 10 behind; k=2: right 11 behind
+    right = spark.createDataFrame(
+        [(1, 90, 901), (2, 89, 902)], "k long, rt long, rid long"
+    )
+    back = {r["k"]: r["rid"] for r in asof_join(
+        left, right, key="k", left_time="lt", right_time="rt",
+        right_payload=["rid"], tolerance=10,
+    ).collect()}
+    assert back == {1: 901, 2: None}
+
+    # forward mirror: right 10 / 11 ahead
+    rightf = spark.createDataFrame(
+        [(1, 110, 901), (2, 111, 902)], "k long, rt long, rid long"
+    )
+    fwd = {r["k"]: r["rid"] for r in asof_join_forward(
+        left, right=rightf, key="k", left_time="lt", right_time="rt",
+        right_payload=["rid"], tolerance=10,
+    ).collect()}
+    assert fwd == {1: 901, 2: None}
+
+    near = {r["k"]: (r["rid"], r["asof_dist"]) for r in asof_join_nearest(
+        left, right, key="k", left_time="lt", right_time="rt",
+        right_payload=["rid"], tolerance=10,
+    ).collect()}
+    assert near == {1: (901, 10), 2: (None, None)}
+
+
+def test_asof_nearest_tolerance_takes_other_side(spark):
+    """When the nearer candidate falls OUTSIDE the gap but the farther
+    side falls inside, nearest-with-tolerance must take the surviving
+    side (candidates null independently before the argmin)."""
+    from semantic_cpp_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([(1, 100)], "k long, lt long")
+    # backward at dist 20 (outside tol 15), forward at dist 12 (inside)
+    right = spark.createDataFrame(
+        [(1, 80, 901), (1, 112, 902)], "k long, rt long, rid long"
+    )
+    out = asof_join_nearest(
+        left, right, key="k", left_time="lt", right_time="rt",
+        right_payload=["rid"], tolerance=15,
+    ).collect()
+    assert (out[0].rid, out[0].asof_dist) == (902, 12)
