@@ -922,12 +922,16 @@ def bloom_build(
 
 
 # Above this bit count the sparse filter stops being broadcastable:
-# n_bits/32 (word, mask) rows at ~12 bytes each crosses the default 10 MB
-# autoBroadcastJoinThreshold around 2^28 bits, and the probe becomes a
-# plain shuffle equi-join on the word index — same plan shape, no driver
-# or executor-memory bitmap ever (the SCALING.md 100 TB sizing: 10^10 keys
-# at 1% FP ≈ 2^37 bits ≈ 12 GB of sparse rows takes this path).
-BLOOM_BROADCAST_MAX_BITS = 1 << 28
+# a worst-case-dense filter has n_bits/32 (word, mask) rows at 16 bytes
+# of payload each = n_bits/2 bytes, so the default 10 MB
+# autoBroadcastJoinThreshold is crossed near 2^24–2^25 bits; 2^25 (a
+# ≤16 MB explicit broadcast, still cheap to ship to every executor) is
+# the ceiling, past which the probe becomes a plain shuffle equi-join
+# on the word index — same plan shape, no driver or executor-memory
+# bitmap ever (the SCALING.md 100 TB sizing: 10^10 keys at 1% FP ≈
+# 2^37 bits ≈ 12 GB of sparse rows takes this path). (ADVICE r8: the
+# old 2^28 constant mis-stated this math by ~10×.)
+BLOOM_BROADCAST_MAX_BITS = 1 << 25
 
 
 def bloom_probe(

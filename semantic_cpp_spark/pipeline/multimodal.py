@@ -1579,7 +1579,12 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
     resizes of the same picture move few bits, so near-dups sit at small
     Hamming distance (ahash_pairs). 1→1 mapInPandas, Arrow-batched,
     narrow, partition-preserving; undecodable payloads contribute no
-    row (quarantine-by-absence, as image_histograms)."""
+    row (quarantine-by-absence, as image_histograms). Images narrower or
+    shorter than ``grid`` pixels are QUARANTINED the same way (ADVICE
+    r8: with w or h < grid some blocks receive no pixels and the block
+    mean would divide by zero, silently distorting the hash — and a
+    clamped smaller grid would produce hashes incomparable with the
+    rest of the corpus, so absence is the honest output)."""
     if not 2 <= grid <= 8:
         raise ValueError(f"grid must be in [2, 8] (≤64 bits), got {grid}")
     nb = grid * grid
@@ -1594,6 +1599,8 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
                     w, h, _, px = decode_image(bytes(payload))
                 except (ValueError, NotImplementedError):
                     continue
+                if w < grid or h < grid:
+                    continue  # empty blocks -> no comparable hash exists
                 a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
                 luma = a.astype(np.int16).sum(axis=2) // 3
                 bx = (np.arange(w) * grid) // w

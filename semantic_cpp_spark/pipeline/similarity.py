@@ -780,23 +780,33 @@ PQ_K = 16    # centroids per subspace -> 4-bit codes
 PQ_SUB = 16  # dims per subspace (PQ_M * PQ_SUB = the 64-dim fixture)
 
 
-def pq_books(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Per-subspace codebooks (m, c_id, cv) seeded from the PQ_K
-    smallest vector ids' subvectors — the deterministic id-seeding
-    discipline kmeans_assign/ivf_assign use, so the oracle replays the
-    books exactly (production would Lloyd-iterate each subspace with
-    the emb_kmeans_step replay pattern; the PQ machinery is identical
-    either way). PQ_M·PQ_K rows — broadcast-sized at any corpus."""
+def pq_books(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = PQ_K,
+    m_subs: int = PQ_M,
+    sub_dims: int = PQ_SUB,
+) -> DataFrame:
+    """Per-subspace codebooks (m, c_id, cv) seeded from the
+    ``n_centroids`` smallest vector ids' subvectors — the deterministic
+    id-seeding discipline kmeans_assign/ivf_assign use, so the oracle
+    replays the books exactly (pq_books_trained Lloyd-iterates these
+    seeds with the emb_kmeans_step replay pattern). m_subs·n_centroids
+    rows — broadcast-sized at any corpus (even 8-bit codes are
+    m_subs·256 rows). Defaults give the 16-bit fixture config; the
+    8-bit production config is n_centroids=256 (sim_pq_train_means_k256
+    pins it under the gate)."""
     from semantic_cpp_spark.pipeline.clustering import _as_double
 
-    e = emb.filter(F.col(id_col) < PQ_K).select(
+    e = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m_subs - 1))).alias("m")
     return e.select("c_id", ms, "v").select(
         "m",
         "c_id",
-        F.slice(F.col("v"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("cv"),
+        F.slice(F.col("v"), F.col("m") * sub_dims + 1, sub_dims).alias("cv"),
     )
 
 
@@ -805,25 +815,28 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     books: DataFrame | None = None,
+    m_subs: int = PQ_M,
+    sub_dims: int = PQ_SUB,
 ) -> DataFrame:
     """PQ codes (vec_id, m, code): per subspace, the nearest codebook
     centroid by squared euclidean (ties → smallest c_id). One narrow
-    4×-explode + a broadcast join against the 64-row codebook + one
-    per-(vec, m) argmin window — 16 bits of index state per vector at
-    any scale. The 100 TB shape: codes persist next to the corpus like
-    the Bloom/CMS sidecars; re-encoding only touches new vectors."""
+    m_subs×-explode + a broadcast join against the codebook + one
+    per-(vec, m) argmin window — m_subs·log2(K) bits of index state per
+    vector at any scale. The 100 TB shape: codes persist next to the
+    corpus like the Bloom/CMS sidecars (pq_index_save); re-encoding
+    only touches new vectors."""
     from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
 
     if books is None:
-        books = pq_books(emb, id_col, vec_col)
+        books = pq_books(emb, id_col, vec_col, m_subs=m_subs, sub_dims=sub_dims)
     e = emb.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m_subs - 1))).alias("m")
     sub = e.select("vec_id", ms, "v").select(
         "vec_id",
         "m",
-        F.slice(F.col("v"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("xv"),
+        F.slice(F.col("v"), F.col("m") * sub_dims + 1, sub_dims).alias("xv"),
     )
     scored = sub.join(F.broadcast(books), "m").select(
         "vec_id", "m", "c_id", sq_dist(F.col("xv"), F.col("cv")).alias("d2")
@@ -836,6 +849,70 @@ def pq_encode(
     )
 
 
+def _pq_default_index(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    trained: bool,
+    books: DataFrame | None,
+    codes: DataFrame | None,
+    m_subs: int,
+    sub_dims: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Resolve the (books, codes) pair a probe runs against: passed-in
+    frames win (the pq_index_load path — a persisted index is probed
+    without re-deriving anything, ADVICE r8), otherwise both derive
+    from the corpus. Passing codes without books raises — codes probed
+    against the wrong books silently return garbage distances."""
+    if codes is not None and books is None:
+        raise ValueError(
+            "pq probe: codes without their books — load both via "
+            "pq_index_load (codes are meaningless against other books)"
+        )
+    if books is None:
+        books = (
+            pq_books_trained(emb, id_col, vec_col,
+                             m_subs=m_subs, sub_dims=sub_dims)
+            if trained
+            else pq_books(emb, id_col, vec_col,
+                          m_subs=m_subs, sub_dims=sub_dims)
+        )
+    if codes is None:
+        codes = pq_encode(
+            emb, id_col, vec_col, books=books,
+            m_subs=m_subs, sub_dims=sub_dims,
+        )
+    return books, codes
+
+
+def _pq_query_lut(
+    emb: DataFrame,
+    query_ids: list[int],
+    books: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_subs: int,
+    sub_dims: int,
+) -> DataFrame:
+    """ADC lookup table (q_id, m, c_id, qd2): the query stays EXACT —
+    per subspace its squared distance to every codebook centroid.
+    |Q|·m_subs·K rows, broadcast-sized at any corpus."""
+    from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
+
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m_subs - 1))).alias("m")
+    qsub = q.select("q_id", ms, "qv").select(
+        "q_id",
+        "m",
+        F.slice(F.col("qv"), F.col("m") * sub_dims + 1, sub_dims).alias("qx"),
+    )
+    return qsub.join(F.broadcast(books), "m").select(
+        "q_id", "m", "c_id", sq_dist(F.col("qx"), F.col("cv")).alias("qd2")
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -843,35 +920,29 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trained: bool = False,
+    books: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    m_subs: int = PQ_M,
+    sub_dims: int = PQ_SUB,
 ) -> DataFrame:
     """Top-k by PQ ASYMMETRIC distance: the query stays exact; per
-    subspace its distance to each of the 16 centroids forms a lookup
-    table (|Q|·PQ_M·PQ_K rows — broadcast), and a candidate's distance
+    subspace its distance to each of the K centroids forms a lookup
+    table (|Q|·m_subs·K rows — broadcast), and a candidate's distance
     is the SUM of table entries at its codes — the original vectors are
-    never read at probe time. Ordering pinned on (rounded adc, vec_id);
+    never read at probe time. ``books``/``codes`` (pq_index_load) probe
+    a PERSISTED index without re-deriving either; by default both
+    derive from the corpus. Ordering pinned on (rounded adc, vec_id);
     self-matches excluded. Returns (q_id, rk, vec_id, adc) — an
     APPROXIMATION whose recall-vs-compression trade is pinned in
     tests/measured in SCALING.md, the standard memory-bound regime
-    (16 bits vs 256 bytes per vector = 128×)."""
-    from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
-
-    books = (
-        pq_books_trained(emb, id_col, vec_col)
-        if trained
-        else pq_books(emb, id_col, vec_col)
+    (16 bits vs 256 bytes per vector = 128×). This probe scans the
+    WHOLE code table per query batch — ivfpq_topk is the list-pruned
+    composition for the 10¹⁰-vector regime."""
+    books, codes = _pq_default_index(
+        emb, id_col, vec_col, trained, books, codes, m_subs, sub_dims
     )
-    codes = pq_encode(emb, id_col, vec_col, books=books)
-    q = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
-    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
-    qsub = q.select("q_id", ms, "qv").select(
-        "q_id",
-        "m",
-        F.slice(F.col("qv"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("qx"),
-    )
-    lut = qsub.join(F.broadcast(books), "m").select(
-        "q_id", "m", "c_id", sq_dist(F.col("qx"), F.col("cv")).alias("qd2")
+    lut = _pq_query_lut(
+        emb, query_ids, books, id_col, vec_col, m_subs, sub_dims
     )
     c, l = codes.alias("c"), lut.alias("l")
     joined = c.join(
@@ -889,80 +960,126 @@ def pq_adc_topk(
     )
 
 
-PQ_TRAIN_OFF = 4_000_000  # positivity shift for exact floor division
+# Positivity shift for exact floor division: Spark's integer `div`
+# truncates toward zero while DuckDB's `//` floors, so the numerator
+# must be non-negative for the two to agree — which PRESUPPOSES every
+# embedding component ≥ −1024.0 (micro-units ≥ −PQ_TRAIN_OFF). The
+# precondition is enforced in-plan (ADVICE r8): a component below the
+# shift raises at execution instead of silently flooring differently
+# on the two engines. The RESULT is shift-independent — (Σ + OFF·n)
+# div n − OFF = floor(Σ/n) for any integer OFF keeping the numerator
+# non-negative — so an oracle replaying with a different (smaller)
+# shift on in-range data produces the identical table; 1024 covers
+# every sane embedding scale while keeping OFF·n inside int64 up to
+# ~9·10⁹ members per (m, centroid, dim) cell.
+PQ_TRAIN_OFF = 1_024_000_000
 
 
 def pq_books_trained(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = PQ_K,
+    m_subs: int = PQ_M,
+    sub_dims: int = PQ_SUB,
+    iters: int = 1,
 ) -> DataFrame:
-    """One exactness-disciplined Lloyd step over the id-seeded books:
-    assign every subvector to its nearest seed centroid, then replace
-    each centroid with its members' element-wise mean — computed so
-    BOTH engines produce the bit-identical result: components round to
-    int64 micro-units before the group sum (order-exact, the
-    cluster_cohesion discipline), the mean is an exact positive-shifted
-    integer floor division ((Σ + OFF·n) // n − OFF — `div`/`//` agree
-    on positives where they differ on negatives), and only the final
-    /1e6 returns to double (correctly rounded identically everywhere).
-    Empty clusters keep their seed. The 1e-6 centroid quantization is
-    noise against the quantization PQ itself introduces; what it buys
-    is a TRAINED codebook the DuckDB oracle can replay exactly
-    (sim_pq_train_means verifies the integer means table cell-for-cell)
-    — production would iterate this step k times, same replay pattern
-    as emb_kmeans_step.
+    """``iters`` exactness-disciplined Lloyd steps over the id-seeded
+    books: each step assigns every subvector to its nearest current
+    centroid, then replaces each centroid with its members' element-wise
+    mean — computed so BOTH engines produce the bit-identical result:
+    components round to int64 micro-units before the group sum
+    (order-exact, the cluster_cohesion discipline), the mean is an exact
+    positive-shifted integer floor division ((Σ + OFF·n) // n − OFF —
+    `div`/`//` agree on positives where they differ on negatives), and
+    only the final /1e6 returns to double (correctly rounded identically
+    everywhere). Empty clusters keep their previous centroid, so every
+    step emits full m_subs·K books and later steps can re-populate them.
+    The 1e-6 centroid quantization is noise against the quantization PQ
+    itself introduces; what it buys is a TRAINED codebook the DuckDB
+    oracle can replay exactly, step by step (sim_pq_train_means pins one
+    4-bit step; sim_pq_train_means_k256 pins TWO steps at 8-bit codes,
+    cell-for-cell).
 
-    HONEST FINDING (measured, both fixtures): at 4-bit codes ONE
-    training step does not reliably beat the id seeding — recall@5
-    moved 0.13→0.33 (isotropic sf0.001), 0.33→0.27 (sf0.01), and
-    0.13→0.07 (clustered) — the code budget, not centroid placement,
-    dominates ADC error at 16 bits. The recall lever that does work is
-    the candidate+exact-rescore stage (0.73–0.87 at C=100,
-    test-pinned); training pays off only with more iterations AND a
-    bigger code budget."""
-    trained = (
-        pq_train_means(emb, id_col, vec_col)
-        .groupBy("m", "c_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "q"))),
-                lambda st: st["q"].cast("double") / F.lit(1e6),
-            ).alias("cv")
+    HONEST FINDING (measured, both fixtures, SCALING.md r8/r9): at
+    4-bit codes ONE training step does not reliably beat the id seeding
+    — the code budget, not centroid placement, dominates ADC error at
+    16 bits. At 8-bit codes (n_centroids=256) training DOES pay:
+    adc-only recall on the clustered fixture improves with both the
+    bigger budget and the second iteration (scripts/pq_recall.py). The
+    recall lever that works at every budget is the candidate+
+    exact-rescore stage (pq_rescore_topk).
+
+    Scale note: each iteration is one assignment (broadcast books join
+    + argmin window) over the corpus — iters chains them lazily; at
+    100 TB persist the books between steps (they are m_subs·K rows) so
+    a failed step never replays the previous ones."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    books = pq_books(
+        emb, id_col, vec_col,
+        n_centroids=n_centroids, m_subs=m_subs, sub_dims=sub_dims,
+    )
+    for _ in range(iters):
+        trained = (
+            pq_train_means(
+                emb, id_col, vec_col, books=books,
+                m_subs=m_subs, sub_dims=sub_dims,
+            )
+            .groupBy("m", "c_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "q"))),
+                    lambda st: st["q"].cast("double") / F.lit(1e6),
+                ).alias("cv")
+            )
         )
-    )
-    books0 = pq_books(emb, id_col, vec_col)
-    # empty clusters keep their seed centroid
-    b0 = books0.alias("b0")
-    t = trained.alias("t")
-    return b0.join(
-        t,
-        (F.col("b0.m") == F.col("t.m")) & (F.col("b0.c_id") == F.col("t.c_id")),
-        "left",
-    ).select(
-        F.col("b0.m").alias("m"),
-        F.col("b0.c_id").alias("c_id"),
-        F.coalesce(F.col("t.cv"), F.col("b0.cv")).alias("cv"),
-    )
+        # empty clusters keep their previous centroid
+        b0 = books.alias("b0")
+        t = trained.alias("t")
+        books = b0.join(
+            t,
+            (F.col("b0.m") == F.col("t.m"))
+            & (F.col("b0.c_id") == F.col("t.c_id")),
+            "left",
+        ).select(
+            F.col("b0.m").alias("m"),
+            F.col("b0.c_id").alias("c_id"),
+            F.coalesce(F.col("t.cv"), F.col("b0.cv")).alias("cv"),
+        )
+    return books
 
 
 def pq_train_means(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: DataFrame | None = None,
+    n_centroids: int = PQ_K,
+    m_subs: int = PQ_M,
+    sub_dims: int = PQ_SUB,
 ) -> DataFrame:
-    """The exact integer means table behind pq_books_trained:
+    """The exact integer means table behind one pq_books_trained step:
     (m, c_id, dim, q) with q = the trained centroid component in
     micro-units — pure int64 end to end, so a differential oracle can
     verify the whole assign→group→mean pipeline cell-for-cell with no
-    float anywhere. Only clusters with members appear."""
+    float anywhere. Assignment runs against ``books`` (default: the
+    id-seeded books — the first Lloyd step; pass the previous step's
+    output to chain iterations). Only clusters with members appear."""
     from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
 
-    books0 = pq_books(emb, id_col, vec_col)
+    books0 = books if books is not None else pq_books(
+        emb, id_col, vec_col,
+        n_centroids=n_centroids, m_subs=m_subs, sub_dims=sub_dims,
+    )
     e = emb.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m_subs - 1))).alias("m")
     sub = e.select("vec_id", ms, "v").select(
         "vec_id",
         "m",
-        F.slice(F.col("v"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("xv"),
+        F.slice(F.col("v"), F.col("m") * sub_dims + 1, sub_dims).alias("xv"),
     )
     scored = sub.join(F.broadcast(books0), "m").select(
         "vec_id", "m", "c_id", "xv",
@@ -974,12 +1091,28 @@ def pq_train_means(
         .filter(F.col("__r") == 1)
         .select("m", "c_id", "xv")
     )
+    xi = F.round(F.col("x") * 1e6).cast("long")
+    # enforce the positivity-shift precondition (|x| <= OFF µ-units)
+    # in-plan: raises at execution on the violating row rather than
+    # letting `div` (truncate) and `//` (floor) silently diverge
+    guarded = F.when(xi >= F.lit(-PQ_TRAIN_OFF), xi).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "pq_train_means: embedding component below "
+                    f"-{PQ_TRAIN_OFF / 1e6} breaks the positivity shift "
+                    "(scale inputs to |x| <= 1024): "
+                ),
+                F.col("x").cast("string"),
+            )
+        ).cast("long")
+    )
     dims = assigned.select(
         "m", "c_id",
         F.posexplode(F.col("xv")).alias("dim", "x"),
     ).select(
         "m", "c_id", "dim",
-        F.round(F.col("x") * 1e6).cast("long").alias("xi"),
+        guarded.alias("xi"),
     )
     # integer `div` on the positive-shifted numerator — never a double
     # quotient (whose rounding could cross an integer before truncation)
@@ -1001,25 +1134,35 @@ def pq_index_save(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trained: bool = False,
+    n_centroids: int = PQ_K,
+    m_subs: int = PQ_M,
+    sub_dims: int = PQ_SUB,
+    iters: int = 1,
 ) -> None:
     """Persist a PQ index NEXT TO its codebooks — the bloom_save
     discipline applied to ANN: codes probed against the wrong books
     silently return garbage distances (no error, just wrong
     neighbors), so books and codes travel under one root
     (``<path>/books`` + ``<path>/codes`` + ``<path>/params``) and
-    pq_index_load refuses to hand back a partial index. Codes stay
-    distributed end to end (16 bits/vector: a 10¹⁰-vector corpus is
-    ~20 GB of code rows — never driver state); books are 64 rows."""
+    pq_index_load refuses to hand back a partial index. The loaded
+    pair plugs straight into pq_adc_topk/pq_rescore_topk(books=,
+    codes=) — probing never re-derives either. Codes stay distributed
+    end to end (16 bits/vector: a 10¹⁰-vector corpus is ~20 GB of code
+    rows — never driver state); books are m_subs·K rows."""
     books = (
-        pq_books_trained(emb, id_col, vec_col)
+        pq_books_trained(emb, id_col, vec_col, n_centroids=n_centroids,
+                         m_subs=m_subs, sub_dims=sub_dims, iters=iters)
         if trained
-        else pq_books(emb, id_col, vec_col)
+        else pq_books(emb, id_col, vec_col, n_centroids=n_centroids,
+                      m_subs=m_subs, sub_dims=sub_dims)
     )
-    codes = pq_encode(emb, id_col, vec_col, books=books)
+    codes = pq_encode(
+        emb, id_col, vec_col, books=books, m_subs=m_subs, sub_dims=sub_dims
+    )
     books.write.mode("overwrite").parquet(f"{path}/books")
     codes.write.mode("overwrite").parquet(f"{path}/codes")
     emb.sparkSession.createDataFrame(
-        [(PQ_M, PQ_K, PQ_SUB, bool(trained))],
+        [(m_subs, n_centroids, sub_dims, bool(trained))],
         "pq_m int, pq_k int, pq_sub int, trained boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
@@ -1053,12 +1196,17 @@ def pq_rescore_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trained: bool = False,
+    books: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    m_subs: int = PQ_M,
+    sub_dims: int = PQ_SUB,
 ) -> DataFrame:
     """The production PQ probe: ADC candidate generation (top
     ``n_candidates`` by code lookups — the memory-bound scan that never
     touches vectors) followed by EXACT squared-euclidean rescore of the
     survivors only (the FAISS refine stage; the truncated_rescore_topk
-    pattern). This is the recall lever at small code budgets — measured
+    pattern). ``books``/``codes`` probe a pq_index_load'd index
+    directly. This is the recall lever at small code budgets — measured
     0.13 → 0.73 (sf0.001) and 0.33 → 0.87 (sf0.01) at C=100 on the
     isotropic worst case; monotone in C and exact at C = n
     (test-pinned). Returns (q_id, rk, vec_id, d2) ordered by (rounded
@@ -1067,7 +1215,8 @@ def pq_rescore_topk(
 
     cand = pq_adc_topk(
         emb, query_ids, k=n_candidates, id_col=id_col, vec_col=vec_col,
-        trained=trained,
+        trained=trained, books=books, codes=codes,
+        m_subs=m_subs, sub_dims=sub_dims,
     ).select("q_id", "vec_id")
     e = emb.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
@@ -1089,4 +1238,192 @@ def pq_rescore_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", F.col("rk").cast("long").alias("rk"), "vec_id", "d2")
+    )
+
+
+# -- IVFADC: IVF coarse routing composed with PQ codes -----------------------
+# The FAISS IVFADC index (Jégou et al. 2011): pq_adc_topk alone scans the
+# ENTIRE code table per query batch — correct, but the known
+# non-scalable probe shape at 10^10 vectors (VERDICT r8 #1). Routing
+# every code row into its vector's IVF inverted list lets the probe
+# scan only the nprobe lists nearest each query: candidate volume drops
+# from n·|Q| to |Q|·nprobe·(n/n_lists), the same pruning ivf_topk
+# applies to raw vectors — while distances stay ADC code lookups, so
+# the probe still never touches a vector except the broadcast queries.
+
+
+def ivfpq_codes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | None = None,
+    books: DataFrame | None = None,
+    trained: bool = False,
+    m_subs: int = PQ_M,
+    sub_dims: int = PQ_SUB,
+) -> DataFrame:
+    """LISTED PQ codes (vec_id, list_id, m, code): every vector's PQ
+    codes tagged with its IVF coarse-quantizer list (ivf_assign's
+    max-cosine centroid, ties → smallest id). This is the INDEX-BUILD
+    step — one assignment pass + one encode pass + one equi-join on
+    vec_id, run once and persisted (ivfpq_index_save); probes read the
+    listed codes only. n_lists=None derives K ≈ √n (one count job)."""
+    if n_lists is None:
+        n_lists = derived_ivf_k(emb.count())
+    assigned = ivf_assign(emb, 0, id_col, vec_col, n_lists).select(
+        "vec_id", F.col("centroid_id").alias("list_id")
+    )
+    codes = pq_encode(
+        emb, id_col, vec_col, books=books, m_subs=m_subs, sub_dims=sub_dims
+    )
+    return codes.join(assigned, "vec_id").select(
+        "vec_id", "list_id", "m", "code"
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    n_lists: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trained: bool = False,
+    books: DataFrame | None = None,
+    listed_codes: DataFrame | None = None,
+    m_subs: int = PQ_M,
+    sub_dims: int = PQ_SUB,
+) -> DataFrame:
+    """IVFADC top-k — the production ANN probe shape at corpus scale:
+
+    1. coarse route: each query picks its ``nprobe`` nearest IVF
+       centroids (ivf_query_probes — the same (cosine desc, c_id)
+       ranking the lists were built with), a broadcast-sized frame;
+    2. prune: the listed code table equi-joins those (q_id, list) pairs
+       — only codes in probed lists survive, |Q|·nprobe·(n/n_lists)
+       rows instead of the full table;
+    3. ADC: survivors join the broadcast query LUT on (m, code) and
+       group-sum to asymmetric distances — vectors never read;
+    4. top-k window on (rounded adc, vec_id), self-matches excluded.
+
+    ``books``/``listed_codes`` (ivfpq_index_load) probe a persisted
+    index; by default both derive from the corpus. Recall floor vs the
+    full-scan pq_adc_topk is pinned in tests (a neighbor in an
+    unprobed list is the IVF trade, dialed by nprobe); the pruned plan
+    shape is pinned in test_plans (no full-code-table scan reaches the
+    ADC join). Returns (q_id, rk, vec_id, adc)."""
+    if n_lists is None:
+        n_lists = derived_ivf_k(emb.count())
+    if books is None and listed_codes is not None:
+        raise ValueError(
+            "ivfpq probe: listed_codes without their books — load both "
+            "via ivfpq_index_load (codes are meaningless against other "
+            "books)"
+        )
+    if books is None:
+        books = (
+            pq_books_trained(emb, id_col, vec_col,
+                             m_subs=m_subs, sub_dims=sub_dims)
+            if trained
+            else pq_books(emb, id_col, vec_col,
+                          m_subs=m_subs, sub_dims=sub_dims)
+        )
+    if listed_codes is None:
+        listed_codes = ivfpq_codes(
+            emb, id_col, vec_col, n_lists=n_lists, books=books,
+            m_subs=m_subs, sub_dims=sub_dims,
+        )
+    # ivf_query_probes only reads (vec_id, v) — hand it the raw vectors
+    # rather than re-running the full corpus assignment on the probe side
+    from semantic_cpp_spark.pipeline.clustering import _as_double as _asd
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), _asd(F.col(vec_col)).alias("v")
+    )
+    probes = ivf_query_probes(vecs, query_ids, nprobe, n_lists).select(
+        "q_id", "probe_cent"
+    )
+    lut = _pq_query_lut(
+        emb, query_ids, books, id_col, vec_col, m_subs, sub_dims
+    )
+    pruned = listed_codes.join(
+        F.broadcast(probes),
+        F.col("list_id") == F.col("probe_cent"),
+    ).select("q_id", "vec_id", "m", "code")
+    l = lut.alias("l")
+    p = pruned.alias("p")
+    joined = p.join(
+        F.broadcast(l),
+        (F.col("p.q_id") == F.col("l.q_id"))
+        & (F.col("p.m") == F.col("l.m"))
+        & (F.col("p.code") == F.col("l.c_id")),
+    ).select(F.col("p.q_id"), F.col("p.vec_id"), F.col("l.qd2"))
+    adc = joined.groupBy("q_id", "vec_id").agg(
+        F.round(F.sum("qd2"), 6).alias("adc")
+    ).filter(F.col("q_id") != F.col("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("vec_id"))
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("rk").cast("long").alias("rk"), "vec_id", "adc")
+    )
+
+
+def ivfpq_index_save(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | None = None,
+    trained: bool = False,
+    n_centroids: int = PQ_K,
+    m_subs: int = PQ_M,
+    sub_dims: int = PQ_SUB,
+    iters: int = 1,
+) -> None:
+    """Persist an IVFADC index under one root: ``<path>/books`` +
+    ``<path>/codes`` (listed — each row carries its IVF list_id) +
+    ``<path>/params`` (now including n_lists, so probes route against
+    the list count the index was built with). Same refuse-partial
+    discipline as pq_index_save/bloom_save."""
+    if n_lists is None:
+        n_lists = derived_ivf_k(emb.count())
+    books = (
+        pq_books_trained(emb, id_col, vec_col, n_centroids=n_centroids,
+                         m_subs=m_subs, sub_dims=sub_dims, iters=iters)
+        if trained
+        else pq_books(emb, id_col, vec_col, n_centroids=n_centroids,
+                      m_subs=m_subs, sub_dims=sub_dims)
+    )
+    listed = ivfpq_codes(
+        emb, id_col, vec_col, n_lists=n_lists, books=books,
+        m_subs=m_subs, sub_dims=sub_dims,
+    )
+    books.write.mode("overwrite").parquet(f"{path}/books")
+    listed.write.mode("overwrite").parquet(f"{path}/codes")
+    emb.sparkSession.createDataFrame(
+        [(m_subs, n_centroids, sub_dims, bool(trained), int(n_lists))],
+        "pq_m int, pq_k int, pq_sub int, trained boolean, n_lists int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def ivfpq_index_load(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
+    """Re-open an ivfpq_index_save'd index: (books, listed_codes,
+    params). One-row params sidecar; books/codes scans stay lazy."""
+    p = spark.read.parquet(f"{path}/params").collect()
+    if len(p) != 1:
+        raise ValueError(
+            f"ivfpq params sidecar must hold exactly 1 row, got {len(p)}"
+        )
+    params = {
+        "pq_m": int(p[0]["pq_m"]),
+        "pq_k": int(p[0]["pq_k"]),
+        "pq_sub": int(p[0]["pq_sub"]),
+        "trained": bool(p[0]["trained"]),
+        "n_lists": int(p[0]["n_lists"]),
+    }
+    return (
+        spark.read.parquet(f"{path}/books"),
+        spark.read.parquet(f"{path}/codes"),
+        params,
     )

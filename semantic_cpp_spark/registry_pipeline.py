@@ -3762,3 +3762,147 @@ def emb_semdedup_scaled(spark, sf_dir):
     bit-exact cosine fold — same oracle family as emb_semdedup."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.semdedup_scaled(emb, threshold=_SEMDEDUP_TH)
+
+
+# -- IVFADC + 8-bit PQ training (r9) -----------------------------------------
+
+_IVFPQ_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {similarity.IVF_K}),
+cscored AS (SELECT e.vec_id, e.v, c.c_id, {_sql_cos('e.v', 'c.cv')} AS ccos
+            FROM e, c),
+assigned AS (
+  SELECT vec_id, c_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC NULLS LAST, c_id) AS r
+        FROM cscored)
+  WHERE r = 1),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+qsc AS (SELECT q.q_id, c.c_id, {_sql_cos('q.qv', 'c.cv')} AS ccos FROM q, c),
+probes AS (
+  SELECT q_id, c_id AS probe_cent
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY ccos DESC NULLS LAST, c_id) AS r
+        FROM qsc)
+  WHERE r <= 2),
+mrange AS (SELECT unnest(range(0, 4)) AS m),
+books AS (SELECT m, vec_id AS b_id, v[m*16+1 : m*16+16] AS cv
+          FROM e, mrange WHERE vec_id < 16),
+sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS xv FROM e, mrange),
+sc AS (SELECT s.vec_id, s.m, b.b_id,
+              list_dot_product(s.xv, s.xv)
+                - 2.0 * list_dot_product(s.xv, b.cv)
+                + list_dot_product(b.cv, b.cv) AS d2
+       FROM sub s JOIN books b ON b.m = s.m),
+codes AS (SELECT vec_id, m, b_id AS code FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                        ORDER BY d2, b_id) AS r
+           FROM sc) WHERE r = 1),
+qsub AS (SELECT q_id, m, qv[m*16+1 : m*16+16] AS qx FROM q, mrange),
+lut AS (SELECT qs.q_id, qs.m, b.b_id,
+               list_dot_product(qs.qx, qs.qx)
+                 - 2.0 * list_dot_product(qs.qx, b.cv)
+                 + list_dot_product(b.cv, b.cv) AS qd2
+        FROM qsub qs JOIN books b ON b.m = qs.m),
+pruned AS (SELECT p.q_id, cd.vec_id, cd.m, cd.code
+           FROM codes cd
+           JOIN assigned a ON a.vec_id = cd.vec_id
+           JOIN probes p ON p.probe_cent = a.list_id),
+adc AS (SELECT pr.q_id, pr.vec_id, round(sum(l.qd2), 6) AS adc
+        FROM pruned pr
+        JOIN lut l ON l.q_id = pr.q_id AND l.m = pr.m AND l.b_id = pr.code
+        GROUP BY pr.q_id, pr.vec_id)
+SELECT q_id, rk::BIGINT AS rk, vec_id, adc FROM
+  (SELECT *, row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc, vec_id) AS rk
+   FROM adc WHERE q_id <> vec_id)
+WHERE rk <= 5"""
+
+
+@register("sim_ivfpq_topk", _IVFPQ_SQL)
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVFADC under the gate (similarity.ivfpq_topk — VERDICT r8 #1,
+    the one genuine scale gap): PQ codes routed into IVF inverted
+    lists at index build, so the ADC probe scans only each query's
+    nprobe=2 nearest lists instead of the whole code table —
+    |Q|·nprobe·(n/K) candidate rows, the FAISS IVFADC shape at 10¹⁰
+    vectors. Every stage is deterministic (smallest-id coarse
+    centroids + codebook seeds, (cosine desc, id) routing, (d2, id)
+    encoding argmins), so the oracle replays routing, probes, codes,
+    LUT, and the pruned ADC sums verbatim. The probe plan is pinned
+    list-pruned in test_plans (codes meet the LUT only AFTER the
+    broadcast probe-pair join); recall floor vs the full-scan ADC and
+    the nprobe dial are pinned in test_pipeline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, [0, 1, 2], k=5, nprobe=2, n_lists=similarity.IVF_K
+    )
+
+
+def _pq_k256_sql() -> str:
+    """Two exactness-disciplined Lloyd steps at the 8-bit code budget
+    (K=256), replayed in SQL: seed books from the 256 smallest ids,
+    assign → integer means (micro-units, positive-shifted floor
+    division), rebuild books with empty-cluster fallback, assign
+    again, and emit the SECOND step's integer means table."""
+    d2 = (
+        "list_dot_product(s.xv, s.xv)"
+        " - 2.0 * list_dot_product(s.xv, b.cv)"
+        " + list_dot_product(b.cv, b.cv)"
+    )
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mrange AS (SELECT unnest(range(0, 4)) AS m),
+books0 AS (SELECT m, vec_id AS c_id, v[m*16+1 : m*16+16] AS cv
+           FROM e, mrange WHERE vec_id < 256),
+sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS xv FROM e, mrange),
+sc1 AS (SELECT s.vec_id, s.m, s.xv, b.c_id, {d2} AS d2
+        FROM sub s JOIN books0 b ON b.m = s.m),
+asgn1 AS (SELECT vec_id, m, c_id, xv FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                        ORDER BY d2, c_id) AS r
+           FROM sc1) WHERE r = 1),
+dims1 AS (SELECT a.m, a.c_id, d.range AS dim,
+                 round(a.xv[d.range + 1] * 1000000.0)::BIGINT AS xi
+          FROM asgn1 a CROSS JOIN range(0, 16) d),
+means1 AS (SELECT m, c_id, dim,
+                  ((sum(xi) + 4000000 * count(*)) // count(*)
+                   - 4000000)::BIGINT AS q
+           FROM dims1 GROUP BY m, c_id, dim),
+seedd AS (SELECT b.m, b.c_id, d.range AS dim, b.cv[d.range + 1] AS x
+          FROM books0 b CROSS JOIN range(0, 16) d),
+b1d AS (SELECT s.m, s.c_id, s.dim,
+               coalesce(m1.q / 1000000.0, s.x) AS x
+        FROM seedd s LEFT JOIN means1 m1
+          ON m1.m = s.m AND m1.c_id = s.c_id AND m1.dim = s.dim),
+books1 AS (SELECT m, c_id, list(x ORDER BY dim) AS cv
+           FROM b1d GROUP BY m, c_id),
+sc2 AS (SELECT s.vec_id, s.m, s.xv, b.c_id, {d2} AS d2
+        FROM sub s JOIN books1 b ON b.m = s.m),
+asgn2 AS (SELECT vec_id, m, c_id, xv FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                        ORDER BY d2, c_id) AS r
+           FROM sc2) WHERE r = 1),
+dims2 AS (SELECT a.m, a.c_id, d.range AS dim,
+                 round(a.xv[d.range + 1] * 1000000.0)::BIGINT AS xi
+          FROM asgn2 a CROSS JOIN range(0, 16) d)
+SELECT m, c_id, dim::BIGINT AS dim,
+       ((sum(xi) + 4000000 * count(*)) // count(*) - 4000000)::BIGINT AS q
+FROM dims2 GROUP BY m, c_id, dim"""
+
+
+@register("sim_pq_train_means_k256", _pq_k256_sql())
+def sim_pq_train_means_k256(spark, sf_dir):
+    """PQ training at the 8-BIT code budget with a SECOND Lloyd
+    iteration (similarity.pq_books_trained(n_centroids=256, iters=1)
+    feeding pq_train_means — VERDICT r8 #4): the r8 honest finding was
+    that at 4-bit codes one step doesn't pay because the code budget
+    dominates; K=256 is the budget where training moves recall
+    (measured in SCALING.md r9 via scripts/pq_recall.py). Both
+    iterations stay integer-exact end to end — micro-unit rounding
+    before the group sum, positive-shifted floor division, /1e6 back
+    to double for the step-2 assignment — so the oracle replays
+    assign→means→books→assign→means cell-for-cell with no float
+    ambiguity anywhere. Output = the second step's integer means
+    table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books1 = similarity.pq_books_trained(emb, n_centroids=256, iters=1)
+    return similarity.pq_train_means(emb, books=books1, n_centroids=256)

@@ -1424,6 +1424,23 @@ def test_ahash_pairs_finds_near_dup_and_matches_brute_force(spark):
     assert (3, 100) in got  # the planted near-duplicate survives
 
 
+def test_ahash_quarantines_images_smaller_than_grid(spark):
+    """ADVICE r8: an image with w or h < grid leaves some blocks empty
+    (block-mean division by zero -> a silently distorted hash). Such
+    images contribute NO row — quarantine-by-absence, like undecodable
+    payloads — while images >= grid in both dims still hash."""
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_gray(4, 16, 128))),   # w < grid
+            (2, bytearray(_gray(16, 4, 128))),   # h < grid
+            (3, bytearray(_gray(8, 8, 128))),    # exactly grid: OK
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"] for r in multimodal.image_ahash(df, grid=8).collect()}
+    assert got == {3}
+
+
 def test_ahash_arg_validation(spark):
     df = spark.createDataFrame(
         [(1, bytearray(_gray(8, 8, 0)))], "doc_id long, payload binary"
@@ -1708,6 +1725,154 @@ def test_pq_index_load_refuses_partial(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{root}/params")
     with pytest.raises(ValueError, match="exactly 1 row"):
         similarity.pq_index_load(spark, root)
+
+
+def test_pq_probe_accepts_loaded_index(spark, tmp_path):
+    """ADVICE r8: a pq_index_save'd index must be PROBABLE — passing the
+    loaded (books, codes) to pq_adc_topk/pq_rescore_topk yields exactly
+    the derive-from-corpus result, with neither re-derived."""
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    df = _emb_frame(spark, rng.randn(40, 64))
+    root = str(tmp_path / "probeidx")
+    similarity.pq_index_save(df, root)
+    books, codes, _ = similarity.pq_index_load(spark, root)
+    fresh = similarity.pq_adc_topk(df, [0, 1], k=3).collect()
+    loaded = similarity.pq_adc_topk(
+        df, [0, 1], k=3, books=books, codes=codes
+    ).collect()
+    assert sorted(map(tuple, loaded)) == sorted(map(tuple, fresh))
+    fresh_r = similarity.pq_rescore_topk(df, [0], k=3, n_candidates=10).collect()
+    loaded_r = similarity.pq_rescore_topk(
+        df, [0], k=3, n_candidates=10, books=books, codes=codes
+    ).collect()
+    assert sorted(map(tuple, loaded_r)) == sorted(map(tuple, fresh_r))
+    with pytest.raises(ValueError, match="codes without their books"):
+        similarity.pq_adc_topk(df, [0], codes=codes)
+
+
+def test_pq_train_means_guards_positivity_shift(spark):
+    """ADVICE r8: a component below -4.0 breaks the positivity shift
+    (`div` truncates, `//` floors — they diverge on negatives). The
+    guard raises at execution instead of silently diverging."""
+    import numpy as np
+
+    from pyspark.errors import SparkRuntimeException
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(20, 64)
+    vecs[7, 5] = -1500.0  # below the shift
+    df = _emb_frame(spark, vecs)
+    with pytest.raises(SparkRuntimeException, match="positivity shift"):
+        similarity.pq_train_means(df).collect()
+
+
+def test_pq_books_trained_multi_iteration(spark):
+    """iters=2 chains two exactness-disciplined Lloyd steps: books stay
+    full-size, and the second step's means differ from the first's
+    (training actually moved the centroids on random data)."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    # 120 vectors: enough members per cluster that the re-assignment
+    # after step 1 actually changes (measured: ~15 flips) — 30 vectors
+    # hit a Lloyd fixed point after one step. ×0.5 keeps every component
+    # inside the positivity-shift precondition (randn tails cross −4);
+    # uniform scaling doesn't change the assignment geometry.
+    df = _emb_frame(spark, rng.randn(120, 64) * 0.5)
+    b1 = similarity.pq_books_trained(df, iters=1)
+    b2 = similarity.pq_books_trained(df, iters=2)
+    assert b1.count() == similarity.PQ_M * similarity.PQ_K
+    assert b2.count() == similarity.PQ_M * similarity.PQ_K
+    m1 = {(r["m"], r["c_id"]): tuple(r["cv"]) for r in b1.collect()}
+    m2 = {(r["m"], r["c_id"]): tuple(r["cv"]) for r in b2.collect()}
+    assert m1 != m2
+    with pytest.raises(ValueError, match="iters"):
+        similarity.pq_books_trained(df, iters=0)
+
+
+def test_pq_k256_books_and_encode(spark):
+    """8-bit code budget (n_centroids=256): books seed from the 256
+    smallest ids (clamped by corpus size here), codes stay in range."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    df = _emb_frame(spark, rng.randn(300, 64))
+    books = similarity.pq_books(df, n_centroids=256)
+    assert books.count() == similarity.PQ_M * 256
+    codes = similarity.pq_encode(df, books=books)
+    assert codes.count() == 300 * similarity.PQ_M
+    assert codes.agg(F.max("code")).collect()[0][0] < 256
+
+
+# -- IVFADC ------------------------------------------------------------------
+
+def test_ivfpq_all_lists_equals_full_scan(spark):
+    """Probing EVERY list (nprobe = n_lists) makes IVFADC scan exactly
+    the full code table — the result must equal pq_adc_topk row for
+    row. Pins that routing loses nothing but list pruning."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    df = _emb_frame(spark, rng.randn(60, 64))
+    full = similarity.pq_adc_topk(df, [0, 1, 2], k=5).collect()
+    ivf = similarity.ivfpq_topk(
+        df, [0, 1, 2], k=5, nprobe=6, n_lists=6
+    ).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, full))
+
+
+def test_ivfpq_recall_floor_and_nprobe_monotone(spark):
+    """The IVF trade measured: recall@5 of ivfpq vs the full-scan ADC
+    ranking is monotone in nprobe and reasonable at nprobe=2 on a
+    CLUSTERED corpus (vectors near their list centroid — the regime
+    IVF exists for)."""
+    import numpy as np
+
+    rng = np.random.RandomState(29)
+    # 8 well-separated cluster centers, 10 members each
+    centers = rng.randn(8, 64) * 10
+    vecs = np.concatenate(
+        [centers[i % 8] + rng.randn(64) * 0.5 for i in range(80)]
+    ).reshape(80, 64)
+    df = _emb_frame(spark, vecs)
+    qids = [0, 1, 2, 3]
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.pq_adc_topk(df, qids, k=5).collect()
+    }
+
+    def recall(res):
+        got = {(r["q_id"], r["vec_id"]) for r in res.collect()}
+        return len(got & truth) / len(truth)
+
+    r1 = recall(similarity.ivfpq_topk(df, qids, k=5, nprobe=1, n_lists=8))
+    r2 = recall(similarity.ivfpq_topk(df, qids, k=5, nprobe=2, n_lists=8))
+    r8 = recall(similarity.ivfpq_topk(df, qids, k=5, nprobe=8, n_lists=8))
+    assert r1 <= r2 + 1e-9 and r2 <= r8 + 1e-9
+    assert r8 == 1.0          # all lists = full scan
+    assert r2 >= 0.5          # clustered regime: 2 probes find most
+
+
+def test_ivfpq_index_save_load_and_probe(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    df = _emb_frame(spark, rng.randn(50, 64))
+    root = str(tmp_path / "ivfpq")
+    similarity.ivfpq_index_save(df, root, n_lists=5)
+    books, listed, params = similarity.ivfpq_index_load(spark, root)
+    assert params["n_lists"] == 5
+    assert set(listed.columns) == {"vec_id", "list_id", "m", "code"}
+    fresh = similarity.ivfpq_topk(df, [0, 1], k=3, nprobe=2, n_lists=5).collect()
+    loaded = similarity.ivfpq_topk(
+        df, [0, 1], k=3, nprobe=2, n_lists=5,
+        books=books, listed_codes=listed,
+    ).collect()
+    assert sorted(map(tuple, loaded)) == sorted(map(tuple, fresh))
+    with pytest.raises(ValueError, match="listed_codes without their books"):
+        similarity.ivfpq_topk(df, [0], listed_codes=listed, n_lists=5)
 
 
 def test_ahash_pairs_compose_into_visual_dup_clusters(spark):

@@ -507,6 +507,32 @@ def test_pq_adc_probe_is_broadcast_shaped(spark, qs):
     assert "CartesianProduct" not in plan
 
 
+def test_ivfpq_probe_is_list_pruned(spark, qs):
+    """IVFADC's whole point is the plan: the code table meets the ADC
+    LUT only AFTER the broadcast (q_id, probe_cent) pair join has
+    pruned it to the probed inverted lists — visible as a
+    BroadcastHashJoin keyed on probe_cent (absent from the full-scan
+    pq_adc_topk plan) upstream of the ADC aggregation. Nothing
+    cartesian; LUT and probe pairs broadcast."""
+    plan = _plan(qs["sim_ivfpq_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the pruning join on the list id is present and broadcast
+    pruned_at = None
+    for i, line in enumerate(plan.splitlines()):
+        if "BroadcastHashJoin" in line and "probe_cent" in line:
+            pruned_at = i
+            break
+    assert pruned_at is not None, "no broadcast list-pruning join in plan"
+    # the only nested-loop joins are the two broadcast CROSS joins
+    # against the tiny centroid frame (corpus assign + query probes) —
+    # the established ivf_assign idiom, never a data-sized cross
+    bnlj = [
+        ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln
+    ]
+    assert len(bnlj) == 2 and all("Cross" in ln for ln in bnlj), bnlj
+    assert plan.count("BroadcastHashJoin") >= 3  # books, probes, LUT
+
+
 def test_span_cuts_no_cartesian_and_hash_keyed(spark, qs):
     """The exact-substring planner joins occurrences to first
     occurrences on the 60-bit span HASH — never on span text, never
