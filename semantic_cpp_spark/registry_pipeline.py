@@ -1090,6 +1090,45 @@ def dedup_span_cuts_apply(spark, sf_dir):
 
 
 @register(
+    "dedup_span_cuts_text",
+    f"""WITH {_SPAN_CUTS_CTE},
+    tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+            FROM t, LATERAL unnest(range(1, len(ws) + 1)) AS u(i)),
+    kept AS (SELECT k.doc_id, k.pos, k.w FROM tok k
+             WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                               WHERE c.doc_id = k.doc_id
+                                 AND c.cut_start <= k.pos
+                                 AND k.pos < c.cut_end)),
+    agg AS (SELECT doc_id,
+                   array_to_string(list(w ORDER BY pos), ' ') AS clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    base AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM t)
+    SELECT b.doc_id, b.n_tokens,
+           (b.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_cut,
+           coalesce(a.clean, '') AS clean_text
+    FROM base b LEFT JOIN agg a USING (doc_id)""",
+)
+def dedup_span_cuts_text(spark, sf_dir):
+    """The MATERIALIZING form of exact-substring dedup
+    (dedup.apply_span_cuts(emit_text=True), VERDICT r8 #6): same
+    surgery as dedup_span_cuts_apply but the cleaned text itself is
+    emitted — the column downstream pipeline stages (re-chunk,
+    re-embed, re-score) consume, not just its fingerprint. The gate
+    here is the STRONGEST in the family: the oracle rebuilds every
+    cleaned document string by position anti-join and the value hash
+    compares the full text character-for-character (the _apply query's
+    md5 check, without the md5). Composition with a downstream text
+    operator is test-pinned
+    (test_span_cuts_clean_text_composes_downstream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = dedup.duplicate_span_cuts(docs, F.col("text"), F.col("doc_id"), n=8)
+    return dedup.apply_span_cuts(
+        docs, F.col("text"), F.col("doc_id"), cuts, emit_text=True
+    ).select("doc_id", "n_tokens", "n_cut", "clean_text")
+
+
+@register(
     "txt_decontaminate",
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
                   FROM documents),

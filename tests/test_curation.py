@@ -1753,3 +1753,79 @@ def test_apply_span_cuts_surgery(spark):
     assert out[3]["n_cut"] == 12
     assert out[3]["clean_fp"] == md5("c1 c2 d1 d2 d3 d4 d5 d6")
     assert out[3]["n_tokens"] == 20
+
+
+def test_apply_span_cuts_emit_text_matches_fingerprint(spark):
+    """emit_text=True materializes the cleaned text; md5(clean_text)
+    must equal clean_fp row-for-row (VERDICT r8 #6)."""
+    import hashlib
+
+    words = " ".join(f"w{i}" for i in range(20))
+    docs = _docs(
+        spark,
+        [words, words, "x1 x2 x3 " + " ".join(f"y{i}" for i in range(9))],
+    )
+    cuts = dedup.duplicate_span_cuts(docs, F.col("text"), F.col("doc_id"), n=8)
+    rows = dedup.apply_span_cuts(
+        docs, F.col("text"), F.col("doc_id"), cuts, emit_text=True
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert hashlib.md5(r["clean_text"].encode()).hexdigest() == r["clean_fp"]
+    assert {r["doc_id"]: r["clean_text"] for r in rows}[1] == ""
+
+
+def test_span_cuts_clean_text_composes_downstream(spark):
+    """The materialized cleaned corpus feeds an existing text operator
+    unchanged: fingerprinting the cleaned docs (the downstream
+    exact-dedup key) gives the full-text fp for the kept first
+    occurrence and the empty-text fp for the fully-cut copy."""
+    import hashlib
+
+    from semantic_cpp_spark.pipeline import text as text_ops
+
+    words = " ".join(f"w{i}" for i in range(20))
+    docs = _docs(spark, [words, words])
+    cuts = dedup.duplicate_span_cuts(docs, F.col("text"), F.col("doc_id"), n=8)
+    clean = dedup.apply_span_cuts(
+        docs, F.col("text"), F.col("doc_id"), cuts, emit_text=True
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in clean.select(
+            "doc_id", text_ops.fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert fps[0] == md5(words) and fps[1] == md5("")
+
+
+def test_span_cuts_guards_packed_position_overflow(spark, monkeypatch):
+    """VERDICT r8 #3: a document beyond 2^SPAN_POS_BITS tokens would
+    silently alias the packed first-occurrence key
+    (pk = doc_id*2^bits + pos) into another doc's range. The in-plan
+    guard raises at execution. Exercised at a shrunk width (the guard
+    expression is width-independent; a literal 2^20-token doc costs
+    minutes of single-row ngram compute), with the aliasing it
+    prevents demonstrated: at bits=4, doc 0's position 16 would pack
+    identically to doc 1's position 0."""
+    from pyspark.errors import SparkRuntimeException
+
+    monkeypatch.setattr(dedup, "SPAN_POS_BITS", 4)
+    # 16 + 8 tokens -> max pos = (24-8) = 16 >= 2^4: the first doc
+    # would bleed into doc 1's packed range without the guard
+    over = " ".join(f"t{i % 9}" for i in range(24))
+    short = " ".join(f"u{i}" for i in range(10))
+    df = _docs(spark, [over, short])
+    with pytest.raises(SparkRuntimeException, match="chunk documents"):
+        dedup.duplicate_span_cuts(
+            df, F.col("text"), F.col("doc_id"), n=8
+        ).count()
+    # just under the limit is fine at the same width
+    ok = " ".join(f"v{i}" for i in range(8 + 15))  # max pos 15 < 2^4
+    assert (
+        dedup.duplicate_span_cuts(
+            _docs(spark, [ok]), F.col("text"), F.col("doc_id"), n=8
+        ).count()
+        == 0
+    )
