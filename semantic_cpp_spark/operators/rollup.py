@@ -76,3 +76,72 @@ def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
             F.col("st_sum").cast("double") / F.col("st_n").cast("double"), 6
         ).alias("vavg"),
     )
+
+
+# -- mergeable VARIANCE state (VERDICT r8 #5) --------------------------------
+# The reference's own parallel-variance combiner (collector.h:695-715)
+# is Chan et al.'s (n, mean, M2) merge:
+#     M2 = M2_a + M2_b + delta^2 * n_a*n_b/(n_a+n_b).
+# That form is float-path: delta^2*n_a*n_b/(n_a+n_b) is not an integer,
+# so merge ORDER leaks into the last ulp — the exact opposite of what a
+# distributed, merge-in-any-order state table needs. The
+# integer-sufficient-statistics formulation carries the SAME information
+# ((n, Σx, Σx²) determines (n, mean, M2) via M2 = Σx² − (Σx)²/n) but
+# every component is an exact integer that merges by ADDITION — order-
+# independent, bit-identical to direct aggregation, engine-replayable.
+# Σx² rides in decimal(38,0) (its int64 headroom is what overflows
+# first: cents² values reach 1e10, so int64 dies near 1e9 rows/key
+# while decimal38 holds past any real key cardinality).
+
+VAR_STATE_COLS = ("st_n", "st_sum", "st_ssq")
+
+
+def var_state(df: DataFrame, keys: list[str], value: Column) -> DataFrame:
+    """Per-key mergeable variance state (st_n, st_sum, st_ssq) over an
+    EXACT INTEGER ``value`` (cents / micro-units — the decayed-activity
+    discipline; float inputs must quantize first or merge order shows).
+    One map-side-combinable groupBy over the delta only."""
+    d = value.cast("decimal(19,0)")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("st_n"),
+        F.sum(value).cast("long").alias("st_sum"),
+        F.sum((d * d).cast("decimal(38,0)")).cast("decimal(38,0)").alias("st_ssq"),
+    )
+
+
+def merge_var_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Fold variance state tables: union + one groupBy of three sums —
+    associative, commutative, exact (pure integer addition), so
+    merge(state(A), state(B)) ≡ state(A ∪ B) bit-for-bit, in any
+    grouping or order (test-pinned, including against Chan's float M2
+    merge and Spark's var_pop)."""
+    if not states:
+        raise ValueError("merge_var_states needs at least one state table")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.sum("st_n").cast("long").alias("st_n"),
+        F.sum("st_sum").cast("long").alias("st_sum"),
+        F.sum("st_ssq").cast("decimal(38,0)").alias("st_ssq"),
+    )
+
+
+def finalize_var(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Resolve variance state to (n, total, var_pop): the population
+    variance as the exact integer rational (n·Σx² − (Σx)²) / n², with
+    ONE decimal→double conversion per operand at the end — numerator
+    and denominator are exact integers (decimal38), each converts
+    round-to-nearest identically on every engine, and only then does
+    the single double division run. Variance is in ``value`` units
+    squared; rescale/round in the caller."""
+    n = F.col("st_n").cast("decimal(38,0)")
+    s = F.col("st_sum").cast("decimal(38,0)")
+    num = (n * F.col("st_ssq") - s * s).cast("decimal(38,0)")
+    den = (n * n).cast("decimal(38,0)")
+    return state.select(
+        *keys,
+        F.col("st_n").alias("n"),
+        F.col("st_sum").alias("total"),
+        (num.cast("double") / den.cast("double")).alias("var_pop"),
+    )

@@ -923,6 +923,63 @@ def evt_rollup_merge(spark, sf_dir):
 
 
 @register(
+    "evt_rollup_var_merge",
+    """WITH e AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
+                         round(value * 100)::BIGINT AS cents
+                  FROM events),
+    st AS (SELECT hour_id, count(*)::BIGINT AS n,
+                  sum(cents) AS s, sum(cents * cents) AS ssq
+           FROM e GROUP BY hour_id)
+    SELECT hour_id, n, s::BIGINT AS total,
+           round(CAST(n * ssq - s * s AS DOUBLE)
+                 / CAST(n::HUGEINT * n AS DOUBLE) / 10000.0, 6) AS var_pop
+    FROM st""",
+)
+def evt_rollup_var_merge(spark, sf_dir):
+    """Incremental per-hour VARIANCE maintenance by mergeable state
+    (operators.rollup.var_state — VERDICT r8 #5, closing the loop with
+    the reference's own Chan parallel-variance combiner,
+    collector.h:695-715): the events table splits into three deltas
+    (event_id mod 3), each reduces to (n, Σcents, Σcents²) — the
+    integer sufficient statistics that carry exactly Chan's (n, mean,
+    M2) but merge by pure ADDITION, so merge order can never leak into
+    the last ulp the way the float M2 formula allows — and the merged
+    state finalizes to var_pop as the exact integer rational
+    (n·Σx² − (Σx)²)/n² with one decimal→double conversion per operand.
+    The oracle aggregates the WHOLE table directly in HUGEINT and
+    applies the identical final division, so a green row proves
+    merge(state(A), state(B), state(C)) ≡ state(A ∪ B ∪ C) through the
+    variance itself. /10000 returns cents² to value units²;
+    equivalence with Chan's merge and Spark's var_pop is pinned in
+    tests/test_rollup.py."""
+    from semantic_cpp_spark.operators import rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id"),
+        ts_micros(ev).alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).select(
+        "event_id",
+        F.expr("tus div 3600000000").alias("hour_id"),
+        "cents",
+    )
+    parts = [
+        rollup.var_state(
+            base.filter(F.col("event_id") % 3 == i), ["hour_id"], F.col("cents")
+        )
+        for i in range(3)
+    ]
+    merged = rollup.merge_var_states(parts, ["hour_id"])
+    return rollup.finalize_var(merged, ["hour_id"]).select(
+        "hour_id",
+        "n",
+        "total",
+        F.round(F.col("var_pop") / F.lit(10000.0), 6).alias("var_pop"),
+    )
+
+
+@register(
     "evt_rollup_hll_merge",
     f"""WITH e AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
                    ('0x' || substr(md5('hll-' || user_id::VARCHAR), 1, 15))::BIGINT

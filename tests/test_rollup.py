@@ -176,3 +176,84 @@ def test_cms_merge_equals_direct_and_estimates_agree(spark):
 def test_cms_merge_empty_list_raises(spark):
     with pytest.raises(ValueError, match="at least one"):
         dedup.cms_merge([])
+
+
+# -- mergeable variance state ------------------------------------------------
+
+def _collect_var(df):
+    return {
+        r["k"]: (r["st_n"], r["st_sum"], int(r["st_ssq"]))
+        for r in df.collect()
+    }
+
+
+def test_var_merge_equals_direct_state(spark):
+    a = _frame(spark, [("x", 5), ("x", -2), ("y", 7)])
+    b = _frame(spark, [("x", 100), ("z", 0)])
+    c = _frame(spark, [("y", -50), ("y", 3)])
+    full = a.unionByName(b).unionByName(c)
+    direct = _collect_var(rollup.var_state(full, ["k"], F.col("v")))
+    merged = _collect_var(
+        rollup.merge_var_states(
+            [rollup.var_state(d, ["k"], F.col("v")) for d in (a, b, c)],
+            ["k"],
+        )
+    )
+    assert merged == direct
+    assert direct["x"] == (3, 103, 25 + 4 + 10000)
+    assert direct["z"] == (1, 0, 0)
+
+
+def test_var_finalize_matches_spark_var_pop(spark):
+    rows = [("x", v) for v in (5, -2, 100, 17, 17)] + [
+        ("y", v) for v in (7, -50, 3)
+    ]
+    df = _frame(spark, rows)
+    got = {
+        r["k"]: r["var_pop"]
+        for r in rollup.finalize_var(
+            rollup.var_state(df, ["k"], F.col("v")), ["k"]
+        ).collect()
+    }
+    ref = {
+        r["k"]: r["vp"]
+        for r in df.groupBy("k").agg(F.var_pop("v").alias("vp")).collect()
+    }
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], rel=1e-12), k
+
+
+def test_var_state_carries_chans_m2_exactly(spark):
+    """The integer sufficient statistics carry EXACTLY Chan's (n, mean,
+    M2) combiner state (reference collector.h:695-715): merging two
+    states via M2 = M2a + M2b + d^2*na*nb/n must agree with
+    M2 = ssq - s^2/n computed from the merged integer state."""
+    a_vals = [5, -2, 9, 9]
+    b_vals = [100, 3]
+
+    def chan(vals):
+        n = len(vals)
+        mean = sum(vals) / n
+        m2 = sum((v - mean) ** 2 for v in vals)
+        return n, mean, m2
+
+    na, ma, m2a = chan(a_vals)
+    nb, mb, m2b = chan(b_vals)
+    d = mb - ma
+    n = na + nb
+    m2_chan = m2a + m2b + d * d * na * nb / n
+
+    sa = rollup.var_state(
+        _frame(spark, [("x", v) for v in a_vals]), ["k"], F.col("v")
+    )
+    sb = rollup.var_state(
+        _frame(spark, [("x", v) for v in b_vals]), ["k"], F.col("v")
+    )
+    st = rollup.merge_var_states([sa, sb], ["k"]).collect()[0]
+    m2_int = int(st["st_ssq"]) - st["st_sum"] ** 2 / st["st_n"]
+    assert m2_int == pytest.approx(m2_chan, rel=1e-12)
+
+
+def test_merge_var_states_rejects_empty(spark):
+    with pytest.raises(ValueError):
+        rollup.merge_var_states([], ["k"])
