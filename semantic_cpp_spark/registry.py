@@ -651,95 +651,83 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r8 window (50 = 21 + 5 + 20 + 4): the 21 r3-vintage spills LEAD (the r7
-# policy's own deadline — after this round no latest row predates r4); then
-# rule (a) code-or-oracle-changed refreshes (emb_pca_project: power-iteration
-# fit + brand-new hard oracle replacing the rows-only row;
-# graph_pagerank_top10: per-plan repartition rewrite; dedup_bloom_probe:
-# join-strategy selection; mm_tiff_features: inline-strip writer path;
-# emb_semdedup: oracle text refactored through _semdedup_sql); then rule (b)
-# first rows for the new r8 operators (emb_pca_variance, emb_semdedup_scaled,
-# graph_core_numbers, sim_truncation_rescore, stream_sliding_uniques_hll —
-# extend HERE if more land this
-# round and drop the same number off the backfill tail); then 17 r4-vintage
-# backfill, riskiest families first (dedup, embedding/pipeline, events,
-# streaming-adjacent windows, heavy relational, quantile/moment aggs). The 36
-# r4-vintage entries left over (incl. txt_unigram_cross_entropy and
-# agg_skew_kurt and agg_quantiles) spill to
-# r9 under the same policy.
+# r9 window (50 = 32 + 7 + 5 + 6): the 32 r4-vintage spills LEAD (recounted
+# from CORRECTNESS_r01..r08 — the r8 comment said 29; the count below is from
+# the files, completing the no-row-older-than-r5 deadline); then rule (a)
+# code-or-oracle-changed refreshes (asof_nearest_signup: tiebreak threaded
+# through both passes; dedup_span_cuts/_apply: in-plan packed-position guard;
+# sim_pq_adc_topk/sim_pq_train_means: parameterized machinery + raised
+# positivity shift; dedup_bloom_probe: corrected broadcast ceiling;
+# mm_image_ahash: sub-grid quarantine); then rule (b) first rows for the new
+# r9 operators; then 6 r5-vintage backfill, riskiest families first (dedup,
+# embedding/pipeline, similarity, events). The 38 remaining r5-vintage
+# entries (incl. the sem_* family, txt_* pipeline, sig_*) spill to r10 under
+# the same policy.
 _PRIORITY: list[str] = [
-    # -- the 21 r3-vintage spills from the r7 WINDOW CUT (policy deadline) --
-    "rel_q14_promo_share",
-    "rel_q13_order_histogram",
-    "rel_q6_forecast_revenue",
-    "rel_rollup_order_priority",
-    "rel_pivot_status_by_flag",
-    "ir_bm25_topk",
-    "agg_corr_covar",
-    "agg_distribution_profile",
-    "rel_datetime_parts",
-    "str_charsequence_medley",
-    "str_codepoint_sequence",
-    "str_compare_and_join",
-    "str_levenshtein_to_anchor",
-    "evt_json_extract",
-    "grp_frequency_capped",
-    "reduce_bit_xor",
-    "shard_token_budget",
-    "src_blob_bytes",
-    "txt_decontaminate",
-    "txt_pii_redact",
-    "txt_word_count_topk",
-    # -- (a) code or oracle changed in r8 --
-    "emb_pca_project",
-    "graph_pagerank_top10",
-    "dedup_bloom_probe",
-    "mm_tiff_features",
-    "emb_semdedup",
-    # -- (b) first driver rows: new r8 operators --
-    "emb_pca_variance",
-    "emb_semdedup_scaled",
-    "graph_core_numbers",
-    "sim_truncation_rescore",
-    "stream_sliding_uniques_hll",
-    "agg_hll_distinct_users",
-    "agg_cms_user_freq",
-    "graph_ppr_seeds",
-    "samp_temperature_mixture",
-    "evt_rollup_merge",
-    "mm_image_ahash",
-    "evt_rollup_hll_merge",
-    "mm_audio_fingerprint",
-    "stream_sliding_cms_freq",
-    "mm_video_motion",
+    # -- the 32 r4-vintage spills from the r8 WINDOW CUT (policy deadline) --
+    "corpus_diff_versions",
+    "emb_cluster_medoids",
+    "pack_token_sequences",
+    "evt_sessionize",
+    "evt_retention_cohorts",
+    "evt_hourly_anomalies",
+    "evt_merged_activity",
+    "evt_hourly_moving_avg",
+    "stream_static_enrich",
+    "win_tumble",
+    "win_slide",
+    "rel_grouped_percentiles",
+    "rel_running_customer_revenue",
+    "agg_mode_deterministic",
+    "agg_quantiles",
+    "agg_skew_kurt",
+    "rel_cube_flag_status",
+    "rel_price_histogram",
+    "rel_profile_lineitem",
+    "rel_zorder_bucket_stats",
+    "samp_fixed_k_per_lang",
+    "sem_distinct_first_occurrence",
+    "sem_find_at_negative",
+    "sem_reverse_rotation",
+    "sem_sub_slice",
+    "sem_translate_wraps",
+    "sig_fft100_pad_truncate",
+    "grp_group_encounter_order",
+    "grp_partition_chunks",
+    "txt_fuzzy_vocab_match",
+    "txt_tfidf_keywords",
+    "txt_unigram_cross_entropy",
+    # -- (a) code or oracle changed in r9 --
+    "asof_nearest_signup",
     "dedup_span_cuts",
     "dedup_span_cuts_apply",
-    "asof_nearest_signup",
     "sim_pq_adc_topk",
     "sim_pq_train_means",
-    # -- (c) r4-vintage backfill (4 of 36), riskiest families first --
-    "dedup_exact",
-    "dedup_keep_list",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
+    "dedup_bloom_probe",
+    "mm_image_ahash",
+    # -- (b) first driver rows: new r9 operators --
+    "sim_ivfpq_topk",
+    "sim_pq_train_means_k256",
+    "evt_rollup_var_merge",
+    "dedup_span_cuts_text",
+    "asof_nearest_tol",
+    # -- (c) r5-vintage backfill (6 of 44), riskiest families first --
+    "dedup_shared_spans",
+    "emb_pca_norm_preserved",
+    "sim_quantized_topk",
+    "sim_lsh_bucket_topk",
+    "mm_video_frames",
+    "evt_interval_join_1h",
     # -- WINDOW CUT at position 50 — recount, don't trust comment position,
-    #    when rotating. r9 spill (29 r4-vintage): corpus_diff_versions,
-    #    emb_cluster_medoids,
-    #    pack_token_sequences,
-    #    evt_sessionize,
-    #    evt_retention_cohorts,
-    #    evt_hourly_anomalies,
-    #    evt_merged_activity,
-    #    evt_hourly_moving_avg,
-    #    stream_static_enrich,
-    #    win_tumble, win_slide,
-    #    rel_grouped_percentiles,
-    #    rel_running_customer_revenue,
-    #    agg_mode_deterministic,
-    #    rel_cube_flag_status, rel_price_histogram, rel_profile_lineitem,
-    #    rel_zorder_bucket_stats, samp_fixed_k_per_lang, sem_* (5),
-    #    sig_fft100_pad_truncate, grp_group_encounter_order,
-    #    grp_partition_chunks, txt_fuzzy_vocab_match, txt_tfidf_keywords —
+    #    when rotating. r10 spill (38 r5-vintage): agg_basic,
+    #    agg_dispersion, asof_purchase_last_signup,
+    #    evt_funnel_signup_view_purchase, grp_frequency_profile,
+    #    grp_partition_by_sorted, mm_audio_features, mm_frame_sample,
+    #    rel_q1_pricing_summary, rel_q3_top_revenue, rel_q5_nation_revenue,
+    #    rel_topk_per_segment, samp_hash_bernoulli, samp_stratified_by_lang,
+    #    sem_* (16), sig_dft64, sig_fft_by_window, sim_embedding_near_dup,
+    #    sim_ivf_topk, txt_bpe_token_count, txt_fingerprint,
+    #    txt_gopher_rules, txt_lang_id, txt_quality_score, txt_token_stats —
     #    all green in 2+ prior windows, re-executed by the smoke test and
     #    the committed HEAD verify log. --
 ]

@@ -14,82 +14,79 @@ import pytest
 
 from semantic_cpp_spark import registry
 
-# Queries whose code path OR oracle changed (or which are new) in round 8 —
+# Queries whose code path OR oracle changed (or which are new) in round 9 —
 # a historical green row no longer vouches for the current code, so each must
 # sit inside this round's 50-slot driver window for a fresh one.
-TOUCHED_IN_R8 = [
-    "emb_pca_project",        # power-iteration fit + NEW hard oracle
-                              # (replaces the registry's last rows-only row)
-    "graph_pagerank_top10",   # per-plan repartition rewrite (r7 ADVICE)
-    "dedup_bloom_probe",      # size-derived broadcast-vs-shuffle join
-    "mm_tiff_features",       # inline single-strip writer path
-    "emb_semdedup",           # oracle text refactored via _semdedup_sql
-    # NEW r8 operators (first rows):
-    "emb_pca_variance",
-    "emb_semdedup_scaled",
-    "graph_core_numbers",
-    "sim_truncation_rescore",
-    "stream_sliding_uniques_hll",
-    "agg_hll_distinct_users",
-    "agg_cms_user_freq",
-    "graph_ppr_seeds",
-    "samp_temperature_mixture",
-    "evt_rollup_merge",
-    "mm_image_ahash",
-    "evt_rollup_hll_merge",
-    "mm_audio_fingerprint",
-    "stream_sliding_cms_freq",
-    "mm_video_motion",
-    "dedup_span_cuts",
-    "dedup_span_cuts_apply",
-    "asof_nearest_signup",
-    "sim_pq_adc_topk",
-    "sim_pq_train_means",
+TOUCHED_IN_R9 = [
+    "asof_nearest_signup",    # tiebreak threaded through both passes
+    "dedup_span_cuts",        # in-plan packed-position guard
+    "dedup_span_cuts_apply",  # same guard on the apply path
+    "sim_pq_adc_topk",        # parameterized PQ machinery + raised shift
+    "sim_pq_train_means",     # raised positivity shift + range guard
+    "dedup_bloom_probe",      # corrected broadcast ceiling (ADVICE r8)
+    "mm_image_ahash",         # sub-grid quarantine (ADVICE r8)
+    # NEW r9 operators (first rows):
+    "sim_ivfpq_topk",
+    "sim_pq_train_means_k256",
+    "evt_rollup_var_merge",
+    "dedup_span_cuts_text",
+    "asof_nearest_tol",
 ]
 
-# The 21 r3-vintage queries the r7 window deliberately spilled (listed under
-# its WINDOW CUT) — the r7 policy's own deadline says they lead the r8
-# window so no latest row predates r4 after this round.
-SPILL_FROM_R7 = [
-    "rel_q14_promo_share",
-    "rel_q13_order_histogram",
-    "rel_q6_forecast_revenue",
-    "rel_rollup_order_priority",
-    "rel_pivot_status_by_flag",
-    "ir_bm25_topk",
-    "agg_corr_covar",
-    "agg_distribution_profile",
-    "rel_datetime_parts",
-    "str_charsequence_medley",
-    "str_codepoint_sequence",
-    "str_compare_and_join",
-    "str_levenshtein_to_anchor",
-    "evt_json_extract",
-    "grp_frequency_capped",
-    "reduce_bit_xor",
-    "shard_token_budget",
-    "src_blob_bytes",
-    "txt_decontaminate",
-    "txt_pii_redact",
-    "txt_word_count_topk",
+# The 32 r4-vintage queries the r8 window deliberately spilled (listed under
+# its WINDOW CUT; recounted from CORRECTNESS_r01..r08 — the r8 comment said
+# 29) — the standing policy's deadline says they lead the r9 window so no
+# latest row predates r5 after this round.
+SPILL_FROM_R8 = [
+    "corpus_diff_versions",
+    "emb_cluster_medoids",
+    "pack_token_sequences",
+    "evt_sessionize",
+    "evt_retention_cohorts",
+    "evt_hourly_anomalies",
+    "evt_merged_activity",
+    "evt_hourly_moving_avg",
+    "stream_static_enrich",
+    "win_tumble",
+    "win_slide",
+    "rel_grouped_percentiles",
+    "rel_running_customer_revenue",
+    "agg_mode_deterministic",
+    "agg_quantiles",
+    "agg_skew_kurt",
+    "rel_cube_flag_status",
+    "rel_price_histogram",
+    "rel_profile_lineitem",
+    "rel_zorder_bucket_stats",
+    "samp_fixed_k_per_lang",
+    "sem_distinct_first_occurrence",
+    "sem_find_at_negative",
+    "sem_reverse_rotation",
+    "sem_sub_slice",
+    "sem_translate_wraps",
+    "sig_fft100_pad_truncate",
+    "grp_group_encounter_order",
+    "grp_partition_chunks",
+    "txt_fuzzy_vocab_match",
+    "txt_tfidf_keywords",
+    "txt_unigram_cross_entropy",
 ]
 
-# r8 window policy (VERDICT r7 #1 + the standing rotation policy in
-# registry._PRIORITY's comment): the 21 r7 spills + 5 code-or-oracle-changed
-# + 20 new-operator first rows + 4 riskiest r4-vintage backfill = exactly
+# r9 window policy (VERDICT r8 #2 + the standing rotation policy in
+# registry._PRIORITY's comment): the 32 r8 spills + 7 code-or-oracle-changed
+# + 5 new-operator first rows + 6 riskiest r5-vintage backfill = exactly
 # 50. Nothing is pushed below the cut this round (_PRIORITY holds exactly
-# the window); the r4-vintage leftovers (incl. rel_running_customer_revenue,
-# bumped for graph_ppr_seeds) rotate in r9 on their green prior rows + the
-# committed HEAD verify log.
+# the window); the 38 r5-vintage leftovers rotate in r10 on their green
+# prior rows + the committed HEAD verify log.
 EXPECTED_SPILL = 0
 
 
-def test_r8_touched_and_spill_queries_inside_50_window():
+def test_r9_touched_and_spill_queries_inside_50_window():
     window = list(registry.queries())[:50]
-    missing = [n for n in SPILL_FROM_R7 + TOUCHED_IN_R8 if n not in window]
+    missing = [n for n in SPILL_FROM_R8 + TOUCHED_IN_R9 if n not in window]
     assert not missing, f"outside driver window: {missing}"
-    # the policy deadline: the 21 spills LEAD the window
-    assert window[:21] == SPILL_FROM_R7
+    # the policy deadline: the 32 spills LEAD the window
+    assert window[:32] == SPILL_FROM_R8
 
 
 def test_priority_names_all_exist():
@@ -138,9 +135,9 @@ def test_no_registered_query_left_unverified():
 def test_rotation_invariant_no_row_older_than_4_rounds():
     """The standing rotation policy: by each round N, no query's latest
     driver row may be older than round N-4 unless the query sits in the
-    current window (it is about to get a fresh row). At r7 that means
-    every r3-vintage row is either in the window or in the documented
-    EXPECTED_SPILL-entry r8 spill section of _PRIORITY."""
+    current window (it is about to get a fresh row). At r9 that means
+    every r4-vintage row is either in the window or in the documented
+    EXPECTED_SPILL-entry r10 spill section of _PRIORITY."""
     root = pathlib.Path(__file__).resolve().parents[1]
     latest: dict[str, int] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -151,10 +148,10 @@ def test_rotation_invariant_no_row_older_than_4_rounds():
     spill = set(registry._PRIORITY[50:])
     stale = [
         n for n, r in latest.items()
-        if r <= 3 and n in registry.queries()
+        if r <= 4 and n in registry.queries()
         and n not in window and n not in spill
     ]
-    assert not stale, f"r3-vintage rows neither in window nor r8 spill: {stale}"
+    assert not stale, f"r4-vintage rows neither in window nor spill: {stale}"
 
 
 def test_every_query_callable_and_oracles_subset():
