@@ -95,6 +95,109 @@ def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
 
 VAR_STATE_COLS = ("st_n", "st_sum", "st_ssq")
 
+# -- mergeable QUANTILE state (the last gap in the mergeable family) ---------
+# count/sum/min/max, variance, HLL-distinct and CMS-frequency all have
+# mergeable forms above / in pipeline.dedup; quantiles are the remaining
+# aggregate every rollup system ships (DDSketch in Datadog, HdrHistogram
+# in Cassandra/Dropwizard, t-digest in Elasticsearch). The sketch here is
+# the HdrHistogram/DDSketch shape with an EXACTNESS twist: values bucket
+# by "keep the top QSKETCH_BITS+1 significant bits, zero the rest", i.e.
+# the bucket key IS the bucket's lower bound
+#     q(v) = sign(v) * ((|v| >> s) << s),  s = max(0, msb(|v|) - B)
+# computed with integer shifts and msb(|v|) = length(bin(|v|)) - 1 — both
+# Spark and DuckDB evaluate bin()/shift identically, so the binning (and
+# therefore every downstream hash) replays exactly in SQL, unlike
+# DDSketch's float log-gamma binning where the last-ulp of ln() would
+# make bucket boundaries engine-dependent. Guarantees are DDSketch-grade:
+# relative error ≤ 2^-B (B=7 → 0.79%), values with |v| < 2^(B+1) exact,
+# quantization monotone (order-preserving, negatives mirrored), state
+# ≤ 2·(63−B)·2^B + 2^(B+1) ≈ 14.6k bins per key REGARDLESS of row count.
+#
+# 100 TB design: state building is one map-side-combinable groupBy over
+# the delta only; state rows = keys × occupied bins (bounded above, and
+# in practice ~hundreds — real value distributions occupy few octaves).
+# Merging is union + one groupBy SUM — associative, commutative, pure
+# integer addition, so merge(state(A), state(B)) ≡ state(A ∪ B)
+# bit-for-bit in any order or grouping (test-pinned). Quantile queries
+# never touch raw data: one key-partitioned window cumsum over ≤14.6k
+# bins per key with exact integer rank thresholds ceil(n·p/100) =
+# (n·p + 99) div 100.
+
+QSKETCH_BITS = 7
+QSKETCH_STATE_COLS = ("st_qv", "st_cnt")
+
+
+def _quantize(name: str) -> Column:
+    """Exact log2 bucketing of int64 column ``name``: keep the top
+    QSKETCH_BITS+1 significant bits of |v|, re-apply the sign. Pure
+    integer ops (string-length msb + shifts) — replays bit-identically
+    in DuckDB; see module comment."""
+    b = QSKETCH_BITS
+    mag = f"abs({name})"
+    s = f"cast(length(bin({mag})) - {b + 1} as int)"
+    return F.expr(
+        f"case when {mag} < {1 << (b + 1)} then {name} "
+        f"when {name} < 0 then -shiftleft(shiftright({mag}, {s}), {s}) "
+        f"else shiftleft(shiftright({mag}, {s}), {s}) end"
+    ).cast("long")
+
+
+def qsketch_state(df: DataFrame, keys: list[str], value: Column) -> DataFrame:
+    """Per-key mergeable quantile-sketch state (st_qv, st_cnt) over an
+    exact integer ``value`` (cents / micro-units). One map-side-
+    combinable groupBy over the delta; output rows = keys × occupied
+    bins (≤ ~14.6k bins at B=7 no matter how many input rows)."""
+    binned = df.select(
+        *keys, value.cast("long").alias("__qs_v")
+    ).select(*keys, _quantize("__qs_v").alias("st_qv"))
+    return binned.groupBy(*keys, "st_qv").agg(
+        F.count(F.lit(1)).cast("long").alias("st_cnt")
+    )
+
+
+def merge_qsketch_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Fold quantile-sketch states: union + one groupBy SUM per (key,
+    bin). Pure integer addition — order/grouping can never show in the
+    result (test-pinned against the direct state of the concatenation)."""
+    if not states:
+        raise ValueError("merge_qsketch_states needs at least one state table")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys, "st_qv").agg(
+        F.sum("st_cnt").cast("long").alias("st_cnt")
+    )
+
+
+def qsketch_quantiles(
+    state: DataFrame, keys: list[str], percents: list[int]
+) -> DataFrame:
+    """Resolve a sketch state to lower-quantile estimates at integer
+    ``percents`` (e.g. [50, 95, 99]): per key, the smallest bin whose
+    running count reaches ceil(n·p/100), computed with the exact
+    integer threshold (n·p + 99) div 100 — no float rank anywhere. One
+    key-partitioned window over the (small) bin table; answers carry
+    the DDSketch-grade ≤2^-QSKETCH_BITS relative-error bound."""
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy(*keys).orderBy("st_qv")
+    w_all = Window.partitionBy(*keys)
+    enriched = state.select(
+        *keys,
+        "st_qv",
+        F.sum("st_cnt").over(w_cum).alias("__cum"),
+        F.sum("st_cnt").over(w_all).alias("__n"),
+    )
+    aggs = []
+    for p in percents:
+        thr = F.expr(f"(__n * {int(p)} + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= thr, F.col("st_qv"))).alias(f"p{int(p)}")
+        )
+    return enriched.groupBy(*keys).agg(
+        F.max("__n").alias("n"), *aggs
+    )
+
 
 def var_state(df: DataFrame, keys: list[str], value: Column) -> DataFrame:
     """Per-key mergeable variance state (st_n, st_sum, st_ssq) over an

@@ -257,3 +257,85 @@ def test_var_state_carries_chans_m2_exactly(spark):
 def test_merge_var_states_rejects_empty(spark):
     with pytest.raises(ValueError):
         rollup.merge_var_states([], ["k"])
+
+# -- mergeable quantile-sketch state ------------------------------------------
+
+
+def _collect_qs(df):
+    return {(r["k"], r["st_qv"]): r["st_cnt"] for r in df.collect()}
+
+
+def test_qsketch_merge_equals_direct_state(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [("x", rng.randint(-100000, 5000000)) for _ in range(300)] + [
+        ("y", rng.randint(0, 255)) for _ in range(80)
+    ]
+    full = _frame(spark, rows)
+    a = full.filter(F.pmod(F.col("v"), F.lit(3)) == 0)
+    b = full.filter(F.pmod(F.col("v"), F.lit(3)) == 1)
+    c = full.filter(F.pmod(F.col("v"), F.lit(3)) == 2)
+    direct = _collect_qs(rollup.qsketch_state(full, ["k"], F.col("v")))
+    merged = _collect_qs(
+        rollup.merge_qsketch_states(
+            [rollup.qsketch_state(d, ["k"], F.col("v")) for d in (a, b, c)],
+            ["k"],
+        )
+    )
+    assert merged == direct
+
+
+def test_qsketch_quantize_is_exact_below_2b1_and_monotone(spark):
+    # |v| < 2^(QSKETCH_BITS+1) must pass through EXACTLY; quantization
+    # must preserve order across the whole domain incl. negatives
+    vals = [-300000, -257, -256, -255, -1, 0, 1, 255, 256, 257, 10**12]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = [
+        r["q"]
+        for r in df.select(rollup._quantize("v").alias("q"), "v")
+        .orderBy("v")
+        .collect()
+    ]
+    for v, q in zip(sorted(vals), out):
+        if abs(v) < 256:
+            assert q == v, (v, q)
+        else:
+            assert abs(q) <= abs(v) and (q < 0) == (v < 0), (v, q)
+    assert out == sorted(out)
+
+
+def test_qsketch_relative_error_bound(spark):
+    """DDSketch-grade guarantee: every quantile answer is within
+    2^-QSKETCH_BITS relative error of an EXACT lower quantile."""
+    import random
+
+    rng = random.Random(41)
+    vals = sorted(rng.randint(1, 10**9) for _ in range(5000))
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v long")
+    st = rollup.qsketch_state(df, ["k"], F.col("v"))
+    row = rollup.qsketch_quantiles(st, ["k"], [50, 95, 99]).collect()[0]
+    assert row["n"] == 5000
+    for p in (50, 95, 99):
+        exact = vals[-(-5000 * p // 100) - 1]  # ceil rank, 1-indexed
+        got = row[f"p{p}"]
+        assert abs(got - exact) <= exact * 2 ** -rollup.QSKETCH_BITS + 1, (
+            p,
+            got,
+            exact,
+        )
+
+
+def test_qsketch_state_is_bounded_regardless_of_cardinality(spark):
+    # 200k distinct values -> bounded bins (<= ~14.6k; in practice far
+    # fewer: few occupied octaves), the whole point vs exact quantiles
+    df = spark.range(0, 200000).select(
+        F.lit("k").alias("k"), (F.col("id") * 7919 + 13).alias("v")
+    )
+    n_bins = rollup.qsketch_state(df, ["k"], F.col("v")).count()
+    assert n_bins < 14600, n_bins
+
+
+def test_qsketch_merge_rejects_empty(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        rollup.merge_qsketch_states([], ["k"])
