@@ -1427,3 +1427,228 @@ def ivfpq_index_load(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
         spark.read.parquet(f"{path}/codes"),
         params,
     )
+
+
+# -- IVFADC with RESIDUAL encoding (the full FAISS IVF-PQ shape) -------------
+# ivfpq_topk above quantizes raw vectors: the PQ error budget is spent
+# representing the vector's absolute position, most of which the coarse
+# quantizer already knows. Jégou et al.'s production form encodes the
+# RESIDUAL r = x − c_list instead — residual magnitudes are a fraction
+# of vector magnitudes whenever the data clusters, so the same
+# m·log2(K) bits buy a strictly finer grid around each list's centroid
+# (MAE of ADC vs true distance is test-pinned lower than the raw-vector
+# codes on the clustered regime). The probe pays one extra broadcast:
+# the LUT becomes per-(query, probed list) (|Q|·nprobe·m·K rows — still
+# KB-scale) because the query must be expressed in each probed list's
+# residual frame (q − c_list). Everything else keeps the ivfpq_topk
+# scale shape: codes live in inverted lists, the ADC join only ever
+# sees |Q|·nprobe·(n/n_lists) candidate rows, vectors are never read
+# at probe time.
+
+
+def _coarse_residuals(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> DataFrame:
+    """(vec_id, list_id, rv): each target vector's ivf_assign list
+    (max-cosine over the n_lists smallest-id centroids, ties → smaller
+    id — the exact ivf_assign ranking, inlined so ``lo``/``hi`` can
+    restrict the TARGET side to a handful of seed ids without touching
+    the centroid side) and its residual r = x − c_list, one exact IEEE
+    zip_with. Per-vector assignment is independent, so restricting the
+    targets yields exactly the full run's rows for those ids."""
+    from semantic_cpp_spark.pipeline.clustering import _as_double
+
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    targets = e
+    if lo is not None:
+        targets = e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+    scored = targets.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "c_id", "cv",
+        safe_cos(F.col("v"), F.col("cv")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            "vec_id",
+            F.col("c_id").alias("list_id"),
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
+        )
+    )
+
+
+def ivfpq_residual_index(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | None = None,
+    n_centroids: int = PQ_K,
+    m_subs: int = PQ_M,
+    sub_dims: int = PQ_SUB,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the residual IVFADC index: (books, listed_codes).
+
+    1. residual codebooks seeded from the residuals of the n_centroids
+       smallest ids ≥ n_lists (ids < n_lists are the coarse centroids
+       themselves — their residuals are exactly zero, useless seeds),
+       computed on a TINY branch (n_centroids target rows only);
+    2. the corpus passes through ONE linear pipeline — assign (one
+       broadcast-centroid cross, the ivf_assign idiom), residual
+       (exact IEEE zip_with; the oracle's indexed list_transform folds
+       identically), subspace explode, broadcast-books join, (d2, c_id)
+       argmin — so the corpus is scanned and assigned exactly once per
+       build (the pq_encode-composition first cut re-expanded the
+       assignment cross in every DAG branch; plan-pinned against now);
+    3. list_id rides the encode rows, no post-hoc corpus self-join.
+
+    Run once and persisted via ivfpq_index_save's layout; probes read
+    listed codes only."""
+    from semantic_cpp_spark.pipeline.clustering import sq_dist
+
+    if n_lists is None:
+        n_lists = derived_ivf_k(emb.count())
+    seeds = _coarse_residuals(
+        emb, id_col, vec_col, n_lists, lo=n_lists, hi=n_lists + n_centroids
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m_subs - 1))).alias("m")
+    books = seeds.select(F.col("vec_id").alias("c_id"), ms, "rv").select(
+        "m",
+        F.col("c_id"),
+        F.slice(F.col("rv"), F.col("m") * sub_dims + 1, sub_dims).alias("cv"),
+    )
+    corpus = _coarse_residuals(emb, id_col, vec_col, n_lists)
+    sub = corpus.select("vec_id", "list_id", ms, "rv").select(
+        "vec_id",
+        "list_id",
+        "m",
+        F.slice(F.col("rv"), F.col("m") * sub_dims + 1, sub_dims).alias("xv"),
+    )
+    scored = sub.join(F.broadcast(books), "m").select(
+        "vec_id", "list_id", "m", "c_id",
+        sq_dist(F.col("xv"), F.col("cv")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("c_id"))
+    listed = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "list_id", "m", F.col("c_id").alias("code"))
+    )
+    return books, listed
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    n_lists: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: DataFrame | None = None,
+    listed_codes: DataFrame | None = None,
+    n_centroids: int = PQ_K,
+    m_subs: int = PQ_M,
+    sub_dims: int = PQ_SUB,
+) -> DataFrame:
+    """Residual-encoded IVFADC top-k (Jégou et al. 2011, the FAISS
+    IVF{K},PQ{m} production index):
+
+    1. coarse route: each query picks nprobe nearest lists
+       (ivf_query_probes — the build-side ranking);
+    2. per (query, probed list) the query re-expresses itself in that
+       list's residual frame (q − c_list) and builds its ADC LUT
+       against the RESIDUAL books — |Q|·nprobe·m_subs·K rows,
+       broadcast;
+    3. prune: listed codes equi-join the probe pairs —
+       |Q|·nprobe·(n/n_lists) candidates, never the full table;
+    4. ADC: candidates meet the LUT on (q, list, m, code), group-sum,
+       top-k on (rounded adc, vec_id), self-matches excluded.
+
+    ``books``/``listed_codes`` probe a persisted index (build them with
+    ivfpq_residual_index); both must come from the SAME build — codes
+    against other books return garbage, so passing one without the
+    other raises. Returns (q_id, rk, vec_id, adc)."""
+    from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
+
+    if n_lists is None:
+        n_lists = derived_ivf_k(emb.count())
+    if (books is None) != (listed_codes is None):
+        raise ValueError(
+            "ivfpq residual probe: books and listed_codes must be "
+            "passed together (both from one ivfpq_residual_index build) "
+            "or both derived"
+        )
+    if books is None:
+        books, listed_codes = ivfpq_residual_index(
+            emb, id_col, vec_col, n_lists=n_lists,
+            n_centroids=n_centroids, m_subs=m_subs, sub_dims=sub_dims,
+        )
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    probes = ivf_query_probes(e, query_ids, nprobe, n_lists).select(
+        "q_id", "probe_cent"
+    )
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    # query residual per probed list: (q_id, probe_cent, qr)
+    qres = (
+        q.join(F.broadcast(probes), "q_id")
+        .join(F.broadcast(cents), F.col("probe_cent") == F.col("c_id"))
+        .select(
+            "q_id",
+            "probe_cent",
+            F.zip_with("qv", "cv", lambda a, b: a - b).alias("qr"),
+        )
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m_subs - 1))).alias("m")
+    qsub = qres.select("q_id", "probe_cent", ms, "qr").select(
+        "q_id",
+        "probe_cent",
+        "m",
+        F.slice(F.col("qr"), F.col("m") * sub_dims + 1, sub_dims).alias("qx"),
+    )
+    lut = qsub.join(F.broadcast(books), "m").select(
+        "q_id",
+        "probe_cent",
+        "m",
+        F.col("c_id"),
+        sq_dist(F.col("qx"), F.col("cv")).alias("qd2"),
+    )
+    pruned = listed_codes.join(
+        F.broadcast(probes), F.col("list_id") == F.col("probe_cent")
+    ).select("q_id", "list_id", "vec_id", "m", "code")
+    p, l = pruned.alias("p"), lut.alias("l")
+    joined = p.join(
+        F.broadcast(l),
+        (F.col("p.q_id") == F.col("l.q_id"))
+        & (F.col("p.list_id") == F.col("l.probe_cent"))
+        & (F.col("p.m") == F.col("l.m"))
+        & (F.col("p.code") == F.col("l.c_id")),
+    ).select(F.col("p.q_id"), F.col("p.vec_id"), F.col("l.qd2"))
+    adc = joined.groupBy("q_id", "vec_id").agg(
+        F.round(F.sum("qd2"), 6).alias("adc")
+    ).filter(F.col("q_id") != F.col("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("vec_id"))
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("rk").cast("long").alias("rk"), "vec_id", "adc")
+    )

@@ -3945,3 +3945,93 @@ def sim_pq_train_means_k256(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     books1 = similarity.pq_books_trained(emb, n_centroids=256, iters=1)
     return similarity.pq_train_means(emb, books=books1, n_centroids=256)
+
+
+_IVFPQ_RES_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {similarity.IVF_K}),
+cscored AS (SELECT e.vec_id, e.v, c.c_id, {_sql_cos('e.v', 'c.cv')} AS ccos
+            FROM e, c),
+assigned AS (
+  SELECT vec_id, v, c_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC NULLS LAST, c_id) AS r
+        FROM cscored)
+  WHERE r = 1),
+resid AS (SELECT a.vec_id, a.list_id,
+                 list_transform(a.v, (x, i) -> x - c.cv[i]) AS rv
+          FROM assigned a JOIN c ON c.c_id = a.list_id),
+mrange AS (SELECT unnest(range(0, 4)) AS m),
+books AS (SELECT m, vec_id AS b_id, rv[m*16+1 : m*16+16] AS cv
+          FROM resid, mrange
+          WHERE vec_id >= {similarity.IVF_K}
+            AND vec_id < {similarity.IVF_K + 16}),
+sub AS (SELECT vec_id, m, rv[m*16+1 : m*16+16] AS xv FROM resid, mrange),
+sc AS (SELECT s.vec_id, s.m, b.b_id,
+              list_dot_product(s.xv, s.xv)
+                - 2.0 * list_dot_product(s.xv, b.cv)
+                + list_dot_product(b.cv, b.cv) AS d2
+       FROM sub s JOIN books b ON b.m = s.m),
+codes AS (SELECT vec_id, m, b_id AS code FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                        ORDER BY d2, b_id) AS r
+           FROM sc) WHERE r = 1),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+qsc AS (SELECT q.q_id, c.c_id, {_sql_cos('q.qv', 'c.cv')} AS ccos FROM q, c),
+probes AS (
+  SELECT q_id, c_id AS probe_cent
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY ccos DESC NULLS LAST, c_id) AS r
+        FROM qsc)
+  WHERE r <= 2),
+qres AS (SELECT q.q_id, p.probe_cent,
+                list_transform(q.qv, (x, i) -> x - c.cv[i]) AS qr
+         FROM q JOIN probes p USING (q_id)
+         JOIN c ON c.c_id = p.probe_cent),
+qsub AS (SELECT q_id, probe_cent, m, qr[m*16+1 : m*16+16] AS qx
+         FROM qres, mrange),
+lut AS (SELECT qs.q_id, qs.probe_cent, qs.m, b.b_id,
+               list_dot_product(qs.qx, qs.qx)
+                 - 2.0 * list_dot_product(qs.qx, b.cv)
+                 + list_dot_product(b.cv, b.cv) AS qd2
+        FROM qsub qs JOIN books b ON b.m = qs.m),
+pruned AS (SELECT p.q_id, cd.vec_id, a.list_id, cd.m, cd.code
+           FROM codes cd
+           JOIN assigned a USING (vec_id)
+           JOIN probes p ON p.probe_cent = a.list_id),
+adc AS (SELECT pr.q_id, pr.vec_id, round(sum(l.qd2), 6) AS adc
+        FROM pruned pr
+        JOIN lut l ON l.q_id = pr.q_id AND l.probe_cent = pr.list_id
+                  AND l.m = pr.m AND l.b_id = pr.code
+        GROUP BY pr.q_id, pr.vec_id)
+SELECT q_id, rk::BIGINT AS rk, vec_id, adc FROM
+  (SELECT *, row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc, vec_id) AS rk
+   FROM adc WHERE q_id <> vec_id)
+WHERE rk <= 5"""
+
+
+@register("sim_ivfpq_residual_topk", _IVFPQ_RES_SQL)
+def sim_ivfpq_residual_topk(spark, sf_dir):
+    """Residual-encoded IVFADC under the gate
+    (similarity.ivfpq_residual_topk — the full FAISS IVF{K},PQ{m}
+    production form, Jégou et al. 2011): PQ spends its bits on
+    r = x − c_list instead of x, so the same 16-bit code budget buys a
+    strictly finer grid around each list's centroid (ADC error vs true
+    distance test-pinned below the raw-vector codes on the clustered
+    regime; the raw-vector variant stays registered as sim_ivfpq_topk
+    for the A/B). The query re-expresses itself in each probed list's
+    residual frame, which costs one extra broadcast (LUT keyed by
+    (q, probed list) — |Q|·nprobe·m·K rows, KB-scale) and changes
+    nothing about the probe's scale shape: codes stay in inverted
+    lists, the ADC join sees |Q|·nprobe·(n/n_lists) candidates,
+    vectors are never read. Residual subtraction is one exact IEEE
+    zip_with both engines replay bit-identically (indexed
+    list_transform in the oracle); books seed from the residuals of
+    the 16 smallest ids ≥ n_lists (ids < n_lists are the centroids —
+    their residuals are exactly zero). Deterministic end to end, so
+    the oracle replays assignment, residuals, books, codes, probes,
+    per-list LUTs, and the pruned ADC sums verbatim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_residual_topk(
+        emb, [0, 1, 2], k=5, nprobe=2, n_lists=similarity.IVF_K
+    )

