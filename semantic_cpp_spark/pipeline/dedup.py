@@ -1419,3 +1419,139 @@ def apply_span_cuts(
         cols.append(clean.alias("clean_text"))
     cols.append(F.md5(clean).alias("clean_fp"))
     return j.select(*cols)
+
+
+# -- passage-level MinHash near-dup (sub-document FUZZY dedup) ---------------
+# Granularity ladder: exact/MinHash dedup keeps or drops WHOLE docs;
+# duplicate_span_cuts removes EXACT repeated token regions; this layer
+# catches the remaining case — NEAR-duplicate passages (boilerplate
+# paragraphs, templated sections, lightly-edited copies) embedded in
+# otherwise-novel documents, the RefinedWeb/Dolma sub-document pass.
+# Docs chunk into fixed token windows; each passage minhashes
+# INDEPENDENTLY and passages meet through the standard band-bucket
+# join, so all of minhash_lsh_pairs' scale machinery (band keys only in
+# the shuffle, triangle-split hot buckets) applies unchanged — the
+# corpus just has ~n_tokens/window times more, much smaller, "docs".
+
+PASSAGE_TOKENS = 32
+
+
+def passage_explode(
+    df: DataFrame, text: Column, id_col: Column, window: int = PASSAGE_TOKENS
+) -> DataFrame:
+    """(pkey, doc_id, pid, ptext): non-overlapping ``window``-token
+    passages (last one ragged), ptext single-space re-joined. pkey
+    packs doc_id·2²⁰ + pid (the span-cuts packing discipline) so the
+    passage table can flow through any machinery keyed by one int64;
+    pid ≥ 2²⁰ (a 33M-token document at window=32) raises in-plan
+    rather than aliasing — same contract, same fix (chunk first)."""
+    t = F.split(F.trim(text), r"\s+")
+    base = df.select(id_col.alias("doc_id"), t.alias("__ws"))
+    npass = F.expr(f"(size(__ws) + {window - 1}) div {window}")
+    ex = base.select(
+        "doc_id",
+        "__ws",
+        F.explode(F.sequence(F.lit(0), npass - 1)).alias("pid"),
+    )
+    guarded_pid = F.when(
+        F.col("pid") < F.lit(1 << SPAN_POS_BITS), F.col("pid").cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "passage_explode: passage index >= "
+                    f"2^{SPAN_POS_BITS} would alias the packed key — "
+                    "chunk documents first (doc_id "
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long")
+    )
+    return ex.select(
+        "doc_id",
+        guarded_pid.alias("pid"),
+        F.array_join(
+            F.slice(F.col("__ws"), F.col("pid") * window + 1, window), " "
+        ).alias("ptext"),
+    ).withColumn(
+        "pkey", F.col("doc_id") * F.lit(1 << SPAN_POS_BITS) + F.col("pid")
+    )
+
+
+def passage_minhash_pairs(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    window: int = PASSAGE_TOKENS,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate PASSAGE pairs: passage_explode → the standard
+    MinHash(NUM_HASHES)+LSH(BANDS) band-bucket pipeline on the packed
+    passage key → unpack. Returns (d1, p1, d2, p2, est_jaccard) with
+    (d1, p1) < (d2, p2) in packed order; within-doc pairs (d1 = d2,
+    repeated boilerplate inside one document) are real output, callers
+    wanting only cross-doc matches filter d1 <> d2 (passage_dup_summary
+    does). Passages shorter than ``k`` tokens have no shingles and
+    never pair — the minhash_signature contract."""
+    p = passage_explode(df, text, id_col, window)
+    pairs = minhash_lsh_pairs(
+        p, F.col("ptext"), F.col("pkey"), k=k, threshold=threshold
+    )
+    bits = F.lit(1 << SPAN_POS_BITS)
+    return pairs.select(
+        F.expr(f"d1 div {1 << SPAN_POS_BITS}").alias("d1"),
+        (F.col("d1") % bits).alias("p1"),
+        F.expr(f"d2 div {1 << SPAN_POS_BITS}").alias("d2"),
+        (F.col("d2") % bits).alias("p2"),
+        "est_jaccard",
+    )
+
+
+def passage_dup_summary(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    window: int = PASSAGE_TOKENS,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-document boilerplate profile from the passage pairs: how
+    many of a doc's passages near-duplicate a passage of ANOTHER doc.
+    Returns (doc_id, n_passages, n_dup_passages, dup_ppm) for every
+    document — dup_ppm = n_dup·10⁶ div n_passages, exact integer, the
+    curation signal (drop or re-weight docs that are mostly shared
+    boilerplate even when no WHOLE doc matches). Pair volume is the
+    only corpus-sized intermediate; the summary is two groupBys over
+    (doc, pid) pairs."""
+    pairs = passage_minhash_pairs(df, text, id_col, window, k, threshold)
+    cross = pairs.filter(F.col("d1") != F.col("d2"))
+    dup = (
+        cross.select(F.col("d1").alias("doc_id"), F.col("p1").alias("pid"))
+        .unionByName(
+            cross.select(
+                F.col("d2").alias("doc_id"), F.col("p2").alias("pid")
+            )
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_passages"))
+    )
+    totals = (
+        passage_explode(df, text, id_col, window)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_passages"))
+    )
+    return (
+        totals.join(dup, "doc_id", "left")
+        .na.fill({"n_dup_passages": 0})
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup_passages",
+            F.expr("(n_dup_passages * 1000000) div n_passages").alias(
+                "dup_ppm"
+            ),
+        )
+    )

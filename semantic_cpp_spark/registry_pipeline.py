@@ -4035,3 +4035,87 @@ def sim_ivfpq_residual_topk(spark, sf_dir):
     return similarity.ivfpq_residual_topk(
         emb, [0, 1, 2], k=5, nprobe=2, n_lists=similarity.IVF_K
     )
+
+
+def _passage_dup_sql() -> str:
+    """Replays the passage pipeline verbatim: window-chunk, per-passage
+    shingles (the _SHINGLES_CTE construction on each passage's re-split
+    text), the NUM_HASHES affine-min signature, band keys, packed-order
+    candidate pairs, agreement-rate verification, and the per-doc
+    cross-doc dup profile with the exact-integer ppm."""
+    w = dedup.PASSAGE_TOKENS
+    bits = 1 << dedup.SPAN_POS_BITS
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> ({a} * (('0x' || substr(md5(s),1,8))::BIGINT) + {b}) % {dedup.MINHASH_P}))"
+        for a, b in zip(dedup.MINHASH_A, dedup.MINHASH_B)
+    )
+    r, nb, nh = dedup.LSH_ROWS, dedup.LSH_BANDS, dedup.NUM_HASHES
+    return f"""WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents),
+    pas AS (
+      SELECT doc_id, pid,
+             array_to_string(ws[pid*{w}+1 : pid*{w}+{w}], ' ') AS ptext
+      FROM (SELECT doc_id, ws,
+                   unnest(range(0, (len(ws) + {w - 1}) // {w})) AS pid
+            FROM tok)),
+    psh AS (
+      SELECT doc_id, pid,
+             CASE WHEN len(pws) >= 3
+                  THEN list_distinct([pws[i] || ' ' || pws[i+1] || ' ' || pws[i+2]
+                                      for i in range(1, len(pws) - 1)])
+                  ELSE [] END AS shingles
+      FROM (SELECT doc_id, pid,
+                   regexp_split_to_array(trim(ptext), '\\s+') AS pws
+            FROM pas)),
+    sigs AS (SELECT doc_id, pid, [{mins}] AS sig
+             FROM psh WHERE len(shingles) > 0),
+    bands AS (
+      SELECT doc_id, pid, t.band,
+             array_to_string(sig[t.band * {r} + 1 : t.band * {r} + {r}], '_') AS key
+      FROM sigs, (SELECT unnest(range(0, {nb})) AS band) t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, a.pid AS p1, b.doc_id AS d2, b.pid AS p2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key
+       AND (a.doc_id * {bits} + a.pid) < (b.doc_id * {bits} + b.pid)),
+    ver AS (
+      SELECT c.d1, c.p1, c.d2, c.p2
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.d1 AND sa.pid = c.p1
+      JOIN sigs sb ON sb.doc_id = c.d2 AND sb.pid = c.p2
+      WHERE length(list_filter(range(1, {nh} + 1),
+                               i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+            / {nh} >= 0.5),
+    xp AS (SELECT * FROM ver WHERE d1 <> d2),
+    dup AS (SELECT doc_id, count(*)::BIGINT AS n_dup FROM (
+              SELECT DISTINCT doc_id, pid FROM (
+                SELECT d1 AS doc_id, p1 AS pid FROM xp
+                UNION ALL SELECT d2 AS doc_id, p2 AS pid FROM xp))
+            GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*)::BIGINT AS n_passages
+            FROM pas GROUP BY doc_id)
+    SELECT t.doc_id, t.n_passages,
+           coalesce(d.n_dup, 0)::BIGINT AS n_dup_passages,
+           ((coalesce(d.n_dup, 0) * 1000000) // t.n_passages)::BIGINT AS dup_ppm
+    FROM tot t LEFT JOIN dup d USING (doc_id)"""
+
+
+@register("dedup_passage_dup_summary", _passage_dup_sql())
+def dedup_passage_dup_summary(spark, sf_dir):
+    """Passage-level FUZZY sub-document dedup (dedup.passage_dup_summary
+    — the RefinedWeb/Dolma boilerplate pass): docs chunk into
+    32-token passages, each passage MinHash(16)+LSH(4×4)-signatures
+    independently, passages of different docs meeting a full band +
+    est-Jaccard ≥ 0.5 mark both sides, and every doc reports
+    (n_passages, n_dup_passages, dup_ppm) with the exact-integer ppm.
+    Completes the granularity ladder: whole-doc (exact/MinHash) →
+    exact sub-document (span cuts) → NEAR-dup sub-document (this) —
+    the case of templated/lightly-edited sections inside otherwise
+    novel documents, which both neighbors miss. All of
+    minhash_lsh_pairs' scale machinery (band-key-only shuffle,
+    triangle-split hot buckets) applies unchanged; the packed
+    doc·2²⁰+pid key carries passages through it as ordinary int64
+    "docs" (aliasing guarded in-plan, the span-cuts contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.passage_dup_summary(docs, F.col("text"), F.col("doc_id"))

@@ -1829,3 +1829,85 @@ def test_span_cuts_guards_packed_position_overflow(spark, monkeypatch):
         ).count()
         == 0
     )
+
+
+# -- passage-level MinHash near-dup -------------------------------------------
+
+def _docs_frame(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_passage_explode_windows_and_packing(spark):
+    from semantic_cpp_spark.pipeline import dedup
+
+    words = " ".join(f"w{i}" for i in range(70))  # 70 tokens -> 3 passages
+    df = _docs_frame(spark, [words, "short text"])
+    p = {
+        (r["doc_id"], r["pid"]): r
+        for r in dedup.passage_explode(
+            df, F.col("text"), F.col("doc_id")
+        ).collect()
+    }
+    assert len([k for k in p if k[0] == 0]) == 3
+    assert p[(0, 0)]["ptext"].split(" ")[0] == "w0"
+    assert p[(0, 2)]["ptext"] == "w64 w65 w66 w67 w68 w69"  # ragged tail
+    assert p[(0, 2)]["pkey"] == 0 * (1 << 20) + 2
+    assert p[(1, 0)]["ptext"] == "short text"
+
+
+def test_passage_pairs_find_planted_boilerplate(spark):
+    """Two docs share a lightly-edited 32-token passage buried in
+    otherwise-novel text: whole-doc MinHash misses them (doc Jaccard is
+    tiny), but the passage pass must flag exactly those passages on
+    both docs — and a fully novel doc must report zero."""
+    from semantic_cpp_spark.pipeline import dedup
+
+    boiler = " ".join(f"legal disclaimer clause{i}" for i in range(11))
+    edited = boiler.replace("clause3", "clause3b")  # light edit
+    novel_a = " ".join(f"alpha{i} beta{i}" for i in range(16))
+    novel_b = " ".join(f"gamma{i} delta{i}" for i in range(16))
+    novel_c = " ".join(f"zeta{i} eta{i}" for i in range(16))
+    df = _docs_frame(
+        spark,
+        [novel_a + " " + boiler, novel_b + " " + edited, novel_c],
+    )
+    summary = {
+        r["doc_id"]: r
+        for r in dedup.passage_dup_summary(
+            df, F.col("text"), F.col("doc_id")
+        ).collect()
+    }
+    assert summary[2]["n_dup_passages"] == 0 and summary[2]["dup_ppm"] == 0
+    assert summary[0]["n_dup_passages"] >= 1
+    assert summary[1]["n_dup_passages"] >= 1
+    # whole-doc signatures do NOT pair these docs at the same threshold
+    doc_pairs = dedup.minhash_lsh_pairs(
+        df, F.col("text"), F.col("doc_id"), threshold=0.5
+    ).collect()
+    assert not any({r["d1"], r["d2"]} == {0, 1} for r in doc_pairs)
+
+
+def test_passage_pairs_within_doc_kept_summary_cross_only(spark):
+    from semantic_cpp_spark.pipeline import dedup
+
+    rep = " ".join(f"tok{i % 32}" for i in range(96))  # same 32 tokens x3
+    df = _docs_frame(spark, [rep])
+    pairs = dedup.passage_minhash_pairs(
+        df, F.col("text"), F.col("doc_id")
+    ).collect()
+    assert pairs and all(r["d1"] == 0 and r["d2"] == 0 for r in pairs)
+    s = dedup.passage_dup_summary(df, F.col("text"), F.col("doc_id")).collect()
+    assert s[0]["n_dup_passages"] == 0  # within-doc repeats are not boilerplate
+
+
+def test_passage_explode_pid_guard_raises(spark):
+    from semantic_cpp_spark.pipeline import dedup
+
+    big = "a " * ((1 << 20) + 2)
+    df = _docs_frame(spark, [big])
+    with pytest.raises(Exception, match="passage index"):
+        dedup.passage_explode(df, F.col("text"), F.col("doc_id"), window=1).agg(
+            F.max("pid")
+        ).collect()

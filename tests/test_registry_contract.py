@@ -33,6 +33,7 @@ TOUCHED_IN_R9 = [
     "asof_nearest_tol",
     "evt_rollup_quantile_merge",
     "sim_ivfpq_residual_topk",
+    "dedup_passage_dup_summary",
 ]
 
 # The 32 r4-vintage queries the r8 window deliberately spilled (listed under
@@ -76,11 +77,12 @@ SPILL_FROM_R8 = [
 
 # r9 window policy (VERDICT r8 #2 + the standing rotation policy in
 # registry._PRIORITY's comment): the 32 r8 spills + 7 code-or-oracle-changed
-# + 7 new-operator first rows + 4 riskiest r5-vintage backfill = exactly
+# + 8 new-operator first rows + 3 riskiest r5-vintage backfill = exactly
 # 50. Nothing is pushed below the cut this round (_PRIORITY holds exactly
-# the window); the 40 r5-vintage leftovers (incl. evt_interval_join_1h and
-# mm_video_frames, displaced by rule-(b) first rows) rotate in r10 on
-# their green prior rows + the committed HEAD verify log.
+# the window); the 41 r5-vintage leftovers (incl. evt_interval_join_1h,
+# mm_video_frames and sim_lsh_bucket_topk, displaced by rule-(b) first
+# rows) rotate in r10 on their green prior rows + the committed HEAD
+# verify log.
 EXPECTED_SPILL = 0
 
 
