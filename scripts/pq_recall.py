@@ -132,8 +132,40 @@ def main():
             )
             cells.append(f"nprobe={nprobe}: {recall(ivf, truth):.3f}")
         listed.unpersist()
-        emb.unpersist()
         print(f"|   + IVFADC n_lists={n_lists} | " + " | ".join(cells) + " |")
+
+        # residual A/B at MATCHED budget (K=16 id-seeded books both sides):
+        # same 16-bit codes, the only change is encoding x vs x - c_list
+        raw_books = similarity.pq_books(emb, n_centroids=16)
+        raw_listed = similarity.ivfpq_codes(
+            emb, n_lists=n_lists, books=raw_books
+        ).persist()
+        res_books, res_listed = similarity.ivfpq_residual_index(
+            emb, n_lists=n_lists
+        )
+        res_listed = res_listed.persist()
+        cells = []
+        for nprobe in (1, 2, 4, n_lists):
+            raw = topk_sets(
+                similarity.ivfpq_topk(
+                    emb, qids, k=5, nprobe=nprobe, n_lists=n_lists,
+                    books=raw_books, listed_codes=raw_listed,
+                ).collect()
+            )
+            res = topk_sets(
+                similarity.ivfpq_residual_topk(
+                    emb, qids, k=5, nprobe=nprobe, n_lists=n_lists,
+                    books=res_books, listed_codes=res_listed,
+                ).collect()
+            )
+            cells.append(
+                f"nprobe={nprobe}: raw {recall(raw, truth):.3f} "
+                f"/ res {recall(res, truth):.3f}"
+            )
+        raw_listed.unpersist()
+        res_listed.unpersist()
+        emb.unpersist()
+        print(f"|   + residual A/B (K=16 seed) | " + " | ".join(cells) + " |")
 
 
 if __name__ == "__main__":

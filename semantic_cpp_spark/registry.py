@@ -651,7 +651,7 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r9 window (50 = 32 + 7 + 8 + 3): the 32 r4-vintage spills LEAD (recounted
+# r9 window (50 = 32 + 7 + 9 + 2): the 32 r4-vintage spills LEAD (recounted
 # from CORRECTNESS_r01..r08 — the r8 comment said 29; the count below is from
 # the files, completing the no-row-older-than-r5 deadline); then rule (a)
 # code-or-oracle-changed refreshes (asof_nearest_signup: tiebreak threaded
@@ -714,14 +714,14 @@ _PRIORITY: list[str] = [
     "evt_rollup_quantile_merge",
     "sim_ivfpq_residual_topk",
     "dedup_passage_dup_summary",
-    # -- (c) r5-vintage backfill (3 of 44), riskiest families first --
+    "stream_sliding_value_quantiles",
+    # -- (c) r5-vintage backfill (2 of 44), riskiest families first --
     "dedup_shared_spans",
     "emb_pca_norm_preserved",
-    "sim_quantized_topk",
     # -- WINDOW CUT at position 50 — recount, don't trust comment position,
-    #    when rotating. r10 spill (41 r5-vintage incl. evt_interval_join_1h,
-    #    mm_video_frames and sim_lsh_bucket_topk, displaced by the
-    #    rule-(b) r9 first-rows below): agg_basic,
+    #    when rotating. r10 spill (42 r5-vintage incl. evt_interval_join_1h,
+    #    mm_video_frames, sim_lsh_bucket_topk and sim_quantized_topk,
+    #    displaced by the rule-(b) r9 first-rows below): agg_basic,
     #    agg_dispersion, asof_purchase_last_signup,
     #    evt_funnel_signup_view_purchase, grp_frequency_profile,
     #    grp_partition_by_sorted, mm_audio_features, mm_frame_sample,

@@ -426,3 +426,54 @@ def stream_sliding_cms_freq(spark, sf_dir):
     the sketch."""
     ev = ops.read_events_stream(spark, sf_dir)
     return ops.run_to_memory(ops.sliding_user_freq_cms(ev), "append")
+
+
+@register(
+    "stream_sliding_value_quantiles",
+    """WITH e AS (SELECT round(value * 100)::BIGINT AS cents,
+                         (epoch_ns(ts) // 1000) AS tus
+                  FROM events),
+    w AS (SELECT cents,
+                 unnest(range(tus // 3600000000 - 5, tus // 3600000000 + 1))
+                   AS win_start
+          FROM e),
+    wm AS (SELECT (max(tus) - 3600000000) // 1000 AS wm_ms FROM e),
+    cw AS (SELECT win_start, cents FROM w, wm
+           WHERE (win_start + 6) * 3600000 < wm_ms),
+    b AS (SELECT win_start,
+                 CASE WHEN abs(cents) < 256 THEN cents
+                      WHEN cents < 0 THEN
+                        -((abs(cents) >> (length(bin(abs(cents))) - 8))
+                          << (length(bin(abs(cents))) - 8))
+                      ELSE (cents >> (length(bin(cents)) - 8))
+                           << (length(bin(cents)) - 8) END AS qv
+          FROM cw),
+    st AS (SELECT win_start, qv, count(*)::BIGINT AS cnt
+           FROM b GROUP BY win_start, qv),
+    cum AS (SELECT win_start, qv,
+                   sum(cnt) OVER (PARTITION BY win_start ORDER BY qv) AS c,
+                   sum(cnt) OVER (PARTITION BY win_start) AS n
+            FROM st)
+    SELECT win_start::BIGINT AS win_start, max(n)::BIGINT AS n,
+           min(CASE WHEN c >= (n * 50 + 99) // 100 THEN qv END) AS p50,
+           min(CASE WHEN c >= (n * 95 + 99) // 100 THEN qv END) AS p95,
+           min(CASE WHEN c >= (n * 99 + 99) // 100 THEN qv END) AS p99
+    FROM cum GROUP BY win_start""",
+)
+def stream_sliding_value_quantiles(spark, sf_dir):
+    """Sliding p50/p95/p99 of the event value with QUANTILE-SKETCH
+    state under the driver gate (streaming.ops.sliding_value_quantiles
+    — the quantile member of the constant-state sliding family, and
+    the streaming face of operators.rollup's mergeable sketch): per
+    open window the stateful operator holds (bin, count) pairs under
+    the exact integer log2 binning instead of buffering events —
+    state bounded by BIN OCCUPANCY (≤ ~14.6k at B=7) at any event
+    rate, answers carrying the DDSketch-grade ≤2^-7 relative-error
+    bound. Closed windows emit once at watermark passage (the
+    HLL/CMS eviction contract). Binning and the ceil(n·p/100) rank
+    walk are pure integer arithmetic both engines replay identically,
+    so the oracle re-bins every closed window's events in SQL and
+    must match value-for-value — the same replay discipline as
+    evt_rollup_quantile_merge's batch form."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(ops.sliding_value_quantiles(ev), "append")

@@ -1015,3 +1015,137 @@ def sliding_user_freq_cms(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# -- sliding quantile-sketch state -------------------------------------------
+# The quantile member of the constant-state sliding family (exact
+# bounded -> HLL distinct -> CMS frequency -> THIS): per open window the
+# state is the occupied-bin table of operators.rollup's exact log2
+# quantile sketch — (bin, count) pairs, <= ~14.6k bins at B=7 no matter
+# how many events the window sees — where exact sliding percentiles
+# would buffer every event. Binning is the SAME integer arithmetic as
+# rollup._quantize (top QSKETCH_BITS+1 significant bits, sign mirrored),
+# so closed windows hold a HARD value oracle: DuckDB re-bins each closed
+# window's events with the identical shift expression and replays the
+# exact integer rank thresholds.
+
+QSKETCH_B = 7
+
+
+def qsketch_bin(v: int, b: int = QSKETCH_B) -> int:
+    """Python twin of rollup._quantize (pinned equal in tests): keep
+    the top b+1 significant bits of |v|, re-apply the sign."""
+    a = abs(v)
+    if a < (1 << (b + 1)):
+        return v
+    s = a.bit_length() - 1 - b
+    q = (a >> s) << s
+    return -q if v < 0 else q
+
+
+_SLIDE_QS_OUT = T.StructType(
+    [
+        T.StructField("win_start", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("p50", T.LongType()),
+        T.StructField("p95", T.LongType()),
+        T.StructField("p99", T.LongType()),
+    ]
+)
+
+_SLIDE_QS_STATE = T.StructType(
+    [
+        T.StructField("qvs", T.ArrayType(T.LongType())),
+        T.StructField("cnts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _make_sliding_qsketch_update(window_hours: int):
+    def _update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        win_start = int(key[0])
+        end_ms = (win_start + window_hours) * 3_600_000
+        if state.hasTimedOut:
+            qvs, cnts = state.get
+            state.remove()
+            bins = sorted(zip(qvs, cnts))
+            n = sum(cnts)
+            row = [win_start, n]
+            cum = 0
+            idx = 0
+            for p in (50, 95, 99):
+                thr = (n * p + 99) // 100
+                # thresholds are non-decreasing: resume the cumsum walk
+                while cum < thr and idx < len(bins):
+                    cum += bins[idx][1]
+                    idx += 1
+                row.append(bins[idx - 1][0])
+            yield pd.DataFrame(
+                [row], columns=["win_start", "n", "p50", "p95", "p99"]
+            )
+            return
+        if state.getCurrentWatermarkMs() >= end_ms:
+            for _ in pdfs:  # late rows for a closed window: ignore
+                pass
+            return
+        if state.exists:
+            qvs, cnts = state.get
+            sk = dict(zip(qvs, cnts))
+        else:
+            sk = {}
+        for pdf in pdfs:
+            for v in pdf["cents"]:
+                q = qsketch_bin(int(v))
+                sk[q] = sk.get(q, 0) + 1
+        state.update((list(sk.keys()), list(sk.values())))
+        state.setTimeoutTimestamp(end_ms)
+
+    return _update
+
+
+def sliding_value_quantiles(
+    events: DataFrame,
+    window_hours: int = 6,
+    step_hours: int = 1,
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Sliding p50/p95/p99 of the event value (integer cents) with
+    QUANTILE-SKETCH state: per open window, (bin, count) pairs under
+    the exact log2 binning — bounded by bin occupancy (<= ~14.6k at
+    B=7), never by event count, with the DDSketch-grade 2^-7 relative
+    error bound — where exact sliding percentiles would hold every
+    event in state. Same applyInPandasWithState shape, event-time
+    eviction, and closed-window immutability as the HLL/CMS siblings;
+    at close the window emits (n, p50, p95, p99) from the exact
+    integer rank walk ceil(n*p/100). Deterministic binning means the
+    gate holds a HARD value oracle (the batch re-bin + window-cumsum
+    SQL restricted to closed windows)."""
+    from semantic_cpp_spark.session import ts_micros
+
+    hr = F.expr(f"tus div {3_600_000_000}")
+    ev = (
+        events.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            "event_time",
+            ts_micros(events).alias("tus"),
+        )
+        .withWatermark("event_time", lateness)
+        .select(
+            "cents",
+            "event_time",
+            F.explode(
+                _aligned_win_starts(hr, window_hours, step_hours)
+            ).alias("win_start"),
+        )
+    )
+    return ev.groupBy("win_start").applyInPandasWithState(
+        _make_sliding_qsketch_update(window_hours),
+        outputStructType=_SLIDE_QS_OUT,
+        stateStructType=_SLIDE_QS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -34,6 +34,7 @@ TOUCHED_IN_R9 = [
     "evt_rollup_quantile_merge",
     "sim_ivfpq_residual_topk",
     "dedup_passage_dup_summary",
+    "stream_sliding_value_quantiles",
 ]
 
 # The 32 r4-vintage queries the r8 window deliberately spilled (listed under
@@ -77,12 +78,12 @@ SPILL_FROM_R8 = [
 
 # r9 window policy (VERDICT r8 #2 + the standing rotation policy in
 # registry._PRIORITY's comment): the 32 r8 spills + 7 code-or-oracle-changed
-# + 8 new-operator first rows + 3 riskiest r5-vintage backfill = exactly
+# + 9 new-operator first rows + 2 riskiest r5-vintage backfill = exactly
 # 50. Nothing is pushed below the cut this round (_PRIORITY holds exactly
-# the window); the 41 r5-vintage leftovers (incl. evt_interval_join_1h,
-# mm_video_frames and sim_lsh_bucket_topk, displaced by rule-(b) first
-# rows) rotate in r10 on their green prior rows + the committed HEAD
-# verify log.
+# the window); the 42 r5-vintage leftovers (incl. evt_interval_join_1h,
+# mm_video_frames, sim_lsh_bucket_topk and sim_quantized_topk, displaced
+# by rule-(b) first rows) rotate in r10 on their green prior rows + the
+# committed HEAD verify log.
 EXPECTED_SPILL = 0
 
 

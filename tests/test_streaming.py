@@ -695,3 +695,68 @@ def test_sliding_cms_one_sided_bound_and_fixed_state(spark):
         true = exact.get((w, u), 0)
         assert c >= true, (w, u, c, true)
         assert c - true <= max(10, 0.05 * n_total), (w, u, c, true)
+
+
+def test_sliding_quantiles_error_band_and_binning_parity(spark):
+    """The quantile-sketch sliding form: (1) the Python qsketch_bin twin
+    must agree with rollup._quantize bin-for-bin (the property that
+    makes the SQL oracle valid); (2) every closed window's p50/p95/p99
+    is within the 2^-7 relative bound of the EXACT in-window lower
+    quantile computed from the raw events."""
+    import random
+
+    from semantic_cpp_spark.operators import rollup
+    from semantic_cpp_spark.streaming.ops import (
+        qsketch_bin,
+        sliding_value_quantiles,
+    )
+
+    rng = random.Random(11)
+    vals = [rng.randint(-(10**7), 10**9) for _ in range(400)] + list(
+        range(-260, 261, 37)
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    spark_bins = [
+        r["q"]
+        for r in df.select(rollup._quantize("v").alias("q"))
+        .orderBy("q")
+        .collect()
+    ]
+    assert spark_bins == sorted(qsketch_bin(v) for v in vals)
+
+    out = ops.run_to_memory(
+        sliding_value_quantiles(
+            ops.read_events_stream(spark, "/root/testdata/sf0.001")
+        ),
+        "append",
+    ).collect()
+    assert out, "no closed windows emitted"
+    from semantic_cpp_spark.session import load_table, ts_micros
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (ts_micros(ev) / F.lit(3_600_000_000)).cast("long").alias("hr"),
+    )
+    by_hr = {}
+    for r in rows.collect():
+        by_hr.setdefault(r["hr"], []).append(r["cents"])
+    checked = 0
+    for r in out[:40]:
+        win = [
+            c
+            for h in range(r["win_start"], r["win_start"] + 6)
+            for c in by_hr.get(h, [])
+        ]
+        if not win:
+            continue
+        win.sort()
+        assert r["n"] == len(win)
+        for p in (50, 95, 99):
+            exact = win[(len(win) * p + 99) // 100 - 1]
+            got = r[f"p{p}"]
+            assert abs(got - exact) <= abs(exact) * 2**-7 + 1, (
+                r["win_start"], p, got, exact,
+            )
+        checked += 1
+    assert checked >= 10
