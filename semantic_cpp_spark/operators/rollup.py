@@ -142,16 +142,29 @@ def _quantize(name: str) -> Column:
     ).cast("long")
 
 
-def qsketch_state(df: DataFrame, keys: list[str], value: Column) -> DataFrame:
+def qsketch_state(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    weight: Column | None = None,
+) -> DataFrame:
     """Per-key mergeable quantile-sketch state (st_qv, st_cnt) over an
     exact integer ``value`` (cents / micro-units). One map-side-
     combinable groupBy over the delta; output rows = keys × occupied
-    bins (≤ ~14.6k bins at B=7 no matter how many input rows)."""
+    bins (≤ ~14.6k bins at B=7 no matter how many input rows).
+    ``weight`` (exact non-negative int64 — row multiplicity, token
+    counts, pre-aggregated tallies) makes st_cnt the weight sum, and
+    qsketch_quantiles' rank thresholds become weighted quantiles with
+    the same all-integer exactness."""
     binned = df.select(
-        *keys, value.cast("long").alias("__qs_v")
-    ).select(*keys, _quantize("__qs_v").alias("st_qv"))
+        *keys,
+        value.cast("long").alias("__qs_v"),
+        (weight if weight is not None else F.lit(1))
+        .cast("long")
+        .alias("__qs_w"),
+    ).select(*keys, _quantize("__qs_v").alias("st_qv"), "__qs_w")
     return binned.groupBy(*keys, "st_qv").agg(
-        F.count(F.lit(1)).cast("long").alias("st_cnt")
+        F.sum("__qs_w").cast("long").alias("st_cnt")
     )
 
 

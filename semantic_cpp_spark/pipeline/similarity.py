@@ -1380,30 +1380,45 @@ def ivfpq_index_save(
     m_subs: int = PQ_M,
     sub_dims: int = PQ_SUB,
     iters: int = 1,
+    residual: bool = False,
 ) -> None:
     """Persist an IVFADC index under one root: ``<path>/books`` +
     ``<path>/codes`` (listed — each row carries its IVF list_id) +
-    ``<path>/params`` (now including n_lists, so probes route against
-    the list count the index was built with). Same refuse-partial
-    discipline as pq_index_save/bloom_save."""
+    ``<path>/params`` (including n_lists, so probes route against the
+    list count the index was built with, and ``residual``, so a loaded
+    index is probed with the MATCHING probe — residual codes against a
+    raw-LUT probe return garbage distances, exactly the mismatch the
+    sidecar exists to prevent). Same refuse-partial discipline as
+    pq_index_save/bloom_save. ``residual=True`` builds via
+    ivfpq_residual_index (which seeds its own books from residuals;
+    ``trained`` applies to the raw form only)."""
     if n_lists is None:
         n_lists = derived_ivf_k(emb.count())
-    books = (
-        pq_books_trained(emb, id_col, vec_col, n_centroids=n_centroids,
-                         m_subs=m_subs, sub_dims=sub_dims, iters=iters)
-        if trained
-        else pq_books(emb, id_col, vec_col, n_centroids=n_centroids,
-                      m_subs=m_subs, sub_dims=sub_dims)
-    )
-    listed = ivfpq_codes(
-        emb, id_col, vec_col, n_lists=n_lists, books=books,
-        m_subs=m_subs, sub_dims=sub_dims,
-    )
+    if residual:
+        books, listed = ivfpq_residual_index(
+            emb, id_col, vec_col, n_lists=n_lists,
+            n_centroids=n_centroids, m_subs=m_subs, sub_dims=sub_dims,
+        )
+        trained = False
+    else:
+        books = (
+            pq_books_trained(emb, id_col, vec_col, n_centroids=n_centroids,
+                             m_subs=m_subs, sub_dims=sub_dims, iters=iters)
+            if trained
+            else pq_books(emb, id_col, vec_col, n_centroids=n_centroids,
+                          m_subs=m_subs, sub_dims=sub_dims)
+        )
+        listed = ivfpq_codes(
+            emb, id_col, vec_col, n_lists=n_lists, books=books,
+            m_subs=m_subs, sub_dims=sub_dims,
+        )
     books.write.mode("overwrite").parquet(f"{path}/books")
     listed.write.mode("overwrite").parquet(f"{path}/codes")
     emb.sparkSession.createDataFrame(
-        [(m_subs, n_centroids, sub_dims, bool(trained), int(n_lists))],
-        "pq_m int, pq_k int, pq_sub int, trained boolean, n_lists int",
+        [(m_subs, n_centroids, sub_dims, bool(trained), int(n_lists),
+          bool(residual))],
+        "pq_m int, pq_k int, pq_sub int, trained boolean, n_lists int, "
+        "residual boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
@@ -1421,6 +1436,9 @@ def ivfpq_index_load(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
         "pq_sub": int(p[0]["pq_sub"]),
         "trained": bool(p[0]["trained"]),
         "n_lists": int(p[0]["n_lists"]),
+        # pre-r9 sidecars have no residual column: those indexes are raw
+        "residual": bool(p[0]["residual"]) if "residual" in p[0].__fields__
+        else False,
     }
     return (
         spark.read.parquet(f"{path}/books"),

@@ -2007,3 +2007,30 @@ def test_ivfpq_residual_centroid_rows_encode_to_zero_residual(spark):
     per = listed.filter(F.col("vec_id") < 4).groupBy("vec_id").count().collect()
     assert all(r["count"] == similarity.PQ_M for r in per)
     assert len(own) == 4
+
+
+def test_ivfpq_index_save_load_residual(spark, tmp_path):
+    """The residual flag rides the params sidecar so a loaded index is
+    probed with the MATCHING probe; a loaded residual index must
+    reproduce the fresh residual probe exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(47)
+    df = _emb_frame(spark, rng.randn(50, 64))
+    root = str(tmp_path / "ivfpq_res")
+    similarity.ivfpq_index_save(df, root, n_lists=5, residual=True)
+    books, listed, params = similarity.ivfpq_index_load(spark, root)
+    assert params["residual"] is True and params["n_lists"] == 5
+    fresh = similarity.ivfpq_residual_topk(
+        df, [0, 1], k=3, nprobe=2, n_lists=5
+    ).collect()
+    loaded = similarity.ivfpq_residual_topk(
+        df, [0, 1], k=3, nprobe=2, n_lists=5,
+        books=books, listed_codes=listed,
+    ).collect()
+    assert sorted(map(tuple, loaded)) == sorted(map(tuple, fresh))
+    # raw save still loads with residual=False
+    root2 = str(tmp_path / "ivfpq_raw")
+    similarity.ivfpq_index_save(df, root2, n_lists=5)
+    _, _, p2 = similarity.ivfpq_index_load(spark, root2)
+    assert p2["residual"] is False

@@ -339,3 +339,26 @@ def test_qsketch_state_is_bounded_regardless_of_cardinality(spark):
 def test_qsketch_merge_rejects_empty(spark):
     with pytest.raises(ValueError, match="at least one"):
         rollup.merge_qsketch_states([], ["k"])
+
+
+def test_qsketch_weighted_equals_row_replication(spark):
+    """Weighted state must equal the state of the row-replicated frame
+    bin-for-bin — the definition of integer weights — and weighted
+    quantiles follow."""
+    rows = [("k", 10, 3), ("k", 5000, 2), ("k", 7, 5)]
+    wdf = spark.createDataFrame(rows, "k string, v long, w long")
+    rep = spark.createDataFrame(
+        [("k", v) for (_, v, w) in rows for _ in range(w)],
+        "k string, v long",
+    )
+    ws = _collect_qs(
+        rollup.qsketch_state(wdf, ["k"], F.col("v"), weight=F.col("w"))
+    )
+    rs = _collect_qs(rollup.qsketch_state(rep, ["k"], F.col("v")))
+    assert ws == rs
+    wq = rollup.qsketch_quantiles(
+        rollup.qsketch_state(wdf, ["k"], F.col("v"), weight=F.col("w")),
+        ["k"],
+        [50],
+    ).collect()[0]
+    assert wq["n"] == 10 and wq["p50"] == 7  # rank ceil(5) falls in the 7s
