@@ -304,3 +304,87 @@ def ngram_novelty(df, text: Column, id_col, span_words: int = 5):
             F.lit(1.0) - F.count(F.when(seen, 1)) / F.count(F.lit(1)), 6
         ).alias("novelty"),
     )
+
+
+# -- vocabulary construction + numericalization -------------------------------
+# The tokenize -> numericalize stage every LM training pipeline runs
+# between curation and packing: build a frequency-ranked vocabulary once,
+# then rewrite each document's token stream as ids against it. Kept
+# deterministic end to end (ids from the total order (count DESC, token
+# ASC)) so shards encoded on different runs/clusters agree token-for-token.
+
+
+def vocab_build(
+    df: DataFrame,
+    text: Column,
+    min_count: int = 1,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Frequency-ranked vocabulary (token, n, token_id): whitespace
+    tokens counted corpus-wide, ``min_count``-floored, ids dense 0..V-1
+    by (count DESC, token ASC) — fully deterministic, so re-building on
+    any cluster yields the identical table. The id assignment rides
+    indexing.with_ordinal's RANGE strategy (distributed sort +
+    per-partition offsets), never a single-task global window — the
+    vocab of a web corpus is 10⁷–10⁸ rows and must not bottleneck on
+    one partition. ``max_size`` keeps the top-``max_size`` ids (the
+    standard cap; everything below becomes OOV at encode time)."""
+    from semantic_cpp_spark.indexing import with_ordinal
+
+    counts = (
+        df.select(F.explode(tokens(text)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    ranked = with_ordinal(
+        counts.withColumn("__negn", -F.col("n")),
+        ["__negn", "token"],
+        name="token_id",
+        strategy="range",
+    ).select("token", "n", "token_id")
+    if max_size is not None:
+        ranked = ranked.filter(F.col("token_id") < max_size)
+    return ranked
+
+
+def encode_tokens(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    vocab: DataFrame,
+    oov_id: int = -1,
+) -> DataFrame:
+    """Numericalize each document against ``vocab`` (a vocab_build
+    table): (doc_id, n_tokens, n_oov, ids, ids_fp) where ``ids`` is the
+    position-ordered token-id array (OOV → ``oov_id``) and ``ids_fp``
+    its md5 fingerprint ('_'-joined) — the shard-equality check two
+    independently-encoded copies compare. Shape: posexplode → one
+    equi-join on token (broadcast when the vocab is capped, shuffle at
+    web-scale vocab — AQE picks) → one groupBy(doc) re-assembly via
+    sort_array(struct(pos, id)); document bodies cross the wire as
+    (pos, id) pairs, never re-joined text."""
+    ex = df.select(
+        id_col.alias("doc_id"),
+        F.posexplode(tokens(text)).alias("pos", "token"),
+    )
+    joined = ex.join(vocab.select("token", "token_id"), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(oov_id)).alias("tid"),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum((F.col("tid") == oov_id).cast("long")).alias("n_oov"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("ids"),
+        )
+        .withColumn(
+            "ids_fp",
+            F.md5(F.array_join(F.transform("ids", lambda x: x.cast("string")), "_")),
+        )
+    )

@@ -651,7 +651,7 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r9 window (50 = 32 + 7 + 9 + 2): the 32 r4-vintage spills LEAD (recounted
+# r9 window (50 = 32 + 7 + 11 + 0): the 32 r4-vintage spills LEAD (recounted
 # from CORRECTNESS_r01..r08 — the r8 comment said 29; the count below is from
 # the files, completing the no-row-older-than-r5 deadline); then rule (a)
 # code-or-oracle-changed refreshes (asof_nearest_signup: tiebreak threaded
@@ -715,13 +715,17 @@ _PRIORITY: list[str] = [
     "sim_ivfpq_residual_topk",
     "dedup_passage_dup_summary",
     "stream_sliding_value_quantiles",
-    # -- (c) r5-vintage backfill (2 of 44), riskiest families first --
-    "dedup_shared_spans",
-    "emb_pca_norm_preserved",
+    "txt_vocab_ids",
+    "txt_encode_docs",
+    # -- (c) r5-vintage backfill: none this round — the 11 rule-(b)
+    #    first rows consumed every slot; all 44 r5-vintage entries spill
+    #    to r10 (see WINDOW CUT below). --
     # -- WINDOW CUT at position 50 — recount, don't trust comment position,
-    #    when rotating. r10 spill (42 r5-vintage incl. evt_interval_join_1h,
-    #    mm_video_frames, sim_lsh_bucket_topk and sim_quantized_topk,
-    #    displaced by the rule-(b) r9 first-rows below): agg_basic,
+    #    when rotating. r10 spill (44 r5-vintage — the rule-(b) r9
+    #    first-rows displaced the whole backfill block:
+    #    evt_interval_join_1h, mm_video_frames, sim_lsh_bucket_topk,
+    #    sim_quantized_topk, dedup_shared_spans, emb_pca_norm_preserved,
+    #    plus): agg_basic,
     #    agg_dispersion, asof_purchase_last_signup,
     #    evt_funnel_signup_view_purchase, grp_frequency_profile,
     #    grp_partition_by_sorted, mm_audio_features, mm_frame_sample,

@@ -4119,3 +4119,72 @@ def dedup_passage_dup_summary(spark, sf_dir):
     "docs" (aliasing guarded in-plan, the span-cuts contract)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.passage_dup_summary(docs, F.col("text"), F.col("doc_id"))
+
+
+@register(
+    "txt_vocab_ids",
+    """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                      AS token
+                    FROM documents),
+    c AS (SELECT token, count(*)::BIGINT AS n
+          FROM tok GROUP BY token HAVING count(*) >= 2)
+    SELECT token, n,
+           (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT
+             AS token_id
+    FROM c""",
+)
+def txt_vocab_ids(spark, sf_dir):
+    """Frequency-ranked vocabulary construction (text.vocab_build —
+    the tokenize→numericalize stage's first half): corpus-wide token
+    counts, min_count=2 floor, dense ids 0..V-1 under the total order
+    (count DESC, token ASC). Deterministic end to end, so the oracle
+    is one count + one ranked row_number; the Spark side assigns the
+    SAME ids through indexing.with_ordinal's distributed RANGE
+    strategy (per-partition offsets, no single-task global sort — the
+    10⁸-row web-corpus vocab must never bottleneck on one partition),
+    making a green row a distributed-vs-serial id-assignment proof."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_build(docs, F.col("text"), min_count=2)
+
+
+@register(
+    "txt_encode_docs",
+    """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                      AS token
+                    FROM documents),
+    c AS (SELECT token, count(*)::BIGINT AS n
+          FROM tok GROUP BY token HAVING count(*) >= 2),
+    v AS (SELECT token, token_id FROM
+            (SELECT token, n,
+                    row_number() OVER (ORDER BY n DESC, token) - 1
+                      AS token_id
+             FROM c)
+          WHERE token_id < 30),
+    d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents),
+    ex AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM d),
+    et AS (SELECT doc_id, pos, ws[pos] AS token FROM ex),
+    j AS (SELECT e.doc_id, e.pos, coalesce(v.token_id, -1) AS tid
+          FROM et e LEFT JOIN v USING (token))
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           md5(string_agg(tid::VARCHAR, '_' ORDER BY pos)) AS ids_fp
+    FROM j GROUP BY doc_id""",
+)
+def txt_encode_docs(spark, sf_dir):
+    """Document numericalization against a capped vocabulary
+    (text.encode_tokens over vocab_build(min_count=2, max_size=30) —
+    the second half of tokenize→numericalize): every doc's token
+    stream becomes a position-ordered id array with OOV → −1 (the cap
+    guarantees real OOV traffic through the left join), compared by
+    the md5 fingerprint of the '_'-joined ids — the shard-equality
+    check two independently-encoded copies would run. A green row
+    proves position order, OOV handling, and id assignment all match
+    a serial reference exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = text.vocab_build(
+        docs, F.col("text"), min_count=2, max_size=30
+    )
+    return text.encode_tokens(
+        docs, F.col("text"), F.col("doc_id"), vocab
+    ).select("doc_id", "n_tokens", "n_oov", "ids_fp")

@@ -2034,3 +2034,48 @@ def test_ivfpq_index_save_load_residual(spark, tmp_path):
     similarity.ivfpq_index_save(df, root2, n_lists=5)
     _, _, p2 = similarity.ivfpq_index_load(spark, root2)
     assert p2["residual"] is False
+
+
+# -- vocabulary construction + numericalization --------------------------------
+
+def test_vocab_build_ids_deterministic_and_dense(spark):
+    from semantic_cpp_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [(0, "b b b a a c"), (1, "a d d b")], "doc_id long, text string"
+    )
+    v = {r["token"]: r for r in T.vocab_build(df, F.col("text")).collect()}
+    # counts: b=4, a=3, d=2, c=1; ties none; ids dense by (n desc, token)
+    assert (v["b"]["n"], v["b"]["token_id"]) == (4, 0)
+    assert (v["a"]["n"], v["a"]["token_id"]) == (3, 1)
+    assert (v["d"]["n"], v["d"]["token_id"]) == (2, 2)
+    assert (v["c"]["n"], v["c"]["token_id"]) == (1, 3)
+    # equal-count ties order by token ASC
+    df2 = spark.createDataFrame([(0, "z y z y")], "doc_id long, text string")
+    v2 = {r["token"]: r["token_id"] for r in T.vocab_build(df2, F.col("text")).collect()}
+    assert v2 == {"y": 0, "z": 1}
+    # min_count floors, max_size caps the ID RANGE (not arbitrary rows)
+    capped = T.vocab_build(df, F.col("text"), min_count=2, max_size=2).collect()
+    assert sorted(r["token"] for r in capped) == ["a", "b"]
+
+
+def test_encode_tokens_positions_oov_and_fingerprint(spark):
+    import hashlib
+
+    from semantic_cpp_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [(7, "b a x b"), (8, "a")], "doc_id long, text string"
+    )
+    # counts: a=2, b=2, x=1 -> tie at n=2 orders by token: a=0, b=1; x OOV
+    vocab = T.vocab_build(df, F.col("text"), max_size=2)
+    out = {
+        r["doc_id"]: r
+        for r in T.encode_tokens(
+            df, F.col("text"), F.col("doc_id"), vocab
+        ).collect()
+    }
+    assert out[7]["ids"] == [1, 0, -1, 1]
+    assert out[7]["n_tokens"] == 4 and out[7]["n_oov"] == 1
+    assert out[7]["ids_fp"] == hashlib.md5(b"1_0_-1_1").hexdigest()
+    assert out[8]["ids"] == [0] and out[8]["n_oov"] == 0

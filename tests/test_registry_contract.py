@@ -35,6 +35,8 @@ TOUCHED_IN_R9 = [
     "sim_ivfpq_residual_topk",
     "dedup_passage_dup_summary",
     "stream_sliding_value_quantiles",
+    "txt_vocab_ids",
+    "txt_encode_docs",
 ]
 
 # The 32 r4-vintage queries the r8 window deliberately spilled (listed under
@@ -78,12 +80,11 @@ SPILL_FROM_R8 = [
 
 # r9 window policy (VERDICT r8 #2 + the standing rotation policy in
 # registry._PRIORITY's comment): the 32 r8 spills + 7 code-or-oracle-changed
-# + 9 new-operator first rows + 2 riskiest r5-vintage backfill = exactly
-# 50. Nothing is pushed below the cut this round (_PRIORITY holds exactly
-# the window); the 42 r5-vintage leftovers (incl. evt_interval_join_1h,
-# mm_video_frames, sim_lsh_bucket_topk and sim_quantized_topk, displaced
-# by rule-(b) first rows) rotate in r10 on their green prior rows + the
-# committed HEAD verify log.
+# + 11 new-operator first rows (no backfill slots left — rule (b)
+# displaced the whole block) = exactly 50. Nothing is pushed below the
+# cut this round (_PRIORITY holds exactly the window); all 44 r5-vintage
+# leftovers rotate in r10 on their green prior rows + the committed HEAD
+# verify log.
 EXPECTED_SPILL = 0
 
 
