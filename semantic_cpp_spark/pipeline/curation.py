@@ -215,12 +215,26 @@ def pack_token_sequences(
     sequential within a shard, so parallelism = n_shards; size n_shards
     to the cluster (executors × cores), not to the data. One exchange on
     the shard key, then the per-sequence rollup is co-partitioned."""
+    toks = _pack_assign(df, text, id_col, n_shards, budget)
+    return toks.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("seq_tokens"),
+    )
+
+
+def _pack_assign(
+    df: DataFrame, text: Column, id_col: Column, n_shards: int, budget: int
+) -> DataFrame:
+    """Per-doc packing assignment (doc_id, shard, n_tok, seq_id): hash
+    shard + per-shard running token sum + seq_id = ⌊exclusive-cum /
+    budget⌋ — the shared core of pack_token_sequences (count rollup)
+    and pack_encoded_sequences (id-stream materialization)."""
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = (
+    return (
         df.select(
             id_col.alias("doc_id"),
             shard_assign(id_col, n_shards).alias("shard"),
@@ -231,9 +245,59 @@ def pack_token_sequences(
             "seq_id", F.expr(f"(cum - n_tok) div {budget}").cast("long")
         )
     )
-    return toks.groupBy("shard", "seq_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("seq_tokens"),
+
+
+def pack_encoded_sequences(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    vocab: DataFrame,
+    n_shards: int,
+    budget: int,
+    eos_id: int = -2,
+) -> DataFrame:
+    """The full make-training-shards composition: numericalize each doc
+    against ``vocab`` (text.encode_tokens — OOV → −1), assign it to its
+    (shard, seq_id) with the SAME packing rule as pack_token_sequences
+    (shared _pack_assign core, so counts and streams can never
+    disagree), and materialize each sequence's id stream — docs in
+    doc_id order, each terminated by ``eos_id``. Returns per-sequence
+    (shard, seq_id, n_docs, seq_tokens, seq_fp) with seq_fp = md5 of
+    the '_'-joined stream — the shard-equality fingerprint two
+    independently-built shard sets compare (the array itself rides as
+    ``ids`` for writers). Scale shape: encode's one vocab join + the
+    packer's one shard exchange; sequences concatenate inside the
+    per-(shard, seq) groupBy — id arrays shuffle once, keyed by their
+    destination sequence."""
+    from semantic_cpp_spark.pipeline.text import encode_tokens
+
+    enc = encode_tokens(df, text, id_col, vocab).select("doc_id", "ids")
+    assign = _pack_assign(df, text, id_col, n_shards, budget).select(
+        "doc_id", "shard", "n_tok", "seq_id"
+    )
+    per_doc = enc.join(assign, "doc_id")
+    eos = F.array(F.lit(eos_id).cast("long"))
+    seq_ids = F.flatten(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "ids"))),
+            lambda s: F.concat(s["ids"], eos),
+        )
+    )
+    return (
+        per_doc.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("seq_tokens"),
+            seq_ids.alias("ids"),
+        )
+        .withColumn(
+            "seq_fp",
+            F.md5(
+                F.array_join(
+                    F.transform("ids", lambda x: x.cast("string")), "_"
+                )
+            ),
+        )
     )
 
 

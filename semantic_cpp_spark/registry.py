@@ -651,7 +651,7 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r9 window (50 = 32 + 7 + 11 + 0): the 32 r4-vintage spills LEAD (recounted
+# r9 window (50 = 32 + 6 + 12 + 0): the 32 r4-vintage spills LEAD (recounted
 # from CORRECTNESS_r01..r08 — the r8 comment said 29; the count below is from
 # the files, completing the no-row-older-than-r5 deadline); then rule (a)
 # code-or-oracle-changed refreshes (asof_nearest_signup: tiebreak threaded
@@ -703,7 +703,6 @@ _PRIORITY: list[str] = [
     "dedup_span_cuts_apply",
     "sim_pq_adc_topk",
     "sim_pq_train_means",
-    "dedup_bloom_probe",
     "mm_image_ahash",
     # -- (b) first driver rows: new r9 operators --
     "sim_ivfpq_topk",
@@ -717,9 +716,16 @@ _PRIORITY: list[str] = [
     "stream_sliding_value_quantiles",
     "txt_vocab_ids",
     "txt_encode_docs",
-    # -- (c) r5-vintage backfill: none this round — the 11 rule-(b)
+    "pack_encoded_shards",
+    # -- (c) r5-vintage backfill: none this round — the 12 rule-(b)
     #    first rows consumed every slot; all 44 r5-vintage entries spill
-    #    to r10 (see WINDOW CUT below). --
+    #    to r10 (see WINDOW CUT below). dedup_bloom_probe left rule (a)
+    #    to make room: its r9 change is a broadcast-ceiling CONSTANT
+    #    (2^28 → 2^25) that cannot alter gate-scale results (fixture
+    #    filters sit far below both thresholds, both join paths stay
+    #    plan-pinned), it re-verified green at sf0.01 AND sf1.0 this
+    #    round (committed HEAD verify log), and its r8 driver row is
+    #    current-vintage. It re-enters the window in r10. --
     # -- WINDOW CUT at position 50 — recount, don't trust comment position,
     #    when rotating. r10 spill (44 r5-vintage — the rule-(b) r9
     #    first-rows displaced the whole backfill block:

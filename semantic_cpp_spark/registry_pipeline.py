@@ -4188,3 +4188,57 @@ def txt_encode_docs(spark, sf_dir):
     return text.encode_tokens(
         docs, F.col("text"), F.col("doc_id"), vocab
     ).select("doc_id", "n_tokens", "n_oov", "ids_fp")
+
+
+@register(
+    "pack_encoded_shards",
+    """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                      AS token
+                    FROM documents),
+    c AS (SELECT token, count(*)::BIGINT AS n
+          FROM tok GROUP BY token HAVING count(*) >= 2),
+    v AS (SELECT token, token_id FROM
+            (SELECT token, n,
+                    row_number() OVER (ORDER BY n DESC, token) - 1
+                      AS token_id
+             FROM c)
+          WHERE token_id < 30),
+    d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents),
+    ex AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM d),
+    et AS (SELECT doc_id, pos, ws[pos] AS token FROM ex),
+    j AS (SELECT e.doc_id, e.pos, coalesce(v.token_id, -1) AS tid
+          FROM et e LEFT JOIN v USING (token)),
+    ds AS (SELECT doc_id, count(*)::BIGINT AS n_tok,
+                  string_agg(tid::VARCHAR, '_' ORDER BY pos) || '_-2'
+                    AS doc_str
+           FROM j GROUP BY doc_id),
+    t AS (SELECT doc_id,
+                 ('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 8 AS shard,
+                 n_tok, doc_str
+          FROM ds),
+    cm AS (SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+           FROM t)
+    SELECT shard, ((cum - n_tok) // 512)::BIGINT AS seq_id,
+           count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS seq_tokens,
+           md5(string_agg(doc_str, '_' ORDER BY doc_id)) AS seq_fp
+    FROM cm GROUP BY shard, seq_id""",
+)
+def pack_encoded_shards(spark, sf_dir):
+    """The end-to-end make-training-shards composition under one gate
+    (curation.pack_encoded_sequences): vocabulary (min_count=2, top-30
+    cap), per-doc numericalization with OOV → −1, the
+    pack_token_sequences assignment rule (shared _pack_assign core),
+    and each sequence's materialized id stream — docs in doc_id order,
+    EOS −2 terminated — compared by md5 fingerprint. A green row
+    proves the whole pipeline stage (tokenize → numericalize → pack →
+    concatenate) reproduces a serial reference byte-for-byte, which is
+    exactly the property distributed shard-building needs: two
+    clusters building the same corpus must emit identical shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = text.vocab_build(docs, F.col("text"), min_count=2, max_size=30)
+    return curation.pack_encoded_sequences(
+        docs, F.col("text"), F.col("doc_id"), vocab, n_shards=8, budget=512
+    ).select("shard", "seq_id", "n_docs", "seq_tokens", "seq_fp")

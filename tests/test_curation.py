@@ -1911,3 +1911,37 @@ def test_passage_explode_pid_guard_raises(spark):
         dedup.passage_explode(df, F.col("text"), F.col("doc_id"), window=1).agg(
             F.max("pid")
         ).collect()
+
+
+def test_pack_encoded_sequences_streams_and_budget(spark):
+    """Hand-checkable composition: the id stream of each sequence is the
+    doc-ordered concatenation of encoded docs with EOS terminators, the
+    (shard, seq_id) assignment matches pack_token_sequences exactly, and
+    the fingerprint is the md5 of the joined stream."""
+    import hashlib
+
+    from semantic_cpp_spark.pipeline import curation, text as T
+
+    df = spark.createDataFrame(
+        [(i, "a b") for i in range(6)], "doc_id long, text string"
+    )
+    vocab = T.vocab_build(df, F.col("text"))  # a=0, b=1
+    out = curation.pack_encoded_sequences(
+        df, F.col("text"), F.col("doc_id"), vocab, n_shards=1, budget=4
+    ).collect()
+    # one shard, 2 tokens/doc, budget 4 -> docs {0,1}, {2,3}, {4,5}
+    assert sorted(r["seq_id"] for r in out) == [0, 1, 2]
+    for r in out:
+        assert r["n_docs"] == 2 and r["seq_tokens"] == 4
+        assert r["ids"] == [0, 1, -2, 0, 1, -2]
+        assert r["seq_fp"] == hashlib.md5(b"0_1_-2_0_1_-2").hexdigest()
+    # counts view agrees with the id-stream view (shared assignment core)
+    counts = {
+        (r["shard"], r["seq_id"]): (r["n_docs"], r["seq_tokens"])
+        for r in curation.pack_token_sequences(
+            df, F.col("text"), F.col("doc_id"), n_shards=1, budget=4
+        ).collect()
+    }
+    assert counts == {
+        (r["shard"], r["seq_id"]): (r["n_docs"], r["seq_tokens"]) for r in out
+    }

@@ -23,7 +23,10 @@ TOUCHED_IN_R9 = [
     "dedup_span_cuts_apply",  # same guard on the apply path
     "sim_pq_adc_topk",        # parameterized PQ machinery + raised shift
     "sim_pq_train_means",     # raised positivity shift + range guard
-    "dedup_bloom_probe",      # corrected broadcast ceiling (ADVICE r8)
+    # dedup_bloom_probe's r9 change (ADVICE r8 broadcast ceiling) is a
+    # path-selection CONSTANT that cannot alter gate-scale results; it
+    # re-verified green at sf0.01+sf1.0 this round (HEAD verify log) and
+    # ceded its slot to a rule-(b) first row — re-enters in r10.
     "mm_image_ahash",         # sub-grid quarantine (ADVICE r8)
     # NEW r9 operators (first rows):
     "sim_ivfpq_topk",
@@ -37,6 +40,7 @@ TOUCHED_IN_R9 = [
     "stream_sliding_value_quantiles",
     "txt_vocab_ids",
     "txt_encode_docs",
+    "pack_encoded_shards",
 ]
 
 # The 32 r4-vintage queries the r8 window deliberately spilled (listed under
@@ -79,12 +83,13 @@ SPILL_FROM_R8 = [
 ]
 
 # r9 window policy (VERDICT r8 #2 + the standing rotation policy in
-# registry._PRIORITY's comment): the 32 r8 spills + 7 code-or-oracle-changed
-# + 11 new-operator first rows (no backfill slots left — rule (b)
-# displaced the whole block) = exactly 50. Nothing is pushed below the
-# cut this round (_PRIORITY holds exactly the window); all 44 r5-vintage
-# leftovers rotate in r10 on their green prior rows + the committed HEAD
-# verify log.
+# registry._PRIORITY's comment):
+# 32 r8 spills + 6 code-or-oracle-changed + 12 new-operator first rows
+# (no backfill slots left — rule (b) displaced the whole block and one
+# constant-only rule-(a) refresh, see the dedup_bloom_probe note above)
+# = exactly 50. Nothing is pushed below the cut this round (_PRIORITY
+# holds exactly the window); all 44 r5-vintage leftovers rotate in r10
+# on their green prior rows + the committed HEAD verify log.
 EXPECTED_SPILL = 0
 
 
