@@ -182,6 +182,42 @@ def merge_qsketch_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
     )
 
 
+def quantize_py(v: int, b: int = QSKETCH_BITS) -> int:
+    """Pure-Python twin of _quantize (single source — streaming.ops
+    delegates here; pinned equal to the Column form in tests): keep the
+    top b+1 significant bits of |v|, re-apply the sign."""
+    a = abs(v)
+    if a < (1 << (b + 1)):
+        return v
+    s = a.bit_length() - 1 - b
+    q = (a >> s) << s
+    return -q if v < 0 else q
+
+
+def qsketch_rank(
+    state: DataFrame, keys: list[str], probe_values: list[int]
+) -> DataFrame:
+    """Inverse quantile (CDF probe) on a sketch state: for each key and
+    each probe value v, rank_<v>_ppm = (mass in bins ≤ quantize(v)) ·
+    10⁶ div n — "what fraction of the distribution sits at or below v",
+    exact integers end to end, resolution bounded by the bin width at v
+    (≤ 2^-QSKETCH_BITS relative). One groupBy with conditional sums
+    over the (small) bin table — the monitoring-side twin of
+    qsketch_quantiles (alert when rank(SLO-threshold) drops below
+    99%)."""
+    aggs = [F.sum("st_cnt").cast("long").alias("n")]
+    for v in probe_values:
+        qv = quantize_py(int(v))
+        tag = str(v).replace("-", "m")
+        aggs.append(
+            F.expr(
+                f"(sum(case when st_qv <= {qv} then st_cnt else 0 end)"
+                f" * 1000000) div sum(st_cnt)"
+            ).alias(f"rank_{tag}_ppm")
+        )
+    return state.groupBy(*keys).agg(*aggs)
+
+
 def qsketch_quantiles(
     state: DataFrame, keys: list[str], percents: list[int]
 ) -> DataFrame:

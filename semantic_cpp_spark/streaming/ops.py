@@ -1033,14 +1033,13 @@ QSKETCH_B = 7
 
 
 def qsketch_bin(v: int, b: int = QSKETCH_B) -> int:
-    """Python twin of rollup._quantize (pinned equal in tests): keep
-    the top b+1 significant bits of |v|, re-apply the sign."""
-    a = abs(v)
-    if a < (1 << (b + 1)):
-        return v
-    s = a.bit_length() - 1 - b
-    q = (a >> s) << s
-    return -q if v < 0 else q
+    """Python binning for the stateful update — DELEGATES to
+    operators.rollup.quantize_py so the batch sketch, the streaming
+    sketch, and the rank probe can never drift (pinned equal to the
+    Column form in tests)."""
+    from semantic_cpp_spark.operators.rollup import quantize_py
+
+    return quantize_py(v, b)
 
 
 _SLIDE_QS_OUT = T.StructType(

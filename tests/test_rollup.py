@@ -362,3 +362,27 @@ def test_qsketch_weighted_equals_row_replication(spark):
         [50],
     ).collect()[0]
     assert wq["n"] == 10 and wq["p50"] == 7  # rank ceil(5) falls in the 7s
+
+
+def test_qsketch_rank_probe_matches_exact_cdf(spark):
+    """rank_ppm at a probe value must equal the exact CDF of the
+    QUANTIZED distribution — and be within the bin-width bound of the
+    raw CDF; negatives tagged with 'm'."""
+    import random
+
+    rng = random.Random(5)
+    vals = [rng.randint(-1000, 10**8) for _ in range(3000)]
+    df = _frame(spark, [("k", v) for v in vals])
+    st = rollup.qsketch_state(df, ["k"], F.col("v"))
+    probes = [-500, 100, 10**6, 10**8 + 5]
+    row = rollup.qsketch_rank(st, ["k"], probes).collect()[0]
+    assert row["n"] == 3000
+    qs = sorted(rollup.quantize_py(v) for v in vals)
+    import bisect
+
+    for v in probes:
+        tag = str(v).replace("-", "m")
+        got = row[f"rank_{tag}_ppm"]
+        exact_q = bisect.bisect_right(qs, rollup.quantize_py(v))
+        assert got == (exact_q * 1000000) // 3000, (v, got, exact_q)
+    assert row[f"rank_{10**8 + 5}_ppm"] == 1000000  # above max -> full mass
