@@ -569,3 +569,23 @@ def test_span_cuts_no_cartesian_and_hash_keyed(spark, qs):
     plan = _plan(qs["dedup_span_cuts"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_encode_docs_vocab_join_no_cartesian(spark, qs):
+    """Numericalization must meet the vocab through a hash equi-join on
+    token (broadcast at the capped gate size — AQE may pick shuffle at
+    web-scale vocab, both fine), never a nested-loop or cartesian; the
+    per-doc re-assembly is one aggregate over (pos, id) pairs."""
+    plan = _plan(qs["txt_encode_docs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pack_encoded_shards_single_shard_exchange(spark, qs):
+    """The shard-materialization plan: no cartesian, no nested loop —
+    the packer's window and the sequence concat ride hash exchanges on
+    shard keys."""
+    plan = _plan(qs["pack_encoded_shards"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -386,3 +386,28 @@ def test_qsketch_rank_probe_matches_exact_cdf(spark):
         exact_q = bisect.bisect_right(qs, rollup.quantize_py(v))
         assert got == (exact_q * 1000000) // 3000, (v, got, exact_q)
     assert row[f"rank_{10**8 + 5}_ppm"] == 1000000  # above max -> full mass
+
+
+def test_qsketch_quantize_hypothesis_monotone_and_bounded(spark):
+    """Property: quantization is order-preserving, magnitude-shrinking
+    (toward zero), sign-preserving, and within 2^-B relative of the
+    input — across the whole int64-ish domain including negatives.
+    Checked via the pure-Python twin (pinned equal to the Column form
+    in test_sliding_quantiles_error_band_and_binning_parity)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.integers(min_value=-(2**62), max_value=2**62),
+    )
+    def prop(a, b):
+        qa, qb = rollup.quantize_py(a), rollup.quantize_py(b)
+        if a <= b:
+            assert qa <= qb
+        assert abs(qa) <= abs(a)
+        assert (qa < 0) == (a < 0) or qa == 0
+        assert abs(a - qa) <= abs(a) * 2 ** -rollup.QSKETCH_BITS
+
+    prop()
