@@ -589,3 +589,14 @@ def test_pack_encoded_shards_single_shard_exchange(spark, qs):
     plan = _plan(qs["pack_encoded_shards"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_quantile_merge_is_pure_aggregation(spark, qs):
+    """The mergeable-quantile gate plan: NO join anywhere (states merge
+    by union + groupBy), every aggregation has its map-side partial
+    (the whole point of a map-side-combinable monoid), and exchanges
+    carry only (key, bin) state rows."""
+    plan = _plan(qs["evt_rollup_quantile_merge"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("partial") >= 4  # each delta state + the merge combine
+    assert "CartesianProduct" not in plan
