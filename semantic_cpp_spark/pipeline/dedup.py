@@ -1555,3 +1555,46 @@ def passage_dup_summary(
             ),
         )
     )
+
+
+def passage_keep_list(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    window: int = PASSAGE_TOKENS,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The write-side of the passage pass: resolve near-dup passage
+    PAIRS into clusters (connected_components over packed passage keys
+    — hash-min + pointer jumping, O(log n) rounds) and keep exactly one
+    representative per cluster: the smallest (doc_id, pid) in packed
+    order, the dedup_keep_list convention one level down. Returns
+    (doc_id, pid, keep) for EVERY passage — keep=false marks the
+    passages a curation pass drops or down-weights (within-doc repeats
+    resolve here too: the first occurrence in the doc survives).
+    Composes with apply-side surgery or re-chunking downstream; the
+    summary view stays passage_dup_summary."""
+    p = passage_explode(df, text, id_col, window)
+    pairs = minhash_lsh_pairs(
+        p, F.col("ptext"), F.col("pkey"), k=k, threshold=threshold
+    )
+    comp = connected_components(pairs, "d1", "d2")
+    return (
+        p.select("doc_id", "pid", "pkey")
+        .join(
+            comp.select(
+                F.col("doc_id").alias("pkey"),
+                F.col("component").alias("__c"),
+            ),
+            "pkey",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "pid",
+            (F.col("__c").isNull() | (F.col("__c") == F.col("pkey"))).alias(
+                "keep"
+            ),
+        )
+    )

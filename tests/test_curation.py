@@ -1945,3 +1945,33 @@ def test_pack_encoded_sequences_streams_and_budget(spark):
     assert counts == {
         (r["shard"], r["seq_id"]): (r["n_docs"], r["seq_tokens"]) for r in out
     }
+
+
+def test_passage_keep_list_keeps_one_per_cluster(spark):
+    """Cluster resolution at passage level: of the three near-identical
+    boilerplate passages across three docs, exactly the packed-smallest
+    survives; every unique passage keeps; within-doc repeats keep only
+    their first occurrence."""
+    from semantic_cpp_spark.pipeline import dedup
+
+    boiler = " ".join(f"term{i} clause{i}" for i in range(16))
+    docs = [
+        boiler,                                  # doc 0: the original
+        boiler,                                  # doc 1: verbatim copy
+        " ".join(f"novel{i} word{i}" for i in range(16)),  # doc 2: unique
+        boiler + " " + boiler,                   # doc 3: within-doc repeat
+    ]
+    df = _docs_frame(spark, docs)
+    out = {
+        (r["doc_id"], r["pid"]): r["keep"]
+        for r in dedup.passage_keep_list(
+            df, F.col("text"), F.col("doc_id")
+        ).collect()
+    }
+    assert out[(0, 0)] is True          # smallest packed key in the cluster
+    assert out[(1, 0)] is False         # copy drops
+    assert out[(2, 0)] is True          # unique passage keeps
+    assert out[(3, 0)] is False and out[(3, 1)] is False  # later copies drop
+    # exactly one survivor among the boilerplate cluster
+    cluster = [(0, 0), (1, 0), (3, 0), (3, 1)]
+    assert sum(out[k] for k in cluster) == 1
