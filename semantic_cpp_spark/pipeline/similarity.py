@@ -983,6 +983,7 @@ def pq_books_trained(
     m_subs: int = PQ_M,
     sub_dims: int = PQ_SUB,
     iters: int = 1,
+    seed_books: DataFrame | None = None,
 ) -> DataFrame:
     """``iters`` exactness-disciplined Lloyd steps over the id-seeded
     books: each step assigns every subvector to its nearest current
@@ -1016,7 +1017,7 @@ def pq_books_trained(
     a failed step never replays the previous ones."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    books = pq_books(
+    books = seed_books if seed_books is not None else pq_books(
         emb, id_col, vec_col,
         n_centroids=n_centroids, m_subs=m_subs, sub_dims=sub_dims,
     )
@@ -1516,6 +1517,7 @@ def ivfpq_residual_index(
     n_centroids: int = PQ_K,
     m_subs: int = PQ_M,
     sub_dims: int = PQ_SUB,
+    iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the residual IVFADC index: (books, listed_codes).
 
@@ -1531,6 +1533,12 @@ def ivfpq_residual_index(
        build (the pq_encode-composition first cut re-expanded the
        assignment cross in every DAG branch; plan-pinned against now);
     3. list_id rides the encode rows, no post-hoc corpus self-join.
+
+    ``iters`` ≥ 1 Lloyd-trains the residual books on the residual
+    corpus (pq_books_trained's exactness-disciplined steps, seeded from
+    the offset seeds) — Lloyd on the residual space, the FAISS training
+    recipe; each iteration's total assignment SSE is non-increasing
+    (test-pinned, the Lloyd monotonicity theorem).
 
     Run once and persisted via ivfpq_index_save's layout; probes read
     listed codes only."""
@@ -1548,6 +1556,12 @@ def ivfpq_residual_index(
         F.slice(F.col("rv"), F.col("m") * sub_dims + 1, sub_dims).alias("cv"),
     )
     corpus = _coarse_residuals(emb, id_col, vec_col, n_lists)
+    if iters >= 1:
+        books = pq_books_trained(
+            corpus, "vec_id", "rv", n_centroids=n_centroids,
+            m_subs=m_subs, sub_dims=sub_dims, iters=iters,
+            seed_books=books,
+        )
     sub = corpus.select("vec_id", "list_id", ms, "rv").select(
         "vec_id",
         "list_id",

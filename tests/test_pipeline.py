@@ -2079,3 +2079,44 @@ def test_encode_tokens_positions_oov_and_fingerprint(spark):
     assert out[7]["n_tokens"] == 4 and out[7]["n_oov"] == 1
     assert out[7]["ids_fp"] == hashlib.md5(b"1_0_-1_1").hexdigest()
     assert out[8]["ids"] == [0] and out[8]["n_oov"] == 0
+
+
+def test_ivfpq_residual_training_sse_monotone(spark):
+    """Lloyd on the residual space: one training iteration must not
+    increase the total encode SSE (sum over subvectors of the squared
+    distance to the assigned centroid) — the Lloyd monotonicity
+    theorem, with a 1e-6 slack for the exactness discipline's
+    micro-unit centroid quantization."""
+    import numpy as np
+
+    rng = np.random.RandomState(53)
+    centers = rng.randn(5, 64) * 6
+    vecs = np.stack([centers[i % 5] + rng.randn(64) for i in range(120)])
+    df = _emb_frame(spark, vecs)
+
+    def total_sse(books):
+        from semantic_cpp_spark.pipeline.clustering import sq_dist
+
+        resid = similarity._coarse_residuals(df, "vec_id", "embedding", 5)
+        ms = F.explode(F.sequence(F.lit(0), F.lit(similarity.PQ_M - 1))).alias("m")
+        sub = resid.select("vec_id", ms, "rv").select(
+            "vec_id", "m",
+            F.slice(F.col("rv"), F.col("m") * 16 + 1, 16).alias("xv"),
+        )
+        scored = sub.join(F.broadcast(books), "m").select(
+            "vec_id", "m", sq_dist(F.col("xv"), F.col("cv")).alias("d2")
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("vec_id", "m").orderBy("d2")
+        best = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+        )
+        return best.agg(F.sum("d2")).collect()[0][0]
+
+    b0, _ = similarity.ivfpq_residual_index(df, n_lists=5, iters=0)
+    b1, _ = similarity.ivfpq_residual_index(df, n_lists=5, iters=1)
+    s0, s1 = total_sse(b0), total_sse(b1)
+    assert s1 <= s0 + 1e-6 * max(1.0, abs(s0)), (s0, s1)
+    assert s1 < s0  # on random data a step strictly improves
