@@ -1598,3 +1598,55 @@ def passage_keep_list(
             ),
         )
     )
+
+
+def apply_passage_keep(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    keep: DataFrame,
+    emit_text: bool = False,
+) -> DataFrame:
+    """Execute a passage keep-list (passage_keep_list output): rebuild
+    each document from only its kept passages, in passage order — the
+    write-side that turns the passage pass's verdicts into a deduped
+    corpus, mirroring apply_span_cuts one granularity up. The surgery
+    is one groupBy over the doc's kept (pid, ptext) pairs re-joined
+    with single spaces; document bodies cross the wire once as passage
+    rows (already materialized by passage_explode), and docs whose
+    every passage keeps reconstruct verbatim (test-pinned). Returns
+    (doc_id, n_passages_kept, clean_fp) with clean_fp = md5 of the
+    rebuilt text; ``emit_text=True`` adds the text itself. Documents
+    with NO kept passage emit with empty text (the all-boilerplate
+    case a curation pass then drops by n_passages_kept = 0)."""
+    p = passage_explode(df, text, id_col)
+    kept = p.join(keep.filter(F.col("keep")).select("doc_id", "pid"),
+                  ["doc_id", "pid"])
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_passages_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pid", "ptext"))),
+                lambda s: s["ptext"],
+            ),
+            " ",
+        ).alias("__txt"),
+    )
+    all_docs = df.select(id_col.alias("doc_id"))
+    out = (
+        all_docs.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_passages_kept"), F.lit(0)).alias(
+                "n_passages_kept"
+            ),
+            F.coalesce(F.col("__txt"), F.lit("")).alias("__txt"),
+        )
+        .withColumn("clean_fp", F.md5(F.col("__txt")))
+    )
+    if emit_text:
+        return out.select(
+            "doc_id", "n_passages_kept", F.col("__txt").alias("text"),
+            "clean_fp",
+        )
+    return out.select("doc_id", "n_passages_kept", "clean_fp")

@@ -314,6 +314,53 @@ def ngram_novelty(df, text: Column, id_col, span_words: int = 5):
 # ASC)) so shards encoded on different runs/clusters agree token-for-token.
 
 
+def vocab_counts(df: DataFrame, text: Column) -> DataFrame:
+    """Mergeable vocabulary state (token, n): the corpus-wide token
+    counts BEFORE ranking — a pure additive monoid, so per-delta count
+    tables fold with merge_vocab_counts and the ranked vocabulary of
+    the union never requires rescanning history (the rollup.agg_state
+    discipline applied to vocabulary maintenance)."""
+    return (
+        df.select(F.explode(tokens(text)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def merge_vocab_counts(states: list[DataFrame]) -> DataFrame:
+    """Fold vocab count states: union + one SUM groupBy — associative,
+    commutative, exact, so merge(counts(A), counts(B)) ≡ counts(A ∪ B)
+    token-for-token and the downstream ranking (vocab_rank) of merged
+    state equals a from-scratch vocab_build (test-pinned)."""
+    if not states:
+        raise ValueError("merge_vocab_counts needs at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("token").agg(F.sum("n").cast("long").alias("n"))
+
+
+def vocab_rank(
+    counts: DataFrame, min_count: int = 1, max_size: int | None = None
+) -> DataFrame:
+    """Rank a (token, n) count state into the id table (token, n,
+    token_id) — the shared epilogue of vocab_build and the incremental
+    merge path; see vocab_build for the distributed-ordinal rationale."""
+    from semantic_cpp_spark.indexing import with_ordinal
+
+    ranked = with_ordinal(
+        counts.filter(F.col("n") >= min_count).withColumn(
+            "__negn", -F.col("n")
+        ),
+        ["__negn", "token"],
+        name="token_id",
+        strategy="range",
+    ).select("token", "n", "token_id")
+    if max_size is not None:
+        ranked = ranked.filter(F.col("token_id") < max_size)
+    return ranked
+
+
 def vocab_build(
     df: DataFrame,
     text: Column,
@@ -329,23 +376,7 @@ def vocab_build(
     vocab of a web corpus is 10⁷–10⁸ rows and must not bottleneck on
     one partition. ``max_size`` keeps the top-``max_size`` ids (the
     standard cap; everything below becomes OOV at encode time)."""
-    from semantic_cpp_spark.indexing import with_ordinal
-
-    counts = (
-        df.select(F.explode(tokens(text)).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .filter(F.col("n") >= min_count)
-    )
-    ranked = with_ordinal(
-        counts.withColumn("__negn", -F.col("n")),
-        ["__negn", "token"],
-        name="token_id",
-        strategy="range",
-    ).select("token", "n", "token_id")
-    if max_size is not None:
-        ranked = ranked.filter(F.col("token_id") < max_size)
-    return ranked
+    return vocab_rank(vocab_counts(df, text), min_count, max_size)
 
 
 def encode_tokens(

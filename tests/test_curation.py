@@ -1975,3 +1975,44 @@ def test_passage_keep_list_keeps_one_per_cluster(spark):
     # exactly one survivor among the boilerplate cluster
     cluster = [(0, 0), (1, 0), (3, 0), (3, 1)]
     assert sum(out[k] for k in cluster) == 1
+
+
+def test_apply_passage_keep_rebuilds_and_drops(spark):
+    """The passage write-side: an untouched doc reconstructs VERBATIM
+    (fingerprint = md5 of its own text), a doc whose passage lost its
+    cluster drops exactly that passage, and an all-dropped doc emits
+    empty with n_passages_kept = 0."""
+    import hashlib
+
+    from semantic_cpp_spark.pipeline import dedup
+
+    boiler = " ".join(f"term{i} clause{i}" for i in range(16))
+    unique = " ".join(f"novel{i} word{i}" for i in range(16))
+    docs = [boiler, unique + " " + boiler, unique.replace("novel", "other")]
+    df = _docs_frame(spark, docs)
+    keep = dedup.passage_keep_list(df, F.col("text"), F.col("doc_id"))
+    out = {
+        r["doc_id"]: r
+        for r in dedup.apply_passage_keep(
+            df, F.col("text"), F.col("doc_id"), keep, emit_text=True
+        ).collect()
+    }
+    # doc 0 owns the boilerplate cluster -> verbatim
+    assert out[0]["text"] == boiler
+    assert out[0]["clean_fp"] == hashlib.md5(boiler.encode()).hexdigest()
+    # doc 1 keeps its unique passage, loses the boilerplate copy
+    assert out[1]["text"] == unique
+    assert out[1]["n_passages_kept"] == 1
+    # doc 2 fully unique -> verbatim
+    assert out[2]["text"] == docs[2]
+    # all-dropped case: a doc that is ONLY a copy of doc 0
+    df2 = _docs_frame(spark, [boiler, boiler])
+    keep2 = dedup.passage_keep_list(df2, F.col("text"), F.col("doc_id"))
+    out2 = {
+        r["doc_id"]: r
+        for r in dedup.apply_passage_keep(
+            df2, F.col("text"), F.col("doc_id"), keep2
+        ).collect()
+    }
+    assert out2[1]["n_passages_kept"] == 0
+    assert out2[1]["clean_fp"] == hashlib.md5(b"").hexdigest()

@@ -2120,3 +2120,28 @@ def test_ivfpq_residual_training_sse_monotone(spark):
     s0, s1 = total_sse(b0), total_sse(b1)
     assert s1 <= s0 + 1e-6 * max(1.0, abs(s0)), (s0, s1)
     assert s1 < s0  # on random data a step strictly improves
+
+
+def test_vocab_counts_merge_equals_direct_build(spark):
+    """Vocabulary maintenance: per-delta count states fold by pure
+    addition, and ranking the merged state equals a from-scratch
+    vocab_build of the concatenated corpus — token, count, AND id."""
+    from semantic_cpp_spark.pipeline import text as T
+
+    a = spark.createDataFrame(
+        [(0, "x y z x"), (1, "y")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame([(2, "z z q x")], "doc_id long, text string")
+    merged = T.vocab_rank(
+        T.merge_vocab_counts(
+            [T.vocab_counts(a, F.col("text")), T.vocab_counts(b, F.col("text"))]
+        )
+    )
+    direct = T.vocab_build(a.unionByName(b), F.col("text"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    import pytest as _p
+
+    with _p.raises(ValueError, match="at least one"):
+        T.merge_vocab_counts([])
