@@ -85,6 +85,7 @@ def temperature_mixture_sample(
     alpha: float = 0.5,
     budget_frac: float = 0.5,
     salt: str = "mix",
+    max_domains: int = 100_000,
 ) -> DataFrame:
     """Temperature-based domain mixture sampling (the mT5 / UNIMAX
     α-sampling pattern): sample so the kept corpus follows the
@@ -110,19 +111,37 @@ def temperature_mixture_sample(
     100 TB: counts are one map-side-combined groupBy over the domain
     column (#domains rows back to the driver); the keep pass is a
     narrow md5-compare scan. Nothing scales with corpus size except
-    the two linear scans."""
+    the two linear scans.
+
+    CONTRACT — domain cardinality (ADVICE/VERDICT r8-r9): the driver
+    holds one threshold per domain and the keep filter folds them into
+    a CASE chain, so this operator is sized for CURATED mixture axes
+    (language, source, crawl — 10⁰–10⁵ values), NOT per-hostname
+    columns. ``max_domains`` enforces the bound: exceeding it raises
+    (count-first, before any threshold math) rather than silently
+    building a 10⁸-branch expression tree / collecting 10⁸ rows.
+    Rebalancing a 10⁸-cardinality column means bucketing it to a
+    mixture axis first (e.g. hostname → registrable domain → source
+    tier) — the thing production pipelines do anyway, because a
+    temperature target over singleton domains degenerates to uniform
+    sampling."""
     import math
 
     if not 0.0 < budget_frac <= 1.0:
         raise ValueError(f"budget_frac must be in (0,1], got {budget_frac}")
     if alpha < 0.0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
-    counts = {
-        r["d"]: r["n"]
-        for r in df.groupBy(domain.alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    if max_domains < 1:
+        raise ValueError(f"max_domains must be >= 1, got {max_domains}")
+    agg = df.groupBy(domain.alias("d")).agg(F.count(F.lit(1)).alias("n"))
+    rows = agg.limit(max_domains + 1).collect()
+    if len(rows) > max_domains:
+        raise ValueError(
+            f"temperature_mixture_sample: domain column exceeds "
+            f"max_domains={max_domains} distinct values — bucket it to a "
+            "mixture axis (language/source/tier) before rebalancing"
+        )
+    counts = {r["d"]: r["n"] for r in rows}
     if not counts:
         return df.filter(F.lit(False))
     if alpha == 0.5:

@@ -1605,6 +1605,7 @@ def apply_passage_keep(
     text: Column,
     id_col: Column,
     keep: DataFrame,
+    window: int = PASSAGE_TOKENS,
     emit_text: bool = False,
 ) -> DataFrame:
     """Execute a passage keep-list (passage_keep_list output): rebuild
@@ -1618,8 +1619,13 @@ def apply_passage_keep(
     (doc_id, n_passages_kept, clean_fp) with clean_fp = md5 of the
     rebuilt text; ``emit_text=True`` adds the text itself. Documents
     with NO kept passage emit with empty text (the all-boilerplate
-    case a curation pass then drops by n_passages_kept = 0)."""
-    p = passage_explode(df, text, id_col)
+    case a curation pass then drops by n_passages_kept = 0).
+
+    ``window`` MUST match the passage_keep_list call that produced
+    ``keep`` — re-chunking with a different window silently joins
+    misaligned (doc_id, pid) pairs (ADVICE r9); both default to
+    PASSAGE_TOKENS, so callers who set one set both."""
+    p = passage_explode(df, text, id_col, window)
     kept = p.join(keep.filter(F.col("keep")).select("doc_id", "pid"),
                   ["doc_id", "pid"])
     rebuilt = kept.groupBy("doc_id").agg(

@@ -3,17 +3,22 @@ with typed metadata, processed by Arrow-batched pandas kernels.
 
 The decode story is two-tier and honest about which tier is which:
 
-- **Real decode — netpbm (PPM P6/P3)**: parsed with pure stdlib
-  (``decode_image``) — header tokenizer with ``#``-comment handling,
-  binary or ASCII raster, maxval normalization. The ``mm_feature_extract``
-  registry query runs THIS path end-to-end over deterministically
-  rendered PPM payloads, value-checked against a closed-form SQL oracle.
-- **Stub — compressed codecs (JPEG/PNG/audio/video)**: require PIL /
+- **Real decode — pure-stdlib codecs**: netpbm (PPM/PGM/PBM, binary or
+  ASCII, ``#``-comment handling, maxval normalization), BMP (24/32-bit
+  uncompressed), PNG (full zlib DEFLATE + all five scanline filters),
+  GIF (real LZW, interlace, local/global palettes), TIFF (baseline
+  uncompressed/PackBits), WAV (PCM), and Y4M frame streams — all in
+  ``decode_image`` / the audio/video kernels, each with gate queries
+  (``mm_feature_extract``, ``mm_image_ahash``, ``mm_audio_features``,
+  ``mm_frame_sample``, ``mm_video_frames``) value-checked against
+  closed-form SQL oracles.
+- **Stub — lossy/compressed codecs (JPEG, MP3, H.264, …)**: require
   libjpeg / ffmpeg, which this container lacks; ``decode_image`` raises
-  ``NotImplementedError`` for those magics, and ``_fake_features``
-  provides a clearly-marked deterministic stand-in for opaque payloads so
-  the Spark plumbing (schema, Arrow batching, narrow execution) stays
-  exercised regardless.
+  ``NotImplementedError`` for those magics (the ``register_image_decoder``
+  seam below plugs a real library in without kernel changes), and
+  ``_fake_features`` provides a clearly-marked deterministic stand-in for
+  opaque payloads so the Spark plumbing (schema, Arrow batching, narrow
+  execution) stays exercised regardless.
 
 At 100 TB the shape matters: media blobs stay columnar in parquet, the
 kernel streams Arrow batches (no per-row Python driver loops), and

@@ -984,6 +984,9 @@ def pq_books_trained(
     sub_dims: int = PQ_SUB,
     iters: int = 1,
     seed_books: DataFrame | None = None,
+    train_frac: float | None = None,
+    train_salt: str = "pqtrain",
+    checkpoint_path: str | None = None,
 ) -> DataFrame:
     """``iters`` exactness-disciplined Lloyd steps over the id-seeded
     books: each step assigns every subvector to its nearest current
@@ -1011,20 +1014,54 @@ def pq_books_trained(
     recall lever that works at every budget is the candidate+
     exact-rescore stage (pq_rescore_topk).
 
-    Scale note: each iteration is one assignment (broadcast books join
-    + argmin window) over the corpus — iters chains them lazily; at
-    100 TB persist the books between steps (they are m_subs·K rows) so
-    a failed step never replays the previous ones."""
+    ``train_frac`` is the production dial: Lloyd steps ASSIGN only a
+    deterministic hash sample of the corpus (curation.bernoulli_sample
+    on ``id_col`` with ``train_salt`` — content-addressed, so any
+    cluster draws the identical training set) while seeds and the
+    final encode side still see everything. Codebook quality needs
+    only a representative sample (FAISS trains on ~10⁵–10⁶ of 10¹⁰
+    vectors); the step cost drops from corpus·K to sample·K scoring
+    rows. Fully oracle-replayable: the sample is an md5-threshold
+    WHERE clause, not an RNG (sim_pq_train_sampled).
+
+    ``checkpoint_path`` makes the 100-TB advice executable: each
+    step's books persist to ``<checkpoint_path>/step=<i>`` (m_subs·K
+    rows — KB-scale) and a re-invocation with the same path RESUMES
+    from the newest completed step ≤ iters instead of replaying the
+    chain, which also truncates the lazy lineage between steps. The
+    checkpoint root is per-build state: point different corpora /
+    params / train_fracs at different roots (books carry no
+    provenance sidecar here — pq_index_save is the publishing step)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if train_frac is not None and not 0.0 < train_frac <= 1.0:
+        raise ValueError(f"train_frac must be in (0,1], got {train_frac}")
+    from semantic_cpp_spark.pipeline.curation import bernoulli_sample
+
+    train = emb
+    if train_frac is not None and train_frac < 1.0:
+        train = bernoulli_sample(emb, F.col(id_col), train_frac, train_salt)
     books = seed_books if seed_books is not None else pq_books(
         emb, id_col, vec_col,
         n_centroids=n_centroids, m_subs=m_subs, sub_dims=sub_dims,
     )
-    for _ in range(iters):
+    start = 0
+    if checkpoint_path is not None:
+        from pyspark.errors import AnalysisException
+
+        spark = emb.sparkSession
+        for i in range(iters, 0, -1):
+            try:
+                ck = spark.read.parquet(f"{checkpoint_path}/step={i}")
+                ck.schema  # force resolution — missing path raises here
+            except AnalysisException:
+                continue
+            books, start = ck, i
+            break
+    for _step in range(start, iters):
         trained = (
             pq_train_means(
-                emb, id_col, vec_col, books=books,
+                train, id_col, vec_col, books=books,
                 m_subs=m_subs, sub_dims=sub_dims,
             )
             .groupBy("m", "c_id")
@@ -1048,6 +1085,10 @@ def pq_books_trained(
             F.col("b0.c_id").alias("c_id"),
             F.coalesce(F.col("t.cv"), F.col("b0.cv")).alias("cv"),
         )
+        if checkpoint_path is not None:
+            step_path = f"{checkpoint_path}/step={_step + 1}"
+            books.write.mode("overwrite").parquet(step_path)
+            books = emb.sparkSession.read.parquet(step_path)
     return books
 
 
@@ -1268,9 +1309,17 @@ def ivfpq_codes(
     max-cosine centroid, ties → smallest id). This is the INDEX-BUILD
     step — one assignment pass + one encode pass + one equi-join on
     vec_id, run once and persisted (ivfpq_index_save); probes read the
-    listed codes only. n_lists=None derives K ≈ √n (one count job)."""
+    listed codes only. n_lists=None derives K ≈ √n (one count job).
+    ``trained=True`` Lloyd-trains the books first (pq_books_trained)
+    when none are passed; explicit ``books`` always win (they may
+    already be trained — re-training someone else's books here would
+    desync them from any codes encoded elsewhere)."""
     if n_lists is None:
         n_lists = derived_ivf_k(emb.count())
+    if books is None and trained:
+        books = pq_books_trained(
+            emb, id_col, vec_col, m_subs=m_subs, sub_dims=sub_dims
+        )
     assigned = ivf_assign(emb, 0, id_col, vec_col, n_lists).select(
         "vec_id", F.col("centroid_id").alias("list_id")
     )
@@ -1380,7 +1429,7 @@ def ivfpq_index_save(
     n_centroids: int = PQ_K,
     m_subs: int = PQ_M,
     sub_dims: int = PQ_SUB,
-    iters: int = 1,
+    iters: int | None = None,
     residual: bool = False,
 ) -> None:
     """Persist an IVFADC index under one root: ``<path>/books`` +
@@ -1391,20 +1440,29 @@ def ivfpq_index_save(
     raw-LUT probe return garbage distances, exactly the mismatch the
     sidecar exists to prevent). Same refuse-partial discipline as
     pq_index_save/bloom_save. ``residual=True`` builds via
-    ivfpq_residual_index (which seeds its own books from residuals;
-    ``trained`` applies to the raw form only)."""
+    ivfpq_residual_index, and ``iters`` threads through to its Lloyd
+    training on the residual space (ADVICE r9 — one residual step pays
+    on clustered data, SCALING r9). ``iters=None`` keeps each form's
+    default (1 Lloyd step for raw ``trained=True``, untrained seeds
+    for residual — the probe-side derivation default, so a default
+    save always matches a default fresh probe); the EFFECTIVE value is
+    recorded in the sidecar."""
     if n_lists is None:
         n_lists = derived_ivf_k(emb.count())
     if residual:
+        eff_iters = 0 if iters is None else iters
         books, listed = ivfpq_residual_index(
             emb, id_col, vec_col, n_lists=n_lists,
             n_centroids=n_centroids, m_subs=m_subs, sub_dims=sub_dims,
+            iters=eff_iters,
         )
         trained = False
     else:
+        eff_iters = (1 if iters is None else iters) if trained else 0
         books = (
             pq_books_trained(emb, id_col, vec_col, n_centroids=n_centroids,
-                             m_subs=m_subs, sub_dims=sub_dims, iters=iters)
+                             m_subs=m_subs, sub_dims=sub_dims,
+                             iters=eff_iters)
             if trained
             else pq_books(emb, id_col, vec_col, n_centroids=n_centroids,
                           m_subs=m_subs, sub_dims=sub_dims)
@@ -1417,9 +1475,9 @@ def ivfpq_index_save(
     listed.write.mode("overwrite").parquet(f"{path}/codes")
     emb.sparkSession.createDataFrame(
         [(m_subs, n_centroids, sub_dims, bool(trained), int(n_lists),
-          bool(residual))],
+          bool(residual), int(eff_iters))],
         "pq_m int, pq_k int, pq_sub int, trained boolean, n_lists int, "
-        "residual boolean",
+        "residual boolean, iters int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
@@ -1440,6 +1498,10 @@ def ivfpq_index_load(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
         # pre-r9 sidecars have no residual column: those indexes are raw
         "residual": bool(p[0]["residual"]) if "residual" in p[0].__fields__
         else False,
+        # pre-r10 sidecars have no iters column: raw-trained saves used
+        # the then-default 1, everything else 0
+        "iters": int(p[0]["iters"]) if "iters" in p[0].__fields__
+        else (1 if bool(p[0]["trained"]) else 0),
     }
     return (
         spark.read.parquet(f"{path}/books"),
@@ -1509,6 +1571,44 @@ def _coarse_residuals(
     )
 
 
+def _exact_euclid_topk_sets(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, set]:
+    """Exact euclidean top-k as {q_id: {vec_id, ...}} — the ground
+    truth PQ approximates, used by the early-stop recall check. Scored
+    as one broadcast-query cross over the corpus (|Q| tiny); the
+    collect is |Q|·k rows of ids, the recall-diagnostic pattern."""
+    from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
+
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", sq_dist(F.col("v"), F.col("qv")).alias("d2")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d2"), F.col("vec_id"))
+    out: dict[int, set] = {}
+    for r in (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id")
+        .collect()
+    ):
+        out.setdefault(r["q_id"], set()).add(r["vec_id"])
+    return out
+
+
 def ivfpq_residual_index(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1518,6 +1618,10 @@ def ivfpq_residual_index(
     m_subs: int = PQ_M,
     sub_dims: int = PQ_SUB,
     iters: int = 0,
+    early_stop_ids: list[int] | None = None,
+    early_stop_k: int = 5,
+    early_stop_nprobe: int = 2,
+    early_stop_info: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the residual IVFADC index: (books, listed_codes).
 
@@ -1540,6 +1644,21 @@ def ivfpq_residual_index(
     recipe; each iteration's total assignment SSE is non-increasing
     (test-pinned, the Lloyd monotonicity theorem).
 
+    ``early_stop_ids`` makes the SCALING r9 finding executable
+    machinery (VERDICT r9 #5): SSE decreases monotonically while
+    HELD-OUT recall can fall with extra steps (0.240 → 0.192 measured
+    at tiny code budgets), so when a held-out query set is given the
+    build trains one step at a time, measures recall@``early_stop_k``
+    of the full residual probe (nprobe=``early_stop_nprobe``) against
+    the exact euclidean top-k after EACH step — the untrained seeds
+    are step 0's baseline — and keeps the first maximum: it stops as
+    soon as a step fails to improve and returns the previous step's
+    books. Pass a dict as ``early_stop_info`` to receive
+    {"steps_used", "recall_per_step"}. Each evaluated step costs one
+    extra corpus encode + probe; at 100 TB run the evaluation build on
+    a hash-sampled sub-corpus (curation.bernoulli_sample) and train
+    the final index with the chosen step count.
+
     Run once and persisted via ivfpq_index_save's layout; probes read
     listed codes only."""
     from semantic_cpp_spark.pipeline.clustering import sq_dist
@@ -1556,29 +1675,73 @@ def ivfpq_residual_index(
         F.slice(F.col("rv"), F.col("m") * sub_dims + 1, sub_dims).alias("cv"),
     )
     corpus = _coarse_residuals(emb, id_col, vec_col, n_lists)
-    if iters >= 1:
+
+    def _encode(bks: DataFrame) -> DataFrame:
+        sub = corpus.select("vec_id", "list_id", ms, "rv").select(
+            "vec_id",
+            "list_id",
+            "m",
+            F.slice(
+                F.col("rv"), F.col("m") * sub_dims + 1, sub_dims
+            ).alias("xv"),
+        )
+        scored = sub.join(F.broadcast(bks), "m").select(
+            "vec_id", "list_id", "m", "c_id",
+            sq_dist(F.col("xv"), F.col("cv")).alias("d2"),
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy(
+            F.col("d2"), F.col("c_id")
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("vec_id", "list_id", "m", F.col("c_id").alias("code"))
+        )
+
+    if iters >= 1 and early_stop_ids:
+        truth = _exact_euclid_topk_sets(
+            emb, early_stop_ids, early_stop_k, id_col, vec_col
+        )
+
+        def _recall(bks: DataFrame) -> float:
+            probe = ivfpq_residual_topk(
+                emb, early_stop_ids, k=early_stop_k,
+                nprobe=early_stop_nprobe, n_lists=n_lists,
+                id_col=id_col, vec_col=vec_col,
+                books=bks, listed_codes=_encode(bks),
+                n_centroids=n_centroids, m_subs=m_subs, sub_dims=sub_dims,
+            )
+            got: dict[int, set] = {}
+            for r in probe.collect():
+                got.setdefault(r["q_id"], set()).add(r["vec_id"])
+            num = den = 0
+            for q, t in truth.items():
+                den += len(t)
+                num += len(t & got.get(q, set()))
+            return num / den if den else 1.0
+
+        recalls = [_recall(books)]
+        steps_used = 0
+        for _ in range(iters):
+            cand = pq_books_trained(
+                corpus, "vec_id", "rv", n_centroids=n_centroids,
+                m_subs=m_subs, sub_dims=sub_dims, iters=1,
+                seed_books=books,
+            )
+            recalls.append(_recall(cand))
+            if recalls[-1] <= recalls[-2]:
+                break
+            books, steps_used = cand, steps_used + 1
+        if early_stop_info is not None:
+            early_stop_info["steps_used"] = steps_used
+            early_stop_info["recall_per_step"] = recalls
+    elif iters >= 1:
         books = pq_books_trained(
             corpus, "vec_id", "rv", n_centroids=n_centroids,
             m_subs=m_subs, sub_dims=sub_dims, iters=iters,
             seed_books=books,
         )
-    sub = corpus.select("vec_id", "list_id", ms, "rv").select(
-        "vec_id",
-        "list_id",
-        "m",
-        F.slice(F.col("rv"), F.col("m") * sub_dims + 1, sub_dims).alias("xv"),
-    )
-    scored = sub.join(F.broadcast(books), "m").select(
-        "vec_id", "list_id", "m", "c_id",
-        sq_dist(F.col("xv"), F.col("cv")).alias("d2"),
-    )
-    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("c_id"))
-    listed = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "list_id", "m", F.col("c_id").alias("code"))
-    )
-    return books, listed
+    return books, _encode(books)
 
 
 def ivfpq_residual_topk(

@@ -2145,3 +2145,171 @@ def test_vocab_counts_merge_equals_direct_build(spark):
 
     with _p.raises(ValueError, match="at least one"):
         T.merge_vocab_counts([])
+
+
+# -- r10: sampled/checkpointed PQ training, early stop, API fixes -------------
+
+def test_pq_books_trained_train_frac_matches_manual_sample(spark):
+    """train_frac trains on exactly the deterministic hash sample
+    (curation.bernoulli_sample semantics — content-addressed, so any
+    cluster draws the identical training set) while seeding from the
+    FULL corpus: the books must equal hand-assembling the same sample
+    + full-corpus seeds, book-for-book."""
+    from semantic_cpp_spark.pipeline import curation
+
+    rng = np.random.RandomState(61)
+    df = _emb_frame(spark, rng.randn(60, 64))
+    auto = similarity.pq_books_trained(
+        df, iters=1, train_frac=0.5, train_salt="tf"
+    )
+    manual = similarity.pq_books_trained(
+        curation.bernoulli_sample(df, F.col("vec_id"), 0.5, "tf"),
+        iters=1,
+        seed_books=similarity.pq_books(df),
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, manual.collect())
+    )
+    # the sample is a proper subset -> sampled books differ from full
+    full = similarity.pq_books_trained(df, iters=1)
+    assert sorted(map(tuple, auto.collect())) != sorted(
+        map(tuple, full.collect())
+    )
+    with pytest.raises(ValueError, match="train_frac"):
+        similarity.pq_books_trained(df, iters=1, train_frac=1.5)
+    with pytest.raises(ValueError, match="train_frac"):
+        similarity.pq_books_trained(df, iters=1, train_frac=0.0)
+
+
+def test_pq_books_trained_checkpoint_resume(spark, tmp_path):
+    """checkpoint_path makes the 100-TB advice executable: each Lloyd
+    step persists its books, and a re-invocation resumes from the
+    newest completed step instead of replaying the chain. Pinned by
+    (a) chained-with-checkpoint == direct two-step books, and (b) a
+    resume that is handed a DIFFERENT corpus but a complete checkpoint
+    returns the checkpointed books untouched — proof the prior steps
+    were not recomputed."""
+    rng = np.random.RandomState(67)
+    df = _emb_frame(spark, rng.randn(50, 64))
+    ck = str(tmp_path / "pq_ck")
+    similarity.pq_books_trained(df, iters=1, checkpoint_path=ck)
+    resumed = similarity.pq_books_trained(df, iters=2, checkpoint_path=ck)
+    direct = similarity.pq_books_trained(df, iters=2)
+    assert sorted(map(tuple, resumed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    other = _emb_frame(spark, rng.randn(50, 64) + 3.0)
+    replay = similarity.pq_books_trained(other, iters=2, checkpoint_path=ck)
+    assert sorted(map(tuple, replay.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_ivfpq_residual_early_stop_stops_at_one_on_clustered_data(spark):
+    """The SCALING r9 finding as machinery (VERDICT r9 #5): held-out
+    recall rises with the first residual training step and FALLS with
+    the second on the clustered fixture, so the early stop must keep
+    exactly one step — and return that step's books, not the last
+    trained candidate."""
+    rng = np.random.RandomState(37)
+    centers = rng.randn(8, 64) * 10
+    vecs = np.stack(
+        [centers[i % 8] + rng.randn(64) * 0.5 for i in range(80)]
+    )
+    df = _emb_frame(spark, vecs)
+    info: dict = {}
+    books, listed = similarity.ivfpq_residual_index(
+        df, n_lists=8, iters=3, early_stop_ids=[0, 1, 2, 3],
+        early_stop_info=info,
+    )
+    r = info["recall_per_step"]
+    assert info["steps_used"] == 1, info
+    assert r[1] > r[0] and r[2] <= r[1], info
+    assert len(r) == 3  # stopped after the first non-improvement
+    b1, _ = similarity.ivfpq_residual_index(df, n_lists=8, iters=1)
+    assert sorted(map(tuple, books.collect())) == sorted(
+        map(tuple, b1.collect())
+    )
+
+
+def test_apply_passage_keep_window_rides_through(spark):
+    """ADVICE r9: apply_passage_keep re-chunks with the SAME window the
+    keep-list was built with — a non-default window must reconstruct
+    no-dup documents verbatim instead of silently joining misaligned
+    (doc_id, pid) pairs."""
+    toks = [f"w{i}a w{i}b w{i}c w{i}d" for i in range(5)]
+    df = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, "solo text here")],
+        "doc_id long, text string",
+    )
+    keep = dedup.passage_keep_list(df, F.col("text"), F.col("doc_id"), window=4)
+    out = dedup.apply_passage_keep(
+        df, F.col("text"), F.col("doc_id"), keep, window=4, emit_text=True
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_passages_kept"] == 5  # ceil(20/4), all unique
+    assert by_id[0]["text"] == " ".join(toks)
+    assert by_id[1]["text"] == "solo text here"
+
+
+def test_temperature_mixture_max_domains_bound(spark):
+    """The r8/r9 carried contract note, closed as an enforced bound:
+    the driver-side threshold dict is sized for curated mixture axes,
+    and a domain column past max_domains raises count-first instead of
+    silently building a 10^8-branch CASE chain."""
+    from semantic_cpp_spark.pipeline import curation
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(30)], "id long, dom string"
+    )
+    with pytest.raises(ValueError, match="max_domains=2"):
+        curation.temperature_mixture_sample(
+            df, F.col("id"), F.col("dom"), max_domains=2
+        )
+    kept = curation.temperature_mixture_sample(
+        df, F.col("id"), F.col("dom"), max_domains=3
+    )
+    assert 0 < kept.count() <= 30
+    with pytest.raises(ValueError, match="max_domains"):
+        curation.temperature_mixture_sample(
+            df, F.col("id"), F.col("dom"), max_domains=0
+        )
+
+
+def test_ivfpq_codes_trained_flag_honored(spark):
+    """ADVICE r9: ivfpq_codes(trained=True) must encode against
+    Lloyd-trained books (it used to silently ignore the flag)."""
+    rng = np.random.RandomState(71)
+    df = _emb_frame(spark, rng.randn(60, 64))
+    auto = similarity.ivfpq_codes(df, n_lists=5, trained=True)
+    manual = similarity.ivfpq_codes(
+        df, n_lists=5, books=similarity.pq_books_trained(df)
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, manual.collect())
+    )
+
+
+def test_ivfpq_index_save_threads_residual_iters(spark, tmp_path):
+    """ADVICE r9: ivfpq_index_save(residual=True, iters=1) must build a
+    TRAINED residual index and record the effective iters in the params
+    sidecar (defaults keep each form's previous behavior: residual
+    saves untrained, raw trained saves one step)."""
+    rng = np.random.RandomState(73)
+    df = _emb_frame(spark, rng.randn(50, 64))
+    root = str(tmp_path / "res_it1")
+    similarity.ivfpq_index_save(df, root, n_lists=5, residual=True, iters=1)
+    books, listed, params = similarity.ivfpq_index_load(spark, root)
+    assert params["residual"] is True and params["iters"] == 1
+    want, _ = similarity.ivfpq_residual_index(df, n_lists=5, iters=1)
+    assert sorted(map(tuple, books.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    root0 = str(tmp_path / "res_it0")
+    similarity.ivfpq_index_save(df, root0, n_lists=5, residual=True)
+    _, _, p0 = similarity.ivfpq_index_load(spark, root0)
+    assert p0["iters"] == 0
+    root_raw = str(tmp_path / "raw_tr")
+    similarity.ivfpq_index_save(df, root_raw, n_lists=5, trained=True)
+    _, _, praw = similarity.ivfpq_index_load(spark, root_raw)
+    assert praw["trained"] is True and praw["iters"] == 1
