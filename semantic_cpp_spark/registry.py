@@ -651,97 +651,83 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r9 window (50 = 32 + 6 + 12 + 0): the 32 r4-vintage spills LEAD (recounted
-# from CORRECTNESS_r01..r08 — the r8 comment said 29; the count below is from
-# the files, completing the no-row-older-than-r5 deadline); then rule (a)
-# code-or-oracle-changed refreshes (asof_nearest_signup: tiebreak threaded
-# through both passes; dedup_span_cuts/_apply: in-plan packed-position guard;
-# sim_pq_adc_topk/sim_pq_train_means: parameterized machinery + raised
-# positivity shift; dedup_bloom_probe: corrected broadcast ceiling;
-# mm_image_ahash: sub-grid quarantine); then rule (b) first rows for the new
-# r9 operators; then 6 r5-vintage backfill, riskiest families first (dedup,
-# embedding/pipeline, similarity, events). The 38 remaining r5-vintage
-# entries (incl. the sem_* family, txt_* pipeline, sig_*) spill to r10 under
-# the same policy.
+# r10 window (50 = 44 + 1 + 4 + 1): the 44 r5-vintage spills LEAD (recounted
+# from CORRECTNESS_r01..r09 — newest row == r5 for exactly these 44, matching
+# the r9 WINDOW CUT list; after this round no query's newest row predates
+# r6); then dedup_bloom_probe re-enters as promised when it ceded its r9
+# rule-(a) slot (its r8 row stays current-vintage — this is the commitment,
+# not a deadline); then rule (b) first rows for the 4 new r10 operators
+# (passage write-side pair, learned BPE merges, sampled PQ training); then 1
+# early r6 refresh — stream_funnel_stages, the riskiest family
+# (streaming-first per policy), softening r11's 49-query r6 deadline.
+# Rule (a) consumes NO slot this round: the r10 code changes to gated paths
+# are provably non-behavioral at gate scale and re-verified green at sf0.01
+# this round (verify log at HEAD) — sim_ivfpq_topk (ivfpq_codes trained-flag
+# branch: dead when books are passed, as the gate does),
+# sim_ivfpq_residual_topk (encode stage moved into a closure, identical
+# operators/plan; early-stop params default off), sim_pq_train_means_k256
+# (pq_books_trained train_frac/checkpoint default None) — and
+# dedup_passage_dup_summary's oracle text is byte-identical (the new
+# write-side oracles build their own CTE prefix). All four hold r9 rows.
 _PRIORITY: list[str] = [
-    # -- the 32 r4-vintage spills from the r8 WINDOW CUT (policy deadline) --
-    "corpus_diff_versions",
-    "emb_cluster_medoids",
-    "pack_token_sequences",
-    "evt_sessionize",
-    "evt_retention_cohorts",
-    "evt_hourly_anomalies",
-    "evt_merged_activity",
-    "evt_hourly_moving_avg",
-    "stream_static_enrich",
-    "win_tumble",
-    "win_slide",
-    "rel_grouped_percentiles",
-    "rel_running_customer_revenue",
-    "agg_mode_deterministic",
-    "agg_quantiles",
-    "agg_skew_kurt",
-    "rel_cube_flag_status",
-    "rel_price_histogram",
-    "rel_profile_lineitem",
-    "rel_zorder_bucket_stats",
-    "samp_fixed_k_per_lang",
-    "sem_distinct_first_occurrence",
-    "sem_find_at_negative",
-    "sem_reverse_rotation",
-    "sem_sub_slice",
-    "sem_translate_wraps",
-    "sig_fft100_pad_truncate",
-    "grp_group_encounter_order",
-    "grp_partition_chunks",
-    "txt_fuzzy_vocab_match",
-    "txt_tfidf_keywords",
-    "txt_unigram_cross_entropy",
-    # -- (a) code or oracle changed in r9 --
-    "asof_nearest_signup",
-    "dedup_span_cuts",
-    "dedup_span_cuts_apply",
-    "sim_pq_adc_topk",
-    "sim_pq_train_means",
-    "mm_image_ahash",
-    # -- (b) first driver rows: new r9 operators --
-    "sim_ivfpq_topk",
-    "sim_pq_train_means_k256",
-    "evt_rollup_var_merge",
-    "dedup_span_cuts_text",
-    "asof_nearest_tol",
-    "evt_rollup_quantile_merge",
-    "sim_ivfpq_residual_topk",
-    "dedup_passage_dup_summary",
-    "stream_sliding_value_quantiles",
-    "txt_vocab_ids",
-    "txt_encode_docs",
-    "pack_encoded_shards",
-    # -- (c) r5-vintage backfill: none this round — the 12 rule-(b)
-    #    first rows consumed every slot; all 44 r5-vintage entries spill
-    #    to r10 (see WINDOW CUT below). dedup_bloom_probe left rule (a)
-    #    to make room: its r9 change is a broadcast-ceiling CONSTANT
-    #    (2^28 → 2^25) that cannot alter gate-scale results (fixture
-    #    filters sit far below both thresholds, both join paths stay
-    #    plan-pinned), it re-verified green at sf0.01 AND sf1.0 this
-    #    round (committed HEAD verify log), and its r8 driver row is
-    #    current-vintage. It re-enters the window in r10. --
+    # -- the 44 r5-vintage spills from the r9 WINDOW CUT (policy deadline) --
+    "agg_basic",
+    "agg_dispersion",
+    "asof_purchase_last_signup",
+    "dedup_shared_spans",
+    "emb_pca_norm_preserved",
+    "evt_funnel_signup_view_purchase",
+    "evt_interval_join_1h",
+    "grp_frequency_profile",
+    "grp_partition_by_sorted",
+    "mm_audio_features",
+    "mm_frame_sample",
+    "mm_video_frames",
+    "rel_q1_pricing_summary",
+    "rel_q3_top_revenue",
+    "rel_q5_nation_revenue",
+    "rel_topk_per_segment",
+    "samp_hash_bernoulli",
+    "samp_stratified_by_lang",
+    "sem_bounds",
+    "sem_concatenate",
+    "sem_distinct_comparator",
+    "sem_drop_while",
+    "sem_filter_rebases_idx",
+    "sem_find_at",
+    "sem_flat_explode",
+    "sem_join_str",
+    "sem_limit",
+    "sem_map_preserves_idx",
+    "sem_match_predicates",
+    "sem_skip_preserves_idx",
+    "sem_sort_stable",
+    "sem_take_while",
+    "sig_dft64",
+    "sig_fft_by_window",
+    "sim_embedding_near_dup",
+    "sim_ivf_topk",
+    "sim_lsh_bucket_topk",
+    "sim_quantized_topk",
+    "txt_bpe_token_count",
+    "txt_fingerprint",
+    "txt_gopher_rules",
+    "txt_lang_id",
+    "txt_quality_score",
+    "txt_token_stats",
+    # -- the promised r10 re-entry (ceded its r9 rule-(a) slot) --
+    "dedup_bloom_probe",
+    # -- (b) first driver rows: new r10 operators --
+    "dedup_passage_keep_list",
+    "dedup_passage_apply",
+    "txt_bpe_merges",
+    "sim_pq_train_sampled",
+    # -- (c) early r6 backfill, riskiest family first (streaming) --
+    "stream_funnel_stages",
     # -- WINDOW CUT at position 50 — recount, don't trust comment position,
-    #    when rotating. r10 spill (44 r5-vintage — the rule-(b) r9
-    #    first-rows displaced the whole backfill block:
-    #    evt_interval_join_1h, mm_video_frames, sim_lsh_bucket_topk,
-    #    sim_quantized_topk, dedup_shared_spans, emb_pca_norm_preserved,
-    #    plus): agg_basic,
-    #    agg_dispersion, asof_purchase_last_signup,
-    #    evt_funnel_signup_view_purchase, grp_frequency_profile,
-    #    grp_partition_by_sorted, mm_audio_features, mm_frame_sample,
-    #    rel_q1_pricing_summary, rel_q3_top_revenue, rel_q5_nation_revenue,
-    #    rel_topk_per_segment, samp_hash_bernoulli, samp_stratified_by_lang,
-    #    sem_* (16), sig_dft64, sig_fft_by_window, sim_embedding_near_dup,
-    #    sim_ivf_topk, txt_bpe_token_count, txt_fingerprint,
-    #    txt_gopher_rules, txt_lang_id, txt_quality_score, txt_token_stats —
-    #    all green in 2+ prior windows, re-executed by the smoke test and
-    #    the committed HEAD verify log. --
+    #    when rotating. r11 is the 49-query r6-vintage deadline minus
+    #    stream_funnel_stages (refreshed above) = 48 due + ~2 free slots;
+    #    recount from the CORRECTNESS files when building that window. --
 ]
 
 

@@ -4242,3 +4242,256 @@ def pack_encoded_shards(spark, sf_dir):
     return curation.pack_encoded_sequences(
         docs, F.col("text"), F.col("doc_id"), vocab, n_shards=8, budget=512
     ).select("shard", "seq_id", "n_docs", "seq_tokens", "seq_fp")
+
+
+# -- r10: passage write-side gates, learned BPE merges, sampled PQ training ---
+
+def _passage_ver_ctes() -> str:
+    """The passage-pair CTE prefix (chunk → per-passage shingles →
+    MinHash signatures → band keys → packed-order candidates →
+    agreement-verified pairs) for the write-side oracles. Textually
+    mirrors the prefix inside _passage_dup_sql, which stays verbatim so
+    dedup_passage_dup_summary's committed oracle text is untouched
+    (oracle-change = re-gate, and the r10 window is full)."""
+    w = dedup.PASSAGE_TOKENS
+    bits = 1 << dedup.SPAN_POS_BITS
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> ({a} * (('0x' || substr(md5(s),1,8))::BIGINT) + {b}) % {dedup.MINHASH_P}))"
+        for a, b in zip(dedup.MINHASH_A, dedup.MINHASH_B)
+    )
+    r, nb, nh = dedup.LSH_ROWS, dedup.LSH_BANDS, dedup.NUM_HASHES
+    return f"""tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents),
+    pas AS (
+      SELECT doc_id, pid,
+             array_to_string(ws[pid*{w}+1 : pid*{w}+{w}], ' ') AS ptext
+      FROM (SELECT doc_id, ws,
+                   unnest(range(0, (len(ws) + {w - 1}) // {w})) AS pid
+            FROM tok)),
+    psh AS (
+      SELECT doc_id, pid,
+             CASE WHEN len(pws) >= 3
+                  THEN list_distinct([pws[i] || ' ' || pws[i+1] || ' ' || pws[i+2]
+                                      for i in range(1, len(pws) - 1)])
+                  ELSE [] END AS shingles
+      FROM (SELECT doc_id, pid,
+                   regexp_split_to_array(trim(ptext), '\\s+') AS pws
+            FROM pas)),
+    sigs AS (SELECT doc_id, pid, [{mins}] AS sig
+             FROM psh WHERE len(shingles) > 0),
+    bands AS (
+      SELECT doc_id, pid, t.band,
+             array_to_string(sig[t.band * {r} + 1 : t.band * {r} + {r}], '_') AS key
+      FROM sigs, (SELECT unnest(range(0, {nb})) AS band) t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, a.pid AS p1, b.doc_id AS d2, b.pid AS p2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key
+       AND (a.doc_id * {bits} + a.pid) < (b.doc_id * {bits} + b.pid)),
+    ver AS MATERIALIZED (
+      SELECT c.d1, c.p1, c.d2, c.p2
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.d1 AND sa.pid = c.p1
+      JOIN sigs sb ON sb.doc_id = c.d2 AND sb.pid = c.p2
+      WHERE length(list_filter(range(1, {nh} + 1),
+                               i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+            / {nh} >= 0.5)"""
+
+
+def _passage_cc_ctes() -> str:
+    """Connected components over the packed passage keys, recursive-CTE
+    style (the dedup_cc_clusters oracle pattern one granularity down):
+    component = smallest reachable packed (doc·2²⁰ + pid) key."""
+    bits = 1 << dedup.SPAN_POS_BITS
+    return f"""edges AS (
+      SELECT d1 * {bits} + p1 AS s, d2 * {bits} + p2 AS t FROM ver
+      UNION ALL SELECT d2 * {bits} + p2, d1 * {bits} + p1 FROM ver),
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, l) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v),
+    comp AS (SELECT v, min(l)::BIGINT AS c FROM reach GROUP BY v)"""
+
+
+def _passage_keep_sql() -> str:
+    bits = 1 << dedup.SPAN_POS_BITS
+    return f"""WITH RECURSIVE {_passage_ver_ctes()},
+    {_passage_cc_ctes()}
+    SELECT p.doc_id, p.pid::BIGINT AS pid,
+           (co.c IS NULL OR co.c = p.doc_id * {bits} + p.pid) AS keep
+    FROM pas p LEFT JOIN comp co ON co.v = p.doc_id * {bits} + p.pid"""
+
+
+@register("dedup_passage_keep_list", _passage_keep_sql())
+def dedup_passage_keep_list(spark, sf_dir):
+    """The passage pass's WRITE side (dedup.passage_keep_list — VERDICT
+    r9 "What's missing #1"): near-dup passage PAIRS resolve into
+    clusters by connected components over the packed doc·2²⁰+pid keys
+    (hash-min + pointer jumping, O(log n) rounds) and exactly one
+    representative per cluster survives — the smallest packed key, the
+    dedup_keep_list convention one granularity down; within-doc repeats
+    keep their first occurrence. Every passage reports (doc_id, pid,
+    keep). The oracle recomputes components with a recursive CTE over
+    the replayed pair pipeline — an independent algorithm, so agreement
+    checks the distributed propagation itself, not just the pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.passage_keep_list(docs, F.col("text"), F.col("doc_id"))
+
+
+def _passage_apply_sql() -> str:
+    bits = 1 << dedup.SPAN_POS_BITS
+    return f"""WITH RECURSIVE {_passage_ver_ctes()},
+    {_passage_cc_ctes()},
+    keepl AS (
+      SELECT p.doc_id, p.pid, p.ptext,
+             (co.c IS NULL OR co.c = p.doc_id * {bits} + p.pid) AS keep
+      FROM pas p LEFT JOIN comp co ON co.v = p.doc_id * {bits} + p.pid),
+    reb AS (
+      SELECT doc_id, count(*)::BIGINT AS n_passages_kept,
+             string_agg(ptext, ' ' ORDER BY pid) AS txt
+      FROM keepl WHERE keep GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(r.n_passages_kept, 0)::BIGINT AS n_passages_kept,
+           md5(coalesce(r.txt, '')) AS clean_fp
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN reb r USING (doc_id)"""
+
+
+@register("dedup_passage_apply", _passage_apply_sql())
+def dedup_passage_apply(spark, sf_dir):
+    """Execute the passage keep-list (dedup.apply_passage_keep — the
+    dedup_span_cuts_text md5-rebuild pattern one granularity up): every
+    document rebuilds from only its kept passages in pid order, and the
+    gate compares md5(rebuilt text) — so a green row proves the keep
+    verdicts, the re-chunk alignment (window rides through both sides,
+    ADVICE r9), the per-doc re-assembly order, and the all-boilerplate
+    empty-document case all match a serial reference byte-for-byte.
+    This is the output a curation pass actually consumes: the deduped
+    corpus plus n_passages_kept = 0 as the drop signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = dedup.passage_keep_list(docs, F.col("text"), F.col("doc_id"))
+    return dedup.apply_passage_keep(docs, F.col("text"), F.col("doc_id"), keep)
+
+
+def _bpe_merges_sql(n: int) -> str:
+    """``n`` unrolled BPE training rounds (the pagerank-replay pattern):
+    each round = pair counts from the double-space symbol strings, a
+    deterministic 1-row argmax (cnt DESC, lhs, rhs), and a literal
+    replace applying the merge. Every round CTE is MATERIALIZED — the
+    unrolled chain references its predecessor more than once and
+    DuckDB's default inlining goes exponential without it (the k-core
+    oracle lesson). replace() in DuckDB and Spark share left-to-right
+    non-overlapping replace-all semantics, which IS the reference
+    greedy merge order (Sennrich et al. 2016)."""
+    parts = [r"""w0 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS freq,
+         ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS s
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents)
+  GROUP BY word)"""]
+    for i in range(1, n + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT lhs, rhs, sum(freq)::BIGINT AS cnt FROM (
+    SELECT freq, unnest(syms[:len(syms)-1]) AS lhs, unnest(syms[2:]) AS rhs
+    FROM (SELECT freq, string_split(trim(s), '  ') AS syms FROM w{i - 1}))
+  GROUP BY lhs, rhs),
+m{i} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{i}
+                      ORDER BY cnt DESC, lhs, rhs LIMIT 1)""")
+        if i < n:
+            parts.append(f"""w{i} AS MATERIALIZED (
+  SELECT freq, replace(s, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                       ' ' || m.lhs || m.rhs || ' ') AS s
+  FROM w{i - 1}, m{i} m)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {i}::BIGINT AS rank, lhs, rhs, cnt AS pair_count FROM m{i}"
+        for i in range(1, n + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@register("txt_bpe_merges", _bpe_merges_sql(6))
+def txt_bpe_merges(spark, sf_dir):
+    """LEARNED BPE merge rules (text.bpe_train_merges — VERDICT r9
+    "What's missing #2", Sennrich et al. 2016): six rounds of
+    iterated adjacent-pair counting over the word-frequency table,
+    each round one map-side-combinable count + a deterministic 1-row
+    argmax + one literal replace over the vocab-sized state — rounds
+    bounded by the merge budget, never corpus size. Both engines apply
+    merges through plain left-to-right replace-all on double-space
+    symbol strings (provably the reference greedy order), so the
+    oracle replays all six rounds verbatim; a green row proves the
+    distributed pair counts, the tie-break, AND the merge application
+    agree with a serial reference at every round. Feeds the existing
+    encode/pack pipeline: tests pin that applying the learned table
+    round-trips every corpus word."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_train_merges(docs, F.col("text"), 6)
+
+
+def _pq_train_sampled_sql() -> str:
+    """One PQ training step where assignment reads only the
+    deterministic hash sample (md5-threshold WHERE — bernoulli_sample's
+    engine-portable form) while seeds come from the FULL corpus, then
+    the trained books themselves (empty cells keep their seed) in
+    integer micro-units."""
+    thr = curation.sample_threshold(0.5)
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    mrange AS (SELECT unnest(range(0, 4)) AS m),
+    books0 AS (SELECT m, vec_id AS c_id, v[m*16+1 : m*16+16] AS cv
+               FROM e, mrange WHERE vec_id < 16),
+    st AS (SELECT vec_id, v FROM e
+           WHERE ('0x' || substr(md5('pqgate' || vec_id::VARCHAR), 1, 15))::BIGINT
+                 < {thr}),
+    sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS xv FROM st, mrange),
+    sc AS (SELECT s.vec_id, s.m, s.xv, b.c_id,
+                  list_dot_product(s.xv, s.xv)
+                    - 2.0 * list_dot_product(s.xv, b.cv)
+                    + list_dot_product(b.cv, b.cv) AS d2
+           FROM sub s JOIN books0 b ON b.m = s.m),
+    asgn AS (SELECT vec_id, m, c_id, xv FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d2, c_id) AS r
+              FROM sc) WHERE r = 1),
+    dims AS (SELECT a.m, a.c_id, d.range AS dim,
+                    round(a.xv[d.range + 1] * 1000000.0)::BIGINT AS xi
+             FROM asgn a CROSS JOIN range(0, 16) d),
+    means AS (SELECT m, c_id, dim,
+                     ((sum(xi) + 4000000 * count(*)) // count(*)
+                      - 4000000)::BIGINT AS q
+              FROM dims GROUP BY m, c_id, dim),
+    seedd AS (SELECT b.m, b.c_id, d.range AS dim, b.cv[d.range + 1] AS x
+              FROM books0 b CROSS JOIN range(0, 16) d)
+    SELECT s.m::BIGINT AS m, s.c_id, s.dim::BIGINT AS dim,
+           coalesce(mn.q, round(s.x * 1000000.0)::BIGINT) AS q
+    FROM seedd s LEFT JOIN means mn
+      ON mn.m = s.m AND mn.c_id = s.c_id AND mn.dim = s.dim"""
+
+
+@register("sim_pq_train_sampled", _pq_train_sampled_sql())
+def sim_pq_train_sampled(spark, sf_dir):
+    """The sampled-training production dial as a gated API (VERDICT r9
+    "What's missing #3"): pq_books_trained(train_frac=0.5) Lloyd-steps
+    against the deterministic 50% hash sample — content-addressed
+    (curation.bernoulli_sample), so every cluster and every engine
+    draws the IDENTICAL training set with a WHERE clause, no RNG —
+    while codebook seeds still come from the full corpus. Output = the
+    resulting books exploded to integer micro-units (trained cells are
+    exact positive-shifted floor divisions; empty cells keep their
+    seed), so a green row proves the sample boundary, the sampled
+    assignment, and the integer means all replay cell-for-cell.
+    SCALING.md records the step-up cut vs full-corpus training (the
+    r9 13.0× watch item)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_books_trained(
+        emb, iters=1, train_frac=0.5, train_salt="pqgate"
+    )
+    return (
+        books.select("m", "c_id", F.posexplode("cv").alias("dim", "x"))
+        .select(
+            F.col("m").cast("long").alias("m"),
+            "c_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("x") * 1e6).cast("long").alias("q"),
+        )
+    )

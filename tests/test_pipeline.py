@@ -2313,3 +2313,104 @@ def test_ivfpq_index_save_threads_residual_iters(spark, tmp_path):
     similarity.ivfpq_index_save(df, root_raw, n_lists=5, trained=True)
     _, _, praw = similarity.ivfpq_index_load(spark, root_raw)
     assert praw["trained"] is True and praw["iters"] == 1
+
+
+# -- r10: learned BPE merges ---------------------------------------------------
+
+def _py_bpe_reference(docs: list[str], n: int):
+    """Serial Sennrich reference: word-frequency state, most-frequent
+    adjacent pair per round (ties -> smallest (lhs, rhs)), greedy
+    left-to-right merge application."""
+    from collections import Counter
+
+    wc = Counter(w for t in docs for w in t.strip().split())
+    state = {w: list(w) for w in wc}
+    out = []
+    for rank in range(1, n + 1):
+        pc = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        m = max(pc.values())
+        lhs, rhs = sorted(k for k, v in pc.items() if v == m)[0]
+        out.append((rank, lhs, rhs, m))
+        for w, syms in state.items():
+            i, ns = 0, []
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                    ns.append(lhs + rhs)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            state[w] = ns
+    return out
+
+
+def test_bpe_train_merges_matches_serial_reference(spark):
+    """Distributed BPE training must learn the exact merge table a
+    serial Sennrich implementation learns — counts, tie-breaks, and
+    greedy application all agree round for round, including the
+    overlapping-pair case ('aaa' counts two (a,a) pairs but merges to
+    ['aa','a'], never ['a','aa'])."""
+    docs = [
+        "the cat sat on the mat",
+        "the hat that the cat wore",
+        "that mat the rat sat upon",
+        "aaa aa a banana bandana",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = [
+        tuple(r)
+        for r in text.bpe_train_merges(df, F.col("text"), 6)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _py_bpe_reference(docs, 6)
+    with pytest.raises(ValueError, match="n_merges"):
+        text.bpe_train_merges(df, F.col("text"), 0)
+
+
+def test_bpe_apply_round_trips_every_word(spark):
+    """Applying the learned table never loses characters: merges only
+    fuse adjacent symbols, so concatenating the symbol array always
+    rebuilds the word — the invariant that makes learned-BPE encoding
+    safe to feed the encode/pack pipeline."""
+    docs = [
+        "banana bandana cabana",
+        "the theme thesis there",
+        "aaa aaaa aa",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    merges = text.collect_merges(
+        text.bpe_train_merges(df, F.col("text"), 8)
+    )
+    assert len(merges) == 8
+    words = df.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+    chk = words.select(
+        "w", F.array_join(text.bpe_apply(F.col("w"), merges), "").alias("rt")
+    ).collect()
+    assert chk and all(r["w"] == r["rt"] for r in chk)
+    # greedy overlap semantics pinned directly
+    one = spark.createDataFrame([("aaa",)], "w string").select(
+        text.bpe_apply(F.col("w"), [("a", "a")]).alias("syms")
+    ).collect()[0]["syms"]
+    assert one == ["aa", "a"]
+
+
+def test_bpe_train_merges_stops_when_pairs_exhaust(spark):
+    """Single-character words have no adjacent pairs: training returns
+    fewer merges than requested (here: zero) instead of looping or
+    crashing — callers replaying a fixed round count in an oracle must
+    size n_merges to the corpus."""
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c a")], "doc_id long, text string"
+    )
+    got = text.bpe_train_merges(df, F.col("text"), 4).collect()
+    assert got == []

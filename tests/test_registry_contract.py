@@ -14,91 +14,89 @@ import pytest
 
 from semantic_cpp_spark import registry
 
-# Queries whose code path OR oracle changed (or which are new) in round 9 —
-# a historical green row no longer vouches for the current code, so each must
-# sit inside this round's 50-slot driver window for a fresh one.
-TOUCHED_IN_R9 = [
-    "asof_nearest_signup",    # tiebreak threaded through both passes
-    "dedup_span_cuts",        # in-plan packed-position guard
-    "dedup_span_cuts_apply",  # same guard on the apply path
-    "sim_pq_adc_topk",        # parameterized PQ machinery + raised shift
-    "sim_pq_train_means",     # raised positivity shift + range guard
-    # dedup_bloom_probe's r9 change (ADVICE r8 broadcast ceiling) is a
-    # path-selection CONSTANT that cannot alter gate-scale results; it
-    # re-verified green at sf0.01+sf1.0 this round (HEAD verify log) and
-    # ceded its slot to a rule-(b) first row — re-enters in r10.
-    "mm_image_ahash",         # sub-grid quarantine (ADVICE r8)
-    # NEW r9 operators (first rows):
-    "sim_ivfpq_topk",
-    "sim_pq_train_means_k256",
-    "evt_rollup_var_merge",
-    "dedup_span_cuts_text",
-    "asof_nearest_tol",
-    "evt_rollup_quantile_merge",
-    "sim_ivfpq_residual_topk",
-    "dedup_passage_dup_summary",
-    "stream_sliding_value_quantiles",
-    "txt_vocab_ids",
-    "txt_encode_docs",
-    "pack_encoded_shards",
+# Queries that are new (or re-enter on a commitment) in round 10 — each must
+# sit inside this round's 50-slot driver window for a fresh row. Rule (a)
+# consumes no slot in r10: every code change touching a gated path is
+# provably non-behavioral at gate scale and was re-verified green at sf0.01
+# this round (see registry._PRIORITY's comment for the per-query argument).
+TOUCHED_IN_R10 = [
+    # NEW r10 operators (first rows):
+    "dedup_passage_keep_list",   # passage write-side, recursive-CTE oracle
+    "dedup_passage_apply",       # md5-rebuild oracle (span-cuts-text pattern)
+    "txt_bpe_merges",            # learned BPE merges, unrolled-round oracle
+    "sim_pq_train_sampled",      # train_frac production dial under the gate
+    # the promised re-entry (ceded its r9 rule-(a) slot):
+    "dedup_bloom_probe",
+    # early r6 refresh, riskiest family first (streaming):
+    "stream_funnel_stages",
 ]
 
-# The 32 r4-vintage queries the r8 window deliberately spilled (listed under
-# its WINDOW CUT; recounted from CORRECTNESS_r01..r08 — the r8 comment said
-# 29) — the standing policy's deadline says they lead the r9 window so no
-# latest row predates r5 after this round.
-SPILL_FROM_R8 = [
-    "corpus_diff_versions",
-    "emb_cluster_medoids",
-    "pack_token_sequences",
-    "evt_sessionize",
-    "evt_retention_cohorts",
-    "evt_hourly_anomalies",
-    "evt_merged_activity",
-    "evt_hourly_moving_avg",
-    "stream_static_enrich",
-    "win_tumble",
-    "win_slide",
-    "rel_grouped_percentiles",
-    "rel_running_customer_revenue",
-    "agg_mode_deterministic",
-    "agg_quantiles",
-    "agg_skew_kurt",
-    "rel_cube_flag_status",
-    "rel_price_histogram",
-    "rel_profile_lineitem",
-    "rel_zorder_bucket_stats",
-    "samp_fixed_k_per_lang",
-    "sem_distinct_first_occurrence",
-    "sem_find_at_negative",
-    "sem_reverse_rotation",
-    "sem_sub_slice",
-    "sem_translate_wraps",
-    "sig_fft100_pad_truncate",
-    "grp_group_encounter_order",
-    "grp_partition_chunks",
-    "txt_fuzzy_vocab_match",
-    "txt_tfidf_keywords",
-    "txt_unigram_cross_entropy",
+# The 44 r5-vintage queries the r9 window deliberately spilled (listed under
+# its WINDOW CUT; recounted from CORRECTNESS_r01..r09 — newest row == r5 for
+# exactly these 44) — the standing policy's deadline says they lead the r10
+# window so no latest row predates r6 after this round.
+SPILL_FROM_R9 = [
+    "agg_basic",
+    "agg_dispersion",
+    "asof_purchase_last_signup",
+    "dedup_shared_spans",
+    "emb_pca_norm_preserved",
+    "evt_funnel_signup_view_purchase",
+    "evt_interval_join_1h",
+    "grp_frequency_profile",
+    "grp_partition_by_sorted",
+    "mm_audio_features",
+    "mm_frame_sample",
+    "mm_video_frames",
+    "rel_q1_pricing_summary",
+    "rel_q3_top_revenue",
+    "rel_q5_nation_revenue",
+    "rel_topk_per_segment",
+    "samp_hash_bernoulli",
+    "samp_stratified_by_lang",
+    "sem_bounds",
+    "sem_concatenate",
+    "sem_distinct_comparator",
+    "sem_drop_while",
+    "sem_filter_rebases_idx",
+    "sem_find_at",
+    "sem_flat_explode",
+    "sem_join_str",
+    "sem_limit",
+    "sem_map_preserves_idx",
+    "sem_match_predicates",
+    "sem_skip_preserves_idx",
+    "sem_sort_stable",
+    "sem_take_while",
+    "sig_dft64",
+    "sig_fft_by_window",
+    "sim_embedding_near_dup",
+    "sim_ivf_topk",
+    "sim_lsh_bucket_topk",
+    "sim_quantized_topk",
+    "txt_bpe_token_count",
+    "txt_fingerprint",
+    "txt_gopher_rules",
+    "txt_lang_id",
+    "txt_quality_score",
+    "txt_token_stats",
 ]
 
-# r9 window policy (VERDICT r8 #2 + the standing rotation policy in
+# r10 window policy (VERDICT r9 #1 + the standing rotation policy in
 # registry._PRIORITY's comment):
-# 32 r8 spills + 6 code-or-oracle-changed + 12 new-operator first rows
-# (no backfill slots left — rule (b) displaced the whole block and one
-# constant-only rule-(a) refresh, see the dedup_bloom_probe note above)
-# = exactly 50. Nothing is pushed below the cut this round (_PRIORITY
-# holds exactly the window); all 44 r5-vintage leftovers rotate in r10
-# on their green prior rows + the committed HEAD verify log.
+# 44 r9 spills + 1 promised re-entry + 4 new-operator first rows + 1 early
+# r6 backfill = exactly 50. Nothing is pushed below the cut this round
+# (_PRIORITY holds exactly the window); r11 recounts the r6-vintage
+# deadline (48 due after stream_funnel_stages refreshes here).
 EXPECTED_SPILL = 0
 
 
-def test_r9_touched_and_spill_queries_inside_50_window():
+def test_r10_touched_and_spill_queries_inside_50_window():
     window = list(registry.queries())[:50]
-    missing = [n for n in SPILL_FROM_R8 + TOUCHED_IN_R9 if n not in window]
+    missing = [n for n in SPILL_FROM_R9 + TOUCHED_IN_R10 if n not in window]
     assert not missing, f"outside driver window: {missing}"
-    # the policy deadline: the 32 spills LEAD the window
-    assert window[:32] == SPILL_FROM_R8
+    # the policy deadline: the 44 spills LEAD the window
+    assert window[:44] == SPILL_FROM_R9
 
 
 def test_priority_names_all_exist():
