@@ -1072,9 +1072,11 @@ def pq_books_trained(
                 ).alias("cv")
             )
         )
-        # empty clusters keep their previous centroid
+        # empty clusters keep their previous centroid; both sides are
+        # m_subs·K rows (KB at any corpus size) — broadcast the trained
+        # side so the merge never sort-merge-exchanges two tiny frames
         b0 = books.alias("b0")
-        t = trained.alias("t")
+        t = F.broadcast(trained.alias("t"))
         books = b0.join(
             t,
             (F.col("b0.m") == F.col("t.m"))

@@ -383,6 +383,64 @@ def collect_merges(merges: DataFrame) -> list[tuple[str, str]]:
     ]
 
 
+def bpe_segment(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Segment every document with a learned merge table: (doc_id,
+    text) → one space-joined SUBWORD stream per doc, word boundaries
+    preserved (merges never cross words — each word symbolizes and
+    merges independently, the Sennrich contract). The output plugs
+    straight into the whitespace-tokenised second half of the pipeline
+    — vocab_build / encode_tokens / pack_encoded_sequences read it
+    unchanged, which is the point: learned-subword tokenisation slots
+    into the existing numericalize→pack path as a text→text pass
+    (tokenize→LEARN→segment→numericalize→pack, end-to-end test-pinned).
+
+    Shape: one narrow map — the whole document symbolizes as one
+    string (words joined by the same double-space delimiter the
+    trainer uses, so one replace pass per merge covers every word) and
+    merges fold as M literal replaces; no explode, no shuffle, output
+    inherits scan partitioning. Segmenting with the TRAINING corpus's
+    merges reproduces training's final word states exactly
+    (test-pinned), so encode-side and train-side tokenisation can
+    never drift."""
+    # " w1 " ⧺ " w2 " … with double spaces BETWEEN words: each word is
+    # framed exactly like the trainer's per-word string, and a merge
+    # pattern " a  b " can never span two words (the inter-word gap is
+    # 2 spaces, patterns need the 1-space frame inside each word...
+    # which IS the double space's midpoint — so guard with a 3-space
+    # inter-word gap instead: no pattern contains 2+ consecutive
+    # spaces at its edges, making cross-word matches impossible).
+    s = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.transform(
+                tokens(text),
+                lambda w: F.rtrim(F.regexp_replace(w, "(.)", "$1  ")),
+            ),
+            "   ",
+        ),
+        F.lit(" "),
+    )
+    out = df.select(id_col.alias("doc_id"), s.alias("__s"))
+    for lhs, rhs in merges:
+        out = out.select(
+            "doc_id",
+            F.replace(
+                F.col("__s"),
+                F.lit(f" {lhs}  {rhs} "),
+                F.lit(f" {lhs}{rhs} "),
+            ).alias("__s"),
+        )
+    return out.select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.col("__s")), r" +", " ").alias("subword_text"),
+    )
+
+
 def token_entropy(df, text: Column, id_col: Column):
     """Per-document Shannon entropy of the token distribution (nats) +
     type-token ratio — the repetitiveness quality signal (a doc that

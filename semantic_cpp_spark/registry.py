@@ -666,7 +666,10 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # branch: dead when books are passed, as the gate does),
 # sim_ivfpq_residual_topk (encode stage moved into a closure, identical
 # operators/plan; early-stop params default off), sim_pq_train_means_k256
-# (pq_books_trained train_frac/checkpoint default None) — and
+# (pq_books_trained train_frac/checkpoint default None; the books-merge
+# left join now broadcasts its m·K-row trained side — a join-STRATEGY
+# change on a KB frame, values identical, re-verified green at sf0.01
+# post-change) — and
 # dedup_passage_dup_summary's oracle text is byte-identical (the new
 # write-side oracles build their own CTE prefix). All four hold r9 rows.
 _PRIORITY: list[str] = [

@@ -2414,3 +2414,75 @@ def test_bpe_train_merges_stops_when_pairs_exhaust(spark):
     )
     got = text.bpe_train_merges(df, F.col("text"), 4).collect()
     assert got == []
+
+
+def test_bpe_segment_matches_per_word_apply_and_round_trips(spark):
+    """Document segmentation with a learned table must equal applying
+    the merges word by word, in document order (merges never cross
+    word boundaries — the Sennrich contract), and concatenating the
+    subword stream must rebuild the document's characters exactly."""
+    docs = [
+        "banana bandana cabana",
+        "the theme thesis there the",
+        "aaa aa banana",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    merges = text.collect_merges(text.bpe_train_merges(df, F.col("text"), 6))
+    seg = {
+        r["doc_id"]: r["subword_text"]
+        for r in text.bpe_segment(
+            df, F.col("text"), F.col("doc_id"), merges
+        ).collect()
+    }
+    # per-word equivalence against bpe_apply
+    word_syms = {
+        r["w"]: list(r["syms"])
+        for r in spark.createDataFrame(
+            [(w,) for t in docs for w in t.split()], "w string"
+        )
+        .select("w", text.bpe_apply(F.col("w"), merges).alias("syms"))
+        .distinct()
+        .collect()
+    }
+    for i, t in enumerate(docs):
+        want = " ".join(s for w in t.split() for s in word_syms[w])
+        assert seg[i] == want, (i, seg[i], want)
+        assert seg[i].replace(" ", "") == t.replace(" ", "")
+
+
+def test_bpe_segment_feeds_encode_pipeline(spark):
+    """The end-to-end learned-subword path: tokenize → LEARN merges →
+    segment → vocab_build → encode_tokens. Segmented docs are ordinary
+    whitespace text, so the existing numericalize stage consumes them
+    unchanged; the encoded id streams must be deterministic and OOV-free
+    when the vocab is uncapped (every subword is in the vocab by
+    construction — it came from the same corpus)."""
+    docs = ["banana bandana", "cabana banana", "the theme"]
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    merges = text.collect_merges(text.bpe_train_merges(df, F.col("text"), 4))
+    seg = text.bpe_segment(df, F.col("text"), F.col("doc_id"), merges)
+    vocab = text.vocab_build(seg, F.col("subword_text"))
+    enc = text.encode_tokens(
+        seg, F.col("subword_text"), F.col("doc_id"), vocab
+    )
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    assert all(r["n_oov"] == 0 for r in rows.values())
+    # deterministic: re-running the whole chain yields identical ids
+    merges2 = text.collect_merges(text.bpe_train_merges(df, F.col("text"), 4))
+    seg2 = text.bpe_segment(df, F.col("text"), F.col("doc_id"), merges2)
+    enc2 = text.encode_tokens(
+        seg2, F.col("subword_text"), F.col("doc_id"),
+        text.vocab_build(seg2, F.col("subword_text")),
+    )
+    assert {r["doc_id"]: r["ids_fp"] for r in enc2.collect()} == {
+        d: r["ids_fp"] for d, r in rows.items()
+    }
+    # subword streams are LONGER than word streams (subwords) but
+    # fully faithful: total characters preserved
+    n_sub = sum(r["n_tokens"] for r in rows.values())
+    n_words = sum(len(t.split()) for t in docs)
+    assert n_sub >= n_words

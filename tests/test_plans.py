@@ -600,3 +600,43 @@ def test_rollup_quantile_merge_is_pure_aggregation(spark, qs):
     assert "Join" not in plan
     assert plan.count("partial") >= 4  # each delta state + the merge combine
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_counts_have_map_side_partial(spark, qs):
+    """One BPE training round's pair count must map-side combine (the
+    per-round shuffle carries (lhs, rhs) partial counts, never raw pair
+    rows), and the word-frequency state itself aggregates with a
+    partial — the two properties that keep a round's exchange
+    vocab-shaped at any corpus size. No join anywhere in a round."""
+    from semantic_cpp_spark.pipeline import text as T
+    from semantic_cpp_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    words = T.bpe_word_counts(docs, F.col("text")).select(
+        "freq", T._bpe_symbolize(F.col("word")).alias("s")
+    )
+    plan = _plan(T._bpe_pair_counts(words))
+    assert "partial" in plan  # map-side combine on (lhs, rhs)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_train_sampled_filter_is_narrow(spark, qs):
+    """The train_frac sample must be a pure narrow filter on the scan
+    side (an md5-threshold compare — never a join or a sample-table
+    shuffle): the plan carries exactly the same join census as the
+    full-corpus training step, with a Filter ahead of the assignment."""
+    plan = _plan(qs["sim_pq_train_sampled"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "conv(substring(md5" in plan or "Filter" in plan
+    # assignment joins stay broadcast: seeds are 16 rows/subspace
+    assert "SortMergeJoin" not in plan
+
+
+def test_passage_apply_no_cartesian(spark, qs):
+    """The passage write-side composition (explode → band-bucket pairs
+    → components → keep join → per-doc rebuild) must stay hash-keyed
+    end to end: no cartesian, no data-sized nested loop."""
+    plan = _plan(qs["dedup_passage_apply"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
