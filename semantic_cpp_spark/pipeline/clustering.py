@@ -66,11 +66,20 @@ def kmeans_assign(
     scored = e.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "v", "c_id", sq_dist(F.col("v"), F.col("cv")).alias("d2")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("c_id"))
+    # argmin as a map-side-combinable aggregate (r10, the
+    # similarity.ivf_assign note): the old row_number window shuffled
+    # all n·k scored rows (vector payloads included); min(struct)
+    # reduces each partition to one row per vec_id before the
+    # exchange. (d2, c_id) is unique per group — tie-break identical.
     return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "v", "c_id", "d2")
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "c_id", "v")).alias("__b"))
+        .select(
+            "vec_id",
+            F.col("__b.v").alias("v"),
+            F.col("__b.c_id").alias("c_id"),
+            F.col("__b.d2").alias("d2"),
+        )
     )
 
 
@@ -136,13 +145,20 @@ def cluster_medoids(
     assigned = kmeans_assign(df, k, id_col, vec_col)
     cent = updated_centroids(assigned)
     d2n = sq_dist(F.col("v"), F.col("m"))
-    w = Window.partitionBy("c_id").orderBy(F.col("d2n"), F.col("vec_id"))
+    # per-cluster argmin as a map-side-combinable aggregate (r10): the
+    # old per-cluster window shuffled every member row through k hot
+    # partitions (the worst skew shape — cluster sizes are corpus-
+    # scale); min(struct) reduces each partition to ≤k partials first.
     return (
         assigned.join(F.broadcast(cent), "c_id")
         .select("c_id", "vec_id", d2n.alias("d2n"))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("c_id", "vec_id", F.round("d2n", 6).alias("d2"))
+        .groupBy("c_id")
+        .agg(F.min(F.struct("d2n", "vec_id")).alias("__b"))
+        .select(
+            "c_id",
+            F.col("__b.vec_id").alias("vec_id"),
+            F.round(F.col("__b.d2n"), 6).alias("d2"),
+        )
     )
 
 
@@ -410,29 +426,42 @@ def kmeans_assign_ivf(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
     )
 
+    # both routing argmins and the fine argmin run as map-side-
+    # combinable min(struct) aggregates (r10, the kmeans_assign note):
+    # one partial per routed row crosses each exchange instead of the
+    # full n·√k (and n·k/√k) scored frames.
     def route(frame, idc, vc):
-        w = Window.partitionBy(idc).orderBy(F.col("__d2"), F.col("cell"))
+        scored = frame.crossJoin(F.broadcast(coarse)).select(
+            idc, vc, "cell", sq_dist(F.col(vc), F.col("gv")).alias("__d2")
+        )
         return (
-            frame.crossJoin(F.broadcast(coarse))
-            .select(
-                "*", sq_dist(F.col(vc), F.col("gv")).alias("__d2")
+            scored.groupBy(idc)
+            .agg(
+                F.min(
+                    F.struct(F.col("__d2"), F.col("cell"), F.col(vc))
+                ).alias("__b")
             )
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .drop("gv", "__d2", "__r")
+            .select(
+                idc,
+                F.col(f"__b.{vc}").alias(vc),
+                F.col("__b.cell").alias("cell"),
+            )
         )
 
     fine_cells = route(fine, "c_id", "cv")
     v_cells = route(e, "vec_id", "v")
-    w2 = Window.partitionBy("vec_id").orderBy(F.col("__f2"), F.col("c_id"))
     return (
         v_cells.join(F.broadcast(fine_cells), "cell")
         .select(
             "vec_id", "v", "c_id", sq_dist(F.col("v"), F.col("cv")).alias("__f2")
         )
-        .withColumn("__r", F.row_number().over(w2))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "v", "c_id")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("__f2", "c_id", "v")).alias("__b"))
+        .select(
+            "vec_id",
+            F.col("__b.v").alias("v"),
+            F.col("__b.c_id").alias("c_id"),
+        )
     )
 
 

@@ -605,13 +605,23 @@ def ivf_assign(
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "c_id", cos.alias("ccos")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("c_id")
-    )
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "v", F.col("c_id").alias("centroid_id"))
+    # argmax as ONE map-side-combinable aggregate (r10): the scored
+    # frame is n·K rows, and a row_number window would SHUFFLE all of
+    # them (measured: the 1M×K=256 training variant of this idiom
+    # produced a ~10⁹-row exchange that exhausted local disk); the
+    # max(struct) partial reduces each partition to one row per vec_id
+    # before the exchange. max(struct(ccos, -c_id, v)) is
+    # order-isomorphic to the old (ccos DESC, c_id ASC) window
+    # including the edge orderings: null cos (zero-norm vector) loses
+    # to any real cos in struct comparison exactly as NULLS LAST did,
+    # and -c_id makes ties resolve to the SMALLEST id. Equivalence is
+    # test-pinned against a row_number reimplementation.
+    best = F.max(F.struct(F.col("ccos"), (-F.col("c_id")).alias("nc"),
+                          F.col("v"))).alias("__b")
+    return scored.groupBy("vec_id").agg(best).select(
+        "vec_id",
+        F.col("__b.v").alias("v"),
+        (-F.col("__b.nc")).alias("centroid_id"),
     )
 
 
@@ -841,11 +851,15 @@ def pq_encode(
     scored = sub.join(F.broadcast(books), "m").select(
         "vec_id", "m", "c_id", sq_dist(F.col("xv"), F.col("cv")).alias("d2")
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("c_id"))
+    # argmin as a map-side-combinable aggregate (r10, the ivf_assign
+    # note): min(struct(d2, c_id)) ≡ the old (d2 ASC, c_id ASC) window
+    # — c_id is unique per group so the tie-break is total — while the
+    # exchange carries one partial per (vec_id, m) instead of n·K
+    # scored rows.
     return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "m", F.col("c_id").alias("code"))
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "c_id")).alias("__b"))
+        .select("vec_id", "m", F.col("__b.c_id").alias("code"))
     )
 
 
@@ -1129,11 +1143,21 @@ def pq_train_means(
         "vec_id", "m", "c_id", "xv",
         sq_dist(F.col("xv"), F.col("cv")).alias("d2"),
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("c_id"))
+    # argmin as a map-side-combinable aggregate (r10): the scored frame
+    # is n·K rows per step and the old row_number window shuffled ALL
+    # of them — at 1M vectors × K=256 that is a ~10⁹-row exchange,
+    # measured exhausting local disk before this rewrite; the
+    # min(struct) partial reduces it to one row per (vec_id, m). The
+    # (d2, c_id) prefix is unique per group (xv never compared), so
+    # the argmin and tie-break are bit-identical to the window.
     assigned = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("m", "c_id", "xv")
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "c_id", "xv")).alias("__b"))
+        .select(
+            "m",
+            F.col("__b.c_id").alias("c_id"),
+            F.col("__b.xv").alias("xv"),
+        )
     )
     xi = F.round(F.col("x") * 1e6).cast("long")
     # enforce the positivity-shift precondition (|x| <= OFF µ-units)
@@ -1559,16 +1583,24 @@ def _coarse_residuals(
         "vec_id", "v", "c_id", "cv",
         safe_cos(F.col("v"), F.col("cv")).alias("ccos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("c_id")
-    )
+    # argmax as a map-side-combinable aggregate (r10, the ivf_assign
+    # note): one partial per vec_id crosses the exchange instead of
+    # n·n_lists scored rows with full vector payloads.
+    best = F.max(
+        F.struct(
+            F.col("ccos"),
+            (-F.col("c_id")).alias("nc"),
+            F.col("v"),
+            F.col("cv"),
+        )
+    ).alias("__b")
     return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
+        scored.groupBy("vec_id")
+        .agg(best)
         .select(
             "vec_id",
-            F.col("c_id").alias("list_id"),
-            F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
+            (-F.col("__b.nc")).alias("list_id"),
+            F.zip_with("__b.v", "__b.cv", lambda a, b: a - b).alias("rv"),
         )
     )
 
@@ -1620,6 +1652,8 @@ def ivfpq_residual_index(
     m_subs: int = PQ_M,
     sub_dims: int = PQ_SUB,
     iters: int = 0,
+    train_frac: float | None = None,
+    train_salt: str = "pqtrain",
     early_stop_ids: list[int] | None = None,
     early_stop_k: int = 5,
     early_stop_nprobe: int = 2,
@@ -1645,6 +1679,13 @@ def ivfpq_residual_index(
     the offset seeds) — Lloyd on the residual space, the FAISS training
     recipe; each iteration's total assignment SSE is non-increasing
     (test-pinned, the Lloyd monotonicity theorem).
+
+    ``train_frac``/``train_salt`` thread to pq_books_trained: Lloyd
+    steps assign only the deterministic hash sample of the RESIDUAL
+    corpus (sampled by vec_id, so the training set is the residuals of
+    a content-addressed vector sample) — the same production dial as
+    raw PQ training, with the same sample ≫ K contract (SCALING r10).
+    Seeds and the final encode pass always see everything.
 
     ``early_stop_ids`` makes the SCALING r9 finding executable
     machinery (VERDICT r9 #5): SSE decreases monotonically while
@@ -1691,13 +1732,13 @@ def ivfpq_residual_index(
             "vec_id", "list_id", "m", "c_id",
             sq_dist(F.col("xv"), F.col("cv")).alias("d2"),
         )
-        w = Window.partitionBy("vec_id", "m").orderBy(
-            F.col("d2"), F.col("c_id")
-        )
+        # argmin as a map-side-combinable aggregate (r10, the
+        # pq_encode note); list_id is functionally dependent on vec_id
+        # and rides the grouping key.
         return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("vec_id", "list_id", "m", F.col("c_id").alias("code"))
+            scored.groupBy("vec_id", "list_id", "m")
+            .agg(F.min(F.struct("d2", "c_id")).alias("__b"))
+            .select("vec_id", "list_id", "m", F.col("__b.c_id").alias("code"))
         )
 
     if iters >= 1 and early_stop_ids:
@@ -1729,6 +1770,7 @@ def ivfpq_residual_index(
                 corpus, "vec_id", "rv", n_centroids=n_centroids,
                 m_subs=m_subs, sub_dims=sub_dims, iters=1,
                 seed_books=books,
+                train_frac=train_frac, train_salt=train_salt,
             )
             recalls.append(_recall(cand))
             if recalls[-1] <= recalls[-2]:
@@ -1742,6 +1784,7 @@ def ivfpq_residual_index(
             corpus, "vec_id", "rv", n_centroids=n_centroids,
             m_subs=m_subs, sub_dims=sub_dims, iters=iters,
             seed_books=books,
+            train_frac=train_frac, train_salt=train_salt,
         )
     return books, _encode(books)
 

@@ -2486,3 +2486,127 @@ def test_bpe_segment_feeds_encode_pipeline(spark):
     n_sub = sum(r["n_tokens"] for r in rows.values())
     n_words = sum(len(t.split()) for t in docs)
     assert n_sub >= n_words
+
+
+def test_ivfpq_residual_index_train_frac_threads_through(spark):
+    """train_frac on the residual build must train on exactly the hash
+    sample of the residual corpus (seeds and encode still full): equal
+    to hand-building with pq_books_trained on the sampled residuals."""
+    rng = np.random.RandomState(79)
+    centers = rng.randn(5, 64) * 6
+    vecs = np.stack([centers[i % 5] + rng.randn(64) for i in range(100)])
+    df = _emb_frame(spark, vecs)
+    auto_b, auto_l = similarity.ivfpq_residual_index(
+        df, n_lists=5, iters=1, train_frac=0.5, train_salt="rtf"
+    )
+    # manual: same seeds, same residual corpus, sampled training
+    from semantic_cpp_spark.pipeline import curation
+
+    seeds = similarity._coarse_residuals(
+        df, "vec_id", "embedding", 5, lo=5, hi=5 + similarity.PQ_K
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(similarity.PQ_M - 1))).alias("m")
+    seed_books = seeds.select(F.col("vec_id").alias("c_id"), ms, "rv").select(
+        "m", "c_id",
+        F.slice(F.col("rv"), F.col("m") * 16 + 1, 16).alias("cv"),
+    )
+    corpus = similarity._coarse_residuals(df, "vec_id", "embedding", 5)
+    manual = similarity.pq_books_trained(
+        curation.bernoulli_sample(corpus, F.col("vec_id"), 0.5, "rtf"),
+        id_col="vec_id", vec_col="rv", iters=1, seed_books=seed_books,
+    )
+    assert sorted(map(tuple, auto_b.collect())) == sorted(
+        map(tuple, manual.collect())
+    )
+    # sampled books differ from full-corpus training (proper subset)
+    full_b, _ = similarity.ivfpq_residual_index(df, n_lists=5, iters=1)
+    assert sorted(map(tuple, auto_b.collect())) != sorted(
+        map(tuple, full_b.collect())
+    )
+    # codes table still covers the whole corpus
+    assert auto_l.select("vec_id").distinct().count() == 100
+
+
+def test_aggregate_argmin_matches_window_argmin_with_ties(spark):
+    """The r10 argmin/argmax rewrite (row_number window → map-side-
+    combinable min/max(struct)) must be bit-identical INCLUDING ties:
+    duplicated seed vectors make two centroids exactly equidistant from
+    every point, so the (distance, c_id) tie-break is exercised for
+    real. Pinned for ivf_assign (max-cosine), kmeans_assign
+    (min-euclid), and pq_encode (per-subspace min)."""
+    from pyspark.sql import Window as W
+    from semantic_cpp_spark.pipeline import clustering
+
+    rng = np.random.RandomState(83)
+    vecs = rng.randn(40, 64)
+    vecs[1] = vecs[0]  # centroids 0 and 1 identical -> every d2/cos ties
+    vecs[3] = vecs[2]
+    df = _emb_frame(spark, vecs)
+
+    # ivf_assign vs inline window replay
+    from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
+    from semantic_cpp_spark.pipeline.similarity import safe_cos
+
+    e = df.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
+    cents = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "c_id", safe_cos(F.col("v"), F.col("cv")).alias("ccos")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("c_id"))
+    want = {
+        r["vec_id"]: r["c_id"]
+        for r in scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .collect()
+    }
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(df, 0, n_centroids=5).collect()
+    }
+    assert got == want
+    assert got[0] == 0 and got[1] == 0  # the tie resolved to smaller id
+
+    # kmeans_assign vs inline window replay
+    scored2 = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "c_id", sq_dist(F.col("v"), F.col("cv")).alias("d2")
+    )
+    w2 = W.partitionBy("vec_id").orderBy(F.col("d2"), F.col("c_id"))
+    want2 = {
+        (r["vec_id"], r["c_id"])
+        for r in scored2.withColumn("__r", F.row_number().over(w2))
+        .filter(F.col("__r") == 1)
+        .collect()
+    }
+    got2 = {
+        (r["vec_id"], r["c_id"])
+        for r in clustering.kmeans_assign(df, k=5).collect()
+    }
+    assert got2 == want2
+
+    # pq_encode vs inline window replay (per-subspace argmin)
+    books = similarity.pq_books(df)
+    sub = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(similarity.PQ_M - 1))).alias("m"),
+        "v",
+    ).select(
+        "vec_id", "m",
+        F.slice(F.col("v"), F.col("m") * 16 + 1, 16).alias("xv"),
+    )
+    sc3 = sub.join(F.broadcast(books), "m").select(
+        "vec_id", "m", "c_id", sq_dist(F.col("xv"), F.col("cv")).alias("d2")
+    )
+    w3 = W.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("c_id"))
+    want3 = {
+        (r["vec_id"], r["m"], r["c_id"])
+        for r in sc3.withColumn("__r", F.row_number().over(w3))
+        .filter(F.col("__r") == 1)
+        .collect()
+    }
+    got3 = {
+        (r["vec_id"], r["m"], r["code"])
+        for r in similarity.pq_encode(df, books=books).collect()
+    }
+    assert got3 == want3
