@@ -2610,3 +2610,44 @@ def test_aggregate_argmin_matches_window_argmin_with_ties(spark):
         for r in similarity.pq_encode(df, books=books).collect()
     }
     assert got3 == want3
+
+
+def test_bpe_roundtrip_hypothesis_unicode_words(spark):
+    """Property: for ANY corpus of non-whitespace words (unicode
+    included), training M merges and applying them round-trips every
+    word — merges fuse adjacent symbols and can never drop, duplicate,
+    or reorder characters. Exercises the symbol-string representation
+    against multi-byte codepoints and regex metacharacters in words
+    (the replace path is LITERAL, so '.', '*', '(' in text must be
+    inert)."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Zs", "Zl", "Zp", "Cc", "Cs")
+        ),
+        min_size=1,
+        max_size=8,
+    )
+    corpora = st.lists(
+        st.lists(word, min_size=1, max_size=5), min_size=1, max_size=4
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpora)
+    def check(docs):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = text.collect_merges(
+            text.bpe_train_merges(df, F.col("text"), 3)
+        )
+        w = df.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        chk = w.select(
+            "w",
+            F.array_join(text.bpe_apply(F.col("w"), merges), "").alias("rt"),
+        ).collect()
+        assert all(r["w"] == r["rt"] for r in chk), [
+            (r["w"], r["rt"]) for r in chk if r["w"] != r["rt"]
+        ][:3]
+
+    check()

@@ -640,3 +640,23 @@ def test_passage_apply_no_cartesian(spark, qs):
     plan = _plan(qs["dedup_passage_apply"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_seed_argmins_have_no_window_exchange(spark, qs):
+    """The r10 argmin rewrite must stay an AGGREGATE: a regression back
+    to a row_number window would re-introduce the n·K scored-row
+    shuffle (measured 10^9 rows / disk exhaustion at 1M×K=256). The
+    assignment/encode plans must carry partial aggregation and no
+    Window operator anywhere."""
+    from semantic_cpp_spark.pipeline import clustering, similarity
+    from semantic_cpp_spark.session import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    for name, df in [
+        ("ivf_assign", similarity.ivf_assign(emb, 0, n_centroids=8)),
+        ("pq_encode", similarity.pq_encode(emb)),
+        ("kmeans_assign", clustering.kmeans_assign(emb, k=8)),
+    ]:
+        plan = _plan(df)
+        assert "Window" not in plan, name
+        assert "partial" in plan, name
