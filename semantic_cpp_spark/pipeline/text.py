@@ -267,14 +267,22 @@ def bpe_word_counts(df: DataFrame, text: Column) -> DataFrame:
     )
 
 
-def _bpe_symbolize(word: Column) -> Column:
+def _bpe_symbolize(word: Column, eow: str | None = None) -> Column:
     """word → its initial symbol string: one symbol per codepoint,
-    double-space delimited, single-space padded (' h  e  y ')."""
-    return F.concat(
-        F.lit(" "),
-        F.rtrim(F.regexp_replace(word, "(.)", "$1  ")),
-        F.lit(" "),
-    )
+    double-space delimited, single-space padded (' h  e  y ').
+    ``eow`` appends an end-of-word marker SYMBOL (' h  e  y  </w> ') —
+    the full Sennrich form, letting merges distinguish word-final
+    units (suffixes) from the same characters mid-word. The marker is
+    atomic in the delimited representation, but symbols are
+    identified by string value: pick a marker the corpus alphabet
+    cannot CONCATENATE to (e.g. a private-use codepoint) if corpus
+    text may contain '<', '/', 'w', '>' adjacent."""
+    base = F.rtrim(F.regexp_replace(word, "(.)", "$1  "))
+    if eow is not None:
+        if not eow or " " in eow:
+            raise ValueError(f"eow must be non-empty and space-free: {eow!r}")
+        return F.concat(F.lit(" "), base, F.lit(f"  {eow} "))
+    return F.concat(F.lit(" "), base, F.lit(" "))
 
 
 def _bpe_pair_counts(words: DataFrame) -> DataFrame:
@@ -304,7 +312,7 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
 
 
 def bpe_train_merges(
-    df: DataFrame, text: Column, n_merges: int
+    df: DataFrame, text: Column, n_merges: int, eow: str | None = None
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules from the corpus: per round,
     the globally most frequent adjacent symbol pair (ties → smallest
@@ -312,6 +320,12 @@ def bpe_train_merges(
     learn the identical table) merges into one symbol everywhere.
     Returns (rank, lhs, rhs, pair_count) with rank 1..n_merges in
     learned order — the merge table a tokenizer applies (bpe_apply).
+
+    ``eow`` trains the full Sennrich variant: every word carries an
+    end-of-word marker symbol, so the learned units distinguish
+    word-final from mid-word positions (suffix merges like 'e</w>') —
+    apply with the SAME eow in bpe_apply. Default None keeps the
+    marker-free form the txt_bpe_merges oracle replays.
 
     Stops early if the corpus runs out of pairs (every word fused to
     one symbol) — choose n_merges accordingly when an oracle replays a
@@ -323,7 +337,7 @@ def bpe_train_merges(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     words = bpe_word_counts(df, text).select(
-        "freq", _bpe_symbolize(F.col("word")).alias("s")
+        "freq", _bpe_symbolize(F.col("word"), eow).alias("s")
     )
     words.persist()
     merges: list[tuple[int, str, str, int]] = []
@@ -358,7 +372,9 @@ def bpe_train_merges(
     )
 
 
-def bpe_apply(word: Column, merges: list[tuple[str, str]]) -> Column:
+def bpe_apply(
+    word: Column, merges: list[tuple[str, str]], eow: str | None = None
+) -> Column:
     """Tokenize ``word`` with a learned merge table (rank-ordered
     (lhs, rhs) pairs — collect_merges pulls them off a
     bpe_train_merges frame): symbolize, fold every merge in order as a
@@ -368,7 +384,7 @@ def bpe_apply(word: Column, merges: list[tuple[str, str]]) -> Column:
     Arrow-batched kernel, same rule semantics. Concatenating the
     result always round-trips the word (test-pinned): merges only ever
     fuse adjacent symbols, never drop or reorder them."""
-    s = _bpe_symbolize(word)
+    s = _bpe_symbolize(word, eow)
     for lhs, rhs in merges:
         s = F.replace(s, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
     return F.split(F.trim(s), "  ")

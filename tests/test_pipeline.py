@@ -2651,3 +2651,37 @@ def test_bpe_roundtrip_hypothesis_unicode_words(spark):
         ][:3]
 
     check()
+
+
+def test_bpe_eow_variant_learns_suffix_units(spark):
+    """The end-of-word marker (full Sennrich form): word-final
+    characters merge with the marker, so the learned units distinguish
+    suffixes from the same characters mid-word — here word-final 'e'
+    ('the', 'whale') merges as 'e</w>' while mid-word 'e' ('theme')
+    stays separate. Round-trip: concatenated symbols minus the marker
+    rebuild the word; the marker must terminate every word's symbol
+    sequence."""
+    docs = [
+        "the whale же the apple té",
+        "theme these the whale née",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="eow"):
+        text.bpe_train_merges(df, F.col("text"), 2, eow="a b")
+    m = text.bpe_train_merges(df, F.col("text"), 6, eow="</w>")
+    merges = text.collect_merges(m)
+    assert any(r.endswith("</w>") for _, r in merges)  # suffix units learned
+    words = df.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+    chk = words.select(
+        "w",
+        text.bpe_apply(F.col("w"), merges, eow="</w>").alias("syms"),
+    ).collect()
+    for r in chk:
+        syms = list(r["syms"])
+        joined = "".join(syms)
+        assert joined.endswith("</w>") and joined[: -len("</w>")] == r["w"]
+    # the marker-free default is unchanged (the gated form)
+    m0 = text.collect_merges(text.bpe_train_merges(df, F.col("text"), 3))
+    assert all("</w>" not in l and "</w>" not in r for l, r in m0)
