@@ -399,17 +399,25 @@ def fixed_k_per_stratum(
     priority and keep the first k. Deterministic across runs/engines/
     partitionings (same property as bernoulli_sample), and — unlike a
     rate — guarantees the sample SIZE, which is what evaluation-set
-    construction needs. One window per stratum; strata are the natural
-    partition key, so no global sort. Adds ``__rk`` (1-based)."""
-    from pyspark.sql import Window
+    construction needs. Adds ``__rk`` (1-based). Strata are FEW by
+    nature (languages, sources), so a bare per-stratum window would
+    route the whole corpus into #strata hot partitions — the skew-proof
+    grouped_topk two-phase keeps the identical rows and ranks with
+    #strata×buckets phase-1 parallelism (operators/topk.py, r10)."""
+    from semantic_cpp_spark.operators.topk import grouped_topk
 
-    w = Window.partitionBy("__st").orderBy("__u", "__k")
     return (
-        df.withColumn("__st", stratum)
-        .withColumn("__k", key)
-        .withColumn("__u", hash_u60(key, salt))
-        .withColumn("__rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("__rk") <= k)
+        grouped_topk(
+            df.withColumn("__st", stratum)
+            .withColumn("__k", key)
+            .withColumn("__u", hash_u60(key, salt)),
+            ["__st"],
+            [F.col("__u"), F.col("__k")],
+            k=k,
+            bucket_on=F.col("__u"),
+            rank_name="__rk",
+        )
+        .withColumn("__rk", F.col("__rk").cast("long"))
         .drop("__st", "__k", "__u")
     )
 

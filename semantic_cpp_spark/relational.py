@@ -153,19 +153,24 @@ ORDER BY revenue DESC, n_name
 
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K per group pattern: 3 highest-value orders per market segment
-    (Window.partitionBy — partition-parallel, never a global sort)."""
-    from pyspark.sql import Window
+    """Top-K per group pattern: 3 highest-value orders per market
+    segment. c_mktsegment has FIVE values, so a bare per-segment window
+    would route the whole orders table into 5 hot partitions — the
+    skew-proof grouped_topk keeps the identical result with
+    5×buckets-way phase-1 parallelism (operators/topk.py, r10)."""
+    from semantic_cpp_spark.operators.topk import grouped_topk
 
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
+    joined = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
     return (
-        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+        grouped_topk(
+            joined,
+            ["c_mktsegment"],
+            [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+            k=3,
+            bucket_on=F.col("o_orderkey"),
+        )
         .select(
             "c_mktsegment",
             F.col("rk").cast("long").alias("rk"),
