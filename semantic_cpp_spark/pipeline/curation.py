@@ -400,24 +400,21 @@ def fixed_k_per_stratum(
     partitionings (same property as bernoulli_sample), and — unlike a
     rate — guarantees the sample SIZE, which is what evaluation-set
     construction needs. Adds ``__rk`` (1-based). Strata are FEW by
-    nature (languages, sources), so a bare per-stratum window would
-    route the whole corpus into #strata hot partitions — the skew-proof
-    grouped_topk two-phase keeps the identical rows and ranks with
-    #strata×buckets phase-1 parallelism (operators/topk.py, r10)."""
-    from semantic_cpp_spark.operators.topk import grouped_topk
+    nature (languages, sources) — the skew audit's flag shape — but
+    Spark's InferWindowGroupLimit turns the row_number-≤-k filter into
+    a Partial top-k below the exchange, so only ≤k rows per stratum
+    per input partition ever shuffle into the per-stratum partition
+    (plan-pinned in test_plans; an r10 two-phase cut was reverted as
+    redundant)."""
+    from pyspark.sql import Window
 
+    w = Window.partitionBy("__st").orderBy("__u", "__k")
     return (
-        grouped_topk(
-            df.withColumn("__st", stratum)
-            .withColumn("__k", key)
-            .withColumn("__u", hash_u60(key, salt)),
-            ["__st"],
-            [F.col("__u"), F.col("__k")],
-            k=k,
-            bucket_on=F.col("__u"),
-            rank_name="__rk",
-        )
-        .withColumn("__rk", F.col("__rk").cast("long"))
+        df.withColumn("__st", stratum)
+        .withColumn("__k", key)
+        .withColumn("__u", hash_u60(key, salt))
+        .withColumn("__rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("__rk") <= k)
         .drop("__st", "__k", "__u")
     )
 

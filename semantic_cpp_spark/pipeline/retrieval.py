@@ -518,26 +518,23 @@ def per_term_bm25_runs(
     sat = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    # per-term top-k via the skew-proof two-phase (operators/topk.py,
-    # r10): query terms are FEW and common terms have corpus-scale
-    # posting lists, so the bare per-term window was the
-    # one-hot-partition-per-group shape; grouped_topk keeps identical
-    # rows and ranks with #terms×buckets phase-1 parallelism.
-    from semantic_cpp_spark.operators.topk import grouped_topk
-
+    # Query terms are FEW and common terms have corpus-scale posting
+    # lists — the skew-audit flag shape — but InferWindowGroupLimit
+    # turns the row_number-≤-k filter into a Partial top-k below the
+    # exchange: only ≤k rows per term per input partition shuffle
+    # (plan-pinned via the rel_topk/fixed_k pins; an r10 hand-rolled
+    # two-phase was reverted as redundant).
+    w = Window.partitionBy("term").orderBy(
+        F.round(idf * sat, 6).desc(), "doc_id"
+    )
     return (
-        grouped_topk(
-            scored.withColumn("__score", F.round(idf * sat, 6)),
-            ["term"],
-            [F.col("__score").desc(), F.col("doc_id")],
-            k=k,
-            bucket_on=F.col("doc_id"),
-        )
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
         .select(
             F.col("term").alias("query_id"),
             "doc_id",
-            F.col("rk").cast("long").alias("rk"),
-            F.col("__score").alias("score"),
+            "rk",
+            F.round(idf * sat, 6).alias("score"),
         )
     )
 

@@ -672,11 +672,14 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # post-change), plus the r10 EXECUTION-SHAPE rewrites whose results are
 # equality-pinned: the argmin window→aggregate conversion (every affected
 # sim_*/emb_* gate re-verified green at sf0.01 AND the whole family at
-# sf1.0 — 19/19 + 12/12; forced-tie equivalence test) and the per-group
-# top-k two-phase (grouped_topk: rel_topk_per_segment +
-# samp_fixed_k_per_lang hold r10 window slots for fresh rows;
-# ir_rank_metrics re-verified green at sf0.01 + sf1.0 with the
-# buckets∈{1,4,64} equivalence test pinning rows AND ranks) — and
+# sf1.0 — 19/19 + 12/12; forced-tie equivalence test). The per-group
+# top-k sites (rel_topk_per_segment, samp_fixed_k_per_lang,
+# ir_rank_metrics) were briefly rewritten to a hand-rolled two-phase
+# mid-round and REVERTED to their original windows the same round once
+# the plan showed InferWindowGroupLimit already installs the partial
+# top-k below the exchange (now plan-pinned); net code change to those
+# three: none (first two hold r10 window slots anyway; ir_rank_metrics
+# was re-verified green at sf0.01 + sf1.0 under both forms) — and
 # dedup_passage_dup_summary's oracle text is byte-identical (the new
 # write-side oracles build their own CTE prefix). All four hold r9 rows.
 _PRIORITY: list[str] = [

@@ -154,23 +154,25 @@ ORDER BY revenue DESC, n_name
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K per group pattern: 3 highest-value orders per market
-    segment. c_mktsegment has FIVE values, so a bare per-segment window
-    would route the whole orders table into 5 hot partitions — the
-    skew-proof grouped_topk keeps the identical result with
-    5×buckets-way phase-1 parallelism (operators/topk.py, r10)."""
-    from semantic_cpp_spark.operators.topk import grouped_topk
+    segment. c_mktsegment has FIVE values — at first glance the
+    one-hot-partition-per-group skew shape — but Spark's
+    InferWindowGroupLimit rewrites the row_number-≤-k filter into a
+    Partial top-k BELOW the exchange (sorted locally, only ≤k rows per
+    group per input partition shuffle), so both exchange volume and
+    the per-group partition stay bounded without hand-rolling a
+    two-phase (an r10 cut did; reverted as redundant once the plan
+    showed the optimizer's partial — now PINNED in test_plans)."""
+    from pyspark.sql import Window
 
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    joined = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
     return (
-        grouped_topk(
-            joined,
-            ["c_mktsegment"],
-            [F.col("o_totalprice").desc(), F.col("o_orderkey")],
-            k=3,
-            bucket_on=F.col("o_orderkey"),
-        )
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
         .select(
             "c_mktsegment",
             F.col("rk").cast("long").alias("rk"),

@@ -2686,75 +2686,3 @@ def test_bpe_eow_variant_learns_suffix_units(spark):
     m0 = text.collect_merges(text.bpe_train_merges(df, F.col("text"), 3))
     assert all("</w>" not in l and "</w>" not in r for l, r in m0)
 
-
-def test_grouped_topk_equals_single_window(spark):
-    """The skew-proof two-phase per-group top-k (operators/topk.py)
-    must return EXACTLY the single-window result — rows and rank
-    numbers — for any buckets count, including buckets=1 (degenerates
-    to the single window) and k larger than some groups."""
-    from pyspark.sql import Window as W
-    from semantic_cpp_spark.operators.topk import grouped_topk
-
-    rng = np.random.RandomState(89)
-    rows = [
-        (int(i), f"g{i % 3}", float(rng.randint(0, 50)))
-        for i in range(200)
-    ] + [(1000, "tiny", 1.0)]  # a group smaller than k
-    df = spark.createDataFrame(rows, "id long, grp string, score double")
-    order = [F.col("score").desc(), F.col("id")]
-    w = W.partitionBy("grp").orderBy(*order)
-    want = sorted(
-        map(
-            tuple,
-            df.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 7)
-            .collect(),
-        )
-    )
-    for buckets in (1, 4, 64):
-        got = sorted(
-            map(
-                tuple,
-                grouped_topk(
-                    df, ["grp"], order, k=7,
-                    bucket_on=F.col("id"), buckets=buckets,
-                ).select("id", "grp", "score", "rk").collect(),
-            )
-        )
-        assert got == want, buckets
-    with pytest.raises(ValueError, match="k must"):
-        grouped_topk(df, ["grp"], order, k=0, bucket_on=F.col("id"))
-
-
-def test_fixed_k_per_stratum_unchanged_by_skew_rewrite(spark):
-    """fixed_k_per_stratum through grouped_topk must keep the exact
-    deterministic sample the single-window form chose (hash-priority
-    order, ranks included)."""
-    from pyspark.sql import Window as W
-    from semantic_cpp_spark.pipeline import curation
-
-    df = spark.createDataFrame(
-        [(i, f"lang{i % 4}") for i in range(120)], "id long, lang string"
-    )
-    got = sorted(
-        map(
-            tuple,
-            curation.fixed_k_per_stratum(
-                df, F.col("id"), F.col("lang"), k=5, salt="z"
-            ).collect(),
-        )
-    )
-    w = W.partitionBy("__st").orderBy("__u", "__k")
-    want = sorted(
-        map(
-            tuple,
-            df.withColumn("__st", F.col("lang"))
-            .withColumn("__k", F.col("id"))
-            .withColumn("__u", curation.hash_u60(F.col("id"), "z"))
-            .withColumn("__rk", F.row_number().over(w).cast("long"))
-            .filter(F.col("__rk") <= 5)
-            .drop("__st", "__k", "__u")
-            .collect(),
-        )
-    )
-    assert got == want

@@ -660,3 +660,30 @@ def test_nearest_seed_argmins_have_no_window_exchange(spark, qs):
         plan = _plan(df)
         assert "Window" not in plan, name
         assert "partial" in plan, name
+
+
+def test_per_group_topk_gets_partial_window_group_limit(spark, qs):
+    """Few-group top-k rankings (market segments, language strata,
+    query terms) look like the one-hot-partition-per-group skew shape —
+    what makes them safe at scale is Spark's InferWindowGroupLimit
+    installing a PARTIAL top-k below the exchange (≤k rows per group
+    per input partition shuffle; the per-group partition then sorts a
+    bounded frame). Pin that the optimizer actually fires on our
+    row_number-≤-k pattern — losing it (a filter shape change, a rank
+    expression the rule can't infer) would silently restore the
+    corpus-scale hot-partition sort."""
+    from semantic_cpp_spark.pipeline import retrieval
+    from semantic_cpp_spark.session import load_table
+
+    for name in ("rel_topk_per_segment", "samp_fixed_k_per_lang"):
+        plan = _plan(qs[name](spark, SF))
+        assert "WindowGroupLimit" in plan, name
+        assert "Partial" in plan.split("WindowGroupLimit", 1)[1] or (
+            plan.count("WindowGroupLimit") >= 2
+        ), name
+    docs = load_table(spark, SF, "documents")
+    runs = retrieval.per_term_bm25_runs(
+        docs, F.col("text"), F.col("doc_id"), ["data", "query"], k=10
+    )
+    plan = _plan(runs)
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
