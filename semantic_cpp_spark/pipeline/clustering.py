@@ -67,10 +67,10 @@ def kmeans_assign(
         "vec_id", "v", "c_id", sq_dist(F.col("v"), F.col("cv")).alias("d2")
     )
     # argmin as a map-side-combinable aggregate (r10, the
-    # similarity.ivf_assign note): the old row_number window shuffled
-    # all n·k scored rows (vector payloads included); min(struct)
-    # reduces each partition to one row per vec_id before the
-    # exchange. (d2, c_id) is unique per group — tie-break identical.
+    # similarity.ivf_assign note): a #groups-sized hash fold instead
+    # of the window's local sort of the n·k scored frame (vector
+    # payloads included). (d2, c_id) is unique per group — tie-break
+    # identical.
     return (
         scored.groupBy("vec_id")
         .agg(F.min(F.struct("d2", "c_id", "v")).alias("__b"))

@@ -606,16 +606,19 @@ def ivf_assign(
         "vec_id", "v", "c_id", cos.alias("ccos")
     )
     # argmax as ONE map-side-combinable aggregate (r10): the scored
-    # frame is n·K rows, and a row_number window would SHUFFLE all of
-    # them (measured: the 1M×K=256 training variant of this idiom
-    # produced a ~10⁹-row exchange that exhausted local disk); the
-    # max(struct) partial reduces each partition to one row per vec_id
-    # before the exchange. max(struct(ccos, -c_id, v)) is
-    # order-isomorphic to the old (ccos DESC, c_id ASC) window
-    # including the edge orderings: null cos (zero-norm vector) loses
-    # to any real cos in struct comparison exactly as NULLS LAST did,
-    # and -c_id makes ties resolve to the SMALLEST id. Equivalence is
-    # test-pinned against a row_number reimplementation.
+    # frame is n·K rows; the aggregate folds it into a #groups-sized
+    # hash map per task with NO sort and no reliance on
+    # InferWindowGroupLimit (the optimizer rule that bounds the
+    # row_number form's exchange — it fires only on specific
+    # rank-filter shapes; the honest 1M×K=256 A/B in SCALING r10
+    # measured the two forms within box noise once both get enough
+    # heap, so this is a robustness choice, not a claimed speedup).
+    # max(struct(ccos, -c_id, v)) is order-isomorphic to the old
+    # (ccos DESC, c_id ASC) window including the edge orderings: null
+    # cos (zero-norm vector) loses to any real cos in struct
+    # comparison exactly as NULLS LAST did, and -c_id makes ties
+    # resolve to the SMALLEST id. Equivalence is test-pinned against
+    # a row_number reimplementation.
     best = F.max(F.struct(F.col("ccos"), (-F.col("c_id")).alias("nc"),
                           F.col("v"))).alias("__b")
     return scored.groupBy("vec_id").agg(best).select(
@@ -1143,13 +1146,11 @@ def pq_train_means(
         "vec_id", "m", "c_id", "xv",
         sq_dist(F.col("xv"), F.col("cv")).alias("d2"),
     )
-    # argmin as a map-side-combinable aggregate (r10): the scored frame
-    # is n·K rows per step and the old row_number window shuffled ALL
-    # of them — at 1M vectors × K=256 that is a ~10⁹-row exchange,
-    # measured exhausting local disk before this rewrite; the
-    # min(struct) partial reduces it to one row per (vec_id, m). The
-    # (d2, c_id) prefix is unique per group (xv never compared), so
-    # the argmin and tie-break are bit-identical to the window.
+    # argmin as a map-side-combinable aggregate (r10, the ivf_assign
+    # note): a #groups-sized hash fold instead of the window's local
+    # sort of the n·K scored frame. The (d2, c_id) prefix is unique
+    # per group (xv never compared), so the argmin and tie-break are
+    # bit-identical to the window.
     assigned = (
         scored.groupBy("vec_id", "m")
         .agg(F.min(F.struct("d2", "c_id", "xv")).alias("__b"))

@@ -643,11 +643,11 @@ def test_passage_apply_no_cartesian(spark, qs):
 
 
 def test_nearest_seed_argmins_have_no_window_exchange(spark, qs):
-    """The r10 argmin rewrite must stay an AGGREGATE: a regression back
-    to a row_number window would re-introduce the n·K scored-row
-    shuffle (measured 10^9 rows / disk exhaustion at 1M×K=256). The
-    assignment/encode plans must carry partial aggregation and no
-    Window operator anywhere."""
+    """The r10 argmin rewrite must stay an AGGREGATE: the min/max
+    (struct) form folds the n·K scored frame into a #groups-sized
+    hash map with no sort and no dependence on InferWindowGroupLimit
+    firing. The assignment/encode plans must carry partial
+    aggregation and no Window operator anywhere."""
     from semantic_cpp_spark.pipeline import clustering, similarity
     from semantic_cpp_spark.session import load_table
 
