@@ -1481,7 +1481,7 @@ def _pca_project_sql(k: int = _PCA_K, rounds: int = _PCA_ROUNDS) -> str:
         for c in range(1, k + 1)
     )
     return f"""WITH {_pca_power_ctes(k, rounds)}
-    SELECT vec_id, axis::BIGINT AS axis, round(value, 6) AS value
+    SELECT vec_id, axis::BIGINT AS axis, round(value, 6) + 0 AS value
     FROM ({unions})"""
 
 
@@ -1515,7 +1515,15 @@ def emb_pca_project(spark, sf_dir):
 
     Output stays EXPLODED to scalar rows (vec_id, axis, value): the
     driver's canonicalizer hashes pandas columns, and an ArrayType
-    column is unhashable there (CORRECTNESS_r04 err)."""
+    column is unhashable there (CORRECTNESS_r04 err).
+
+    ``+ 0.0`` after the round normalizes IEEE negative zero (r10
+    verdict "missing #2", closed r11): a near-zero projection (a
+    vector almost orthogonal to the last component — hit at sf0.001)
+    rounds to ±0.0 with an engine-dependent SIGN, and the driver
+    canonicalizes -0.0 / 0.0 to different strings. -0.0 + 0.0 = +0.0
+    in IEEE on both engines, so the ambiguity is gone at every scale;
+    all non-zero values are unchanged."""
     from semantic_cpp_spark.pipeline import decomposition
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1528,7 +1536,7 @@ def emb_pca_project(spark, sf_dir):
     ).select(
         "vec_id",
         F.col("axis").cast("long").alias("axis"),
-        F.round("value", 6).alias("value"),
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
     )
 
 
