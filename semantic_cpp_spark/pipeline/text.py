@@ -5,7 +5,11 @@ extension).
 
 All operators are pure Column expressions (JVM-side, codegen) over the
 ``documents`` table — no UDFs — so they scale to 100 TB as embarrassingly
-parallel map work with zero shuffles.
+parallel map work with zero shuffles. The single exception is
+``bpe_segment(impl="kernel")``: an Arrow-batched mapInPandas kernel for
+production-sized (30k+) merge tables that cannot plan as a Column fold —
+still a 1→1 narrow map with zero shuffles, equality-pinned against the
+Column form.
 """
 
 from __future__ import annotations
@@ -399,11 +403,21 @@ def collect_merges(merges: DataFrame) -> list[tuple[str, str]]:
     ]
 
 
+# Above this many merge rules bpe_segment's "auto" dispatch switches from
+# the M-deep Column fold (whole-stage codegen, zero Python) to the Arrow
+# kernel: a 30k-rule production table cannot plan as a 30k-deep Catalyst
+# expression tree, while the kernel's cost is rank-dict lookups,
+# independent of M.
+BPE_KERNEL_THRESHOLD = 1024
+
+
 def bpe_segment(
     df: DataFrame,
     text: Column,
     id_col: Column,
     merges: list[tuple[str, str]],
+    *,
+    impl: str = "auto",
 ) -> DataFrame:
     """Segment every document with a learned merge table: (doc_id,
     text) → one space-joined SUBWORD stream per doc, word boundaries
@@ -415,21 +429,31 @@ def bpe_segment(
     into the existing numericalize→pack path as a text→text pass
     (tokenize→LEARN→segment→numericalize→pack, end-to-end test-pinned).
 
-    Shape: one narrow map — the whole document symbolizes as one
-    string (words joined by the same double-space delimiter the
-    trainer uses, so one replace pass per merge covers every word) and
-    merges fold as M literal replaces; no explode, no shuffle, output
-    inherits scan partitioning. Segmenting with the TRAINING corpus's
-    merges reproduces training's final word states exactly
+    Shape: one narrow map either way — no explode, no shuffle, output
+    inherits scan partitioning. ``impl`` picks the execution strategy:
+    "column" folds the table as M literal replaces (whole-stage
+    codegen, zero Python — right for the 10²–10³ tables the fixtures
+    train), "kernel" runs the Arrow-batched per-word merge kernel
+    (rank-dict lookups, cost independent of M — the only form a
+    production 30k-rule table can take: a 30k-deep Catalyst expression
+    tree will not plan), and "auto" (default) switches on
+    BPE_KERNEL_THRESHOLD. Both implementations are equality-pinned on
+    trained tables at M∈{6, 500}. Segmenting with the TRAINING
+    corpus's merges reproduces training's final word states exactly
     (test-pinned), so encode-side and train-side tokenisation can
     never drift."""
-    # " w1 " ⧺ " w2 " … with double spaces BETWEEN words: each word is
-    # framed exactly like the trainer's per-word string, and a merge
-    # pattern " a  b " can never span two words (the inter-word gap is
-    # 2 spaces, patterns need the 1-space frame inside each word...
-    # which IS the double space's midpoint — so guard with a 3-space
-    # inter-word gap instead: no pattern contains 2+ consecutive
-    # spaces at its edges, making cross-word matches impossible).
+    if impl not in ("auto", "column", "kernel"):
+        raise ValueError(f"impl must be auto|column|kernel: {impl!r}")
+    if impl == "kernel" or (
+        impl == "auto" and len(merges) > BPE_KERNEL_THRESHOLD
+    ):
+        return _bpe_segment_kernel(df, text, id_col, merges)
+    # Invariant that keeps merges word-local: every merge pattern
+    # " a  b " carries single-space edges and a double-space interior;
+    # words are joined with a THREE-space gap, so any candidate match
+    # spanning a boundary would need the pattern to contain (or abut)
+    # 3+ consecutive spaces — impossible. Each word therefore merges
+    # exactly as the trainer's per-word string does (test-pinned).
     s = F.concat(
         F.lit(" "),
         F.array_join(
@@ -455,6 +479,111 @@ def bpe_segment(
         "doc_id",
         F.regexp_replace(F.trim(F.col("__s")), r" +", " ").alias("subword_text"),
     )
+
+
+def _bpe_segment_kernel(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Arrow-batched BPE segmentation for production-sized merge
+    tables (bpe_segment impl="kernel"): per word, repeatedly apply the
+    lowest-rank rule not yet passed whose pair is present, merging all
+    its occurrences left-to-right non-overlapping — EXACTLY the Column
+    fold's in-order replace-all semantics (a monotone rank floor
+    guarantees no rule is ever revisited, so the fold order is
+    literal), at rank-dict cost independent of M instead of an M-deep
+    expression tree. Output schema and every edge case (null text,
+    empty text, Spark's space-only trim + Java-\\s token split) match
+    the Column path byte-for-byte — equality-pinned at M∈{6, 500} on
+    trained tables plus a 30k-rule smoke the Column fold cannot plan.
+
+    Contract: the table must be well-formed — rank-ordered, duplicate-
+    free pairs as bpe_train_merges/collect_merges emit (duplicates
+    raise). 100 TB shape: a 1→1 mapInPandas over (doc_id, text) — no
+    explode, no shuffle, output inherits scan partitioning; per-task
+    state is the M-entry rank dict (a 30k-rule table is a few MB,
+    shipped once per task like any broadcast model) plus a unique-word
+    result cache that amortises Zipf-distributed corpora."""
+    from pyspark.sql import types as T
+
+    ranks: dict[tuple[str, str], int] = {}
+    for i, pair in enumerate(merges):
+        if pair in ranks:
+            raise ValueError(f"duplicate merge pair at rank {i + 1}: {pair}")
+        ranks[pair] = i
+    rules = list(merges)
+
+    pre = df.select(id_col.alias("doc_id"), text.alias("__text"))
+    out_schema = T.StructType(
+        [
+            pre.schema["doc_id"],
+            T.StructField("subword_text", T.StringType(), True),
+        ]
+    )
+    # Spark's tokens() = split(trim(col), '\s+'): trim strips SPACES
+    # only, and Java \s is ASCII [ \t\n\x0b\f\r] — replicate both, or
+    # texts with tabs/newlines at the edges tokenise differently here
+    # than in the Column path (leading/trailing empty tokens, which
+    # the Column path's final whitespace collapse erases — so the
+    # kernel just drops empty tokens, byte-identical output).
+    import re
+
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _run(batches):
+        import pandas as pd
+
+        cache: dict[str, str] = {}
+
+        def encode(word: str) -> str:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            floor = 0  # in-order fold: never revisit a passed rank
+            while len(syms) >= 2:
+                best = -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]), -1)
+                    if r >= floor and (best == -1 or r < best):
+                        best = r
+                if best == -1:
+                    break
+                lhs, rhs = rules[best]
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i < n - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+                floor = best + 1
+            got = " ".join(syms)
+            cache[word] = got
+            return got
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "subword_text": [
+                        None
+                        if not isinstance(t, str)
+                        else " ".join(
+                            encode(w)
+                            for w in _ws.split(t.strip(" "))
+                            if w
+                        )
+                        for t in pdf["__text"]
+                    ],
+                }
+            )
+
+    return pre.mapInPandas(_run, schema=out_schema)
 
 
 def token_entropy(df, text: Column, id_col: Column):

@@ -2488,6 +2488,133 @@ def test_bpe_segment_feeds_encode_pipeline(spark):
     assert n_sub >= n_words
 
 
+# -- r11: Arrow-batched BPE segment kernel -------------------------------------
+
+
+def _seg_rows(df, merges, impl):
+    out = text.bpe_segment(
+        df, F.col("text"), F.col("doc_id"), merges, impl=impl
+    )
+    return sorted((r["doc_id"], r["subword_text"]) for r in out.collect())
+
+
+def test_bpe_segment_kernel_equals_column_fold_m6(spark):
+    """The Arrow kernel must reproduce the Column fold byte-for-byte on
+    a Spark-trained table — including chained merges (operands that are
+    themselves merge products) and the greedy overlap case."""
+    docs = [
+        "banana bandana cabana",
+        "the theme thesis there the",
+        "aaa aaaa aa banana",
+        "that hat the cat sat",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    merges = text.collect_merges(text.bpe_train_merges(df, F.col("text"), 6))
+    assert len(merges) == 6
+    assert _seg_rows(df, merges, "column") == _seg_rows(df, merges, "kernel")
+
+
+def test_bpe_segment_kernel_equals_column_fold_m500(spark):
+    """Production-shape equality pin: a 500-rule table learned by the
+    serial Sennrich reference over a synthetic corpus (the Column fold
+    still plans at M=500, so both forms run and must agree row-for-row
+    on fresh documents, not just the training words)."""
+    rng = __import__("random").Random(411)
+    alphabet = "abcdefghij"
+    corpus_words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 12)))
+        for _ in range(400)
+    ]
+    train_docs = [
+        " ".join(rng.choice(corpus_words) for _ in range(30))
+        for _ in range(40)
+    ]
+    learned = _py_bpe_reference(train_docs, 500)
+    merges = [(lhs, rhs) for _, lhs, rhs, _ in learned]
+    assert len(merges) == 500, len(merges)
+    # segment UNSEEN documents drawn from the same alphabet
+    test_docs = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 15)))
+            for _ in range(20)
+        )
+        for _ in range(12)
+    ] + train_docs[:3]
+    df = spark.createDataFrame(
+        list(enumerate(test_docs)), "doc_id long, text string"
+    )
+    assert _seg_rows(df, merges, "column") == _seg_rows(df, merges, "kernel")
+
+
+def test_bpe_segment_kernel_edge_case_parity(spark):
+    """Null text, empty text, space-only, tab-edged, and multi-space
+    documents must come out of the kernel exactly as the Column path
+    emits them (Spark trims spaces only; Java \\s drives the split;
+    the final whitespace collapse erases empty tokens)."""
+    docs = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "\t"),
+        (4, "\tbanana  bandana\t"),
+        (5, " aaa\naa "),
+        (6, "a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = [("a", "a"), ("b", "a"), ("n", "a")]
+    assert _seg_rows(df, merges, "column") == _seg_rows(df, merges, "kernel")
+
+
+def test_bpe_segment_kernel_runs_at_30k_merges(spark):
+    """The smoke the Column fold provably cannot pass: a 30k-rule
+    table plans and executes through the kernel (rank-dict cost is
+    independent of M). The 29,994 synthetic rules use bracketed
+    multi-char operands no document-derived symbol can ever equal, so
+    the output must equal the Column fold run with just the 6 real
+    rules — a meaningful equality, not only a crash-free run."""
+    docs = [
+        "banana bandana cabana",
+        "the theme thesis there",
+        "aaa aa banana",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    real = text.collect_merges(text.bpe_train_merges(df, F.col("text"), 6))
+    big = list(real) + [(f"<{i}L>", f"<{i}R>") for i in range(29_994)]
+    assert len(big) == 30_000
+    got = _seg_rows(df, big, "kernel")
+    assert got == _seg_rows(df, real, "column")
+    # auto dispatch picks the kernel above the threshold ...
+    plan = text.bpe_segment(
+        df, F.col("text"), F.col("doc_id"), big
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # ... and the codegen Column fold below it
+    plan_small = text.bpe_segment(
+        df, F.col("text"), F.col("doc_id"), real
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_small
+
+
+def test_bpe_segment_kernel_rejects_bad_input(spark):
+    df = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="impl"):
+        text.bpe_segment(
+            df, F.col("text"), F.col("doc_id"), [("a", "b")], impl="magic"
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        text.bpe_segment(
+            df,
+            F.col("text"),
+            F.col("doc_id"),
+            [("a", "b"), ("a", "b")],
+            impl="kernel",
+        )
+
+
 def test_ivfpq_residual_index_train_frac_threads_through(spark):
     """train_frac on the residual build must train on exactly the hash
     sample of the residual corpus (seeds and encode still full): equal
