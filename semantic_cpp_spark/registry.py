@@ -651,96 +651,75 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r10 window (50 = 44 + 1 + 4 + 1): the 44 r5-vintage spills LEAD (recounted
-# from CORRECTNESS_r01..r09 — newest row == r5 for exactly these 44, matching
-# the r9 WINDOW CUT list; after this round no query's newest row predates
-# r6); then dedup_bloom_probe re-enters as promised when it ceded its r9
-# rule-(a) slot (its r8 row stays current-vintage — this is the commitment,
-# not a deadline); then rule (b) first rows for the 4 new r10 operators
-# (passage write-side pair, learned BPE merges, sampled PQ training); then 1
-# early r6 refresh — stream_funnel_stages, the riskiest family
-# (streaming-first per policy), softening r11's 49-query r6 deadline.
-# Rule (a) consumes NO slot this round: the r10 code changes to gated paths
-# are provably non-behavioral at gate scale and re-verified green at sf0.01
-# this round (verify log at HEAD) — sim_ivfpq_topk (ivfpq_codes trained-flag
-# branch: dead when books are passed, as the gate does),
-# sim_ivfpq_residual_topk (encode stage moved into a closure, identical
-# operators/plan; early-stop params default off), sim_pq_train_means_k256
-# (pq_books_trained train_frac/checkpoint default None; the books-merge
-# left join now broadcasts its m·K-row trained side — a join-STRATEGY
-# change on a KB frame, values identical, re-verified green at sf0.01
-# post-change), plus the r10 EXECUTION-SHAPE rewrites whose results are
-# equality-pinned: the argmin window→aggregate conversion (every affected
-# sim_*/emb_* gate re-verified green at sf0.01 AND the whole family at
-# sf1.0 — 19/19 + 12/12; forced-tie equivalence test). The per-group
-# top-k sites (rel_topk_per_segment, samp_fixed_k_per_lang,
-# ir_rank_metrics) were briefly rewritten to a hand-rolled two-phase
-# mid-round and REVERTED to their original windows the same round once
-# the plan showed InferWindowGroupLimit already installs the partial
-# top-k below the exchange (now plan-pinned); net code change to those
-# three: none (first two hold r10 window slots anyway; ir_rank_metrics
-# was re-verified green at sf0.01 + sf1.0 under both forms) — and
-# dedup_passage_dup_summary's oracle text is byte-identical (the new
-# write-side oracles build their own CTE prefix). All four hold r9 rows.
+# r11 window (50 = 48 + 1 + 1): the 48 r6-vintage queries LEAD (recounted
+# from CORRECTNESS_r01..r10 — newest row == r6 for exactly these 48; the
+# 49th r6 query, stream_funnel_stages, was pre-refreshed in the r10 window;
+# after this round no query's newest row predates r7); then rule (b): the
+# new r11 operator's first row (txt_bpe_segment_kernel — the Arrow BPE
+# kernel under a train+apply SQL replay); then rule (a): emb_pca_project
+# re-enters after its -0.0 normalization (a behavioral change at gate
+# scale — the r10 "missing #2" drift fix). Rule-(a) otherwise consumes no
+# slot: the bpe_segment dispatcher change is dead code at every existing
+# gate query (txt_bpe_merges trains only; no gate called bpe_segment
+# before txt_bpe_segment_kernel), re-verified green at sf0.01 this round.
 _PRIORITY: list[str] = [
-    # -- the 44 r5-vintage spills from the r9 WINDOW CUT (policy deadline) --
-    "agg_basic",
-    "agg_dispersion",
-    "asof_purchase_last_signup",
-    "dedup_shared_spans",
-    "emb_pca_norm_preserved",
-    "evt_funnel_signup_view_purchase",
-    "evt_interval_join_1h",
-    "grp_frequency_profile",
-    "grp_partition_by_sorted",
-    "mm_audio_features",
-    "mm_frame_sample",
-    "mm_video_frames",
-    "rel_q1_pricing_summary",
-    "rel_q3_top_revenue",
-    "rel_q5_nation_revenue",
-    "rel_topk_per_segment",
-    "samp_hash_bernoulli",
-    "samp_stratified_by_lang",
-    "sem_bounds",
-    "sem_concatenate",
-    "sem_distinct_comparator",
-    "sem_drop_while",
-    "sem_filter_rebases_idx",
-    "sem_find_at",
-    "sem_flat_explode",
-    "sem_join_str",
-    "sem_limit",
-    "sem_map_preserves_idx",
-    "sem_match_predicates",
-    "sem_skip_preserves_idx",
-    "sem_sort_stable",
-    "sem_take_while",
-    "sig_dft64",
-    "sig_fft_by_window",
-    "sim_embedding_near_dup",
-    "sim_ivf_topk",
-    "sim_lsh_bucket_topk",
-    "sim_quantized_topk",
-    "txt_bpe_token_count",
-    "txt_fingerprint",
-    "txt_gopher_rules",
-    "txt_lang_id",
-    "txt_quality_score",
-    "txt_token_stats",
-    # -- the promised r10 re-entry (ceded its r9 rule-(a) slot) --
-    "dedup_bloom_probe",
-    # -- (b) first driver rows: new r10 operators --
-    "dedup_passage_keep_list",
-    "dedup_passage_apply",
-    "txt_bpe_merges",
-    "sim_pq_train_sampled",
-    # -- (c) early r6 backfill, riskiest family first (streaming) --
-    "stream_funnel_stages",
+    # -- the 48 r6-vintage queries (policy deadline; recounted r11) --
+    "dedup_containment",
+    "dedup_incremental_batch",
+    "dedup_minhash_containment",
+    "dedup_minhash_lsh",
+    "dedup_prefix_filter",
+    "emb_dim_stats",
+    "emb_jl_project",
+    "emb_whiten_norms",
+    "evt_conversion_latency",
+    "evt_debounce",
+    "evt_decayed_activity",
+    "evt_last_touch_attribution",
+    "evt_mad_outliers",
+    "evt_max_concurrency",
+    "evt_rfm_segments",
+    "evt_user_trend",
+    "graph_triangle_counts",
+    "mm_compressed_text",
+    "mm_feature_extract",
+    "mm_gif_features",
+    "mm_pgm_features",
+    "mm_png_features",
+    "mm_resize_features",
+    "pipe_clean_corpus",
+    "rel_equidepth_histogram",
+    "rel_grouping_sets",
+    "rel_order_gaps_lead_lag",
+    "samp_weighted_topk",
+    "sim_ann_router_banded",
+    "sim_ann_router_bucket",
+    "sim_cosine_topk",
+    "sim_ivf_multiprobe",
+    "sim_lsh_banded_topk",
+    "sim_lsh_multiprobe_topk",
+    "stream_last_touch",
+    "txt_bigram_cross_entropy",
+    "txt_boilerplate_removal",
+    "txt_chunk_overlap",
+    "txt_line_dedup",
+    "txt_ngram_novelty",
+    "txt_pmi_bigrams",
+    "txt_quality_above_median",
+    "txt_quality_bands",
+    "txt_source_report",
+    "txt_token_entropy",
+    "txt_zipf_fit",
+    "udaf_per_order_weighted_avg",
+    "udaf_weighted_avg",
+    # -- (b) first driver row: the new r11 Arrow BPE kernel gate --
+    "txt_bpe_segment_kernel",
+    # -- (a) behavioral change at gate scale: -0.0 normalization (r11) --
+    "emb_pca_project",
     # -- WINDOW CUT at position 50 — recount, don't trust comment position,
-    #    when rotating. r11 is the 49-query r6-vintage deadline minus
-    #    stream_funnel_stages (refreshed above) = 48 due + ~2 free slots;
-    #    recount from the CORRECTNESS files when building that window. --
+    #    when rotating. r12 is the 46-query r7-vintage deadline + ~4 free
+    #    slots; recount from the CORRECTNESS files when building that
+    #    window. --
 ]
 
 

@@ -4382,16 +4382,12 @@ def dedup_passage_apply(spark, sf_dir):
     return dedup.apply_passage_keep(docs, F.col("text"), F.col("doc_id"), keep)
 
 
-def _bpe_merges_sql(n: int) -> str:
-    """``n`` unrolled BPE training rounds (the pagerank-replay pattern):
-    each round = pair counts from the double-space symbol strings, a
-    deterministic 1-row argmax (cnt DESC, lhs, rhs), and a literal
-    replace applying the merge. Every round CTE is MATERIALIZED — the
-    unrolled chain references its predecessor more than once and
-    DuckDB's default inlining goes exponential without it (the k-core
-    oracle lesson). replace() in DuckDB and Spark share left-to-right
-    non-overlapping replace-all semantics, which IS the reference
-    greedy merge order (Sennrich et al. 2016)."""
+def _bpe_train_ctes(n: int) -> list[str]:
+    """The ``n`` unrolled BPE training rounds as CTE fragments
+    (w0 word state, p{i} pair counts, m{i} 1-row argmax winner, w{i}
+    post-merge state) — shared by the training oracle
+    (_bpe_merges_sql) and the segmentation oracle (_bpe_segment_sql),
+    which applies the same learned m{i} winners to whole documents."""
     parts = [r"""w0 AS MATERIALIZED (
   SELECT count(*)::BIGINT AS freq,
          ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS s
@@ -4411,11 +4407,58 @@ m{i} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{i}
   SELECT freq, replace(s, ' ' || m.lhs || '  ' || m.rhs || ' ',
                        ' ' || m.lhs || m.rhs || ' ') AS s
   FROM w{i - 1}, m{i} m)""")
+    return parts
+
+
+def _bpe_merges_sql(n: int) -> str:
+    """``n`` unrolled BPE training rounds (the pagerank-replay pattern):
+    each round = pair counts from the double-space symbol strings, a
+    deterministic 1-row argmax (cnt DESC, lhs, rhs), and a literal
+    replace applying the merge. Every round CTE is MATERIALIZED — the
+    unrolled chain references its predecessor more than once and
+    DuckDB's default inlining goes exponential without it (the k-core
+    oracle lesson). replace() in DuckDB and Spark share left-to-right
+    non-overlapping replace-all semantics, which IS the reference
+    greedy merge order (Sennrich et al. 2016)."""
+    parts = _bpe_train_ctes(n)
     union = "\nUNION ALL ".join(
         f"SELECT {i}::BIGINT AS rank, lhs, rhs, cnt AS pair_count FROM m{i}"
         for i in range(1, n + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def _bpe_segment_sql(n: int) -> str:
+    """Learn ``n`` merges (the _bpe_train_ctes replay), then SEGMENT
+    every document with them: each doc symbolizes word-by-word exactly
+    as bpe_segment's Column path does (double-space symbol delimiters,
+    THREE-space word gaps so no merge pattern can span a boundary) and
+    each round's learned winner applies as one literal replace. The
+    final whitespace collapse yields the subword stream, compared by
+    md5 — so a green row proves the KERNEL (the Spark side forces
+    impl="kernel") agrees with a serial SQL replay of train+apply on
+    every document byte-for-byte."""
+    parts = _bpe_train_ctes(n)
+    parts.append(r"""d0 AS MATERIALIZED (
+  SELECT doc_id,
+         ' ' || array_to_string(
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> rtrim(regexp_replace(w, '(.)', '\1  ', 'g'))),
+             '   ') || ' ' AS s
+  FROM documents)""")
+    for i in range(1, n + 1):
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT doc_id, replace(s, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                         ' ' || m.lhs || m.rhs || ' ') AS s
+  FROM d{i - 1}, m{i} m)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT doc_id,
+           len(string_split(regexp_replace(trim(s), ' +', ' ', 'g'), ' '))::BIGINT
+             AS n_subwords,
+           md5(regexp_replace(trim(s), ' +', ' ', 'g')) AS seg_fp
+    FROM d{n}"""
+    )
 
 
 @register("txt_bpe_merges", _bpe_merges_sql(6))
@@ -4435,6 +4478,34 @@ def txt_bpe_merges(spark, sf_dir):
     round-trips every corpus word."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_train_merges(docs, F.col("text"), 6)
+
+
+@register("txt_bpe_segment_kernel", _bpe_segment_sql(6))
+def txt_bpe_segment_kernel(spark, sf_dir):
+    """The full learned-tokenizer apply path under the gate, executed
+    by the ARROW KERNEL (text._bpe_segment_kernel, new r11 — the
+    production form for 30k+-rule tables, forced here via
+    impl="kernel" so the driver row pins the kernel, not the Column
+    fold the equality tests already cover): train 6 merges on the
+    corpus, segment every document, fingerprint the subword stream.
+    The oracle replays training (the txt_bpe_merges CTEs) and then
+    applies each round's winner to whole symbolized documents with the
+    same literal replace — an independent serial implementation of
+    both halves, so a green row proves learned merges + kernel
+    application agree byte-for-byte on every document (md5 compare,
+    the dedup_passage_apply pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.collect_merges(
+        text.bpe_train_merges(docs, F.col("text"), 6)
+    )
+    seg = text.bpe_segment(
+        docs, F.col("text"), F.col("doc_id"), merges, impl="kernel"
+    )
+    return seg.select(
+        "doc_id",
+        F.size(F.split("subword_text", " ")).cast("long").alias("n_subwords"),
+        F.md5("subword_text").alias("seg_fp"),
+    )
 
 
 def _pq_train_sampled_sql() -> str:

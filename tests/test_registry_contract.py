@@ -14,89 +14,87 @@ import pytest
 
 from semantic_cpp_spark import registry
 
-# Queries that are new (or re-enter on a commitment) in round 10 — each must
-# sit inside this round's 50-slot driver window for a fresh row. Rule (a)
-# consumes no slot in r10: every code change touching a gated path is
-# provably non-behavioral at gate scale and was re-verified green at sf0.01
-# this round (see registry._PRIORITY's comment for the per-query argument).
-TOUCHED_IN_R10 = [
-    # NEW r10 operators (first rows):
-    "dedup_passage_keep_list",   # passage write-side, recursive-CTE oracle
-    "dedup_passage_apply",       # md5-rebuild oracle (span-cuts-text pattern)
-    "txt_bpe_merges",            # learned BPE merges, unrolled-round oracle
-    "sim_pq_train_sampled",      # train_frac production dial under the gate
-    # the promised re-entry (ceded its r9 rule-(a) slot):
-    "dedup_bloom_probe",
-    # early r6 refresh, riskiest family first (streaming):
-    "stream_funnel_stages",
+# Queries that are new (or re-enter on a behavioral change) in round 11 —
+# each must sit inside this round's 50-slot driver window for a fresh row.
+TOUCHED_IN_R11 = [
+    # NEW r11 operator (first row):
+    "txt_bpe_segment_kernel",  # Arrow BPE kernel, train+apply SQL replay
+    # rule-(a) re-entry: -0.0 normalization after rounding is a behavioral
+    # change at gate scale (the r10 "missing #2" sf0.001 drift fix):
+    "emb_pca_project",
 ]
 
-# The 44 r5-vintage queries the r9 window deliberately spilled (listed under
-# its WINDOW CUT; recounted from CORRECTNESS_r01..r09 — newest row == r5 for
-# exactly these 44) — the standing policy's deadline says they lead the r10
-# window so no latest row predates r6 after this round.
-SPILL_FROM_R9 = [
-    "agg_basic",
-    "agg_dispersion",
-    "asof_purchase_last_signup",
-    "dedup_shared_spans",
-    "emb_pca_norm_preserved",
-    "evt_funnel_signup_view_purchase",
-    "evt_interval_join_1h",
-    "grp_frequency_profile",
-    "grp_partition_by_sorted",
-    "mm_audio_features",
-    "mm_frame_sample",
-    "mm_video_frames",
-    "rel_q1_pricing_summary",
-    "rel_q3_top_revenue",
-    "rel_q5_nation_revenue",
-    "rel_topk_per_segment",
-    "samp_hash_bernoulli",
-    "samp_stratified_by_lang",
-    "sem_bounds",
-    "sem_concatenate",
-    "sem_distinct_comparator",
-    "sem_drop_while",
-    "sem_filter_rebases_idx",
-    "sem_find_at",
-    "sem_flat_explode",
-    "sem_join_str",
-    "sem_limit",
-    "sem_map_preserves_idx",
-    "sem_match_predicates",
-    "sem_skip_preserves_idx",
-    "sem_sort_stable",
-    "sem_take_while",
-    "sig_dft64",
-    "sig_fft_by_window",
-    "sim_embedding_near_dup",
-    "sim_ivf_topk",
-    "sim_lsh_bucket_topk",
-    "sim_quantized_topk",
-    "txt_bpe_token_count",
-    "txt_fingerprint",
-    "txt_gopher_rules",
-    "txt_lang_id",
-    "txt_quality_score",
-    "txt_token_stats",
+# The 48 r6-vintage queries at the rotation deadline (recounted from
+# CORRECTNESS_r01..r10 — newest row == r6 for exactly these 48; the 49th,
+# stream_funnel_stages, was pre-refreshed in the r10 window) — the standing
+# policy says they lead the r11 window so no latest row predates r7 after
+# this round.
+R6_VINTAGE_DUE = [
+    "dedup_containment",
+    "dedup_incremental_batch",
+    "dedup_minhash_containment",
+    "dedup_minhash_lsh",
+    "dedup_prefix_filter",
+    "emb_dim_stats",
+    "emb_jl_project",
+    "emb_whiten_norms",
+    "evt_conversion_latency",
+    "evt_debounce",
+    "evt_decayed_activity",
+    "evt_last_touch_attribution",
+    "evt_mad_outliers",
+    "evt_max_concurrency",
+    "evt_rfm_segments",
+    "evt_user_trend",
+    "graph_triangle_counts",
+    "mm_compressed_text",
+    "mm_feature_extract",
+    "mm_gif_features",
+    "mm_pgm_features",
+    "mm_png_features",
+    "mm_resize_features",
+    "pipe_clean_corpus",
+    "rel_equidepth_histogram",
+    "rel_grouping_sets",
+    "rel_order_gaps_lead_lag",
+    "samp_weighted_topk",
+    "sim_ann_router_banded",
+    "sim_ann_router_bucket",
+    "sim_cosine_topk",
+    "sim_ivf_multiprobe",
+    "sim_lsh_banded_topk",
+    "sim_lsh_multiprobe_topk",
+    "stream_last_touch",
+    "txt_bigram_cross_entropy",
+    "txt_boilerplate_removal",
+    "txt_chunk_overlap",
+    "txt_line_dedup",
+    "txt_ngram_novelty",
+    "txt_pmi_bigrams",
+    "txt_quality_above_median",
+    "txt_quality_bands",
+    "txt_source_report",
+    "txt_token_entropy",
+    "txt_zipf_fit",
+    "udaf_per_order_weighted_avg",
+    "udaf_weighted_avg",
 ]
 
-# r10 window policy (VERDICT r9 #1 + the standing rotation policy in
+# r11 window policy (VERDICT r10 #1 + the standing rotation policy in
 # registry._PRIORITY's comment):
-# 44 r9 spills + 1 promised re-entry + 4 new-operator first rows + 1 early
-# r6 backfill = exactly 50. Nothing is pushed below the cut this round
-# (_PRIORITY holds exactly the window); r11 recounts the r6-vintage
-# deadline (48 due after stream_funnel_stages refreshes here).
+# 48 r6-vintage due + 1 new-operator first row + 1 rule-(a) re-entry
+# = exactly 50. Nothing is pushed below the cut this round (_PRIORITY
+# holds exactly the window); r12 recounts the r7-vintage deadline
+# (46 due, ~4 free slots).
 EXPECTED_SPILL = 0
 
 
-def test_r10_touched_and_spill_queries_inside_50_window():
+def test_r11_touched_and_due_queries_inside_50_window():
     window = list(registry.queries())[:50]
-    missing = [n for n in SPILL_FROM_R9 + TOUCHED_IN_R10 if n not in window]
+    missing = [n for n in R6_VINTAGE_DUE + TOUCHED_IN_R11 if n not in window]
     assert not missing, f"outside driver window: {missing}"
-    # the policy deadline: the 44 spills LEAD the window
-    assert window[:44] == SPILL_FROM_R9
+    # the policy deadline: the 48 due queries LEAD the window
+    assert window[:48] == R6_VINTAGE_DUE
 
 
 def test_priority_names_all_exist():
