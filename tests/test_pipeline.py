@@ -2516,12 +2516,27 @@ def test_bpe_segment_kernel_equals_column_fold_m6(spark):
     assert _seg_rows(df, merges, "column") == _seg_rows(df, merges, "kernel")
 
 
-def test_bpe_segment_kernel_equals_column_fold_m500(spark):
-    """Production-shape equality pin: a 500-rule table learned by the
-    serial Sennrich reference over a synthetic corpus (the Column fold
-    still plans at M=500, so both forms run and must agree row-for-row
-    on fresh documents, not just the training words)."""
-    rng = __import__("random").Random(411)
+def _py_fold_apply(word: str, merges) -> str:
+    """Serial in-order fold: every rule applies once, in rank order,
+    merging all occurrences left-to-right non-overlapping — literally
+    the Column fold's replace-all semantics, independently coded (a
+    different algorithm from the kernel's monotone rank-floor search)."""
+    syms = list(word)
+    for lhs, rhs in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return " ".join(syms)
+
+
+def _bpe_synth_corpus(n_train_docs=40, n_test_docs=12, seed=411):
+    rng = __import__("random").Random(seed)
     alphabet = "abcdefghij"
     corpus_words = [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 12)))
@@ -2529,23 +2544,52 @@ def test_bpe_segment_kernel_equals_column_fold_m500(spark):
     ]
     train_docs = [
         " ".join(rng.choice(corpus_words) for _ in range(30))
-        for _ in range(40)
+        for _ in range(n_train_docs)
     ]
-    learned = _py_bpe_reference(train_docs, 500)
-    merges = [(lhs, rhs) for _, lhs, rhs, _ in learned]
-    assert len(merges) == 500, len(merges)
-    # segment UNSEEN documents drawn from the same alphabet
     test_docs = [
         " ".join(
             "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 15)))
             for _ in range(20)
         )
-        for _ in range(12)
+        for _ in range(n_test_docs)
     ] + train_docs[:3]
+    return train_docs, test_docs
+
+
+def test_bpe_segment_kernel_equals_column_fold_m120(spark):
+    """Column↔kernel equality at the largest table the fold can hold
+    safely (the fold's real ceiling is the JVM thread stack — a
+    ~500-deep replace chain already threw StackOverflowError at
+    codegen, which is WHY BPE_KERNEL_THRESHOLD sits at 256 and the
+    M=500 pin below uses a serial reference instead)."""
+    train_docs, test_docs = _bpe_synth_corpus()
+    learned = _py_bpe_reference(train_docs, 120)
+    merges = [(lhs, rhs) for _, lhs, rhs, _ in learned]
+    assert len(merges) == 120, len(merges)
     df = spark.createDataFrame(
         list(enumerate(test_docs)), "doc_id long, text string"
     )
     assert _seg_rows(df, merges, "column") == _seg_rows(df, merges, "kernel")
+
+
+def test_bpe_segment_kernel_matches_serial_reference_m500(spark):
+    """Production-shape pin past the Column fold's JVM-stack ceiling:
+    a 500-rule table learned by the serial Sennrich reference, applied
+    to unseen documents, must match an independently-coded serial
+    in-order fold word-for-word."""
+    train_docs, test_docs = _bpe_synth_corpus()
+    learned = _py_bpe_reference(train_docs, 500)
+    merges = [(lhs, rhs) for _, lhs, rhs, _ in learned]
+    assert len(merges) == 500, len(merges)
+    df = spark.createDataFrame(
+        list(enumerate(test_docs)), "doc_id long, text string"
+    )
+    got = dict(_seg_rows(df, merges, "kernel"))
+    want = {
+        i: " ".join(_py_fold_apply(w, merges) for w in t.split())
+        for i, t in enumerate(test_docs)
+    }
+    assert got == want
 
 
 def test_bpe_segment_kernel_edge_case_parity(spark):
@@ -2612,6 +2656,100 @@ def test_bpe_segment_kernel_rejects_bad_input(spark):
             F.col("doc_id"),
             [("a", "b"), ("a", "b")],
             impl="kernel",
+        )
+
+
+# -- r11: checkpointed BPE training --------------------------------------------
+
+_BPE_CK_DOCS = [
+    "the cat sat on the mat",
+    "the hat that the cat wore",
+    "that mat the rat sat upon",
+    "banana bandana cabana",
+]
+
+
+def _bpe_ck_df(spark, docs=None):
+    return spark.createDataFrame(
+        list(enumerate(docs or _BPE_CK_DOCS)), "doc_id long, text string"
+    )
+
+
+def test_bpe_train_checkpoint_resume(spark, tmp_path):
+    """checkpoint_path training must (1) learn the identical table the
+    un-checkpointed path learns, (2) resume a finished run straight
+    from the newest step without changing the answer, and (3) extend a
+    shorter run: a 4-merge checkpointed run resumed with n_merges=6
+    continues from step 4 and matches direct 6-merge training."""
+    df = _bpe_ck_df(spark)
+    want6 = [
+        tuple(r)
+        for r in text.bpe_train_merges(df, F.col("text"), 6)
+        .orderBy("rank").collect()
+    ]
+    root = str(tmp_path / "bpe_ck")
+    got4 = [
+        tuple(r)
+        for r in text.bpe_train_merges(
+            df, F.col("text"), 4, checkpoint_path=root, checkpoint_every=2
+        ).orderBy("rank").collect()
+    ]
+    assert got4 == want6[:4]
+    # steps 2 and 4 exist on disk
+    import os
+
+    assert sorted(
+        d for d in os.listdir(root) if d.startswith("step=")
+    ) == ["step=2", "step=4"]
+    # extend to 6: resumes from step 4, learns 2 more rounds
+    got6 = [
+        tuple(r)
+        for r in text.bpe_train_merges(
+            df, F.col("text"), 6, checkpoint_path=root, checkpoint_every=2
+        ).orderBy("rank").collect()
+    ]
+    assert got6 == want6
+    # re-invoke at 6 again: answered from the step=6 checkpoint alone
+    again = [
+        tuple(r)
+        for r in text.bpe_train_merges(
+            df, F.col("text"), 6, checkpoint_path=root, checkpoint_every=2
+        ).orderBy("rank").collect()
+    ]
+    assert again == want6
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        text.bpe_train_merges(
+            df, F.col("text"), 2, checkpoint_path=root, checkpoint_every=0
+        )
+
+
+def test_bpe_train_checkpoint_refuses_foreign_state(spark, tmp_path):
+    """The params sidecar is load-bearing: a different corpus or a
+    different eow pointed at an existing root must raise, and a root
+    holding steps with no sidecar must raise — never silently adopt
+    checkpointed state of unknown provenance (ADVICE r10 discipline)."""
+    df = _bpe_ck_df(spark)
+    root = str(tmp_path / "bpe_ck_id")
+    text.bpe_train_merges(
+        df, F.col("text"), 2, checkpoint_path=root, checkpoint_every=1
+    )
+    other = _bpe_ck_df(spark, ["zebra quagga okapi", "quagga zebra"])
+    with pytest.raises(ValueError, match="different"):
+        text.bpe_train_merges(
+            other, F.col("text"), 2, checkpoint_path=root, checkpoint_every=1
+        )
+    with pytest.raises(ValueError, match="different"):
+        text.bpe_train_merges(
+            df, F.col("text"), 2, eow="</w>",
+            checkpoint_path=root, checkpoint_every=1,
+        )
+    # steps but no sidecar -> refuse
+    import shutil
+
+    shutil.rmtree(f"{root}/params")
+    with pytest.raises(ValueError, match="provenance"):
+        text.bpe_train_merges(
+            df, F.col("text"), 2, checkpoint_path=root, checkpoint_every=1
         )
 
 
