@@ -46,3 +46,24 @@ def compact_parquet(
     n_files = max(1, math.ceil(dataset_bytes(df) / target_bytes))
     df.repartition(n_files).write.mode(mode).parquet(dst)
     return n_files
+
+
+def checkpoint_steps(spark: SparkSession, path: str) -> list[int]:
+    """Completed ``step=<i>`` directory numbers under ``path`` (one
+    Hadoop FS listing — scheme-agnostic like dataset_bytes, no
+    per-step probe loop). Shared by the iterative trainers' checkpoint
+    resume paths (text.bpe_train_merges, similarity.pq_books_trained)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    steps = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("step="):
+            try:
+                steps.append(int(name[5:]))
+            except ValueError:
+                pass
+    return sorted(steps)

@@ -1605,6 +1605,9 @@ def apply_passage_keep(
     text: Column,
     id_col: Column,
     keep: DataFrame,
+    *,  # keyword-only: a positional True here once meant emit_text,
+    # and silently becoming window=1 is exactly the misalignment the
+    # window parameter exists to prevent (ADVICE r10)
     window: int = PASSAGE_TOKENS,
     emit_text: bool = False,
 ) -> DataFrame:

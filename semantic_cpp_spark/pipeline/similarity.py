@@ -992,6 +992,86 @@ def pq_adc_topk(
 PQ_TRAIN_OFF = 1_024_000_000
 
 
+def _pq_checkpoint_guard(
+    spark, path, emb, id_col, vec_col,
+    n_centroids, m_subs, sub_dims, train_frac, train_salt,
+) -> None:
+    """Refuse checkpointed books of foreign provenance (ADVICE r10):
+    a one-row params sidecar at ``<path>/params`` records the training
+    parameters plus a corpus content fingerprint (row count + bit_xor
+    of a 60-bit md5 over each (id, vector) — order-independent, one
+    corpus pass, cheap against a corpus·K Lloyd step); resume compares
+    and raises on ANY mismatch instead of silently adopting step
+    state written under a different corpus or configuration. Fresh
+    roots get the sidecar written; roots holding step dirs with no
+    sidecar (pre-r11 layouts included) raise."""
+    from pyspark.errors import AnalysisException
+
+    from semantic_cpp_spark.maintenance import checkpoint_steps
+
+    fp = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "\x01",
+                                F.col(id_col).cast("string"),
+                                F.col(vec_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("h"),
+    ).collect()[0]
+    want = (
+        int(fp["n"]), int(fp["h"]), int(n_centroids), int(m_subs),
+        int(sub_dims), -1.0 if train_frac is None else float(train_frac),
+        train_salt,
+    )
+    try:
+        prow = spark.read.parquet(f"{path}/params").collect()
+    except AnalysisException:
+        if checkpoint_steps(spark, path):
+            raise ValueError(
+                f"checkpoint root {path} has step dirs but no params "
+                "sidecar - refusing to adopt state of unknown provenance "
+                "(pre-r11 checkpoint roots must be rebuilt or pointed "
+                "elsewhere)"
+            ) from None
+        spark.createDataFrame(
+            [want],
+            "n_vecs long, corpus_fp long, n_centroids int, m_subs int, "
+            "sub_dims int, train_frac double, train_salt string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+        return
+    if len(prow) != 1:
+        raise ValueError(
+            f"pq checkpoint params sidecar must hold exactly 1 row, "
+            f"got {len(prow)}"
+        )
+    p = prow[0]
+    got = (
+        int(p["n_vecs"]), int(p["corpus_fp"]), int(p["n_centroids"]),
+        int(p["m_subs"]), int(p["sub_dims"]), float(p["train_frac"]),
+        p["train_salt"],
+    )
+    if got != want:
+        raise ValueError(
+            f"checkpoint root {path} was written under different "
+            f"training inputs ({got} != {want}) - point this "
+            "corpus/configuration at a fresh root"
+        )
+
+
 def pq_books_trained(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1045,10 +1125,12 @@ def pq_books_trained(
     step's books persist to ``<checkpoint_path>/step=<i>`` (m_subs·K
     rows — KB-scale) and a re-invocation with the same path RESUMES
     from the newest completed step ≤ iters instead of replaying the
-    chain, which also truncates the lazy lineage between steps. The
-    checkpoint root is per-build state: point different corpora /
-    params / train_fracs at different roots (books carry no
-    provenance sidecar here — pq_index_save is the publishing step)."""
+    chain, which also truncates the lazy lineage between steps. A
+    one-row params sidecar (training params + corpus content
+    fingerprint) is written on the first run and CHECKED on resume
+    (ADVICE r10): pointing a different corpus, n_centroids, m_subs,
+    sub_dims, train_frac, or train_salt at an existing root raises
+    instead of silently adopting foreign step state."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if train_frac is not None and not 0.0 < train_frac <= 1.0:
@@ -1064,16 +1146,21 @@ def pq_books_trained(
     )
     start = 0
     if checkpoint_path is not None:
-        from pyspark.errors import AnalysisException
-
         spark = emb.sparkSession
-        for i in range(iters, 0, -1):
-            try:
-                ck = spark.read.parquet(f"{checkpoint_path}/step={i}")
-                ck.schema  # force resolution — missing path raises here
-            except AnalysisException:
-                continue
-            books, start = ck, i
+        _pq_checkpoint_guard(
+            spark, checkpoint_path, emb, id_col, vec_col,
+            n_centroids, m_subs, sub_dims, train_frac, train_salt,
+        )
+        from semantic_cpp_spark.maintenance import checkpoint_steps
+
+        for i in (
+            s for s in reversed(checkpoint_steps(spark, checkpoint_path))
+            if s <= iters
+        ):
+            books, start = (
+                spark.read.parquet(f"{checkpoint_path}/step={i}"),
+                i,
+            )
             break
     for _step in range(start, iters):
         trained = (
@@ -1525,10 +1612,13 @@ def ivfpq_index_load(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
         # pre-r9 sidecars have no residual column: those indexes are raw
         "residual": bool(p[0]["residual"]) if "residual" in p[0].__fields__
         else False,
-        # pre-r10 sidecars have no iters column: raw-trained saves used
-        # the then-default 1, everything else 0
+        # pre-r10 sidecars have no iters column. Untrained saves are
+        # safely 0; for TRAINED ones the true depth is unrecoverable
+        # (pre-r10 ivfpq_index_save accepted an explicit iters — e.g. 3
+        # — that the old sidecar never recorded), so backfill None =
+        # "trained, depth unknown" rather than asserting 1 (ADVICE r10).
         "iters": int(p[0]["iters"]) if "iters" in p[0].__fields__
-        else (1 if bool(p[0]["trained"]) else 0),
+        else (None if bool(p[0]["trained"]) else 0),
     }
     return (
         spark.read.parquet(f"{path}/books"),
@@ -1707,6 +1797,15 @@ def ivfpq_residual_index(
     listed codes only."""
     from semantic_cpp_spark.pipeline.clustering import sq_dist
 
+    if early_stop_ids and iters < 1:
+        # ADVICE r10: the early-stop branch requires at least one
+        # training step; silently returning untrained seeds when a
+        # caller passes held-out ids with the default iters=0 is the
+        # silent-wrong-results shape — fail loudly instead.
+        raise ValueError(
+            "early_stop_ids requires iters >= 1 (early stopping picks "
+            f"among training steps; got iters={iters})"
+        )
     if n_lists is None:
         n_lists = derived_ivf_k(emb.count())
     seeds = _coarse_residuals(

@@ -436,25 +436,6 @@ def _bpe_word_fingerprint(words: DataFrame) -> tuple[int, int]:
     return int(r["n"]), int(r["h"])
 
 
-def _bpe_checkpoint_steps(spark, path: str) -> list[int]:
-    """Completed step numbers under ``path`` (one Hadoop FS listing —
-    works for any supported filesystem, no per-step probe loop)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
-        return []
-    steps = []
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if name.startswith("step="):
-            try:
-                steps.append(int(name[5:]))
-            except ValueError:
-                pass
-    return sorted(steps)
-
-
 def _bpe_checkpoint_resume(
     spark, path: str, fresh_words: DataFrame, eow: str | None, n_merges: int
 ):
@@ -462,9 +443,11 @@ def _bpe_checkpoint_resume(
     foreign state), then resume from the newest completed step ≤
     n_merges: (words_state, merges_so_far, start_rank). A fresh root
     gets the sidecar written; a root with steps but no sidecar raises."""
+    from semantic_cpp_spark.maintenance import checkpoint_steps
+
     n, h = _bpe_word_fingerprint(fresh_words)
     eow_key = "" if eow is None else eow
-    steps = _bpe_checkpoint_steps(spark, path)
+    steps = checkpoint_steps(spark, path)
     from pyspark.errors import AnalysisException
 
     try:

@@ -2185,10 +2185,11 @@ def test_pq_books_trained_checkpoint_resume(spark, tmp_path):
     """checkpoint_path makes the 100-TB advice executable: each Lloyd
     step persists its books, and a re-invocation resumes from the
     newest completed step instead of replaying the chain. Pinned by
-    (a) chained-with-checkpoint == direct two-step books, and (b) a
-    resume that is handed a DIFFERENT corpus but a complete checkpoint
-    returns the checkpointed books untouched — proof the prior steps
-    were not recomputed."""
+    (a) chained-with-checkpoint == direct two-step books, (b) a
+    same-corpus re-invocation answered from the complete checkpoint,
+    and (c) — ADVICE r10 — a resume handed a DIFFERENT corpus, or
+    different training params, RAISES instead of silently adopting
+    the checkpointed state (the params+fingerprint sidecar)."""
     rng = np.random.RandomState(67)
     df = _emb_frame(spark, rng.randn(50, 64))
     ck = str(tmp_path / "pq_ck")
@@ -2198,11 +2199,55 @@ def test_pq_books_trained_checkpoint_resume(spark, tmp_path):
     assert sorted(map(tuple, resumed.collect())) == sorted(
         map(tuple, direct.collect())
     )
-    other = _emb_frame(spark, rng.randn(50, 64) + 3.0)
-    replay = similarity.pq_books_trained(other, iters=2, checkpoint_path=ck)
-    assert sorted(map(tuple, replay.collect())) == sorted(
+    again = similarity.pq_books_trained(df, iters=2, checkpoint_path=ck)
+    assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, direct.collect())
     )
+    other = _emb_frame(spark, rng.randn(50, 64) + 3.0)
+    with pytest.raises(ValueError, match="different"):
+        similarity.pq_books_trained(other, iters=2, checkpoint_path=ck)
+    with pytest.raises(ValueError, match="different"):
+        similarity.pq_books_trained(
+            df, iters=2, checkpoint_path=ck, train_frac=0.5
+        )
+    # steps but no sidecar (pre-r11 layout) -> refuse
+    import shutil
+
+    shutil.rmtree(f"{ck}/params")
+    with pytest.raises(ValueError, match="provenance"):
+        similarity.pq_books_trained(df, iters=2, checkpoint_path=ck)
+
+
+def test_ivfpq_residual_early_stop_requires_training(spark):
+    """ADVICE r10: early_stop_ids with the default iters=0 previously
+    returned an untrained index and an empty info dict with no signal
+    — now it raises."""
+    rng = np.random.RandomState(11)
+    df = _emb_frame(spark, rng.randn(30, 64))
+    with pytest.raises(ValueError, match="iters"):
+        similarity.ivfpq_residual_index(
+            df, n_lists=3, early_stop_ids=[0, 1]
+        )
+
+
+def test_ivfpq_index_load_backfills_unknown_iters(spark, tmp_path):
+    """ADVICE r10: pre-r10 sidecars never recorded training depth, and
+    trained saves could use any explicit iters — the backfill must
+    report None ("trained, depth unknown"), not assert 1; untrained
+    pre-r10 saves are safely 0."""
+    rng = np.random.RandomState(12)
+    df = _emb_frame(spark, rng.randn(30, 64))
+    for trained, want in ((True, None), (False, 0)):
+        root = str(tmp_path / f"old_{trained}")
+        similarity.ivfpq_index_save(df, root, n_lists=3, trained=trained)
+        # rewrite the sidecar without the iters column = pre-r10 layout
+        old = spark.read.parquet(f"{root}/params").drop("iters")
+        rows, schema = old.collect(), old.schema
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/params")
+        _, _, params = similarity.ivfpq_index_load(spark, root)
+        assert params["iters"] == want, (trained, params["iters"])
 
 
 def test_ivfpq_residual_early_stop_stops_at_one_on_clustered_data(spark):
