@@ -52,6 +52,7 @@ def main() -> None:
     # steady-state number comparable across rounds without chasing it.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -65,6 +66,11 @@ def main() -> None:
             samples.append(time.time() - t0)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
+        # min-of-n alongside the median (VERDICT r10): the minimum is
+        # the least-contended reading, so round-over-round deltas in
+        # value_min separate plan changes from host noise; value stays
+        # the median sum for cross-round continuity.
+        timings_min[name] = round(samples[0], 3)
 
     # Boundary flush of ordinal caches (range-strategy persists) so a
     # long-lived harness embedding bench.main() doesn't accumulate them.
@@ -78,6 +84,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "value_min": round(sum(timings_min.values()), 3),
+        "queries_min": timings_min,
         "sf": float(sf) if sf else None,
     }
     print(json.dumps(out))
