@@ -341,9 +341,12 @@ def bpe_train_merges(
     one symbol) — choose n_merges accordingly when an oracle replays a
     fixed round count. Rounds are bounded by M, not corpus size: each
     is one pair-count over the WORD table + a 1-row argmax, and the
-    word state persists between rounds so round k never replays rounds
-    1..k-1 (the lineage-truncation discipline pq_books_trained's
-    checkpoint serves at index scale).
+    word state localCheckpoints between rounds — eager materialization
+    AND plan truncation to a leaf, so round k never replays rounds
+    1..k-1 and per-round cost stays flat (a persist chain instead
+    compounds the nested cached-plan description until the driver
+    heap dies — measured r11: OOM at round 19 at sf1.0; see the
+    in-loop note).
 
     ``checkpoint_path`` makes production-sized (30k-round) training
     plannable and resumable (the pq_books_trained pattern, r10 verdict
@@ -373,41 +376,45 @@ def bpe_train_merges(
         words, merges, start = _bpe_checkpoint_resume(
             df.sparkSession, checkpoint_path, words, eow, n_merges
         )
-    words.persist()
-    try:
-        for rank in range(start + 1, n_merges + 1):
-            top = (
-                _bpe_pair_counts(words)
-                .orderBy(F.desc("cnt"), "lhs", "rhs")
-                .limit(1)
-                .collect()
+    # localCheckpoint (not persist) between rounds: a persist chain
+    # nests each round's cached plan inside the next, and the
+    # per-action plan DESCRIPTION string compounds until the driver
+    # heap dies building it — measured r11 at sf1.0: round 10 0.9 s,
+    # round 15 10.8 s, OOM at round 19. localCheckpoint truncates the
+    # logical plan to a leaf LogicalRDD, holding every round at flat
+    # cost (~0.2 s/round through round 94 on the same corpus). Old
+    # round states are reclaimed by the ContextCleaner as references
+    # drop; for durable / resumable state use checkpoint_path.
+    words = words.localCheckpoint()
+    for rank in range(start + 1, n_merges + 1):
+        top = (
+            _bpe_pair_counts(words)
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["cnt"]
+        merges.append((rank, lhs, rhs, int(cnt)))
+        nxt = words.select(
+            "freq",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {lhs}  {rhs} "),
+                F.lit(f" {lhs}{rhs} "),
+            ).alias("s"),
+        )
+        # eager materialize + plan truncation in one step (see the
+        # localCheckpoint note above); the parent round's blocks are
+        # released by the ContextCleaner once dereferenced
+        words = nxt.localCheckpoint()
+        if checkpoint_path is not None and (
+            rank % checkpoint_every == 0 or rank == n_merges
+        ):
+            words = _bpe_checkpoint_write(
+                df.sparkSession, checkpoint_path, rank, words, merges
             )
-            if not top:
-                break
-            lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["cnt"]
-            merges.append((rank, lhs, rhs, int(cnt)))
-            nxt = words.select(
-                "freq",
-                F.replace(
-                    F.col("s"),
-                    F.lit(f" {lhs}  {rhs} "),
-                    F.lit(f" {lhs}{rhs} "),
-                ).alias("s"),
-            )
-            nxt.persist()
-            nxt.count()  # materialize before dropping the parent state
-            words.unpersist()
-            words = nxt
-            if checkpoint_path is not None and (
-                rank % checkpoint_every == 0 or rank == n_merges
-            ):
-                words.unpersist()
-                words = _bpe_checkpoint_write(
-                    df.sparkSession, checkpoint_path, rank, words, merges
-                )
-                words.persist()
-    finally:
-        words.unpersist()
     return df.sparkSession.createDataFrame(
         merges, "rank long, lhs string, rhs string, pair_count long"
     )
