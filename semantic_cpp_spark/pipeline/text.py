@@ -525,7 +525,18 @@ def bpe_apply(
     thread stack at codegen (measured r11); larger tables belong in
     bpe_segment's Arrow kernel, same rule semantics. Concatenating the
     result always round-trips the word (test-pinned): merges only ever
-    fuse adjacent symbols, never drop or reorder them."""
+    fuse adjacent symbols, never drop or reorder them.
+
+    Tables past BPE_KERNEL_THRESHOLD raise: beyond it the failure mode
+    is a NONDETERMINISTIC StackOverflowError (it depends on the
+    calling thread's remaining stack), which must not be discoverable
+    in production — route large tables through bpe_segment's kernel."""
+    if len(merges) > BPE_KERNEL_THRESHOLD:
+        raise ValueError(
+            f"bpe_apply folds {len(merges)} merges as a Column chain, "
+            f"past the {BPE_KERNEL_THRESHOLD}-rule JVM-stack ceiling - "
+            "use bpe_segment(impl='kernel') for production-sized tables"
+        )
     s = _bpe_symbolize(word, eow)
     for lhs, rhs in merges:
         s = F.replace(s, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
@@ -590,6 +601,14 @@ def bpe_segment(
         impl == "auto" and len(merges) > BPE_KERNEL_THRESHOLD
     ):
         return _bpe_segment_kernel(df, text, id_col, merges)
+    if len(merges) > BPE_KERNEL_THRESHOLD:
+        # explicit impl="column" past the ceiling: the failure mode is
+        # a nondeterministic JVM StackOverflowError at codegen — refuse
+        raise ValueError(
+            f"impl='column' folds {len(merges)} merges as a Column "
+            f"chain, past the {BPE_KERNEL_THRESHOLD}-rule JVM-stack "
+            "ceiling - use impl='kernel'"
+        )
     # Invariant that keeps merges word-local: every merge pattern
     # " a  b " carries single-space edges and a double-space interior;
     # words are joined with a THREE-space gap, so any candidate match

@@ -2963,6 +2963,45 @@ def test_bpe_roundtrip_hypothesis_unicode_words(spark):
     check()
 
 
+def test_bpe_segment_kernel_hypothesis_matches_serial_fold(spark):
+    """Property: on ANY unicode corpus, segmenting with a table the
+    serial Sennrich reference trained on that corpus must match an
+    independently coded serial in-order fold word-for-word — the
+    kernel's monotone-rank-floor search and the fold's rank-ordered
+    replace-all are different algorithms that must agree on every
+    trained table (and the corpus round-trips: subwords concatenate
+    back to the original characters)."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Zs", "Zl", "Zp", "Cc", "Cs")
+        ),
+        min_size=1,
+        max_size=8,
+    )
+    corpora = st.lists(
+        st.lists(word, min_size=1, max_size=6), min_size=1, max_size=4
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpora)
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        learned = _py_bpe_reference(texts, 4)
+        merges = [(lhs, rhs) for _, lhs, rhs, _ in learned]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = dict(_seg_rows(df, merges, "kernel"))
+        for i, t in enumerate(texts):
+            want = " ".join(_py_fold_apply(w, merges) for w in t.split())
+            assert got[i] == want, (t, got[i], want)
+            assert got[i].replace(" ", "") == t.replace(" ", "")
+
+    check()
+
+
 def test_bpe_eow_variant_learns_suffix_units(spark):
     """The end-of-word marker (full Sennrich form): word-final
     characters merge with the marker, so the learned units distinguish
