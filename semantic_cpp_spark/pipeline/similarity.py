@@ -1749,6 +1749,7 @@ def ivfpq_residual_index(
     early_stop_k: int = 5,
     early_stop_nprobe: int = 2,
     early_stop_info: dict | None = None,
+    checkpoint_path: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the residual IVFADC index: (books, listed_codes).
 
@@ -1805,6 +1806,14 @@ def ivfpq_residual_index(
         raise ValueError(
             "early_stop_ids requires iters >= 1 (early stopping picks "
             f"among training steps; got iters={iters})"
+        )
+    if early_stop_ids and checkpoint_path is not None:
+        # same fail-loudly discipline: the early-stop branch trains
+        # step-by-step with its own stop rule and does not checkpoint;
+        # silently ignoring the path would be the ADVICE-r10 shape.
+        raise ValueError(
+            "checkpoint_path applies to fixed-iters residual training; "
+            "combine it with early_stop_ids is not supported"
         )
     if n_lists is None:
         n_lists = derived_ivf_k(emb.count())
@@ -1880,11 +1889,16 @@ def ivfpq_residual_index(
             early_stop_info["steps_used"] = steps_used
             early_stop_info["recall_per_step"] = recalls
     elif iters >= 1:
+        # checkpoint_path threads straight to pq_books_trained (the
+        # residual corpus is what fingerprints into its sidecar, so a
+        # different base corpus or n_lists changes the residuals and
+        # is refused at resume like any other foreign state)
         books = pq_books_trained(
             corpus, "vec_id", "rv", n_centroids=n_centroids,
             m_subs=m_subs, sub_dims=sub_dims, iters=iters,
             seed_books=books,
             train_frac=train_frac, train_salt=train_salt,
+            checkpoint_path=checkpoint_path,
         )
     return books, _encode(books)
 

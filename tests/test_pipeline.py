@@ -2230,6 +2230,37 @@ def test_ivfpq_residual_early_stop_requires_training(spark):
         )
 
 
+def test_ivfpq_residual_checkpoint_threads_through(spark, tmp_path):
+    """checkpoint_path on the residual build must reach
+    pq_books_trained: same books as the un-checkpointed build, a
+    resume answered from the checkpoint, and the unsupported
+    early-stop combination raises instead of silently ignoring the
+    path."""
+    rng = np.random.RandomState(91)
+    centers = rng.randn(4, 64) * 6
+    vecs = np.stack([centers[i % 4] + rng.randn(64) for i in range(60)])
+    df = _emb_frame(spark, vecs)
+    ck = str(tmp_path / "res_ck")
+    want, _ = similarity.ivfpq_residual_index(df, n_lists=4, iters=1)
+    got, _ = similarity.ivfpq_residual_index(
+        df, n_lists=4, iters=1, checkpoint_path=ck
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    again, _ = similarity.ivfpq_residual_index(
+        df, n_lists=4, iters=1, checkpoint_path=ck
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    with pytest.raises(ValueError, match="early_stop"):
+        similarity.ivfpq_residual_index(
+            df, n_lists=4, iters=1, early_stop_ids=[0],
+            checkpoint_path=ck,
+        )
+
+
 def test_ivfpq_index_load_backfills_unknown_iters(spark, tmp_path):
     """ADVICE r10: pre-r10 sidecars never recorded training depth, and
     trained saves could use any explicit iters — the backfill must

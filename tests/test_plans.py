@@ -621,6 +621,26 @@ def test_bpe_pair_counts_have_map_side_partial(spark, qs):
     assert "CartesianProduct" not in plan
 
 
+def test_bpe_segment_kernel_is_exchange_free(spark, qs):
+    """The Arrow segment kernel must stay a 1→1 narrow map over the
+    document scan — MapInPandas present, no Exchange, no Join: the
+    production tokenizer apply inherits scan partitioning at any
+    corpus size (the merge table ships in the task closure, never as
+    a joined frame)."""
+    from semantic_cpp_spark.pipeline import text as T
+    from semantic_cpp_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    seg = T.bpe_segment(
+        docs, F.col("text"), F.col("doc_id"),
+        [("a", "b"), ("ab", "c")], impl="kernel",
+    )
+    plan = _plan(seg)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_pq_train_sampled_filter_is_narrow(spark, qs):
     """The train_frac sample must be a pure narrow filter on the scan
     side (an md5-threshold compare — never a join or a sample-table
