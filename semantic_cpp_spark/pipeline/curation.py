@@ -37,6 +37,49 @@ def hash_u60(key: Column, salt: str) -> Column:
     ).cast("long")
 
 
+# Above this many entries, per-stratum lookup tables switch from a flat
+# create_map literal to a broadcast join. The create_map form is ONE wide
+# expression node (safe and narrow — no exchange at all); a nested
+# when-chain, the pre-r11 form, StackOverflowed at ~400 entries (measured:
+# 200 ok / 400 SOE) — far below temperature_mixture_sample's documented
+# 10⁵ domain bound. Past ~10³ entries even the flat literal makes analysis
+# sluggish (10⁴ measured at ~40 s), so big tables ride a broadcast join:
+# still zero shuffle of the corpus, one KB-to-MB BroadcastExchange.
+MAP_LOOKUP_THRESHOLD = 1024
+
+
+def _map_lookup(key: Column, table: dict, default: Column, cast: str) -> Column:
+    """Flat literal-map lookup: create_map(k1, v1, k2, v2, ...)[key]
+    with a default — replaces the nested when-chain fold (see
+    MAP_LOOKUP_THRESHOLD). Values cast uniformly so mixed-magnitude
+    ints cannot split the map's value type."""
+    m = F.create_map(
+        *[
+            c
+            for k, v in table.items()
+            for c in (F.lit(k), F.lit(v).cast(cast))
+        ]
+    )
+    return F.coalesce(F.element_at(m, key), default.cast(cast))
+
+
+def _broadcast_lookup(
+    df: DataFrame, key: Column, table: dict, default: Column, cast: str
+) -> tuple[DataFrame, Column]:
+    """Broadcast-join lookup for tables past MAP_LOOKUP_THRESHOLD:
+    returns (df ⟕ broadcast(table), value column). The corpus never
+    shuffles — the only exchange is the broadcast of the #strata-row
+    table; callers drop the helper columns after consuming the value."""
+    spark = df.sparkSession
+    lt = spark.createDataFrame(
+        [(k, v) for k, v in table.items()], ["__lk_key", "__lk_val"]
+    ).select("__lk_key", F.col("__lk_val").cast(cast).alias("__lk_val"))
+    joined = df.withColumn("__lk_key", key).join(
+        F.broadcast(lt), "__lk_key", "left"
+    )
+    return joined, F.coalesce(F.col("__lk_val"), default.cast(cast))
+
+
 def sample_threshold(rate: float) -> int:
     """Integer keep-threshold for a [0,1] rate: keep iff u60 < threshold.
     Computed once driver-side so BOTH engines compare int64s — no float
@@ -67,15 +110,20 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample dominant
     languages, keep rare ones whole): each stratum gets its own integer
-    threshold; unknown strata use ``default_rate``. Still a pure narrow
-    filter — the rate table is folded into a CASE expression, never
-    joined."""
-    thresh = F.lit(sample_threshold(default_rate))
-    for value, rate in rates.items():
-        thresh = F.when(stratum == value, F.lit(sample_threshold(rate))).otherwise(
-            thresh
-        )
-    return df.filter(hash_u60(key, salt) < thresh)
+    threshold; unknown strata use ``default_rate``. Up to
+    MAP_LOOKUP_THRESHOLD strata the rate table rides a flat literal-map
+    lookup — a pure narrow filter, zero exchanges (the pre-r11 nested
+    when-chain StackOverflowed at ~400 strata); past it, a broadcast
+    threshold-table join — the corpus still never shuffles."""
+    thr = {v: sample_threshold(r) for v, r in rates.items()}
+    default = F.lit(sample_threshold(default_rate))
+    if len(thr) <= MAP_LOOKUP_THRESHOLD:
+        thresh = _map_lookup(stratum, thr, default, "long")
+        return df.filter(hash_u60(key, salt) < thresh)
+    joined, thresh = _broadcast_lookup(df, stratum, thr, default, "long")
+    return joined.filter(hash_u60(key, salt) < thresh).drop(
+        "__lk_key", "__lk_val"
+    )
 
 
 def temperature_mixture_sample(
@@ -105,21 +153,26 @@ def temperature_mixture_sample(
     anywhere in the keep decision (the decayed-activity exactness
     discipline). Domains whose target exceeds their size are kept
     whole (sampling caps at rate 1; repeat-upsampling is a caller
-    concern). The filter itself is the stratified_sample CASE shape: a
-    pure narrow filter, no join, partition-invariant.
+    concern). The filter itself is the stratified_sample lookup shape:
+    a flat literal-map compare (pure narrow filter, no join) up to
+    MAP_LOOKUP_THRESHOLD domains, a broadcast threshold-table join
+    above it — partition-invariant either way, and the corpus never
+    shuffles.
 
     100 TB: counts are one map-side-combined groupBy over the domain
     column (#domains rows back to the driver); the keep pass is a
     narrow md5-compare scan. Nothing scales with corpus size except
     the two linear scans.
 
-    CONTRACT — domain cardinality (ADVICE/VERDICT r8-r9): the driver
-    holds one threshold per domain and the keep filter folds them into
-    a CASE chain, so this operator is sized for CURATED mixture axes
-    (language, source, crawl — 10⁰–10⁵ values), NOT per-hostname
-    columns. ``max_domains`` enforces the bound: exceeding it raises
-    (count-first, before any threshold math) rather than silently
-    building a 10⁸-branch expression tree / collecting 10⁸ rows.
+    CONTRACT — domain cardinality (ADVICE/VERDICT r8-r9; execution
+    form fixed r11): the driver holds one threshold per domain, so
+    this operator is sized for CURATED mixture axes (language, source,
+    crawl — 10⁰–10⁵ values), NOT per-hostname columns. ``max_domains``
+    enforces the bound: exceeding it raises (count-first, before any
+    threshold math) rather than silently collecting 10⁸ rows. Note
+    the pre-r11 CASE-chain filter made the documented 10⁵ bound
+    fiction — it StackOverflowed at ~400 domains; the two-tier
+    lookup (literal map / broadcast join) actually reaches it.
     Rebalancing a 10⁸-cardinality column means bucketing it to a
     mixture axis first (e.g. hostname → registrable domain → source
     tier) — the thing production pipelines do anyway, because a
@@ -155,10 +208,14 @@ def temperature_mixture_sample(
         d: min(HASH_SPACE, budget * w[d] * HASH_SPACE // (sw * counts[d]))
         for d in counts
     }
-    t: Column = F.lit(0).cast("long")
-    for d, th in thr.items():
-        t = F.when(domain == d, F.lit(th)).otherwise(t)
-    return df.filter(hash_u60(key, salt) < t)
+    zero = F.lit(0)
+    if len(thr) <= MAP_LOOKUP_THRESHOLD:
+        t = _map_lookup(domain, thr, zero, "long")
+        return df.filter(hash_u60(key, salt) < t)
+    joined, t = _broadcast_lookup(df, domain, thr, zero, "long")
+    return joined.filter(hash_u60(key, salt) < t).drop(
+        "__lk_key", "__lk_val"
+    )
 
 
 def contaminated_docs(
@@ -768,22 +825,32 @@ def importance_weights(
     table is tiny by construction).
 
     Scale shape: ONE groupBy(stratum) + a broadcast 1-row total; shares
-    are exact-int ratios divided once; no per-row state."""
-    tgt = F.lit(float(default_target))
-    for k, v in target.items():
-        tgt = F.when(F.col("stratum") == k, F.lit(float(v))).otherwise(tgt)
+    are exact-int ratios divided once; no per-row state. The target
+    table applies to the #strata-row counts frame via the same
+    two-tier lookup as stratified_sample (flat literal map /
+    broadcast join past MAP_LOOKUP_THRESHOLD — a when-chain fold
+    StackOverflows at ~400 entries regardless of row count)."""
+    tgt_table = {k: float(v) for k, v in target.items()}
+    default = F.lit(float(default_target))
+    if len(tgt_table) <= MAP_LOOKUP_THRESHOLD:
+        tgt = _map_lookup(F.col("stratum"), tgt_table, default, "double")
+        joined_cols = None
+    else:
+        joined_cols = True
     counts = df.select(stratum.alias("stratum")).groupBy("stratum").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     total = counts.agg(F.sum("n_docs").cast("long").alias("__n"))
-    actual = F.col("n_docs") / F.col("__n")
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
-            "stratum",
-            "n_docs",
-            F.round(actual, 6).alias("actual_share"),
-            F.round(tgt, 6).alias("target_share"),
-            F.round(tgt / actual, 6).alias("weight"),
+    base = counts.crossJoin(F.broadcast(total))
+    if joined_cols:
+        base, tgt = _broadcast_lookup(
+            base, F.col("stratum"), tgt_table, default, "double"
         )
+    actual = F.col("n_docs") / F.col("__n")
+    return base.select(
+        "stratum",
+        "n_docs",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(tgt, 6).alias("target_share"),
+        F.round(tgt / actual, 6).alias("weight"),
     )

@@ -661,7 +661,11 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # scale — the r10 "missing #2" drift fix). Rule-(a) otherwise consumes no
 # slot: the bpe_segment dispatcher change is dead code at every existing
 # gate query (txt_bpe_merges trains only; no gate called bpe_segment
-# before txt_bpe_segment_kernel), re-verified green at sf0.01 this round.
+# before txt_bpe_segment_kernel), and the r11 when-chain → literal-map
+# lookup rewrite (stratified/temperature/importance) produces identical
+# VALUES — the map compare replays the same integer thresholds — with
+# all 8 samp_ gates re-verified green at sf0.01 post-change
+# (samp_stratified_by_lang holds a window slot regardless).
 _PRIORITY: list[str] = [
     # -- the 48 r6-vintage queries (policy deadline; recounted r11) --
     "dedup_containment",

@@ -156,6 +156,73 @@ def test_stratified_sample_rates(spark):
     assert out2.count() == 4_000
 
 
+def test_lookup_tables_survive_high_cardinality(spark):
+    """r11: the pre-r11 when-chain fold StackOverflowed at ~400
+    strata, making temperature_mixture_sample's documented 10⁵ domain
+    bound fiction. Both lookup tiers must work: the flat literal map
+    at 1000 strata (past the old SOE point, under
+    MAP_LOOKUP_THRESHOLD) and the broadcast join at 1500 (over it) —
+    with keep decisions identical to the per-row Python replay of the
+    same md5 thresholds."""
+    import hashlib
+
+    n_strata, rows = 1_000, 4_000
+    df = spark.createDataFrame(
+        [(i, f"s{i % n_strata}") for i in range(rows)],
+        "doc_id long, stratum string",
+    )
+    rates = {f"s{j}": (1.0 if j % 2 == 0 else 0.0) for j in range(n_strata)}
+
+    def py_keep(key, rate, salt="s"):
+        h = int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:15], 16)
+        return h < curation.sample_threshold(rate)
+
+    got = {
+        r["doc_id"]
+        for r in curation.stratified_sample(
+            df, F.col("doc_id"), F.col("stratum"), rates, "s"
+        ).collect()
+    }
+    want = {
+        i for i in range(rows)
+        if py_keep(i, rates[f"s{i % n_strata}"])
+    }
+    assert got == want
+    # broadcast tier: 1500 strata > MAP_LOOKUP_THRESHOLD
+    n2 = 1_500
+    df2 = spark.createDataFrame(
+        [(i, f"s{i % n2}") for i in range(rows)],
+        "doc_id long, stratum string",
+    )
+    rates2 = {f"s{j}": (1.0 if j % 3 == 0 else 0.0) for j in range(n2)}
+    out2 = curation.stratified_sample(
+        df2, F.col("doc_id"), F.col("stratum"), rates2, "s"
+    )
+    assert set(out2.columns) == {"doc_id", "stratum"}  # helpers dropped
+    got2 = {r["doc_id"] for r in out2.collect()}
+    want2 = {
+        i for i in range(rows)
+        if py_keep(i, rates2[f"s{i % n2}"])
+    }
+    assert got2 == want2
+    # temperature mixture at 500 domains (old impl died at ~400)
+    df3 = spark.createDataFrame(
+        [(i, f"d{i % 500}") for i in range(rows)],
+        "doc_id long, dom string",
+    )
+    kept = curation.temperature_mixture_sample(
+        df3, F.col("doc_id"), F.col("dom"), budget_frac=0.5
+    ).count()
+    assert 0 < kept < rows
+    # importance weights at 1500 targets (broadcast tier)
+    w = curation.importance_weights(
+        df2, F.col("stratum"), {f"s{j}": 1.0 / n2 for j in range(n2)}
+    )
+    rows_w = w.collect()
+    assert len(rows_w) == n2
+    assert all(abs(r["target_share"] - round(1.0 / n2, 6)) < 1e-9 for r in rows_w)
+
+
 # -- decontamination --------------------------------------------------------
 
 def test_contaminated_docs_counts(spark):
