@@ -180,8 +180,14 @@ def band_by_cuts(col: Column, cut_cols: list[str]) -> Column:
     go UP (deterministic, unlike ntile's count-balanced splits). The one
     shared fold for every cutoff-banding operator (quality bands, RFM
     terciles, equi-depth histogram), so the tie/boundary semantics can
-    never diverge between them."""
-    band = F.lit(0)
-    for i, c in enumerate(cut_cols):
-        band = F.when(col >= F.col(c), i + 1).otherwise(band)
-    return band.cast("long")
+    never diverge between them.
+
+    Shape (r11): for ASCENDING cuts, "highest satisfied cutoff" equals
+    "count of satisfied cutoffs", so the band is a flat
+    size(filter(array(cuts), x -> col >= x)) — one wide node — instead
+    of the pre-r11 nested when-chain, whose JVM-stack ceiling was ~400
+    entries (the curation lookup finding); a 10³-bucket equi-depth
+    histogram now plans. Null col → no cutoff satisfied → band 0,
+    exactly as the when-chain fell through."""
+    arr = F.array(*[F.col(c) for c in cut_cols])
+    return F.size(F.filter(arr, lambda x: col >= x)).cast("long")

@@ -129,3 +129,41 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.approx_count_distinct("v", rsd=0.02).alias("e")
     ).collect()[0]["e"]
     assert abs(est - 20_000) / 20_000 < 0.06  # 3× the requested rsd
+
+
+def test_band_by_cuts_semantics_and_1000_cut_ceiling(spark):
+    """r11: band_by_cuts is a flat size(filter(array)) — the pre-r11
+    nested when-chain StackOverflowed at ~400 cutoffs, capping
+    equi-depth histograms far below production bucket counts. Pin the
+    ties-go-up/below-first/null semantics AND that 1000 cutoffs plan
+    and run with band = count of satisfied ascending cuts."""
+    df = spark.createDataFrame(
+        [(None,), (0.5,), (1.0,), (1.5,), (2.0,), (99.0,)], "v double"
+    ).crossJoin(
+        spark.createDataFrame([(1.0, 2.0)], "c0 double, c1 double")
+    )
+    got = {
+        r["v"]: r["b"]
+        for r in df.select(
+            "v", stats.band_by_cuts(F.col("v"), ["c0", "c1"]).alias("b")
+        ).collect()
+    }
+    assert got == {None: 0, 0.5: 0, 1.0: 1, 1.5: 1, 2.0: 2, 99.0: 2}
+    # 1000 ascending cutoffs: cut i = i (i in 1..1000); band(v) = floor(v)
+    cuts = spark.createDataFrame(
+        [tuple(float(i) for i in range(1, 1001))],
+        [f"c{i}" for i in range(1000)],
+    )
+    big = spark.createDataFrame(
+        [(0.5,), (1.0,), (500.5,), (1000.0,), (2000.0,)], "v double"
+    ).crossJoin(F.broadcast(cuts))
+    got2 = {
+        r["v"]: r["b"]
+        for r in big.select(
+            "v",
+            stats.band_by_cuts(
+                F.col("v"), [f"c{i}" for i in range(1000)]
+            ).alias("b"),
+        ).collect()
+    }
+    assert got2 == {0.5: 0, 1.0: 1, 500.5: 500, 1000.0: 1000, 2000.0: 1000}
