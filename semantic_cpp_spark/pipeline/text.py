@@ -321,6 +321,7 @@ def bpe_train_merges(
     n_merges: int,
     eow: str | None = None,
     *,
+    min_count: int = 1,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 25,
 ) -> DataFrame:
@@ -338,8 +339,11 @@ def bpe_train_merges(
     marker-free form the txt_bpe_merges oracle replays.
 
     Stops early if the corpus runs out of pairs (every word fused to
-    one symbol) — choose n_merges accordingly when an oracle replays a
-    fixed round count. Rounds are bounded by M, not corpus size: each
+    one symbol), or — ``min_count`` > 1, Sennrich's standard stopping
+    criterion — when the best remaining pair occurs fewer than
+    ``min_count`` times (merges learned from singleton pairs memorize
+    noise; real tokenizers floor the pair frequency). Choose n_merges
+    accordingly when an oracle replays a fixed round count. Rounds are bounded by M, not corpus size: each
     is one pair-count over the WORD table + a 1-row argmax, and the
     word state localCheckpoints between rounds — eager materialization
     AND plan truncation to a leaf, so round k never replays rounds
@@ -363,6 +367,8 @@ def bpe_train_merges(
     discipline)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     if checkpoint_every < 1:
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
@@ -374,7 +380,8 @@ def bpe_train_merges(
     start = 0
     if checkpoint_path is not None:
         words, merges, start = _bpe_checkpoint_resume(
-            df.sparkSession, checkpoint_path, words, eow, n_merges
+            df.sparkSession, checkpoint_path, words, eow, n_merges,
+            min_count,
         )
     # localCheckpoint (not persist) between rounds: a persist chain
     # nests each round's cached plan inside the next, and the
@@ -393,7 +400,7 @@ def bpe_train_merges(
             .limit(1)
             .collect()
         )
-        if not top:
+        if not top or int(top[0]["cnt"]) < min_count:
             break
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["cnt"]
         merges.append((rank, lhs, rhs, int(cnt)))
@@ -444,12 +451,19 @@ def _bpe_word_fingerprint(words: DataFrame) -> tuple[int, int]:
 
 
 def _bpe_checkpoint_resume(
-    spark, path: str, fresh_words: DataFrame, eow: str | None, n_merges: int
+    spark,
+    path: str,
+    fresh_words: DataFrame,
+    eow: str | None,
+    n_merges: int,
+    min_count: int = 1,
 ):
     """Validate the checkpoint root against a params sidecar (refuse
-    foreign state), then resume from the newest completed step ≤
-    n_merges: (words_state, merges_so_far, start_rank). A fresh root
-    gets the sidecar written; a root with steps but no sidecar raises."""
+    foreign state — a different corpus, eow, or min_count floor means
+    re-training, not resuming), then resume from the newest completed
+    step ≤ n_merges: (words_state, merges_so_far, start_rank). A fresh
+    root gets the sidecar written; a root with steps but no sidecar
+    raises."""
     from semantic_cpp_spark.maintenance import checkpoint_steps
 
     n, h = _bpe_word_fingerprint(fresh_words)
@@ -466,7 +480,8 @@ def _bpe_checkpoint_resume(
                 "sidecar - refusing to adopt state of unknown provenance"
             ) from None
         spark.createDataFrame(
-            [(eow_key, n, h)], "eow string, n_words long, words_fp long"
+            [(eow_key, n, h, min_count)],
+            "eow string, n_words long, words_fp long, min_count long",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
         return fresh_words, [], 0
     if len(prow) != 1:
@@ -475,12 +490,14 @@ def _bpe_checkpoint_resume(
             f"got {len(prow)}"
         )
     p = prow[0]
-    got = (p["eow"], int(p["n_words"]), int(p["words_fp"]))
-    if got != (eow_key, n, h):
+    got = (p["eow"], int(p["n_words"]), int(p["words_fp"]),
+           int(p["min_count"]) if "min_count" in p.__fields__ else 1)
+    if got != (eow_key, n, h, min_count):
         raise ValueError(
             f"checkpoint root {path} was written under different "
-            f"training inputs (eow/corpus fingerprint {got} != "
-            f"{(eow_key, n, h)}) - point this corpus at a fresh root"
+            f"training inputs (eow/corpus/min_count {got} != "
+            f"{(eow_key, n, h, min_count)}) - point this corpus at a "
+            "fresh root"
         )
     for i in (s for s in reversed(steps) if s <= n_merges):
         mrows = spark.read.parquet(f"{path}/step={i}/merges").orderBy(

@@ -2799,6 +2799,33 @@ def test_bpe_train_checkpoint_resume(spark, tmp_path):
         )
 
 
+def test_bpe_train_min_count_floor(spark):
+    """Sennrich's standard stopping criterion: training stops when the
+    best remaining pair occurs fewer than min_count times — the
+    returned table is exactly the unfloored table truncated at the
+    first rank whose pair_count falls below the floor (singleton-pair
+    merges memorize noise; real tokenizers floor the frequency)."""
+    df = _bpe_ck_df(spark)
+    full = [
+        tuple(r)
+        for r in text.bpe_train_merges(df, F.col("text"), 10)
+        .orderBy("rank").collect()
+    ]
+    floor = full[2][3]  # the 3rd merge's pair_count as the floor
+    floored = [
+        tuple(r)
+        for r in text.bpe_train_merges(
+            df, F.col("text"), 10, min_count=floor
+        ).orderBy("rank").collect()
+    ]
+    want = [m for m in full if m[3] >= floor]
+    # counts are non-increasing across rounds for this corpus, so the
+    # floored run is the prefix above the floor
+    assert floored == want and 0 < len(floored) < len(full)
+    with pytest.raises(ValueError, match="min_count"):
+        text.bpe_train_merges(df, F.col("text"), 2, min_count=0)
+
+
 def test_bpe_train_checkpoint_refuses_foreign_state(spark, tmp_path):
     """The params sidecar is load-bearing: a different corpus or a
     different eow pointed at an existing root must raise, and a root
