@@ -174,7 +174,9 @@ def percentiles_exact_sorted(df, col: Column, ps: list[float], names: list[str])
     return picked.select(*outs)
 
 
-def band_by_cuts(col: Column, cut_cols: list[str]) -> Column:
+def band_by_cuts(
+    col: Column, cut_cols: list[str], *, check: bool = False
+) -> Column:
     """Band index from ascending broadcast cutoffs: band 0 below the
     first cutoff, band i+1 at/above cutoff i — half-open intervals, ties
     go UP (deterministic, unlike ntile's count-balanced splits). The one
@@ -188,6 +190,31 @@ def band_by_cuts(col: Column, cut_cols: list[str]) -> Column:
     of the pre-r11 nested when-chain, whose JVM-stack ceiling was ~400
     entries (the curation lookup finding); a 10³-bucket equi-depth
     histogram now plans. Null col → no cutoff satisfied → band 0,
-    exactly as the when-chain fell through."""
+    exactly as the when-chain fell through.
+
+    PRECONDITION (ADVICE r11): cuts must be ASCENDING and NON-NULL —
+    the count form silently diverges from "highest satisfied cutoff"
+    otherwise. A NULL cut is EXCLUDED from the count (col >= NULL is
+    null, dropped by the filter), whereas the pre-r11 when-chain could
+    still band a value ABOVE a null cut via a later arm. ``check=True``
+    compiles an in-plan guard (array_sort equality + null scan) that
+    raises at execution on unsorted or null cuts instead of banding
+    wrong — cheap (the cut array is a handful of broadcast scalars per
+    row), off by default since every in-repo caller feeds ascending
+    null-free percentile cuts by construction."""
     arr = F.array(*[F.col(c) for c in cut_cols])
-    return F.size(F.filter(arr, lambda x: col >= x)).cast("long")
+    band = F.size(F.filter(arr, lambda x: col >= x)).cast("long")
+    if check:
+        ok = ~F.exists(arr, lambda x: x.isNull()) & (arr == F.array_sort(arr))
+        return F.when(ok, band).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "band_by_cuts: cut columns must be ascending "
+                        "and non-null, got "
+                    ),
+                    F.to_json(F.struct(arr.alias("cuts"))),
+                )
+            )
+        )
+    return band

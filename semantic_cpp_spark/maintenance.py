@@ -48,11 +48,25 @@ def compact_parquet(
     return n_files
 
 
-def checkpoint_steps(spark: SparkSession, path: str) -> list[int]:
-    """Completed ``step=<i>`` directory numbers under ``path`` (one
-    Hadoop FS listing — scheme-agnostic like dataset_bytes, no
-    per-step probe loop). Shared by the iterative trainers' checkpoint
-    resume paths (text.bpe_train_merges, similarity.pq_books_trained)."""
+def checkpoint_steps(
+    spark: SparkSession, path: str, marker: str | None = None
+) -> list[int]:
+    """``step=<i>`` directory numbers under ``path`` (one Hadoop FS
+    listing — scheme-agnostic like dataset_bytes). Shared by the
+    iterative trainers' checkpoint resume paths
+    (text.bpe_train_merges, similarity.pq_books_trained).
+
+    ``marker`` filters to COMPLETED steps (ADVICE r11): a step counts
+    only when ``<path>/step=<i>/<marker>`` exists — the commit marker
+    of the step's LAST write (Spark's parquet ``_SUCCESS`` for
+    single-output steps; ``merges/_SUCCESS`` for BPE, whose merges
+    table is written after the words state). A crash mid-checkpoint
+    leaves the marker absent, so resume falls back to the previous
+    intact step instead of adopting a partially-written state or
+    raising on a missing sub-directory. ``marker=None`` lists every
+    step dir regardless — the PROVENANCE form the params-sidecar
+    guards use ("this root has step dirs but no sidecar" must see
+    incomplete debris too)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -63,7 +77,11 @@ def checkpoint_steps(spark: SparkSession, path: str) -> list[int]:
         name = st.getPath().getName()
         if name.startswith("step="):
             try:
-                steps.append(int(name[5:]))
+                i = int(name[5:])
             except ValueError:
-                pass
+                continue
+            if marker is None or fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/step={i}/{marker}")
+            ):
+                steps.append(i)
     return sorted(steps)

@@ -1153,8 +1153,14 @@ def pq_books_trained(
         )
         from semantic_cpp_spark.maintenance import checkpoint_steps
 
+        # only steps whose parquet job committed (_SUCCESS present)
+        # are resumable (ADVICE r11) — a crash mid-write leaves a
+        # marker-less dir that resume skips for the previous step
         for i in (
-            s for s in reversed(checkpoint_steps(spark, checkpoint_path))
+            s
+            for s in reversed(
+                checkpoint_steps(spark, checkpoint_path, marker="_SUCCESS")
+            )
             if s <= iters
         ):
             books, start = (

@@ -4382,15 +4382,20 @@ def dedup_passage_apply(spark, sf_dir):
     return dedup.apply_passage_keep(docs, F.col("text"), F.col("doc_id"), keep)
 
 
-def _bpe_train_ctes(n: int) -> list[str]:
+def _bpe_train_ctes(n: int, eow: str | None = None) -> list[str]:
     """The ``n`` unrolled BPE training rounds as CTE fragments
     (w0 word state, p{i} pair counts, m{i} 1-row argmax winner, w{i}
     post-merge state) — shared by the training oracle
     (_bpe_merges_sql) and the segmentation oracle (_bpe_segment_sql),
-    which applies the same learned m{i} winners to whole documents."""
-    parts = [r"""w0 AS MATERIALIZED (
+    which applies the same learned m{i} winners to whole documents.
+    ``eow`` appends the end-of-word marker SYMBOL to every word's
+    initial state (the full Sennrich form — text._bpe_symbolize's eow
+    branch), so the replayed rounds learn suffix-distinguishing merges
+    exactly as the engine does."""
+    tail = " ' AS s" if eow is None else f"  {eow} ' AS s"
+    parts = [rf"""w0 AS MATERIALIZED (
   SELECT count(*)::BIGINT AS freq,
-         ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS s
+         ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || '{tail}
   FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
         FROM documents)
   GROUP BY word)"""]
@@ -4410,7 +4415,7 @@ m{i} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{i}
     return parts
 
 
-def _bpe_merges_sql(n: int) -> str:
+def _bpe_merges_sql(n: int, eow: str | None = None) -> str:
     """``n`` unrolled BPE training rounds (the pagerank-replay pattern):
     each round = pair counts from the double-space symbol strings, a
     deterministic 1-row argmax (cnt DESC, lhs, rhs), and a literal
@@ -4420,7 +4425,7 @@ def _bpe_merges_sql(n: int) -> str:
     oracle lesson). replace() in DuckDB and Spark share left-to-right
     non-overlapping replace-all semantics, which IS the reference
     greedy merge order (Sennrich et al. 2016)."""
-    parts = _bpe_train_ctes(n)
+    parts = _bpe_train_ctes(n, eow)
     union = "\nUNION ALL ".join(
         f"SELECT {i}::BIGINT AS rank, lhs, rhs, cnt AS pair_count FROM m{i}"
         for i in range(1, n + 1)
@@ -4478,6 +4483,25 @@ def txt_bpe_merges(spark, sf_dir):
     round-trips every corpus word."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_train_merges(docs, F.col("text"), 6)
+
+
+@register("txt_bpe_merges_eow", _bpe_merges_sql(6, eow="</w>"))
+def txt_bpe_merges_eow(spark, sf_dir):
+    """The FULL-Sennrich BPE training form under the hard oracle (r12
+    — VERDICT r11 next-round #7): every word's initial symbol state
+    carries the '</w>' end-of-word marker, so the learned table can
+    distinguish word-final units (suffix merges like 'e</w>') from the
+    same characters mid-word — the variant real tokenizers train. The
+    oracle replays the identical six rounds with the marker appended
+    in w0 (_bpe_train_ctes(eow=...)); a green row proves the marker
+    symbolization, the pair counts over marker-bearing states, the
+    tie-break, and the merge application all agree with a serial
+    reference. At gate scale this trains through the r12 in-memory
+    fast path (impl="auto" collects the vocab-sized word table), so
+    the row also pins the hybrid trainer against SQL — the distributed
+    loop is equality-pinned against it at M∈{6, 94} in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_train_merges(docs, F.col("text"), 6, eow="</w>")
 
 
 @register("txt_bpe_segment_kernel", _bpe_segment_sql(6))

@@ -407,3 +407,25 @@ def test_core_numbers_gate_graph_within_caps(spark):
     assert full == fast
     assert max(k for _, k in full) < 6  # cap headroom at gate scale
     pairs.unpersist()
+
+
+def test_checkpoint_steps_marker_filters_incomplete(spark, tmp_path):
+    """ADVICE r11: with a marker, checkpoint_steps lists only steps
+    whose commit marker file exists — a crash mid-checkpoint leaves a
+    marker-less dir that resume must not see; with marker=None every
+    step dir is listed (the provenance form the sidecar guards use)."""
+    import os
+
+    from semantic_cpp_spark import maintenance
+
+    root = str(tmp_path / "steps")
+    for i, complete in [(1, True), (2, True), (3, False)]:
+        os.makedirs(f"{root}/step={i}/books", exist_ok=True)
+        if complete:
+            open(f"{root}/step={i}/books/_SUCCESS", "w").close()
+    os.makedirs(f"{root}/step=x", exist_ok=True)  # non-numeric: ignored
+    assert maintenance.checkpoint_steps(spark, root) == [1, 2, 3]
+    assert maintenance.checkpoint_steps(
+        spark, root, marker="books/_SUCCESS"
+    ) == [1, 2]
+    assert maintenance.checkpoint_steps(spark, str(tmp_path / "nope")) == []

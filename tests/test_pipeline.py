@@ -2856,6 +2856,168 @@ def test_bpe_train_checkpoint_refuses_foreign_state(spark, tmp_path):
         )
 
 
+def test_bpe_train_local_equals_distributed_m6_m94(spark):
+    """The r12 hybrid fast path (collect the vocab-sized word table,
+    train driver-side with incremental pair updates) must emit the
+    EXACT table the distributed loop emits — rank, lhs, rhs, AND
+    pair_count — at a small and a production-shaped merge budget: the
+    tie-break (cnt DESC, then (lhs, rhs) in UTF-8 byte order = Spark's
+    string sort), the left-to-right merge order, and the
+    at-selection-time counts all have to agree round for round."""
+    train_docs, _ = _bpe_synth_corpus()
+    df = spark.createDataFrame(
+        list(enumerate(train_docs)), "doc_id long, text string"
+    )
+    for m in (6, 94):
+        local = [
+            tuple(r)
+            for r in text.bpe_train_merges(
+                df, F.col("text"), m, impl="local"
+            ).orderBy("rank").collect()
+        ]
+        dist = [
+            tuple(r)
+            for r in text.bpe_train_merges(
+                df, F.col("text"), m, impl="distributed"
+            ).orderBy("rank").collect()
+        ]
+        assert local == dist and len(local) == m
+    # the full-Sennrich eow variant takes the same two paths
+    eow_local = [
+        tuple(r)
+        for r in text.bpe_train_merges(
+            df, F.col("text"), 6, eow="</w>", impl="local"
+        ).orderBy("rank").collect()
+    ]
+    eow_dist = [
+        tuple(r)
+        for r in text.bpe_train_merges(
+            df, F.col("text"), 6, eow="</w>", impl="distributed"
+        ).orderBy("rank").collect()
+    ]
+    assert eow_local == eow_dist and len(eow_local) == 6
+
+
+def test_bpe_train_impl_dispatch_and_validation(spark):
+    """auto routes below/above local_threshold (forced distributed via
+    local_threshold=0 must still match), min_count floors the local
+    trainer identically, impl validates, and impl='local' with a
+    checkpoint_path refuses (no durable resume driver-side)."""
+    df = _bpe_ck_df(spark)
+    want = [
+        tuple(r)
+        for r in text.bpe_train_merges(df, F.col("text"), 6, impl="local")
+        .orderBy("rank").collect()
+    ]
+    forced_dist = [
+        tuple(r)
+        for r in text.bpe_train_merges(
+            df, F.col("text"), 6, local_threshold=0
+        ).orderBy("rank").collect()
+    ]
+    assert forced_dist == want
+    # min_count flows through the local trainer (same floor semantics)
+    floor = want[2][3]
+    floored = [
+        tuple(r)
+        for r in text.bpe_train_merges(
+            df, F.col("text"), 6, min_count=floor, impl="local"
+        ).orderBy("rank").collect()
+    ]
+    assert floored == [m for m in want if m[3] >= floor]
+    with pytest.raises(ValueError, match="impl"):
+        text.bpe_train_merges(df, F.col("text"), 2, impl="spark")
+    with pytest.raises(ValueError, match="durable"):
+        text.bpe_train_merges(
+            df, F.col("text"), 2, impl="local", checkpoint_path="/tmp/x"
+        )
+
+
+def test_bpe_segment_kernel_cache_bound_output_unchanged(spark, monkeypatch):
+    """The kernel's unique-word result cache is a pure memo with a hard
+    size bound (VERDICT r11 missing #2): forcing the cap to 4 against
+    documents of mostly-unique words (the adversarial all-unique
+    partition shape) must leave the output byte-identical — clear-on-
+    full changes memory behavior, never results."""
+    train_docs, test_docs = _bpe_synth_corpus()
+    learned = _py_bpe_reference(train_docs, 20)
+    merges = [(lhs, rhs) for _, lhs, rhs, _ in learned]
+    df = spark.createDataFrame(
+        list(enumerate(test_docs)), "doc_id long, text string"
+    )
+    want = _seg_rows(df, merges, "kernel")
+    monkeypatch.setattr(text, "BPE_SEGMENT_CACHE_CAP", 4)
+    assert _seg_rows(df, merges, "kernel") == want
+
+
+def test_bpe_checkpoint_resume_skips_uncommitted_step(spark, tmp_path):
+    """A crash mid-checkpoint must never corrupt resume (ADVICE r11
+    medium): a step whose merges table lacks its _SUCCESS commit
+    marker — the exact state a crash between the words and merges
+    writes leaves — is invisible to resume, which falls back to the
+    previous intact step and retrains forward to the identical table;
+    a marker-less words-only step dir (crash before merges even
+    started) likewise."""
+    import os
+    import shutil
+
+    df = _bpe_ck_df(spark)
+    want = [
+        tuple(r)
+        for r in text.bpe_train_merges(df, F.col("text"), 6, impl="local")
+        .orderBy("rank").collect()
+    ]
+    root = str(tmp_path / "bpe_crash")
+    text.bpe_train_merges(
+        df, F.col("text"), 6, checkpoint_path=root, checkpoint_every=2
+    )
+    # simulate a crash mid-step-6: merges committed but marker gone
+    os.remove(f"{root}/step=6/merges/_SUCCESS")
+    got = [
+        tuple(r)
+        for r in text.bpe_train_merges(
+            df, F.col("text"), 6, checkpoint_path=root, checkpoint_every=2
+        ).orderBy("rank").collect()
+    ]
+    assert got == want  # resumed from step=4, retrained 5..6
+    # crash BEFORE merges: words-only step dir must also be skipped
+    shutil.rmtree(f"{root}/step=6/merges")
+    got2 = [
+        tuple(r)
+        for r in text.bpe_train_merges(
+            df, F.col("text"), 6, checkpoint_path=root, checkpoint_every=2
+        ).orderBy("rank").collect()
+    ]
+    assert got2 == want
+
+
+def test_pq_checkpoint_resume_skips_uncommitted_step(spark, tmp_path):
+    """Same crash discipline for the PQ trainer: a step dir without
+    its parquet _SUCCESS marker is not resumable — the re-invocation
+    recomputes it from the previous step instead of adopting the
+    partially-written books."""
+    import os
+
+    rng = np.random.RandomState(41)
+    vecs = rng.randn(60, 64)
+    df = _emb_frame(spark, vecs)
+    root = str(tmp_path / "pq_crash")
+    want = sorted(
+        map(tuple, similarity.pq_books_trained(df, iters=2).collect())
+    )
+    similarity.pq_books_trained(df, iters=2, checkpoint_path=root)
+    os.remove(f"{root}/step=2/_SUCCESS")
+    got = sorted(
+        map(
+            tuple,
+            similarity.pq_books_trained(
+                df, iters=2, checkpoint_path=root
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_ivfpq_residual_index_train_frac_threads_through(spark):
     """train_frac on the residual build must train on exactly the hash
     sample of the residual corpus (seeds and encode still full): equal

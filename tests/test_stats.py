@@ -167,3 +167,41 @@ def test_band_by_cuts_semantics_and_1000_cut_ceiling(spark):
         ).collect()
     }
     assert got2 == {0.5: 0, 1.0: 1, 500.5: 500, 1000.0: 1000, 2000.0: 1000}
+
+
+def test_band_by_cuts_check_flag_enforces_precondition(spark):
+    """ADVICE r11: the count form presupposes ASCENDING NON-NULL cuts
+    — check=True compiles an in-plan guard that raises at execution on
+    unsorted or null cuts (where the silent answer would diverge from
+    'highest satisfied cutoff'), and passes sorted null-free cuts
+    through unchanged."""
+    import pytest
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    ok = spark.createDataFrame([(1.5,)], "v double").crossJoin(
+        spark.createDataFrame([(1.0, 2.0)], "c0 double, c1 double")
+    )
+    got = ok.select(
+        stats.band_by_cuts(F.col("v"), ["c0", "c1"], check=True).alias("b")
+    ).collect()
+    assert got[0]["b"] == 1
+    bad_order = spark.createDataFrame([(1.5,)], "v double").crossJoin(
+        spark.createDataFrame([(2.0, 1.0)], "c0 double, c1 double")
+    )
+    with pytest.raises((SparkRuntimeException, PythonException)):
+        bad_order.select(
+            stats.band_by_cuts(
+                F.col("v"), ["c0", "c1"], check=True
+            ).alias("b")
+        ).collect()
+    null_cut = spark.createDataFrame([(1.5,)], "v double").crossJoin(
+        spark.createDataFrame(
+            [(1.0, None)], "c0 double, c1 double"
+        )
+    )
+    with pytest.raises((SparkRuntimeException, PythonException)):
+        null_cut.select(
+            stats.band_by_cuts(
+                F.col("v"), ["c0", "c1"], check=True
+            ).alias("b")
+        ).collect()
