@@ -651,78 +651,83 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r11 window (50 = 48 + 1 + 1): the 48 r6-vintage queries LEAD (recounted
-# from CORRECTNESS_r01..r10 — newest row == r6 for exactly these 48; the
-# 49th r6 query, stream_funnel_stages, was pre-refreshed in the r10 window;
-# after this round no query's newest row predates r7); then rule (b): the
-# new r11 operator's first row (txt_bpe_segment_kernel — the Arrow BPE
-# kernel under a train+apply SQL replay); then rule (a): emb_pca_project
-# re-enters after its -0.0 normalization (a behavioral change at gate
-# scale — the r10 "missing #2" drift fix). Rule-(a) otherwise consumes no
-# slot: the bpe_segment dispatcher change is dead code at every existing
-# gate query (txt_bpe_merges trains only; no gate called bpe_segment
-# before txt_bpe_segment_kernel), and the r11 when-chain → literal-map
-# lookup rewrite (stratified/temperature/importance) produces identical
-# VALUES — the map compare replays the same integer thresholds — with
-# all 8 samp_ gates re-verified green at sf0.01 post-change
-# (samp_stratified_by_lang holds a window slot regardless).
+# r12 window (50 = 46 + 1 + 2 + 1): the 46 r7-vintage queries LEAD
+# (recounted from CORRECTNESS_r01..r11 — newest row == r7 for exactly
+# these 46; after this round no query's newest row predates r8); then
+# rule (b): the new full-Sennrich gate's first row (txt_bpe_merges_eow —
+# end-of-word-marker training under the _bpe_train_ctes oracle); then
+# rule (a): txt_bpe_merges and txt_bpe_segment_kernel re-enter because
+# their EXECUTED code paths changed this round (the r12 hybrid
+# dispatcher routes gate-scale training through the new in-memory
+# trainer, and the kernel gained its bounded word cache — both
+# equality-pinned in pytest, but a behavioral-path change at gate scale
+# earns a driver row); then one rule-(c) backfill from the oldest
+# (r8) vintage, riskiest family first (streaming sketch state:
+# stream_sliding_uniques_hll). Rule (a) otherwise consumes no slot:
+# the checkpoint-marker fix touches only resume machinery no gate
+# exercises, and the lookup None-key drop + band_by_cuts check flag are
+# value-identical at every existing gate (samp_/txt_quality_bands/
+# rel_equidepth_histogram re-verified green at sf0.01 post-change).
 _PRIORITY: list[str] = [
-    # -- the 48 r6-vintage queries (policy deadline; recounted r11) --
-    "dedup_containment",
-    "dedup_incremental_batch",
-    "dedup_minhash_containment",
-    "dedup_minhash_lsh",
-    "dedup_prefix_filter",
-    "emb_dim_stats",
-    "emb_jl_project",
-    "emb_whiten_norms",
-    "evt_conversion_latency",
-    "evt_debounce",
-    "evt_decayed_activity",
-    "evt_last_touch_attribution",
-    "evt_mad_outliers",
-    "evt_max_concurrency",
-    "evt_rfm_segments",
-    "evt_user_trend",
-    "graph_triangle_counts",
-    "mm_compressed_text",
-    "mm_feature_extract",
-    "mm_gif_features",
-    "mm_pgm_features",
-    "mm_png_features",
-    "mm_resize_features",
-    "pipe_clean_corpus",
-    "rel_equidepth_histogram",
-    "rel_grouping_sets",
-    "rel_order_gaps_lead_lag",
-    "samp_weighted_topk",
-    "sim_ann_router_banded",
-    "sim_ann_router_bucket",
-    "sim_cosine_topk",
-    "sim_ivf_multiprobe",
-    "sim_lsh_banded_topk",
-    "sim_lsh_multiprobe_topk",
-    "stream_last_touch",
-    "txt_bigram_cross_entropy",
-    "txt_boilerplate_removal",
-    "txt_chunk_overlap",
-    "txt_line_dedup",
-    "txt_ngram_novelty",
-    "txt_pmi_bigrams",
-    "txt_quality_above_median",
-    "txt_quality_bands",
-    "txt_source_report",
-    "txt_token_entropy",
-    "txt_zipf_fit",
-    "udaf_per_order_weighted_avg",
-    "udaf_weighted_avg",
-    # -- (b) first driver row: the new r11 Arrow BPE kernel gate --
+    # -- the 46 r7-vintage queries (policy deadline; recounted r12) --
+    "agg_salted_hot_key",
+    "asof_next_purchase_after_signup",
+    "dedup_cc_clusters",
+    "dedup_cluster_stats",
+    "dedup_ngram_jaccard",
+    "emb_cluster_cohesion",
+    "emb_ivf_balance",
+    "emb_kmeans_step",
+    "evt_dau_wau_stickiness",
+    "evt_inter_event_gaps",
+    "evt_markov_transitions",
+    "evt_sliding_uniques",
+    "evt_top_paths",
+    "graph_kcore_membership",
+    "ir_hybrid_rrf",
+    "ir_rank_metrics",
+    "mm_image_histogram",
+    "pipe_dedup_funnel",
+    "rel_basket_lift",
+    "rel_brand_return_rate",
+    "rel_customers_without_urgent_orders",
+    "rel_q10_returned_items",
+    "rel_q17_small_qty_revenue",
+    "rel_q18_large_orders",
+    "rel_q19_bracketed_discounts",
+    "rel_q22_idle_balance",
+    "rel_q4_semi_join",
+    "rel_q7_nation_volume",
+    "rel_q8_market_share",
+    "rel_scd2_customer_history",
+    "samp_importance_weights",
+    "samp_negative_pairs",
+    "samp_train_val_split",
+    "sim_dim_truncation_recall",
+    "sim_lsh_recall_at_5",
+    "stream_count_windows",
+    "stream_distinct_keys",
+    "stream_running_stats",
+    "stream_session_5m",
+    "stream_slide_2h_30m",
+    "stream_sliding_uniques",
+    "stream_sliding_uniques_bounded",
+    "stream_stream_join",
+    "stream_topk_per_user",
+    "stream_tumble_hour",
+    "txt_redundancy_curve",
+    # -- (b) first driver row: full-Sennrich eow training (r12) --
+    "txt_bpe_merges_eow",
+    # -- (a) executed-path changes at gate scale (r12): hybrid
+    #    in-memory trainer dispatch / bounded kernel cache --
+    "txt_bpe_merges",
     "txt_bpe_segment_kernel",
-    # -- (a) behavioral change at gate scale: -0.0 normalization (r11) --
-    "emb_pca_project",
-    # -- WINDOW CUT at position 50 — recount, don't trust comment position,
-    #    when rotating. r12 is the 46-query r7-vintage deadline + ~4 free
-    #    slots; recount from the CORRECTNESS files when building that
+    # -- (c) oldest-vintage (r8) backfill, riskiest family --
+    "stream_sliding_uniques_hll",
+    # -- WINDOW CUT at position 50 — recount, don't trust comment
+    #    position, when rotating. r13 is the 41-query r8-vintage
+    #    deadline (42 minus the hll backfill above) + ~9 free slots;
+    #    recount from the CORRECTNESS files when building that
     #    window. --
 ]
 

@@ -14,87 +14,89 @@ import pytest
 
 from semantic_cpp_spark import registry
 
-# Queries that are new (or re-enter on a behavioral change) in round 11 —
+# Queries that are new (or re-enter on a behavioral change) in round 12 —
 # each must sit inside this round's 50-slot driver window for a fresh row.
-TOUCHED_IN_R11 = [
-    # NEW r11 operator (first row):
-    "txt_bpe_segment_kernel",  # Arrow BPE kernel, train+apply SQL replay
-    # rule-(a) re-entry: -0.0 normalization after rounding is a behavioral
-    # change at gate scale (the r10 "missing #2" sf0.001 drift fix):
-    "emb_pca_project",
+TOUCHED_IN_R12 = [
+    # NEW r12 gate (first row): full-Sennrich end-of-word-marker training
+    "txt_bpe_merges_eow",
+    # rule-(a) re-entries: their EXECUTED paths changed in r12 — the
+    # hybrid dispatcher routes gate-scale training through the new
+    # in-memory trainer, and the segment kernel gained its bounded
+    # word cache (both equality-pinned in pytest):
+    "txt_bpe_merges",
+    "txt_bpe_segment_kernel",
+    # rule-(c) backfill from the oldest (r8) vintage, riskiest family:
+    "stream_sliding_uniques_hll",
 ]
 
-# The 48 r6-vintage queries at the rotation deadline (recounted from
-# CORRECTNESS_r01..r10 — newest row == r6 for exactly these 48; the 49th,
-# stream_funnel_stages, was pre-refreshed in the r10 window) — the standing
-# policy says they lead the r11 window so no latest row predates r7 after
-# this round.
-R6_VINTAGE_DUE = [
-    "dedup_containment",
-    "dedup_incremental_batch",
-    "dedup_minhash_containment",
-    "dedup_minhash_lsh",
-    "dedup_prefix_filter",
-    "emb_dim_stats",
-    "emb_jl_project",
-    "emb_whiten_norms",
-    "evt_conversion_latency",
-    "evt_debounce",
-    "evt_decayed_activity",
-    "evt_last_touch_attribution",
-    "evt_mad_outliers",
-    "evt_max_concurrency",
-    "evt_rfm_segments",
-    "evt_user_trend",
-    "graph_triangle_counts",
-    "mm_compressed_text",
-    "mm_feature_extract",
-    "mm_gif_features",
-    "mm_pgm_features",
-    "mm_png_features",
-    "mm_resize_features",
-    "pipe_clean_corpus",
-    "rel_equidepth_histogram",
-    "rel_grouping_sets",
-    "rel_order_gaps_lead_lag",
-    "samp_weighted_topk",
-    "sim_ann_router_banded",
-    "sim_ann_router_bucket",
-    "sim_cosine_topk",
-    "sim_ivf_multiprobe",
-    "sim_lsh_banded_topk",
-    "sim_lsh_multiprobe_topk",
-    "stream_last_touch",
-    "txt_bigram_cross_entropy",
-    "txt_boilerplate_removal",
-    "txt_chunk_overlap",
-    "txt_line_dedup",
-    "txt_ngram_novelty",
-    "txt_pmi_bigrams",
-    "txt_quality_above_median",
-    "txt_quality_bands",
-    "txt_source_report",
-    "txt_token_entropy",
-    "txt_zipf_fit",
-    "udaf_per_order_weighted_avg",
-    "udaf_weighted_avg",
+# The 46 r7-vintage queries at the rotation deadline (recounted from
+# CORRECTNESS_r01..r11 — newest row == r7 for exactly these 46) — the
+# standing policy says they lead the r12 window so no latest row predates
+# r8 after this round.
+R7_VINTAGE_DUE = [
+    "agg_salted_hot_key",
+    "asof_next_purchase_after_signup",
+    "dedup_cc_clusters",
+    "dedup_cluster_stats",
+    "dedup_ngram_jaccard",
+    "emb_cluster_cohesion",
+    "emb_ivf_balance",
+    "emb_kmeans_step",
+    "evt_dau_wau_stickiness",
+    "evt_inter_event_gaps",
+    "evt_markov_transitions",
+    "evt_sliding_uniques",
+    "evt_top_paths",
+    "graph_kcore_membership",
+    "ir_hybrid_rrf",
+    "ir_rank_metrics",
+    "mm_image_histogram",
+    "pipe_dedup_funnel",
+    "rel_basket_lift",
+    "rel_brand_return_rate",
+    "rel_customers_without_urgent_orders",
+    "rel_q10_returned_items",
+    "rel_q17_small_qty_revenue",
+    "rel_q18_large_orders",
+    "rel_q19_bracketed_discounts",
+    "rel_q22_idle_balance",
+    "rel_q4_semi_join",
+    "rel_q7_nation_volume",
+    "rel_q8_market_share",
+    "rel_scd2_customer_history",
+    "samp_importance_weights",
+    "samp_negative_pairs",
+    "samp_train_val_split",
+    "sim_dim_truncation_recall",
+    "sim_lsh_recall_at_5",
+    "stream_count_windows",
+    "stream_distinct_keys",
+    "stream_running_stats",
+    "stream_session_5m",
+    "stream_slide_2h_30m",
+    "stream_sliding_uniques",
+    "stream_sliding_uniques_bounded",
+    "stream_stream_join",
+    "stream_topk_per_user",
+    "stream_tumble_hour",
+    "txt_redundancy_curve",
 ]
 
-# r11 window policy (VERDICT r10 #1 + the standing rotation policy in
+# r12 window policy (VERDICT r11 #1 + the standing rotation policy in
 # registry._PRIORITY's comment):
-# 48 r6-vintage due + 1 new-operator first row + 1 rule-(a) re-entry
-# = exactly 50. Nothing is pushed below the cut this round (_PRIORITY
-# holds exactly the window); r12 recounts the r7-vintage deadline
-# (46 due, ~4 free slots).
+# 46 r7-vintage due + 1 new-gate first row + 2 rule-(a) re-entries
+# + 1 rule-(c) r8 backfill = exactly 50. Nothing is pushed below the
+# cut this round (_PRIORITY holds exactly the window); r13 recounts the
+# r8-vintage deadline (41 due after the hll backfill, ~9 free slots).
 EXPECTED_SPILL = 0
 
 
-def test_r11_touched_and_due_queries_inside_50_window():
+def test_r12_touched_and_due_queries_inside_50_window():
     window = list(registry.queries())[:50]
-    missing = [n for n in R6_VINTAGE_DUE + TOUCHED_IN_R11 if n not in window]
+    missing = [n for n in R7_VINTAGE_DUE + TOUCHED_IN_R12 if n not in window]
     assert not missing, f"outside driver window: {missing}"
-    # the policy deadline: the 48 due queries LEAD the window
-    assert window[:48] == R6_VINTAGE_DUE
+    # the policy deadline: the 46 due queries LEAD the window
+    assert window[:46] == R7_VINTAGE_DUE
 
 
 def test_priority_names_all_exist():
