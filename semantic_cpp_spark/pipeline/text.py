@@ -759,6 +759,7 @@ def bpe_segment(
     id_col: Column,
     merges: list[tuple[str, str]],
     *,
+    eow: str | None = None,
     impl: str = "auto",
 ) -> DataFrame:
     """Segment every document with a learned merge table: (doc_id,
@@ -784,13 +785,24 @@ def bpe_segment(
     kernel↔serial reference at M=500). Segmenting with the TRAINING
     corpus's merges reproduces training's final word states exactly
     (test-pinned), so encode-side and train-side tokenisation can
-    never drift."""
+    never drift.
+
+    ``eow`` (r12) applies an end-of-word-marker table: every word
+    symbolizes with the marker appended — the SAME eow the table was
+    trained with (bpe_train_merges(eow=...)), or merges addressed at
+    marker-bearing units never fire. The marker stays part of the
+    emitted subword units (Sennrich's convention: 'e</w>' is a
+    different unit from mid-word 'e'), so the downstream vocab/encode
+    path distinguishes word-final subwords for free. Train↔segment
+    consistency is pinned for the eow form too."""
     if impl not in ("auto", "column", "kernel"):
         raise ValueError(f"impl must be auto|column|kernel: {impl!r}")
+    if eow is not None and (not eow or " " in eow):
+        raise ValueError(f"eow must be non-empty and space-free: {eow!r}")
     if impl == "kernel" or (
         impl == "auto" and len(merges) > BPE_KERNEL_THRESHOLD
     ):
-        return _bpe_segment_kernel(df, text, id_col, merges)
+        return _bpe_segment_kernel(df, text, id_col, merges, eow)
     if len(merges) > BPE_KERNEL_THRESHOLD:
         # explicit impl="column" past the ceiling: the failure mode is
         # a nondeterministic JVM StackOverflowError at codegen — refuse
@@ -805,15 +817,15 @@ def bpe_segment(
     # spanning a boundary would need the pattern to contain (or abut)
     # 3+ consecutive spaces — impossible. Each word therefore merges
     # exactly as the trainer's per-word string does (test-pinned).
+    def _sym(w: Column) -> Column:
+        base = F.rtrim(F.regexp_replace(w, "(.)", "$1  "))
+        if eow is not None:
+            return F.concat(base, F.lit(f"  {eow}"))
+        return base
+
     s = F.concat(
         F.lit(" "),
-        F.array_join(
-            F.transform(
-                tokens(text),
-                lambda w: F.rtrim(F.regexp_replace(w, "(.)", "$1  ")),
-            ),
-            "   ",
-        ),
+        F.array_join(F.transform(tokens(text), _sym), "   "),
         F.lit(" "),
     )
     out = df.select(id_col.alias("doc_id"), s.alias("__s"))
@@ -837,6 +849,7 @@ def _bpe_segment_kernel(
     text: Column,
     id_col: Column,
     merges: list[tuple[str, str]],
+    eow: str | None = None,
 ) -> DataFrame:
     """Arrow-batched BPE segmentation for production-sized merge
     tables (bpe_segment impl="kernel"): per word, repeatedly apply the
@@ -899,7 +912,7 @@ def _bpe_segment_kernel(
             got = cache.get(word)
             if got is not None:
                 return got
-            syms = list(word)
+            syms = list(word) if eow is None else list(word) + [eow]
             floor = 0  # in-order fold: never revisit a passed rank
             while len(syms) >= 2:
                 best = -1

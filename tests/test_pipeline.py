@@ -2950,6 +2950,65 @@ def test_bpe_segment_kernel_cache_bound_output_unchanged(spark, monkeypatch):
     assert _seg_rows(df, merges, "kernel") == want
 
 
+def test_bpe_segment_eow_both_paths_match_apply(spark):
+    """r12: bpe_segment can apply end-of-word-marker tables — the eow
+    the table was trained with threads through BOTH execution paths.
+    Column and kernel must agree byte-for-byte, every word's
+    segmentation must equal bpe_apply(eow) on that word (the per-word
+    contract), every word's final subword must carry the marker, and a
+    malformed eow raises."""
+    docs = [
+        "the cat sat on the mat",
+        "the hat that the cat wore",
+        "that mat the rat sat upon",
+        "banana bandana cabana",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    merges = text.collect_merges(
+        text.bpe_train_merges(df, F.col("text"), 8, eow="</w>")
+    )
+    assert len(merges) == 8
+    col_rows = sorted(
+        (r["doc_id"], r["subword_text"])
+        for r in text.bpe_segment(
+            df, F.col("text"), F.col("doc_id"), merges,
+            eow="</w>", impl="column",
+        ).collect()
+    )
+    ker_rows = sorted(
+        (r["doc_id"], r["subword_text"])
+        for r in text.bpe_segment(
+            df, F.col("text"), F.col("doc_id"), merges,
+            eow="</w>", impl="kernel",
+        ).collect()
+    )
+    assert col_rows == ker_rows
+    # per-word: segment(word) == bpe_apply(word, merges, eow)
+    words = sorted({w for t in docs for w in t.split()})
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    applied = {
+        r["w"]: r["syms"]
+        for r in wdf.select(
+            "w", text.bpe_apply(F.col("w"), merges, eow="</w>").alias("syms")
+        ).collect()
+    }
+    seg_by_word = {
+        r["doc_id"]: r["subword_text"]
+        for r in text.bpe_segment(
+            wdf, F.col("w"), F.col("w"), merges, eow="</w>", impl="kernel"
+        ).collect()
+    }
+    for w in words:
+        assert seg_by_word[w] == " ".join(applied[w])
+        assert applied[w][-1].endswith("</w>")
+    with pytest.raises(ValueError, match="eow"):
+        text.bpe_segment(
+            df, F.col("text"), F.col("doc_id"), merges, eow="a b"
+        )
+
+
 def test_bpe_checkpoint_resume_skips_uncommitted_step(spark, tmp_path):
     """A crash mid-checkpoint must never corrupt resume (ADVICE r11
     medium): a step whose merges table lacks its _SUCCESS commit
