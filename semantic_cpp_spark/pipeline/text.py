@@ -962,6 +962,114 @@ def _bpe_segment_kernel(
     return pre.mapInPandas(_run, schema=out_schema)
 
 
+def bpe_vocab(
+    df: DataFrame,
+    text: Column,
+    merges: DataFrame,
+    eow: str | None = None,
+) -> DataFrame:
+    """The TRAINER-DEFINED subword vocabulary of a learned merge table
+    (unit, token_id, source, rank): base units = every distinct
+    character of the corpus's words (plus the eow marker when
+    trained with one), ids 0..B-1 in codepoint order; merged units =
+    one per merge rule (lhs||rhs), ids B..B+M-1 in rank order — the
+    HF-tokenizers / SentencePiece id-space convention (alphabet +
+    merges), fully determined by (corpus alphabet, merge table), so
+    every cluster derives the identical table without rescanning the
+    corpus per unit. Unlike vocab_build (corpus-FREQUENCY-ranked ids
+    over the segmented stream), this id space is stable under corpus
+    growth: adding documents never renumbers existing units — the
+    property a deployed tokenizer needs. Shape: one distinct over the
+    corpus's exploded characters (bounded by the alphabet, KB-scale)
+    + the M-row merge table; zero corpus-sized state."""
+    from semantic_cpp_spark.indexing import with_ordinal
+
+    # "(?s)." matches one CODE POINT (Java regex), matching
+    # _bpe_symbolize's per-codepoint "(.)" symbolization — split("")
+    # would cut between UTF-16 code units and break surrogate pairs
+    chars = (
+        df.select(F.explode(tokens(text)).alias("w"))
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.col("w"), F.lit("(?s)."), 0)
+            ).alias("unit")
+        )
+        .distinct()
+    )
+    if eow is not None:
+        if not eow or " " in eow:
+            raise ValueError(f"eow must be non-empty and space-free: {eow!r}")
+        chars = chars.unionByName(
+            df.sparkSession.createDataFrame([(eow,)], "unit string")
+        ).distinct()
+    base = with_ordinal(chars, ["unit"], name="token_id", strategy="range").select(
+        "unit",
+        F.col("token_id"),
+        F.lit("base").alias("source"),
+        F.lit(None).cast("long").alias("rank"),
+    )
+    n_base = base.count()
+    merged = merges.select(
+        F.concat("lhs", "rhs").alias("unit"),
+        (F.col("rank") - 1 + F.lit(n_base)).cast("long").alias("token_id"),
+        F.lit("merge").alias("source"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return base.unionByName(merged)
+
+
+def tokenizer_stats(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    merges: list[tuple[str, str]],
+    eow: str | None = None,
+    *,
+    impl: str = "auto",
+) -> DataFrame:
+    """Per-document tokenizer-quality metrics for a learned merge
+    table — the evaluation loop a tokenizer-training pipeline runs
+    before freezing a vocab: (doc_id, n_words, n_subwords, n_chars,
+    fertility, chars_per_subword). Fertility = subwords per word (the
+    standard metric — lower is better, 1.0 means every word is one
+    unit); chars_per_subword = word chars per emitted unit (the
+    compression ratio; eow markers are EXCLUDED from the char count so
+    the metric measures text compression, not marker overhead).
+    Rounded to 6dp for engine-stable comparison.
+
+    Shape: bpe_segment's 1→1 narrow map + pure Column counts on its
+    output — no shuffle, no corpus-sized state; inherits the kernel's
+    M-independence, so evaluating a 30k-rule candidate costs the same
+    scan as a 100-rule one."""
+    seg = bpe_segment(df, text, id_col, merges, eow=eow, impl=impl)
+    src = df.select(
+        id_col.alias("doc_id"),
+        token_count(text).alias("n_words"),
+        F.length(F.concat_ws("", tokens(text))).cast("long").alias("n_chars"),
+    )
+    sub = seg.select(
+        "doc_id",
+        F.when(
+            F.length("subword_text") == 0, F.lit(0)
+        ).otherwise(F.size(F.split("subword_text", " "))).cast("long").alias(
+            "n_subwords"
+        ),
+    )
+    out = src.join(sub, "doc_id")
+    nw = F.col("n_words").cast("double")
+    ns = F.col("n_subwords").cast("double")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_subwords",
+        "n_chars",
+        F.round(ns / nw, 6).alias("fertility"),
+        F.round(F.col("n_chars").cast("double") / ns, 6).alias(
+            "chars_per_subword"
+        ),
+    )
+
+
 def token_entropy(df, text: Column, id_col: Column):
     """Per-document Shannon entropy of the token distribution (nats) +
     type-token ratio — the repetitiveness quality signal (a doc that

@@ -3009,6 +3009,91 @@ def test_bpe_segment_eow_both_paths_match_apply(spark):
         )
 
 
+def test_bpe_vocab_alphabet_plus_merges_and_closure(spark):
+    """bpe_vocab is the trainer-defined id space (HF/SentencePiece
+    convention): base units = the corpus alphabet in codepoint order
+    with ids 0..B-1 (plus the eow marker when trained with one),
+    merged units = one per rule with ids B..B+M-1 in rank order — and
+    it is CLOSED over segmentation: every unit the segmenter emits is
+    in the vocabulary, so subword-encode can never hit OOV on corpus
+    text. Stable under corpus growth: adding documents never renumbers
+    existing units (new chars sort into base ids only if new)."""
+    df = _bpe_ck_df(spark)
+    mdf = text.bpe_train_merges(df, F.col("text"), 6)
+    vocab = text.bpe_vocab(df, F.col("text"), mdf).collect()
+    base = sorted(
+        (r["unit"], r["token_id"]) for r in vocab if r["source"] == "base"
+    )
+    alphabet = sorted({c for d in _BPE_CK_DOCS for w in d.split() for c in w})
+    assert [u for u, _ in base] == alphabet
+    assert [i for _, i in base] == list(range(len(alphabet)))
+    merged = sorted(
+        (r["rank"], r["unit"], r["token_id"])
+        for r in vocab
+        if r["source"] == "merge"
+    )
+    rules = text.collect_merges(mdf)
+    assert [(u, i) for _, u, i in merged] == [
+        (lhs + rhs, len(alphabet) + k) for k, (lhs, rhs) in enumerate(rules)
+    ]
+    # closure: every segmented unit is in the vocab
+    units = {
+        u
+        for r in text.bpe_segment(
+            df, F.col("text"), F.col("doc_id"), rules
+        ).collect()
+        for u in r["subword_text"].split(" ")
+    }
+    assert units <= {r["unit"] for r in vocab}
+    # eow: marker joins the base units; closure holds for eow segments
+    mdf_e = text.bpe_train_merges(df, F.col("text"), 6, eow="</w>")
+    vocab_e = text.bpe_vocab(df, F.col("text"), mdf_e, eow="</w>").collect()
+    base_units_e = {r["unit"] for r in vocab_e if r["source"] == "base"}
+    assert "</w>" in base_units_e
+    rules_e = text.collect_merges(mdf_e)
+    units_e = {
+        u
+        for r in text.bpe_segment(
+            df, F.col("text"), F.col("doc_id"), rules_e, eow="</w>"
+        ).collect()
+        for u in r["subword_text"].split(" ")
+    }
+    assert units_e <= {r["unit"] for r in vocab_e}
+
+
+def test_tokenizer_stats_hand_checked_and_monotone(spark):
+    """Fertility/compression metrics, hand-checked: 'aa aa b' with the
+    single rule (a,a) segments to [aa, aa, b] — 3 words, 3 subwords,
+    5 chars, fertility 1.0, chars/subword 5/3. With no rules every
+    char is a unit (fertility 5/3). More merges never increase the
+    training corpus's total subword count (merges only fuse)."""
+    df = spark.createDataFrame([(0, "aa aa b")], "doc_id long, text string")
+    got = text.tokenizer_stats(
+        df, F.col("text"), F.col("doc_id"), [("a", "a")]
+    ).collect()[0]
+    assert (
+        got["n_words"], got["n_subwords"], got["n_chars"],
+        got["fertility"], got["chars_per_subword"],
+    ) == (3, 3, 5, 1.0, round(5 / 3, 6))
+    bare = text.tokenizer_stats(
+        df, F.col("text"), F.col("doc_id"), []
+    ).collect()[0]
+    assert bare["n_subwords"] == 5 and bare["fertility"] == round(5 / 3, 6)
+    # monotone on the training corpus
+    corpus = _bpe_ck_df(spark)
+    totals = []
+    for m in (2, 6, 10):
+        rules = text.collect_merges(
+            text.bpe_train_merges(corpus, F.col("text"), m)
+        )
+        totals.append(
+            text.tokenizer_stats(
+                corpus, F.col("text"), F.col("doc_id"), rules
+            ).agg(F.sum("n_subwords")).collect()[0][0]
+        )
+    assert totals == sorted(totals, reverse=True)
+
+
 def test_bpe_checkpoint_resume_skips_uncommitted_step(spark, tmp_path):
     """A crash mid-checkpoint must never corrupt resume (ADVICE r11
     medium): a step whose merges table lacks its _SUCCESS commit
