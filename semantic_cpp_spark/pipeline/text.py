@@ -1037,25 +1037,30 @@ def tokenizer_stats(
     the metric measures text compression, not marker overhead).
     Rounded to 6dp for engine-stable comparison.
 
-    Shape: bpe_segment's 1→1 narrow map + pure Column counts on its
-    output — no shuffle, no corpus-sized state; inherits the kernel's
+    Shape: ONE exchange-free pass (plan-pinned). The word/char counts
+    ride THROUGH the segmenter inside its id column (bpe_segment
+    treats id_col as an opaque Column, so a struct of (id, counts)
+    flows through both execution paths 1→1) — the naive form, a
+    doc_id self-join of two corpus projections, would cost two scans
+    plus a shuffle at 100 TB for counts the scan already had in hand.
+    No shuffle, no corpus-sized state; inherits the kernel's
     M-independence, so evaluating a 30k-rule candidate costs the same
     scan as a 100-rule one."""
-    seg = bpe_segment(df, text, id_col, merges, eow=eow, impl=impl)
-    src = df.select(
-        id_col.alias("doc_id"),
+    packed_id = F.struct(
+        id_col.alias("id"),
         token_count(text).alias("n_words"),
         F.length(F.concat_ws("", tokens(text))).cast("long").alias("n_chars"),
     )
-    sub = seg.select(
-        "doc_id",
-        F.when(
-            F.length("subword_text") == 0, F.lit(0)
-        ).otherwise(F.size(F.split("subword_text", " "))).cast("long").alias(
-            "n_subwords"
-        ),
+    seg = bpe_segment(df, text, packed_id, merges, eow=eow, impl=impl)
+    out = seg.select(
+        F.col("doc_id.id").alias("doc_id"),
+        F.col("doc_id.n_words").alias("n_words"),
+        F.when(F.length("subword_text") == 0, F.lit(0))
+        .otherwise(F.size(F.split("subword_text", " ")))
+        .cast("long")
+        .alias("n_subwords"),
+        F.col("doc_id.n_chars").alias("n_chars"),
     )
-    out = src.join(sub, "doc_id")
     nw = F.col("n_words").cast("double")
     ns = F.col("n_subwords").cast("double")
     return out.select(

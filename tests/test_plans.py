@@ -641,6 +641,28 @@ def test_bpe_segment_kernel_is_exchange_free(spark, qs):
     assert "Join" not in plan
 
 
+def test_tokenizer_stats_is_exchange_free(spark, qs):
+    """tokenizer_stats must evaluate a merge table in ONE pass over
+    the scan: the word/char counts ride through the segmenter inside
+    the struct id column, so the plan has no Exchange and no Join in
+    EITHER execution path (the naive doc_id self-join of two corpus
+    projections would scan twice and shuffle once — a scale killer
+    for a metric the scan already had in hand)."""
+    from semantic_cpp_spark.pipeline import text as T
+    from semantic_cpp_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    for impl in ("column", "kernel"):
+        plan = _plan(
+            T.tokenizer_stats(
+                docs, F.col("text"), F.col("doc_id"),
+                [("a", "b"), ("ab", "c")], impl=impl,
+            )
+        )
+        assert "Exchange" not in plan, impl
+        assert "Join" not in plan, impl
+
+
 def test_pq_train_sampled_filter_is_narrow(spark, qs):
     """The train_frac sample must be a pure narrow filter on the scan
     side (an md5-threshold compare — never a join or a sample-table
