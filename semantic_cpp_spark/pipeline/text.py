@@ -1018,6 +1018,27 @@ def bpe_vocab(
     return base.unionByName(merged)
 
 
+def encode_subwords(
+    seg: DataFrame, vocab: DataFrame, oov_id: int = -1
+) -> DataFrame:
+    """Numericalize a bpe_segment output against a bpe_vocab id table:
+    encode_tokens over the subword stream with the TRAINER-DEFINED id
+    space (unit → token). By bpe_vocab's closure property every unit
+    the segmenter emits on corpus text is in the vocabulary, so n_oov
+    is 0 on training data (test-pinned) — OOV appears only on unseen
+    text containing characters outside the training alphabet, exactly
+    the deployed-tokenizer contract. Same scale shape as
+    encode_tokens: one (broadcastable) vocab join, bodies cross the
+    wire as (pos, id) pairs."""
+    return encode_tokens(
+        seg,
+        F.col("subword_text"),
+        F.col("doc_id"),
+        vocab.select(F.col("unit").alias("token"), "token_id"),
+        oov_id,
+    )
+
+
 def tokenizer_stats(
     df: DataFrame,
     text: Column,

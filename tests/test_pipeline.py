@@ -3061,6 +3061,27 @@ def test_bpe_vocab_alphabet_plus_merges_and_closure(spark):
     assert units_e <= {r["unit"] for r in vocab_e}
 
 
+def test_encode_subwords_zero_oov_on_corpus(spark):
+    """The deployed-tokenizer contract: encoding the TRAINING corpus
+    against the trainer-defined id space never hits OOV (bpe_vocab's
+    closure property), ids stay inside [0, B+M), and text with a
+    character OUTSIDE the training alphabet does produce OOV."""
+    df = _bpe_ck_df(spark)
+    mdf = text.bpe_train_merges(df, F.col("text"), 6)
+    rules = text.collect_merges(mdf)
+    vocab = text.bpe_vocab(df, F.col("text"), mdf)
+    seg = text.bpe_segment(df, F.col("text"), F.col("doc_id"), rules)
+    enc = text.encode_subwords(seg, vocab)
+    rows = enc.collect()
+    assert sum(r["n_oov"] for r in rows) == 0
+    v = vocab.count()
+    assert all(0 <= i < v for r in rows for i in r["ids"])
+    # unseen character -> OOV
+    alien = spark.createDataFrame([(99, "zebra# cat")], "doc_id long, text string")
+    seg_a = text.bpe_segment(alien, F.col("text"), F.col("doc_id"), rules)
+    assert text.encode_subwords(seg_a, vocab).collect()[0]["n_oov"] > 0
+
+
 def test_tokenizer_stats_hand_checked_and_monotone(spark):
     """Fertility/compression metrics, hand-checked: 'aa aa b' with the
     single rule (a,a) segments to [aa, aa, b] — 3 words, 3 subwords,
