@@ -4532,6 +4532,181 @@ def txt_bpe_segment_kernel(spark, sf_dir):
     )
 
 
+# -- r13 GATE CANDIDATES (pre-verified, unregistered) -------------------------
+# The r12 window is full (46 r7-vintage refreshes + 4 policy slots), and
+# the registry contract requires every registered row-less query to hold
+# a window slot — so the r12 tokenizer additions ship as CANDIDATES:
+# Spark callable + DuckDB oracle both written and differentially
+# verified in pytest (tests/test_r13_gate_candidates.py runs them
+# side-by-side at sf0.001, the verify_local compare), and r13's rule-(b)
+# slots just add @register. Keep the pair adjacent so the wiring is a
+# two-line diff per gate.
+
+
+def _vocab_cte_parts(n: int, eow: str | None = None) -> list[str]:
+    """Shared CTE fragments for the trainer-defined vocabulary
+    (text.bpe_vocab): corpus alphabet (per-CODEPOINT substr — DuckDB
+    substr is UTF-8-character-based, matching the engine's "(?s)."
+    extraction) in binary order as base ids 0..B-1, merged units
+    appended in rank order. Requires _bpe_train_ctes(n, eow) m{i}
+    CTEs in scope."""
+    eow_union = (
+        "" if eow is None else f" UNION SELECT '{eow}' AS unit"
+    )
+    parts = [rf"""vw AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents),
+vch AS (SELECT DISTINCT substr(word, i, 1) AS unit
+        FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM vw)
+        WHERE length(word) > 0{eow_union}),
+vbase AS (SELECT unit, (row_number() OVER (ORDER BY unit) - 1)::BIGINT AS token_id
+          FROM vch),
+vnb AS (SELECT count(*)::BIGINT AS n FROM vbase)"""]
+    mu = "\nUNION ALL ".join(
+        f"SELECT {i}::BIGINT AS rank, lhs, rhs FROM m{i}"
+        for i in range(1, n + 1)
+    )
+    parts.append(f"vmu AS ({mu})")
+    return parts
+
+
+def _bpe_vocab_sql(n: int, eow: str | None = None) -> str:
+    """Oracle for text.bpe_vocab: replay training (m{i} winners), then
+    emit base + merged units with the trainer-defined ids."""
+    parts = _bpe_train_ctes(n, eow) + _vocab_cte_parts(n, eow)
+    return (
+        "WITH " + ",\n".join(parts) + """
+    SELECT unit, token_id, 'base' AS source, NULL::BIGINT AS rank FROM vbase
+    UNION ALL
+    SELECT vmu.lhs || vmu.rhs AS unit, vnb.n + vmu.rank - 1 AS token_id,
+           'merge' AS source, vmu.rank
+    FROM vmu, vnb"""
+    )
+
+
+def _candidate_bpe_vocab(spark, sf_dir):
+    """[r13 candidate] Trainer-defined subword vocabulary
+    (text.bpe_vocab): corpus alphabet in codepoint order + merged
+    units in rank order — the HF/SentencePiece fixed id space, closed
+    over segmentation output and stable under corpus growth. A green
+    row proves the alphabet extraction, the binary id order, and the
+    merge-unit derivation all match a serial replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    mdf = text.bpe_train_merges(docs, F.col("text"), 6)
+    return text.bpe_vocab(docs, F.col("text"), mdf)
+
+
+def _tokenizer_stats_sql(n: int) -> str:
+    """Oracle for text.tokenizer_stats: the _bpe_segment_sql document
+    replay (d{i} chains) plus per-doc word/char counts — fertility and
+    chars-per-subword in the same 6dp rounding as the engine."""
+    parts = _bpe_train_ctes(n)
+    parts.append(r"""d0 AS MATERIALIZED (
+  SELECT doc_id,
+         ' ' || array_to_string(
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> rtrim(regexp_replace(w, '(.)', '\1  ', 'g'))),
+             '   ') || ' ' AS s
+  FROM documents)""")
+    for i in range(1, n + 1):
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT doc_id, replace(s, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                         ' ' || m.lhs || m.rhs || ' ') AS s
+  FROM d{i - 1}, m{i} m)""")
+    parts.append(rf"""tstream AS (
+  SELECT doc_id, regexp_replace(trim(s), ' +', ' ', 'g') AS stream FROM d{n}),
+tsrc AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_words,
+         length(array_to_string(regexp_split_to_array(trim(text), '\s+'), ''))::BIGINT
+           AS n_chars
+  FROM documents)""")
+    return (
+        "WITH " + ",\n".join(parts) + """
+    SELECT s.doc_id, s.n_words,
+           (CASE WHEN length(t.stream) = 0 THEN 0
+                 ELSE len(string_split(t.stream, ' ')) END)::BIGINT AS n_subwords,
+           s.n_chars,
+           round((CASE WHEN length(t.stream) = 0 THEN 0
+                       ELSE len(string_split(t.stream, ' ')) END)::DOUBLE
+                 / s.n_words, 6) AS fertility,
+           round(s.n_chars::DOUBLE /
+                 (CASE WHEN length(t.stream) = 0 THEN 0
+                       ELSE len(string_split(t.stream, ' ')) END), 6)
+             AS chars_per_subword
+    FROM tsrc s JOIN tstream t USING (doc_id)"""
+    )
+
+
+def _candidate_tokenizer_stats(spark, sf_dir):
+    """[r13 candidate] Per-document tokenizer-quality metrics
+    (text.tokenizer_stats, kernel path): fertility + chars-per-subword
+    for the corpus-trained table, computed in ONE exchange-free pass
+    (counts ride through the segmenter in the struct id column). The
+    oracle replays train + whole-document apply serially and derives
+    the same ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = text.collect_merges(text.bpe_train_merges(docs, F.col("text"), 6))
+    return text.tokenizer_stats(
+        docs, F.col("text"), F.col("doc_id"), rules, impl="kernel"
+    )
+
+
+def _encode_subwords_sql(n: int) -> str:
+    """Oracle for text.encode_subwords: segment replay → positional
+    unit stream → vocab left join → per-doc id fingerprint (the
+    txt_encode_docs shape one layer down, against the TRAINER id
+    space)."""
+    parts = _bpe_train_ctes(n) + _vocab_cte_parts(n)
+    parts.append(r"""e0 AS MATERIALIZED (
+  SELECT doc_id,
+         ' ' || array_to_string(
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> rtrim(regexp_replace(w, '(.)', '\1  ', 'g'))),
+             '   ') || ' ' AS s
+  FROM documents)""")
+    for i in range(1, n + 1):
+        parts.append(f"""e{i} AS MATERIALIZED (
+  SELECT doc_id, replace(s, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                         ' ' || m.lhs || m.rhs || ' ') AS s
+  FROM e{i - 1}, m{i} m)""")
+    parts.append(f"""vv AS (
+  SELECT unit, token_id FROM vbase
+  UNION ALL
+  SELECT vmu.lhs || vmu.rhs AS unit, vnb.n + vmu.rank - 1 AS token_id
+  FROM vmu, vnb),
+eseg AS (SELECT doc_id, string_split(regexp_replace(trim(s), ' +', ' ', 'g'), ' ') AS us
+         FROM e{n}),
+eex AS (SELECT doc_id, unnest(range(1, len(us) + 1)) AS pos, us FROM eseg),
+eu AS (SELECT doc_id, pos, us[pos] AS unit FROM eex),
+ej AS (SELECT e.doc_id, e.pos, coalesce(v.token_id, -1) AS tid
+       FROM eu e LEFT JOIN vv v USING (unit))""")
+    return (
+        "WITH " + ",\n".join(parts) + """
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           md5(string_agg(tid::VARCHAR, '_' ORDER BY pos)) AS ids_fp
+    FROM ej GROUP BY doc_id"""
+    )
+
+
+def _candidate_encode_subwords(spark, sf_dir):
+    """[r13 candidate] Fixed-vocab subword numericalization
+    (text.encode_subwords): segment with the corpus-trained table,
+    encode against the trainer-defined id space — n_oov is 0 on
+    corpus text by the closure property, and the id fingerprint pins
+    position order + id assignment against a serial replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    mdf = text.bpe_train_merges(docs, F.col("text"), 6)
+    rules = text.collect_merges(mdf)
+    vocab = text.bpe_vocab(docs, F.col("text"), mdf)
+    seg = text.bpe_segment(
+        docs, F.col("text"), F.col("doc_id"), rules, impl="kernel"
+    )
+    return text.encode_subwords(seg, vocab).select(
+        "doc_id", "n_tokens", "n_oov", "ids_fp"
+    )
+
+
 def _pq_train_sampled_sql() -> str:
     """One PQ training step where assignment reads only the
     deterministic hash sample (md5-threshold WHERE — bernoulli_sample's
