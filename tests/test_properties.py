@@ -505,3 +505,63 @@ def test_negative_samples_random_contract(spark, pos_pairs, k):
         assert u in users
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= k
+
+
+# -- hybrid BPE trainer: incremental updates vs naive recount ----------------
+# _bpe_train_local maintains pair counts INCREMENTALLY (before/after
+# deltas per touched word, a lazy-deletion heap, a pair->word index);
+# _py-style naive training recounts every pair every round. Same tie
+# order (bytes == codepoint order on these alphabets). Pure Python on
+# both sides - no Spark - so hypothesis can hammer the bookkeeping.
+
+def _naive_bpe(word_freqs: dict[str, int], n: int, min_count: int = 1):
+    state = {w: list(w) for w in word_freqs}
+    out = []
+    for rank in range(1, n + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + word_freqs[w]
+        if not pc:
+            break
+        m = max(pc.values())
+        if m < min_count:
+            break
+        lhs, rhs = min(
+            (k for k, v in pc.items() if v == m),
+            key=lambda p: (p[0].encode(), p[1].encode()),
+        )
+        out.append((rank, lhs, rhs, m))
+        for w, syms in state.items():
+            i, ns = 0, []
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                    ns.append(lhs + rhs)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            state[w] = ns
+    return out
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdeé", min_size=1, max_size=10),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=120, deadline=None)
+def test_bpe_local_trainer_matches_naive_recount(word_freqs, n, min_count):
+    from semantic_cpp_spark.pipeline.text import _bpe_train_local
+
+    rows = [
+        (freq, " " + "  ".join(list(w)) + " ") for w, freq in word_freqs.items()
+    ]
+    got = _bpe_train_local(rows, n, min_count)
+    assert got == _naive_bpe(word_freqs, n, min_count)
