@@ -271,6 +271,14 @@ def bpe_word_counts(df: DataFrame, text: Column) -> DataFrame:
     )
 
 
+def _validate_eow(eow: str) -> None:
+    """Shared end-of-word-marker validation (one definition — the
+    check guards three entry points: _bpe_symbolize, bpe_segment,
+    bpe_vocab)."""
+    if not eow or " " in eow:
+        raise ValueError(f"eow must be non-empty and space-free: {eow!r}")
+
+
 def _bpe_symbolize(word: Column, eow: str | None = None) -> Column:
     """word → its initial symbol string: one symbol per codepoint,
     double-space delimited, single-space padded (' h  e  y ').
@@ -283,8 +291,7 @@ def _bpe_symbolize(word: Column, eow: str | None = None) -> Column:
     text may contain '<', '/', 'w', '>' adjacent."""
     base = F.rtrim(F.regexp_replace(word, "(.)", "$1  "))
     if eow is not None:
-        if not eow or " " in eow:
-            raise ValueError(f"eow must be non-empty and space-free: {eow!r}")
+        _validate_eow(eow)
         return F.concat(F.lit(" "), base, F.lit(f"  {eow} "))
     return F.concat(F.lit(" "), base, F.lit(" "))
 
@@ -797,8 +804,8 @@ def bpe_segment(
     consistency is pinned for the eow form too."""
     if impl not in ("auto", "column", "kernel"):
         raise ValueError(f"impl must be auto|column|kernel: {impl!r}")
-    if eow is not None and (not eow or " " in eow):
-        raise ValueError(f"eow must be non-empty and space-free: {eow!r}")
+    if eow is not None:
+        _validate_eow(eow)
     if impl == "kernel" or (
         impl == "auto" and len(merges) > BPE_KERNEL_THRESHOLD
     ):
@@ -823,9 +830,21 @@ def bpe_segment(
             return F.concat(base, F.lit(f"  {eow}"))
         return base
 
+    # drop empty tokens BEFORE symbolizing: split('') yields [''] for
+    # empty/whitespace-only text, and with eow an empty word would
+    # still symbolize to a bare marker — a phantom subword the kernel
+    # (which skips empty tokens) never emits. Filtering keeps the two
+    # paths byte-identical on empty docs; without eow the empty
+    # token's '' symbol was erased by the final collapse anyway, so
+    # this changes nothing there (edge-parity test-pinned).
     s = F.concat(
         F.lit(" "),
-        F.array_join(F.transform(tokens(text), _sym), "   "),
+        F.array_join(
+            F.transform(
+                F.filter(tokens(text), lambda w: w != ""), _sym
+            ),
+            "   ",
+        ),
         F.lit(" "),
     )
     out = df.select(id_col.alias("doc_id"), s.alias("__s"))
@@ -981,7 +1000,13 @@ def bpe_vocab(
     growth: adding documents never renumbers existing units — the
     property a deployed tokenizer needs. Shape: one distinct over the
     corpus's exploded characters (bounded by the alphabet, KB-scale)
-    + the M-row merge table; zero corpus-sized state."""
+    + the M-row merge table; zero corpus-sized state.
+
+    Duplicate unit STRINGS (distinct merge rules concatenating to the
+    same unit, or a merge product colliding with the eow marker) keep
+    their first (smallest) token_id; later duplicates are dropped,
+    leaving holes in the id range — id stability is the contract, not
+    density (test-pinned)."""
     from semantic_cpp_spark.indexing import with_ordinal
 
     # "(?s)." matches one CODE POINT (Java regex), matching
@@ -997,25 +1022,44 @@ def bpe_vocab(
         .distinct()
     )
     if eow is not None:
-        if not eow or " " in eow:
-            raise ValueError(f"eow must be non-empty and space-free: {eow!r}")
+        _validate_eow(eow)
         chars = chars.unionByName(
             df.sparkSession.createDataFrame([(eow,)], "unit string")
         ).distinct()
+    # count the (already distinct) alphabet BEFORE the ordinal sort —
+    # counting the ordinal output would execute the range-sort job
+    # once for the count and again for the union below
+    n_base = chars.count()
     base = with_ordinal(chars, ["unit"], name="token_id", strategy="range").select(
         "unit",
         F.col("token_id"),
         F.lit("base").alias("source"),
         F.lit(None).cast("long").alias("rank"),
     )
-    n_base = base.count()
     merged = merges.select(
         F.concat("lhs", "rhs").alias("unit"),
         (F.col("rank") - 1 + F.lit(n_base)).cast("long").alias("token_id"),
         F.lit("merge").alias("source"),
         F.col("rank").cast("long").alias("rank"),
     )
-    return base.unionByName(merged)
+    # DEDUPE by unit string, first id wins: distinct merge RULES can
+    # concatenate to the same unit ((a,bc) and (ab,c) both yield
+    # 'abc'), and a merge product can collide with the eow marker
+    # itself when corpus text contains the marker's characters
+    # (_bpe_symbolize's documented caveat). A vocabulary must map
+    # unit -> ONE id or the encode join fans out; keeping the
+    # smallest token_id is deterministic and stable (later duplicates
+    # leave holes in the id range — id STABILITY is the contract,
+    # not density).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("unit").orderBy("token_id")
+    return (
+        base.unionByName(merged)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def encode_subwords(
@@ -1067,16 +1111,29 @@ def tokenizer_stats(
     No shuffle, no corpus-sized state; inherits the kernel's
     M-independence, so evaluating a 30k-rule candidate costs the same
     scan as a 100-rule one."""
+    # null-text docs must yield NULL metrics, not size(null) = -1
+    # counts; n_words counts NON-EMPTY tokens so empty/whitespace-only
+    # text reports 0 words (split('') yields ['']), matching the
+    # segmenter's empty-token drop
     packed_id = F.struct(
         id_col.alias("id"),
-        token_count(text).alias("n_words"),
-        F.length(F.concat_ws("", tokens(text))).cast("long").alias("n_chars"),
+        F.when(
+            text.isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            F.size(F.filter(tokens(text), lambda w: w != "")).cast("long")
+        ).alias("n_words"),
+        F.when(
+            text.isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            F.length(F.concat_ws("", tokens(text))).cast("long")
+        ).alias("n_chars"),
     )
     seg = bpe_segment(df, text, packed_id, merges, eow=eow, impl=impl)
     out = seg.select(
         F.col("doc_id.id").alias("doc_id"),
         F.col("doc_id.n_words").alias("n_words"),
-        F.when(F.length("subword_text") == 0, F.lit(0))
+        F.when(F.col("subword_text").isNull(), F.lit(None).cast("long"))
+        .when(F.length("subword_text") == 0, F.lit(0))
         .otherwise(F.size(F.split("subword_text", " ")))
         .cast("long")
         .alias("n_subwords"),
@@ -1084,15 +1141,20 @@ def tokenizer_stats(
     )
     nw = F.col("n_words").cast("double")
     ns = F.col("n_subwords").cast("double")
+    # zero guards: an empty doc has 0 words and 0 subwords — emit NULL
+    # ratios instead of dividing by zero (which ABORTS the whole job
+    # under ANSI mode, Spark 4's default)
     return out.select(
         "doc_id",
         "n_words",
         "n_subwords",
         "n_chars",
-        F.round(ns / nw, 6).alias("fertility"),
-        F.round(F.col("n_chars").cast("double") / ns, 6).alias(
-            "chars_per_subword"
-        ),
+        F.when(F.col("n_words") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(ns / nw, 6))
+        .alias("fertility"),
+        F.when(F.col("n_subwords") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_chars").cast("double") / ns, 6))
+        .alias("chars_per_subword"),
     )
 
 

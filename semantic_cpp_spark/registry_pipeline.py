@@ -4433,6 +4433,35 @@ def _bpe_merges_sql(n: int, eow: str | None = None) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+def _bpe_doc_replay_ctes(n: int, prefix: str = "d") -> list[str]:
+    """The per-DOCUMENT segment replay as CTE fragments
+    ({prefix}0 symbolized docs, {prefix}i after round i's winner
+    applies): each doc symbolizes word-by-word exactly as
+    bpe_segment's Column path does (double-space symbol delimiters,
+    THREE-space word gaps so no merge pattern can span a boundary,
+    empty tokens dropped — the r12 empty-doc parity fix), then each
+    learned m{{i}} winner applies as one literal replace. Shared by
+    the segmentation, tokenizer-stats, and subword-encode oracles so
+    the replay can never desynchronize between them. Requires
+    _bpe_train_ctes(n) m{{i}} CTEs in scope."""
+    p = prefix
+    parts = [rf"""{p}0 AS MATERIALIZED (
+  SELECT doc_id,
+         ' ' || array_to_string(
+             list_transform(
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             w -> w <> ''),
+                 w -> rtrim(regexp_replace(w, '(.)', '\1  ', 'g'))),
+             '   ') || ' ' AS s
+  FROM documents)"""]
+    for i in range(1, n + 1):
+        parts.append(f"""{p}{i} AS MATERIALIZED (
+  SELECT doc_id, replace(s, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                         ' ' || m.lhs || m.rhs || ' ') AS s
+  FROM {p}{i - 1}, m{i} m)""")
+    return parts
+
+
 def _bpe_segment_sql(n: int) -> str:
     """Learn ``n`` merges (the _bpe_train_ctes replay), then SEGMENT
     every document with them: each doc symbolizes word-by-word exactly
@@ -4443,19 +4472,7 @@ def _bpe_segment_sql(n: int) -> str:
     md5 — so a green row proves the KERNEL (the Spark side forces
     impl="kernel") agrees with a serial SQL replay of train+apply on
     every document byte-for-byte."""
-    parts = _bpe_train_ctes(n)
-    parts.append(r"""d0 AS MATERIALIZED (
-  SELECT doc_id,
-         ' ' || array_to_string(
-             list_transform(regexp_split_to_array(trim(text), '\s+'),
-                            w -> rtrim(regexp_replace(w, '(.)', '\1  ', 'g'))),
-             '   ') || ' ' AS s
-  FROM documents)""")
-    for i in range(1, n + 1):
-        parts.append(f"""d{i} AS MATERIALIZED (
-  SELECT doc_id, replace(s, ' ' || m.lhs || '  ' || m.rhs || ' ',
-                         ' ' || m.lhs || m.rhs || ' ') AS s
-  FROM d{i - 1}, m{i} m)""")
+    parts = _bpe_train_ctes(n) + _bpe_doc_replay_ctes(n, "d")
     return (
         "WITH " + ",\n".join(parts) + f"""
     SELECT doc_id,
@@ -4574,12 +4591,15 @@ def _bpe_vocab_sql(n: int, eow: str | None = None) -> str:
     emit base + merged units with the trainer-defined ids."""
     parts = _bpe_train_ctes(n, eow) + _vocab_cte_parts(n, eow)
     return (
-        "WITH " + ",\n".join(parts) + """
-    SELECT unit, token_id, 'base' AS source, NULL::BIGINT AS rank FROM vbase
-    UNION ALL
-    SELECT vmu.lhs || vmu.rhs AS unit, vnb.n + vmu.rank - 1 AS token_id,
-           'merge' AS source, vmu.rank
-    FROM vmu, vnb"""
+        "WITH " + ",\n".join(parts) + """,
+    vall AS (
+      SELECT unit, token_id, 'base' AS source, NULL::BIGINT AS rank FROM vbase
+      UNION ALL
+      SELECT vmu.lhs || vmu.rhs AS unit, vnb.n + vmu.rank - 1 AS token_id,
+             'merge' AS source, vmu.rank
+      FROM vmu, vnb)
+    SELECT unit, token_id, source, rank FROM vall
+    QUALIFY row_number() OVER (PARTITION BY unit ORDER BY token_id) = 1"""
     )
 
 
@@ -4599,41 +4619,30 @@ def _tokenizer_stats_sql(n: int) -> str:
     """Oracle for text.tokenizer_stats: the _bpe_segment_sql document
     replay (d{i} chains) plus per-doc word/char counts — fertility and
     chars-per-subword in the same 6dp rounding as the engine."""
-    parts = _bpe_train_ctes(n)
-    parts.append(r"""d0 AS MATERIALIZED (
-  SELECT doc_id,
-         ' ' || array_to_string(
-             list_transform(regexp_split_to_array(trim(text), '\s+'),
-                            w -> rtrim(regexp_replace(w, '(.)', '\1  ', 'g'))),
-             '   ') || ' ' AS s
-  FROM documents)""")
-    for i in range(1, n + 1):
-        parts.append(f"""d{i} AS MATERIALIZED (
-  SELECT doc_id, replace(s, ' ' || m.lhs || '  ' || m.rhs || ' ',
-                         ' ' || m.lhs || m.rhs || ' ') AS s
-  FROM d{i - 1}, m{i} m)""")
+    parts = _bpe_train_ctes(n) + _bpe_doc_replay_ctes(n, "d")
     parts.append(rf"""tstream AS (
   SELECT doc_id, regexp_replace(trim(s), ' +', ' ', 'g') AS stream FROM d{n}),
 tsrc AS (
   SELECT doc_id,
-         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_words,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         w -> w <> ''))::BIGINT AS n_words,
          length(array_to_string(regexp_split_to_array(trim(text), '\s+'), ''))::BIGINT
            AS n_chars
-  FROM documents)""")
+  FROM documents),
+tcnt AS (
+  SELECT s.doc_id, s.n_words, s.n_chars,
+         (CASE WHEN length(t.stream) = 0 THEN 0
+               ELSE len(string_split(t.stream, ' ')) END)::BIGINT AS n_subwords
+  FROM tsrc s JOIN tstream t USING (doc_id))""")
     return (
         "WITH " + ",\n".join(parts) + """
-    SELECT s.doc_id, s.n_words,
-           (CASE WHEN length(t.stream) = 0 THEN 0
-                 ELSE len(string_split(t.stream, ' ')) END)::BIGINT AS n_subwords,
-           s.n_chars,
-           round((CASE WHEN length(t.stream) = 0 THEN 0
-                       ELSE len(string_split(t.stream, ' ')) END)::DOUBLE
-                 / s.n_words, 6) AS fertility,
-           round(s.n_chars::DOUBLE /
-                 (CASE WHEN length(t.stream) = 0 THEN 0
-                       ELSE len(string_split(t.stream, ' ')) END), 6)
+    SELECT doc_id, n_words, n_subwords, n_chars,
+           CASE WHEN n_words = 0 THEN NULL
+                ELSE round(n_subwords::DOUBLE / n_words, 6) END AS fertility,
+           CASE WHEN n_subwords = 0 THEN NULL
+                ELSE round(n_chars::DOUBLE / n_subwords, 6) END
              AS chars_per_subword
-    FROM tsrc s JOIN tstream t USING (doc_id)"""
+    FROM tcnt"""
     )
 
 
@@ -4656,24 +4665,17 @@ def _encode_subwords_sql(n: int) -> str:
     unit stream → vocab left join → per-doc id fingerprint (the
     txt_encode_docs shape one layer down, against the TRAINER id
     space)."""
-    parts = _bpe_train_ctes(n) + _vocab_cte_parts(n)
-    parts.append(r"""e0 AS MATERIALIZED (
-  SELECT doc_id,
-         ' ' || array_to_string(
-             list_transform(regexp_split_to_array(trim(text), '\s+'),
-                            w -> rtrim(regexp_replace(w, '(.)', '\1  ', 'g'))),
-             '   ') || ' ' AS s
-  FROM documents)""")
-    for i in range(1, n + 1):
-        parts.append(f"""e{i} AS MATERIALIZED (
-  SELECT doc_id, replace(s, ' ' || m.lhs || '  ' || m.rhs || ' ',
-                         ' ' || m.lhs || m.rhs || ' ') AS s
-  FROM e{i - 1}, m{i} m)""")
+    parts = (
+        _bpe_train_ctes(n) + _vocab_cte_parts(n)
+        + _bpe_doc_replay_ctes(n, "e")
+    )
     parts.append(f"""vv AS (
-  SELECT unit, token_id FROM vbase
-  UNION ALL
-  SELECT vmu.lhs || vmu.rhs AS unit, vnb.n + vmu.rank - 1 AS token_id
-  FROM vmu, vnb),
+  SELECT unit, token_id FROM (
+    SELECT unit, token_id FROM vbase
+    UNION ALL
+    SELECT vmu.lhs || vmu.rhs AS unit, vnb.n + vmu.rank - 1 AS token_id
+    FROM vmu, vnb)
+  QUALIFY row_number() OVER (PARTITION BY unit ORDER BY token_id) = 1),
 eseg AS (SELECT doc_id, string_split(regexp_replace(trim(s), ' +', ' ', 'g'), ' ') AS us
          FROM e{n}),
 eex AS (SELECT doc_id, unnest(range(1, len(us) + 1)) AS pos, us FROM eseg),

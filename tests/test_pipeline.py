@@ -3061,6 +3061,87 @@ def test_bpe_vocab_alphabet_plus_merges_and_closure(spark):
     assert units_e <= {r["unit"] for r in vocab_e}
 
 
+def test_bpe_segment_eow_empty_doc_parity(spark):
+    """r12 review fix: an empty or whitespace-only document must
+    segment to '' on BOTH paths even with eow — the column path used
+    to symbolize the empty token to a bare phantom marker while the
+    kernel dropped it, so crossing BPE_KERNEL_THRESHOLD silently
+    changed empty-doc output. Null text stays null on both."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None), (3, "ab")],
+        "doc_id long, text string",
+    )
+    merges = [("a", "b")]
+    for eow in (None, "</w>"):
+        col_rows = sorted(
+            (r["doc_id"], r["subword_text"])
+            for r in text.bpe_segment(
+                df, F.col("text"), F.col("doc_id"), merges,
+                eow=eow, impl="column",
+            ).collect()
+        )
+        ker_rows = sorted(
+            (r["doc_id"], r["subword_text"])
+            for r in text.bpe_segment(
+                df, F.col("text"), F.col("doc_id"), merges,
+                eow=eow, impl="kernel",
+            ).collect()
+        )
+        assert col_rows == ker_rows, eow
+        assert col_rows[0][1] == "" and col_rows[1][1] == ""
+        assert col_rows[2][1] is None
+
+
+def test_tokenizer_stats_empty_and_null_docs(spark):
+    """r12 review fix: empty/whitespace-only docs must yield 0 counts
+    and NULL ratios — not a DIVIDE_BY_ZERO that aborts the whole
+    metrics job under ANSI mode — and null-text docs must yield NULL
+    counts, not size(null) = -1."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None), (3, "aa b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_subwords"], r["n_chars"],
+            r["fertility"], r["chars_per_subword"],
+        )
+        for r in text.tokenizer_stats(
+            df, F.col("text"), F.col("doc_id"), [("a", "a")]
+        ).collect()
+    }
+    assert got[0] == (0, 0, 0, None, None)
+    assert got[1] == (0, 0, 0, None, None)
+    assert got[2] == (None, None, None, None, None)
+    assert got[3] == (2, 2, 3, 1.0, 1.5)
+
+
+def test_bpe_vocab_dedupes_colliding_units(spark):
+    """r12 review fix: distinct merge rules can concatenate to the
+    same unit string ((a,bc) and (ab,c) both yield 'abc'), and a merge
+    product can equal the eow marker — a vocabulary must map each
+    unit to ONE id (first id wins) or the encode join fans out."""
+    df = spark.createDataFrame([(0, "abc abc")], "doc_id long, text string")
+    collide = spark.createDataFrame(
+        [(1, "b", "c", 2), (2, "a", "bc", 2), (3, "ab", "c", 2)],
+        "rank long, lhs string, rhs string, pair_count long",
+    )
+    vocab = text.bpe_vocab(df, F.col("text"), collide)
+    rows = vocab.collect()
+    abc = [r for r in rows if r["unit"] == "abc"]
+    assert len(abc) == 1 and abc[0]["rank"] == 2  # first definition wins
+    assert len({r["unit"] for r in rows}) == len(rows)
+    # eow marker colliding with a merge product: base id wins
+    df2 = spark.createDataFrame([(0, "</w </w")], "doc_id long, text string")
+    collide2 = spark.createDataFrame(
+        [(1, "<", "/"), (2, "</", "w"), (3, "</w", ">")],
+        "rank long, lhs string, rhs string",
+    ).withColumn("pair_count", F.lit(2).cast("long"))
+    vocab2 = text.bpe_vocab(df2, F.col("text"), collide2, eow="</w>")
+    marker = [r for r in vocab2.collect() if r["unit"] == "</w>"]
+    assert len(marker) == 1 and marker[0]["source"] == "base"
+
+
 def test_encode_subwords_zero_oov_on_corpus(spark):
     """The deployed-tokenizer contract: encoding the TRAINING corpus
     against the trainer-defined id space never hits OOV (bpe_vocab's
