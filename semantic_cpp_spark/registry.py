@@ -44,10 +44,12 @@ def register(name: str, sql: str | None = None):
 
 
 def queries() -> dict[str, QueryFn]:
+    _reorder()  # order must not depend on import sequence (see _reorder)
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _reorder()
     return dict(_ORACLES)
 
 
@@ -738,7 +740,20 @@ _PRIORITY: list[str] = [
 
 def _reorder() -> None:
     """Rebuild _QUERIES/_ORACLES with _PRIORITY names first (silently skipping
-    names not yet registered), preserving relative order for the rest."""
+    names not yet registered), preserving relative order for the rest.
+
+    Called at module end AND lazily from queries()/oracle_sql() (r12):
+    importing a registry_* submodule directly (e.g. ``import
+    semantic_cpp_spark.registry_pipeline``) starts that module, whose
+    ``from ...registry import register`` pulls THIS module in fully —
+    including the submodule imports below, where the circular
+    ``registry_pipeline`` import returns the PARTIALLY-initialized
+    module already in sys.modules. The rest of that submodule's
+    @register calls then run after the module-end _reorder(),
+    appending its queries past the window cut. The lazy call makes
+    the driver-visible order independent of who imported what first
+    (caught by the full-suite contract tests when
+    test_r13_gate_candidates imported registry_pipeline directly)."""
     global _QUERIES, _ORACLES
     ordered = [n for n in _PRIORITY if n in _QUERIES]
     ordered += [n for n in _QUERIES if n not in set(ordered)]
