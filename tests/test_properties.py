@@ -565,3 +565,58 @@ def test_bpe_local_trainer_matches_naive_recount(word_freqs, n, min_count):
     ]
     got = _bpe_train_local(rows, n, min_count)
     assert got == _naive_bpe(word_freqs, n, min_count)
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_local_trainer_matches_naive_recount_eow(word_freqs, n):
+    """The eow form is the same algorithm over marker-terminated
+    symbol sequences — the incremental trainer must match the naive
+    recount when every word carries the atomic end-of-word symbol
+    (which the marker-bearing naive state models as one extra
+    symbol)."""
+    from semantic_cpp_spark.pipeline.text import _bpe_train_local
+
+    EOW = "</w>"
+    rows = [
+        (freq, " " + "  ".join(list(w) + [EOW]) + " ")
+        for w, freq in word_freqs.items()
+    ]
+    got = _bpe_train_local(rows, n, 1)
+    # naive reference over marker-terminated states: reuse the plain
+    # recount by mapping each word to a synthetic symbol list
+    state = {w: list(w) + [EOW] for w in word_freqs}
+    out = []
+    for rank in range(1, n + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + word_freqs[w]
+        if not pc:
+            break
+        m = max(pc.values())
+        lhs, rhs = min(
+            (k for k, v in pc.items() if v == m),
+            key=lambda p: (p[0].encode(), p[1].encode()),
+        )
+        out.append((rank, lhs, rhs, m))
+        for w, syms in state.items():
+            i, ns = 0, []
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                    ns.append(lhs + rhs)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            state[w] = ns
+    assert got == out
