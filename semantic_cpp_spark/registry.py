@@ -730,11 +730,10 @@ _PRIORITY: list[str] = [
     #    position, when rotating. r13 is the 41-query r8-vintage
     #    deadline (42 minus the hll backfill above) + ~9 free slots;
     #    recount from the CORRECTNESS files when building that
-    #    window. Three rule-(b) candidates are already PRE-VERIFIED
-    #    (Spark callable + DuckDB oracle + differential pytest,
-    #    tests/test_r13_gate_candidates.py): _candidate_bpe_vocab,
-    #    _candidate_tokenizer_stats, _candidate_encode_subwords in
-    #    registry_pipeline.py — registration is a two-line diff each. --
+    #    window. Rule-(b) candidates REGISTERED past this cut (each
+    #    pre-verified by a differential pytest before registration):
+    #    txt_bpe_vocab, txt_tokenizer_stats, txt_encode_subwords
+    #    (tests/test_r13_gate_candidates.py). --
 ]
 
 
