@@ -1,0 +1,227 @@
+"""Distributed corpus classification: multinomial Naive Bayes.
+
+The linear bag-of-words classifier slot in large-corpus curation
+pipelines — the role fastText-style classifiers play in CCNet
+(Wenzek et al. 2020) and DCLM-style quality filtering (train a cheap
+classifier on labeled documents, score every document, keep/band/route
+by predicted class).  Multinomial NB (McCallum & Nigam 1998) is the
+fully-SQL-expressible member of that family: training is ONE
+(label, term) groupBy over the corpus, the model is a vocab-capped
+table, and scoring is a term join plus a per-document sum — so both
+train and predict stay JVM-side Column algebra with no UDF anywhere.
+
+Determinism contract (the property every oracle here leans on): each
+model log-probability is rounded to int64 MICRO-UNITS at the model
+boundary (``round(ln(p)·1e6)`` — the established order-exact idiom,
+see eventflow.decayed_activity / clustering.cluster_cohesion), so
+per-document scores are exact integer sums: partition-order-free on
+Spark and bit-identical to a serial DuckDB replay.  The only floating
+step is ``ln`` on identical double inputs, per-model-row, before
+rounding — the same accepted 1-ulp-at-a-boundary exposure class as
+every 6dp-rounded gate in the registry.
+
+Scale design (100 TB corpus, 1000 executors):
+- training: one corpus-scale explode feeding a (label, term) partial
+  aggregate; the vocabulary cut is TakeOrdered (heap per partition +
+  driver merge of K·P candidates), never a full sort of the term space;
+- the DENSE model is vocab_size × n_labels rows — bounded by the
+  caller's ``vocab_size`` knob, NOT by the corpus, so it broadcasts by
+  construction (the PQ-books contract: model state is KB/MB-scale and
+  rides the broadcast channel);
+- scoring: per-doc term frequencies (a doc_id+term partial aggregate,
+  smaller than the raw token stream) broadcast-joined against the
+  model; the per-(doc, label) sum is one key-partitioned aggregate.
+  Nothing in the scoring path shuffles the corpus more than once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000.0
+
+
+class NBModel(NamedTuple):
+    """A trained multinomial NB model.
+
+    ``model``: dense (term, label, lp_micro) — log P(term|label) with
+    add-``alpha`` smoothing, int64 micro-units; exactly
+    vocab_size × n_labels rows (broadcastable by construction).
+    ``priors``: (label, prior_micro, n_docs) — log P(label) in
+    micro-units plus the training document count per label.
+    """
+
+    model: DataFrame
+    priors: DataFrame
+
+
+def _terms(text: Column) -> Column:
+    """Lower-cased whitespace terms with empties dropped (an empty
+    document must contribute no tokens, not one '' token — the
+    tokenizer_stats empty-doc lesson)."""
+    return F.filter(
+        F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def nb_train(
+    df: DataFrame,
+    text: Column,
+    label: Column,
+    vocab_size: int = 50_000,
+    alpha: float = 1.0,
+) -> NBModel:
+    """Train multinomial Naive Bayes on labeled documents.
+
+    Vocabulary = top ``vocab_size`` training terms by (count DESC,
+    term ASC) — a deterministic cut at any partitioning.  Terms outside
+    the vocabulary are DROPPED (at train and predict alike), not routed
+    to an UNK bucket: the model is then a pure function of the vocab
+    table, and the smoothing denominator is the in-vocab token total.
+    log P(term|label) = ln((cnt + alpha) / (tot_label + alpha·V)),
+    stored as int64 micro-units (see module docstring).
+    """
+    tok = df.select(label.alias("label"), F.explode(_terms(text)).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .select("term")
+    )
+    cnts = (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy("label", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tots = cnts.groupBy("label").agg(F.sum("cnt").cast("long").alias("tot"))
+    vsz = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    labels = df.select(label.alias("label")).distinct()
+    dense = (
+        vocab.crossJoin(F.broadcast(labels))
+        .join(cnts, ["term", "label"], "left")
+        .na.fill({"cnt": 0})
+        .join(F.broadcast(tots), "label")
+        .crossJoin(F.broadcast(vsz))
+    )
+    model = dense.select(
+        "term",
+        "label",
+        F.round(
+            F.log(
+                (F.col("cnt") + F.lit(alpha))
+                / (F.col("tot") + F.lit(alpha) * F.col("v"))
+            )
+            * MICRO
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    docs_l = df.groupBy(label.alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    docs_total = df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    priors = (
+        docs_l.crossJoin(F.broadcast(docs_total))
+        .select(
+            "label",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("n_total")) * MICRO
+            )
+            .cast("long")
+            .alias("prior_micro"),
+            "n_docs",
+        )
+    )
+    return NBModel(model=model, priors=priors)
+
+
+def nb_predict(
+    df: DataFrame, text: Column, id_col: Column, nbm: NBModel
+) -> DataFrame:
+    """Score documents under a trained model and pick the argmax class.
+
+    score(d, c) = prior_micro(c) + Σ_term tf(d, term)·lp_micro(term, c)
+    — an exact int64 sum.  Ties (and the zero-vocab-token document,
+    which scores on priors alone) break deterministically: highest
+    score, then label ascending.  Output one row per document:
+    (doc_id, predicted, score_micro, margin_micro, n_vocab_tokens)
+    where margin_micro = top1 − top2 score (NULL with a single label)
+    — the confidence knob for keep/route thresholds.
+
+    Plan: tf is a (doc_id, term) partial aggregate; the model join is
+    an explicit broadcast (model size is vocab_size × n_labels by
+    construction); the final argmax is a row_number window partitioned
+    by doc_id — key cardinality = the corpus, fully parallel.
+    """
+    vocab = nbm.model.select("term").distinct()
+    tf = (
+        df.select(id_col.alias("doc_id"), F.explode(_terms(text)).alias("term"))
+        .join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    contrib = tf.join(F.broadcast(nbm.model), "term").select(
+        "doc_id", "label", (F.col("tf") * F.col("lp_micro")).alias("part")
+    )
+    base = df.select(id_col.alias("doc_id")).crossJoin(
+        F.broadcast(nbm.priors.select("label", F.col("prior_micro").alias("part")))
+    )
+    scores = (
+        base.unionByName(contrib)
+        .groupBy("doc_id", "label")
+        .agg(F.sum("part").cast("long").alias("score_micro"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("label").asc()
+    )
+    ntok = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("n_vocab_tokens"))
+    )
+    ranked = scores.select(
+        "doc_id",
+        "label",
+        "score_micro",
+        F.row_number().over(w).alias("rk"),
+        (F.col("score_micro") - F.lead("score_micro", 1).over(w)).alias(
+            "margin_micro"
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .join(ntok, "doc_id", "left")
+        .na.fill({"n_vocab_tokens": 0})
+        .select(
+            "doc_id",
+            F.col("label").alias("predicted"),
+            "score_micro",
+            "margin_micro",
+            "n_vocab_tokens",
+        )
+    )
+
+
+def nb_confusion(
+    pred: DataFrame, truth: DataFrame, id_col: str = "doc_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Confusion matrix with a per-cell membership fingerprint:
+    (label, predicted, n_docs, docs_fp) where docs_fp is the md5 of the
+    '_'-joined doc ids in ascending order — so a green compare pins the
+    exact per-document assignment, not just the cell counts."""
+    joined = pred.join(
+        truth.select(F.col(id_col).alias("doc_id"), F.col(label_col).alias("label")),
+        "doc_id",
+    )
+    return joined.groupBy("label", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.md5(
+            F.concat_ws(
+                "_", F.sort_array(F.collect_list(F.col("doc_id").cast("long")))
+            )
+        ).alias("docs_fp"),
+    )

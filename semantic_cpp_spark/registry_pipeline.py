@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from semantic_cpp_spark.pipeline import dedup, multimodal, similarity, text
+from semantic_cpp_spark.pipeline import classify, dedup, multimodal, similarity, text
 from semantic_cpp_spark.registry import register
 from semantic_cpp_spark.session import load_table
 
@@ -4603,8 +4603,9 @@ def _bpe_vocab_sql(n: int, eow: str | None = None) -> str:
     )
 
 
-def _candidate_bpe_vocab(spark, sf_dir):
-    """[r13 candidate] Trainer-defined subword vocabulary
+@register("txt_bpe_vocab", _bpe_vocab_sql(6))
+def txt_bpe_vocab(spark, sf_dir):
+    """Trainer-defined subword vocabulary
     (text.bpe_vocab): corpus alphabet in codepoint order + merged
     units in rank order — the HF/SentencePiece fixed id space, closed
     over segmentation output and stable under corpus growth. A green
@@ -4646,8 +4647,9 @@ tcnt AS (
     )
 
 
-def _candidate_tokenizer_stats(spark, sf_dir):
-    """[r13 candidate] Per-document tokenizer-quality metrics
+@register("txt_tokenizer_stats", _tokenizer_stats_sql(6))
+def txt_tokenizer_stats(spark, sf_dir):
+    """Per-document tokenizer-quality metrics
     (text.tokenizer_stats, kernel path): fertility + chars-per-subword
     for the corpus-trained table, computed in ONE exchange-free pass
     (counts ride through the segmenter in the struct id column). The
@@ -4691,8 +4693,9 @@ ej AS (SELECT e.doc_id, e.pos, coalesce(v.token_id, -1) AS tid
     )
 
 
-def _candidate_encode_subwords(spark, sf_dir):
-    """[r13 candidate] Fixed-vocab subword numericalization
+@register("txt_encode_subwords", _encode_subwords_sql(6))
+def txt_encode_subwords(spark, sf_dir):
+    """Fixed-vocab subword numericalization
     (text.encode_subwords): segment with the corpus-trained table,
     encode against the trainer-defined id space — n_oov is 0 on
     corpus text by the closure property, and the id fingerprint pins
@@ -4774,4 +4777,84 @@ def sim_pq_train_sampled(spark, sf_dir):
             F.col("dim").cast("long").alias("dim"),
             F.round(F.col("x") * 1e6).cast("long").alias("q"),
         )
+    )
+
+
+# -- corpus classification (classify.py) -------------------------------------
+
+_NB_TOK = (
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+    " w -> w <> '')"
+)
+
+
+def _nb_holdout_sql(vocab_size: int = 50_000) -> str:
+    """Oracle for the NB holdout gate: replays nb_train + nb_predict +
+    nb_confusion serially — vocabulary cut, add-1 smoothing, the int64
+    micro-unit model boundary (CAST(round(ln(p)·1e6) AS BIGINT) — both
+    engines round identical double divisions, see classify.py's
+    determinism contract), exact integer score sums, and the
+    (score DESC, label ASC) argmax tie-break."""
+    return f"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+ttok AS (SELECT doc_id, lang, unnest({_NB_TOK}) AS term FROM tr),
+vc AS (SELECT term, count(*)::BIGINT AS cnt FROM ttok GROUP BY term),
+vocab AS (SELECT term FROM vc ORDER BY cnt DESC, term ASC LIMIT {vocab_size}),
+vsz AS (SELECT count(*)::BIGINT AS v FROM vocab),
+cnts AS (SELECT lang, term, count(*)::BIGINT AS cnt
+         FROM ttok JOIN vocab USING (term) GROUP BY lang, term),
+tots AS (SELECT lang, sum(cnt)::BIGINT AS tot FROM cnts GROUP BY lang),
+labels AS (SELECT DISTINCT lang FROM tr),
+dense AS (SELECT v.term, l.lang, coalesce(c.cnt, 0)::BIGINT AS cnt
+          FROM vocab v CROSS JOIN labels l
+          LEFT JOIN cnts c ON c.lang = l.lang AND c.term = v.term),
+model AS (SELECT d.term, d.lang,
+                 CAST(round(ln((d.cnt + 1.0) / (t.tot + 1.0 * vsz.v))
+                            * 1000000.0) AS BIGINT) AS lp_micro
+          FROM dense d JOIN tots t USING (lang), vsz),
+ntr AS (SELECT count(*)::BIGINT AS n_total FROM tr),
+priors AS (SELECT lang,
+                  CAST(round(ln(count(*)::DOUBLE / ntr.n_total)
+                             * 1000000.0) AS BIGINT) AS prior_micro
+           FROM tr, ntr GROUP BY lang, ntr.n_total),
+tetok AS (SELECT doc_id, unnest({_NB_TOK}) AS term FROM te),
+ttf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM tetok JOIN vocab USING (term) GROUP BY doc_id, term),
+contrib AS (SELECT t.doc_id, m.lang, t.tf * m.lp_micro AS part
+            FROM ttf t JOIN model m USING (term)),
+base AS (SELECT te.doc_id, p.lang, p.prior_micro AS part
+         FROM te CROSS JOIN priors p),
+scores AS (SELECT doc_id, lang, sum(part)::BIGINT AS score_micro
+           FROM (SELECT * FROM base UNION ALL SELECT * FROM contrib)
+           GROUP BY doc_id, lang),
+pred AS (SELECT doc_id, lang AS predicted, score_micro,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_micro DESC, lang ASC) AS rk
+         FROM scores)
+SELECT te.lang AS label, p.predicted, count(*)::BIGINT AS n_docs,
+       md5(string_agg(te.doc_id::VARCHAR, '_' ORDER BY te.doc_id)) AS docs_fp
+FROM pred p JOIN te USING (doc_id)
+WHERE p.rk = 1
+GROUP BY te.lang, p.predicted"""
+
+
+@register("txt_nb_holdout_confusion", _nb_holdout_sql())
+def txt_nb_holdout_confusion(spark, sf_dir):
+    """Corpus classification (classify.nb_train/nb_predict): the
+    CCNet/DCLM classifier slot as a first-class operator — train
+    multinomial NB on the 80% doc_id%5≠0 slice (labels = lang), score
+    the held-out 20%, and emit the confusion matrix with per-cell
+    membership fingerprints. A green row proves the deterministic
+    vocabulary cut, the smoothed micro-unit model, the exact integer
+    score sums (partition-order-free by construction), and the argmax
+    tie-break all match a serial replay. Production splits use the
+    content-hash curation.split_assign; the gate's modulo split keeps
+    the oracle one WHERE clause."""
+    docs = load_table(spark, sf_dir, "documents")
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    te = docs.filter(F.col("doc_id") % 5 == 0)
+    nbm = classify.nb_train(tr, F.col("text"), F.col("lang"))
+    pred = classify.nb_predict(te, F.col("text"), F.col("doc_id"), nbm)
+    return classify.nb_confusion(
+        pred, te.select("doc_id", F.col("lang").alias("label"))
     )

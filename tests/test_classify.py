@@ -1,0 +1,165 @@
+"""Multinomial Naive Bayes (pipeline.classify): model values against a
+pure-Python replay, argmax/tie-break/empty-doc semantics, and partition
+invariance of the exact integer scoring."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.pipeline import classify
+
+
+def _py_nb(train, alpha=1.0, vocab_size=50_000):
+    """Serial NB replay: returns (model {(term,label): lp_micro},
+    priors {label: prior_micro}, vocab set)."""
+    tok = [(lab, t) for lab, txt in train for t in txt.lower().split() if t]
+    cnt_all = {}
+    for _, t in tok:
+        cnt_all[t] = cnt_all.get(t, 0) + 1
+    vocab = sorted(cnt_all, key=lambda t: (-cnt_all[t], t))[:vocab_size]
+    vset = set(vocab)
+    labels = sorted({lab for lab, _ in train})
+    cnts = {}
+    for lab, t in tok:
+        if t in vset:
+            cnts[(lab, t)] = cnts.get((lab, t), 0) + 1
+    tots = {lab: sum(c for (l, _), c in cnts.items() if l == lab) for lab in labels}
+    v = len(vocab)
+    model = {
+        (t, lab): int(
+            _half_up(math.log((cnts.get((lab, t), 0) + alpha) / (tots[lab] + alpha * v)) * 1e6)
+        )
+        for t in vocab
+        for lab in labels
+    }
+    n = len(train)
+    n_l = {lab: sum(1 for l, _ in train if l == lab) for lab in labels}
+    priors = {lab: int(_half_up(math.log(n_l[lab] / n) * 1e6)) for lab in labels}
+    return model, priors, vset
+
+
+def _half_up(x: float) -> float:
+    # HALF_UP (away from zero), matching Spark F.round / DuckDB round.
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def _py_predict(model, priors, vset, docs):
+    out = {}
+    for doc_id, txt in docs:
+        scores = dict(priors)
+        for t in txt.lower().split():
+            if t in vset:
+                for lab in priors:
+                    scores[lab] += model[(t, lab)]
+        best = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[doc_id] = best
+    return out
+
+
+TRAIN = [
+    ("en", "the cat sat on the mat"),
+    ("en", "the dog ate the food"),
+    ("de", "der hund und die katze"),
+    ("de", "die katze sitzt auf der matte"),
+    ("es", "el gato y el perro"),
+]
+
+TEST = [
+    (0, "the cat and the dog"),
+    (1, "der hund sitzt auf der matte"),
+    (2, "el gato"),
+    (3, ""),                      # zero vocab tokens -> priors argmax
+    (4, "zzz qqq unseen words"),  # all-OOV -> priors argmax
+]
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    tr = spark.createDataFrame(TRAIN, "label string, text string")
+    nbm = classify.nb_train(tr, F.col("text"), F.col("label"))
+    return nbm
+
+
+def test_model_matches_python_replay(spark, fitted):
+    model, priors, _ = _py_nb(TRAIN)
+    got = {
+        (r["term"], r["label"]): r["lp_micro"]
+        for r in fitted.model.collect()
+    }
+    assert got == model
+    got_p = {r["label"]: r["prior_micro"] for r in fitted.priors.collect()}
+    assert got_p == priors
+
+
+def test_predictions_match_python_replay(spark, fitted):
+    model, priors, vset = _py_nb(TRAIN)
+    want = _py_predict(model, priors, vset, TEST)
+    te = spark.createDataFrame(TEST, "doc_id long, text string")
+    pred = classify.nb_predict(te, F.col("text"), F.col("doc_id"), fitted)
+    rows = {r["doc_id"]: r for r in pred.collect()}
+    assert len(rows) == len(TEST)
+    for doc_id, (lab, score) in want.items():
+        assert rows[doc_id]["predicted"] == lab, doc_id
+        assert rows[doc_id]["score_micro"] == score, doc_id
+
+
+def test_empty_and_oov_docs_fall_back_to_prior_argmax(spark, fitted):
+    te = spark.createDataFrame(TEST, "doc_id long, text string")
+    pred = classify.nb_predict(te, F.col("text"), F.col("doc_id"), fitted)
+    rows = {r["doc_id"]: r for r in pred.collect()}
+    # en and de both have 2/5 prior (tie) -> label ascending wins: 'de'
+    for doc_id in (3, 4):
+        assert rows[doc_id]["predicted"] == "de"
+        assert rows[doc_id]["n_vocab_tokens"] == 0
+
+
+def test_margin_is_top1_minus_top2(spark, fitted):
+    te = spark.createDataFrame(TEST, "doc_id long, text string")
+    pred = classify.nb_predict(te, F.col("text"), F.col("doc_id"), fitted)
+    row = {r["doc_id"]: r for r in pred.collect()}[3]
+    # doc 3 scores = priors alone: en == de (tie), so margin == 0
+    assert row["margin_micro"] == 0
+
+
+def test_partition_invariance(spark, fitted):
+    te = spark.createDataFrame(TEST, "doc_id long, text string")
+    a = classify.nb_predict(te, F.col("text"), F.col("doc_id"), fitted)
+    b = classify.nb_predict(
+        te.repartition(7), F.col("text"), F.col("doc_id"), fitted
+    )
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb
+
+
+def test_vocab_cut_is_deterministic(spark):
+    # vocab_size=2 with frequency ties: cut breaks on (count desc, term asc)
+    tr = spark.createDataFrame(
+        [("a", "x x y z"), ("b", "y z w w")], "label string, text string"
+    )
+    nbm = classify.nb_train(tr, F.col("text"), F.col("label"), vocab_size=2)
+    terms = sorted({r["term"] for r in nbm.model.collect()})
+    # counts: x=2, w=2, y=2, z=2 -> all tie at 2; term asc -> w, x
+    assert terms == ["w", "x"]
+
+
+def test_confusion_fingerprints_pin_membership(spark, fitted):
+    te = spark.createDataFrame(TEST, "doc_id long, text string")
+    pred = classify.nb_predict(te, F.col("text"), F.col("doc_id"), fitted)
+    truth = spark.createDataFrame(
+        [(0, "en"), (1, "de"), (2, "es"), (3, "de"), (4, "de")],
+        "doc_id long, label string",
+    )
+    conf = classify.nb_confusion(pred, truth).collect()
+    total = sum(r["n_docs"] for r in conf)
+    assert total == len(TEST)
+    import hashlib
+
+    for r in conf:
+        assert len(r["docs_fp"]) == 32
+    # the (de, de) cell holds docs 1, 3, 4 -> fingerprint is md5('1_3_4')
+    cell = {(r["label"], r["predicted"]): r for r in conf}
+    got = cell[("de", "de")]
+    assert got["docs_fp"] == hashlib.md5(b"1_3_4").hexdigest()
+    assert got["n_docs"] == 3

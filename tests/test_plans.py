@@ -729,3 +729,19 @@ def test_per_group_topk_gets_partial_window_group_limit(spark, qs):
     )
     plan = _plan(runs)
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
+def test_nb_predict_model_joins_are_broadcast(spark, qs):
+    """NB scoring must broadcast the vocab/model/priors frames (all
+    bounded by vocab_size × n_labels, the caller's knob — never
+    corpus-sized) so the corpus shuffles only for its own (doc, term)
+    and (doc, label) aggregates: no SortMergeJoin, no cartesian
+    product anywhere in the scoring plan."""
+    plan = _plan(qs["txt_nb_holdout_confusion"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # broadcast nested-loop is expected ONLY for the priors base rows
+    # (a true cross join of the corpus ids with the ≤n_labels priors);
+    # the model/vocab term joins must be hash joins.
+    assert plan.count("BroadcastHashJoin") >= 3

@@ -1,10 +1,10 @@
 """Differential pre-verification of the r13 gate candidates (the r12
-tokenizer additions whose driver-window slots arrive next round): each
-candidate's Spark callable and DuckDB oracle run side-by-side at
-sf0.001 with the verify_local compare discipline (columns sorted by
-name, rows sorted, values canonicalised) — so by the time r13 wires
-@register, the pair already holds a hard differential proof and the
-driver row is a formality, not a first contact."""
+tokenizer additions, now @register-ed past the r12 window cut; their
+first driver rows arrive with the r13 rotation): each candidate's
+Spark callable and DuckDB oracle run side-by-side at sf0.001 with the
+verify_local compare discipline (columns sorted by name, rows sorted,
+values canonicalised) — so the driver row is a formality, not a first
+contact."""
 
 import math
 import os
@@ -17,9 +17,10 @@ from semantic_cpp_spark import registry_pipeline as RP
 SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 CANDIDATES = [
-    (RP._candidate_bpe_vocab, RP._bpe_vocab_sql(6)),
-    (RP._candidate_tokenizer_stats, RP._tokenizer_stats_sql(6)),
-    (RP._candidate_encode_subwords, RP._encode_subwords_sql(6)),
+    (RP.txt_bpe_vocab, RP._bpe_vocab_sql(6)),
+    (RP.txt_tokenizer_stats, RP._tokenizer_stats_sql(6)),
+    (RP.txt_encode_subwords, RP._encode_subwords_sql(6)),
+    (RP.txt_nb_holdout_confusion, RP._nb_holdout_sql()),
 ]
 
 
