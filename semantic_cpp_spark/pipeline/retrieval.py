@@ -18,6 +18,8 @@ pattern the agg_* queries use.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -637,5 +639,160 @@ def rank_eval(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
             F.round(
                 F.coalesce(F.col("hits") / F.col("n_rel"), F.lit(0.0)), 6
             ).alias("r_at_k"),
+        )
+    )
+
+
+# -- interpolated n-gram LM (held-out perplexity filtering) -------------------
+
+LM_BOS = "<s>"
+LM_LAMBDAS = (0.7, 0.2, 0.09, 0.01)
+
+
+class TrigramLM(NamedTuple):
+    """An interpolated trigram LM trained on a reference corpus.
+
+    ``tri``: (u, v, w, p3) — ML trigram conditional c3(u,v,w)/c2h(u,v);
+    ``big``: (v, w, p2) — ML bigram conditional c2(v,w)/c1h(v);
+    ``uni``: (w, p1) — ML unigram c1(w)/N;
+    ``totals``: one row (n_events, v_types) — training event count and
+    vocabulary size (distinct tokens), the uniform-floor denominator.
+
+    Probabilities are raw doubles from exact-int64 divisions, so every
+    engine that replays the counts reproduces them bit-for-bit; scores
+    round to int64 micro-units per EVENT (see lm_score_trigram), never
+    accumulating unordered float sums.
+    """
+
+    tri: DataFrame
+    big: DataFrame
+    uni: DataFrame
+    totals: DataFrame
+
+
+def _lm_terms(text: Column) -> Column:
+    return F.filter(
+        F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def _lm_events(df: DataFrame, text: Column, id_col: Column | None) -> DataFrame:
+    """Per-token trigram events with BOS padding: for token i (0-based),
+    (u, v, w) = (t[i-2] | <s>, t[i-1] | <s>, t[i]) — every token is
+    scored exactly once, so n_events == n_tokens. Documents with no
+    tokens contribute no events (perplexity is undefined on them)."""
+    t = _lm_terms(text)
+    ev = F.transform(
+        t,
+        lambda w, i: F.struct(
+            F.when(
+                i >= F.lit(2),
+                F.element_at(t, F.greatest(i - 1, F.lit(1)).cast("int")),
+            )
+            .otherwise(F.lit(LM_BOS))
+            .alias("u"),
+            F.when(
+                i >= F.lit(1),
+                F.element_at(t, F.greatest(i, F.lit(1)).cast("int")),
+            )
+            .otherwise(F.lit(LM_BOS))
+            .alias("v"),
+            w.alias("w"),
+        ),
+    )
+    cols = [id_col.alias("doc_id")] if id_col is not None else []
+    return df.select(*cols, F.explode(ev).alias("e")).select(
+        *(["doc_id"] if id_col is not None else []),
+        F.col("e.u").alias("u"),
+        F.col("e.v").alias("v"),
+        F.col("e.w").alias("w"),
+    )
+
+
+def lm_train_trigram(df: DataFrame, text: Column) -> TrigramLM:
+    """Train the interpolated trigram LM (Jelinek-Mercer mixing of ML
+    trigram/bigram/unigram estimates; the smoothing happens at SCORE
+    time, so the model is pure counts-derived conditionals).  This is
+    the reference-corpus half of CCNet-style perplexity filtering
+    (Wenzek et al. 2020): train a cheap LM on a trusted slice, score
+    the whole corpus, keep/band by perplexity.
+
+    Plan: ONE corpus-scale explode produces the event stream; each
+    model table is a partial-aggregating groupBy; denominators join
+    model-side (model-sized work, never the corpus); the totals row is
+    a 1-row aggregate. At 100 TB the n-gram tables scale with corpus
+    content, so scoring joins co-partition on the n-gram key rather
+    than broadcasting (see lm_score_trigram)."""
+    ev = _lm_events(df, text, None)
+    tri_c = ev.groupBy("u", "v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    )
+    h2 = tri_c.groupBy("u", "v").agg(F.sum("c3").cast("long").alias("ch2"))
+    tri = tri_c.join(h2, ["u", "v"]).select(
+        "u", "v", "w", (F.col("c3").cast("double") / F.col("ch2")).alias("p3")
+    )
+    big_c = ev.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    h1 = big_c.groupBy("v").agg(F.sum("c2").cast("long").alias("ch1"))
+    big = big_c.join(h1, ["v"]).select(
+        "v", "w", (F.col("c2").cast("double") / F.col("ch1")).alias("p2")
+    )
+    uni_c = ev.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    totals = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct(F.col("w")).cast("long").alias("v_types"),
+    )
+    uni = uni_c.crossJoin(F.broadcast(totals)).select(
+        "w", (F.col("c1").cast("double") / F.col("n_events")).alias("p1")
+    )
+    return TrigramLM(tri=tri, big=big, uni=uni, totals=totals)
+
+
+def lm_score_trigram(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    lm: TrigramLM,
+    lambdas: tuple[float, float, float, float] = LM_LAMBDAS,
+) -> DataFrame:
+    """Score documents under the trained LM.  Per event,
+    P = λ3·p3 + λ2·p2 + λ1·p1 + λ0·(1/(V+1)) — unseen n-grams
+    contribute 0 to their ML term and the uniform floor keeps P > 0
+    for fully out-of-vocabulary tokens (the CCNet OOV role).  The
+    per-event NLL is rounded to int64 micro-units BEFORE summation, so
+    per-document totals are exact integer sums (partition-order-free,
+    serially replayable); cross_entropy = nll_micro / 1e6 / n_tokens.
+
+    Output: (doc_id, n_tokens, nll_micro, cross_entropy).
+
+    Plan: three LEFT joins of the event stream against the model
+    tables, each co-partitioned on its n-gram key (the tables scale
+    with corpus content — broadcasting them is wrong at 100 TB); the
+    totals row broadcasts; the per-doc rollup is one aggregation."""
+    l3, l2, l1, l0 = lambdas
+    ev = _lm_events(df, text, id_col)
+    joined = (
+        ev.join(lm.tri, ["u", "v", "w"], "left")
+        .join(lm.big, ["v", "w"], "left")
+        .join(lm.uni, ["w"], "left")
+        .crossJoin(F.broadcast(lm.totals.select("v_types")))
+    )
+    p = (
+        F.lit(l3) * F.coalesce(F.col("p3"), F.lit(0.0))
+        + F.lit(l2) * F.coalesce(F.col("p2"), F.lit(0.0))
+        + F.lit(l1) * F.coalesce(F.col("p1"), F.lit(0.0))
+        + F.lit(l0) * (F.lit(1.0) / (F.col("v_types") + F.lit(1.0)))
+    )
+    nll = F.round(-F.log(p) * F.lit(1000000.0)).cast("long")
+    return (
+        joined.select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("nll").cast("long").alias("nll_micro"),
+            F.round(
+                (F.sum("nll") / F.lit(1000000.0)) / F.count(F.lit(1)), 6
+            ).alias("cross_entropy"),
         )
     )

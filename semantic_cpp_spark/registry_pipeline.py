@@ -4858,3 +4858,97 @@ def txt_nb_holdout_confusion(spark, sf_dir):
     return classify.nb_confusion(
         pred, te.select("doc_id", F.col("lang").alias("label"))
     )
+
+
+# -- interpolated trigram LM perplexity filtering (retrieval.py) --------------
+
+_LM_TOK = (
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+    " w -> w <> '')"
+)
+
+
+def _lm_bands_sql() -> str:
+    """Oracle for the CCNet-style perplexity gate: replays
+    lm_train_trigram + lm_score_trigram + the tercile banding serially.
+    Every model probability is an exact-int64 division; the Jelinek-
+    Mercer mix is evaluated in the IDENTICAL left-associated order with
+    every lambda cast to DOUBLE (DuckDB parses bare 0.7 as DECIMAL —
+    different arithmetic); per-event NLL rounds to int64 micro-units
+    before the per-doc sum, so totals compare exactly; tercile cuts use
+    quantile_cont on the 6dp-rounded cross-entropy (the same fraction
+    double 1.0/3.0 both engines interpolate from)."""
+    l3, l2, l1, l0 = (0.7, 0.2, 0.09, 0.01)
+    return f"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+trt AS (SELECT doc_id, {_LM_TOK} AS t FROM tr),
+trev AS (SELECT CASE WHEN i >= 3 THEN t[i - 2] ELSE '<s>' END AS u,
+                CASE WHEN i >= 2 THEN t[i - 1] ELSE '<s>' END AS v,
+                t[i] AS w
+         FROM (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM trt)),
+tric AS (SELECT u, v, w, count(*)::BIGINT AS c3 FROM trev GROUP BY u, v, w),
+h2 AS (SELECT u, v, sum(c3)::BIGINT AS ch2 FROM tric GROUP BY u, v),
+trij AS (SELECT u, v, w, c3::DOUBLE / ch2 AS p3 FROM tric JOIN h2 USING (u, v)),
+bigc AS (SELECT v, w, count(*)::BIGINT AS c2 FROM trev GROUP BY v, w),
+h1 AS (SELECT v, sum(c2)::BIGINT AS ch1 FROM bigc GROUP BY v),
+bigj AS (SELECT v, w, c2::DOUBLE / ch1 AS p2 FROM bigc JOIN h1 USING (v)),
+tot AS (SELECT count(*)::BIGINT AS n_events,
+               count(DISTINCT w)::BIGINT AS v_types FROM trev),
+unij AS (SELECT w, c1::DOUBLE / tot.n_events AS p1
+         FROM (SELECT w, count(*)::BIGINT AS c1 FROM trev GROUP BY w), tot),
+tet AS (SELECT doc_id, {_LM_TOK} AS t FROM te),
+teev AS (SELECT doc_id,
+                CASE WHEN i >= 3 THEN t[i - 2] ELSE '<s>' END AS u,
+                CASE WHEN i >= 2 THEN t[i - 1] ELSE '<s>' END AS v,
+                t[i] AS w
+         FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tet)),
+pj AS (SELECT e.doc_id,
+              {l3!r}::DOUBLE * coalesce(t3.p3, 0.0::DOUBLE)
+              + {l2!r}::DOUBLE * coalesce(b2.p2, 0.0::DOUBLE)
+              + {l1!r}::DOUBLE * coalesce(u1.p1, 0.0::DOUBLE)
+              + {l0!r}::DOUBLE * (1.0::DOUBLE / (tot.v_types + 1.0::DOUBLE))
+                AS p
+       FROM teev e
+       LEFT JOIN trij t3 ON t3.u = e.u AND t3.v = e.v AND t3.w = e.w
+       LEFT JOIN bigj b2 ON b2.v = e.v AND b2.w = e.w
+       LEFT JOIN unij u1 ON u1.w = e.w, tot),
+nll AS (SELECT doc_id, CAST(round(-ln(p) * 1000000.0) AS BIGINT) AS nll
+        FROM pj),
+scored AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                  sum(nll)::BIGINT AS nll_micro,
+                  round((sum(nll) / 1000000.0) / count(*), 6) AS cross_entropy
+           FROM nll GROUP BY doc_id),
+cuts AS (SELECT quantile_cont(cross_entropy, 1.0::DOUBLE / 3.0::DOUBLE) AS c0,
+                quantile_cont(cross_entropy, 2.0::DOUBLE / 3.0::DOUBLE) AS c1
+         FROM scored)
+SELECT doc_id, n_tokens, nll_micro, cross_entropy,
+       (CASE WHEN cross_entropy >= c1 THEN 2
+             WHEN cross_entropy >= c0 THEN 1 ELSE 0 END)::BIGINT AS band
+FROM scored, cuts"""
+
+
+@register("txt_lm_perplexity_bands", _lm_bands_sql())
+def txt_lm_perplexity_bands(spark, sf_dir):
+    """CCNet-style perplexity filtering (Wenzek et al. 2020) as a
+    first-class operator (retrieval.lm_train_trigram /
+    lm_score_trigram): train the interpolated trigram LM on the 80%
+    doc_id%5≠0 reference slice, score the held-out 20% (unseen n-grams
+    fall through the Jelinek-Mercer mix to the uniform floor — the OOV
+    path a self-scoring model never exercises), and band into
+    head/middle/tail terciles of cross-entropy
+    (curation.quality_bands' broadcast-cutoff machinery, never a
+    global ntile window). A green row proves the BOS event framing,
+    the exact-division model, the fixed-order mix, the micro-unit NLL
+    sums, and the tercile cuts all match a serial replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    te = docs.filter(F.col("doc_id") % 5 == 0)
+    lm = retrieval.lm_train_trigram(tr, F.col("text"))
+    scored = retrieval.lm_score_trigram(te, F.col("text"), F.col("doc_id"), lm)
+    banded = curation.quality_bands(
+        scored, F.col("cross_entropy"), cuts=(1.0 / 3.0, 2.0 / 3.0)
+    )
+    return banded.select(
+        "doc_id", "n_tokens", "nll_micro", "cross_entropy",
+        F.col("band").cast("long").alias("band"),
+    )

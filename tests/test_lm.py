@@ -1,0 +1,165 @@
+"""Interpolated trigram LM (retrieval.lm_train_trigram /
+lm_score_trigram): model and scores against a pure-Python replay, the
+OOV uniform floor, BOS event framing on short documents, and partition
+invariance of the micro-unit sums."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_cpp_spark.pipeline import retrieval
+
+L3, L2, L1, L0 = retrieval.LM_LAMBDAS
+BOS = retrieval.LM_BOS
+
+TRAIN = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat ate the fish"),
+    (2, "a dog sat on a log"),
+    (3, "the dog ate the bone"),
+]
+
+TEST = [
+    (10, "the cat sat"),          # seen n-grams
+    (11, "zz qq"),                # fully OOV -> floor only
+    (12, "cat"),                  # single token: u=v=<s>
+    (13, "the dog sat on the mat"),
+]
+
+
+def _events(txt):
+    t = [w for w in txt.lower().split() if w]
+    out = []
+    for i, w in enumerate(t):
+        u = t[i - 2] if i >= 2 else BOS
+        v = t[i - 1] if i >= 1 else BOS
+        out.append((u, v, w))
+    return out
+
+
+def _py_lm(train):
+    ev = [e for _, txt in train for e in _events(txt)]
+    from collections import Counter
+
+    c3 = Counter(ev)
+    ch2 = Counter((u, v) for u, v, _ in ev)
+    c2 = Counter((v, w) for _, v, w in ev)
+    ch1 = Counter(v for _, v, _ in ev)
+    c1 = Counter(w for _, _, w in ev)
+    n = len(ev)
+    vt = len({w for _, _, w in ev})
+    return c3, ch2, c2, ch1, c1, n, vt
+
+
+def _py_score(lm, docs):
+    c3, ch2, c2, ch1, c1, n, vt = lm
+    out = {}
+    for doc_id, txt in docs:
+        evs = _events(txt)
+        if not evs:
+            continue
+        total = 0
+        for u, v, w in evs:
+            p3 = c3[(u, v, w)] / ch2[(u, v)] if c3[(u, v, w)] else 0.0
+            p2 = c2[(v, w)] / ch1[v] if c2[(v, w)] else 0.0
+            p1 = c1[w] / n if c1[w] else 0.0
+            p = L3 * p3 + L2 * p2 + L1 * p1 + L0 * (1.0 / (vt + 1.0))
+            x = -math.log(p) * 1e6
+            total += int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+        out[doc_id] = (len(evs), total, round((total / 1e6) / len(evs), 6))
+    return out
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    tr = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    return retrieval.lm_train_trigram(tr, F.col("text"))
+
+
+def test_scores_match_python_replay(spark, fitted):
+    want = _py_score(_py_lm(TRAIN), TEST)
+    te = spark.createDataFrame(TEST, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll_micro"], r["cross_entropy"])
+        for r in retrieval.lm_score_trigram(
+            te, F.col("text"), F.col("doc_id"), fitted
+        ).collect()
+    }
+    assert got == want
+
+
+def test_oov_doc_scores_exactly_the_floor(spark, fitted):
+    _, _, _, _, _, n, vt = _py_lm(TRAIN)
+    te = spark.createDataFrame([(11, "zz qq")], "doc_id long, text string")
+    row = retrieval.lm_score_trigram(
+        te, F.col("text"), F.col("doc_id"), fitted
+    ).collect()[0]
+    x = -math.log(L0 * (1.0 / (vt + 1.0))) * 1e6
+    per_event = int(math.floor(x + 0.5))
+    assert row["nll_micro"] == 2 * per_event
+    assert row["n_tokens"] == 2
+
+
+def test_single_token_doc_uses_double_bos_history(spark, fitted):
+    # "cat" scores as the (<s>, <s>, cat) event; "the cat ..." docs in
+    # TRAIN mean c3[(<s>,<s>,cat)] == 0 but c2[(<s>,cat)] == 0 as well
+    # (no train doc starts with cat), so only p1 + floor contribute.
+    c3, ch2, c2, ch1, c1, n, vt = _py_lm(TRAIN)
+    assert c3[(BOS, BOS, "cat")] == 0 and c2[(BOS, "cat")] == 0
+    p = L1 * (c1["cat"] / n) + L0 * (1.0 / (vt + 1.0))
+    x = -math.log(p) * 1e6
+    want = int(math.floor(x + 0.5))
+    te = spark.createDataFrame([(12, "cat")], "doc_id long, text string")
+    row = retrieval.lm_score_trigram(
+        te, F.col("text"), F.col("doc_id"), fitted
+    ).collect()[0]
+    assert row["nll_micro"] == want
+
+
+def test_empty_doc_drops_out(spark, fitted):
+    te = spark.createDataFrame(
+        [(20, ""), (21, "   "), (22, "the cat")], "doc_id long, text string"
+    )
+    rows = retrieval.lm_score_trigram(
+        te, F.col("text"), F.col("doc_id"), fitted
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {22}
+
+
+def test_partition_invariance(spark, fitted):
+    te = spark.createDataFrame(TEST, "doc_id long, text string")
+    a = sorted(
+        map(
+            tuple,
+            retrieval.lm_score_trigram(
+                te, F.col("text"), F.col("doc_id"), fitted
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            retrieval.lm_score_trigram(
+                te.repartition(7), F.col("text"), F.col("doc_id"), fitted
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_self_scoring_beats_shuffled_text(spark, fitted):
+    """The LM property that makes perplexity a quality signal: text
+    drawn from the training distribution must carry lower cross-entropy
+    than the same tokens in scrambled order (trigram structure gone)."""
+    te = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "mat the on cat the sat")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in retrieval.lm_score_trigram(
+            te, F.col("text"), F.col("doc_id"), fitted
+        ).collect()
+    }
+    assert rows[0] < rows[1]

@@ -745,3 +745,15 @@ def test_nb_predict_model_joins_are_broadcast(spark, qs):
     # (a true cross join of the corpus ids with the ≤n_labels priors);
     # the model/vocab term joins must be hash joins.
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_lm_scoring_joins_never_cartesian(spark, qs):
+    """LM scoring: the event stream left-joins three model tables on
+    their n-gram keys (hash joins at any scale — co-partitioned shuffle
+    when the tables outgrow the broadcast threshold, broadcast below
+    it); the only nested-loop is the 1-row totals/cutoff broadcast. A
+    CartesianProduct anywhere means a join key got lost."""
+    plan = _plan(qs["txt_lm_perplexity_bands"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # per-doc rollup and every model count aggregate map-side partials
+    assert "partial_count" in plan or "partial" in plan

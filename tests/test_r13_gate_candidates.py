@@ -21,6 +21,7 @@ CANDIDATES = [
     (RP.txt_tokenizer_stats, RP._tokenizer_stats_sql(6)),
     (RP.txt_encode_subwords, RP._encode_subwords_sql(6)),
     (RP.txt_nb_holdout_confusion, RP._nb_holdout_sql()),
+    (RP.txt_lm_perplexity_bands, RP._lm_bands_sql()),
 ]
 
 
