@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from semantic_cpp_spark.pipeline import classify, dedup, multimodal, similarity, text
+from semantic_cpp_spark.pipeline import (
+    classify,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+    unigram,
+)
 from semantic_cpp_spark.registry import register
 from semantic_cpp_spark.session import load_table
 
@@ -4951,4 +4958,133 @@ def txt_lm_perplexity_bands(spark, sf_dir):
     return banded.select(
         "doc_id", "n_tokens", "nll_micro", "cross_entropy",
         F.col("band").cast("long").alias("band"),
+    )
+
+
+# -- unigram-LM (SentencePiece-style) Viterbi segmentation (unigram.py) -------
+
+
+def _unigram_cte_parts(n: int, j_max: int) -> list[str]:
+    """CTE fragments replaying unigram.piece_scores +
+    unigram.viterbi_segment serially: piece inventory = the trained
+    BPE vocabulary's unit strings (needs _bpe_train_ctes(n) +
+    _vocab_cte_parts(n) in scope), scores = ln(weighted substring
+    occurrences / total) in int64 micro-units, then the word-level DP
+    unrolled to ``j_max`` end positions (forward: best/backpointer per
+    (word, pos) with the min-i tie-break; backward: ``j_max`` chained
+    reconstruction steps). Words longer than ``j_max`` would MISS from
+    the final state (a loud row-count mismatch, never a silent pass)
+    — the fixture corpus tops out at 8 characters, j_max=12 leaves
+    margin; the ENGINE kernel has no such bound."""
+    parts = [
+        """upieces AS MATERIALIZED (
+  SELECT unit FROM vbase UNION SELECT lhs || rhs AS unit FROM vmu),
+uml AS (SELECT max(length(unit))::BIGINT AS ml FROM upieces),
+uwords AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word),
+us1 AS (SELECT word, freq, unnest(range(1, length(word) + 1))::INT AS i
+        FROM uwords),
+us2 AS (SELECT word, freq, i,
+               unnest(range(1, least(uml.ml, length(word) - i + 1) + 1))::INT
+                 AS l
+        FROM us1, uml),
+uocc AS MATERIALIZED (
+  SELECT piece, sum(freq)::BIGINT AS occ
+  FROM (SELECT substr(word, i, l) AS piece, freq FROM us2)
+  JOIN upieces ON piece = unit GROUP BY piece),
+utot AS (SELECT sum(occ)::BIGINT AS tot FROM uocc),
+uscore AS MATERIALIZED (
+  SELECT piece, CAST(round(ln(occ::DOUBLE / tot) * 1000000.0) AS BIGINT)
+           AS sc
+  FROM uocc, utot),
+a0 AS (SELECT word, 0::BIGINT AS pos, 0::BIGINT AS best, NULL::BIGINT AS bp
+       FROM uwords)"""
+    ]
+    for j in range(1, j_max + 1):
+        parts.append(f"""c{j} AS MATERIALIZED (
+  SELECT a.word, a.pos AS i, a.best + sc.sc AS cand
+  FROM a{j - 1} a JOIN uscore sc
+    ON sc.piece = substr(a.word, (a.pos + 1)::INT, ({j} - a.pos)::INT)
+  WHERE length(a.word) >= {j} AND a.pos < {j}),
+n{j} AS MATERIALIZED (
+  SELECT c.word, {j}::BIGINT AS pos, m.best, min(c.i)::BIGINT AS bp
+  FROM c{j} c JOIN (SELECT word, max(cand) AS best FROM c{j} GROUP BY word) m
+    ON m.word = c.word AND c.cand = m.best
+  GROUP BY c.word, m.best),
+a{j} AS MATERIALIZED (SELECT * FROM a{j - 1} UNION ALL SELECT * FROM n{j})""")
+    parts.append(
+        f"r0 AS (SELECT word, length(word)::BIGINT AS pos, '' AS acc"
+        f" FROM uwords)"
+    )
+    for k in range(1, j_max + 1):
+        parts.append(f"""r{k} AS MATERIALIZED (
+  SELECT r.word,
+         CASE WHEN r.pos = 0 THEN 0 ELSE a.bp END AS pos,
+         CASE WHEN r.pos = 0 THEN r.acc
+              ELSE substr(r.word, (a.bp + 1)::INT, (r.pos - a.bp)::INT)
+                   || CASE WHEN r.acc = '' THEN '' ELSE ' ' END || r.acc
+         END AS acc
+  FROM r{k - 1} r LEFT JOIN a{j_max} a
+    ON a.word = r.word AND a.pos = r.pos)""")
+    parts.append(f"useg AS (SELECT word, acc AS seg FROM r{j_max})")
+    return parts
+
+
+def _unigram_viterbi_sql(n: int, j_max: int = 12) -> str:
+    parts = (
+        _bpe_train_ctes(n) + _vocab_cte_parts(n)
+        + _unigram_cte_parts(n, j_max)
+    )
+    parts.append(r"""dtok AS (
+  SELECT doc_id, i, t[i] AS word
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1))::BIGINT AS i
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 w -> w <> '') AS t
+              FROM documents))),
+dout AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS piece_text
+  FROM dtok JOIN useg USING (word) GROUP BY doc_id)""")
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT d.doc_id,
+       (CASE WHEN d.text IS NULL THEN NULL
+             WHEN coalesce(o.piece_text, '') = '' THEN 0
+             ELSE len(string_split(o.piece_text, ' ')) END)::BIGINT
+         AS n_pieces,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE md5(coalesce(o.piece_text, '')) END AS seg_fp
+FROM documents d LEFT JOIN dout o USING (doc_id)"""
+    )
+
+
+@register("txt_unigram_viterbi", _unigram_viterbi_sql(6))
+def txt_unigram_viterbi(spark, sf_dir):
+    """Unigram-LM segmentation (Kudo 2018; the SentencePiece model
+    family) as a first-class tokenizer path (unigram.piece_scores +
+    viterbi_segment): piece inventory = the trained BPE vocabulary,
+    scores = frequency-weighted substring occurrences in int64
+    micro-units, segmentation = exact-integer Viterbi in the same
+    exchange-free Arrow-kernel shape as the BPE segmenter. A green
+    row proves the occurrence counts, the score rounding, the DP
+    argmax with its min-split tie-break, and the per-document
+    reassembly all match a serially-unrolled SQL DP."""
+    docs = load_table(spark, sf_dir, "documents")
+    mdf = text.bpe_train_merges(docs, F.col("text"), 6)
+    vocab = text.bpe_vocab(docs, F.col("text"), mdf)
+    words = text.bpe_word_counts(docs, F.col("text"))
+    sc = unigram.piece_scores(words, vocab.select("unit"))
+    pieces = unigram.collect_pieces(sc)
+    seg = unigram.viterbi_segment(docs, F.col("text"), F.col("doc_id"), pieces)
+    return seg.select(
+        "doc_id",
+        F.when(F.col("piece_text").isNull(), F.lit(None).cast("long"))
+        .when(F.col("piece_text") == "", F.lit(0))
+        .otherwise(F.size(F.split("piece_text", " ")))
+        .cast("long")
+        .alias("n_pieces"),
+        F.md5("piece_text").alias("seg_fp"),
     )

@@ -22,6 +22,7 @@ CANDIDATES = [
     (RP.txt_encode_subwords, RP._encode_subwords_sql(6)),
     (RP.txt_nb_holdout_confusion, RP._nb_holdout_sql()),
     (RP.txt_lm_perplexity_bands, RP._lm_bands_sql()),
+    (RP.txt_unigram_viterbi, RP._unigram_viterbi_sql(6)),
 ]
 
 

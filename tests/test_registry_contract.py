@@ -129,6 +129,7 @@ PRE_VERIFIED_AWAITING_WINDOW = {
     "txt_encode_subwords": "tests/test_r13_gate_candidates.py",
     "txt_nb_holdout_confusion": "tests/test_r13_gate_candidates.py",
     "txt_lm_perplexity_bands": "tests/test_r13_gate_candidates.py",
+    "txt_unigram_viterbi": "tests/test_r13_gate_candidates.py",
 }
 
 
