@@ -37,6 +37,8 @@ characters surface as single-char pieces.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -48,6 +50,45 @@ UNK_SCORE_MICRO = -1_000_000_000
 # Same bound/idiom as text.BPE_SEGMENT_CACHE_CAP: an all-unique-word
 # partition must not grow Python worker memory without limit.
 UNIGRAM_SEGMENT_CACHE_CAP = 1 << 20
+
+
+def _viterbi(word: str, scores: dict[str, int], ml: int, unk: int) -> list[str]:
+    """The shared DP core (kernel tasks AND the driver-side EM trainer
+    call exactly this function, so their segmentations agree by
+    construction): maximum total micro-score segmentation of ``word``,
+    ties toward the smallest split point (ascending-i iteration with
+    strict improvement), single-char fallback at ``unk`` for characters
+    outside the inventory."""
+    n = len(word)
+    best: list[int | None] = [None] * (n + 1)
+    best[0] = 0
+    bp = [0] * (n + 1)
+    for j in range(1, n + 1):
+        b = None
+        arg = 0
+        for i in range(max(0, j - ml), j):
+            prev = best[i]
+            if prev is None:
+                continue
+            s = scores.get(word[i:j])
+            if s is None:
+                if j - i == 1:
+                    s = unk
+                else:
+                    continue
+            cand = prev + s
+            if b is None or cand > b:
+                b, arg = cand, i
+        best[j] = b
+        bp[j] = arg
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i = bp[j]
+        out.append(word[i:j])
+        j = i
+    out.reverse()
+    return out
 
 
 def piece_scores(
@@ -166,39 +207,7 @@ def viterbi_segment(
             got = cache.get(word)
             if got is not None:
                 return got
-            n = len(word)
-            # best[j] = max total micro-score over segmentations of
-            # word[:j]; bp[j] = SMALLEST i achieving it (ascending i
-            # with strict > keeps the first maximum).
-            neg = None
-            best: list[int | None] = [neg] * (n + 1)
-            best[0] = 0
-            bp = [0] * (n + 1)
-            for j in range(1, n + 1):
-                b = None
-                arg = 0
-                for i in range(max(0, j - ml), j):
-                    prev = best[i]
-                    if prev is None:
-                        continue
-                    s = scores.get(word[i:j])
-                    if s is None:
-                        if j - i == 1:
-                            s = unk
-                        else:
-                            continue
-                    cand = prev + s
-                    if b is None or cand > b:
-                        b, arg = cand, i
-                best[j] = b
-                bp[j] = arg
-            out: list[str] = []
-            j = n
-            while j > 0:
-                i = bp[j]
-                out.append(word[i:j])
-                j = i
-            got = " ".join(reversed(out))
+            got = " ".join(_viterbi(word, scores, ml, unk))
             if len(cache) >= cache_cap:
                 cache.clear()
             cache[word] = got
@@ -220,3 +229,176 @@ def viterbi_segment(
             )
 
     return pre.mapInPandas(_run, schema=out_schema)
+
+
+# -- driver-side EM training over the collected word table --------------------
+
+# The hybrid-BPE contract (text.bpe_train_merges' local fast path): the
+# DISTRIBUTED part of tokenizer training is reducing the corpus to the
+# (word, freq) table — vocab-sized, Zipf-bounded — and the iterative
+# part runs in driver memory against it. This cap refuses corpora whose
+# word table would not fit (the caller then cleans or pre-splits words
+# first; a 100 TB corpus with a sane alphabet stays far below it).
+UNIGRAM_TRAIN_MAX_WORDS = 5_000_000
+
+
+class UnigramModel:
+    """Result of train_pieces: ``pieces`` is a (piece, score_micro,
+    usage) DataFrame ready for collect_pieces/viterbi_segment;
+    ``history`` records per-round (n_pieces, objective_micro) — the
+    corpus total micro-score of the round's Viterbi segmentation, the
+    hard-EM objective (non-decreasing round over round up to the
+    1-micro-per-piece rounding granularity; pruning between rounds may
+    step it down, recorded as its own entry)."""
+
+    def __init__(self, pieces: DataFrame, history: list[dict]):
+        self.pieces = pieces
+        self.history = history
+
+
+def _seed_inventory(
+    rows: list[tuple[str, int]], max_piece_len: int, seed_size: int
+) -> dict[str, int]:
+    """Weighted OVERLAPPING substring occurrence counts (the
+    piece_scores definition), cut to single chars (always kept) + the
+    top ``seed_size`` longer substrings by (occ DESC, piece ASC)."""
+    occ: dict[str, int] = {}
+    for w, f in rows:
+        n = len(w)
+        for i in range(n):
+            for l in range(1, min(max_piece_len, n - i) + 1):
+                p = w[i : i + l]
+                occ[p] = occ.get(p, 0) + f
+    chars = {p: c for p, c in occ.items() if len(p) == 1}
+    longer = sorted(
+        ((p, c) for p, c in occ.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_size]
+    return {**chars, **dict(longer)}
+
+
+def _em_scores(usage: dict[str, int]) -> tuple[dict[str, int], int]:
+    """M-step: score = round(ln(usage/total)·1e6). Single-char pieces
+    are REQUIRED for coverage and keep a floor usage of 1 when unused;
+    longer pieces with zero usage are dropped (hard-EM zero posterior).
+    Returns (scores, total)."""
+    eff = {
+        p: (u if u > 0 else 1)
+        for p, u in usage.items()
+        if u > 0 or len(p) == 1
+    }
+    total = sum(eff.values())
+    scores = {
+        p: _round_half_away(math.log(u / total) * 1e6)
+        for p, u in sorted(eff.items())
+    }
+    return scores, total
+
+
+def _round_half_away(x: float) -> int:
+    return int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+
+
+def train_pieces(
+    words: DataFrame,
+    vocab_size: int = 8_000,
+    max_piece_len: int = 8,
+    rounds: int = 4,
+    prune_frac: float = 0.25,
+    seed_size: int | None = None,
+    max_words: int = UNIGRAM_TRAIN_MAX_WORDS,
+) -> UnigramModel:
+    """Train a unigram-LM piece inventory by deterministic hard EM
+    (Viterbi-EM — the E-step takes each word's single best
+    segmentation rather than the forward-backward posterior;
+    deterministic by the DP's tie rule, and the standard
+    quality/simplicity trade the SentencePiece paper itself offers
+    for its final Viterbi inference).
+
+    Round = E-step (segment every distinct word with the shared
+    _viterbi core, usage[piece] += freq·multiplicity) then M-step
+    (score = ln(usage/total) in micro-units; unused longer pieces
+    drop, single chars keep a floor so coverage never breaks), then a
+    gradual prune toward ``vocab_size``: keep all single chars + the
+    top remaining pieces by (usage DESC, piece ASC), shedding at most
+    ``prune_frac`` of the over-budget excess per round (SentencePiece's
+    gradual shrink), with a hard cut to budget after the final round.
+
+    The input is the distributed (word, freq) table
+    (text.bpe_word_counts); training collects it under the
+    ``max_words`` contract — the same shape as the hybrid BPE trainer:
+    corpus-scale work happens once in the word count, EM state is
+    vocab-sized."""
+    n_words = words.count()
+    if n_words > max_words:
+        raise ValueError(
+            f"word table has {n_words} rows > max_words={max_words}; "
+            "clean the corpus or raise the cap explicitly"
+        )
+    rows = [
+        (r["word"], int(r["freq"]))
+        for r in words.select("word", "freq").collect()
+        if r["word"]
+    ]
+    rows.sort()
+    if not rows:
+        raise ValueError("empty word table")
+    if seed_size is None:
+        seed_size = 4 * vocab_size
+    inv = _seed_inventory(rows, max_piece_len, seed_size)
+    # seed scores from raw occurrence counts (piece_scores semantics)
+    total0 = sum(inv.values())
+    scores = {
+        p: _round_half_away(math.log(c / total0) * 1e6)
+        for p, c in sorted(inv.items())
+    }
+    history: list[dict] = []
+    n_chars = sum(1 for p in scores if len(p) == 1)
+    for rnd in range(1, rounds + 1):
+        ml = max(len(p) for p in scores)
+        usage: dict[str, int] = {p: 0 for p in scores}
+        objective = 0
+        for w, f in rows:
+            for piece in _viterbi(w, scores, ml, UNK_SCORE_MICRO):
+                # UNK single chars can only appear if the corpus and
+                # inventory disagree — impossible here (seed covers
+                # every corpus char), so every piece is in usage
+                usage[piece] += f
+                objective += f * scores.get(piece, UNK_SCORE_MICRO)
+        scores, _ = _em_scores(usage)
+        history.append(
+            {
+                "round": rnd,
+                "n_pieces": len(scores),
+                "objective_micro": objective,
+            }
+        )
+        # gradual prune toward budget (never below the char alphabet)
+        budget = max(vocab_size, n_chars)
+        excess = len(scores) - budget
+        if excess > 0:
+            shed = (
+                excess
+                if rnd == rounds
+                else min(excess, max(1, int(excess * prune_frac)))
+            )
+            longer = sorted(
+                ((p, usage.get(p, 0)) for p in scores if len(p) > 1),
+                key=lambda pu: (-pu[1], pu[0]),
+            )
+            keep_longer = [p for p, _ in longer[: len(longer) - shed]]
+            kept = {p: usage.get(p, 0) for p in keep_longer}
+            kept.update(
+                {p: usage.get(p, 0) for p in scores if len(p) == 1}
+            )
+            scores, _ = _em_scores(kept)
+    spark = words.sparkSession
+    final_usage = usage
+    out = [
+        (p, int(s), int(final_usage.get(p, 0)))
+        for p, s in sorted(scores.items())
+    ]
+    pieces = spark.createDataFrame(
+        out, "piece string, score_micro long, usage long"
+    )
+    return UnigramModel(pieces=pieces, history=history)

@@ -172,3 +172,80 @@ def test_kernel_plan_is_exchange_free(spark):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+# -- driver-side EM trainer ---------------------------------------------------
+
+TRAIN_WORDS = [
+    ("lowering", 6), ("lower", 9), ("low", 11), ("newest", 7),
+    ("widest", 5), ("newer", 8), ("wider", 4), ("wide", 6), ("new", 10),
+]
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    wdf = spark.createDataFrame(TRAIN_WORDS, "word string, freq long")
+    return unigram.train_pieces(
+        wdf, vocab_size=24, max_piece_len=6, rounds=4
+    )
+
+
+def test_trainer_is_deterministic(spark, trained):
+    wdf = spark.createDataFrame(
+        list(reversed(TRAIN_WORDS)), "word string, freq long"
+    ).repartition(5)
+    again = unigram.train_pieces(
+        wdf, vocab_size=24, max_piece_len=6, rounds=4
+    )
+    a = sorted(map(tuple, trained.pieces.collect()))
+    b = sorted(map(tuple, again.pieces.collect()))
+    assert a == b
+    assert trained.history == again.history
+
+
+def test_trainer_covers_alphabet_and_respects_budget(spark, trained):
+    rows = trained.pieces.collect()
+    pieces = {r["piece"] for r in rows}
+    alphabet = {c for w, _ in TRAIN_WORDS for c in w}
+    assert alphabet <= pieces
+    assert len(pieces) <= max(24, len(alphabet))
+
+
+def test_em_objective_is_monotone(trained):
+    objs = [h["objective_micro"] for h in trained.history]
+    # hard-EM coordinate ascent; pruning + the single-char usage floor
+    # can nudge it by rounding-scale amounts, hence the small slack
+    for a, b in zip(objs, objs[1:]):
+        assert b >= a - 1000, objs
+
+
+def test_trained_pieces_compress_better_than_chars(spark, trained):
+    docs = spark.createDataFrame(
+        [(i, w) for i, (w, _) in enumerate(TRAIN_WORDS)],
+        "doc_id long, text string",
+    )
+    pieces = [
+        (r["piece"], r["score_micro"]) for r in trained.pieces.collect()
+    ]
+    seg = unigram.viterbi_segment(docs, F.col("text"), F.col("doc_id"), pieces)
+    total_pieces = sum(
+        len(r["piece_text"].split(" ")) for r in seg.collect()
+    )
+    total_chars = sum(len(w) for w, _ in TRAIN_WORDS)
+    assert total_pieces < total_chars
+    # and the frequent stems surface as single pieces
+    got = {r["doc_id"]: r["piece_text"] for r in seg.collect()}
+    joined = " | ".join(got[i] for i in range(len(TRAIN_WORDS)))
+    assert "low" in joined.split() or "new" in joined.split()
+
+
+def test_trainer_word_cap_contract(spark):
+    wdf = spark.createDataFrame(TRAIN_WORDS, "word string, freq long")
+    with pytest.raises(ValueError, match="max_words"):
+        unigram.train_pieces(wdf, vocab_size=8, max_words=3)
+
+
+def test_trainer_rejects_empty_table(spark):
+    wdf = spark.createDataFrame([], "word string, freq long")
+    with pytest.raises(ValueError, match="empty word table"):
+        unigram.train_pieces(wdf, vocab_size=8)
