@@ -762,7 +762,16 @@ def lm_score_trigram(
     for fully out-of-vocabulary tokens (the CCNet OOV role).  The
     per-event NLL is rounded to int64 micro-units BEFORE summation, so
     per-document totals are exact integer sums (partition-order-free,
-    serially replayable); cross_entropy = nll_micro / 1e6 / n_tokens.
+    serially replayable); cross_entropy is the per-token mean at micro
+    precision, computed by INTEGER half-up division
+    ((2·nll_micro + n) ÷ 2n) rather than round(double, 6) — a document
+    whose mean lands exactly on a half-micro boundary (measured at
+    sf1.0: nll 42379746 over 12 tokens = 3531645.5 micro) would
+    otherwise round differently across engines' double-rounding
+    implementations. The floor(double-division) form is exact here
+    because the quotient is rational with denominator 2n: it is either
+    an exact double (integer) or ≥ 1/(2n) away from one — far beyond
+    1 ulp for any real document length.
 
     Output: (doc_id, n_tokens, nll_micro, cross_entropy).
 
@@ -791,8 +800,17 @@ def lm_score_trigram(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.sum("nll").cast("long").alias("nll_micro"),
-            F.round(
-                (F.sum("nll") / F.lit(1000000.0)) / F.count(F.lit(1)), 6
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "nll_micro",
+            (
+                F.floor(
+                    (F.lit(2) * F.col("nll_micro") + F.col("n_tokens"))
+                    / (F.lit(2) * F.col("n_tokens"))
+                ).cast("long")
+                / F.lit(1000000.0)
             ).alias("cross_entropy"),
         )
     )

@@ -4882,9 +4882,12 @@ def _lm_bands_sql() -> str:
     Mercer mix is evaluated in the IDENTICAL left-associated order with
     every lambda cast to DOUBLE (DuckDB parses bare 0.7 as DECIMAL —
     different arithmetic); per-event NLL rounds to int64 micro-units
-    before the per-doc sum, so totals compare exactly; tercile cuts use
-    quantile_cont on the 6dp-rounded cross-entropy (the same fraction
-    double 1.0/3.0 both engines interpolate from)."""
+    before the per-doc sum, so totals compare exactly; cross_entropy
+    is the INTEGER half-up division (2·nll+n)//(2n) at micro precision
+    (round(double, 6) diverged across engines on an exact half-micro
+    mean, measured at sf1.0 — see lm_score_trigram); tercile cuts use
+    quantile_cont on those exact values (the same fraction double
+    1.0/3.0 both engines interpolate from)."""
     l3, l2, l1, l0 = (0.7, 0.2, 0.09, 0.01)
     return f"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
 te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
@@ -4921,10 +4924,13 @@ pj AS (SELECT e.doc_id,
        LEFT JOIN unij u1 ON u1.w = e.w, tot),
 nll AS (SELECT doc_id, CAST(round(-ln(p) * 1000000.0) AS BIGINT) AS nll
         FROM pj),
-scored AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
-                  sum(nll)::BIGINT AS nll_micro,
-                  round((sum(nll) / 1000000.0) / count(*), 6) AS cross_entropy
-           FROM nll GROUP BY doc_id),
+scored0 AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(nll)::BIGINT AS nll_micro
+            FROM nll GROUP BY doc_id),
+scored AS (SELECT doc_id, n_tokens, nll_micro,
+                  ((2 * nll_micro + n_tokens) // (2 * n_tokens))
+                    / 1000000.0 AS cross_entropy
+           FROM scored0),
 cuts AS (SELECT quantile_cont(cross_entropy, 1.0::DOUBLE / 3.0::DOUBLE) AS c0,
                 quantile_cont(cross_entropy, 2.0::DOUBLE / 3.0::DOUBLE) AS c1
          FROM scored)

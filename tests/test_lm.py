@@ -67,7 +67,8 @@ def _py_score(lm, docs):
             p = L3 * p3 + L2 * p2 + L1 * p1 + L0 * (1.0 / (vt + 1.0))
             x = -math.log(p) * 1e6
             total += int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
-        out[doc_id] = (len(evs), total, round((total / 1e6) / len(evs), 6))
+        nn = len(evs)
+        out[doc_id] = (nn, total, ((2 * total + nn) // (2 * nn)) / 1e6)
     return out
 
 
