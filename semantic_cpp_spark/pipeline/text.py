@@ -1346,3 +1346,62 @@ def encode_tokens(
             F.md5(F.array_join(F.transform("ids", lambda x: x.cast("string")), "_")),
         )
     )
+
+
+def decode_subwords(
+    encoded: DataFrame,
+    vocab: DataFrame,
+    eow: str | None = None,
+    oov_char: str = "�",
+) -> DataFrame:
+    """Invert encode_subwords against the same vocabulary:
+    (doc_id, decoded). With ``eow`` (the marker the table was TRAINED
+    with), word boundaries are recoverable and ``decoded`` is the
+    original whitespace-NORMALIZED text (single-space joined, the only
+    whitespace the tokenize→segment path preserves) — the
+    decode(encode(x)) == normalize(x) round-trip a deployed tokenizer
+    must provide. Without ``eow`` the concatenation is ambiguous by
+    construction (that ambiguity is WHY the marker exists), so the
+    space-joined subword STREAM comes back instead.
+
+    Unknown ids (OOV sentinels, or ids from a foreign vocabulary)
+    decode to ``oov_char`` — deterministic, visible, never dropped.
+
+    Shape: posexplode → one broadcast vocab join on token_id → one
+    groupBy(doc) re-assembly via sort_array(struct(pos, unit)) — ids
+    cross the wire as (pos, id) pairs, the encode_tokens shape run
+    backwards."""
+    ex = encoded.select("doc_id", F.posexplode("ids").alias("pos", "tid"))
+    j = ex.join(
+        F.broadcast(
+            vocab.select(F.col("token_id").alias("tid"), "unit")
+        ),
+        "tid",
+        "left",
+    )
+    units = j.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        F.coalesce("unit", F.lit(oov_char)).alias("u"),
+                    )
+                )
+            ),
+            lambda s: s["u"],
+        ).alias("units")
+    )
+    if eow is None:
+        return units.select(
+            "doc_id", F.array_join("units", " ").alias("decoded")
+        )
+    _validate_eow(eow)
+    return units.select(
+        "doc_id",
+        F.rtrim(
+            F.replace(
+                F.array_join("units", ""), F.lit(eow), F.lit(" ")
+            )
+        ).alias("decoded"),
+    )

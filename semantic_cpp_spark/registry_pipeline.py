@@ -5094,3 +5094,57 @@ def txt_unigram_viterbi(spark, sf_dir):
         .alias("n_pieces"),
         F.md5("piece_text").alias("seg_fp"),
     )
+
+
+# -- tokenizer round-trip (decode_subwords) -----------------------------------
+
+
+def _roundtrip_sql() -> str:
+    """Oracle for the end-to-end tokenizer round-trip: the IDENTITY is
+    the oracle. The engine runs train(eow) → vocab → segment(kernel,
+    eow) → encode → decode; losslessness of that whole chain on corpus
+    text is a mathematical property (the eow marker makes word
+    boundaries recoverable, the vocab closure makes every unit
+    encodable), so the oracle asserts decoded == the whitespace-
+    normalized source for every document — any drift in ANY stage
+    (a wrong merge, a vocab id collision mishandled, a kernel
+    tokenization edge, an encode join fan-out, a decode
+    re-assembly order bug) breaks equality for some document and
+    surfaces as a value mismatch, not a silent pass."""
+    return r"""SELECT doc_id,
+       md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS decoded_fp,
+       true AS round_trip
+FROM documents
+WHERE length(trim(text)) > 0"""
+
+
+@register("txt_subword_roundtrip", _roundtrip_sql())
+def txt_subword_roundtrip(spark, sf_dir):
+    """Tokenizer lifecycle closure (text.decode_subwords): train the
+    full-Sennrich eow table, segment with the Arrow kernel, encode
+    against the trainer vocabulary, DECODE back — and fingerprint the
+    decoded text, asserting it equals the whitespace-normalized
+    source. A green row proves the deployed-tokenizer round-trip
+    contract decode(encode(x)) == normalize(x) holds document-for-
+    document through every stage."""
+    eow = "</w>"
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    mdf = text.bpe_train_merges(docs, F.col("text"), 6, eow=eow)
+    vocab = text.bpe_vocab(docs, F.col("text"), mdf, eow=eow)
+    rules = text.collect_merges(mdf)
+    seg = text.bpe_segment(
+        docs, F.col("text"), F.col("doc_id"), rules, eow=eow, impl="kernel"
+    )
+    enc = text.encode_subwords(seg, vocab)
+    dec = text.decode_subwords(enc, vocab, eow=eow)
+    src = docs.select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("__norm"),
+    )
+    return dec.join(src, "doc_id").select(
+        "doc_id",
+        F.md5("decoded").alias("decoded_fp"),
+        (F.col("decoded") == F.col("__norm")).alias("round_trip"),
+    )

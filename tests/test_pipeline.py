@@ -3501,3 +3501,70 @@ def test_bpe_eow_variant_learns_suffix_units(spark):
     m0 = text.collect_merges(text.bpe_train_merges(df, F.col("text"), 3))
     assert all("</w>" not in l and "</w>" not in r for l, r in m0)
 
+
+
+# -- decode_subwords: the tokenizer round-trip --------------------------------
+
+
+def test_decode_subwords_round_trips_normalized_text(spark):
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.pipeline import text as T
+
+    eow = "</w>"
+    docs = spark.createDataFrame(
+        [
+            (0, "hey lo hey"),
+            (1, "  spaced\tout\n text  "),
+            (2, "solo"),
+            (3, "lo lo lo hey"),
+        ],
+        "doc_id long, text string",
+    )
+    mdf = T.bpe_train_merges(docs, F.col("text"), 4, eow=eow)
+    vocab = T.bpe_vocab(docs, F.col("text"), mdf, eow=eow)
+    seg = T.bpe_segment(
+        docs, F.col("text"), F.col("doc_id"), T.collect_merges(mdf), eow=eow
+    )
+    dec = T.decode_subwords(T.encode_subwords(seg, vocab), vocab, eow=eow)
+    got = {r["doc_id"]: r["decoded"] for r in dec.collect()}
+    norm = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("n"),
+        ).collect()
+    }
+    assert got == norm
+
+
+def test_decode_subwords_without_eow_returns_stream(spark):
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.pipeline import text as T
+
+    docs = spark.createDataFrame([(0, "ab ab b")], "doc_id long, text string")
+    mdf = T.bpe_train_merges(docs, F.col("text"), 1)
+    vocab = T.bpe_vocab(docs, F.col("text"), mdf)
+    seg = T.bpe_segment(
+        docs, F.col("text"), F.col("doc_id"), T.collect_merges(mdf)
+    )
+    stream = seg.collect()[0]["subword_text"]
+    dec = T.decode_subwords(T.encode_subwords(seg, vocab), vocab)
+    assert dec.collect()[0]["decoded"] == stream
+
+
+def test_decode_subwords_unknown_ids_surface_as_oov_char(spark):
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.pipeline import text as T
+
+    vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1)], "unit string, token_id long"
+    )
+    enc = spark.createDataFrame(
+        [(0, 3, 1, [0, -1, 1], "x")],
+        "doc_id long, n_tokens long, n_oov long, ids array<long>, ids_fp string",
+    )
+    dec = T.decode_subwords(enc, vocab)
+    assert dec.collect()[0]["decoded"] == "a \ufffd b"
