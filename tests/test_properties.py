@@ -620,3 +620,58 @@ def test_bpe_local_trainer_matches_naive_recount_eow(word_freqs, n):
                     i += 1
             state[w] = ns
     assert got == out
+
+
+# -- unigram Viterbi DP vs exhaustive argmax (pure Python, no Spark) ----------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_viterbi_matches_exhaustive_argmax(data):
+    """The DP core (unigram._viterbi) against brute-force enumeration
+    of every segmentation on random words over a tiny alphabet with a
+    random piece inventory — hammering exactly the split/tie/UNK
+    bookkeeping the driver gate exercises only on fixture text. Tie
+    rule replayed: maximize total score, then prefer the smaller split
+    point at every backward step (compare reversed cut tuples)."""
+    from semantic_cpp_spark.pipeline.unigram import UNK_SCORE_MICRO, _viterbi
+
+    word = data.draw(st.text(alphabet="abc", min_size=1, max_size=9))
+    # random inventory: always cover at least one char to keep scores
+    # interesting; uncovered single chars exercise the UNK path
+    all_subs = sorted(
+        {word[i:j] for i in range(len(word)) for j in range(i + 1, len(word) + 1)}
+    )
+    chosen = data.draw(
+        st.lists(st.sampled_from(all_subs), min_size=1, max_size=8, unique=True)
+    )
+    scores = {
+        p: data.draw(
+            st.integers(min_value=-5_000_000, max_value=-1), label=f"s[{p}]"
+        )
+        for p in chosen
+    }
+    ml = max(len(p) for p in scores)
+    got = _viterbi(word, scores, ml, UNK_SCORE_MICRO)
+
+    n = len(word)
+    best = None
+    for mask in range(1 << (n - 1)):
+        cuts = [0] + [i + 1 for i in range(n - 1) if mask >> i & 1] + [n]
+        segs = [word[cuts[k] : cuts[k + 1]] for k in range(len(cuts) - 1)]
+        tot = 0
+        ok = True
+        for s in segs:
+            if s in scores:
+                tot += scores[s]
+            elif len(s) == 1:
+                tot += UNK_SCORE_MICRO
+            else:
+                ok = False
+                break
+        if not ok:
+            continue
+        key = (-tot, tuple(reversed(cuts)))
+        if best is None or key < best[0]:
+            best = (key, segs)
+    assert got == best[1]
