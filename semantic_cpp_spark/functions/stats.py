@@ -218,3 +218,26 @@ def band_by_cuts(
             )
         )
     return band
+
+
+def ratio_round6(num: Column, den: Column) -> Column:
+    """round(num/den, 6) for EXACT non-negative int64 inputs, computed
+    so both engines agree on EVERY input — including the exact-half
+    class round(double, 6) gets wrong: a ratio whose reduced
+    denominator divides 2·10⁶ can land exactly on a half at the 7th
+    decimal (measured: 42379746/12 in the LM gate; a 128-word document
+    would do the same to fertility), and Spark's and DuckDB's double
+    rounding disagree there.
+
+    Form: integer half-up division q = (2·10⁶·num + den) ÷ (2·den),
+    with the division made EXACT via pmod ((x − x mod y)/y divides a
+    perfect multiple, whose double quotient is the exact integer —
+    correct at ANY magnitude, unlike floor(x/y) whose ulp passes
+    1/(2·den) once quotient·den exceeds 2⁵¹), then /1e6 for display
+    (exact: q < 2⁵³). DuckDB mirror: ``(2000000::BIGINT*num + den) // (2*den)
+    / 1000000.0`` (the BIGINT cast matters when num is a literal —
+    bare 2000000*literal multiplies in INT32 and overflows). Requires 2·10⁶·num + den < 2⁶³ (num < 4.6e12)."""
+    x = F.lit(2_000_000).cast("long") * num.cast("long") + den.cast("long")
+    y = F.lit(2).cast("long") * den.cast("long")
+    q = ((x - F.pmod(x, y)) / y).cast("long")
+    return q / F.lit(1000000.0)

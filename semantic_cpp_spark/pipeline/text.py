@@ -1100,7 +1100,9 @@ def tokenizer_stats(
     unit); chars_per_subword = word chars per emitted unit (the
     compression ratio; eow markers are EXCLUDED from the char count so
     the metric measures text compression, not marker overhead).
-    Rounded to 6dp for engine-stable comparison.
+    Ratios round at micro precision via integer half-up division
+    (stats.ratio_round6 — engine-exact on the half-boundary class
+    round(double, 6) gets wrong).
 
     Shape: ONE exchange-free pass (plan-pinned). The word/char counts
     ride THROUGH the segmenter inside its id column (bpe_segment
@@ -1139,21 +1141,26 @@ def tokenizer_stats(
         .alias("n_subwords"),
         F.col("doc_id.n_chars").alias("n_chars"),
     )
-    nw = F.col("n_words").cast("double")
-    ns = F.col("n_subwords").cast("double")
+    from semantic_cpp_spark.functions.stats import ratio_round6
+
     # zero guards: an empty doc has 0 words and 0 subwords — emit NULL
     # ratios instead of dividing by zero (which ABORTS the whole job
-    # under ANSI mode, Spark 4's default)
+    # under ANSI mode, Spark 4's default). Ratios of exact int64
+    # counts round via integer half-up division (ratio_round6):
+    # round(double, 6) diverges across engines when the reduced
+    # denominator divides 2·10⁶ and the ratio lands exactly on a half
+    # at the 7th decimal — e.g. a 128-word document with odd subword
+    # count (the LM gate measured this class at sf1.0).
     return out.select(
         "doc_id",
         "n_words",
         "n_subwords",
         "n_chars",
         F.when(F.col("n_words") == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(ns / nw, 6))
+        .otherwise(ratio_round6(F.col("n_subwords"), F.col("n_words")))
         .alias("fertility"),
         F.when(F.col("n_subwords") == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.col("n_chars").cast("double") / ns, 6))
+        .otherwise(ratio_round6(F.col("n_chars"), F.col("n_subwords")))
         .alias("chars_per_subword"),
     )
 

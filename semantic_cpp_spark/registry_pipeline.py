@@ -4626,7 +4626,8 @@ def txt_bpe_vocab(spark, sf_dir):
 def _tokenizer_stats_sql(n: int) -> str:
     """Oracle for text.tokenizer_stats: the _bpe_segment_sql document
     replay (d{i} chains) plus per-doc word/char counts — fertility and
-    chars-per-subword in the same 6dp rounding as the engine."""
+    chars-per-subword via the same integer half-up micro division as
+    the engine (stats.ratio_round6's documented DuckDB mirror)."""
     parts = _bpe_train_ctes(n) + _bpe_doc_replay_ctes(n, "d")
     parts.append(rf"""tstream AS (
   SELECT doc_id, regexp_replace(trim(s), ' +', ' ', 'g') AS stream FROM d{n}),
@@ -4646,10 +4647,11 @@ tcnt AS (
         "WITH " + ",\n".join(parts) + """
     SELECT doc_id, n_words, n_subwords, n_chars,
            CASE WHEN n_words = 0 THEN NULL
-                ELSE round(n_subwords::DOUBLE / n_words, 6) END AS fertility,
+                ELSE ((2000000 * n_subwords + n_words) // (2 * n_words))
+                     / 1000000.0 END AS fertility,
            CASE WHEN n_subwords = 0 THEN NULL
-                ELSE round(n_chars::DOUBLE / n_subwords, 6) END
-             AS chars_per_subword
+                ELSE ((2000000 * n_chars + n_subwords) // (2 * n_subwords))
+                     / 1000000.0 END AS chars_per_subword
     FROM tcnt"""
     )
 

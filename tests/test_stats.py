@@ -205,3 +205,69 @@ def test_band_by_cuts_check_flag_enforces_precondition(spark):
                 F.col("v"), ["c0", "c1"], check=True
             ).alias("b")
         ).collect()
+
+
+def test_ratio_round6_three_way_exact(spark):
+    """stats.ratio_round6 vs its documented DuckDB mirror vs
+    Decimal ROUND_HALF_UP ground truth — including the exact-half
+    class round(double, 6) gets wrong (reduced denominator dividing
+    2·10⁶, e.g. 1/128 = 0.0078125: a half at the 7th decimal)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from semantic_cpp_spark.functions import stats
+
+    cases = [
+        (1, 128), (3, 128), (5, 128), (129, 128), (1, 3), (2, 3),
+        (7, 2), (42379746, 12), (1, 7), (22, 7), (999999, 1000000),
+        (1, 2000000), (3, 2000000), (1048577, 1024), (0, 5), (5, 5),
+    ]
+    want = {
+        (a, b): float(
+            (Decimal(a) / Decimal(b)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        for a, b in cases
+    }
+    df = spark.createDataFrame(cases, "num long, den long").select(
+        "num", "den",
+        stats.ratio_round6(F.col("num"), F.col("den")).alias("r"),
+    )
+    got_spark = {(r["num"], r["den"]): r["r"] for r in df.collect()}
+    assert got_spark == want
+    con = duckdb.connect()
+    for (a, b) in cases:
+        got = con.execute(
+            f"SELECT ((2000000::BIGINT * {a} + {b}) // (2 * {b}::BIGINT)) / 1000000.0"
+        ).fetchone()[0]
+        assert got == want[(a, b)], (a, b)
+
+
+def test_tokenizer_stats_half_boundary_regression(spark):
+    """A 128-word document whose subword count is odd puts fertility
+    exactly on a 7th-decimal half (odd/128); the integer half-up form
+    must agree with Decimal ROUND_HALF_UP ground truth. (Before
+    ratio_round6 this was round(double, 6) — the cross-engine
+    divergence class the LM gate measured at sf1.0.)"""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from semantic_cpp_spark.pipeline import text as T
+
+    # 128 words, no merges -> every word char-splits: n_subwords =
+    # total chars. 127 two-char words + 1 three-char word = 257 subwords
+    words = ["ab"] * 127 + ["abc"]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    row = T.tokenizer_stats(
+        docs, F.col("text"), F.col("doc_id"), [], impl="kernel"
+    ).collect()[0]
+    assert row["n_words"] == 128 and row["n_subwords"] == 257
+    want = float(
+        (Decimal(257) / Decimal(128)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert row["fertility"] == want  # 2.0078125 -> 2.007813 (half-up)
