@@ -760,3 +760,62 @@ def test_sliding_quantiles_error_band_and_binning_parity(spark):
             )
         checked += 1
     assert checked >= 10
+
+
+def test_tokenizer_kernels_run_on_structured_streaming(spark, tmp_path):
+    """The Arrow tokenizer kernels (BPE merge-apply and unigram
+    Viterbi) are 1->1 mapInPandas with task-closure state — exactly
+    the shape Structured Streaming supports stateless. Pin the claim:
+    a file stream of documents segments per micro-batch and matches
+    the batch output row for row (so an INCREMENTAL ingestion pipeline
+    can tokenize with the SAME call the batch path uses)."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.pipeline import text as T
+    from semantic_cpp_spark.pipeline import unigram
+
+    src = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [(i, txt) for i, txt in enumerate(["hey lo", "lo lo hey", "he he"] * 4)],
+        "doc_id long, text string",
+    )
+    docs.repartition(3).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    rules = [("h", "e"), ("l", "o")]
+    pieces = [("h", -1_000_000), ("e", -1_200_000), ("y", -1_400_000),
+              ("l", -1_100_000), ("o", -1_050_000), ("lo", -1_500_000)]
+
+    want_bpe = sorted(
+        map(tuple, T.bpe_segment(
+            batch, F.col("text"), F.col("doc_id"), rules, impl="kernel"
+        ).collect())
+    )
+    got_bpe = sorted(
+        map(tuple, ops.run_to_memory(
+            T.bpe_segment(
+                stream, F.col("text"), F.col("doc_id"), rules, impl="kernel"
+            ),
+            "append",
+        ).collect())
+    )
+    assert got_bpe == want_bpe
+
+    want_uni = sorted(
+        map(tuple, unigram.viterbi_segment(
+            batch, F.col("text"), F.col("doc_id"), pieces
+        ).collect())
+    )
+    got_uni = sorted(
+        map(tuple, ops.run_to_memory(
+            unigram.viterbi_segment(
+                stream, F.col("text"), F.col("doc_id"), pieces
+            ),
+            "append",
+        ).collect())
+    )
+    assert got_uni == want_uni
