@@ -730,16 +730,18 @@ _PRIORITY: list[str] = [
     #    position, when rotating. r13 is the 41-query r8-vintage
     #    deadline (42 minus the hll backfill above) + ~9 free slots;
     #    recount from the CORRECTNESS files when building that
-    #    window. SEVEN rule-(b) candidates are REGISTERED past this
+    #    window. EIGHT rule-(b) candidates are REGISTERED past this
     #    cut, each pre-verified by a differential pytest
     #    (tests/test_r13_gate_candidates.py, listed in
     #    test_registry_contract.PRE_VERIFIED_AWAITING_WINDOW) AND
     #    step-up-verified at sf1.0: txt_bpe_vocab,
     #    txt_tokenizer_stats, txt_encode_subwords,
     #    txt_nb_holdout_confusion, txt_lm_perplexity_bands,
-    #    txt_unigram_viterbi, txt_subword_roundtrip. 41 + 7 = 48;
-    #    the ~2 spare slots go to rule-(a) re-entries or the oldest
-    #    r9 vintage. --
+    #    txt_unigram_viterbi, txt_subword_roundtrip,
+    #    txt_tokenizer_compare. 41 + 8 = 49; the ~1 spare slot goes
+    #    to a rule-(a) re-entry (the SCALING half-boundary audit
+    #    queues ir_rank_metrics and evt_dau_wau_stickiness — take
+    #    the first, slip the second to r14 with the rest). --
 ]
 
 

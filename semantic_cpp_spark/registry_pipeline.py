@@ -5150,3 +5150,117 @@ def txt_subword_roundtrip(spark, sf_dir):
         F.md5("decoded").alias("decoded_fp"),
         (F.col("decoded") == F.col("__norm")).alias("round_trip"),
     )
+
+
+# -- cross-family tokenizer comparison ----------------------------------------
+
+
+def _tokenizer_compare_sql(n: int = 6, j_max: int = 12) -> str:
+    """Oracle composing BOTH tokenizer replay chains over one corpus:
+    the BPE document replay (d{i} merge chains) and the unigram
+    piece-score + unrolled-DP chain, rolled up to ONE corpus row of
+    totals and micro-precision fertility ratios (ratio_round6's
+    integer half-up mirror)."""
+    parts = (
+        _bpe_train_ctes(n)
+        + _bpe_doc_replay_ctes(n, "d")
+        + _vocab_cte_parts(n)
+        + _unigram_cte_parts(n, j_max)
+    )
+    parts.append(rf"""bstream AS (
+  SELECT doc_id, regexp_replace(trim(s), ' +', ' ', 'g') AS stream FROM d{n}),
+bcnt AS (
+  SELECT sum(CASE WHEN length(stream) = 0 THEN 0
+                  ELSE len(string_split(stream, ' ')) END)::BIGINT AS bpe_subwords
+  FROM bstream),
+wsrc AS (
+  SELECT sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             w -> w <> '')))::BIGINT AS n_words,
+         sum(length(array_to_string(
+               regexp_split_to_array(trim(text), '\s+'), '')))::BIGINT
+           AS n_chars,
+         count(*)::BIGINT AS n_docs
+  FROM documents),
+ucnt AS (
+  SELECT sum(len(string_split(u.seg, ' ')))::BIGINT AS uni_pieces
+  FROM (SELECT doc_id, i, t[i] AS word
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1))::BIGINT AS i
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       w -> w <> '') AS t
+                    FROM documents))) d
+  JOIN useg u USING (word))""")
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT w.n_docs, w.n_words, w.n_chars, b.bpe_subwords, u.uni_pieces,
+       ((2000000 * b.bpe_subwords + w.n_words) // (2 * w.n_words))
+         / 1000000.0 AS bpe_fertility,
+       ((2000000 * u.uni_pieces + w.n_words) // (2 * w.n_words))
+         / 1000000.0 AS uni_fertility,
+       ((2000000 * w.n_chars + b.bpe_subwords) // (2 * b.bpe_subwords))
+         / 1000000.0 AS bpe_chars_per_subword,
+       ((2000000 * w.n_chars + u.uni_pieces) // (2 * u.uni_pieces))
+         / 1000000.0 AS uni_chars_per_piece
+FROM wsrc w, bcnt b, ucnt u"""
+    )
+
+
+@register("txt_tokenizer_compare", _tokenizer_compare_sql())
+def txt_tokenizer_compare(spark, sf_dir):
+    """Cross-family tokenizer evaluation in one row: train BOTH
+    learned tokenizers on the corpus (BPE merges; unigram pieces from
+    the BPE vocabulary) and compare corpus-level fertility and
+    compression — the decision table a pipeline consults before
+    freezing a tokenizer family. Composes tokenizer_stats (BPE side,
+    counts riding the exchange-free kernel) with viterbi_segment
+    (unigram side); all ratios are integer half-up micro divisions.
+    A green row proves both whole training+segmentation chains and
+    their corpus rollups in a single compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    mdf = text.bpe_train_merges(docs, F.col("text"), 6)
+    rules = text.collect_merges(mdf)
+    ts = text.tokenizer_stats(
+        docs, F.col("text"), F.col("doc_id"), rules, impl="kernel"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_subwords").cast("long").alias("bpe_subwords"),
+    )
+    vocab = text.bpe_vocab(docs, F.col("text"), mdf)
+    pieces = unigram.collect_pieces(
+        unigram.piece_scores(
+            text.bpe_word_counts(docs, F.col("text")), vocab.select("unit")
+        )
+    )
+    seg = unigram.viterbi_segment(docs, F.col("text"), F.col("doc_id"), pieces)
+    uv = seg.agg(
+        F.sum(
+            F.when(F.col("piece_text").isNull(), F.lit(0))
+            .when(F.col("piece_text") == "", F.lit(0))
+            .otherwise(F.size(F.split("piece_text", " ")))
+        )
+        .cast("long")
+        .alias("uni_pieces")
+    )
+    from semantic_cpp_spark.functions.stats import ratio_round6
+
+    return ts.crossJoin(F.broadcast(uv)).select(
+        "n_docs",
+        "n_words",
+        "n_chars",
+        "bpe_subwords",
+        "uni_pieces",
+        ratio_round6(F.col("bpe_subwords"), F.col("n_words")).alias(
+            "bpe_fertility"
+        ),
+        ratio_round6(F.col("uni_pieces"), F.col("n_words")).alias(
+            "uni_fertility"
+        ),
+        ratio_round6(F.col("n_chars"), F.col("bpe_subwords")).alias(
+            "bpe_chars_per_subword"
+        ),
+        ratio_round6(F.col("n_chars"), F.col("uni_pieces")).alias(
+            "uni_chars_per_piece"
+        ),
+    )

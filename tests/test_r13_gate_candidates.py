@@ -24,6 +24,7 @@ CANDIDATES = [
     (RP.txt_lm_perplexity_bands, RP._lm_bands_sql()),
     (RP.txt_unigram_viterbi, RP._unigram_viterbi_sql(6)),
     (RP.txt_subword_roundtrip, RP._roundtrip_sql()),
+    (RP.txt_tokenizer_compare, RP._tokenizer_compare_sql()),
 ]
 
 

@@ -131,6 +131,7 @@ PRE_VERIFIED_AWAITING_WINDOW = {
     "txt_lm_perplexity_bands": "tests/test_r13_gate_candidates.py",
     "txt_unigram_viterbi": "tests/test_r13_gate_candidates.py",
     "txt_subword_roundtrip": "tests/test_r13_gate_candidates.py",
+    "txt_tokenizer_compare": "tests/test_r13_gate_candidates.py",
 }
 
 
