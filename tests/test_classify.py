@@ -163,3 +163,17 @@ def test_confusion_fingerprints_pin_membership(spark, fitted):
     got = cell[("de", "de")]
     assert got["docs_fp"] == hashlib.md5(b"1_3_4").hexdigest()
     assert got["n_docs"] == 3
+
+
+def test_single_label_training(spark):
+    """One label: every doc predicts it, margin is NULL (no runner-up),
+    and the prior contributes ln(1) = 0."""
+    tr = spark.createDataFrame(
+        [("en", "the cat"), ("en", "a dog")], "label string, text string"
+    )
+    nbm = classify.nb_train(tr, F.col("text"), F.col("label"))
+    assert {r["prior_micro"] for r in nbm.priors.collect()} == {0}
+    te = spark.createDataFrame([(0, "the"), (1, "zzz")], "doc_id long, text string")
+    rows = classify.nb_predict(te, F.col("text"), F.col("doc_id"), nbm).collect()
+    assert all(r["predicted"] == "en" for r in rows)
+    assert all(r["margin_micro"] is None for r in rows)
