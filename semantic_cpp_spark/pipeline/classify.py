@@ -83,7 +83,14 @@ def nb_train(
     table, and the smoothing denominator is the in-vocab token total.
     log P(term|label) = ln((cnt + alpha) / (tot_label + alpha·V)),
     stored as int64 micro-units (see module docstring).
+
+    Rows with a NULL label are EXCLUDED from training (a silent
+    "null" class would surface as a null prediction downstream);
+    null-text rows contribute no tokens but do count toward their
+    label's prior (a labeled empty document is still a labeled
+    document).
     """
+    df = df.filter(label.isNotNull())
     tok = df.select(label.alias("label"), F.explode(_terms(text)).alias("term"))
     vocab = (
         tok.groupBy("term")

@@ -329,6 +329,8 @@ def train_pieces(
     ``max_words`` contract — the same shape as the hybrid BPE trainer:
     corpus-scale work happens once in the word count, EM state is
     vocab-sized."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1: {rounds}")
     n_words = words.count()
     if n_words > max_words:
         raise ValueError(

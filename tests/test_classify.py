@@ -177,3 +177,15 @@ def test_single_label_training(spark):
     rows = classify.nb_predict(te, F.col("text"), F.col("doc_id"), nbm).collect()
     assert all(r["predicted"] == "en" for r in rows)
     assert all(r["margin_micro"] is None for r in rows)
+
+
+def test_null_labels_are_excluded_from_training(spark):
+    tr = spark.createDataFrame(
+        [("en", "the cat"), (None, "der hund"), ("es", "el gato")],
+        "label string, text string",
+    )
+    nbm = classify.nb_train(tr, F.col("text"), F.col("label"))
+    labels = {r["label"] for r in nbm.priors.collect()}
+    assert labels == {"en", "es"}
+    # priors over the 2 SURVIVING docs: round(ln(1/2)*1e6) each
+    assert all(r["prior_micro"] == -693147 for r in nbm.priors.collect())

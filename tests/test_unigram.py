@@ -249,3 +249,9 @@ def test_trainer_rejects_empty_table(spark):
     wdf = spark.createDataFrame([], "word string, freq long")
     with pytest.raises(ValueError, match="empty word table"):
         unigram.train_pieces(wdf, vocab_size=8)
+
+
+def test_trainer_rejects_zero_rounds(spark):
+    wdf = spark.createDataFrame(TRAIN_WORDS, "word string, freq long")
+    with pytest.raises(ValueError, match="rounds"):
+        unigram.train_pieces(wdf, vocab_size=8, rounds=0)
