@@ -730,7 +730,7 @@ _PRIORITY: list[str] = [
     #    position, when rotating. r13 is the 41-query r8-vintage
     #    deadline (42 minus the hll backfill above) + ~9 free slots;
     #    recount from the CORRECTNESS files when building that
-    #    window. EIGHT rule-(b) candidates are REGISTERED past this
+    #    window. The rule-(b) candidates REGISTERED past this
     #    cut, each pre-verified by a differential pytest
     #    (tests/test_r13_gate_candidates.py, listed in
     #    test_registry_contract.PRE_VERIFIED_AWAITING_WINDOW) AND
@@ -738,10 +738,11 @@ _PRIORITY: list[str] = [
     #    txt_tokenizer_stats, txt_encode_subwords,
     #    txt_nb_holdout_confusion, txt_lm_perplexity_bands,
     #    txt_unigram_viterbi, txt_subword_roundtrip,
-    #    txt_tokenizer_compare. 41 + 8 = 49; the ~1 spare slot goes
-    #    to a rule-(a) re-entry (the SCALING half-boundary audit
-    #    queues ir_rank_metrics and evt_dau_wau_stickiness — take
-    #    the first, slip the second to r14 with the rest). --
+    #    txt_tokenizer_compare, txt_blocklist_hits. 41 + 9 = 50 —
+    #    the r13 window is exactly full; the half-boundary audit's
+    #    rule-(a) re-entries (ir_rank_metrics,
+    #    evt_dau_wau_stickiness, SCALING r12) slip to r14 with the
+    #    rest of that queue. --
 ]
 
 

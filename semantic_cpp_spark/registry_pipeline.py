@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from semantic_cpp_spark.pipeline import (
+    blocklist,
     classify,
     dedup,
     multimodal,
@@ -5264,3 +5265,100 @@ def txt_tokenizer_compare(spark, sf_dir):
             "uni_chars_per_piece"
         ),
     )
+
+
+# -- blocklist filtering (blocklist.py) ---------------------------------------
+
+
+def _blocklist_sql() -> str:
+    """Oracle for the Aho-Corasick blocklist gate: derive the same
+    corpus blocklist (top-10 words by (count DESC, word ASC) + the
+    hottest adjacent-token bigram as a space-joined phrase), then
+    count matches POSITIONALLY — one row per (position, phrase-length)
+    candidate substring joined against the phrase table. All-positions
+    counting (overlapping included) is exactly the automaton's output
+    semantics, so engine and oracle agree by definition, not by
+    implementation coincidence."""
+    return r"""WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS t
+  FROM documents),
+uni AS (SELECT unnest(t) AS w FROM tok),
+top10 AS (SELECT w FROM (SELECT w, count(*) AS c FROM uni GROUP BY w)
+          ORDER BY c DESC, w ASC LIMIT 10),
+bgev AS (SELECT t[i] AS v, t[i + 1] AS w
+         FROM (SELECT t, unnest(range(1, len(t)))::INT AS i FROM tok)),
+bg1 AS (SELECT v || ' ' || w AS p
+        FROM (SELECT v, w, count(*) AS c FROM bgev GROUP BY v, w)
+        ORDER BY c DESC, p ASC LIMIT 1),
+phr AS (SELECT w AS p FROM top10 UNION SELECT p FROM bg1),
+plen AS (SELECT DISTINCT length(p) AS l FROM phr),
+pos AS (SELECT doc_id, lower(text) AS t,
+               unnest(range(1, length(text) + 1))::INT AS i
+        FROM documents WHERE text IS NOT NULL),
+cand AS (SELECT doc_id, substr(t, i, l.l) AS sub
+         FROM pos, plen l WHERE i + l.l <= length(t) + 1),
+m AS (SELECT doc_id, sub FROM cand JOIN phr ON sub = p),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_hits,
+               count(DISTINCT sub)::BIGINT AS n_phrases_hit
+        FROM m GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(a.n_hits, 0) END::BIGINT AS n_hits,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(a.n_phrases_hit, 0) END::BIGINT AS n_phrases_hit
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+@register("txt_blocklist_hits", _blocklist_sql())
+def txt_blocklist_hits(spark, sf_dir):
+    """Multi-pattern blocklist matching (blocklist.phrase_hits): the
+    C4/RefinedWeb filtering stage — a real Aho-Corasick automaton
+    (goto/fail/output links, built at plan time, task-closure state)
+    scans every document once for a corpus-derived list of the 10
+    hottest words plus the hottest two-word phrase; per-doc total and
+    distinct-phrase hit counts come back with all-positions
+    (overlapping) semantics. Zero-hit docs report 0 via a left-join
+    restore; null text reports null. A green row proves the automaton
+    against an independent positional replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("t")
+    )
+    uni = tok.select(F.explode("t").alias("w"))
+    top10 = [
+        r["w"]
+        for r in uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(10)
+        .collect()
+    ]
+    bg = (
+        tok.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("v"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w"),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.concat_ws(" ", F.col("p.v"), F.col("p.w")).alias("p")
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("p").asc())
+        .limit(1)
+        .collect()
+    )
+    phrases = sorted(set(top10) | {bg[0]["p"]})
+    hits = blocklist.phrase_hits(
+        docs, F.lower(F.col("text")), F.col("doc_id"), phrases
+    )
+    return hits

@@ -25,6 +25,7 @@ CANDIDATES = [
     (RP.txt_unigram_viterbi, RP._unigram_viterbi_sql(6)),
     (RP.txt_subword_roundtrip, RP._roundtrip_sql()),
     (RP.txt_tokenizer_compare, RP._tokenizer_compare_sql()),
+    (RP.txt_blocklist_hits, RP._blocklist_sql()),
 ]
 
 

@@ -132,6 +132,7 @@ PRE_VERIFIED_AWAITING_WINDOW = {
     "txt_unigram_viterbi": "tests/test_r13_gate_candidates.py",
     "txt_subword_roundtrip": "tests/test_r13_gate_candidates.py",
     "txt_tokenizer_compare": "tests/test_r13_gate_candidates.py",
+    "txt_blocklist_hits": "tests/test_r13_gate_candidates.py",
 }
 
 
