@@ -1,0 +1,94 @@
+"""Rotation recount: derive the next round's due list from the
+CORRECTNESS_r*.json driver artifacts instead of trusting registry
+comments (the standing instruction at registry._PRIORITY).
+
+For every registered query: latest GREEN driver row (err unset or the
+deliberate rows-only 'no_oracle', and no explicit False match flag —
+the test_registry_contract vouching rule), or '-' if none. Then,
+given the upcoming round number N, the policy buckets:
+
+  DUE       latest green row <= N-4 (the 4-round invariant deadline)
+  NO-ROW    registered but never driver-verified (rule-(b) candidates;
+            cross-checked against the contract test's
+            PRE_VERIFIED_AWAITING_WINDOW differential tier)
+  OK        fresher than the deadline
+
+Usage: python scripts/rotation_recount.py [next_round_number]
+(default: max recorded round + 1). Prints the bucket lists and a
+suggested window size breakdown; the human (or next session) still
+ranks rule-(a) re-entries by what changed that round.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+def latest_green_rows() -> tuple[dict[str, int], int]:
+    latest: dict[str, int] = {}
+    max_round = 0
+    for p in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        rnd = int(p.stem.split("_r")[1])
+        max_round = max(max_round, rnd)
+        for name, row in json.loads(p.read_text()).items():
+            if row.get("err") in (None, "no_oracle") and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest, max_round
+
+
+def main() -> None:
+    from semantic_cpp_spark import registry
+
+    latest, max_round = latest_green_rows()
+    next_round = int(sys.argv[1]) if len(sys.argv) > 1 else max_round + 1
+    deadline = next_round - 4
+    names = list(registry.queries())
+    due = sorted(n for n in names if 0 < latest.get(n, 0) <= deadline)
+    no_row = sorted(n for n in names if n not in latest)
+    ok = [n for n in names if latest.get(n, 0) > deadline]
+    try:
+        from tests.test_registry_contract import PRE_VERIFIED_AWAITING_WINDOW
+
+        tier = set(PRE_VERIFIED_AWAITING_WINDOW)
+    except Exception:
+        tier = set()
+    print(f"# rotation recount for round r{next_round} "
+          f"(deadline: latest row <= r{deadline})")
+    print(f"registered: {len(names)}  with-row: {len(latest)}  "
+          f"ok: {len(ok)}  due: {len(due)}  no-row: {len(no_row)}")
+    print(f"\n== DUE ({len(due)}) — rule-(c) deadline, must lead the window:")
+    for n in due:
+        print(f"  {n}  (r{latest[n]})")
+    window = set(names[:50])
+    print(f"\n== NO-ROW ({len(no_row)}) — rule-(b) first rows:")
+    for n in no_row:
+        if n in window:
+            mark = "in CURRENT window — row incoming this round"
+        elif n in tier:
+            mark = "differential-tier"
+        else:
+            mark = "NO VOUCH — fix first"
+        print(f"  {n}  [{mark}]")
+    unvouched = [n for n in no_row if n not in tier and n not in window]
+    if unvouched:
+        print(f"\n!! {len(unvouched)} no-row queries lack a differential "
+              "vouch — the contract test should have caught this.")
+    total = len(due) + len(no_row)
+    print(f"\nwindow math: {len(due)} due + {len(no_row)} first-rows = "
+          f"{total} of 50 slots; {max(0, 50 - total)} spare for rule-(a) "
+          "re-entries / oldest-vintage backfill"
+          + (f"; OVERFLOW {total - 50} — spill the newest-vintage due "
+             "entries and document EXPECTED_SPILL" if total > 50 else ""))
+
+
+if __name__ == "__main__":
+    main()

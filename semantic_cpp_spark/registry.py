@@ -727,7 +727,9 @@ _PRIORITY: list[str] = [
     # -- (c) oldest-vintage (r8) backfill, riskiest family --
     "stream_sliding_uniques_hll",
     # -- WINDOW CUT at position 50 — recount, don't trust comment
-    #    position, when rotating. r13 is the 41-query r8-vintage
+    #    position, when rotating: `python scripts/rotation_recount.py
+    #    <next_round>` derives the due/no-row buckets from the
+    #    CORRECTNESS artifacts mechanically. r13 is the 41-query r8-vintage
     #    deadline (42 minus the hll backfill above) + ~9 free slots;
     #    recount from the CORRECTNESS files when building that
     #    window. The rule-(b) candidates REGISTERED past this
