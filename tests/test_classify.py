@@ -189,3 +189,50 @@ def test_null_labels_are_excluded_from_training(spark):
     assert labels == {"en", "es"}
     # priors over the 2 SURVIVING docs: round(ln(1/2)*1e6) each
     assert all(r["prior_micro"] == -693147 for r in nbm.priors.collect())
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_random_corpus_matches_python_replay(spark, seed):
+    """Seeded random corpora (skewed word distribution, variable doc
+    lengths, OOV-heavy test docs) through train+predict vs the serial
+    replay — the differential at inputs the fixed corpus never shapes."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    labels = ["a", "b", "c"]
+    train = [
+        (
+            rng.choice(labels),
+            " ".join(
+                rng.choice(vocab[: 4 + 4 * (i % 3)])
+                for _ in range(rng.randint(1, 12))
+            ),
+        )
+        for i in range(25)
+    ]
+    test = [
+        (
+            i,
+            " ".join(
+                rng.choice(vocab + ["zzz", "qqq"])
+                for _ in range(rng.randint(0, 8))
+            ),
+        )
+        for i in range(12)
+    ]
+    tr = spark.createDataFrame(train, "label string, text string")
+    nbm = classify.nb_train(tr, F.col("text"), F.col("label"), vocab_size=9)
+    model, priors, vset = _py_nb(train, vocab_size=9)
+    got_m = {
+        (r["term"], r["label"]): r["lp_micro"] for r in nbm.model.collect()
+    }
+    assert got_m == model, seed
+    te = spark.createDataFrame(test, "doc_id long, text string")
+    pred = {
+        r["doc_id"]: (r["predicted"], r["score_micro"])
+        for r in classify.nb_predict(
+            te, F.col("text"), F.col("doc_id"), nbm
+        ).collect()
+    }
+    assert pred == _py_predict(model, priors, vset, test), seed

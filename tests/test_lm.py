@@ -164,3 +164,37 @@ def test_self_scoring_beats_shuffled_text(spark, fitted):
         ).collect()
     }
     assert rows[0] < rows[1]
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_random_corpus_matches_python_replay(spark, seed):
+    """Seeded random train/score corpora through the trigram LM vs the
+    serial replay — exercises unseen-bigram/trigram fallthrough mixes
+    the fixed corpus barely samples."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(8)]
+    train = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        for i in range(20)
+    ]
+    test = [
+        (
+            100 + i,
+            " ".join(
+                rng.choice(vocab + ["xx"]) for _ in range(rng.randint(1, 10))
+            ),
+        )
+        for i in range(10)
+    ]
+    tr = spark.createDataFrame(train, "doc_id long, text string")
+    lm = retrieval.lm_train_trigram(tr, F.col("text"))
+    te = spark.createDataFrame(test, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll_micro"], r["cross_entropy"])
+        for r in retrieval.lm_score_trigram(
+            te, F.col("text"), F.col("doc_id"), lm
+        ).collect()
+    }
+    assert got == _py_score(_py_lm(train), test), seed
