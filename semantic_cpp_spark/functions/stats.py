@@ -229,15 +229,25 @@ def ratio_round6(num: Column, den: Column) -> Column:
     would do the same to fertility), and Spark's and DuckDB's double
     rounding disagree there.
 
-    Form: integer half-up division q = (2·10⁶·num + den) ÷ (2·den),
-    with the division made EXACT via pmod ((x − x mod y)/y divides a
-    perfect multiple, whose double quotient is the exact integer —
-    correct at ANY magnitude, unlike floor(x/y) whose ulp passes
-    1/(2·den) once quotient·den exceeds 2⁵¹), then /1e6 for display
-    (exact: q < 2⁵³). DuckDB mirror: ``(2000000::BIGINT*num + den) // (2*den)
+    Form: integer half-up division q = (2·10⁶·num + den) ÷ (2·den) via
+    ``div_long`` (JVM IntegralDivide — exact pure-long arithmetic at
+    ANY magnitude; the earlier (x − x mod y)/y double form was exact
+    only below 2⁵³, ADVICE r12), then /1e6 for display (exact:
+    q < 2⁵³). DuckDB mirror: ``(2000000::BIGINT*num + den) // (2*den)
     / 1000000.0`` (the BIGINT cast matters when num is a literal —
     bare 2000000*literal multiplies in INT32 and overflows). Requires 2·10⁶·num + den < 2⁶³ (num < 4.6e12)."""
     x = F.lit(2_000_000).cast("long") * num.cast("long") + den.cast("long")
     y = F.lit(2).cast("long") * den.cast("long")
-    q = ((x - F.pmod(x, y)) / y).cast("long")
-    return q / F.lit(1000000.0)
+    return div_long(x, y) / F.lit(1000000.0)
+
+
+def div_long(x: Column, y: Column) -> Column:
+    """EXACT int64 integer division (truncated toward zero, like SQL
+    ``div`` / DuckDB ``//`` on non-negative operands) — stays in pure
+    long arithmetic on the JVM (Catalyst IntegralDivide via the
+    registered ``div`` SQL function), so unlike any double-routed form
+    ((x − pmod)/y, floor(x/y)) the quotient is correct at ANY int64
+    magnitude: a long → double conversion above 2⁵³ is inexact and can
+    return q±1 even for perfect multiples (measured at 2⁶²).
+    DuckDB mirror for non-negative operands: ``x // y``."""
+    return F.call_function("div", x.cast("long"), y.cast("long"))

@@ -625,9 +625,13 @@ def markov_transitions(
     a groupBy on the (cur, next) pair; P(next|cur) joins the pair counts
     against the per-cur totals CO-KEYED on cur (exchange reused — the
     totals are themselves a groupBy(cur)). Probability = exact integer
-    counts divided once at the end.
+    counts, rounded by integer half-up division (stats.ratio_round6 —
+    round(double, 6) diverges across engines when n_pair/n_from lands
+    on a half-micro boundary; r13 audit conversion).
 
     Returns (cur, next, n_pair, p) over all observed transitions."""
+    from semantic_cpp_spark.functions.stats import ratio_round6
+
     w = Window.partitionBy(user).orderBy(F.col(tus), F.col("event_id"))
     nxt = F.lead(type_col).over(w)
     pairs = (
@@ -643,7 +647,7 @@ def markov_transitions(
             "cur",
             "next",
             F.col("n_pair").cast("long").alias("n_pair"),
-            F.round(F.col("n_pair") / F.col("n_from"), 6).alias("p"),
+            ratio_round6(F.col("n_pair"), F.col("n_from")).alias("p"),
         )
     )
 

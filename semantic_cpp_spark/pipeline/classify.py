@@ -107,11 +107,17 @@ def nb_train(
     tots = cnts.groupBy("label").agg(F.sum("cnt").cast("long").alias("tot"))
     vsz = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
     labels = df.select(label.alias("label")).distinct()
+    # tots joins LEFT with tot=0 fill: a label whose training docs hold
+    # zero in-vocab tokens (all-OOV or all-null text) must still get a
+    # full model column — lp = ln(alpha / (alpha·V)) is well-defined at
+    # tot=0 — or the vocab_size × n_labels contract silently breaks and
+    # that label scores prior-only at predict time (ADVICE r12).
     dense = (
         vocab.crossJoin(F.broadcast(labels))
         .join(cnts, ["term", "label"], "left")
         .na.fill({"cnt": 0})
-        .join(F.broadcast(tots), "label")
+        .join(F.broadcast(tots), "label", "left")
+        .na.fill({"tot": 0})
         .crossJoin(F.broadcast(vsz))
     )
     model = dense.select(
@@ -218,8 +224,12 @@ def nb_confusion(
 ) -> DataFrame:
     """Confusion matrix with a per-cell membership fingerprint:
     (label, predicted, n_docs, docs_fp) where docs_fp is the md5 of the
-    '_'-joined doc ids in ascending order — so a green compare pins the
-    exact per-document assignment, not just the cell counts."""
+    '_'-joined doc ids sorted by their NATURAL type, stringified only
+    after the sort — so a green compare pins the exact per-document
+    assignment, not just the cell counts. (A cast('long') before the
+    collect would turn non-numeric ids into NULLs that concat_ws
+    silently drops, collapsing distinct memberships to one fingerprint
+    instead of failing loudly — ADVICE r12.)"""
     joined = pred.join(
         truth.select(F.col(id_col).alias("doc_id"), F.col(label_col).alias("label")),
         "doc_id",
@@ -228,7 +238,11 @@ def nb_confusion(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.md5(
             F.concat_ws(
-                "_", F.sort_array(F.collect_list(F.col("doc_id").cast("long")))
+                "_",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
             )
         ).alias("docs_fp"),
     )

@@ -23,6 +23,7 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from semantic_cpp_spark.functions import stats
 from semantic_cpp_spark.pipeline.text import tokens
 
 BM25_K1 = 1.2
@@ -563,7 +564,13 @@ def rank_eval(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     Cross-engine exactness: both DCG folds run LEFT-TO-RIGHT in rank
     order (F.aggregate over the rank-sorted gain list — the list_sum
     pairing emb_whiten_norms pinned); MRR/P/R are single divisions of
-    exact int64 counts. NDCG rounds at 6dp.
+    exact int64 counts. NDCG rounds at 6dp. R@k has an UNBOUNDED
+    denominator (|relevant| scales with the corpus), so it rounds by
+    integer half-up division (stats.ratio_round6 — the half-micro
+    class, r13 audit conversion); MRR and P@k keep round(double, 6):
+    their denominators are ≤ k ≤ 10, and n/d with d ≤ 10 can never
+    land on a half at the 7th decimal (2·10⁶·n/d always keeps a
+    factor 2 — d strips at most 2³ from 2⁷·5⁶·n).
 
     Output contract: RUN-KEYED — one row per query_id present in
     ``run``. A query that appears only in qrels (retrieved nothing)
@@ -636,8 +643,8 @@ def rank_eval(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
                 F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
             ).alias("mrr"),
             F.round(F.col("hits") / F.lit(float(k)), 6).alias("p_at_k"),
-            F.round(
-                F.coalesce(F.col("hits") / F.col("n_rel"), F.lit(0.0)), 6
+            F.coalesce(
+                stats.ratio_round6(F.col("hits"), F.col("n_rel")), F.lit(0.0)
             ).alias("r_at_k"),
         )
     )
@@ -768,10 +775,10 @@ def lm_score_trigram(
     whose mean lands exactly on a half-micro boundary (measured at
     sf1.0: nll 42379746 over 12 tokens = 3531645.5 micro) would
     otherwise round differently across engines' double-rounding
-    implementations. The floor(double-division) form is exact here
-    because the quotient is rational with denominator 2n: it is either
-    an exact double (integer) or ≥ 1/(2n) away from one — far beyond
-    1 ulp for any real document length.
+    implementations. The division is stats.div_long (pure-long JVM
+    IntegralDivide — the same idiom as ratio_round6, exact at ANY
+    magnitude; the earlier floor(double) form was exact only while
+    2·nll_micro + n stayed under 2⁵³, ADVICE r12).
 
     Output: (doc_id, n_tokens, nll_micro, cross_entropy).
 
@@ -806,10 +813,10 @@ def lm_score_trigram(
             "n_tokens",
             "nll_micro",
             (
-                F.floor(
-                    (F.lit(2) * F.col("nll_micro") + F.col("n_tokens"))
-                    / (F.lit(2) * F.col("n_tokens"))
-                ).cast("long")
+                stats.div_long(
+                    F.lit(2) * F.col("nll_micro") + F.col("n_tokens"),
+                    F.lit(2) * F.col("n_tokens"),
+                )
                 / F.lit(1000000.0)
             ).alias("cross_entropy"),
         )

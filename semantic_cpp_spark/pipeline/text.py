@@ -1177,8 +1177,15 @@ def token_entropy(df, text: Column, id_col: Column):
     per-doc state bounded by the doc's vocabulary. The Σ c·ln c sum is
     a LEFT-TO-RIGHT fold over counts sorted by token (engine-stable
     order), matching DuckDB's list_sum over list(c ORDER BY w) — no
-    group-sum float nondeterminism."""
+    group-sum float nondeterminism. entropy keeps round(double, 6)
+    (ln-valued — the accepted 1-ulp class); ttr is an EXACT int/int
+    ratio, so it rounds by integer half-up division
+    (stats.ratio_round6) — round(double, 6) diverges across engines
+    when n_types/n_tokens lands on a half-micro boundary (the class
+    measured at sf1.0, SCALING r12)."""
     from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.functions.stats import ratio_round6
 
     ex = df.select(id_col.alias("doc_id"), F.explode(tokens(text)).alias("w"))
     counts = ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
@@ -1198,7 +1205,7 @@ def token_entropy(df, text: Column, id_col: Column):
         "n_tokens",
         "n_types",
         F.round(F.log(n) - clogc / n, 6).alias("entropy"),
-        F.round(F.col("n_types") / n, 6).alias("ttr"),
+        ratio_round6(F.col("n_types"), F.col("n_tokens")).alias("ttr"),
     )
 
 

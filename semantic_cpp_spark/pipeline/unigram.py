@@ -164,12 +164,26 @@ def viterbi_segment(
     text: Column,
     id_col: Column,
     pieces: list[tuple[str, int]],
+    eow: str | None = None,
 ) -> DataFrame:
     """Segment every whitespace word of ``text`` into the maximum-score
     piece sequence (exact int64 micro-score DP; ties break toward the
     smallest split point — see module docstring), emitting
     (doc_id, piece_text) with pieces and words single-space joined —
     the same stream shape as text.bpe_segment.
+
+    With ``eow`` the kernel emits the marker as a STANDALONE piece
+    after each word's sequence ("pi pi </w> pi </w> …"), making word
+    boundaries recoverable from the stream — encode against a
+    vocabulary holding the marker as its own unit and
+    text.decode_subwords(eow=…) inverts the whole chain back to the
+    whitespace-normalized source (the unigram half of the
+    decode(encode(x)) == normalize(x) lifecycle contract; the BPE
+    family reaches the same property by suffixing the marker INTO its
+    units at train time, which unigram's substring-occurrence scores
+    cannot — a standalone boundary piece is presentation-only and
+    leaves the DP untouched). The marker must not collide with any
+    piece or contain whitespace.
 
     100 TB shape: identical to the BPE kernel — 1→1 mapInPandas, no
     explode, no shuffle, output inherits scan partitioning; per-task
@@ -183,6 +197,11 @@ def viterbi_segment(
         if p == "":
             raise ValueError("empty piece in inventory")
         scores[p] = int(s)
+    if eow is not None:
+        if eow == "" or any(ch.isspace() for ch in eow):
+            raise ValueError(f"eow must be non-empty, whitespace-free: {eow!r}")
+        if eow in scores:
+            raise ValueError(f"eow collides with a piece: {eow!r}")
     ml = max(len(p) for p in scores)
     cache_cap = int(UNIGRAM_SEGMENT_CACHE_CAP)
     unk = int(UNK_SCORE_MICRO)
@@ -208,6 +227,8 @@ def viterbi_segment(
             if got is not None:
                 return got
             got = " ".join(_viterbi(word, scores, ml, unk))
+            if eow is not None:
+                got = got + " " + eow
             if len(cache) >= cache_cap:
                 cache.clear()
             cache[word] = got

@@ -653,98 +653,112 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # tests/test_registry_smoke.py, and re-verified by the committed full-gate
 # verify.out.log at HEAD.
 #
-# r12 window (50 = 46 + 1 + 2 + 1): the 46 r7-vintage queries LEAD
-# (recounted from CORRECTNESS_r01..r11 — newest row == r7 for exactly
-# these 46; after this round no query's newest row predates r8); then
-# rule (b): the new full-Sennrich gate's first row (txt_bpe_merges_eow —
-# end-of-word-marker training under the _bpe_train_ctes oracle); then
-# rule (a): txt_bpe_merges and txt_bpe_segment_kernel re-enter because
-# their EXECUTED code paths changed this round (the r12 hybrid
-# dispatcher routes gate-scale training through the new in-memory
-# trainer, and the kernel gained its bounded word cache — both
-# equality-pinned in pytest, but a behavioral-path change at gate scale
-# earns a driver row); then one rule-(c) backfill from the oldest
-# (r8) vintage, riskiest family first (streaming sketch state:
-# stream_sliding_uniques_hll). Rule (a) otherwise consumes no slot:
-# the checkpoint-marker fix touches only resume machinery no gate
-# exercises, and the lookup None-key drop + band_by_cuts check flag are
-# value-identical at every existing gate (samp_/txt_quality_bands/
-# rel_equidepth_histogram re-verified green at sf0.01 post-change).
+# CAPACITY PLAN (r13, replacing the contradictory SCALING:~1669 /
+# registry r12 notes — VERDICT r12 "What's wrong #1"): before this
+# round the registry held 248 queries against a 50-slot window and a
+# 5-round valid span (newest row ≥ N−4), i.e. steady-state demand
+# 49.6 slots/round with 0.4 slack — r13 AND r14 were both exactly
+# full and nothing new could ever be gated. r13 takes the judge's
+# option (a): nine single-aspect gate FAMILIES consolidate into one
+# multi-column (aspect-tagged union) gate each, every member row
+# surviving verbatim in the union, so one driver row re-verifies the
+# whole family: simhash 2→1, semdedup 2→1, mm decode 5→1, rollup
+# merge 4→1, CMS+HLL 2→1, span-cuts 3→1, asof 2→1, PQ-train 2→1,
+# PQ-topk 3→1 (25 members → 9 families). With txt_unigram_roundtrip
+# added, the registry is 233 queries → demand 46.6 slots/round,
+# ~3.4 slots/round of real slack. Recount-backed r14 forecast
+# (scripts/rotation_recount.py 14 after the r13 artifacts land):
+# 37 r9-vintage due (50 minus the 13 r9 members consolidated away)
+# + 5 first rows (dedup_span_cuts_family, asof_nearest_family,
+# sim_pq_train_family, sim_ivfpq_family_topk, txt_unigram_roundtrip)
+# = 42 of 50 — eight spare slots for rule-(a)/(c) work.
+#
+# r13 window (50 = 30 + 5 + 9 + 6), from
+# `python scripts/rotation_recount.py 13` (41 r8-vintage due + 9
+# no-row) re-expressed through the consolidation:
+# (c) the 30 r8-vintage queries NOT consolidated lead; then
+# (b) the 5 family gates whose members carried the r8 deadline
+#     (their first rows take over those members' obligations); then
+# (b) the 9 differential-tier tokenizer/classifier/LM gates from r12
+#     (tests/test_r13_gate_candidates.py); then
+# (a) the 6 half-boundary-audit conversions land WITH their window
+#     rows in the same round (the standing executed-path rule):
+#     ratio_round6 conversions in evt_markov_transitions.p,
+#     evt_dau_wau_stickiness.stickiness, txt_token_stats.avg_tok_len,
+#     txt_token_entropy.ttr, txt_redundancy_curve.cum_coverage,
+#     ir_rank_metrics.r_at_k — the audit queue is now EMPTY (zero
+#     round(double,6) exact-int-ratio sites remain; grep-provable).
+# The NB/LM advice fixes (nb_train left-join tots, confusion
+# fingerprint, oracle null-label mirror; lm cross_entropy div_long)
+# change paths gated by txt_nb_holdout_confusion /
+# txt_lm_perplexity_bands — first rows in this window. The
+# ratio_round6/div_long internals change is value-identical below
+# 2⁵³ (every gate input; pinned in test_stats) and its users
+# (txt_tokenizer_stats, txt_tokenizer_compare) are in-window anyway.
 _PRIORITY: list[str] = [
-    # -- the 46 r7-vintage queries (policy deadline; recounted r12) --
-    "agg_salted_hot_key",
-    "asof_next_purchase_after_signup",
-    "dedup_cc_clusters",
-    "dedup_cluster_stats",
-    "dedup_ngram_jaccard",
-    "emb_cluster_cohesion",
-    "emb_ivf_balance",
-    "emb_kmeans_step",
-    "evt_dau_wau_stickiness",
-    "evt_inter_event_gaps",
+    # -- (c) the 30 unconsolidated r8-vintage queries (recounted r13) --
+    "agg_corr_covar",
+    "agg_distribution_profile",
+    "dedup_exact",
+    "dedup_keep_list",
+    "emb_pca_variance",
+    "evt_json_extract",
+    "graph_core_numbers",
+    "graph_pagerank_top10",
+    "graph_ppr_seeds",
+    "grp_frequency_capped",
+    "ir_bm25_topk",
+    "reduce_bit_xor",
+    "rel_datetime_parts",
+    "rel_pivot_status_by_flag",
+    "rel_q13_order_histogram",
+    "rel_q14_promo_share",
+    "rel_q6_forecast_revenue",
+    "rel_rollup_order_priority",
+    "samp_temperature_mixture",
+    "shard_token_budget",
+    "sim_truncation_rescore",
+    "src_blob_bytes",
+    "str_charsequence_medley",
+    "str_codepoint_sequence",
+    "str_compare_and_join",
+    "str_levenshtein_to_anchor",
+    "stream_sliding_cms_freq",
+    "txt_decontaminate",
+    "txt_pii_redact",
+    "txt_word_count_topk",
+    # -- (b) family first rows carrying their r8 members' deadline --
+    "dedup_simhash_family",
+    "emb_semdedup_family",
+    "mm_decode_family",
+    "evt_rollup_merge_family",
+    "agg_sketch_cardinality",
+    # -- (b) r12 differential-tier first rows --
+    "txt_bpe_vocab",
+    "txt_tokenizer_stats",
+    "txt_encode_subwords",
+    "txt_nb_holdout_confusion",
+    "txt_lm_perplexity_bands",
+    "txt_unigram_viterbi",
+    "txt_subword_roundtrip",
+    "txt_tokenizer_compare",
+    "txt_blocklist_hits",
+    # -- (a) half-boundary audit conversions, paired with their rows --
     "evt_markov_transitions",
-    "evt_sliding_uniques",
-    "evt_top_paths",
-    "graph_kcore_membership",
-    "ir_hybrid_rrf",
-    "ir_rank_metrics",
-    "mm_image_histogram",
-    "pipe_dedup_funnel",
-    "rel_basket_lift",
-    "rel_brand_return_rate",
-    "rel_customers_without_urgent_orders",
-    "rel_q10_returned_items",
-    "rel_q17_small_qty_revenue",
-    "rel_q18_large_orders",
-    "rel_q19_bracketed_discounts",
-    "rel_q22_idle_balance",
-    "rel_q4_semi_join",
-    "rel_q7_nation_volume",
-    "rel_q8_market_share",
-    "rel_scd2_customer_history",
-    "samp_importance_weights",
-    "samp_negative_pairs",
-    "samp_train_val_split",
-    "sim_dim_truncation_recall",
-    "sim_lsh_recall_at_5",
-    "stream_count_windows",
-    "stream_distinct_keys",
-    "stream_running_stats",
-    "stream_session_5m",
-    "stream_slide_2h_30m",
-    "stream_sliding_uniques",
-    "stream_sliding_uniques_bounded",
-    "stream_stream_join",
-    "stream_topk_per_user",
-    "stream_tumble_hour",
+    "evt_dau_wau_stickiness",
+    "txt_token_stats",
+    "txt_token_entropy",
     "txt_redundancy_curve",
-    # -- (b) first driver row: full-Sennrich eow training (r12) --
-    "txt_bpe_merges_eow",
-    # -- (a) executed-path changes at gate scale (r12): hybrid
-    #    in-memory trainer dispatch / bounded kernel cache --
-    "txt_bpe_merges",
-    "txt_bpe_segment_kernel",
-    # -- (c) oldest-vintage (r8) backfill, riskiest family --
-    "stream_sliding_uniques_hll",
-    # -- WINDOW CUT at position 50 — recount, don't trust comment
-    #    position, when rotating: `python scripts/rotation_recount.py
-    #    <next_round>` derives the due/no-row buckets from the
-    #    CORRECTNESS artifacts mechanically. r13 is the 41-query r8-vintage
-    #    deadline (42 minus the hll backfill above) + ~9 free slots;
-    #    recount from the CORRECTNESS files when building that
-    #    window. The rule-(b) candidates REGISTERED past this
-    #    cut, each pre-verified by a differential pytest
-    #    (tests/test_r13_gate_candidates.py, listed in
-    #    test_registry_contract.PRE_VERIFIED_AWAITING_WINDOW) AND
-    #    step-up-verified at sf1.0: txt_bpe_vocab,
-    #    txt_tokenizer_stats, txt_encode_subwords,
-    #    txt_nb_holdout_confusion, txt_lm_perplexity_bands,
-    #    txt_unigram_viterbi, txt_subword_roundtrip,
-    #    txt_tokenizer_compare, txt_blocklist_hits. 41 + 9 = 50 —
-    #    the r13 window is exactly full; the half-boundary audit's
-    #    rule-(a) re-entries (ir_rank_metrics,
-    #    evt_dau_wau_stickiness, SCALING r12) slip to r14 with the
-    #    rest of that queue. --
+    "ir_rank_metrics",
+    # -- WINDOW CUT at position 50. Rotating? Recount first:
+    #    `python scripts/rotation_recount.py <next_round>`. The five
+    #    rule-(b) candidates registered past this cut (the r14
+    #    forecast above), each differential-vouched in
+    #    tests/test_r14_gate_candidates.py and listed in
+    #    test_registry_contract.PRE_VERIFIED_AWAITING_WINDOW:
+    #    dedup_span_cuts_family, asof_nearest_family,
+    #    sim_pq_train_family, sim_ivfpq_family_topk,
+    #    txt_unigram_roundtrip. --
 ]
 
 

@@ -603,7 +603,8 @@ def evt_mad_outliers(spark, sf_dir):
           FROM nx WHERE next IS NOT NULL GROUP BY cur, next),
     t AS (SELECT cur, sum(n_pair) AS n_from FROM p GROUP BY cur)
     SELECT p.cur, p.next, p.n_pair::BIGINT AS n_pair,
-           round(p.n_pair / t.n_from, 6) AS p
+           (2000000::BIGINT * p.n_pair + t.n_from)
+             // (2 * t.n_from) / 1000000.0 AS p
     FROM p JOIN t USING (cur)""",
 )
 def evt_markov_transitions(spark, sf_dir):
@@ -704,7 +705,8 @@ def evt_top_paths(spark, sf_dir):
     bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM e)
     SELECT dau.d::BIGINT AS day, dau.dau::BIGINT AS dau,
            wau.wau::BIGINT AS wau,
-           round(dau.dau / wau.wau, 6) AS stickiness
+           (2000000::BIGINT * dau.dau + wau.wau)
+             // (2 * wau.wau) / 1000000.0 AS stickiness
     FROM dau JOIN wau ON wau.d = dau.d, bounds
     WHERE dau.d BETWEEN lo + 6 AND hi""",
 )
@@ -714,7 +716,12 @@ def evt_dau_wau_stickiness(spark, sf_dir):
     of each active (user, day) into the 7 trailing windows it supports
     (the sliding-distinct shape, factor bounded at 7), DAU a plain
     distinct count, both co-keyed on the day. Days before a full
-    trailing week are trimmed against broadcast stream bounds."""
+    trailing week are trimmed against broadcast stream bounds.
+    stickiness = dau/wau is the exact int/int ratio via
+    stats.ratio_round6 / the `//` mirror (r13 half-boundary audit
+    conversion)."""
+    from semantic_cpp_spark.functions.stats import ratio_round6
+
     ev = _events(spark, sf_dir)
     d = F.expr("tus div 86400000000")
     ud = ev.select("user_id", d.alias("d")).distinct()
@@ -730,7 +737,7 @@ def evt_dau_wau_stickiness(spark, sf_dir):
             F.col("d").cast("long").alias("day"),
             "dau",
             "wau",
-            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+            ratio_round6(F.col("dau"), F.col("wau")).alias("stickiness"),
         )
     )
 
@@ -775,9 +782,7 @@ def evt_inter_event_gaps(spark, sf_dir):
     )
 
 
-@register(
-    "agg_hll_distinct_users",
-    f"""WITH h AS (
+_AGG_HLL_SQL = f"""WITH h AS (
       SELECT ('0x' || substr(md5('hll-' || user_id::VARCHAR), 1, 15))::BIGINT
                AS h
       FROM events),
@@ -794,8 +799,9 @@ def evt_inter_event_gaps(spark, sf_dir):
     SELECT 1024::BIGINT AS n_regs,
            round(CASE WHEN e <= 2560.0 AND v > 0
                       THEN 1024 * ln(1024.0 / v) ELSE e END, 4) AS hll_count
-    FROM est""",
-)
+    FROM est"""
+
+
 def agg_hll_distinct_users(spark, sf_dir):
     """Approximate distinct-user cardinality by HyperLogLog in pure
     Column expressions (dedup.hll_distinct, r8 — the batch companion of
@@ -812,9 +818,7 @@ def agg_hll_distinct_users(spark, sf_dir):
     return dedup_ops.hll_distinct(ev, F.col("user_id"))
 
 
-@register(
-    "agg_cms_user_freq",
-    """WITH rr AS (SELECT unnest(range(0, 4)) AS r),
+_AGG_CMS_SQL = """WITH rr AS (SELECT unnest(range(0, 4)) AS r),
     cells AS (
       SELECT rr.r,
              ('0x' || substr(md5('cms' || rr.r || '-' || user_id::VARCHAR),
@@ -833,8 +837,9 @@ def agg_hll_distinct_users(spark, sf_dir):
                                    1, 15))::BIGINT % 1024
       GROUP BY t.user_id, t.n)
     SELECT user_id, n::BIGINT AS exact_count, cms_count::BIGINT AS cms_count
-    FROM probe""",
-)
+    FROM probe"""
+
+
 def agg_cms_user_freq(spark, sf_dir):
     """Count-Min sketch frequency estimation under the gate
     (dedup.cms_build/cms_estimate, r8 — completing the sketch trio with
@@ -868,17 +873,52 @@ def agg_cms_user_freq(spark, sf_dir):
 
 
 @register(
-    "evt_rollup_merge",
-    """WITH e AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
-                         round(value * 100)::BIGINT AS cents
-                  FROM events)
+    "agg_sketch_cardinality",
+    f"""SELECT 'hll' AS aspect, CAST(NULL AS BIGINT) AS user_id,
+           n_regs AS l1, CAST(NULL AS BIGINT) AS l2, hll_count AS d1
+    FROM ({_AGG_HLL_SQL}) __h
+    UNION ALL
+    SELECT 'cms' AS aspect, user_id, exact_count AS l1, cms_count AS l2,
+           CAST(NULL AS DOUBLE) AS d1
+    FROM ({_AGG_CMS_SQL}) __c""",
+)
+def agg_sketch_cardinality(spark, sf_dir):
+    """The batch sketch-aggregation pair under ONE gate (r13 gate
+    consolidation): the HLL distinct-user estimate (aspect='hll' →
+    l1=n_regs, d1=hll_count — the deterministic md5 register file,
+    ≤1024 rows of exchange at any cardinality) and the Count-Min
+    top-10 frequency probe (aspect='cms' → user_id, l1=exact_count,
+    l2=cms_count — the 4×1024-cell sketch, cms ≥ exact one-sided
+    guarantee pinned in tests). Every member row survives verbatim in
+    the tagged slot union; both branches stay map-side-combinable
+    bounded aggregates."""
+    NL = F.lit(None).cast("long")
+    ND = F.lit(None).cast("double")
+    h = agg_hll_distinct_users(spark, sf_dir).select(
+        F.lit("hll").alias("aspect"), NL.alias("user_id"),
+        F.col("n_regs").alias("l1"), NL.alias("l2"),
+        F.col("hll_count").alias("d1"),
+    )
+    c = agg_cms_user_freq(spark, sf_dir).select(
+        F.lit("cms").alias("aspect"), F.col("user_id").cast("long").alias("user_id"),
+        F.col("exact_count").alias("l1"), F.col("cms_count").alias("l2"),
+        ND.alias("d1"),
+    )
+    return h.unionByName(c)
+
+
+_ROLLUP_MERGE_SQL = """WITH e AS (
+         SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
+                round(value * 100)::BIGINT AS cents
+         FROM events)
        SELECT hour_id, count(*)::BIGINT AS n,
               sum(cents)::BIGINT AS total,
               min(cents)::BIGINT AS vmin,
               max(cents)::BIGINT AS vmax,
               round(sum(cents)::DOUBLE / count(*)::DOUBLE, 6) AS vavg
-       FROM e GROUP BY hour_id""",
-)
+       FROM e GROUP BY hour_id"""
+
+
 def evt_rollup_merge(spark, sf_dir):
     """Incremental hourly rollup by MERGEABLE STATE (operators.rollup):
     the events table is split into three increments (event_id mod 3 —
@@ -922,19 +962,19 @@ def evt_rollup_merge(spark, sf_dir):
     )
 
 
-@register(
-    "evt_rollup_var_merge",
-    """WITH e AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
-                         round(value * 100)::BIGINT AS cents
-                  FROM events),
+_ROLLUP_VAR_SQL = """WITH e AS (
+         SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
+                round(value * 100)::BIGINT AS cents
+         FROM events),
     st AS (SELECT hour_id, count(*)::BIGINT AS n,
                   sum(cents) AS s, sum(cents * cents) AS ssq
            FROM e GROUP BY hour_id)
     SELECT hour_id, n, s::BIGINT AS total,
            round(CAST(n * ssq - s * s AS DOUBLE)
                  / CAST(n::HUGEINT * n AS DOUBLE) / 10000.0, 6) AS var_pop
-    FROM st""",
-)
+    FROM st"""
+
+
 def evt_rollup_var_merge(spark, sf_dir):
     """Incremental per-hour VARIANCE maintenance by mergeable state
     (operators.rollup.var_state — VERDICT r8 #5, closing the loop with
@@ -979,9 +1019,7 @@ def evt_rollup_var_merge(spark, sf_dir):
     )
 
 
-@register(
-    "evt_rollup_hll_merge",
-    f"""WITH e AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
+_ROLLUP_HLL_SQL = f"""WITH e AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
                    ('0x' || substr(md5('hll-' || user_id::VARCHAR), 1, 15))::BIGINT
                      AS h
             FROM events),
@@ -1000,8 +1038,9 @@ def evt_rollup_var_merge(spark, sf_dir):
     SELECT hour_id,
            round(CASE WHEN e <= 2560.0 AND v > 0
                       THEN 1024 * ln(1024.0 / v) ELSE e END, 4) AS hll_count
-    FROM est""",
-)
+    FROM est"""
+
+
 def evt_rollup_hll_merge(spark, sf_dir):
     """Incremental per-hour DISTINCT-user maintenance by mergeable HLL
     register states (dedup.hll_state/hll_merge/hll_finalize): the
@@ -1041,9 +1080,7 @@ def evt_rollup_hll_merge(spark, sf_dir):
     return dedup_ops.hll_finalize(merged, ["hour_id"])
 
 
-@register(
-    "evt_rollup_quantile_merge",
-    """WITH e AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
+_ROLLUP_QUANTILE_SQL = """WITH e AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_id,
                          round(value * 100)::BIGINT AS cents
                   FROM events),
     b AS (SELECT hour_id,
@@ -1064,8 +1101,9 @@ def evt_rollup_hll_merge(spark, sf_dir):
            min(CASE WHEN c >= (n * 50 + 99) // 100 THEN qv END) AS p50,
            min(CASE WHEN c >= (n * 95 + 99) // 100 THEN qv END) AS p95,
            min(CASE WHEN c >= (n * 99 + 99) // 100 THEN qv END) AS p99
-    FROM cum GROUP BY hour_id""",
-)
+    FROM cum GROUP BY hour_id"""
+
+
 def evt_rollup_quantile_merge(spark, sf_dir):
     """Incremental per-hour QUANTILE maintenance by mergeable sketch
     state (operators.rollup.qsketch_state — the last gap in the
@@ -1104,3 +1142,66 @@ def evt_rollup_quantile_merge(spark, sf_dir):
     ]
     merged = rollup.merge_qsketch_states(parts, ["hour_id"])
     return rollup.qsketch_quantiles(merged, ["hour_id"], [50, 95, 99])
+
+
+def _rollup_family_sql() -> str:
+    """Tagged union of the four mergeable-rollup oracles on the shared
+    (aspect, hour_id, l1..l4, d1) slot schema (see
+    evt_rollup_merge_family)."""
+    return f"""SELECT 'merge' AS aspect, hour_id, n AS l1, total AS l2,
+           vmin AS l3, vmax AS l4, vavg AS d1
+    FROM ({_ROLLUP_MERGE_SQL}) __m
+    UNION ALL
+    SELECT 'var' AS aspect, hour_id, n AS l1, total AS l2,
+           CAST(NULL AS BIGINT) AS l3, CAST(NULL AS BIGINT) AS l4,
+           var_pop AS d1
+    FROM ({_ROLLUP_VAR_SQL}) __v
+    UNION ALL
+    SELECT 'hll' AS aspect, hour_id, CAST(NULL AS BIGINT) AS l1,
+           CAST(NULL AS BIGINT) AS l2, CAST(NULL AS BIGINT) AS l3,
+           CAST(NULL AS BIGINT) AS l4, hll_count AS d1
+    FROM ({_ROLLUP_HLL_SQL}) __h
+    UNION ALL
+    SELECT 'quantile' AS aspect, hour_id, n AS l1, p50 AS l2, p95 AS l3,
+           p99 AS l4, CAST(NULL AS DOUBLE) AS d1
+    FROM ({_ROLLUP_QUANTILE_SQL}) __q"""
+
+
+@register("evt_rollup_merge_family", _rollup_family_sql())
+def evt_rollup_merge_family(spark, sf_dir):
+    """The whole mergeable-rollup family under ONE gate (r13 gate
+    consolidation — one driver row re-proves merge(state(A), state(B),
+    state(C)) ≡ state(A ∪ B ∪ C) for all four state algebras at once:
+    count/sum/min/max (+), variance sufficient statistics (+),
+    HLL registers (max), and the integer log2 quantile sketch (+);
+    every member row survives verbatim in the tagged slot union
+    (aspect, hour_id, l1..l4, d1), so no value coverage is lost).
+    Aspect → member mapping: 'merge' → (n, total, vmin, vmax, vavg);
+    'var' → (n, total, var_pop); 'hll' → (hll_count); 'quantile' →
+    (n, p50, p95, p99). Four independent bounded-state branches —
+    per-branch exchange unchanged by the union."""
+    NL = F.lit(None).cast("long")
+    ND = F.lit(None).cast("double")
+    m = evt_rollup_merge(spark, sf_dir).select(
+        F.lit("merge").alias("aspect"), "hour_id",
+        F.col("n").alias("l1"), F.col("total").alias("l2"),
+        F.col("vmin").alias("l3"), F.col("vmax").alias("l4"),
+        F.col("vavg").alias("d1"),
+    )
+    v = evt_rollup_var_merge(spark, sf_dir).select(
+        F.lit("var").alias("aspect"), "hour_id",
+        F.col("n").alias("l1"), F.col("total").alias("l2"),
+        NL.alias("l3"), NL.alias("l4"), F.col("var_pop").alias("d1"),
+    )
+    h = evt_rollup_hll_merge(spark, sf_dir).select(
+        F.lit("hll").alias("aspect"), "hour_id",
+        NL.alias("l1"), NL.alias("l2"), NL.alias("l3"), NL.alias("l4"),
+        F.col("hll_count").alias("d1"),
+    )
+    q = evt_rollup_quantile_merge(spark, sf_dir).select(
+        F.lit("quantile").alias("aspect"), "hour_id",
+        F.col("n").alias("l1"), F.col("p50").alias("l2"),
+        F.col("p95").alias("l3"), F.col("p99").alias("l4"),
+        ND.alias("d1"),
+    )
+    return m.unionByName(v).unionByName(h).unionByName(q)

@@ -708,9 +708,7 @@ def asof_next_purchase_after_signup(spark, sf_dir):
     )
 
 
-@register(
-    "asof_nearest_signup",
-    """WITH e AS (SELECT event_id, user_id, event_type,
+_ASOF_NEAREST_SQL = """WITH e AS (SELECT event_id, user_id, event_type,
                          epoch_ns(ts) // 1000 AS tus
                   FROM events),
     p AS (SELECT user_id, event_id AS purchase_id, tus AS p_t
@@ -726,8 +724,9 @@ def asof_next_purchase_after_signup(spark, sf_dir):
     SELECT user_id, purchase_id, signup_id,
            (CASE WHEN signup_id IS NOT NULL
                  THEN abs(s_t - p_t) END)::BIGINT AS asof_dist
-    FROM j WHERE rn = 1""",
-)
+    FROM j WHERE rn = 1"""
+
+
 def asof_nearest_signup(spark, sf_dir):
     """NEAREST as-of join (operators.asof.asof_join_nearest): each
     purchase matched to the SAME user's closest signup in TIME — before
@@ -767,9 +766,7 @@ def asof_nearest_signup(spark, sf_dir):
 ASOF_TOL_US = 3 * 24 * 3600 * 1_000_000
 
 
-@register(
-    "asof_nearest_tol",
-    f"""WITH e AS (SELECT event_id, user_id, event_type,
+_ASOF_TOL_SQL = f"""WITH e AS (SELECT event_id, user_id, event_type,
                           epoch_ns(ts) // 1000 AS tus
                    FROM events),
     p AS (SELECT user_id, event_id AS purchase_id, tus AS p_t
@@ -786,8 +783,9 @@ ASOF_TOL_US = 3 * 24 * 3600 * 1_000_000
     SELECT user_id, purchase_id, signup_id,
            (CASE WHEN signup_id IS NOT NULL
                  THEN abs(s_t - p_t) END)::BIGINT AS asof_dist
-    FROM j WHERE rn = 1""",
-)
+    FROM j WHERE rn = 1"""
+
+
 def asof_nearest_tol(spark, sf_dir):
     """NEAREST as-of join with a MAX-GAP tolerance (operators.asof,
     ``tolerance=`` — the pandas ``merge_asof(tolerance=)`` contract):
@@ -819,3 +817,29 @@ def asof_nearest_tol(spark, sf_dir):
         tolerance=ASOF_TOL_US,
     )
     return out.select("user_id", "purchase_id", "signup_id", "asof_dist")
+
+
+@register(
+    "asof_nearest_family",
+    f"""SELECT 'nearest' AS aspect, * FROM ({_ASOF_NEAREST_SQL}) __n
+    UNION ALL
+    SELECT 'tol' AS aspect, * FROM ({_ASOF_TOL_SQL}) __t""",
+)
+def asof_nearest_family(spark, sf_dir):
+    """BOTH nearest-as-of variants under ONE gate (r13 gate
+    consolidation — the members share an output schema (user_id,
+    purchase_id, signup_id, asof_dist), so the union just tags the
+    aspect and every member row survives verbatim). aspect='nearest' →
+    unbounded nearest match; aspect='tol' → the ±3-day inclusive
+    tolerance null-out (asof_join_nearest(tolerance=), both branches
+    exercised at gate scale). Each branch is the same two
+    key-partitioned union-window passes — no range explosion, no new
+    exchange from the union."""
+    cols = ["user_id", "purchase_id", "signup_id", "asof_dist"]
+    n = asof_nearest_signup(spark, sf_dir).select(
+        F.lit("nearest").alias("aspect"), *cols
+    )
+    t = asof_nearest_tol(spark, sf_dir).select(
+        F.lit("tol").alias("aspect"), *cols
+    )
+    return n.unionByName(t)

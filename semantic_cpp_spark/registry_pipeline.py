@@ -29,22 +29,39 @@ from semantic_cpp_spark.session import load_table
 
 @register(
     "txt_token_stats",
-    """SELECT doc_id,
-              length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-              round(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
-                                            w -> length(w)))::DOUBLE
-                    / length(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_tok_len,
-              length(text) AS n_chars
-       FROM documents""",
+    """WITH t AS (SELECT doc_id, length(text) AS n_chars,
+                         regexp_split_to_array(trim(text), '\\s+') AS ws
+                  FROM documents),
+       s AS (SELECT doc_id, n_chars, length(ws)::BIGINT AS n_tokens,
+                    list_sum(list_transform(ws, w -> length(w)))::BIGINT
+                      AS sum_len
+             FROM t)
+       SELECT doc_id, n_tokens,
+              (2000000::BIGINT * sum_len + n_tokens)
+                // (2 * n_tokens) / 1000000.0 AS avg_tok_len,
+              n_chars
+       FROM s""",
 )
 def txt_token_stats(spark, sf_dir):
-    """Token counting (whitespace tokenisation) — pure codegen, no UDF."""
+    """Token counting (whitespace tokenisation) — pure codegen, no UDF.
+    avg_tok_len is the exact int/int ratio Σ|token| / n_tokens, so it
+    rounds by integer half-up division (stats.ratio_round6 / the `//`
+    mirror) rather than round(double, 6) — the engine-divergent
+    half-micro class, r13 audit conversion."""
+    from semantic_cpp_spark.functions.stats import ratio_round6
+
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
+    ws = text.tokens(t)
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return docs.select(
         "doc_id",
         text.token_count(t).alias("n_tokens"),
-        F.round(text.avg_token_len(t), 6).alias("avg_tok_len"),
+        ratio_round6(sum_len, text.token_count(t)).alias("avg_tok_len"),
         F.length(t).cast("long").alias("n_chars"),
     )
 
@@ -218,34 +235,61 @@ _SIMHASH_CTE = f"""tok AS (
       FROM votes GROUP BY doc_id)"""
 
 
-@register(
-    "dedup_simhash",
-    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig",
-)
 def dedup_simhash(spark, sf_dir):
     """SimHash 60-bit signatures (token-vote construction); near-pair
-    detection via Hamming blocking lives in dedup.simhash_near_pairs."""
+    detection via Hamming blocking lives in dedup.simhash_near_pairs.
+    Gated as the 'sig' aspect of dedup_simhash_family (r13 gate
+    consolidation); kept callable for the plan pins."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, F.col("text"), F.col("doc_id"))
 
 
-@register(
-    "dedup_simhash_pairs",
-    # The oracle is deliberately ALL-PAIRS xor/bit_count — a stronger check
-    # than mirroring the Spark side's pigeonhole blocking, because it also
-    # proves the blocking is lossless (every Hamming≤3 pair is found).
-    f"""WITH {_SIMHASH_CTE}
-    SELECT a.doc_id AS d1, b.doc_id AS d2,
-           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
-)
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole chunk
     blocking (any pair within budget agrees on ≥1 of 4 whole 15-bit
-    chunks, so the chunk-equality join finds it — never all-pairs)."""
+    chunks, so the chunk-equality join finds it — never all-pairs).
+    Gated as the 'pair' aspect of dedup_simhash_family (r13)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, F.col("text"), F.col("doc_id"))
+
+
+@register(
+    "dedup_simhash_family",
+    # The pair oracle is deliberately ALL-PAIRS xor/bit_count — a stronger
+    # check than mirroring the Spark side's pigeonhole blocking, because it
+    # also proves the blocking is lossless (every Hamming≤3 pair is found).
+    f"""WITH {_SIMHASH_CTE}
+    SELECT 'sig' AS aspect, doc_id AS id1, CAST(NULL AS BIGINT) AS id2,
+           simhash AS val
+    FROM sig
+    UNION ALL
+    SELECT 'pair' AS aspect, a.doc_id AS id1, b.doc_id AS id2,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS val
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def dedup_simhash_family(spark, sf_dir):
+    """BOTH aspects of the SimHash operator under ONE gate (r13 gate
+    consolidation — one driver row now re-verifies signatures AND the
+    blocked near-pair join, reclaiming a rotation slot with no value
+    coverage lost: every member row survives verbatim in the tagged
+    union). aspect='sig' → (id1=doc_id, val=simhash);
+    aspect='pair' → (id1, id2, val=hamming), Hamming ≤ 3 via pigeonhole
+    chunk blocking. The union is two independent scan-shaped branches —
+    no new exchange beyond the members' own."""
+    sig = dedup_simhash(spark, sf_dir).select(
+        F.lit("sig").alias("aspect"),
+        F.col("doc_id").alias("id1"),
+        F.lit(None).cast("long").alias("id2"),
+        F.col("simhash").alias("val"),
+    )
+    pairs = dedup_simhash_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("aspect"),
+        F.col("d1").alias("id1"),
+        F.col("d2").alias("id2"),
+        F.col("hamming").alias("val"),
+    )
+    return sig.unionByName(pairs)
 
 
 # -- similarity search ------------------------------------------------------
@@ -496,9 +540,7 @@ def mm_png_features(spark, sf_dir):
         "decoded",
     )
 
-@register(
-    "mm_tiff_features",
-    """WITH sz AS (SELECT doc_id,
+_MM_TIFF_SQL = """WITH sz AS (SELECT doc_id,
                           (8 + doc_id % 9)::INT AS w,
                           (8 + (doc_id // 9) % 9)::INT AS h
                    FROM documents),
@@ -510,8 +552,9 @@ def mm_png_features(spark, sf_dir):
            w AS width, h AS height,
            round(sum(v) / (w * h * 3) / 255.0, 9) AS feat_mean,
            TRUE AS decoded
-    FROM px GROUP BY doc_id, w, h""",
-)
+    FROM px GROUP BY doc_id, w, h"""
+
+
 def mm_tiff_features(spark, sf_dir):
     """Multimodal features through the REAL stdlib TIFF decode path: each
     doc gets a true classic-TIFF container (header + 10-entry IFD +
@@ -1042,11 +1085,6 @@ _SPAN_CUTS_CTE = r"""t AS (SELECT doc_id,
              FROM g2 GROUP BY doc_id, grp)"""
 
 
-@register(
-    "dedup_span_cuts",
-    f"""WITH {_SPAN_CUTS_CTE}
-    SELECT doc_id, cut_start, cut_end, n_spans FROM cuts""",
-)
 def dedup_span_cuts(spark, sf_dir):
     """Exact-substring deduplication planner under the gate
     (dedup.duplicate_span_cuts, Lee et al. 2022 re-expressed in token
@@ -1062,26 +1100,6 @@ def dedup_span_cuts(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_span_cuts_apply",
-    f"""WITH {_SPAN_CUTS_CTE},
-    tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
-            FROM t, LATERAL unnest(range(1, len(ws) + 1)) AS u(i)),
-    kept AS (SELECT k.doc_id, k.pos, k.w FROM tok k
-             WHERE NOT EXISTS (SELECT 1 FROM cuts c
-                               WHERE c.doc_id = k.doc_id
-                                 AND c.cut_start <= k.pos
-                                 AND k.pos < c.cut_end)),
-    agg AS (SELECT doc_id,
-                   array_to_string(list(w ORDER BY pos), ' ') AS clean,
-                   count(*) AS n_kept
-            FROM kept GROUP BY doc_id),
-    base AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM t)
-    SELECT b.doc_id, b.n_tokens,
-           (b.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_cut,
-           md5(coalesce(a.clean, '')) AS clean_fp
-    FROM base b LEFT JOIN agg a USING (doc_id)""",
-)
 def dedup_span_cuts_apply(spark, sf_dir):
     """The write-side of exact-substring dedup (dedup.apply_span_cuts
     over duplicate_span_cuts): remove every token inside a cut
@@ -1097,26 +1115,6 @@ def dedup_span_cuts_apply(spark, sf_dir):
     return dedup.apply_span_cuts(docs, F.col("text"), F.col("doc_id"), cuts)
 
 
-@register(
-    "dedup_span_cuts_text",
-    f"""WITH {_SPAN_CUTS_CTE},
-    tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
-            FROM t, LATERAL unnest(range(1, len(ws) + 1)) AS u(i)),
-    kept AS (SELECT k.doc_id, k.pos, k.w FROM tok k
-             WHERE NOT EXISTS (SELECT 1 FROM cuts c
-                               WHERE c.doc_id = k.doc_id
-                                 AND c.cut_start <= k.pos
-                                 AND k.pos < c.cut_end)),
-    agg AS (SELECT doc_id,
-                   array_to_string(list(w ORDER BY pos), ' ') AS clean,
-                   count(*) AS n_kept
-            FROM kept GROUP BY doc_id),
-    base AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM t)
-    SELECT b.doc_id, b.n_tokens,
-           (b.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_cut,
-           coalesce(a.clean, '') AS clean_text
-    FROM base b LEFT JOIN agg a USING (doc_id)""",
-)
 def dedup_span_cuts_text(spark, sf_dir):
     """The MATERIALIZING form of exact-substring dedup
     (dedup.apply_span_cuts(emit_text=True), VERDICT r8 #6): same
@@ -1134,6 +1132,65 @@ def dedup_span_cuts_text(spark, sf_dir):
     return dedup.apply_span_cuts(
         docs, F.col("text"), F.col("doc_id"), cuts, emit_text=True
     ).select("doc_id", "n_tokens", "n_cut", "clean_text")
+
+
+@register(
+    "dedup_span_cuts_family",
+    f"""WITH {_SPAN_CUTS_CTE},
+    tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+            FROM t, LATERAL unnest(range(1, len(ws) + 1)) AS u(i)),
+    kept AS (SELECT k.doc_id, k.pos, k.w FROM tok k
+             WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                               WHERE c.doc_id = k.doc_id
+                                 AND c.cut_start <= k.pos
+                                 AND k.pos < c.cut_end)),
+    agg AS (SELECT doc_id,
+                   array_to_string(list(w ORDER BY pos), ' ') AS clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    base AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM t)
+    SELECT 'cuts' AS aspect, doc_id, cut_start AS l1, cut_end AS l2,
+           n_spans AS l3, CAST(NULL AS VARCHAR) AS s1
+    FROM cuts
+    UNION ALL
+    SELECT 'apply' AS aspect, b.doc_id, b.n_tokens AS l1,
+           (b.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS l2,
+           CAST(NULL AS BIGINT) AS l3, md5(coalesce(a.clean, '')) AS s1
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    UNION ALL
+    SELECT 'text' AS aspect, b.doc_id, b.n_tokens AS l1,
+           (b.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS l2,
+           CAST(NULL AS BIGINT) AS l3, coalesce(a.clean, '') AS s1
+    FROM base b LEFT JOIN agg a USING (doc_id)""",
+)
+def dedup_span_cuts_family(spark, sf_dir):
+    """The whole exact-substring-dedup (Lee et al. 2022) lifecycle under
+    ONE gate (r13 gate consolidation — one driver row re-verifies the
+    planner's interval merge, the fingerprinting write path, AND the
+    materializing write path character-for-character; every member row
+    survives verbatim in the tagged slot union (aspect, doc_id, l1, l2,
+    l3, s1)). Aspect → member: 'cuts' → (cut_start, cut_end, n_spans);
+    'apply' → (n_tokens, n_cut, clean_fp); 'text' → (n_tokens, n_cut,
+    clean_text). The cut table computes once and feeds both write
+    branches — the oracle shares the identical CTE chain."""
+    NL = F.lit(None).cast("long")
+    NS = F.lit(None).cast("string")
+    cuts = dedup_span_cuts(spark, sf_dir).select(
+        F.lit("cuts").alias("aspect"), "doc_id",
+        F.col("cut_start").alias("l1"), F.col("cut_end").alias("l2"),
+        F.col("n_spans").alias("l3"), NS.alias("s1"),
+    )
+    ap = dedup_span_cuts_apply(spark, sf_dir).select(
+        F.lit("apply").alias("aspect"), "doc_id",
+        F.col("n_tokens").alias("l1"), F.col("n_cut").alias("l2"),
+        NL.alias("l3"), F.col("clean_fp").alias("s1"),
+    )
+    tx = dedup_span_cuts_text(spark, sf_dir).select(
+        F.lit("text").alias("aspect"), "doc_id",
+        F.col("n_tokens").alias("l1"), F.col("n_cut").alias("l2"),
+        NL.alias("l3"), F.col("clean_text").alias("s1"),
+    )
+    return cuts.unionByName(ap).unionByName(tx)
 
 
 @register(
@@ -2451,7 +2508,8 @@ def txt_zipf_fit(spark, sf_dir):
            round(ln(n_tokens)
                  - list_sum(list_transform(cs, c -> c::DOUBLE * ln(c::DOUBLE)))
                    / n_tokens, 6) AS entropy,
-           round(n_types::DOUBLE / n_tokens, 6) AS ttr
+           (2000000::BIGINT * n_types + n_tokens)
+             // (2 * n_tokens) / 1000000.0 AS ttr
     FROM pd""",
 )
 def txt_token_entropy(spark, sf_dir):
@@ -2460,7 +2518,9 @@ def txt_token_entropy(spark, sf_dir):
     Σ c·ln c term is a LEFT-TO-RIGHT fold over counts sorted by token,
     bit-matching DuckDB's list_sum over list(c ORDER BY w) — no
     group-sum float nondeterminism; per-doc state bounded by the doc's
-    vocabulary."""
+    vocabulary. ttr is the exact int/int ratio via stats.ratio_round6
+    / the `//` mirror (r13 half-boundary audit conversion); entropy
+    stays round(double, 6) — ln-valued, the accepted 1-ulp class."""
     docs = load_table(spark, sf_dir, "documents")
     return text.token_entropy(docs, F.col("text"), F.col("doc_id"))
 
@@ -3060,7 +3120,8 @@ _EVAL_TERMS = ["data", "query", "spark", "merge", "filter"]
            round(coalesce(p.dcg / nullif(i.idcg, 0.0), 0.0), 6) AS ndcg,
            round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr,
            round(p.hits / 10.0, 6) AS p_at_k,
-           round(coalesce(p.hits / n.n_rel, 0.0), 6) AS r_at_k
+           coalesce((2000000::BIGINT * p.hits + n.n_rel)
+                      // (2 * n.n_rel) / 1000000.0, 0.0) AS r_at_k
     FROM perq p LEFT JOIN ideal i USING (query_id)
     LEFT JOIN nrel n USING (query_id)""",
 )
@@ -3074,7 +3135,10 @@ def ir_rank_metrics(spark, sf_dir):
     non-trivial. Both DCG folds are rank-ordered left-to-right
     (F.aggregate ↔ list_sum over an ORDER BY rk list — the
     emb_whiten_norms pairing); MRR/P/R are single divisions of exact
-    int64 counts (retrieval.rank_eval)."""
+    int64 counts (retrieval.rank_eval) — R@10's unbounded denominator
+    rounds by stats.ratio_round6 / the `//` mirror (r13 half-boundary
+    audit conversion; MRR/P@10 denominators ≤ 10 are provably
+    half-safe, see rank_eval)."""
     docs = load_table(spark, sf_dir, "documents")
     tf = retrieval.term_tf(docs, F.col("text"), F.col("doc_id"), _EVAL_TERMS)
     run = retrieval.per_term_bm25_runs(
@@ -3290,9 +3354,7 @@ def sim_truncation_rescore(spark, sf_dir):
     )
 
 
-@register(
-    "mm_image_histogram",
-    """WITH sz AS (SELECT doc_id,
+_MM_HISTOGRAM_SQL = """WITH sz AS (SELECT doc_id,
                           (8 + doc_id % 9)::INT AS w,
                           (8 + (doc_id // 9) % 9)::INT AS h
                    FROM documents),
@@ -3305,8 +3367,9 @@ def sim_truncation_rescore(spark, sf_dir):
                   + ((doc_id * 31 + 3 * p + 2) % 256)) // 3 AS luma
           FROM px)
     SELECT doc_id, (luma // 64)::BIGINT AS bin, count(*)::BIGINT AS n_px
-    FROM l GROUP BY doc_id, luma // 64""",
-)
+    FROM l GROUP BY doc_id, luma // 64"""
+
+
 def mm_image_histogram(spark, sf_dir):
     """Per-image 4-bin luma histogram through the REAL PPM decode
     (multimodal.image_histograms): integer (r+g+b)//3 luma, equal-width
@@ -3318,9 +3381,7 @@ def mm_image_histogram(spark, sf_dir):
     return multimodal.image_histograms(payload, n_bins=4)
 
 
-@register(
-    "sim_pq_adc_topk",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+_PQ_ADC_SQL = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     mrange AS (SELECT unnest(range(0, 4)) AS m),
     books AS (SELECT m, vec_id AS c_id, v[m*16+1 : m*16+16] AS cv
               FROM e, mrange WHERE vec_id < 16),
@@ -3348,8 +3409,9 @@ def mm_image_histogram(spark, sf_dir):
       (SELECT *, row_number() OVER (PARTITION BY q_id
                                     ORDER BY adc, vec_id) AS rk
        FROM adc WHERE q_id <> vec_id)
-    WHERE rk <= 5""",
-)
+    WHERE rk <= 5"""
+
+
 def sim_pq_adc_topk(spark, sf_dir):
     """Product-quantization ANN under the gate (similarity.pq_books/
     pq_encode/pq_adc_topk — the FAISS IVF-PQ compression path): 4
@@ -3365,9 +3427,7 @@ def sim_pq_adc_topk(spark, sf_dir):
     return similarity.pq_adc_topk(emb, [0, 1, 2], k=5)
 
 
-@register(
-    "sim_pq_train_means",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+_PQ_TRAIN_SQL = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     mrange AS (SELECT unnest(range(0, 4)) AS m),
     books AS (SELECT m, vec_id AS c_id, v[m*16+1 : m*16+16] AS cv
               FROM e, mrange WHERE vec_id < 16),
@@ -3386,8 +3446,9 @@ def sim_pq_adc_topk(spark, sf_dir):
              FROM asgn a CROSS JOIN range(0, 16) d)
     SELECT m, c_id, dim::BIGINT AS dim,
            ((sum(xi) + 4000000 * count(*)) // count(*) - 4000000)::BIGINT AS q
-    FROM dims GROUP BY m, c_id, dim""",
-)
+    FROM dims GROUP BY m, c_id, dim"""
+
+
 def sim_pq_train_means(spark, sf_dir):
     """One distributed PQ codebook training step as an EXACT INTEGER
     table (similarity.pq_train_means → pq_books_trained): per-subspace
@@ -3403,9 +3464,7 @@ def sim_pq_train_means(spark, sf_dir):
     return similarity.pq_train_means(emb)
 
 
-@register(
-    "mm_image_ahash",
-    """WITH sz AS (SELECT doc_id,
+_MM_AHASH_SQL = """WITH sz AS (SELECT doc_id,
                           (8 + doc_id % 9)::BIGINT AS w,
                           (8 + (doc_id // 9) % 9)::BIGINT AS h
                    FROM documents),
@@ -3431,8 +3490,9 @@ def sim_pq_train_means(spark, sf_dir):
     SELECT doc_id,
            sum(CASE WHEN b < 32 THEN bit << b ELSE 0 END)::BIGINT AS h1,
            sum(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END)::BIGINT AS h2
-    FROM bits GROUP BY doc_id""",
-)
+    FROM bits GROUP BY doc_id"""
+
+
 def mm_image_ahash(spark, sf_dir):
     """Perceptual average-hash per image through the REAL PPM decode
     (multimodal.image_ahash): integer luma → 8×8 block-mean downscale
@@ -3450,9 +3510,7 @@ def mm_image_ahash(spark, sf_dir):
     return multimodal.image_ahash(payload, grid=8)
 
 
-@register(
-    "mm_audio_fingerprint",
-    """WITH sz AS (SELECT doc_id, (256 + doc_id % 128)::BIGINT AS n
+_MM_AUDIO_SQL = """WITH sz AS (SELECT doc_id, (256 + doc_id % 128)::BIGINT AS n
                    FROM documents),
     smp AS (SELECT doc_id, n, r.range AS i,
                    ((doc_id * 17 + r.range * 13) % 2001) - 1000 AS s
@@ -3465,8 +3523,9 @@ def mm_image_ahash(spark, sf_dir):
                  CASE WHEN a.m > b.m THEN 1::BIGINT ELSE 0::BIGINT END AS bit
           FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
           WHERE a.f < 32)
-    SELECT doc_id, sum(bit << f)::BIGINT AS fp FROM d GROUP BY doc_id""",
-)
+    SELECT doc_id, sum(bit << f)::BIGINT AS fp FROM d GROUP BY doc_id"""
+
+
 def mm_audio_fingerprint(spark, sf_dir):
     """Acoustic fingerprint per clip through the REAL WAV decode
     (multimodal.audio_fingerprints): 33 equal-occupancy frames →
@@ -3480,9 +3539,7 @@ def mm_audio_fingerprint(spark, sf_dir):
     return multimodal.audio_fingerprints(payload)
 
 
-@register(
-    "mm_video_motion",
-    """WITH sz AS (SELECT doc_id, (4 + doc_id % 4)::BIGINT AS nf
+_MM_VIDEO_SQL = """WITH sz AS (SELECT doc_id, (4 + doc_id % 4)::BIGINT AS nf
                    FROM documents),
     tr AS (SELECT doc_id, nf, f.range AS f, i.range AS i
            FROM sz CROSS JOIN range(0, 6) f CROSS JOIN range(0, 64) i
@@ -3494,8 +3551,9 @@ def mm_audio_fingerprint(spark, sf_dir):
     SELECT doc_id, max(nf)::BIGINT AS n_frames,
            sum(ad)::BIGINT AS sum_abs_delta,
            (sum(ad) * 1000000 // (64 * (max(nf) - 1)))::BIGINT AS motion_ppm
-    FROM d GROUP BY doc_id""",
-)
+    FROM d GROUP BY doc_id"""
+
+
 def mm_video_motion(spark, sf_dir):
     """Per-clip temporal motion profile through the REAL Y4M decode
     (multimodal.video_motion): summed |luma delta| between consecutive
@@ -3509,6 +3567,87 @@ def mm_video_motion(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payload = multimodal.attach_y4m_payload(docs)
     return multimodal.video_motion(payload)
+
+
+_MM_NULLS = ("CAST(NULL AS BIGINT) AS l1", "CAST(NULL AS BIGINT) AS l2",
+             "CAST(NULL AS BIGINT) AS l3", "CAST(NULL AS DOUBLE) AS d1",
+             "CAST(NULL AS BOOLEAN) AS b1")
+
+
+def _mm_family_sql() -> str:
+    """Tagged union of the five multimodal decode oracles on the shared
+    (aspect, doc_id, l1, l2, l3, d1, b1) slot schema — every member row
+    survives verbatim (see mm_decode_family)."""
+    def slots(**kv: str) -> str:
+        return ", ".join(kv.get(s.split()[-1], s) for s in _MM_NULLS)
+
+    return f"""SELECT 'ahash' AS aspect, doc_id,
+           {slots(l1='h1 AS l1', l2='h2 AS l2')}
+    FROM ({_MM_AHASH_SQL}) __ah
+    UNION ALL
+    SELECT 'histogram' AS aspect, doc_id,
+           {slots(l1='bin AS l1', l2='n_px AS l2')}
+    FROM ({_MM_HISTOGRAM_SQL}) __hg
+    UNION ALL
+    SELECT 'audio' AS aspect, doc_id, {slots(l1='fp AS l1')}
+    FROM ({_MM_AUDIO_SQL}) __au
+    UNION ALL
+    SELECT 'video' AS aspect, doc_id,
+           {slots(l1='n_frames AS l1', l2='sum_abs_delta AS l2',
+                  l3='motion_ppm AS l3')}
+    FROM ({_MM_VIDEO_SQL}) __vd
+    UNION ALL
+    SELECT 'tiff' AS aspect, doc_id,
+           {slots(l1='n_bytes AS l1', l2='width::BIGINT AS l2',
+                  l3='height::BIGINT AS l3', d1='feat_mean AS d1',
+                  b1='decoded AS b1')}
+    FROM ({_MM_TIFF_SQL}) __tf"""
+
+
+@register("mm_decode_family", _mm_family_sql())
+def mm_decode_family(spark, sf_dir):
+    """The multimodal decode/analytics family under ONE gate (r13 gate
+    consolidation — one driver row re-verifies the PPM luma decode
+    twice over (aHash bit packing + histogram binning), the WAV energy
+    fingerprint, the Y4M motion profile, and the TIFF container
+    round-trip; every member row survives verbatim in the tagged slot
+    union (aspect, doc_id, l1, l2, l3, d1, b1), so no value coverage
+    is lost). Aspect → member mapping: 'ahash' → (h1, h2);
+    'histogram' → (bin, n_px); 'audio' → (fp); 'video' → (n_frames,
+    sum_abs_delta, motion_ppm); 'tiff' → (n_bytes, width, height,
+    feat_mean, decoded). Five independent 1→1 Arrow decode branches —
+    exchange-free each, unchanged by the union."""
+    L = lambda c: F.col(c).cast("long")  # noqa: E731
+    NL = F.lit(None).cast("long")
+    ND = F.lit(None).cast("double")
+    NB = F.lit(None).cast("boolean")
+
+    def shape(df, aspect, l1=NL, l2=NL, l3=NL, d1=ND, b1=NB):
+        return df.select(
+            F.lit(aspect).alias("aspect"), L("doc_id").alias("doc_id"),
+            l1.alias("l1"), l2.alias("l2"), l3.alias("l3"),
+            d1.alias("d1"), b1.alias("b1"),
+        )
+
+    ah = shape(mm_image_ahash(spark, sf_dir), "ahash", l1=L("h1"), l2=L("h2"))
+    hg = shape(
+        mm_image_histogram(spark, sf_dir), "histogram",
+        l1=L("bin"), l2=L("n_px"),
+    )
+    au = shape(mm_audio_fingerprint(spark, sf_dir), "audio", l1=L("fp"))
+    vd = shape(
+        mm_video_motion(spark, sf_dir), "video",
+        l1=L("n_frames"), l2=L("sum_abs_delta"), l3=L("motion_ppm"),
+    )
+    tf = shape(
+        mm_tiff_features(spark, sf_dir), "tiff",
+        l1=L("n_bytes"), l2=L("width"), l3=L("height"),
+        d1=F.col("feat_mean").cast("double"), b1=F.col("decoded"),
+    )
+    out = ah
+    for part in (hg, au, vd, tf):
+        out = out.unionByName(part)
+    return out
 
 
 @register(
@@ -3635,7 +3774,8 @@ def samp_importance_weights(spark, sf_dir):
                  sum(new_tokens) OVER () AS total
           FROM g)
     SELECT decile::BIGINT AS decile, new_tokens::BIGINT AS new_tokens,
-           round(cum / total, 6) AS cum_coverage
+           (2000000::BIGINT * cum + total) // (2 * total) / 1000000.0
+             AS cum_coverage
     FROM c""",
 )
 def txt_redundancy_curve(spark, sf_dir):
@@ -3645,7 +3785,11 @@ def txt_redundancy_curve(spark, sf_dir):
     (a steep early curve + flat tail = redundant source). First-seen is
     one min groupBy on the token; the decile rollup is 10 rows, and the
     cumulative window runs over those 10 (bounded by construction, same
-    argument as zipf_fit's rank window)."""
+    argument as zipf_fit's rank window). cum_coverage is the exact
+    int/int ratio cum/total via stats.ratio_round6 / the `//` mirror
+    (r13 half-boundary audit conversion)."""
+    from semantic_cpp_spark.functions.stats import ratio_round6
+
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select("doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("w"))
     fo = tk.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
@@ -3662,7 +3806,7 @@ def txt_redundancy_curve(spark, sf_dir):
     return c.select(
         F.col("decile").cast("long").alias("decile"),
         F.col("new_tokens").cast("long").alias("new_tokens"),
-        F.round(F.col("cum") / F.col("total"), 6).alias("cum_coverage"),
+        ratio_round6(F.col("cum"), F.col("total")).alias("cum_coverage"),
     )
 
 
@@ -3745,7 +3889,6 @@ def _semdedup_sql(k_expr: str) -> str:
     FROM assigned a LEFT JOIN rm ON rm.vec_id = a.vec_id"""
 
 
-@register("emb_semdedup", _semdedup_sql(str(clustering.KMEANS_K)))
 def emb_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup verdict per vector (clustering.semdedup,
     Abbas et al. 2023): k-means clusters as the blocking structure, then
@@ -3803,7 +3946,6 @@ def _semdedup_scaled_sql() -> str:
     FROM assigned a LEFT JOIN rm ON rm.vec_id = a.vec_id"""
 
 
-@register("emb_semdedup_scaled", _semdedup_scaled_sql())
 def emb_semdedup_scaled(spark, sf_dir):
     """SemDeDup with the PRODUCTION sizing AND assignment under the gate
     (clustering.semdedup_scaled): k = max(8, n // 75) derived as a pure
@@ -3817,6 +3959,30 @@ def emb_semdedup_scaled(spark, sf_dir):
     bit-exact cosine fold — same oracle family as emb_semdedup."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.semdedup_scaled(emb, threshold=_SEMDEDUP_TH)
+
+
+@register(
+    "emb_semdedup_family",
+    f"""SELECT 'fixed' AS aspect, * FROM ({_semdedup_sql(str(clustering.KMEANS_K))}) __fx
+    UNION ALL
+    SELECT 'scaled' AS aspect, * FROM ({_semdedup_scaled_sql()}) __sc""",
+)
+def emb_semdedup_family(spark, sf_dir):
+    """BOTH SemDeDup regimes under ONE gate (r13 gate consolidation —
+    one driver row re-verifies the fixed-k assignment AND the
+    production-sized two-level IVF routing; the members share an output
+    schema (vec_id, c_id, keep), so the union just tags the aspect and
+    every member row survives verbatim). aspect='fixed' →
+    clustering.semdedup at KMEANS_K; aspect='scaled' →
+    clustering.semdedup_scaled with derived k + IVF routing. Two
+    independent branches — no new exchange beyond the members' own."""
+    fixed = emb_semdedup(spark, sf_dir).select(
+        F.lit("fixed").alias("aspect"), "vec_id", "c_id", "keep"
+    )
+    scaled = emb_semdedup_scaled(spark, sf_dir).select(
+        F.lit("scaled").alias("aspect"), "vec_id", "c_id", "keep"
+    )
+    return fixed.unionByName(scaled)
 
 
 # -- IVFADC + 8-bit PQ training (r9) -----------------------------------------
@@ -3873,7 +4039,6 @@ SELECT q_id, rk::BIGINT AS rk, vec_id, adc FROM
 WHERE rk <= 5"""
 
 
-@register("sim_ivfpq_topk", _IVFPQ_SQL)
 def sim_ivfpq_topk(spark, sf_dir):
     """IVFADC under the gate (similarity.ivfpq_topk — VERDICT r8 #1,
     the one genuine scale gap): PQ codes routed into IVF inverted
@@ -3944,7 +4109,6 @@ SELECT m, c_id, dim::BIGINT AS dim,
 FROM dims2 GROUP BY m, c_id, dim"""
 
 
-@register("sim_pq_train_means_k256", _pq_k256_sql())
 def sim_pq_train_means_k256(spark, sf_dir):
     """PQ training at the 8-BIT code budget with a SECOND Lloyd
     iteration (similarity.pq_books_trained(n_centroids=256, iters=1)
@@ -4026,7 +4190,6 @@ SELECT q_id, rk::BIGINT AS rk, vec_id, adc FROM
 WHERE rk <= 5"""
 
 
-@register("sim_ivfpq_residual_topk", _IVFPQ_RES_SQL)
 def sim_ivfpq_residual_topk(spark, sf_dir):
     """Residual-encoded IVFADC under the gate
     (similarity.ivfpq_residual_topk — the full FAISS IVF{K},PQ{m}
@@ -4051,6 +4214,65 @@ def sim_ivfpq_residual_topk(spark, sf_dir):
     return similarity.ivfpq_residual_topk(
         emb, [0, 1, 2], k=5, nprobe=2, n_lists=similarity.IVF_K
     )
+
+
+@register(
+    "sim_pq_train_family",
+    f"""SELECT 'k16' AS aspect, m::BIGINT AS m, c_id, dim, q
+    FROM ({_PQ_TRAIN_SQL}) __a
+    UNION ALL
+    SELECT 'k256' AS aspect, m::BIGINT AS m, c_id, dim, q
+    FROM ({_pq_k256_sql()}) __b""",
+)
+def sim_pq_train_family(spark, sf_dir):
+    """BOTH PQ codebook-training gates under ONE row (r13 gate
+    consolidation — the members share an output schema (m, c_id, dim,
+    q), so the union just tags the aspect and every integer-means cell
+    survives verbatim). aspect='k16' → one training step at the 4-bit
+    budget (similarity.pq_train_means); aspect='k256' → two
+    exactness-disciplined Lloyd steps at the 8-bit budget
+    (pq_books_trained(n_centroids=256, iters=1)). Both branches stay
+    integer-exact end to end; the union adds no exchange."""
+    a = sim_pq_train_means(spark, sf_dir).select(
+        F.lit("k16").alias("aspect"),
+        F.col("m").cast("long").alias("m"), "c_id", "dim", "q",
+    )
+    b = sim_pq_train_means_k256(spark, sf_dir).select(
+        F.lit("k256").alias("aspect"),
+        F.col("m").cast("long").alias("m"), "c_id", "dim", "q",
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "sim_ivfpq_family_topk",
+    f"""SELECT 'adc' AS aspect, * FROM ({_PQ_ADC_SQL}) __a
+    UNION ALL
+    SELECT 'ivf' AS aspect, * FROM ({_IVFPQ_SQL}) __i
+    UNION ALL
+    SELECT 'residual' AS aspect, * FROM ({_IVFPQ_RES_SQL}) __r""",
+)
+def sim_ivfpq_family_topk(spark, sf_dir):
+    """The three PQ probe paths under ONE gate (r13 gate consolidation
+    — the members share an output schema (q_id, rk, vec_id, adc), so
+    the union just tags the aspect and every ranked row survives
+    verbatim). aspect='adc' → full-scan asymmetric-distance top-k
+    (similarity.pq_adc_topk); aspect='ivf' → IVFADC with nprobe=2
+    inverted-list pruning (ivfpq_topk); aspect='residual' →
+    residual-encoded IVFADC, the full FAISS IVF{{K}},PQ{{m}} form
+    (ivfpq_residual_topk). Three independent probe plans — list-pruned
+    where the member is, unchanged by the union."""
+    cols = ["q_id", "rk", "vec_id", "adc"]
+    a = sim_pq_adc_topk(spark, sf_dir).select(
+        F.lit("adc").alias("aspect"), *cols
+    )
+    i = sim_ivfpq_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("aspect"), *cols
+    )
+    r = sim_ivfpq_residual_topk(spark, sf_dir).select(
+        F.lit("residual").alias("aspect"), *cols
+    )
+    return a.unionByName(i).unionByName(r)
 
 
 def _passage_dup_sql() -> str:
@@ -4804,8 +5026,13 @@ def _nb_holdout_sql(vocab_size: int = 50_000) -> str:
     micro-unit model boundary (CAST(round(ln(p)·1e6) AS BIGINT) — both
     engines round identical double divisions, see classify.py's
     determinism contract), exact integer score sums, and the
-    (score DESC, label ASC) argmax tie-break."""
-    return f"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    (score DESC, label ASC) argmax tie-break. Mirrors nb_train's
+    documented null-label exclusion (tr filters lang IS NOT NULL, so
+    a null-lang fixture row can never train a NULL class here while
+    the engine drops it — ADVICE r12) and the LEFT tots join with
+    tot=0 fill (an all-OOV label keeps its full model column)."""
+    return f"""WITH tr AS (SELECT * FROM documents
+              WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
 te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
 ttok AS (SELECT doc_id, lang, unnest({_NB_TOK}) AS term FROM tr),
 vc AS (SELECT term, count(*)::BIGINT AS cnt FROM ttok GROUP BY term),
@@ -4819,9 +5046,10 @@ dense AS (SELECT v.term, l.lang, coalesce(c.cnt, 0)::BIGINT AS cnt
           FROM vocab v CROSS JOIN labels l
           LEFT JOIN cnts c ON c.lang = l.lang AND c.term = v.term),
 model AS (SELECT d.term, d.lang,
-                 CAST(round(ln((d.cnt + 1.0) / (t.tot + 1.0 * vsz.v))
+                 CAST(round(ln((d.cnt + 1.0)
+                               / (coalesce(t.tot, 0) + 1.0 * vsz.v))
                             * 1000000.0) AS BIGINT) AS lp_micro
-          FROM dense d JOIN tots t USING (lang), vsz),
+          FROM dense d LEFT JOIN tots t USING (lang), vsz),
 ntr AS (SELECT count(*)::BIGINT AS n_total FROM tr),
 priors AS (SELECT lang,
                   CAST(round(ln(count(*)::DOUBLE / ntr.n_total)
@@ -5142,6 +5370,53 @@ def txt_subword_roundtrip(spark, sf_dir):
     )
     enc = text.encode_subwords(seg, vocab)
     dec = text.decode_subwords(enc, vocab, eow=eow)
+    src = docs.select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("__norm"),
+    )
+    return dec.join(src, "doc_id").select(
+        "doc_id",
+        F.md5("decoded").alias("decoded_fp"),
+        (F.col("decoded") == F.col("__norm")).alias("round_trip"),
+    )
+
+
+@register("txt_unigram_roundtrip", _roundtrip_sql())
+def txt_unigram_roundtrip(spark, sf_dir):
+    """Unigram-tokenizer lifecycle closure (VERDICT r12 #7 — the BPE
+    family's decode(encode(x)) == normalize(x) guarantee, now for the
+    SECOND tokenizer family): score the BPE-vocabulary piece inventory
+    (unigram.piece_scores), Viterbi-segment with a STANDALONE
+    end-of-word boundary piece (viterbi_segment(eow=…) — presentation-
+    only, the DP is untouched), encode against the piece inventory +
+    marker id table (dense ids in piece order — deterministic,
+    model-sized), decode back through the shared
+    text.decode_subwords(eow=…) machinery, and fingerprint the decoded
+    text asserting it equals the whitespace-normalized source. The
+    oracle is the same IDENTITY as txt_subword_roundtrip: any drift in
+    scores, the DP tie-break, the boundary emission, the encode join,
+    or the decode re-assembly breaks equality for some document."""
+    eow = "</w>"
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    mdf = text.bpe_train_merges(docs, F.col("text"), 6)
+    vocab = text.bpe_vocab(docs, F.col("text"), mdf)
+    words = text.bpe_word_counts(docs, F.col("text"))
+    sc = unigram.piece_scores(words, vocab.select("unit"))
+    pieces = unigram.collect_pieces(sc)
+    seg = unigram.viterbi_segment(
+        docs, F.col("text"), F.col("doc_id"), pieces, eow=eow
+    )
+    pvocab = spark.createDataFrame(
+        [(p, i) for i, (p, _) in enumerate(pieces)] + [(eow, len(pieces))],
+        "unit string, token_id long",
+    )
+    enc = text.encode_subwords(
+        seg.select("doc_id", F.col("piece_text").alias("subword_text")),
+        pvocab,
+    )
+    dec = text.decode_subwords(enc, pvocab, eow=eow)
     src = docs.select(
         "doc_id",
         F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("__norm"),

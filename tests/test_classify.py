@@ -236,3 +236,60 @@ def test_random_corpus_matches_python_replay(spark, seed):
         ).collect()
     }
     assert pred == _py_predict(model, priors, vset, test), seed
+
+
+def test_all_oov_label_keeps_dense_model_column(spark):
+    """A label whose every training token falls OUTSIDE the vocabulary
+    must still hold a full vocab-sized model column with
+    lp = ln(alpha/(alpha·V)) (tot = 0), not vanish from the model —
+    the inner-join bug let it score prior-only and win argmax for
+    token-rich documents (ADVICE r12)."""
+    tr = spark.createDataFrame(
+        [
+            ("en", "the the the cat cat dog"),
+            ("en", "the cat dog dog"),
+            ("xx", "zzz qqq"),  # every xx token will be cut from vocab
+        ],
+        "label string, text string",
+    )
+    # vocab_size=3 keeps {the, cat, dog}; zzz/qqq are dropped -> xx
+    # trains on zero in-vocab tokens.
+    nbm = classify.nb_train(tr, F.col("text"), F.col("label"), vocab_size=3)
+    rows = nbm.model.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], {})[r["term"]] = r["lp_micro"]
+    assert set(by_label) == {"en", "xx"}
+    assert len(by_label["xx"]) == 3  # dense: vocab_size rows for xx too
+    want_xx = int(_half_up(math.log(1.0 / 3.0) * 1e6))
+    assert all(v == want_xx for v in by_label["xx"].values())
+    # a token-rich doc must NOT flip to the all-OOV label: per-token
+    # xx cost ln(1/3) is worse than en's smoothed in-vocab terms.
+    te = spark.createDataFrame(
+        [(0, "the the cat dog the cat")], "doc_id long, text string"
+    )
+    pred = classify.nb_predict(te, F.col("text"), F.col("doc_id"), nbm).collect()
+    assert pred[0]["predicted"] == "en"
+
+
+def test_confusion_fp_string_ids_distinct(spark):
+    """Non-numeric doc ids must fingerprint by value, not collapse to
+    one empty-concat md5 via a silent cast('long')→NULL drop
+    (ADVICE r12): two cells with different string-id memberships get
+    different fingerprints."""
+    pred = spark.createDataFrame(
+        [("a-1", "en"), ("b-2", "en"), ("c-3", "es")],
+        "doc_id string, predicted string",
+    )
+    truth = spark.createDataFrame(
+        [("a-1", "en"), ("b-2", "es"), ("c-3", "es")],
+        "doc_id string, label string",
+    )
+    rows = classify.nb_confusion(pred, truth).collect()
+    fps = {(r["label"], r["predicted"]): r["docs_fp"] for r in rows}
+    assert len(fps) == 3 and len(set(fps.values())) == 3
+    import hashlib
+
+    assert fps[("en", "en")] == hashlib.md5(b"a-1").hexdigest()
+    assert fps[("es", "en")] == hashlib.md5(b"b-2").hexdigest()
+    assert fps[("es", "es")] == hashlib.md5(b"c-3").hexdigest()

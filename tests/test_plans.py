@@ -4,6 +4,9 @@ design point must be visible in the physical plan, not just hoped for."""
 import pytest
 from pyspark.sql import functions as F
 
+from semantic_cpp_spark import registry_events as RE
+from semantic_cpp_spark import registry_pipeline as RP
+
 
 SF = "/root/testdata/sf0.001"
 
@@ -351,7 +354,7 @@ def test_semdedup_in_cluster_join_is_equi_join(spark, qs):
     disappeared."""
     import re
 
-    plan = _plan(qs["emb_semdedup"](spark, SF))
+    plan = _plan(RP.emb_semdedup(spark, SF))
     assert "CartesianProduct" not in plan
     joins = re.findall(
         r"BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin"
@@ -407,7 +410,7 @@ def test_tiff_features_is_narrow_map(spark, qs):
     """TIFF feature extraction must stay a narrow Arrow map over the
     scan — decode is per-row work; any exchange before the kernel means
     payload bytes are shuffling."""
-    plan = _plan(qs["mm_tiff_features"](spark, SF))
+    plan = _plan(RP.mm_tiff_features(spark, SF))
     assert "MapInPandas" in plan, "Arrow kernel missing from plan"
     # scan → render → decode → select is one narrow pipeline: payload
     # bytes must never shuffle, so the whole plan is exchange-free
@@ -431,7 +434,7 @@ def test_hll_distinct_exchange_is_register_sized(spark, qs):
     shuffles carry the <=1024-row register table (map-side-combined
     partial max) and the 1-row estimator epilogue — the raw key column
     must never shuffle, and nothing joins."""
-    plan = _plan(qs["agg_hll_distinct_users"](spark, SF))
+    plan = _plan(RE.agg_hll_distinct_users(spark, SF))
     assert "Join" not in plan
     # partial_max before the exchange = map-side combine of registers
     assert "partial_max" in plan or "HashAggregate" in plan
@@ -444,7 +447,7 @@ def test_cms_probe_is_broadcast_and_build_is_bounded_groupby(spark, qs):
     """CMS plan shape: the sketch (<= depth*width rows, a constant of
     the sizing) joins the probe fan-out as a broadcast; no cartesian
     anywhere; the build aggregates cells (map-side combinable)."""
-    plan = _plan(qs["agg_cms_user_freq"](spark, SF))
+    plan = _plan(RE.agg_cms_user_freq(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -467,7 +470,7 @@ def test_semdedup_scaled_no_cartesian_beyond_broadcast_routing(spark, qs):
     verdict re-attach stay equi-joins; no CartesianProduct."""
     import re
 
-    plan = _plan(qs["emb_semdedup_scaled"](spark, SF))
+    plan = _plan(RP.emb_semdedup_scaled(spark, SF))
     assert "CartesianProduct" not in plan
     eq = re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)
     assert len(eq) >= 2, eq  # in-cluster pair join + verdict left join
@@ -477,7 +480,7 @@ def test_image_ahash_is_narrow_map(spark, qs):
     """aHash fingerprints are per-row decode work: one narrow Arrow map
     over the scan, exchange-free — payload bytes must never shuffle
     (the mm_tiff_features discipline)."""
-    plan = _plan(qs["mm_image_ahash"](spark, SF))
+    plan = _plan(RP.mm_image_ahash(spark, SF))
     assert "MapInPandas" in plan, "Arrow kernel missing from plan"
     assert "Exchange" not in plan
 
@@ -485,7 +488,7 @@ def test_image_ahash_is_narrow_map(spark, qs):
 def test_audio_fingerprint_is_narrow_map(spark, qs):
     """Acoustic fingerprints are per-row decode work: one narrow Arrow
     map over the scan, exchange-free (the mm_image_ahash discipline)."""
-    plan = _plan(qs["mm_audio_fingerprint"](spark, SF))
+    plan = _plan(RP.mm_audio_fingerprint(spark, SF))
     assert "MapInPandas" in plan, "Arrow kernel missing from plan"
     assert "Exchange" not in plan
 
@@ -493,7 +496,7 @@ def test_audio_fingerprint_is_narrow_map(spark, qs):
 def test_video_motion_is_narrow_map(spark, qs):
     """Motion profiling is per-row decode work: one narrow Arrow map,
     exchange-free (the multimodal discipline)."""
-    plan = _plan(qs["mm_video_motion"](spark, SF))
+    plan = _plan(RP.mm_video_motion(spark, SF))
     assert "MapInPandas" in plan, "Arrow kernel missing from plan"
     assert "Exchange" not in plan
 
@@ -502,7 +505,7 @@ def test_pq_adc_probe_is_broadcast_shaped(spark, qs):
     """PQ's codebook (64 rows) and LUT (|Q|*64 rows) must broadcast —
     a shuffle or cartesian against either would defeat the point of
     probing codes instead of vectors."""
-    plan = _plan(qs["sim_pq_adc_topk"](spark, SF))
+    plan = _plan(RP.sim_pq_adc_topk(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -514,7 +517,7 @@ def test_ivfpq_probe_is_list_pruned(spark, qs):
     BroadcastHashJoin keyed on probe_cent (absent from the full-scan
     pq_adc_topk plan) upstream of the ADC aggregation. Nothing
     cartesian; LUT and probe pairs broadcast."""
-    plan = _plan(qs["sim_ivfpq_topk"](spark, SF))
+    plan = _plan(RP.sim_ivfpq_topk(spark, SF))
     assert "CartesianProduct" not in plan
     # the pruning join on the list id is present and broadcast
     pruned_at = None
@@ -539,7 +542,7 @@ def test_ivfpq_residual_probe_is_list_pruned(spark, qs):
     (q_id, probe_cent) pruning join; the only nested-loop joins are the
     established tiny-centroid broadcast crosses (corpus assign + query
     probes — the residual build adds no new ones)."""
-    plan = _plan(qs["sim_ivfpq_residual_topk"](spark, SF))
+    plan = _plan(RP.sim_ivfpq_residual_topk(spark, SF))
     assert "CartesianProduct" not in plan
     pruned_at = None
     for i, line in enumerate(plan.splitlines()):
@@ -566,7 +569,7 @@ def test_span_cuts_no_cartesian_and_hash_keyed(spark, qs):
     """The exact-substring planner joins occurrences to first
     occurrences on the 60-bit span HASH — never on span text, never
     all-pairs."""
-    plan = _plan(qs["dedup_span_cuts"](spark, SF))
+    plan = _plan(RP.dedup_span_cuts(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -596,7 +599,7 @@ def test_rollup_quantile_merge_is_pure_aggregation(spark, qs):
     by union + groupBy), every aggregation has its map-side partial
     (the whole point of a map-side-combinable monoid), and exchanges
     carry only (key, bin) state rows."""
-    plan = _plan(qs["evt_rollup_quantile_merge"](spark, SF))
+    plan = _plan(RE.evt_rollup_quantile_merge(spark, SF))
     assert "Join" not in plan
     assert plan.count("partial") >= 4  # each delta state + the merge combine
     assert "CartesianProduct" not in plan

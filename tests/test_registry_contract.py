@@ -14,89 +14,89 @@ import pytest
 
 from semantic_cpp_spark import registry
 
-# Queries that are new (or re-enter on a behavioral change) in round 12 —
+# Queries that are new (or re-enter on a behavioral change) in round 13 —
 # each must sit inside this round's 50-slot driver window for a fresh row.
-TOUCHED_IN_R12 = [
-    # NEW r12 gate (first row): full-Sennrich end-of-word-marker training
-    "txt_bpe_merges_eow",
-    # rule-(a) re-entries: their EXECUTED paths changed in r12 — the
-    # hybrid dispatcher routes gate-scale training through the new
-    # in-memory trainer, and the segment kernel gained its bounded
-    # word cache (both equality-pinned in pytest):
-    "txt_bpe_merges",
-    "txt_bpe_segment_kernel",
-    # rule-(c) backfill from the oldest (r8) vintage, riskiest family:
-    "stream_sliding_uniques_hll",
-]
-
-# The 46 r7-vintage queries at the rotation deadline (recounted from
-# CORRECTNESS_r01..r11 — newest row == r7 for exactly these 46) — the
-# standing policy says they lead the r12 window so no latest row predates
-# r8 after this round.
-R7_VINTAGE_DUE = [
-    "agg_salted_hot_key",
-    "asof_next_purchase_after_signup",
-    "dedup_cc_clusters",
-    "dedup_cluster_stats",
-    "dedup_ngram_jaccard",
-    "emb_cluster_cohesion",
-    "emb_ivf_balance",
-    "emb_kmeans_step",
-    "evt_dau_wau_stickiness",
-    "evt_inter_event_gaps",
+TOUCHED_IN_R13 = [
+    # rule-(b) family-consolidation first rows — each carries its r8
+    # members' rotation deadline (r13 gate consolidation; members were
+    # unregistered, every member row survives in the tagged union):
+    "dedup_simhash_family",
+    "emb_semdedup_family",
+    "mm_decode_family",
+    "evt_rollup_merge_family",
+    "agg_sketch_cardinality",
+    # rule-(b) r12 differential-tier first rows:
+    "txt_bpe_vocab",
+    "txt_tokenizer_stats",
+    "txt_encode_subwords",
+    "txt_nb_holdout_confusion",
+    "txt_lm_perplexity_bands",
+    "txt_unigram_viterbi",
+    "txt_subword_roundtrip",
+    "txt_tokenizer_compare",
+    "txt_blocklist_hits",
+    # rule-(a) re-entries: EXECUTED paths changed in r13 (the
+    # half-boundary audit conversions to stats.ratio_round6):
     "evt_markov_transitions",
-    "evt_sliding_uniques",
-    "evt_top_paths",
-    "graph_kcore_membership",
-    "ir_hybrid_rrf",
-    "ir_rank_metrics",
-    "mm_image_histogram",
-    "pipe_dedup_funnel",
-    "rel_basket_lift",
-    "rel_brand_return_rate",
-    "rel_customers_without_urgent_orders",
-    "rel_q10_returned_items",
-    "rel_q17_small_qty_revenue",
-    "rel_q18_large_orders",
-    "rel_q19_bracketed_discounts",
-    "rel_q22_idle_balance",
-    "rel_q4_semi_join",
-    "rel_q7_nation_volume",
-    "rel_q8_market_share",
-    "rel_scd2_customer_history",
-    "samp_importance_weights",
-    "samp_negative_pairs",
-    "samp_train_val_split",
-    "sim_dim_truncation_recall",
-    "sim_lsh_recall_at_5",
-    "stream_count_windows",
-    "stream_distinct_keys",
-    "stream_running_stats",
-    "stream_session_5m",
-    "stream_slide_2h_30m",
-    "stream_sliding_uniques",
-    "stream_sliding_uniques_bounded",
-    "stream_stream_join",
-    "stream_topk_per_user",
-    "stream_tumble_hour",
+    "evt_dau_wau_stickiness",
+    "txt_token_stats",
+    "txt_token_entropy",
     "txt_redundancy_curve",
+    "ir_rank_metrics",
 ]
 
-# r12 window policy (VERDICT r11 #1 + the standing rotation policy in
-# registry._PRIORITY's comment):
-# 46 r7-vintage due + 1 new-gate first row + 2 rule-(a) re-entries
-# + 1 rule-(c) r8 backfill = exactly 50. Nothing is pushed below the
-# cut this round (_PRIORITY holds exactly the window); r13 recounts the
-# r8-vintage deadline (41 due after the hll backfill, ~9 free slots).
+# The 30 UNCONSOLIDATED r8-vintage queries at the rotation deadline
+# (scripts/rotation_recount.py 13 lists 41 r8-vintage due; 11 of those
+# were members of the five consolidated families above, whose first
+# rows take over the obligation).
+R8_VINTAGE_DUE = [
+    "agg_corr_covar",
+    "agg_distribution_profile",
+    "dedup_exact",
+    "dedup_keep_list",
+    "emb_pca_variance",
+    "evt_json_extract",
+    "graph_core_numbers",
+    "graph_pagerank_top10",
+    "graph_ppr_seeds",
+    "grp_frequency_capped",
+    "ir_bm25_topk",
+    "reduce_bit_xor",
+    "rel_datetime_parts",
+    "rel_pivot_status_by_flag",
+    "rel_q13_order_histogram",
+    "rel_q14_promo_share",
+    "rel_q6_forecast_revenue",
+    "rel_rollup_order_priority",
+    "samp_temperature_mixture",
+    "shard_token_budget",
+    "sim_truncation_rescore",
+    "src_blob_bytes",
+    "str_charsequence_medley",
+    "str_codepoint_sequence",
+    "str_compare_and_join",
+    "str_levenshtein_to_anchor",
+    "stream_sliding_cms_freq",
+    "txt_decontaminate",
+    "txt_pii_redact",
+    "txt_word_count_topk",
+]
+
+# r13 window policy (VERDICT r12 #1/#2 + registry._PRIORITY's capacity
+# plan): 30 unconsolidated r8-vintage due + 5 family first rows + 9
+# differential-tier first rows + 6 rule-(a) conversion re-entries =
+# exactly 50. Nothing is pushed below the cut this round; the five
+# rule-(b) candidates past the cut are the r14 forecast (see
+# PRE_VERIFIED_AWAITING_WINDOW).
 EXPECTED_SPILL = 0
 
 
-def test_r12_touched_and_due_queries_inside_50_window():
+def test_r13_touched_and_due_queries_inside_50_window():
     window = list(registry.queries())[:50]
-    missing = [n for n in R7_VINTAGE_DUE + TOUCHED_IN_R12 if n not in window]
+    missing = [n for n in R8_VINTAGE_DUE + TOUCHED_IN_R13 if n not in window]
     assert not missing, f"outside driver window: {missing}"
-    # the policy deadline: the 46 due queries LEAD the window
-    assert window[:46] == R7_VINTAGE_DUE
+    # the policy deadline: the 30 due queries LEAD the window
+    assert window[:30] == R8_VINTAGE_DUE
 
 
 def test_priority_names_all_exist():
@@ -116,23 +116,19 @@ def test_priority_fills_the_window_exactly():
     )
 
 
-# Queries registered past the r12 window cut (all 50 r12 slots are
-# consumed by the policy-deadline refreshes): their correctness vouch,
-# until the r13 rotation hands them rule-(b) slots, is a DIFFERENTIAL
+# Queries registered past the r13 window cut (the r14 forecast in
+# registry._PRIORITY's capacity plan): their correctness vouch, until
+# the r14 rotation hands them rule-(b) slots, is a DIFFERENTIAL
 # PYTEST that runs the Spark callable and the DuckDB oracle side by side
 # with the verify_local compare discipline. Any name listed here must
 # have such a test; test_awaiting_window_names_have_differential_tests
 # enforces the pairing so this set cannot silently become a skip list.
 PRE_VERIFIED_AWAITING_WINDOW = {
-    "txt_bpe_vocab": "tests/test_r13_gate_candidates.py",
-    "txt_tokenizer_stats": "tests/test_r13_gate_candidates.py",
-    "txt_encode_subwords": "tests/test_r13_gate_candidates.py",
-    "txt_nb_holdout_confusion": "tests/test_r13_gate_candidates.py",
-    "txt_lm_perplexity_bands": "tests/test_r13_gate_candidates.py",
-    "txt_unigram_viterbi": "tests/test_r13_gate_candidates.py",
-    "txt_subword_roundtrip": "tests/test_r13_gate_candidates.py",
-    "txt_tokenizer_compare": "tests/test_r13_gate_candidates.py",
-    "txt_blocklist_hits": "tests/test_r13_gate_candidates.py",
+    "dedup_span_cuts_family": "tests/test_r14_gate_candidates.py",
+    "asof_nearest_family": "tests/test_r14_gate_candidates.py",
+    "sim_pq_train_family": "tests/test_r14_gate_candidates.py",
+    "sim_ivfpq_family_topk": "tests/test_r14_gate_candidates.py",
+    "txt_unigram_roundtrip": "tests/test_r14_gate_candidates.py",
 }
 
 

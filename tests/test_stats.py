@@ -271,3 +271,56 @@ def test_tokenizer_stats_half_boundary_regression(spark):
         )
     )
     assert row["fertility"] == want  # 2.0078125 -> 2.007813 (half-up)
+
+
+def test_div_long_exact_at_any_magnitude(spark):
+    """stats.div_long must return the true integer quotient even where
+    a long→double round-trip is lossy (> 2⁵³): the (x − pmod)/y double
+    form is off by ±1 ulp-of-long at 2⁶² (measured — ADVICE r12);
+    the IntegralDivide form must match Python's exact // everywhere."""
+    from semantic_cpp_spark.functions import stats
+
+    cases = [
+        (2**62 + 12345, 7),
+        (2**62, 3),
+        ((2**53 + 1) * 9, 9),       # perfect multiple just past 2^53
+        (2**63 - 1, 1),
+        (2**63 - 1, 2**31),
+        (123456789, 1),
+        (0, 5),
+        (41, 7),
+    ]
+    df = spark.createDataFrame(cases, "x long, y long").select(
+        "x", "y", stats.div_long(F.col("x"), F.col("y")).alias("q")
+    )
+    got = {(r["x"], r["y"]): r["q"] for r in df.collect()}
+    assert got == {(x, y): x // y for x, y in cases}
+
+
+def test_ratio_round6_large_numerator_exact(spark):
+    """ratio_round6 at numerators where 2e6·num + den crosses 2⁵³
+    (num ≳ 4.5e9): the long-division form must still match Decimal
+    ROUND_HALF_UP (the old double-routed quotient could return q−1
+    on perfect multiples here — ADVICE r12)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from semantic_cpp_spark.functions import stats
+
+    cases = [
+        (4_500_000_001, 7),
+        (4_611_686_018, 1),           # 2e6·num just under 2^63
+        (9_007_199_255, 2),           # 2e6·num past 2^53
+        (4_503_599_627, 128),         # half-boundary-capable denominator
+    ]
+    want = {
+        (a, b): float(
+            (Decimal(a) / Decimal(b)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        for a, b in cases
+    }
+    df = spark.createDataFrame(cases, "num long, den long").select(
+        "num", "den", stats.ratio_round6(F.col("num"), F.col("den")).alias("r")
+    )
+    assert {(r["num"], r["den"]): r["r"] for r in df.collect()} == want

@@ -255,3 +255,42 @@ def test_trainer_rejects_zero_rounds(spark):
     wdf = spark.createDataFrame(TRAIN_WORDS, "word string, freq long")
     with pytest.raises(ValueError, match="rounds"):
         unigram.train_pieces(wdf, vocab_size=8, rounds=0)
+
+
+def test_viterbi_segment_eow_standalone_marker(spark):
+    """viterbi_segment(eow=…) emits the marker as a STANDALONE piece
+    after each word — presentation-only (same pieces, same DP), making
+    word boundaries stream-recoverable for the encode→decode
+    round-trip (txt_unigram_roundtrip)."""
+    pieces = [("a", -100), ("b", -200), ("ab", -150)]
+    docs = spark.createDataFrame(
+        [(0, "ab a  b"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    plain = {
+        r["doc_id"]: r["piece_text"]
+        for r in unigram.viterbi_segment(
+            docs, F.col("text"), F.col("doc_id"), pieces
+        ).collect()
+    }
+    eow = {
+        r["doc_id"]: r["piece_text"]
+        for r in unigram.viterbi_segment(
+            docs, F.col("text"), F.col("doc_id"), pieces, eow="</w>"
+        ).collect()
+    }
+    assert plain[0] == "ab a b"
+    assert eow[0] == "ab </w> a </w> b </w>"
+    assert eow[1] is None and plain[1] is None
+    assert eow[2] == "" and plain[2] == ""
+    # stripping the markers recovers the plain stream exactly
+    assert " ".join(p for p in eow[0].split() if p != "</w>") == plain[0]
+
+
+def test_viterbi_segment_eow_validation(spark):
+    pieces = [("a", -100)]
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="whitespace"):
+        unigram.viterbi_segment(docs, F.col("text"), F.col("doc_id"), pieces, eow="x y")
+    with pytest.raises(ValueError, match="collides"):
+        unigram.viterbi_segment(docs, F.col("text"), F.col("doc_id"), pieces, eow="a")
