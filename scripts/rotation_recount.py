@@ -63,8 +63,20 @@ def main() -> None:
         tier = set()
     print(f"# rotation recount for round r{next_round} "
           f"(deadline: latest row <= r{deadline})")
-    print(f"registered: {len(names)}  with-row: {len(latest)}  "
+    print(f"registered: {len(names)}  with-row: "
+          f"{sum(1 for n in names if n in latest)}  "
           f"ok: {len(ok)}  due: {len(due)}  no-row: {len(no_row)}")
+    census: dict[int, int] = {}
+    for n in names:
+        if n in latest:
+            census[latest[n]] = census.get(latest[n], 0) + 1
+    print("vintage census (registered queries only): "
+          + "  ".join(f"r{r}:{c}" for r, c in sorted(census.items()))
+          + f"  no-row:{len(no_row)}")
+    span = 5  # valid span of the invariant: rows from N-4..N survive round N
+    demand = len(names) / span
+    print(f"steady-state demand: {len(names)}/{span} = {demand:.1f} "
+          f"slots/round ({50 - demand:+.1f} slack)")
     print(f"\n== DUE ({len(due)}) — rule-(c) deadline, must lead the window:")
     for n in due:
         print(f"  {n}  (r{latest[n]})")

@@ -760,3 +760,48 @@ def test_lm_scoring_joins_never_cartesian(spark, qs):
     assert "CartesianProduct" not in plan
     # per-doc rollup and every model count aggregate map-side partials
     assert "partial_count" in plan or "partial" in plan
+
+
+# -- r13 family-gate unions: consolidation must not change member shapes ----
+
+
+def test_mm_decode_family_union_is_exchange_free(spark, qs):
+    """All five decode branches are narrow Arrow maps; the tagged union
+    concatenates them without introducing a single exchange — payload
+    bytes must never shuffle, consolidated or not."""
+    plan = _plan(qs["mm_decode_family"](spark, SF))
+    assert plan.count("MapInPandas") == 5, plan.count("MapInPandas")
+    assert "Exchange" not in plan
+    assert "Union" in plan
+
+
+def test_simhash_family_union_no_cartesian(spark, qs):
+    """The pair branch keeps its pigeonhole chunk blocking inside the
+    union — consolidation must never reintroduce an all-pairs join."""
+    plan = _plan(qs["dedup_simhash_family"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Union" in plan
+
+
+def test_rollup_family_union_stays_joinless_and_partial(spark, qs):
+    """Four mergeable-state branches: still no join anywhere (states
+    merge by union + groupBy), map-side partials intact under the
+    consolidated union."""
+    plan = _plan(qs["evt_rollup_merge_family"](spark, SF))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("partial") >= 8  # >= the quantile member's 4 alone
+
+
+def test_ivfpq_family_members_keep_list_pruning(spark, qs):
+    """The union of the three probe paths preserves each member's scale
+    shape: the two IVF branches keep their broadcast probe_cent pruning
+    joins, and no branch degenerates to a cartesian."""
+    plan = _plan(qs["sim_ivfpq_family_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    pruning = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "probe_cent" in ln
+    ]
+    assert len(pruning) >= 2, pruning  # ivf + residual branches

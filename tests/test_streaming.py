@@ -819,3 +819,20 @@ def test_tokenizer_kernels_run_on_structured_streaming(spark, tmp_path):
         ).collect())
     )
     assert got_uni == want_uni
+
+    # the r13 standalone-eow variant is the same stateless kernel shape —
+    # boundary-piece emission must not change streaming eligibility
+    want_eow = sorted(
+        map(tuple, unigram.viterbi_segment(
+            batch, F.col("text"), F.col("doc_id"), pieces, eow="</w>"
+        ).collect())
+    )
+    got_eow = sorted(
+        map(tuple, ops.run_to_memory(
+            unigram.viterbi_segment(
+                stream, F.col("text"), F.col("doc_id"), pieces, eow="</w>"
+            ),
+            "append",
+        ).collect())
+    )
+    assert got_eow == want_eow and want_eow != want_uni
