@@ -821,3 +821,179 @@ def lm_score_trigram(
             ).alias("cross_entropy"),
         )
     )
+
+
+# -- interpolated Kneser-Ney trigram LM (the KenLM-fidelity smoother) ---------
+
+KN_DISCOUNT = 0.75  # 3/4: exactly representable in binary — c − D stays exact
+
+
+class KNTrigramLM(NamedTuple):
+    """An interpolated Kneser-Ney trigram LM (Kneser & Ney 1995; the
+    smoothing family KenLM implements and CCNet's perplexity filter
+    actually ships, where lm_train_trigram is the simpler
+    Jelinek-Mercer mix).  Lower orders use CONTINUATION counts (how
+    many distinct contexts a gram completes), not raw frequencies —
+    the property that stops high-frequency-but-context-bound words
+    ("Francisco") from leaking probability into unseen histories.
+
+    Every table cell derives from integer counts and the exact-binary
+    discount D = 3/4 through a FIXED expression shape, so both engines
+    reproduce each double bit-for-bit (the TrigramLM contract):
+
+    ``tri``: (u, v, w, p3top) — max(c3 − D, 0)/c2h(u,v);
+    ``h2``: (u, v, gamma3) — D·N1+(u,v,·)/c2h(u,v), the mass the
+    discount releases to the bigram level;
+    ``big``: (v, w, p2top) — max(N1+(·,v,w) − D, 0)/N1+(·,v,·) over
+    continuation counts;
+    ``h1``: (v, gamma2) — D·N1+(v,·)/N1+(·,v,·);
+    ``uni``: (w, p1) — N1+(·,w)/N1+(·,·), the continuation unigram;
+    ``totals``: one row (n_events, v_types).
+    """
+
+    tri: DataFrame
+    h2: DataFrame
+    big: DataFrame
+    h1: DataFrame
+    uni: DataFrame
+    totals: DataFrame
+
+
+def lm_train_kn_trigram(df: DataFrame, text: Column) -> KNTrigramLM:
+    """Train the interpolated-KN trigram model.
+
+    Plan: ONE corpus-scale explode produces the event stream (shared
+    shape with lm_train_trigram); the trigram count is the only
+    corpus-scale aggregate — every continuation table derives from the
+    TRIGRAM TYPE table (tri_c), which is model-sized (distinct
+    trigrams), so the KN extras cost model-side groupBys, not extra
+    corpus passes. At 100 TB the n-gram tables co-partition at score
+    time exactly like the JM model (they scale with corpus content —
+    never broadcast)."""
+    d = KN_DISCOUNT
+    ev = _lm_events(df, text, None)
+    tri_c = ev.groupBy("u", "v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    )
+    h2c = tri_c.groupBy("u", "v").agg(
+        F.sum("c3").cast("long").alias("ch2"),
+        F.count(F.lit(1)).cast("long").alias("n1p3"),
+    )
+    tri = tri_c.join(h2c, ["u", "v"]).select(
+        "u", "v", "w",
+        (
+            F.greatest(F.col("c3").cast("double") - F.lit(d), F.lit(0.0))
+            / F.col("ch2")
+        ).alias("p3top"),
+    )
+    h2 = h2c.select(
+        "u", "v",
+        (F.lit(d) * F.col("n1p3").cast("double") / F.col("ch2")).alias(
+            "gamma3"
+        ),
+    )
+    # continuation bigrams: N1+(·,v,w) = distinct u completing (v, w)
+    cc2 = tri_c.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cc2")
+    )
+    h1c = cc2.groupBy("v").agg(
+        F.sum("cc2").cast("long").alias("den2"),
+        F.count(F.lit(1)).cast("long").alias("n1p2"),
+    )
+    big = cc2.join(h1c, ["v"]).select(
+        "v", "w",
+        (
+            F.greatest(F.col("cc2").cast("double") - F.lit(d), F.lit(0.0))
+            / F.col("den2")
+        ).alias("p2top"),
+    )
+    h1 = h1c.select(
+        "v",
+        (F.lit(d) * F.col("n1p2").cast("double") / F.col("den2")).alias(
+            "gamma2"
+        ),
+    )
+    cc1 = cc2.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cc1"))
+    nbt = cc2.agg(F.count(F.lit(1)).cast("long").alias("n_bigram_types"))
+    uni = cc1.crossJoin(F.broadcast(nbt)).select(
+        "w",
+        (F.col("cc1").cast("double") / F.col("n_bigram_types")).alias("p1"),
+    )
+    totals = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct(F.col("w")).cast("long").alias("v_types"),
+    )
+    return KNTrigramLM(tri=tri, h2=h2, big=big, h1=h1, uni=uni, totals=totals)
+
+
+def lm_score_kn_trigram(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    lm: KNTrigramLM,
+    floor_lambda: float = 0.01,
+) -> DataFrame:
+    """Score documents under the trained KN model.  Per event the
+    standard interpolated-KN recursion with explicit backoff at unseen
+    histories, evaluated in ONE fixed expression order both engines
+    replay bit-for-bit:
+
+      p1f = p1(w)                     (0 for OOV w)
+      p2f = seen v:      p2top(v,w) + γ2(v)·p1f        else p1f
+      p3f = seen (u,v):  p3top(u,v,w) + γ3(u,v)·p2f    else p2f
+      P   = (1−λ)·p3f + λ/(V+1)      (the uniform OOV floor, same
+                                      role as the JM gate's λ0)
+
+    The per-event NLL rounds to int64 micro-units before summation;
+    cross_entropy is the stats.div_long integer half-up mean (the
+    ratio_round6 idiom).  Output (doc_id, n_tokens, nll_micro,
+    cross_entropy).
+
+    Plan: four LEFT joins of the event stream against the model
+    tables, each co-partitioned on its n-gram key (content-sized —
+    broadcasting them is wrong at 100 TB; the per-event totals row
+    broadcasts); one per-doc rollup."""
+    lam = float(floor_lambda)
+    ev = _lm_events(df, text, id_col)
+    joined = (
+        ev.join(lm.tri, ["u", "v", "w"], "left")
+        .join(lm.h2, ["u", "v"], "left")
+        .join(lm.big, ["v", "w"], "left")
+        .join(lm.h1, ["v"], "left")
+        .join(lm.uni, ["w"], "left")
+        .crossJoin(F.broadcast(lm.totals.select("v_types")))
+    )
+    p1f = F.coalesce(F.col("p1"), F.lit(0.0))
+    p2f = F.when(
+        F.col("gamma2").isNotNull(),
+        F.coalesce(F.col("p2top"), F.lit(0.0)) + F.col("gamma2") * p1f,
+    ).otherwise(p1f)
+    p3f = F.when(
+        F.col("gamma3").isNotNull(),
+        F.coalesce(F.col("p3top"), F.lit(0.0)) + F.col("gamma3") * p2f,
+    ).otherwise(p2f)
+    p = (
+        F.lit(1.0 - lam) * p3f
+        + F.lit(lam) * (F.lit(1.0) / (F.col("v_types") + F.lit(1.0)))
+    )
+    nll = F.round(-F.log(p) * F.lit(1000000.0)).cast("long")
+    return (
+        joined.select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("nll").cast("long").alias("nll_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "nll_micro",
+            (
+                stats.div_long(
+                    F.lit(2) * F.col("nll_micro") + F.col("n_tokens"),
+                    F.lit(2) * F.col("n_tokens"),
+                )
+                / F.lit(1000000.0)
+            ).alias("cross_entropy"),
+        )
+    )

@@ -5198,6 +5198,107 @@ def txt_lm_perplexity_bands(spark, sf_dir):
     )
 
 
+def _lm_kn_sql() -> str:
+    """Oracle for the Kneser-Ney gate: replays lm_train_kn_trigram +
+    lm_score_kn_trigram serially.  Every model cell is integer counts
+    through the exact-binary discount D = 3/4 in the IDENTICAL
+    expression shape (greatest(c − 0.75, 0)/denominator; every float
+    literal cast to DOUBLE — DuckDB parses bare decimals as DECIMAL);
+    the backoff CASE mirrors the engine's F.when nesting; per-event
+    NLL rounds to int64 micro-units before the per-doc sum;
+    cross_entropy is the integer half-up division."""
+    d = retrieval.KN_DISCOUNT
+    lam = 0.01
+    top = 1.0 - lam
+    return f"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+trt AS (SELECT doc_id, {_LM_TOK} AS t FROM tr),
+trev AS (SELECT CASE WHEN i >= 3 THEN t[i - 2] ELSE '<s>' END AS u,
+                CASE WHEN i >= 2 THEN t[i - 1] ELSE '<s>' END AS v,
+                t[i] AS w
+         FROM (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM trt)),
+tric AS (SELECT u, v, w, count(*)::BIGINT AS c3 FROM trev GROUP BY u, v, w),
+h2c AS (SELECT u, v, sum(c3)::BIGINT AS ch2, count(*)::BIGINT AS n1p3
+        FROM tric GROUP BY u, v),
+trij AS (SELECT u, v, w,
+                greatest(c3::DOUBLE - {d!r}::DOUBLE, 0.0::DOUBLE) / ch2
+                  AS p3top
+         FROM tric JOIN h2c USING (u, v)),
+h2g AS (SELECT u, v, {d!r}::DOUBLE * n1p3::DOUBLE / ch2 AS gamma3 FROM h2c),
+cc2 AS (SELECT v, w, count(*)::BIGINT AS cc2 FROM tric GROUP BY v, w),
+h1c AS (SELECT v, sum(cc2)::BIGINT AS den2, count(*)::BIGINT AS n1p2
+        FROM cc2 GROUP BY v),
+bigj AS (SELECT v, w,
+                greatest(cc2::DOUBLE - {d!r}::DOUBLE, 0.0::DOUBLE) / den2
+                  AS p2top
+         FROM cc2 JOIN h1c USING (v)),
+h1g AS (SELECT v, {d!r}::DOUBLE * n1p2::DOUBLE / den2 AS gamma2 FROM h1c),
+cc1 AS (SELECT w, count(*)::BIGINT AS cc1 FROM cc2 GROUP BY w),
+nbt AS (SELECT count(*)::BIGINT AS n_bigram_types FROM cc2),
+unij AS (SELECT w, cc1::DOUBLE / nbt.n_bigram_types AS p1 FROM cc1, nbt),
+tot AS (SELECT count(DISTINCT w)::BIGINT AS v_types FROM trev),
+tet AS (SELECT doc_id, {_LM_TOK} AS t FROM te),
+teev AS (SELECT doc_id,
+                CASE WHEN i >= 3 THEN t[i - 2] ELSE '<s>' END AS u,
+                CASE WHEN i >= 2 THEN t[i - 1] ELSE '<s>' END AS v,
+                t[i] AS w
+         FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tet)),
+pj AS (SELECT e.doc_id,
+              CASE WHEN g3.gamma3 IS NOT NULL
+                   THEN coalesce(t3.p3top, 0.0::DOUBLE)
+                        + g3.gamma3
+                          * (CASE WHEN g2.gamma2 IS NOT NULL
+                                  THEN coalesce(b2.p2top, 0.0::DOUBLE)
+                                       + g2.gamma2
+                                         * coalesce(u1.p1, 0.0::DOUBLE)
+                                  ELSE coalesce(u1.p1, 0.0::DOUBLE) END)
+                   ELSE (CASE WHEN g2.gamma2 IS NOT NULL
+                              THEN coalesce(b2.p2top, 0.0::DOUBLE)
+                                   + g2.gamma2
+                                     * coalesce(u1.p1, 0.0::DOUBLE)
+                              ELSE coalesce(u1.p1, 0.0::DOUBLE) END)
+              END AS p3f,
+              tot.v_types
+       FROM teev e
+       LEFT JOIN trij t3 ON t3.u = e.u AND t3.v = e.v AND t3.w = e.w
+       LEFT JOIN h2g g3 ON g3.u = e.u AND g3.v = e.v
+       LEFT JOIN bigj b2 ON b2.v = e.v AND b2.w = e.w
+       LEFT JOIN h1g g2 ON g2.v = e.v
+       LEFT JOIN unij u1 ON u1.w = e.w, tot),
+nll AS (SELECT doc_id,
+               CAST(round(-ln({top!r}::DOUBLE * p3f
+                               + {lam!r}::DOUBLE
+                                 * (1.0::DOUBLE / (v_types + 1.0::DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS nll
+        FROM pj)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(nll)::BIGINT AS nll_micro,
+       ((2 * sum(nll)::BIGINT + count(*)) // (2 * count(*))) / 1000000.0
+         AS cross_entropy
+FROM nll GROUP BY doc_id"""
+
+
+@register("txt_lm_kn_scores", _lm_kn_sql())
+def txt_lm_kn_scores(spark, sf_dir):
+    """Interpolated Kneser-Ney perplexity scoring (Kneser & Ney 1995)
+    as a first-class operator (retrieval.lm_train_kn_trigram /
+    lm_score_kn_trigram) — the smoothing family KenLM implements and
+    CCNet's filter actually ships, next to the Jelinek-Mercer gate
+    (txt_lm_perplexity_bands) for the A/B: KN's lower orders are
+    CONTINUATION counts, so context-bound high-frequency words stop
+    leaking probability into unseen histories.  Train on the 80%
+    doc_id%5≠0 slice, score the held-out 20% through the explicit
+    backoff recursion.  A green row proves the discounted top terms,
+    the released-mass gammas, the continuation tables, the backoff
+    CASE nesting, the micro-unit NLL sums, and the integer half-up
+    cross-entropy all match a serial replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    te = docs.filter(F.col("doc_id") % 5 == 0)
+    lm = retrieval.lm_train_kn_trigram(tr, F.col("text"))
+    return retrieval.lm_score_kn_trigram(te, F.col("text"), F.col("doc_id"), lm)
+
+
 # -- unigram-LM (SentencePiece-style) Viterbi segmentation (unigram.py) -------
 
 

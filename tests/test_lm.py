@@ -198,3 +198,167 @@ def test_random_corpus_matches_python_replay(spark, seed):
         ).collect()
     }
     assert got == _py_score(_py_lm(train), test), seed
+
+
+# -- interpolated Kneser-Ney (retrieval.lm_train_kn_trigram) -------------------
+
+KD = retrieval.KN_DISCOUNT
+
+
+def _py_kn_lm(train):
+    from collections import Counter
+
+    ev = [e for _, txt in train for e in _events(txt)]
+    c3 = Counter(ev)
+    ch2 = Counter()
+    n1p3 = Counter()
+    for (u, v, _), c in c3.items():
+        ch2[(u, v)] += c
+        n1p3[(u, v)] += 1
+    cc2 = Counter((v, w) for (_, v, w) in c3)  # distinct-u continuation
+    den2 = Counter()
+    n1p2 = Counter()
+    for (v, _), c in cc2.items():
+        den2[v] += c
+        n1p2[v] += 1
+    cc1 = Counter(w for (_, w) in cc2)
+    nbt = len(cc2)
+    vt = len({w for _, _, w in ev})
+    return c3, ch2, n1p3, cc2, den2, n1p2, cc1, nbt, vt
+
+
+def _py_kn_score(lm, docs, lam=0.01):
+    c3, ch2, n1p3, cc2, den2, n1p2, cc1, nbt, vt = lm
+    out = {}
+    for doc_id, txt in docs:
+        evs = _events(txt)
+        if not evs:
+            continue
+        total = 0
+        for u, v, w in evs:
+            p1f = cc1[w] / nbt if cc1[w] else 0.0
+            if den2[v]:
+                p2top = (
+                    max(cc2[(v, w)] - KD, 0.0) / den2[v] if cc2[(v, w)] else 0.0
+                )
+                gamma2 = KD * n1p2[v] / den2[v]
+                p2f = p2top + gamma2 * p1f
+            else:
+                p2f = p1f
+            if ch2[(u, v)]:
+                p3top = (
+                    max(c3[(u, v, w)] - KD, 0.0) / ch2[(u, v)]
+                    if c3[(u, v, w)]
+                    else 0.0
+                )
+                gamma3 = KD * n1p3[(u, v)] / ch2[(u, v)]
+                p3f = p3top + gamma3 * p2f
+            else:
+                p3f = p2f
+            p = (1.0 - lam) * p3f + lam * (1.0 / (vt + 1.0))
+            x = -math.log(p) * 1e6
+            total += int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+        nn = len(evs)
+        out[doc_id] = (nn, total, ((2 * total + nn) // (2 * nn)) / 1e6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def kn_fitted(spark):
+    tr = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    return retrieval.lm_train_kn_trigram(tr, F.col("text"))
+
+
+def test_kn_scores_match_python_replay(spark, kn_fitted):
+    want = _py_kn_score(_py_kn_lm(TRAIN), TEST)
+    te = spark.createDataFrame(TEST, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll_micro"], r["cross_entropy"])
+        for r in retrieval.lm_score_kn_trigram(
+            te, F.col("text"), F.col("doc_id"), kn_fitted
+        ).collect()
+    }
+    assert got == want
+
+
+def test_kn_oov_doc_scores_exactly_the_floor(spark, kn_fitted):
+    """Every backoff level zeroes out for fully-OOV tokens (even under
+    a SEEN <s> history the released mass multiplies a zero lower
+    order), so each event scores exactly the uniform floor."""
+    lm = _py_kn_lm(TRAIN)
+    vt = lm[-1]
+    floor_nll = round(-math.log(0.01 * (1.0 / (vt + 1.0))) * 1e6)
+    te = spark.createDataFrame([(11, "zz qq")], "doc_id long, text string")
+    row = retrieval.lm_score_kn_trigram(
+        te, F.col("text"), F.col("doc_id"), kn_fitted
+    ).collect()[0]
+    assert row["n_tokens"] == 2
+    assert row["nll_micro"] == 2 * floor_nll
+
+
+def test_kn_released_mass_is_conserved():
+    """The defining KN identity: for every SEEN history the discounted
+    top terms plus the released-mass recursion sum to EXACTLY 1 over
+    the vocabulary — the discount moves probability, never destroys
+    it. (Checked at every level on the replay model; the Spark model
+    is pinned to the replay by test_kn_scores_match_python_replay.)"""
+    c3, ch2, n1p3, cc2, den2, n1p2, cc1, nbt, vt = _py_kn_lm(TRAIN)
+    vocab = set(cc1)
+    assert abs(sum(cc1[w] / nbt for w in vocab) - 1.0) < 1e-12
+    for v in den2:
+        s = sum(
+            (max(cc2[(v, w)] - KD, 0.0) / den2[v] if cc2[(v, w)] else 0.0)
+            + (KD * n1p2[v] / den2[v]) * (cc1[w] / nbt)
+            for w in vocab
+        )
+        assert abs(s - 1.0) < 1e-9, (v, s)
+    for (u, v) in ch2:
+        def p2f(w):
+            top = max(cc2[(v, w)] - KD, 0.0) / den2[v] if cc2[(v, w)] else 0.0
+            return top + (KD * n1p2[v] / den2[v]) * (cc1[w] / nbt)
+        s = sum(
+            (max(c3[(u, v, w)] - KD, 0.0) / ch2[(u, v)] if c3[(u, v, w)] else 0.0)
+            + (KD * n1p3[(u, v)] / ch2[(u, v)]) * p2f(w)
+            for w in vocab
+        )
+        assert abs(s - 1.0) < 1e-9, ((u, v), s)
+
+
+def test_kn_partition_invariance(spark, kn_fitted):
+    te = spark.createDataFrame(TEST, "doc_id long, text string")
+    one = retrieval.lm_score_kn_trigram(
+        te.coalesce(1), F.col("text"), F.col("doc_id"), kn_fitted
+    )
+    many = retrieval.lm_score_kn_trigram(
+        te.repartition(7), F.col("text"), F.col("doc_id"), kn_fitted
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_kn_random_corpus_matches_python_replay(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(10)]
+    train = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        for i in range(12)
+    ]
+    test = [
+        (100 + i, " ".join(
+            rng.choice(vocab + ["oov1", "oov2"])
+            for _ in range(rng.randint(1, 9))
+        ))
+        for i in range(8)
+    ]
+    tr = spark.createDataFrame(train, "doc_id long, text string")
+    te = spark.createDataFrame(test, "doc_id long, text string")
+    lm = retrieval.lm_train_kn_trigram(tr, F.col("text"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll_micro"], r["cross_entropy"])
+        for r in retrieval.lm_score_kn_trigram(
+            te, F.col("text"), F.col("doc_id"), lm
+        ).collect()
+    }
+    assert got == _py_kn_score(_py_kn_lm(train), test), seed

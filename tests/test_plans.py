@@ -762,6 +762,20 @@ def test_lm_scoring_joins_never_cartesian(spark, qs):
     assert "partial_count" in plan or "partial" in plan
 
 
+def test_kn_scoring_joins_never_cartesian(spark, qs):
+    """The KN model adds two more n-gram-keyed left joins (released-
+    mass gammas per history) — same discipline as the JM pin: hash
+    joins on the gram keys everywhere, the only nested-loop is the
+    1-row v_types broadcast."""
+    plan = _plan(qs["txt_lm_kn_scores"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the only nested-loops are the two 1-row scalar broadcasts
+    # (per-event v_types, and the n_bigram_types denominator inside
+    # the continuation-unigram table) — both explicit crosses
+    nlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(nlj) <= 2 and all("Cross" in ln for ln in nlj), nlj
+
+
 # -- r13 family-gate unions: consolidation must not change member shapes ----
 
 

@@ -31,6 +31,7 @@ CANDIDATES = [
     "sim_pq_train_family",
     "sim_ivfpq_family_topk",
     "txt_unigram_roundtrip",
+    "txt_lm_kn_scores",
 ]
 
 

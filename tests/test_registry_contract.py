@@ -129,6 +129,7 @@ PRE_VERIFIED_AWAITING_WINDOW = {
     "sim_pq_train_family": "tests/test_r14_gate_candidates.py",
     "sim_ivfpq_family_topk": "tests/test_r14_gate_candidates.py",
     "txt_unigram_roundtrip": "tests/test_r14_gate_candidates.py",
+    "txt_lm_kn_scores": "tests/test_r14_gate_candidates.py",
 }
 
 
