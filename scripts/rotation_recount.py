@@ -13,10 +13,16 @@ given the upcoming round number N, the policy buckets:
             PRE_VERIFIED_AWAITING_WINDOW differential tier)
   OK        fresher than the deadline
 
-Usage: python scripts/rotation_recount.py [next_round_number]
-(default: max recorded round + 1). Prints the bucket lists and a
+Usage: python scripts/rotation_recount.py [next_round_number] [--emit-priority]
+(default round: max recorded round + 1). Prints the bucket lists and a
 suggested window size breakdown; the human (or next session) still
 ranks rule-(a) re-entries by what changed that round.
+
+--emit-priority additionally prints a ready-to-paste _PRIORITY
+skeleton: oldest-vintage due first (vintage asc, name asc), then the
+no-row rule-(b) names, then a marked gap for this round's rule-(a)
+re-entries — the mechanical part of window building; only the
+rule-(a) slots need judgment.
 """
 
 from __future__ import annotations
@@ -49,7 +55,9 @@ def main() -> None:
     from semantic_cpp_spark import registry
 
     latest, max_round = latest_green_rows()
-    next_round = int(sys.argv[1]) if len(sys.argv) > 1 else max_round + 1
+    args = [a for a in sys.argv[1:] if a != "--emit-priority"]
+    emit = "--emit-priority" in sys.argv[1:]
+    next_round = int(args[0]) if args else max_round + 1
     deadline = next_round - 4
     names = list(registry.queries())
     due = sorted(n for n in names if 0 < latest.get(n, 0) <= deadline)
@@ -100,6 +108,21 @@ def main() -> None:
           "re-entries / oldest-vintage backfill"
           + (f"; OVERFLOW {total - 50} — spill the newest-vintage due "
              "entries and document EXPECTED_SPILL" if total > 50 else ""))
+    if emit:
+        spare = max(0, 50 - total)
+        print(f"\n# -- suggested r{next_round} _PRIORITY skeleton "
+              "(mechanical part; rank rule-(a) yourself) --")
+        print("_PRIORITY = [")
+        print(f"    # -- (c) due refreshes, oldest vintage first "
+              f"(deadline r{deadline}) --")
+        for n in sorted(due, key=lambda n: (latest[n], n)):
+            print(f'    "{n}",  # r{latest[n]}')
+        print("    # -- (b) first rows (no driver row yet) --")
+        for n in no_row:
+            print(f'    "{n}",')
+        print(f"    # -- (a) re-entries: FILL IN this round's "
+              f"executed-path changes ({spare} spare slots) --")
+        print("]")
 
 
 if __name__ == "__main__":
