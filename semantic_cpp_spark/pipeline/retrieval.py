@@ -997,3 +997,170 @@ def lm_score_kn_trigram(
             ).alias("cross_entropy"),
         )
     )
+
+
+def _mkn_discounts(counts: DataFrame, c: str) -> DataFrame:
+    """One-row (d1, d2, d3) modified-KN discount frame from the
+    count-of-counts of ``counts[c]`` (Chen & Goodman 1999, eq. 26):
+
+      Y  = n1/(n1 + 2·n2)
+      D1 = 1 − 2·Y·n2/n1,  D2 = 2 − 3·Y·n3/n2,  D3+ = 3 − 4·Y·n4/n3
+
+    Every term is a ratio of exact type-count integers in a FIXED
+    expression shape (the SQL mirror parses to the identical tree), so
+    both engines reproduce the discounts bit-for-bit.  Degenerate
+    count-of-counts (n1, n2 or n3 = 0 — corpora too small for the
+    estimator) and out-of-range discounts (Dk < 0 — a count-of-count
+    profile the estimator's Zipf assumption does not fit) raise at
+    execution, exactly where KenLM refuses ("discounts are out of
+    range"); callers on such corpora use the fixed-discount
+    lm_train_kn_trigram instead.  D1 ∈ [0, 1] always; Dk ≤ k by
+    construction, so the range check is only the lower bound."""
+    nk = counts.agg(
+        F.sum((F.col(c) == 1).cast("long")).alias("n1"),
+        F.sum((F.col(c) == 2).cast("long")).alias("n2"),
+        F.sum((F.col(c) == 3).cast("long")).alias("n3"),
+        F.sum((F.col(c) == 4).cast("long")).alias("n4"),
+    )
+    y = F.col("n1") / (F.col("n1") + F.lit(2.0) * F.col("n2"))
+    guard = (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n3") > 0)
+    err = F.raise_error(
+        F.concat(
+            F.lit(
+                "modified-KN needs n1,n2,n3 > 0 count-of-counts and "
+                "non-negative discounts; corpus does not fit the "
+                "estimator — use lm_train_kn_trigram. Got "
+            ),
+            F.to_json(F.struct("n1", "n2", "n3", "n4")),
+        )
+    )
+    raw = nk.select(
+        "n1", "n2", "n3", "n4",
+        F.when(
+            guard, F.lit(1.0) - F.lit(2.0) * y * F.col("n2") / F.col("n1")
+        ).otherwise(err).alias("d1"),
+        F.when(
+            guard, F.lit(2.0) - F.lit(3.0) * y * F.col("n3") / F.col("n2")
+        ).otherwise(err).alias("d2"),
+        F.when(
+            guard, F.lit(3.0) - F.lit(4.0) * y * F.col("n4") / F.col("n3")
+        ).otherwise(err).alias("d3"),
+    )
+    in_range = (
+        (F.col("d1") >= 0) & (F.col("d2") >= 0) & (F.col("d3") >= 0)
+    )
+    return raw.select(
+        *[
+            F.when(in_range, F.col(d)).otherwise(err).alias(d)
+            for d in ("d1", "d2", "d3")
+        ]
+    )
+
+
+def lm_train_mkn_trigram(df: DataFrame, text: Column) -> KNTrigramLM:
+    """Train the MODIFIED Kneser-Ney trigram model (Chen & Goodman
+    1999 — the smoothing KenLM actually defaults to): instead of one
+    fixed discount, each order estimates three count-dependent
+    discounts (D1 for singletons, D2 for doubletons, D3+ above) from
+    its own count-of-counts, and the released mass per history becomes
+    γ(h) = (D1·N1(h) + D2·N2(h) + D3+·N3+(h)) / Σ a(h,·).
+
+    The trigram level discounts raw counts; the bigram level discounts
+    CONTINUATION counts with its own discounts; the unigram stays the
+    continuation distribution — exactly the lm_train_kn_trigram
+    structure, so the returned model is a KNTrigramLM and
+    lm_score_kn_trigram scores it UNCHANGED (the backoff recursion is
+    identical; only the table contents differ).
+
+    Plan: identical to lm_train_kn_trigram plus two 1-row
+    count-of-count aggregates over the model-sized type tables, each
+    broadcast back — no new corpus-scale work."""
+    ev = _lm_events(df, text, None)
+    tri_c = ev.groupBy("u", "v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    )
+    d3lvl = _mkn_discounts(tri_c, "c3")
+
+    def disc(c: Column) -> Column:
+        return (
+            F.when(c == 1, F.col("d1"))
+            .when(c == 2, F.col("d2"))
+            .otherwise(F.col("d3"))
+        )
+
+    h2c = tri_c.groupBy("u", "v").agg(
+        F.sum("c3").cast("long").alias("ch2"),
+        F.sum((F.col("c3") == 1).cast("long")).alias("m1"),
+        F.sum((F.col("c3") == 2).cast("long")).alias("m2"),
+        F.sum((F.col("c3") >= 3).cast("long")).alias("m3"),
+    )
+    tri = (
+        tri_c.join(h2c.select("u", "v", "ch2"), ["u", "v"])
+        .crossJoin(F.broadcast(d3lvl))
+        .select(
+            "u", "v", "w",
+            (
+                F.greatest(
+                    F.col("c3").cast("double") - disc(F.col("c3")), F.lit(0.0)
+                )
+                / F.col("ch2")
+            ).alias("p3top"),
+        )
+    )
+    h2 = h2c.crossJoin(F.broadcast(d3lvl)).select(
+        "u", "v",
+        (
+            (
+                F.col("d1") * F.col("m1")
+                + F.col("d2") * F.col("m2")
+                + F.col("d3") * F.col("m3")
+            )
+            / F.col("ch2")
+        ).alias("gamma3"),
+    )
+    cc2 = tri_c.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cc2")
+    )
+    d2lvl = _mkn_discounts(cc2, "cc2")
+    h1c = cc2.groupBy("v").agg(
+        F.sum("cc2").cast("long").alias("den2"),
+        F.sum((F.col("cc2") == 1).cast("long")).alias("m1"),
+        F.sum((F.col("cc2") == 2).cast("long")).alias("m2"),
+        F.sum((F.col("cc2") >= 3).cast("long")).alias("m3"),
+    )
+    big = (
+        cc2.join(h1c.select("v", "den2"), ["v"])
+        .crossJoin(F.broadcast(d2lvl))
+        .select(
+            "v", "w",
+            (
+                F.greatest(
+                    F.col("cc2").cast("double") - disc(F.col("cc2")),
+                    F.lit(0.0),
+                )
+                / F.col("den2")
+            ).alias("p2top"),
+        )
+    )
+    h1 = h1c.crossJoin(F.broadcast(d2lvl)).select(
+        "v",
+        (
+            (
+                F.col("d1") * F.col("m1")
+                + F.col("d2") * F.col("m2")
+                + F.col("d3") * F.col("m3")
+            )
+            / F.col("den2")
+        ).alias("gamma2"),
+    )
+    cc1 = cc2.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cc1"))
+    nbt = cc2.agg(F.count(F.lit(1)).cast("long").alias("n_bigram_types"))
+    uni = cc1.crossJoin(F.broadcast(nbt)).select(
+        "w",
+        (F.col("cc1").cast("double") / F.col("n_bigram_types")).alias("p1"),
+    )
+    totals = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct(F.col("w")).cast("long").alias("v_types"),
+    )
+    return KNTrigramLM(tri=tri, h2=h2, big=big, h1=h1, uni=uni, totals=totals)

@@ -362,3 +362,161 @@ def test_kn_random_corpus_matches_python_replay(spark, seed):
         ).collect()
     }
     assert got == _py_kn_score(_py_kn_lm(train), test), seed
+
+
+# -- MODIFIED Kneser-Ney (retrieval.lm_train_mkn_trigram) ----------------------
+#
+# No driver gate: the fixture corpus is a UNIFORM word salad whose
+# count-of-counts is degenerate at every scale (measured r13: sf0.01
+# trigram n=(41,2,0,1); sf1.0 n=(0,0,0,0) — with a ~31-word vocabulary
+# every trigram type at sf1.0 occurs far more than 4 times), which is
+# exactly the profile the Chen-Goodman estimator rejects and KenLM
+# refuses with "discounts are out of range". The operator's vouch is
+# therefore the pytest differential on a ZIPFIAN synthetic corpus (the
+# estimator's home turf) plus the raise pin on salad-like counts.
+
+
+def _py_mkn_tables(train):
+    from collections import Counter
+
+    ev = [e for _, txt in train for e in _events(txt)]
+    c3 = Counter(ev)
+
+    def discounts(vals):
+        n = Counter()
+        for c in vals:
+            if 1 <= c <= 4:
+                n[c] += 1
+        n1, n2, n3, n4 = n[1], n[2], n[3], n[4]
+        assert n1 and n2 and n3, "degenerate count-of-counts in test corpus"
+        y = n1 / (n1 + 2.0 * n2)
+        d1 = 1.0 - 2.0 * y * n2 / n1
+        d2 = 2.0 - 3.0 * y * n3 / n2
+        d3 = 3.0 - 4.0 * y * n4 / n3
+        assert d1 >= 0 and d2 >= 0 and d3 >= 0
+        return d1, d2, d3
+
+    def disc(ds, c):
+        return ds[0] if c == 1 else (ds[1] if c == 2 else ds[2])
+
+    ds3 = discounts(c3.values())
+    ch2, m = Counter(), {}
+    for (u, v, w), c in c3.items():
+        ch2[(u, v)] += c
+        mm = m.setdefault((u, v), [0, 0, 0])
+        mm[min(c, 3) - 1] += 1
+    p3top = {
+        g: max(c - disc(ds3, c), 0.0) / ch2[(g[0], g[1])]
+        for g, c in c3.items()
+    }
+    gamma3 = {
+        h: (ds3[0] * mm[0] + ds3[1] * mm[1] + ds3[2] * mm[2]) / ch2[h]
+        for h, mm in m.items()
+    }
+    cc2 = Counter((v, w) for (_, v, w) in c3)
+    ds2 = discounts(cc2.values())
+    den2, m2 = Counter(), {}
+    for (v, w), c in cc2.items():
+        den2[v] += c
+        mm = m2.setdefault(v, [0, 0, 0])
+        mm[min(c, 3) - 1] += 1
+    p2top = {
+        g: max(c - disc(ds2, c), 0.0) / den2[g[0]] for g, c in cc2.items()
+    }
+    gamma2 = {
+        v: (ds2[0] * mm[0] + ds2[1] * mm[1] + ds2[2] * mm[2]) / den2[v]
+        for v, mm in m2.items()
+    }
+    cc1 = Counter(w for (_, w) in cc2)
+    nbt = len(cc2)
+    p1 = {w: c / nbt for w, c in cc1.items()}
+    vt = len({w for _, _, w in ev})
+    return p3top, gamma3, p2top, gamma2, p1, vt
+
+
+def _py_tables_score(tables, docs, lam=0.01):
+    p3top, gamma3, p2top, gamma2, p1, vt = tables
+    out = {}
+    for doc_id, txt in docs:
+        evs = _events(txt)
+        if not evs:
+            continue
+        total = 0
+        for u, v, w in evs:
+            p1f = p1.get(w, 0.0)
+            if v in gamma2:
+                p2f = p2top.get((v, w), 0.0) + gamma2[v] * p1f
+            else:
+                p2f = p1f
+            if (u, v) in gamma3:
+                p3f = p3top.get((u, v, w), 0.0) + gamma3[(u, v)] * p2f
+            else:
+                p3f = p2f
+            p = (1.0 - lam) * p3f + lam * (1.0 / (vt + 1.0))
+            x = -math.log(p) * 1e6
+            total += int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+        nn = len(evs)
+        out[doc_id] = (nn, total, ((2 * total + nn) // (2 * nn)) / 1e6)
+    return out
+
+
+def _zipf_corpus(seed, n_docs=60, vocab_n=60):
+    """Zipf-weighted random docs — the count-of-count profile the
+    Chen-Goodman estimator assumes (plenty of 1-4-count types)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(vocab_n)]
+    wts = [1.0 / (i + 1) for i in range(vocab_n)]
+    return [
+        (i, " ".join(rng.choices(vocab, weights=wts, k=rng.randint(2, 18))))
+        for i in range(n_docs)
+    ]
+
+
+@pytest.mark.parametrize("seed", [3, 29])
+def test_mkn_scores_match_python_replay_on_zipf_corpus(spark, seed):
+    train = _zipf_corpus(seed)
+    test = _zipf_corpus(seed + 1000, n_docs=10)
+    tr = spark.createDataFrame(train, "doc_id long, text string")
+    te = spark.createDataFrame(test, "doc_id long, text string")
+    lm = retrieval.lm_train_mkn_trigram(tr, F.col("text"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll_micro"], r["cross_entropy"])
+        for r in retrieval.lm_score_kn_trigram(
+            te, F.col("text"), F.col("doc_id"), lm
+        ).collect()
+    }
+    assert got == _py_tables_score(_py_mkn_tables(train), test), seed
+
+
+def test_mkn_released_mass_is_conserved_on_zipf_corpus():
+    train = _zipf_corpus(7)
+    p3top, gamma3, p2top, gamma2, p1, vt = _py_mkn_tables(train)
+    vocab = set(p1)
+    assert abs(sum(p1.values()) - 1.0) < 1e-12
+    for v in gamma2:
+        s = sum(p2top.get((v, w), 0.0) + gamma2[v] * p1[w] for w in vocab)
+        assert abs(s - 1.0) < 1e-9, (v, s)
+    for (u, v) in gamma3:
+        s = sum(
+            p3top.get((u, v, w), 0.0)
+            + gamma3[(u, v)]
+            * (p2top.get((v, w), 0.0) + gamma2[v] * p1[w])
+            for w in vocab
+        )
+        assert abs(s - 1.0) < 1e-9, ((u, v), s)
+
+
+def test_mkn_refuses_degenerate_count_of_counts(spark):
+    """The word-salad profile (no 3-count types) must raise where
+    KenLM refuses, not train garbage discounts — this is the fixture
+    corpus's profile at every sf (the reason MKN has no driver gate)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    tr = spark.createDataFrame(
+        [(i, "a b a b a b") for i in range(4)], "doc_id long, text string"
+    )
+    lm = retrieval.lm_train_mkn_trigram(tr, F.col("text"))
+    with pytest.raises(SparkRuntimeException, match="modified-KN"):
+        lm.tri.collect()
