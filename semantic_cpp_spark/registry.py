@@ -686,8 +686,11 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 #     ratio_round6 conversions in evt_markov_transitions.p,
 #     evt_dau_wau_stickiness.stickiness, txt_token_stats.avg_tok_len,
 #     txt_token_entropy.ttr, txt_redundancy_curve.cum_coverage,
-#     ir_rank_metrics.r_at_k — the audit queue is now EMPTY (zero
-#     round(double,6) exact-int-ratio sites remain; grep-provable).
+#     ir_rank_metrics.r_at_k — the r12-identified queue is EMPTY.
+#     (An end-of-r13 re-audit found FOUR more sites in the dedup
+#     jaccard/containment family + importance_weights.actual_share —
+#     zero measured exposure at sf0.01/sf1.0 today; code + re-gating
+#     rows paired in r14, where 43+4 = 47 of 50 slots. SCALING r13.)
 # The NB/LM advice fixes (nb_train left-join tots, confusion
 # fingerprint, oracle null-label mirror; lm cross_entropy div_long)
 # change paths gated by txt_nb_holdout_confusion /
