@@ -324,3 +324,44 @@ def test_ratio_round6_large_numerator_exact(spark):
         "num", "den", stats.ratio_round6(F.col("num"), F.col("den")).alias("r")
     )
     assert {(r["num"], r["den"]): r["r"] for r in df.collect()} == want
+
+
+def test_ratio_round6_randomized_vs_decimal(spark):
+    """500 seeded random (num, den) pairs across the full documented
+    domain (den up to 10⁹, num up to 4.5e12 — past 2⁵³·2e-6, where the
+    old double-routed quotient broke) in ONE job, vs Decimal
+    ROUND_HALF_UP ground truth; includes forced half-boundary cases
+    (den = 2⁷·5^j·k with odd quotient construction)."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from semantic_cpp_spark.functions import stats
+
+    rng = random.Random(1337)
+    cases = set()
+    while len(cases) < 400:
+        den = rng.randint(1, 10**9)
+        num = rng.randint(0, 4_500_000_000_000)
+        if 2_000_000 * num + den < 2**63:
+            cases.add((num, den))
+    # forced half-boundaries: num/den = (2k+1)/(2e6·m) exactly
+    while len(cases) < 500:
+        m = rng.randint(1, 1000)
+        k = rng.randint(0, 10**8)
+        num, den = 2 * k + 1, 2_000_000 * m
+        if 2_000_000 * num + den < 2**63:
+            cases.add((num, den))
+    cases = sorted(cases)
+    want = {
+        (a, b): float(
+            (Decimal(a) / Decimal(b)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        for a, b in cases
+    }
+    df = spark.createDataFrame(cases, "num long, den long").select(
+        "num", "den", stats.ratio_round6(F.col("num"), F.col("den")).alias("r")
+    )
+    got = {(r["num"], r["den"]): r["r"] for r in df.collect()}
+    assert got == want
