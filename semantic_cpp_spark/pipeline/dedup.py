@@ -685,6 +685,58 @@ def connected_components(
         edges.unpersist()
 
 
+def cluster_representatives(
+    df: DataFrame,
+    id_col: Column,
+    score: Column,
+    pairs: DataFrame,
+) -> DataFrame:
+    """Quality-aware duplicate-cluster collapse: after any pairwise
+    dedup variant produces near-dup ``pairs``, pick ONE representative
+    per connected component by (``score`` DESC, doc_id ASC) — the
+    keep-the-best-member policy real curation pipelines use (keep the
+    longest / highest-quality copy), where the smallest-id convention
+    of connected_components alone would keep an arbitrary one.
+    Documents in no pair form singleton components and keep themselves.
+
+    ``score`` must be a deterministic expression of the row (an exact
+    integer such as a token or char count keeps the argmax
+    engine-exact; a float score inherits the usual 1-ulp boundary
+    class). Returns (doc_id, component, score, rep_id, keep) — one row
+    per input document; ``keep`` = (doc_id == rep_id), so the
+    surviving corpus is ``.filter("keep")``.
+
+    Scale shape: connected_components bounds the label work to docs in
+    any pair (O(log n) rounds of key-partitioned join+min); the
+    component table joins back LEFT on doc_id (co-keyed); the argmax
+    is ONE max_by aggregate per component (map-side combinable — no
+    per-component sort, no window over the corpus), broadcast-joined
+    back to the per-doc rows when small, AQE otherwise."""
+    comp = connected_components(pairs)
+    base = df.select(id_col.alias("doc_id"), score.alias("score"))
+    lab = base.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "score",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    # argmax by (score DESC, doc_id ASC): max_by over a struct whose
+    # second field inverts the id order (bitwise NOT keeps int64 order
+    # reversed and total, negation would overflow at Long.MIN_VALUE)
+    reps = lab.groupBy("component").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("score"), F.bitwise_not(F.col("doc_id"))),
+        ).alias("rep_id")
+    )
+    return lab.join(reps, "component").select(
+        "doc_id",
+        "component",
+        "score",
+        "rep_id",
+        (F.col("doc_id") == F.col("rep_id")).alias("keep"),
+    )
+
+
 def shared_spans(
     df: DataFrame,
     text: Column,

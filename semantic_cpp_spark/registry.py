@@ -754,14 +754,15 @@ _PRIORITY: list[str] = [
     "txt_redundancy_curve",
     "ir_rank_metrics",
     # -- WINDOW CUT at position 50. Rotating? Recount first:
-    #    `python scripts/rotation_recount.py <next_round>`. The six
+    #    `python scripts/rotation_recount.py <next_round>`. The seven
     #    rule-(b) candidates registered past this cut (the r14
     #    forecast above), each differential-vouched in
     #    tests/test_r14_gate_candidates.py and listed in
     #    test_registry_contract.PRE_VERIFIED_AWAITING_WINDOW:
     #    dedup_span_cuts_family, asof_nearest_family,
     #    sim_pq_train_family, sim_ivfpq_family_topk,
-    #    txt_unigram_roundtrip, txt_lm_kn_scores. --
+    #    txt_unigram_roundtrip, txt_lm_kn_scores,
+    #    dedup_cluster_reps. --
 ]
 
 

@@ -1319,6 +1319,52 @@ def dedup_cc_clusters(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+@register(
+    "dedup_cluster_reps",
+    f"""WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    edges AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, l) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v),
+    comp AS (SELECT v AS doc_id, min(l)::BIGINT AS component
+             FROM reach GROUP BY v),
+    base AS (SELECT doc_id,
+                    len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                      AS score
+             FROM documents),
+    lab AS (SELECT b.doc_id, b.score,
+                   coalesce(c.component, b.doc_id) AS component
+            FROM base b LEFT JOIN comp c USING (doc_id)),
+    reps AS (SELECT component, doc_id AS rep_id FROM
+             (SELECT component, doc_id,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY score DESC, doc_id) AS rk
+              FROM lab) WHERE rk = 1)
+    SELECT l.doc_id, l.component, l.score, r.rep_id,
+           (l.doc_id = r.rep_id) AS keep
+    FROM lab l JOIN reps r USING (component)""",
+)
+def dedup_cluster_reps(spark, sf_dir):
+    """Quality-aware duplicate-cluster collapse
+    (dedup.cluster_representatives): MinHash+LSH pairs → connected
+    components → ONE surviving representative per cluster by
+    (token count DESC, doc_id ASC) — the keep-the-best-member policy
+    (keep the longest copy), where the smallest-id convention alone
+    keeps an arbitrary one; singleton docs keep themselves. The Spark
+    argmax is a map-side-combinable max_by over (score, ~doc_id) — no
+    per-component sort, no corpus window; the oracle replays the
+    components with an INDEPENDENT recursive CTE and the argmax with
+    an INDEPENDENT row_number window, so agreement checks both
+    algorithms. Exact-integer score keeps the argmax engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, F.col("text"), F.col("doc_id"))
+    return dedup.cluster_representatives(
+        docs, F.col("doc_id"), text.token_count(F.col("text")), pairs
+    )
+
+
 _KM_ONES = "[" + ", ".join(["1.0"] * 64) + "]"
 
 

@@ -2138,3 +2138,39 @@ def test_apply_passage_keep_rebuilds_and_drops(spark):
     }
     assert out2[1]["n_passages_kept"] == 0
     assert out2[1]["clean_fp"] == hashlib.md5(b"").hexdigest()
+
+
+def test_cluster_representatives_best_member_wins(spark):
+    """(score DESC, doc_id ASC) picks the best member; singleton docs
+    keep themselves; exactly one keep per component."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, 5), (2, 9), (3, 9),   # chain component 1-2-3: 2 and 3 tie
+                                       # on score 9 -> smaller id 2 wins
+            (7, 1),                    # singleton
+            (8, 4), (9, 2),            # pair: 8 wins on score
+        ],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "d1 long, d2 long"
+    )
+    out = {
+        r["doc_id"]: (r["component"], r["rep_id"], r["keep"])
+        for r in dedup.cluster_representatives(
+            docs, F.col("doc_id"), F.col("score"), pairs
+        ).collect()
+    }
+    assert out[1] == (1, 2, False)
+    assert out[2] == (1, 2, True)
+    assert out[3] == (1, 2, False)
+    assert out[7] == (7, 7, True)
+    assert out[8] == (8, 8, True)
+    assert out[9] == (8, 8, False)
+    comps = {}
+    for d, (c, _, k) in out.items():
+        comps.setdefault(c, 0)
+        comps[c] += int(k)
+    assert all(v == 1 for v in comps.values())

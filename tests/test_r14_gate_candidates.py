@@ -32,6 +32,7 @@ CANDIDATES = [
     "sim_ivfpq_family_topk",
     "txt_unigram_roundtrip",
     "txt_lm_kn_scores",
+    "dedup_cluster_reps",
 ]
 
 

@@ -130,6 +130,7 @@ PRE_VERIFIED_AWAITING_WINDOW = {
     "sim_ivfpq_family_topk": "tests/test_r14_gate_candidates.py",
     "txt_unigram_roundtrip": "tests/test_r14_gate_candidates.py",
     "txt_lm_kn_scores": "tests/test_r14_gate_candidates.py",
+    "dedup_cluster_reps": "tests/test_r14_gate_candidates.py",
 }
 
 
