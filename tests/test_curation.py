@@ -2174,3 +2174,54 @@ def test_cluster_representatives_best_member_wins(spark):
         comps.setdefault(c, 0)
         comps[c] += int(k)
     assert all(v == 1 for v in comps.values())
+
+
+@pytest.mark.parametrize("seed", [2, 31, 59])
+def test_cluster_representatives_random_graph_vs_union_find(spark, seed):
+    """Seeded random pair graphs vs a serial union-find replay: the
+    component partition, the (score DESC, id ASC) argmax, and the
+    one-keep-per-component invariant all match."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    n = 40
+    docs = [(i, rng.randint(0, 9)) for i in range(n)]
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randint(5, 25))
+        }
+    )
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in range(n)}
+    score = dict(docs)
+    want_rep = {}
+    for i in range(n):
+        c = comp[i]
+        best = want_rep.get(c)
+        if best is None or (score[i], -i) > (score[best], -best):
+            want_rep[c] = i
+    ddf = spark.createDataFrame(docs, "doc_id long, score long")
+    pdf = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {
+        r["doc_id"]: (r["component"], r["rep_id"], r["keep"])
+        for r in dedup.cluster_representatives(
+            ddf, F.col("doc_id"), F.col("score"), pdf
+        ).collect()
+    }
+    for i in range(n):
+        c = comp[i]
+        assert got[i] == (c, want_rep[c], i == want_rep[c]), (seed, i)
