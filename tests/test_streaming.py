@@ -836,3 +836,55 @@ def test_tokenizer_kernels_run_on_structured_streaming(spark, tmp_path):
         ).collect())
     )
     assert got_eow == want_eow and want_eow != want_uni
+
+
+def test_lm_scoring_runs_on_structured_streaming(spark, tmp_path):
+    """CCNet-style perplexity scoring of an INCREMENTAL corpus: the LM
+    model tables are static (trained on a reference slice); the
+    document stream left-joins them (stream-static joins) and
+    aggregates per doc in update mode — the same lm_score_* call the
+    batch path uses, batch==stream row for row, for BOTH smoothing
+    generations (JM and interpolated KN). A complete-document-per-file
+    source keeps every doc's events inside one micro-batch, so the
+    per-doc sums are final when emitted (the realistic ingestion
+    shape: documents arrive whole)."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.pipeline import retrieval
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the cat sat on the mat", "a dog ate the bone",
+             "the cat ate a fish", "a dog sat on a log"] * 3
+        )],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "scoredocs")
+    te = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "zz qq"), (102, "a dog ate the mat")],
+        "doc_id long, text string",
+    )
+    te.repartition(3).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    for train_fn, score_fn in (
+        (retrieval.lm_train_trigram, retrieval.lm_score_trigram),
+        (retrieval.lm_train_kn_trigram, retrieval.lm_score_kn_trigram),
+    ):
+        lm = train_fn(train, F.col("text"))
+        want = sorted(
+            map(tuple, score_fn(
+                batch, F.col("text"), F.col("doc_id"), lm
+            ).collect())
+        )
+        got = sorted(
+            map(tuple, ops.run_to_memory(
+                score_fn(stream, F.col("text"), F.col("doc_id"), lm),
+                "update",
+            ).collect())
+        )
+        assert got == want, train_fn.__name__
