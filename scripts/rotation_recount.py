@@ -7,7 +7,9 @@ deliberate rows-only 'no_oracle', and no explicit False match flag —
 the test_registry_contract vouching rule), or '-' if none. Then,
 given the upcoming round number N, the policy buckets:
 
-  DUE       latest green row <= N-4 (the 4-round invariant deadline)
+  DUE       latest green row <= N-5 (rows from N-4..N survive round N,
+            so a query whose newest row is vintage N-5 falls out of the
+            validity span unless refreshed in round N)
   NO-ROW    registered but never driver-verified (rule-(b) candidates;
             cross-checked against the contract test's
             PRE_VERIFIED_AWAITING_WINDOW differential tier)
@@ -58,7 +60,13 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--emit-priority"]
     emit = "--emit-priority" in sys.argv[1:]
     next_round = int(args[0]) if args else max_round + 1
-    deadline = next_round - 4
+    # Span-5 invariant (see `span` below): rows from rounds N-4..N are
+    # valid during round N, so the cohort that MUST refresh in round N is
+    # exactly vintage N-5 (and anything older). r12 refreshed the r7
+    # cohort, r13 the r8 cohort — deadline = N-5, not N-4 (an N-4
+    # deadline would flag the still-valid N-4 cohort a round early and
+    # report a phantom overflow; VERDICT r13 "What's wrong #1").
+    deadline = next_round - 5
     names = list(registry.queries())
     due = sorted(n for n in names if 0 < latest.get(n, 0) <= deadline)
     no_row = sorted(n for n in names if n not in latest)

@@ -874,10 +874,16 @@ def importance_weights(
             base, F.col("stratum"), tgt_table, default, "double"
         )
     actual = F.col("n_docs") / F.col("__n")
+    # actual_share is an EXACT int64 ratio → integer half-up rounding
+    # (stats.ratio_round6, cross-engine exact on half-micro boundaries);
+    # target_share/weight derive from float targets — not in that class,
+    # round(double, 6) stays (no exact-integer form exists for them).
+    from semantic_cpp_spark.functions.stats import ratio_round6
+
     return base.select(
         "stratum",
         "n_docs",
-        F.round(actual, 6).alias("actual_share"),
+        ratio_round6(F.col("n_docs"), F.col("__n")).alias("actual_share"),
         F.round(tgt, 6).alias("target_share"),
         F.round(tgt / actual, 6).alias("weight"),
     )

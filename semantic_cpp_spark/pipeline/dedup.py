@@ -16,6 +16,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from semantic_cpp_spark.functions.stats import ratio_round6
 from semantic_cpp_spark.pipeline.text import fingerprint, normalize_text, tokens
 
 # -- MinHash parameters (shared with the SQL oracle generator) --------------
@@ -145,8 +146,19 @@ def ngram_jaccard_pairs(
             "jaccard",
             F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
         )
+        # keep/drop on the RAW double ratio (IEEE division + compare is
+        # bit-identical across engines); only round() diverged — displayed
+        # value via exact integer half-up division (stats.ratio_round6,
+        # the half-micro boundary class round(double, 6) gets wrong)
         .filter(F.col("jaccard") >= threshold)
-        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "d1",
+            "d2",
+            ratio_round6(
+                F.col("common"),
+                F.col("na") + F.col("nb") - F.col("common"),
+            ).alias("jaccard"),
+        )
     )
     return pairs
 
@@ -196,8 +208,14 @@ def containment_pairs(
             F.first("a.n_sh").alias("na"),
         )
         .withColumn("containment", F.col("common") / F.col("na"))
+        # raw-double threshold, exact-int display rounding (see
+        # ngram_jaccard_pairs — same half-micro boundary reasoning)
         .filter(F.col("containment") >= threshold)
-        .select("d1", "d2", F.round("containment", 6).alias("containment"))
+        .select(
+            "d1",
+            "d2",
+            ratio_round6(F.col("common"), F.col("na")).alias("containment"),
+        )
     )
 
 
@@ -908,14 +926,14 @@ def prefix_filter_jaccard_pairs(
     s2 = grouped.select(F.col("doc_id").alias("d2"), F.col("shs").alias("__s2"))
     common = F.size(F.array_intersect("__s1", "__s2"))
     denom = F.size("__s1") + F.size("__s2") - common
-    jac = common.cast("double") / denom
     return (
         cand.join(s1, "d1")
         .join(s2, "d2")
         # threshold test in INTEGER cross-multiplication (common·den ≥
-        # num·denom) — no float in the keep/drop decision
+        # num·denom) — no float in the keep/drop decision; display value
+        # by exact integer half-up division too (stats.ratio_round6)
         .filter(common * F.lit(tau_den) >= F.lit(tau_num) * denom)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .select("d1", "d2", ratio_round6(common, denom).alias("jaccard"))
     )
 
 

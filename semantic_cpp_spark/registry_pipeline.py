@@ -171,7 +171,8 @@ sh AS (
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT d1, d2,
-           round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+           (2000000::BIGINT * common + (sa.n_sh + sb.n_sh - common))
+             // (2 * (sa.n_sh + sb.n_sh - common)) / 1000000.0 AS jaccard
     FROM pairs JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
     WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.8""",
 )
@@ -1861,7 +1862,9 @@ def txt_fuzzy_vocab_match(spark, sf_dir):
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
       GROUP BY a.doc_id, b.doc_id)
-    SELECT d1, d2, round(common::DOUBLE / sa.n_sh, 6) AS containment
+    SELECT d1, d2,
+           (2000000::BIGINT * common + sa.n_sh) // (2 * sa.n_sh)
+             / 1000000.0 AS containment
     FROM pairs JOIN sz sa ON sa.doc_id = d1
     WHERE common::DOUBLE / sa.n_sh >= 0.5""",
 )
@@ -2422,7 +2425,9 @@ def txt_line_dedup(spark, sf_dir):
              len(o1.shs) AS n1, len(o2.shs) AS n2
       FROM cand c JOIN ords o1 ON o1.doc_id = c.d1
                   JOIN ords o2 ON o2.doc_id = c.d2)
-    SELECT d1, d2, round(common::DOUBLE / (n1 + n2 - common), 6) AS jaccard
+    SELECT d1, d2,
+           (2000000::BIGINT * common + (n1 + n2 - common))
+             // (2 * (n1 + n2 - common)) / 1000000.0 AS jaccard
     FROM v WHERE common * 5 >= 4 * (n1 + n2 - common)""",
 )
 def dedup_prefix_filter(spark, sf_dir):
@@ -3790,7 +3795,8 @@ _MIX_CASE = "CASE " + " ".join(
     f"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
     t AS (SELECT sum(n_docs) AS n FROM c)
     SELECT lang AS stratum, n_docs::BIGINT AS n_docs,
-           round(n_docs / n, 6) AS actual_share,
+           (2000000::BIGINT * n_docs + n) // (2 * n) / 1000000.0
+             AS actual_share,
            round(CAST({_MIX_CASE} AS DOUBLE), 6) AS target_share,
            round(({_MIX_CASE}) / (n_docs / n), 6) AS weight
     FROM c, t""",
