@@ -53,24 +53,37 @@ def latest_green_rows() -> tuple[dict[str, int], int]:
     return latest, max_round
 
 
-def main() -> None:
+def buckets(next_round: int) -> tuple[list[str], list[str], list[str], dict[str, int]]:
+    """(due, no_row, ok, latest) for the given upcoming round.
+
+    Span-5 invariant: rows from rounds N-4..N are valid during round N,
+    so the cohort that MUST refresh in round N is exactly vintage N-5
+    (and anything older). r12 refreshed the r7 cohort, r13 the r8
+    cohort — deadline = N-5, not N-4 (an N-4 deadline would flag the
+    still-valid N-4 cohort a round early and report a phantom overflow;
+    VERDICT r13 "What's wrong #1"). Pinned against the committed
+    artifacts by tests/test_registry_contract.py."""
     from semantic_cpp_spark import registry
 
-    latest, max_round = latest_green_rows()
-    args = [a for a in sys.argv[1:] if a != "--emit-priority"]
-    emit = "--emit-priority" in sys.argv[1:]
-    next_round = int(args[0]) if args else max_round + 1
-    # Span-5 invariant (see `span` below): rows from rounds N-4..N are
-    # valid during round N, so the cohort that MUST refresh in round N is
-    # exactly vintage N-5 (and anything older). r12 refreshed the r7
-    # cohort, r13 the r8 cohort — deadline = N-5, not N-4 (an N-4
-    # deadline would flag the still-valid N-4 cohort a round early and
-    # report a phantom overflow; VERDICT r13 "What's wrong #1").
+    latest, _ = latest_green_rows()
     deadline = next_round - 5
     names = list(registry.queries())
     due = sorted(n for n in names if 0 < latest.get(n, 0) <= deadline)
     no_row = sorted(n for n in names if n not in latest)
     ok = [n for n in names if latest.get(n, 0) > deadline]
+    return due, no_row, ok, latest
+
+
+def main() -> None:
+    from semantic_cpp_spark import registry
+
+    _, max_round = latest_green_rows()
+    args = [a for a in sys.argv[1:] if a != "--emit-priority"]
+    emit = "--emit-priority" in sys.argv[1:]
+    next_round = int(args[0]) if args else max_round + 1
+    deadline = next_round - 5
+    names = list(registry.queries())
+    due, no_row, ok, latest = buckets(next_round)
     try:
         from tests.test_registry_contract import PRE_VERIFIED_AWAITING_WINDOW
 

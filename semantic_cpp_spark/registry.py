@@ -664,105 +664,98 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # surviving verbatim in the union, so one driver row re-verifies the
 # whole family: simhash 2→1, semdedup 2→1, mm decode 5→1, rollup
 # merge 4→1, CMS+HLL 2→1, span-cuts 3→1, asof 2→1, PQ-train 2→1,
-# PQ-topk 3→1 (25 members → 9 families). With txt_unigram_roundtrip
-# added, the registry is 233 queries → demand 46.6 slots/round,
-# ~3.4 slots/round of real slack. Recount-backed r14 forecast
-# (scripts/rotation_recount.py 14 after the r13 artifacts land):
-# 37 r9-vintage due (50 minus the 13 r9 members consolidated away)
-# + 5 first rows (dedup_span_cuts_family, asof_nearest_family,
-# sim_pq_train_family, sim_ivfpq_family_topk, txt_unigram_roundtrip)
-# = 42 of 50 — eight spare slots for rule-(a)/(c) work.
+# PQ-topk 3→1 (25 members → 9 families). With the three r13 additions
+# (txt_unigram_roundtrip, txt_lm_kn_scores, dedup_cluster_reps) the
+# registry is 235 queries → demand 47.0 slots/round, 3.0 slots/round
+# of real slack (recount-verified: `rotation_recount.py 14` prints
+# exactly these numbers).
 #
-# r13 window (50 = 30 + 5 + 9 + 6), from
-# `python scripts/rotation_recount.py 13` (41 r8-vintage due + 9
-# no-row) re-expressed through the consolidation:
-# (c) the 30 r8-vintage queries NOT consolidated lead; then
-# (b) the 5 family gates whose members carried the r8 deadline
-#     (their first rows take over those members' obligations); then
-# (b) the 9 differential-tier tokenizer/classifier/LM gates from r12
-#     (tests/test_r13_gate_candidates.py); then
-# (a) the 6 half-boundary-audit conversions land WITH their window
-#     rows in the same round (the standing executed-path rule):
-#     ratio_round6 conversions in evt_markov_transitions.p,
-#     evt_dau_wau_stickiness.stickiness, txt_token_stats.avg_tok_len,
-#     txt_token_entropy.ttr, txt_redundancy_curve.cum_coverage,
-#     ir_rank_metrics.r_at_k — the r12-identified queue is EMPTY.
-#     (An end-of-r13 re-audit found FOUR more sites in the dedup
-#     jaccard/containment family + importance_weights.actual_share —
-#     zero measured exposure at sf0.01/sf1.0 today; code + re-gating
-#     rows paired in r14, where 43+4 = 47 of 50 slots. SCALING r13.)
-# The NB/LM advice fixes (nb_train left-join tots, confusion
-# fingerprint, oracle null-label mirror; lm cross_entropy div_long)
-# change paths gated by txt_nb_holdout_confusion /
-# txt_lm_perplexity_bands — first rows in this window. The
-# ratio_round6/div_long internals change is value-identical below
-# 2⁵³ (every gate input; pinned in test_stats) and its users
-# (txt_tokenizer_stats, txt_tokenizer_compare) are in-window anyway.
+# GROWTH POLICY (r14, VERDICT r13 item 6): each new gate consumes 1/5
+# slot/round of steady-state capacity. At 50 window slots the hard
+# ceiling is 250 registered queries (demand 50.0, zero slack); the
+# practical ceiling is ~245 (1.0 slot/round spare absorbs rule-(a)
+# re-entry bursts — r13 needed 6). At 235 there is room for ~10 more
+# gates; past that, consolidate another family (str_ singles and evt_
+# singles have candidates) before registering anything new.
+#
+# r14 window (50 = 37 + 7 + 4 + 2), built from the CORRECTED recount
+# (`python scripts/rotation_recount.py 14 --emit-priority`; the due
+# rule's off-by-one — deadline N-4 instead of N-5 — was VERDICT r13
+# "What's wrong #1" and is now pinned by
+# test_registry_contract.test_rotation_recount_due_rule_matches_span5_invariant):
+# (c) the 37 r9-vintage due queries lead (the r9 cohort minus members
+#     consolidated away in r13); then
+# (b) the 7 differential-vouched first rows queued from r13
+#     (tests/test_r14_gate_candidates.py); then
+# (a) the 4 end-of-r13 exact-ratio audit conversions land WITH their
+#     re-gating rows (the standing executed-path rule): ratio_round6 in
+#     dedup.ngram_jaccard_pairs, dedup.containment_pairs,
+#     dedup.prefix_filter_jaccard_pairs,
+#     curation.importance_weights.actual_share — the audit queue is
+#     now EMPTY (recipe residue: only SAFE fixed-denominator and
+#     accepted 1-ulp float-compound sites, SCALING r14); then
+# (c) 2 spare slots backfill the oldest vintage (r10, 48 queries),
+#     riskiest families first per the standing policy:
+#     stream_funnel_stages (streaming), rel_q5_nation_revenue
+#     (fact-join relational). r15 forecast: 46 r10-vintage due + any
+#     new first rows — inside capacity.
 _PRIORITY: list[str] = [
-    # -- (c) the 30 unconsolidated r8-vintage queries (recounted r13) --
-    "agg_corr_covar",
-    "agg_distribution_profile",
-    "dedup_exact",
-    "dedup_keep_list",
-    "emb_pca_variance",
-    "evt_json_extract",
-    "graph_core_numbers",
-    "graph_pagerank_top10",
-    "graph_ppr_seeds",
-    "grp_frequency_capped",
-    "ir_bm25_topk",
-    "reduce_bit_xor",
-    "rel_datetime_parts",
-    "rel_pivot_status_by_flag",
-    "rel_q13_order_histogram",
-    "rel_q14_promo_share",
-    "rel_q6_forecast_revenue",
-    "rel_rollup_order_priority",
-    "samp_temperature_mixture",
-    "shard_token_budget",
-    "sim_truncation_rescore",
-    "src_blob_bytes",
-    "str_charsequence_medley",
-    "str_codepoint_sequence",
-    "str_compare_and_join",
-    "str_levenshtein_to_anchor",
-    "stream_sliding_cms_freq",
-    "txt_decontaminate",
-    "txt_pii_redact",
-    "txt_word_count_topk",
-    # -- (b) family first rows carrying their r8 members' deadline --
-    "dedup_simhash_family",
-    "emb_semdedup_family",
-    "mm_decode_family",
-    "evt_rollup_merge_family",
-    "agg_sketch_cardinality",
-    # -- (b) r12 differential-tier first rows --
-    "txt_bpe_vocab",
-    "txt_tokenizer_stats",
-    "txt_encode_subwords",
-    "txt_nb_holdout_confusion",
-    "txt_lm_perplexity_bands",
-    "txt_unigram_viterbi",
-    "txt_subword_roundtrip",
-    "txt_tokenizer_compare",
-    "txt_blocklist_hits",
-    # -- (a) half-boundary audit conversions, paired with their rows --
-    "evt_markov_transitions",
-    "evt_dau_wau_stickiness",
-    "txt_token_stats",
-    "txt_token_entropy",
-    "txt_redundancy_curve",
-    "ir_rank_metrics",
+    # -- (c) the 37 r9-vintage due queries (recounted r14) --
+    "agg_mode_deterministic",
+    "agg_quantiles",
+    "agg_skew_kurt",
+    "corpus_diff_versions",
+    "dedup_passage_dup_summary",
+    "emb_cluster_medoids",
+    "evt_hourly_anomalies",
+    "evt_hourly_moving_avg",
+    "evt_merged_activity",
+    "evt_retention_cohorts",
+    "evt_sessionize",
+    "grp_group_encounter_order",
+    "grp_partition_chunks",
+    "pack_encoded_shards",
+    "pack_token_sequences",
+    "rel_cube_flag_status",
+    "rel_grouped_percentiles",
+    "rel_price_histogram",
+    "rel_profile_lineitem",
+    "rel_running_customer_revenue",
+    "rel_zorder_bucket_stats",
+    "samp_fixed_k_per_lang",
+    "sem_distinct_first_occurrence",
+    "sem_find_at_negative",
+    "sem_reverse_rotation",
+    "sem_sub_slice",
+    "sem_translate_wraps",
+    "sig_fft100_pad_truncate",
+    "stream_sliding_value_quantiles",
+    "stream_static_enrich",
+    "txt_encode_docs",
+    "txt_fuzzy_vocab_match",
+    "txt_tfidf_keywords",
+    "txt_unigram_cross_entropy",
+    "txt_vocab_ids",
+    "win_slide",
+    "win_tumble",
+    # -- (b) r13 differential-tier first rows --
+    "asof_nearest_family",
+    "dedup_cluster_reps",
+    "dedup_span_cuts_family",
+    "sim_ivfpq_family_topk",
+    "sim_pq_train_family",
+    "txt_lm_kn_scores",
+    "txt_unigram_roundtrip",
+    # -- (a) exact-ratio audit conversions, paired with their rows --
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_prefix_filter",
+    "samp_importance_weights",
+    # -- (c) oldest-vintage backfill (r10), riskiest families first --
+    "stream_funnel_stages",
+    "rel_q5_nation_revenue",
     # -- WINDOW CUT at position 50. Rotating? Recount first:
-    #    `python scripts/rotation_recount.py <next_round>`. The seven
-    #    rule-(b) candidates registered past this cut (the r14
-    #    forecast above), each differential-vouched in
-    #    tests/test_r14_gate_candidates.py and listed in
-    #    test_registry_contract.PRE_VERIFIED_AWAITING_WINDOW:
-    #    dedup_span_cuts_family, asof_nearest_family,
-    #    sim_pq_train_family, sim_ivfpq_family_topk,
-    #    txt_unigram_roundtrip, txt_lm_kn_scores,
-    #    dedup_cluster_reps. --
+    #    `python scripts/rotation_recount.py <next_round>`. --
 ]
 
 

@@ -14,89 +14,84 @@ import pytest
 
 from semantic_cpp_spark import registry
 
-# Queries that are new (or re-enter on a behavioral change) in round 13 —
+# Queries that are new (or re-enter on a behavioral change) in round 14 —
 # each must sit inside this round's 50-slot driver window for a fresh row.
-TOUCHED_IN_R13 = [
-    # rule-(b) family-consolidation first rows — each carries its r8
-    # members' rotation deadline (r13 gate consolidation; members were
-    # unregistered, every member row survives in the tagged union):
-    "dedup_simhash_family",
-    "emb_semdedup_family",
-    "mm_decode_family",
-    "evt_rollup_merge_family",
-    "agg_sketch_cardinality",
-    # rule-(b) r12 differential-tier first rows:
-    "txt_bpe_vocab",
-    "txt_tokenizer_stats",
-    "txt_encode_subwords",
-    "txt_nb_holdout_confusion",
-    "txt_lm_perplexity_bands",
-    "txt_unigram_viterbi",
-    "txt_subword_roundtrip",
-    "txt_tokenizer_compare",
-    "txt_blocklist_hits",
-    # rule-(a) re-entries: EXECUTED paths changed in r13 (the
-    # half-boundary audit conversions to stats.ratio_round6):
-    "evt_markov_transitions",
-    "evt_dau_wau_stickiness",
-    "txt_token_stats",
-    "txt_token_entropy",
-    "txt_redundancy_curve",
-    "ir_rank_metrics",
+TOUCHED_IN_R14 = [
+    # rule-(b) r13 differential-tier first rows (queued in
+    # PRE_VERIFIED_AWAITING_WINDOW since r13; vouched in
+    # tests/test_r14_gate_candidates.py):
+    "asof_nearest_family",
+    "dedup_cluster_reps",
+    "dedup_span_cuts_family",
+    "sim_ivfpq_family_topk",
+    "sim_pq_train_family",
+    "txt_lm_kn_scores",
+    "txt_unigram_roundtrip",
+    # rule-(a) re-entries: EXECUTED paths changed in r14 (the end-of-r13
+    # exact-ratio audit conversions to stats.ratio_round6):
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_prefix_filter",
+    "samp_importance_weights",
 ]
 
-# The 30 UNCONSOLIDATED r8-vintage queries at the rotation deadline
-# (scripts/rotation_recount.py 13 lists 41 r8-vintage due; 11 of those
-# were members of the five consolidated families above, whose first
-# rows take over the obligation).
-R8_VINTAGE_DUE = [
-    "agg_corr_covar",
-    "agg_distribution_profile",
-    "dedup_exact",
-    "dedup_keep_list",
-    "emb_pca_variance",
-    "evt_json_extract",
-    "graph_core_numbers",
-    "graph_pagerank_top10",
-    "graph_ppr_seeds",
-    "grp_frequency_capped",
-    "ir_bm25_topk",
-    "reduce_bit_xor",
-    "rel_datetime_parts",
-    "rel_pivot_status_by_flag",
-    "rel_q13_order_histogram",
-    "rel_q14_promo_share",
-    "rel_q6_forecast_revenue",
-    "rel_rollup_order_priority",
-    "samp_temperature_mixture",
-    "shard_token_budget",
-    "sim_truncation_rescore",
-    "src_blob_bytes",
-    "str_charsequence_medley",
-    "str_codepoint_sequence",
-    "str_compare_and_join",
-    "str_levenshtein_to_anchor",
-    "stream_sliding_cms_freq",
-    "txt_decontaminate",
-    "txt_pii_redact",
-    "txt_word_count_topk",
+# The 37 r9-vintage queries at the rotation deadline
+# (scripts/rotation_recount.py 14 — the CORRECTED due rule, deadline
+# N-5; see test_rotation_recount_due_rule_matches_span5_invariant).
+R9_VINTAGE_DUE = [
+    "agg_mode_deterministic",
+    "agg_quantiles",
+    "agg_skew_kurt",
+    "corpus_diff_versions",
+    "dedup_passage_dup_summary",
+    "emb_cluster_medoids",
+    "evt_hourly_anomalies",
+    "evt_hourly_moving_avg",
+    "evt_merged_activity",
+    "evt_retention_cohorts",
+    "evt_sessionize",
+    "grp_group_encounter_order",
+    "grp_partition_chunks",
+    "pack_encoded_shards",
+    "pack_token_sequences",
+    "rel_cube_flag_status",
+    "rel_grouped_percentiles",
+    "rel_price_histogram",
+    "rel_profile_lineitem",
+    "rel_running_customer_revenue",
+    "rel_zorder_bucket_stats",
+    "samp_fixed_k_per_lang",
+    "sem_distinct_first_occurrence",
+    "sem_find_at_negative",
+    "sem_reverse_rotation",
+    "sem_sub_slice",
+    "sem_translate_wraps",
+    "sig_fft100_pad_truncate",
+    "stream_sliding_value_quantiles",
+    "stream_static_enrich",
+    "txt_encode_docs",
+    "txt_fuzzy_vocab_match",
+    "txt_tfidf_keywords",
+    "txt_unigram_cross_entropy",
+    "txt_vocab_ids",
+    "win_slide",
+    "win_tumble",
 ]
 
-# r13 window policy (VERDICT r12 #1/#2 + registry._PRIORITY's capacity
-# plan): 30 unconsolidated r8-vintage due + 5 family first rows + 9
-# differential-tier first rows + 6 rule-(a) conversion re-entries =
-# exactly 50. Nothing is pushed below the cut this round; the five
-# rule-(b) candidates past the cut are the r14 forecast (see
-# PRE_VERIFIED_AWAITING_WINDOW).
+# r14 window policy (VERDICT r13 items 1-3 + registry._PRIORITY's
+# capacity plan): 37 r9-vintage due + 7 first rows + 4 rule-(a)
+# conversion re-entries + 2 oldest-vintage (r10) backfills
+# (stream_funnel_stages, rel_q5_nation_revenue — riskiest families
+# first) = exactly 50. Nothing is pushed below the cut this round.
 EXPECTED_SPILL = 0
 
 
-def test_r13_touched_and_due_queries_inside_50_window():
+def test_r14_touched_and_due_queries_inside_50_window():
     window = list(registry.queries())[:50]
-    missing = [n for n in R8_VINTAGE_DUE + TOUCHED_IN_R13 if n not in window]
+    missing = [n for n in R9_VINTAGE_DUE + TOUCHED_IN_R14 if n not in window]
     assert not missing, f"outside driver window: {missing}"
-    # the policy deadline: the 30 due queries LEAD the window
-    assert window[:30] == R8_VINTAGE_DUE
+    # the policy deadline: the 37 due queries LEAD the window
+    assert window[:37] == R9_VINTAGE_DUE
 
 
 def test_priority_names_all_exist():
@@ -175,26 +170,78 @@ def test_no_registered_query_left_unverified():
     assert not orphans, f"never driver-verified and outside window: {orphans}"
 
 
-def test_rotation_invariant_no_row_older_than_4_rounds():
-    """The standing rotation policy: by each round N, no query's latest
-    driver row may be older than round N-4 unless the query sits in the
-    current window (it is about to get a fresh row). At r9 that means
-    every r4-vintage row is either in the window or in the documented
-    EXPECTED_SPILL-entry r10 spill section of _PRIORITY."""
+def _latest_rows() -> tuple[dict[str, int], int]:
+    """(latest recorded round per query, max recorded round) over ALL
+    committed driver artifacts — any row counts for vintage purposes
+    (staleness is about when the driver last LOOKED, not whether it
+    passed; red rows force rule-(a) re-entry separately)."""
     root = pathlib.Path(__file__).resolve().parents[1]
     latest: dict[str, int] = {}
+    max_round = 0
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         rnd = int(p.stem.split("_r")[1])
+        max_round = max(max_round, rnd)
         for name in json.loads(p.read_text()):
             latest[name] = max(latest.get(name, 0), rnd)
+    return latest, max_round
+
+
+def test_rotation_invariant_no_row_older_than_4_rounds():
+    """The standing rotation policy: entering round N+1 (N = newest
+    committed artifact), any registered query whose latest driver row is
+    vintage N-4 or older must sit in the current window (it is about to
+    get a fresh row) or in the documented EXPECTED_SPILL section of
+    _PRIORITY — otherwise its row ages out of the span-5 validity
+    window unrefreshed. Dynamic over the committed artifacts (the old
+    hardcoded `r <= 4` form stopped checking anything after r9)."""
+    latest, max_round = _latest_rows()
     window = set(list(registry.queries())[:50])
     spill = set(registry._PRIORITY[50:])
     stale = [
         n for n, r in latest.items()
-        if r <= 4 and n in registry.queries()
+        if r <= max_round - 4 and n in registry.queries()
         and n not in window and n not in spill
     ]
-    assert not stale, f"r4-vintage rows neither in window nor spill: {stale}"
+    assert not stale, (
+        f"r{max_round - 4}-vintage rows neither in window nor spill: {stale}"
+    )
+
+
+def test_rotation_recount_due_rule_matches_span5_invariant():
+    """Script-vs-policy consistency pin (VERDICT r13 "What's wrong #1" —
+    the second appearance of this contradiction class, so it gets a
+    test): for the upcoming round N+1, scripts/rotation_recount.py's
+    DUE bucket must be exactly the registered queries whose newest
+    driver row is vintage N-4 or older — the cohort whose rows fall out
+    of the span-5 validity window (rounds M-4..M valid during round M)
+    unless refreshed. The r13 off-by-one (deadline N-4 instead of N-5)
+    made the script also sweep in the still-valid N-3 cohort and report
+    a phantom 42-slot overflow against the registry's own plan."""
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root / "scripts"))
+    try:
+        import rotation_recount
+    finally:
+        sys.path.pop(0)
+
+    latest, max_round = rotation_recount.latest_green_rows()
+    next_round = max_round + 1
+    due, no_row, ok, _ = rotation_recount.buckets(next_round)
+    names = list(registry.queries())
+    expected_due = sorted(
+        n for n in names if 0 < latest.get(n, 0) <= max_round - 4
+    )
+    assert due == expected_due, (
+        "recount DUE bucket diverges from the span-5 invariant cohort "
+        f"(vintage <= r{max_round - 4}): script={len(due)} "
+        f"expected={len(expected_due)}"
+    )
+    # the three buckets partition the registry
+    assert sorted(due + no_row + ok) == sorted(names)
+    # and no-row is exactly the never-recorded set
+    assert no_row == sorted(n for n in names if n not in latest)
 
 
 def test_every_query_callable_and_oracles_subset():
