@@ -5351,6 +5351,215 @@ def txt_lm_kn_scores(spark, sf_dir):
     return retrieval.lm_score_kn_trigram(te, F.col("text"), F.col("doc_id"), lm)
 
 
+# -- modified Kneser-Ney on a deterministic Zipf corpus -----------------------
+# The fixture corpus is a uniform word salad whose count-of-counts is
+# degenerate at EVERY scale (sf0.01 trigram n=(41,2,0,1); sf1.0
+# n=(0,0,0,0)) — exactly the profile the Chen-Goodman estimator rejects
+# (KenLM refuses it too, "discounts are out of range"), so modified-KN
+# cannot carry a driver row on the documents table.  Instead the gate
+# builds a SEEDED ZIPF CORPUS IN-QUERY, identically in both engines:
+# token (doc, pos) draws a 60-bit md5 integer (the dedup.exploded_
+# shingles idiom — engine-portable by construction), reduces it mod the
+# total weight, and maps it to a rank by counting cumulative integer
+# thresholds passed (weights W//r, the harmonic Zipf profile) — ALL
+# integer arithmetic, so the two corpora are equal word-for-word and
+# the differential stays hash-exact.  No Date/random anywhere.
+
+_ZIPF_V = 120  # word types; harmonic weights give trigram n1..n4 > 0
+_ZIPF_W = 1_000_000
+_ZIPF_CUTS: list[int] = [0]
+for _r in range(1, _ZIPF_V):
+    _ZIPF_CUTS.append(_ZIPF_CUTS[-1] + _ZIPF_W // _r)
+_ZIPF_T = _ZIPF_CUTS[-1] + _ZIPF_W // _ZIPF_V
+_ZIPF_DOCS = 500  # 30..50 tokens each — ~20k tokens, MKN-valid profile
+
+
+def _zipf_docs(spark):
+    """(doc_id, text) — the deterministic Zipf corpus, engine side.
+    One md5 per token (the nested transform keeps the hash out of the
+    per-cut filter lambda); the rank lookup is a 120-element literal
+    array scan, whole-stage-codegen friendly, zero exchanges."""
+    cuts_arr = F.array(*[F.lit(c) for c in _ZIPF_CUTS])
+    seq = F.sequence(
+        F.lit(1), (F.lit(30) + F.col("id") % 21).cast("int")
+    )
+    us = F.transform(
+        seq,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("z"),
+                        F.col("id").cast("string"),
+                        F.lit("_"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(_ZIPF_T),
+    )
+    toks = F.transform(
+        us,
+        lambda u: F.concat(
+            F.lit("w"),
+            F.size(F.filter(cuts_arr, lambda c: u >= c)).cast("string"),
+        ),
+    )
+    return spark.range(_ZIPF_DOCS).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    )
+
+
+def _lm_mkn_zipf_sql() -> str:
+    """Oracle for the modified-KN gate: builds the IDENTICAL Zipf
+    corpus in a CTE (same md5-derived integers, same cumulative-
+    threshold rank lookup), then replays lm_train_mkn_trigram +
+    lm_score_kn_trigram serially.  The count-dependent discounts
+    (Chen & Goodman eq. 26) mirror _mkn_discounts' exact expression
+    shape — Y inlined, every float literal cast to DOUBLE, the same
+    left-associated multiply/divide order — so both engines reproduce
+    each discount double bit-for-bit; the scoring tail is the
+    txt_lm_kn_scores oracle's, unchanged (the model is a KNTrigramLM
+    and scoring is shared)."""
+    cuts_sql = "[" + ", ".join(str(c) for c in _ZIPF_CUTS) + "]"
+    lam = 0.01
+    top = 1.0 - lam
+    y = "(n1 / (n1 + 2.0::DOUBLE * n2))"
+    return f"""WITH zd AS (
+  SELECT i AS doc_id,
+         list_transform(
+           list_transform(range(1, 30 + i % 21 + 1),
+             j -> ('0x' || substr(md5('z' || i || '_' || j), 1, 15))::BIGINT
+                  % {_ZIPF_T}),
+           u -> 'w' || CAST(len(list_filter({cuts_sql}, c -> u >= c))
+                            AS VARCHAR)) AS t
+  FROM range(0, {_ZIPF_DOCS}) r(i)),
+trt AS (SELECT doc_id, t FROM zd WHERE doc_id % 5 <> 0),
+tet AS (SELECT doc_id, t FROM zd WHERE doc_id % 5 = 0),
+trev AS (SELECT CASE WHEN i >= 3 THEN t[i - 2] ELSE '<s>' END AS u,
+                CASE WHEN i >= 2 THEN t[i - 1] ELSE '<s>' END AS v,
+                t[i] AS w
+         FROM (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM trt)),
+tric AS (SELECT u, v, w, count(*)::BIGINT AS c3 FROM trev GROUP BY u, v, w),
+nk3 AS (SELECT sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+               sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+               sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END)::BIGINT AS n4
+        FROM tric),
+d3l AS (SELECT
+    1.0::DOUBLE - 2.0::DOUBLE * {y} * n2 / n1 AS d1,
+    2.0::DOUBLE - 3.0::DOUBLE * {y} * n3 / n2 AS d2,
+    3.0::DOUBLE - 4.0::DOUBLE * {y} * n4 / n3 AS d3
+  FROM nk3),
+h2c AS (SELECT u, v, sum(c3)::BIGINT AS ch2,
+               sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)::BIGINT AS m1,
+               sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)::BIGINT AS m2,
+               sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END)::BIGINT AS m3
+        FROM tric GROUP BY u, v),
+trij AS (SELECT t.u, t.v, t.w,
+                greatest(t.c3::DOUBLE
+                         - (CASE WHEN t.c3 = 1 THEN d.d1
+                                 WHEN t.c3 = 2 THEN d.d2
+                                 ELSE d.d3 END), 0.0::DOUBLE) / h.ch2
+                  AS p3top
+         FROM tric t JOIN h2c h ON h.u = t.u AND h.v = t.v, d3l d),
+h2g AS (SELECT u, v, (d.d1 * m1 + d.d2 * m2 + d.d3 * m3) / ch2 AS gamma3
+        FROM h2c, d3l d),
+cc2 AS (SELECT v, w, count(*)::BIGINT AS cc2 FROM tric GROUP BY v, w),
+nk2 AS (SELECT sum(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+               sum(CASE WHEN cc2 = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+               sum(CASE WHEN cc2 = 4 THEN 1 ELSE 0 END)::BIGINT AS n4
+        FROM cc2),
+d2l AS (SELECT
+    1.0::DOUBLE - 2.0::DOUBLE * {y} * n2 / n1 AS d1,
+    2.0::DOUBLE - 3.0::DOUBLE * {y} * n3 / n2 AS d2,
+    3.0::DOUBLE - 4.0::DOUBLE * {y} * n4 / n3 AS d3
+  FROM nk2),
+h1c AS (SELECT v, sum(cc2)::BIGINT AS den2,
+               sum(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END)::BIGINT AS m1,
+               sum(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END)::BIGINT AS m2,
+               sum(CASE WHEN cc2 >= 3 THEN 1 ELSE 0 END)::BIGINT AS m3
+        FROM cc2 GROUP BY v),
+bigj AS (SELECT c.v, c.w,
+                greatest(c.cc2::DOUBLE
+                         - (CASE WHEN c.cc2 = 1 THEN d.d1
+                                 WHEN c.cc2 = 2 THEN d.d2
+                                 ELSE d.d3 END), 0.0::DOUBLE) / h.den2
+                  AS p2top
+         FROM cc2 c JOIN h1c h ON h.v = c.v, d2l d),
+h1g AS (SELECT v, (d.d1 * m1 + d.d2 * m2 + d.d3 * m3) / den2 AS gamma2
+        FROM h1c, d2l d),
+cc1 AS (SELECT w, count(*)::BIGINT AS cc1 FROM cc2 GROUP BY w),
+nbt AS (SELECT count(*)::BIGINT AS n_bigram_types FROM cc2),
+unij AS (SELECT w, cc1::DOUBLE / nbt.n_bigram_types AS p1 FROM cc1, nbt),
+tot AS (SELECT count(DISTINCT w)::BIGINT AS v_types FROM trev),
+teev AS (SELECT doc_id,
+                CASE WHEN i >= 3 THEN t[i - 2] ELSE '<s>' END AS u,
+                CASE WHEN i >= 2 THEN t[i - 1] ELSE '<s>' END AS v,
+                t[i] AS w
+         FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tet)),
+pj AS (SELECT e.doc_id,
+              CASE WHEN g3.gamma3 IS NOT NULL
+                   THEN coalesce(t3.p3top, 0.0::DOUBLE)
+                        + g3.gamma3
+                          * (CASE WHEN g2.gamma2 IS NOT NULL
+                                  THEN coalesce(b2.p2top, 0.0::DOUBLE)
+                                       + g2.gamma2
+                                         * coalesce(u1.p1, 0.0::DOUBLE)
+                                  ELSE coalesce(u1.p1, 0.0::DOUBLE) END)
+                   ELSE (CASE WHEN g2.gamma2 IS NOT NULL
+                              THEN coalesce(b2.p2top, 0.0::DOUBLE)
+                                   + g2.gamma2
+                                     * coalesce(u1.p1, 0.0::DOUBLE)
+                              ELSE coalesce(u1.p1, 0.0::DOUBLE) END)
+              END AS p3f,
+              tot.v_types
+       FROM teev e
+       LEFT JOIN trij t3 ON t3.u = e.u AND t3.v = e.v AND t3.w = e.w
+       LEFT JOIN h2g g3 ON g3.u = e.u AND g3.v = e.v
+       LEFT JOIN bigj b2 ON b2.v = e.v AND b2.w = e.w
+       LEFT JOIN h1g g2 ON g2.v = e.v
+       LEFT JOIN unij u1 ON u1.w = e.w, tot),
+nll AS (SELECT doc_id,
+               CAST(round(-ln({top!r}::DOUBLE * p3f
+                               + {lam!r}::DOUBLE
+                                 * (1.0::DOUBLE / (v_types + 1.0::DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS nll
+        FROM pj)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(nll)::BIGINT AS nll_micro,
+       ((2 * sum(nll)::BIGINT + count(*)) // (2 * count(*))) / 1000000.0
+         AS cross_entropy
+FROM nll GROUP BY doc_id"""
+
+
+@register("txt_lm_mkn_zipf", _lm_mkn_zipf_sql())
+def txt_lm_mkn_zipf(spark, sf_dir):
+    """Modified Kneser-Ney (retrieval.lm_train_mkn_trigram — the
+    Chen-Goodman count-dependent discounts KenLM defaults to) as a
+    driver-gated operator.  Ignores sf_dir BY DESIGN: the fixture
+    corpus's count-of-counts is degenerate at every scale (the
+    estimator's guard raises there, pinned in tests), so the gate
+    trains and scores on the deterministic in-query Zipf corpus built
+    identically in both engines (_zipf_docs / the zd CTE).  A green
+    row proves the three count-dependent discounts per level, the
+    per-history released-mass gammas, the continuation tables, and the
+    shared KN scoring recursion all match a serial replay — the
+    registry-shaped artifact modified-KN lacked (VERDICT r13 item 8).
+    Train: doc_id%5≠0 (400 docs); score: the held-out 100."""
+    docs = _zipf_docs(spark)
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    te = docs.filter(F.col("doc_id") % 5 == 0)
+    lm = retrieval.lm_train_mkn_trigram(tr, F.col("text"))
+    return retrieval.lm_score_kn_trigram(te, F.col("text"), F.col("doc_id"), lm)
+
+
 # -- unigram-LM (SentencePiece-style) Viterbi segmentation (unigram.py) -------
 
 

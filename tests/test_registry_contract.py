@@ -119,6 +119,10 @@ def test_priority_fills_the_window_exactly():
 # have such a test; test_awaiting_window_names_have_differential_tests
 # enforces the pairing so this set cannot silently become a skip list.
 PRE_VERIFIED_AWAITING_WINDOW = {
+    # the seven r13-queued names above hold r14 window slots (their
+    # rows arrive with this round's gate run); they stay listed until
+    # those rows are committed so a driver failure cannot silently
+    # orphan them.
     "dedup_span_cuts_family": "tests/test_r14_gate_candidates.py",
     "asof_nearest_family": "tests/test_r14_gate_candidates.py",
     "sim_pq_train_family": "tests/test_r14_gate_candidates.py",
@@ -126,6 +130,8 @@ PRE_VERIFIED_AWAITING_WINDOW = {
     "txt_unigram_roundtrip": "tests/test_r14_gate_candidates.py",
     "txt_lm_kn_scores": "tests/test_r14_gate_candidates.py",
     "dedup_cluster_reps": "tests/test_r14_gate_candidates.py",
+    # registered past the r14 cut (r15 rule-(b) forecast):
+    "txt_lm_mkn_zipf": "tests/test_r15_gate_candidates.py",
 }
 
 
