@@ -887,3 +887,118 @@ def importance_weights(
         F.round(tgt, 6).alias("target_share"),
         F.round(tgt / actual, 6).alias("weight"),
     )
+
+
+DSIR_BUCKETS = 4096  # hashed n-gram feature space (DSIR uses 10k; any
+# fixed B works — the λ table is ≤ B rows and broadcasts at every scale)
+
+
+def dsir_logweights(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    is_target: Column,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-example DSIR importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): hash
+    unigram+bigram features into ``buckets`` buckets, fit two Laplace-
+    smoothed bag-of-buckets models — the TARGET slice (``is_target``)
+    and the RAW corpus (all rows) — and score every document with
+
+        log w(x) = Σ_events [ nll_raw(b) − nll_target(b) ]
+
+    (positive → the document looks more like the target distribution;
+    resampling with probability ∝ exp(log w) draws the target). This is
+    the per-example companion to ``importance_weights`` (which reweights
+    whole strata).
+
+    Engine-exactness discipline: each per-event term is the established
+    LM idiom — round(−ln(p)·10⁶) to int64 micro-units — applied to each
+    POSITIVE nll separately (p = (c+1)/(total+B) < 1 always), then an
+    exact integer subtraction and exact per-doc int64 sums; the
+    displayed ``log_weight`` is one int64/double division both engines
+    round identically. Features mirror the LM tokenizer (split on \\s+
+    after trim+lower, empty tokens dropped); the bigram transform is
+    guarded on size ≥ 2 (Spark's ``sequence(1, 0)`` would DESCEND).
+
+    Scale shape: the bucket-count tables are ≤ B rows by construction —
+    model-sized, broadcast — so the plan is two map-side-combinable
+    corpus groupBys (target counts filter-pushed from the same explode),
+    one broadcast join back to the event stream, and one per-doc
+    aggregate; document bodies never shuffle and nothing content-sized
+    is broadcast. Documents with zero tokens emit no row (their
+    importance is undefined, like LM perplexity).
+
+    Returns (doc_id, n_feats, logw_micro, log_weight).
+    """
+    b_lit = F.lit(float(buckets))
+    t = F.filter(
+        F.split(F.trim(F.lower(text)), r"\s+"), lambda w: w != F.lit("")
+    )
+    bis = F.when(
+        F.size(t) >= F.lit(2),
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(1)),
+            lambda i: F.concat(
+                F.element_at(t, i.cast("int")),
+                F.lit(" "),
+                F.element_at(t, (i + F.lit(1)).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(t, bis)
+    ev = df.select(
+        id_col.alias("doc_id"),
+        is_target.alias("__tgt"),
+        F.explode(feats).alias("f"),
+    ).select(
+        "doc_id",
+        "__tgt",
+        (
+            F.conv(F.substring(F.md5("f"), 1, 15), 16, 10).cast("long")
+            % F.lit(buckets)
+        ).alias("b"),
+    )
+    tgt_c = (
+        ev.filter(F.col("__tgt"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("t_b"))
+    )
+    raw_c = ev.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("r_b")
+    )
+    totals = ev.agg(
+        F.sum(F.col("__tgt").cast("long")).cast("long").alias("tt"),
+        F.count(F.lit(1)).cast("long").alias("rt"),
+    )
+    nll_t = F.round(
+        -F.log(
+            (F.coalesce(F.col("t_b"), F.lit(0)) + F.lit(1.0))
+            / (F.col("tt") + b_lit)
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    nll_r = F.round(
+        -F.log((F.col("r_b") + F.lit(1.0)) / (F.col("rt") + b_lit))
+        * F.lit(1000000.0)
+    ).cast("long")
+    lam = (
+        raw_c.join(tgt_c, ["b"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select("b", (nll_r - nll_t).alias("lam"))
+    )
+    return (
+        ev.join(F.broadcast(lam), ["b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lam").cast("long").alias("logw_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "logw_micro",
+            (F.col("logw_micro") / F.lit(1000000.0)).alias("log_weight"),
+        )
+    )

@@ -677,10 +677,12 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # re-entry bursts — r13 needed 6). At 235 there is room for ~10 more
 # gates; past that, consolidate another family (str_ singles and evt_
 # singles have candidates) before registering anything new.
-# r14 registers ONE new gate inside that room: txt_lm_mkn_zipf (the
+# r14 registers TWO new gates inside that room: txt_lm_mkn_zipf (the
 # modified-KN driver row the fixture corpus cannot carry — VERDICT r13
-# item 8), taking the registry to 236 / demand 47.2; ~9 gates of room
-# remain.
+# item 8) and samp_dsir_logweights (per-example DSIR importance
+# weights, the missing companion to samp_importance_weights' stratum
+# reweighting), taking the registry to 237 / demand 47.4; ~8 gates of
+# room remain.
 #
 # r14 window (50 = 37 + 7 + 4 + 2), built from the CORRECTED recount
 # (`python scripts/rotation_recount.py 14 --emit-priority`; the due

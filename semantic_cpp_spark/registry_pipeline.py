@@ -3812,6 +3812,60 @@ def samp_importance_weights(spark, sf_dir):
 
 
 @register(
+    "samp_dsir_logweights",
+    r"""WITH tk AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS t
+  FROM documents),
+fe AS (
+  SELECT doc_id, lang,
+         list_concat(t, CASE WHEN len(t) >= 2
+                             THEN list_transform(range(1, len(t)),
+                                                 i -> t[i] || ' ' || t[i+1])
+                             ELSE [] END) AS fs
+  FROM tk),
+ev AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b
+  FROM (SELECT doc_id, lang, unnest(fs) AS f FROM fe)),
+tc AS (SELECT b, count(*)::BIGINT AS t_b FROM ev WHERE lang = 'en' GROUP BY b),
+rc AS (SELECT b, count(*)::BIGINT AS r_b FROM ev GROUP BY b),
+tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tt,
+               count(*)::BIGINT AS rt
+        FROM ev),
+lam AS (
+  SELECT rc.b,
+         CAST(round(-ln((rc.r_b + 1.0::DOUBLE) / (rt + 4096.0::DOUBLE))
+                    * 1000000.0) AS BIGINT)
+         - CAST(round(-ln((coalesce(tc.t_b, 0) + 1.0::DOUBLE)
+                          / (tt + 4096.0::DOUBLE))
+                      * 1000000.0) AS BIGINT) AS lam
+  FROM rc LEFT JOIN tc ON tc.b = rc.b, tot)
+SELECT e.doc_id, count(*)::BIGINT AS n_feats,
+       sum(l.lam)::BIGINT AS logw_micro,
+       sum(l.lam)::BIGINT / 1000000.0 AS log_weight
+FROM ev e JOIN lam l ON l.b = e.b
+GROUP BY e.doc_id""",
+)
+def samp_dsir_logweights(spark, sf_dir):
+    """Per-example DSIR importance log-weights (curation.dsir_logweights
+    — Xie et al. 2023): hashed unigram+bigram features into 4096
+    buckets, target = the 'en' slice, raw = the full corpus; every
+    document scores Σ[nll_raw(b) − nll_target(b)] in exact int64
+    micro-units (each term the established LM round(−ln(p)·10⁶) idiom
+    on a positive nll).  The per-example companion to
+    samp_importance_weights' stratum-level reweighting.  A green row
+    proves the feature hashing, the Laplace-smoothed bucket models, the
+    broadcast λ join, and the exact micro-unit sums all match a serial
+    replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dsir_logweights(
+        docs, F.col("text"), F.col("doc_id"), F.col("lang") == "en"
+    )
+
+
+@register(
     "txt_redundancy_curve",
     r"""WITH tk AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w

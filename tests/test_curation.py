@@ -2225,3 +2225,69 @@ def test_cluster_representatives_random_graph_vs_union_find(spark, seed):
     for i in range(n):
         c = comp[i]
         assert got[i] == (c, want_rep[c], i == want_rep[c]), (seed, i)
+
+
+# -- DSIR per-example importance log-weights (r14) ----------------------------
+
+
+def test_dsir_target_equals_corpus_gives_zero_weights(spark):
+    """When the target slice IS the whole corpus, t_b = r_b and T = R for
+    every bucket, so each event's nll_raw − nll_target is exactly 0 and
+    every document's log-weight is exactly integer zero."""
+    docs = [(i, f"alpha beta gamma d{i}") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = curation.dsir_logweights(
+        df, F.col("text"), F.col("doc_id"), F.lit(True)
+    ).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["logw_micro"] == 0 and r["log_weight"] == 0.0
+
+
+def test_dsir_feature_count_and_target_direction(spark):
+    """n_feats = unigrams + bigrams = 2·len − 1; documents made of
+    target-exclusive vocabulary score strictly higher than documents
+    made of non-target vocabulary (the DSIR selection property)."""
+    tgt = [(i, "good solid prose here", True) for i in range(10)]
+    raw = [(100 + i, "zzq qqz zqq xqx", False) for i in range(10)]
+    df = spark.createDataFrame(
+        tgt + raw, "doc_id long, text string, is_tgt boolean"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curation.dsir_logweights(
+            df, F.col("text"), F.col("doc_id"), F.col("is_tgt")
+        ).collect()
+    }
+    assert all(rows[i]["n_feats"] == 7 for i in rows)  # 4 uni + 3 bi
+    assert rows[0]["logw_micro"] > rows[100]["logw_micro"]
+    # and the display column is the exact micro division
+    for r in rows.values():
+        assert r["log_weight"] == r["logw_micro"] / 1_000_000.0
+
+
+def test_dsir_single_token_doc_has_no_bigrams(spark):
+    """size-1 docs must NOT hit Spark's descending sequence(1, 0) trap:
+    exactly one unigram feature, no bigram."""
+    df = spark.createDataFrame(
+        [(1, "solo", True), (2, "a b", True)],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    rows = {
+        r["doc_id"]: r["n_feats"]
+        for r in curation.dsir_logweights(
+            df, F.col("text"), F.col("doc_id"), F.col("is_tgt")
+        ).collect()
+    }
+    assert rows == {1: 1, 2: 3}
+
+
+def test_dsir_empty_doc_emits_no_row(spark):
+    df = spark.createDataFrame(
+        [(1, "   ", True), (2, "some text", True)],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    out = curation.dsir_logweights(
+        df, F.col("text"), F.col("doc_id"), F.col("is_tgt")
+    ).collect()
+    assert [r["doc_id"] for r in out] == [2]

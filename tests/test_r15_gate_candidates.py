@@ -25,6 +25,7 @@ SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 CANDIDATES = [
     "txt_lm_mkn_zipf",
+    "samp_dsir_logweights",
 ]
 
 

@@ -132,6 +132,7 @@ PRE_VERIFIED_AWAITING_WINDOW = {
     "dedup_cluster_reps": "tests/test_r14_gate_candidates.py",
     # registered past the r14 cut (r15 rule-(b) forecast):
     "txt_lm_mkn_zipf": "tests/test_r15_gate_candidates.py",
+    "samp_dsir_logweights": "tests/test_r15_gate_candidates.py",
 }
 
 
