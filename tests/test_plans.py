@@ -819,3 +819,33 @@ def test_ivfpq_family_members_keep_list_pruning(spark, qs):
         if "BroadcastHashJoin" in ln and "probe_cent" in ln
     ]
     assert len(pruning) >= 2, pruning  # ivf + residual branches
+
+
+# -- r14 additions ------------------------------------------------------------
+
+
+def test_dsir_lambda_join_is_broadcast_and_no_cartesian(spark, qs):
+    """DSIR's λ table is bounded by the bucket count (4096 rows at ANY
+    corpus size) — its join to the event stream must be a broadcast
+    hash join, never a shuffle of the corpus against it; the only
+    nested-loop is the 1-row totals broadcast. Aggregates stay
+    map-side-combinable (partial HashAggregate below the exchange)."""
+    plan = _plan(qs["samp_dsir_logweights"](spark, SF))
+    assert "CartesianProduct" not in plan
+    nlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(nlj) <= 1 and all("Cross" in ln for ln in nlj), nlj
+    assert "BroadcastHashJoin" in plan
+    # the corpus-side groupBys keep their partial aggregates
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_mkn_zipf_corpus_is_exchange_free_until_counts(spark, qs):
+    """The synthetic Zipf corpus is pure expression work over
+    spark.range — the only exchanges in the whole gate are the n-gram
+    count shuffles and the model joins; no cartesian anywhere, and the
+    1-row discount/total frames ride explicit cross broadcasts."""
+    plan = _plan(qs["txt_lm_mkn_zipf"](spark, SF))
+    assert "CartesianProduct" not in plan
+    nlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert all("Cross" in ln for ln in nlj), nlj
+    assert "Range" in plan  # the in-query corpus source
