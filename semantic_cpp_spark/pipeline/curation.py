@@ -890,49 +890,14 @@ def importance_weights(
 
 
 DSIR_BUCKETS = 4096  # hashed n-gram feature space (DSIR uses 10k; any
-# fixed B works — the λ table is ≤ B rows and broadcasts at every scale)
+# fixed B works — the λ table is EXACTLY B rows and broadcasts at every scale)
 
 
-def dsir_logweights(
-    df: DataFrame,
-    text: Column,
-    id_col: Column,
-    is_target: Column,
-    buckets: int = DSIR_BUCKETS,
-) -> DataFrame:
-    """Per-example DSIR importance log-weights (Xie et al. 2023, "Data
-    Selection for Language Models via Importance Resampling"): hash
-    unigram+bigram features into ``buckets`` buckets, fit two Laplace-
-    smoothed bag-of-buckets models — the TARGET slice (``is_target``)
-    and the RAW corpus (all rows) — and score every document with
-
-        log w(x) = Σ_events [ nll_raw(b) − nll_target(b) ]
-
-    (positive → the document looks more like the target distribution;
-    resampling with probability ∝ exp(log w) draws the target). This is
-    the per-example companion to ``importance_weights`` (which reweights
-    whole strata).
-
-    Engine-exactness discipline: each per-event term is the established
-    LM idiom — round(−ln(p)·10⁶) to int64 micro-units — applied to each
-    POSITIVE nll separately (p = (c+1)/(total+B) < 1 always), then an
-    exact integer subtraction and exact per-doc int64 sums; the
-    displayed ``log_weight`` is one int64/double division both engines
-    round identically. Features mirror the LM tokenizer (split on \\s+
-    after trim+lower, empty tokens dropped); the bigram transform is
-    guarded on size ≥ 2 (Spark's ``sequence(1, 0)`` would DESCEND).
-
-    Scale shape: the bucket-count tables are ≤ B rows by construction —
-    model-sized, broadcast — so the plan is two map-side-combinable
-    corpus groupBys (target counts filter-pushed from the same explode),
-    one broadcast join back to the event stream, and one per-doc
-    aggregate; document bodies never shuffle and nothing content-sized
-    is broadcast. Documents with zero tokens emit no row (their
-    importance is undefined, like LM perplexity).
-
-    Returns (doc_id, n_feats, logw_micro, log_weight).
-    """
-    b_lit = F.lit(float(buckets))
+def _dsir_features(text: Column) -> Column:
+    """Hashed-feature inputs: unigrams + bigrams over the LM tokenizer
+    (split on \\s+ after trim+lower, empty tokens dropped). The bigram
+    transform is guarded on size ≥ 2 — Spark's ``sequence(1, 0)`` would
+    DESCEND and fabricate a reversed bigram on single-token docs."""
     t = F.filter(
         F.split(F.trim(F.lower(text)), r"\s+"), lambda w: w != F.lit("")
     )
@@ -947,19 +912,36 @@ def dsir_logweights(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(t, bis)
-    ev = df.select(
-        id_col.alias("doc_id"),
-        is_target.alias("__tgt"),
-        F.explode(feats).alias("f"),
-    ).select(
-        "doc_id",
-        "__tgt",
-        (
-            F.conv(F.substring(F.md5("f"), 1, 15), 16, 10).cast("long")
-            % F.lit(buckets)
-        ).alias("b"),
+    return F.concat(t, bis)
+
+
+def _dsir_bucket(f: Column, buckets: int) -> Column:
+    """md5-derived bucket in [0, buckets) — the engine-portable hash
+    (DuckDB: ('0x' || substr(md5(f),1,15))::BIGINT % buckets)."""
+    return (
+        F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("long")
+        % F.lit(buckets)
     )
+
+
+def dsir_train(
+    df: DataFrame,
+    text: Column,
+    is_target: Column,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Fit the DSIR λ table: EXACTLY ``buckets`` rows (b, lam), where
+    lam(b) = nll_raw(b) − nll_target(b) in int64 micro-units (each term
+    the LM round(−ln(p)·10⁶) idiom on a positive Laplace-smoothed
+    probability). DENSIFIED over the full bucket spine (spark.range):
+    a bucket never seen in the raw corpus still gets its Laplace-floor
+    λ, so stream-time scoring of NEW documents always joins — an
+    unseen feature scores the floor instead of silently dropping from
+    n_feats. Model-sized output: broadcast it at any corpus scale."""
+    b_lit = F.lit(float(buckets))
+    ev = df.select(
+        is_target.alias("__tgt"), F.explode(_dsir_features(text)).alias("f")
+    ).select("__tgt", _dsir_bucket(F.col("f"), buckets).alias("b"))
     tgt_c = (
         ev.filter(F.col("__tgt"))
         .groupBy("b")
@@ -980,14 +962,38 @@ def dsir_logweights(
         * F.lit(1000000.0)
     ).cast("long")
     nll_r = F.round(
-        -F.log((F.col("r_b") + F.lit(1.0)) / (F.col("rt") + b_lit))
+        -F.log(
+            (F.coalesce(F.col("r_b"), F.lit(0)) + F.lit(1.0))
+            / (F.col("rt") + b_lit)
+        )
         * F.lit(1000000.0)
     ).cast("long")
-    lam = (
-        raw_c.join(tgt_c, ["b"], "left")
+    spine = df.sparkSession.range(buckets).select(F.col("id").alias("b"))
+    return (
+        spine.join(raw_c, ["b"], "left")
+        .join(tgt_c, ["b"], "left")
         .crossJoin(F.broadcast(totals))
         .select("b", (nll_r - nll_t).alias("lam"))
     )
+
+
+def dsir_score(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    lam: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Score documents against a trained λ table: per-doc exact int64
+    sums of the per-event λ. Batch/stream agnostic — on a readStream
+    frame the λ join is a stream-static broadcast join and the per-doc
+    rollup runs in update mode (pinned batch==stream in
+    test_streaming). Documents with zero tokens emit no row.
+
+    Returns (doc_id, n_feats, logw_micro, log_weight)."""
+    ev = df.select(
+        id_col.alias("doc_id"), F.explode(_dsir_features(text)).alias("f")
+    ).select("doc_id", _dsir_bucket(F.col("f"), buckets).alias("b"))
     return (
         ev.join(F.broadcast(lam), ["b"])
         .groupBy("doc_id")
@@ -1001,4 +1007,47 @@ def dsir_logweights(
             "logw_micro",
             (F.col("logw_micro") / F.lit(1000000.0)).alias("log_weight"),
         )
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    is_target: Column,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-example DSIR importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): hash
+    unigram+bigram features into ``buckets`` buckets, fit two Laplace-
+    smoothed bag-of-buckets models — the TARGET slice (``is_target``)
+    and the RAW corpus (all rows) — and score every document with
+
+        log w(x) = Σ_events [ nll_raw(b) − nll_target(b) ]
+
+    (positive → the document looks more like the target distribution;
+    resampling with probability ∝ exp(log w) draws the target). This is
+    the per-example companion to ``importance_weights`` (which reweights
+    whole strata); dsir_train/dsir_score expose the two halves for the
+    train-once / score-incrementally (streaming) shape.
+
+    Engine-exactness discipline: each per-event term is the established
+    LM idiom — round(−ln(p)·10⁶) to int64 micro-units — applied to each
+    POSITIVE nll separately (p = (c+1)/(total+B) < 1 always), then an
+    exact integer subtraction and exact per-doc int64 sums; the
+    displayed ``log_weight`` is one int64/double division both engines
+    round identically.
+
+    Scale shape: the λ table is exactly B rows by construction —
+    model-sized, broadcast — so the plan is two map-side-combinable
+    corpus groupBys (target counts filter-pushed from the same explode),
+    one broadcast join back to the event stream, and one per-doc
+    aggregate; document bodies never shuffle and nothing content-sized
+    is broadcast. Documents with zero tokens emit no row (their
+    importance is undefined, like LM perplexity).
+
+    Returns (doc_id, n_feats, logw_micro, log_weight).
+    """
+    return dsir_score(
+        df, text, id_col, dsir_train(df, text, is_target, buckets), buckets
     )

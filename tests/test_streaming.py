@@ -888,3 +888,56 @@ def test_lm_scoring_runs_on_structured_streaming(spark, tmp_path):
             ).collect())
         )
         assert got == want, train_fn.__name__
+
+
+def test_dsir_scoring_runs_on_structured_streaming(spark, tmp_path):
+    """DSIR importance scoring of an INCREMENTAL corpus: the λ table is
+    static (trained once on a reference corpus, exactly B rows,
+    broadcast); the document stream joins it (stream-static broadcast
+    join) and aggregates per doc in update mode — the same dsir_score
+    call the batch path uses, batch==stream row for row. Unseen
+    features are covered by the densified λ spine (every bucket
+    present), so a NEW document with out-of-corpus vocabulary still
+    scores every feature (Laplace floor) instead of dropping events —
+    doc 102 below is entirely OOV vocabulary and must emit n_feats=5."""
+    from pyspark.sql import functions as F
+
+    from semantic_cpp_spark.pipeline import curation
+
+    train = spark.createDataFrame(
+        [(i, t, i % 2 == 0) for i, t in enumerate(
+            ["the cat sat on the mat", "a dog ate the bone",
+             "the cat ate a fish", "a dog sat on a log"] * 3
+        )],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    lam = curation.dsir_train(train, F.col("text"), F.col("is_tgt"))
+    assert lam.count() == curation.DSIR_BUCKETS  # densified spine
+    src = str(tmp_path / "dsirdocs")
+    te = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "a dog ate a fish"),
+         (102, "zz qq xx")],
+        "doc_id long, text string",
+    )
+    te.repartition(3).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    want = sorted(
+        map(tuple, curation.dsir_score(
+            batch, F.col("text"), F.col("doc_id"), lam
+        ).collect())
+    )
+    assert len(want) == 3
+    oov = [r for r in want if r[0] == 102]
+    assert oov and oov[0][1] == 5  # 3 unigrams + 2 bigrams, none dropped
+    got = sorted(
+        map(tuple, ops.run_to_memory(
+            curation.dsir_score(stream, F.col("text"), F.col("doc_id"), lam),
+            "update",
+        ).collect())
+    )
+    assert got == want
