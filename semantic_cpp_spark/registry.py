@@ -681,8 +681,11 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # modified-KN driver row the fixture corpus cannot carry — VERDICT r13
 # item 8) and samp_dsir_logweights (per-example DSIR importance
 # weights, the missing companion to samp_importance_weights' stratum
-# reweighting), taking the registry to 237 / demand 47.4; ~8 gates of
-# room remain.
+# reweighting) — and then BANKS headroom by consolidating the four
+# str_ singles into str_family (the option-(a) pattern; every member
+# value survives verbatim, the medley via column unpivot):
+# 235 + 2 − 4 + 1 = 234 registered / demand 46.8, 3.2 slots/round
+# slack, ~11 gates of room to the practical ceiling.
 #
 # r14 window (50 = 37 + 7 + 4 + 2), built from the CORRECTED recount
 # (`python scripts/rotation_recount.py 14 --emit-priority`; the due

@@ -249,30 +249,6 @@ def agg_distribution(spark, sf_dir):
 
 # -- Charsequence scalar medley (reference charsequence.h, SURVEY §2.7) -----
 
-@register(
-    "str_charsequence_medley",
-    """SELECT p_partkey,
-              translate(p_name, 'abcdefghijklmnopqrstuvwxyz',
-                                'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS up,
-              (strpos(p_name, 'a') - 1)::BIGINT AS pos_a,
-              ((length(p_name) - length(replace(p_name, 'a', ''))))::BIGINT AS n_a,
-              replace(p_name, ' ', '_') AS snake,
-              regexp_replace(regexp_replace(p_name, ' ', '_'), ' ', '_') AS snake2,
-              reverse(p_name) AS rev,
-              substr(p_name, 3, 8) AS mid,
-              p_name LIKE 'b%' AS starts_b,
-              contains(p_name, 'ol') AS has_ol,
-              (CASE WHEN strpos(reverse(p_name), 'lo') = 0 THEN -1
-                    ELSE length(p_name) - strpos(reverse(p_name), 'lo') - 1
-               END)::BIGINT AS last_ol,
-              (CASE WHEN 5 >= length(p_name) THEN -1
-                    WHEN strpos(reverse(substr(p_name, 1, 6)), 'a') = 0 THEN -1
-                    ELSE 6 - strpos(reverse(substr(p_name, 1, 6)), 'a')
-               END)::BIGINT AS last_a_from5,
-              (CASE WHEN p_name < 'forest' THEN -1
-                    WHEN p_name > 'forest' THEN 1 ELSE 0 END)::BIGINT AS cmp_forest
-       FROM part""",
-)
 def str_medley(spark, sf_dir):
     """Charsequence scalar surface in one projection: ASCII-only case map
     (charsequence.h:1120-1158), 0-based indexOf with -1 absent (:900-938),
@@ -299,15 +275,6 @@ def str_medley(spark, sf_dir):
     )
 
 
-@register(
-    "str_codepoint_sequence",
-    """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 20),
-    pos AS (SELECT p_partkey, p_name, unnest(range(1, length(p_name) + 1)) AS i
-            FROM p)
-    SELECT p_partkey, i - 1 AS pos, substr(p_name, i::INT, 1) AS ch,
-           ord(substr(p_name, i::INT, 1))::BIGINT AS cp
-    FROM pos""",
-)
 def str_codepoints(spark, sf_dir):
     """useSequence: a string as a stream of code points
     (reference semantic.h:2260-2345) — posexplode over the codepoint
@@ -476,11 +443,6 @@ def rel_datetime_parts(spark, sf_dir):
     )
 
 
-@register(
-    "str_levenshtein_to_anchor",
-    """SELECT p_partkey, levenshtein(p_name, 'standard brushed steel') AS dist
-       FROM part WHERE p_partkey <= 100""",
-)
 def str_levenshtein(spark, sf_dir):
     """Edit distance against an anchor string — the cheap fuzzy-match
     primitive (text-analysis extension; identical DP in both engines)."""
@@ -566,17 +528,6 @@ def src_blob_bytes(spark, sf_dir):
     )
 
 
-@register(
-    "str_compare_and_join",
-    """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 10)
-    SELECT '<<' || string_agg(translate(p_name,
-                    'abcdefghijklmnopqrstuvwxyz',
-                    'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), ',' ORDER BY p_partkey)
-               || '>>' AS value,
-           sum(CASE WHEN p_name < 'forest' THEN -1
-                    WHEN p_name > 'forest' THEN 1 ELSE 0 END)::BIGINT AS cmp_total
-    FROM p""",
-)
 def str_compare_and_join(spark, sf_dir):
     """useJoin(prefix, converter, suffix) — comma-delimited converted join
     (reference collector.h:1296-1349, comma hard-coded at :1299) — plus
@@ -843,3 +794,139 @@ def asof_nearest_family(spark, sf_dir):
         F.lit("tol").alias("aspect"), *cols
     )
     return n.unionByName(t)
+
+
+# -- r14 gate consolidation: the four str_ singles under ONE family gate ----
+# (the r13 option-(a) pattern, applied to the next family the capacity
+# plan named: one driver row re-verifies the whole charsequence surface,
+# reclaiming 3 rotation slots with no value coverage lost — every member
+# row survives verbatim in the tagged union, the medley via a column
+# unpivot so each of its 12 scalars stays an individually-hashed value.)
+
+_STR_MEDLEY_COLS = [
+    "up", "pos_a", "n_a", "snake", "snake2", "rev", "mid", "starts_b",
+    "has_ol", "last_ol", "last_a_from5", "cmp_forest",
+]
+
+_STR_FAMILY_SQL = """WITH med AS (
+  SELECT p_partkey,
+         translate(p_name, 'abcdefghijklmnopqrstuvwxyz',
+                           'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS up,
+         (strpos(p_name, 'a') - 1)::BIGINT AS pos_a,
+         ((length(p_name) - length(replace(p_name, 'a', ''))))::BIGINT AS n_a,
+         replace(p_name, ' ', '_') AS snake,
+         regexp_replace(regexp_replace(p_name, ' ', '_'), ' ', '_') AS snake2,
+         reverse(p_name) AS rev,
+         substr(p_name, 3, 8) AS mid,
+         p_name LIKE 'b%' AS starts_b,
+         contains(p_name, 'ol') AS has_ol,
+         (CASE WHEN strpos(reverse(p_name), 'lo') = 0 THEN -1
+               ELSE length(p_name) - strpos(reverse(p_name), 'lo') - 1
+          END)::BIGINT AS last_ol,
+         (CASE WHEN 5 >= length(p_name) THEN -1
+               WHEN strpos(reverse(substr(p_name, 1, 6)), 'a') = 0 THEN -1
+               ELSE 6 - strpos(reverse(substr(p_name, 1, 6)), 'a')
+          END)::BIGINT AS last_a_from5,
+         (CASE WHEN p_name < 'forest' THEN -1
+               WHEN p_name > 'forest' THEN 1 ELSE 0 END)::BIGINT AS cmp_forest
+  FROM part),
+cpx AS (
+  WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 20),
+  pos AS (SELECT p_partkey, p_name, unnest(range(1, length(p_name) + 1)) AS i
+          FROM p)
+  SELECT p_partkey, i - 1 AS pos, substr(p_name, i::INT, 1) AS ch,
+         ord(substr(p_name, i::INT, 1))::BIGINT AS cp
+  FROM pos),
+lev AS (
+  SELECT p_partkey, levenshtein(p_name, 'standard brushed steel') AS dist
+  FROM part WHERE p_partkey <= 100),
+jn AS (
+  WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 10)
+  SELECT '<<' || string_agg(translate(p_name,
+                  'abcdefghijklmnopqrstuvwxyz',
+                  'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), ',' ORDER BY p_partkey)
+             || '>>' AS value,
+         sum(CASE WHEN p_name < 'forest' THEN -1
+                  WHEN p_name > 'forest' THEN 1 ELSE 0 END)::BIGINT AS cmp_total
+  FROM p)
+SELECT 'medley' AS aspect, id1, CAST(NULL AS BIGINT) AS id2, skey, sval
+FROM (
+  SELECT p_partkey::BIGINT AS id1, up::VARCHAR AS up, pos_a::VARCHAR AS pos_a,
+         n_a::VARCHAR AS n_a, snake, snake2, rev, mid,
+         starts_b::VARCHAR AS starts_b, has_ol::VARCHAR AS has_ol,
+         last_ol::VARCHAR AS last_ol, last_a_from5::VARCHAR AS last_a_from5,
+         cmp_forest::VARCHAR AS cmp_forest
+  FROM med)
+  UNPIVOT (sval FOR skey IN (up, pos_a, n_a, snake, snake2, rev, mid,
+                             starts_b, has_ol, last_ol, last_a_from5,
+                             cmp_forest))
+UNION ALL
+SELECT 'cp', p_partkey::BIGINT, pos::BIGINT, ch, cp::VARCHAR FROM cpx
+UNION ALL
+SELECT 'lev', p_partkey::BIGINT, CAST(NULL AS BIGINT), 'dist', dist::VARCHAR
+FROM lev
+UNION ALL
+SELECT 'join', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'value', value
+FROM jn
+UNION ALL
+SELECT 'join', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'cmp_total',
+       cmp_total::VARCHAR
+FROM jn"""
+
+
+@register("str_family", _STR_FAMILY_SQL)
+def str_family(spark, sf_dir):
+    """ALL four charsequence gates under ONE family gate (r14 gate
+    consolidation, the r13 option-(a) pattern): aspect='medley' unpivots
+    the 12-scalar charsequence medley to one (id1=p_partkey, skey=column,
+    sval=value-as-string) row per scalar — every member value survives
+    verbatim, individually hashed; aspect='cp' is the useSequence
+    codepoint stream (id1=p_partkey, id2=pos, skey=ch, sval=codepoint);
+    aspect='lev' the anchor edit distance; aspect='join' the two
+    useJoin/compare scalars. The union is four independent scan-shaped
+    branches over `part` — no new exchange beyond the members' own.
+    Members keep their engine entry points (str_medley, str_codepoints,
+    str_levenshtein, str_compare_and_join) — only their registrations
+    consolidated (registry 237 → 234, +0.6 rotation slots/round)."""
+    nul = F.lit(None).cast("long")
+    med = str_medley(spark, sf_dir)
+    stack = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _STR_MEDLEY_COLS
+    )
+    med_u = med.select(
+        F.lit("medley").alias("aspect"),
+        F.col("p_partkey").cast("long").alias("id1"),
+        nul.alias("id2"),
+        F.expr(f"stack({len(_STR_MEDLEY_COLS)}, {stack}) AS (skey, sval)"),
+    ).select("aspect", "id1", "id2", "skey", "sval")
+    cp = str_codepoints(spark, sf_dir).select(
+        F.lit("cp").alias("aspect"),
+        F.col("p_partkey").cast("long").alias("id1"),
+        F.col("pos").cast("long").alias("id2"),
+        F.col("ch").alias("skey"),
+        F.col("cp").cast("string").alias("sval"),
+    )
+    lv = str_levenshtein(spark, sf_dir).select(
+        F.lit("lev").alias("aspect"),
+        F.col("p_partkey").cast("long").alias("id1"),
+        nul.alias("id2"),
+        F.lit("dist").alias("skey"),
+        F.col("dist").cast("string").alias("sval"),
+    )
+    jn = str_compare_and_join(spark, sf_dir)
+    jn_u = jn.select(
+        F.lit("join").alias("aspect"),
+        nul.alias("id1"),
+        nul.alias("id2"),
+        F.lit("value").alias("skey"),
+        F.col("value").alias("sval"),
+    ).unionByName(
+        jn.select(
+            F.lit("join").alias("aspect"),
+            nul.alias("id1"),
+            nul.alias("id2"),
+            F.lit("cmp_total").alias("skey"),
+            F.col("cmp_total").cast("string").alias("sval"),
+        )
+    )
+    return med_u.unionByName(cp).unionByName(lv).unionByName(jn_u)

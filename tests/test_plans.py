@@ -849,3 +849,18 @@ def test_mkn_zipf_corpus_is_exchange_free_until_counts(spark, qs):
     nlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
     assert all("Cross" in ln for ln in nlj), nlj
     assert "Range" in plan  # the in-query corpus source
+
+
+def test_str_family_union_adds_no_exchange_beyond_members(spark, qs):
+    """Four scan-shaped branches over part: the only exchange-adjacent
+    nodes are the join aspect's 1-row cmp_total broadcast crosses (the
+    member's own shape — it appears twice because the aspect emits its
+    two scalars from two union branches and Catalyst does not CSE the
+    aggregate subtree across them; both sides are 1-row frames, so the
+    duplication is two scans of a 10-row slice, not a scale concern);
+    no cartesian, no shuffle introduced by the consolidation itself."""
+    plan = _plan(qs["str_family"](spark, SF))
+    assert "CartesianProduct" not in plan
+    nlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(nlj) <= 2 and all("Cross" in ln for ln in nlj), nlj
+    assert "Union" in plan

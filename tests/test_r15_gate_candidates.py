@@ -26,6 +26,7 @@ SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 CANDIDATES = [
     "txt_lm_mkn_zipf",
     "samp_dsir_logweights",
+    "str_family",
 ]
 
 
@@ -49,7 +50,10 @@ def _key(rows, cols):
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings"):
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF}/{t}.parquet')"

@@ -133,6 +133,10 @@ PRE_VERIFIED_AWAITING_WINDOW = {
     # registered past the r14 cut (r15 rule-(b) forecast):
     "txt_lm_mkn_zipf": "tests/test_r15_gate_candidates.py",
     "samp_dsir_logweights": "tests/test_r15_gate_candidates.py",
+    # r14 consolidation: carries the four str_ members' obligations
+    # (their r13 rows stay valid through r17; the family first row
+    # should land well before then)
+    "str_family": "tests/test_r15_gate_candidates.py",
 }
 
 
