@@ -893,14 +893,29 @@ DSIR_BUCKETS = 4096  # hashed n-gram feature space (DSIR uses 10k; any
 # fixed B works — the λ table is EXACTLY B rows and broadcasts at every scale)
 
 
-def _dsir_features(text: Column) -> Column:
-    """Hashed-feature inputs: unigrams + bigrams over the LM tokenizer
-    (split on \\s+ after trim+lower, empty tokens dropped). The bigram
-    transform is guarded on size ≥ 2 — Spark's ``sequence(1, 0)`` would
-    DESCEND and fabricate a reversed bigram on single-token docs."""
-    t = F.filter(
+def _dsir_feature_rows(
+    df: DataFrame, cols: dict, text: Column
+) -> DataFrame:
+    """One row per hashed-feature INSTANCE: unigrams + bigrams over the
+    LM tokenizer (split on \\s+ after trim+lower, empty tokens dropped),
+    carrying ``cols`` (name → Column, evaluated before the barrier)
+    alongside the exploded feature string ``f``.
+
+    The token array is materialized ONCE per row through an
+    ``explode(array(t))`` barrier before the bigram lambda runs —
+    without it, projection collapse re-inlines the tokenizer into each
+    ``element_at(t, ...)`` reference, O(L²) re-tokenizations per doc
+    (the retrieval._lm_events finding, same fix). The bigram transform
+    is guarded on size ≥ 2 — Spark's ``sequence(1, 0)`` would DESCEND
+    and fabricate a reversed bigram on single-token docs."""
+    raw = F.filter(
         F.split(F.trim(F.lower(text)), r"\s+"), lambda w: w != F.lit("")
     )
+    base = df.select(
+        *[c.alias(n) for n, c in cols.items()],
+        F.explode(F.array(raw)).alias("__t"),
+    )
+    t = F.col("__t")
     bis = F.when(
         F.size(t) >= F.lit(2),
         F.transform(
@@ -912,7 +927,9 @@ def _dsir_features(text: Column) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.concat(t, bis)
+    return base.select(
+        *cols.keys(), F.explode(F.concat(t, bis)).alias("f")
+    )
 
 
 def _dsir_bucket(f: Column, buckets: int) -> Column:
@@ -944,8 +961,8 @@ def dsir_train(
     # single task (same trap dedup.exploded_shingles guards; measured
     # 68.4 s → 14.2 s at sf1.0)
     n = df.sparkSession.sparkContext.defaultParallelism
-    ev = df.repartition(n).select(
-        is_target.alias("__tgt"), F.explode(_dsir_features(text)).alias("f")
+    ev = _dsir_feature_rows(
+        df.repartition(n), {"__tgt": is_target}, text
     ).select("__tgt", _dsir_bucket(F.col("f"), buckets).alias("b"))
     tgt_c = (
         ev.filter(F.col("__tgt"))
@@ -1001,9 +1018,9 @@ def dsir_score(
     # and repartition would add a per-batch shuffle for nothing.
     if not df.isStreaming:
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    ev = df.select(
-        id_col.alias("doc_id"), F.explode(_dsir_features(text)).alias("f")
-    ).select("doc_id", _dsir_bucket(F.col("f"), buckets).alias("b"))
+    ev = _dsir_feature_rows(df, {"doc_id": id_col}, text).select(
+        "doc_id", _dsir_bucket(F.col("f"), buckets).alias("b")
+    )
     return (
         ev.join(F.broadcast(lam), ["b"])
         .groupBy("doc_id")

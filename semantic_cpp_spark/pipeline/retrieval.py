@@ -687,8 +687,23 @@ def _lm_events(df: DataFrame, text: Column, id_col: Column | None) -> DataFrame:
     """Per-token trigram events with BOS padding: for token i (0-based),
     (u, v, w) = (t[i-2] | <s>, t[i-1] | <s>, t[i]) — every token is
     scored exactly once, so n_events == n_tokens. Documents with no
-    tokens contribute no events (perplexity is undefined on them)."""
-    t = _lm_terms(text)
+    tokens contribute no events (perplexity is undefined on them).
+
+    The token array is materialized ONCE per row through an
+    ``explode(array(t))`` barrier before the per-element lambda runs:
+    without it, Catalyst's projection collapse re-inlines the
+    split+filter subtree into each ``element_at(t, ...)`` reference, so
+    every token pays O(|doc|) re-tokenizations — O(L²) per document
+    (the same collapse trap minhash_signature documents; measured on
+    the trigram count at sf10: 244.9 s → 23.0 s, 10.6×). The barrier
+    is a second Generate, not an exchange — it stays shuffle-free and
+    streaming-safe (a lag()-window form measured marginally faster,
+    15.4 s, but costs a corpus shuffle and is illegal on streams)."""
+    cols = [id_col.alias("doc_id")] if id_col is not None else []
+    base = df.select(
+        *cols, F.explode(F.array(_lm_terms(text))).alias("__t")
+    )
+    t = F.col("__t")
     ev = F.transform(
         t,
         lambda w, i: F.struct(
@@ -707,9 +722,9 @@ def _lm_events(df: DataFrame, text: Column, id_col: Column | None) -> DataFrame:
             w.alias("w"),
         ),
     )
-    cols = [id_col.alias("doc_id")] if id_col is not None else []
-    return df.select(*cols, F.explode(ev).alias("e")).select(
-        *(["doc_id"] if id_col is not None else []),
+    ids = ["doc_id"] if id_col is not None else []
+    return base.select(*ids, F.explode(ev).alias("e")).select(
+        *ids,
         F.col("e.u").alias("u"),
         F.col("e.v").alias("v"),
         F.col("e.w").alias("w"),
@@ -724,12 +739,22 @@ def lm_train_trigram(df: DataFrame, text: Column) -> TrigramLM:
     (Wenzek et al. 2020): train a cheap LM on a trusted slice, score
     the whole corpus, keep/band by perplexity.
 
-    Plan: ONE corpus-scale explode produces the event stream; each
-    model table is a partial-aggregating groupBy; denominators join
-    model-side (model-sized work, never the corpus); the totals row is
-    a 1-row aggregate. At 100 TB the n-gram tables scale with corpus
-    content, so scoring joins co-partition on the n-gram key rather
-    than broadcasting (see lm_score_trigram)."""
+    Plan: ONE corpus-scale explode feeds ONE corpus-scale aggregate
+    (the trigram token count); every lower-order table is an EXACT
+    integer marginal of it — c2(v,w) = Σ_u c3, c1(w) = Σ_{u,v} c3,
+    n_events = Σ c3, and v_types = |distinct w| is a type-level
+    distinct — so the bigram/unigram/totals work shuffles the
+    model-sized trigram TYPE table, not the corpus (r14; the KN
+    trainer already had this shape — value-identical by construction.
+    NOTE the measured sf10 win came from pairing this with the
+    _lm_events explode barrier: the marginals alone moved nothing
+    because each model table independently re-derived the O(L²)
+    event build — ReusedExchange count was 0; see _lm_events and
+    SCALING r14). Denominators join
+    model-side; the totals row is a 1-row aggregate. At 100 TB the
+    n-gram tables scale with corpus content, so scoring joins
+    co-partition on the n-gram key rather than broadcasting (see
+    lm_score_trigram)."""
     ev = _lm_events(df, text, None)
     tri_c = ev.groupBy("u", "v", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c3")
@@ -738,16 +763,16 @@ def lm_train_trigram(df: DataFrame, text: Column) -> TrigramLM:
     tri = tri_c.join(h2, ["u", "v"]).select(
         "u", "v", "w", (F.col("c3").cast("double") / F.col("ch2")).alias("p3")
     )
-    big_c = ev.groupBy("v", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("c2")
+    big_c = tri_c.groupBy("v", "w").agg(
+        F.sum("c3").cast("long").alias("c2")
     )
     h1 = big_c.groupBy("v").agg(F.sum("c2").cast("long").alias("ch1"))
     big = big_c.join(h1, ["v"]).select(
         "v", "w", (F.col("c2").cast("double") / F.col("ch1")).alias("p2")
     )
-    uni_c = ev.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
-    totals = ev.agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
+    uni_c = tri_c.groupBy("w").agg(F.sum("c3").cast("long").alias("c1"))
+    totals = tri_c.agg(
+        F.sum("c3").cast("long").alias("n_events"),
         F.count_distinct(F.col("w")).cast("long").alias("v_types"),
     )
     uni = uni_c.crossJoin(F.broadcast(totals)).select(

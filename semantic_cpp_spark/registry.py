@@ -703,11 +703,18 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 #     curation.importance_weights.actual_share — the audit queue is
 #     now EMPTY (recipe residue: only SAFE fixed-denominator and
 #     accepted 1-ulp float-compound sites, SCALING r14); then
-# (c) 2 spare slots backfill the oldest vintage (r10, 48 queries),
-#     riskiest families first per the standing policy:
-#     stream_funnel_stages (streaming), rel_q5_nation_revenue
-#     (fact-join relational). r15 forecast: 46 r10-vintage due + any
-#     new first rows — inside capacity.
+# (a) txt_lm_perplexity_bands re-enters (late-r14 executed-path
+#     change: the _lm_events explode barrier + marginal-derived JM
+#     model tables — measured 607 → 82 s at sf10, value-identical,
+#     differential-re-verified; txt_lm_kn_scores shares the change and
+#     already holds a first-row slot; txt_lm_mkn_zipf is differential-
+#     vouched in the r15 tier). It takes the slot originally
+#     backfilled to rel_q5_nation_revenue — rel_q5 keeps its r10 row
+#     and is due r15 anyway; then
+# (c) 1 spare slot backfills the oldest vintage (r10), riskiest
+#     family first per the standing policy: stream_funnel_stages
+#     (streaming). r15 forecast: 47 r10-vintage due + the three
+#     differential-tier first rows — inside capacity.
 _PRIORITY: list[str] = [
     # -- (c) the 37 r9-vintage due queries (recounted r14) --
     "agg_mode_deterministic",
@@ -760,9 +767,10 @@ _PRIORITY: list[str] = [
     "dedup_containment",
     "dedup_prefix_filter",
     "samp_importance_weights",
-    # -- (c) oldest-vintage backfill (r10), riskiest families first --
+    # -- (a) late-r14 executed-path re-entry (_lm_events barrier) --
+    "txt_lm_perplexity_bands",
+    # -- (c) oldest-vintage backfill (r10), riskiest family first --
     "stream_funnel_stages",
-    "rel_q5_nation_revenue",
     # -- WINDOW CUT at position 50. Rotating? Recount first:
     #    `python scripts/rotation_recount.py <next_round>`. --
 ]

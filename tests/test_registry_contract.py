@@ -33,6 +33,12 @@ TOUCHED_IN_R14 = [
     "dedup_containment",
     "dedup_prefix_filter",
     "samp_importance_weights",
+    # rule-(a), late r14: the _lm_events explode barrier + JM marginal
+    # tables (value-identical, 7.4× at sf10) change this gate's
+    # executed path; it displaced the optional rel_q5 backfill.
+    # txt_lm_kn_scores shares the change and already holds a first-row
+    # slot above; txt_lm_mkn_zipf is vouched in the r15 tier.
+    "txt_lm_perplexity_bands",
 ]
 
 # The 37 r9-vintage queries at the rotation deadline
@@ -79,10 +85,11 @@ R9_VINTAGE_DUE = [
 ]
 
 # r14 window policy (VERDICT r13 items 1-3 + registry._PRIORITY's
-# capacity plan): 37 r9-vintage due + 7 first rows + 4 rule-(a)
-# conversion re-entries + 2 oldest-vintage (r10) backfills
-# (stream_funnel_stages, rel_q5_nation_revenue — riskiest families
-# first) = exactly 50. Nothing is pushed below the cut this round.
+# capacity plan): 37 r9-vintage due + 7 first rows + 5 rule-(a)
+# re-entries (4 ratio conversions + the late _lm_events-barrier
+# re-entry, which displaced the optional rel_q5 backfill) + 1
+# oldest-vintage (r10) backfill (stream_funnel_stages — riskiest
+# family first) = exactly 50. Nothing is pushed below the cut.
 EXPECTED_SPILL = 0
 
 
