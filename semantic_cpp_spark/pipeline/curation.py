@@ -263,9 +263,12 @@ def contaminated_docs(
     the corpus), so it broadcasts and the probe stays shuffle-free on the
     corpus side until the per-doc count. Production uses n=8-13; the
     fixture's word-salad density needs n=3 for a non-trivial overlap."""
+    from semantic_cpp_spark.pipeline.text import materialize_tokens
+
     toks = F.split(F.trim(F.lower(text)), r"\s+")
-    spans = df.select(
-        id_col.alias("doc_id"), F.explode(word_ngrams(toks, n)).alias("span")
+    base = materialize_tokens(df, toks, {"doc_id": id_col})
+    spans = base.select(
+        "doc_id", F.explode(word_ngrams(F.col("__toks"), n)).alias("span")
     )
     bench = (
         spans.filter(F.col("doc_id").isin(bench_ids)).select("span").distinct()

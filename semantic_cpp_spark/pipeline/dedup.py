@@ -772,12 +772,18 @@ def shared_spans(
     (a span repeated inside one doc counts once) → groupBy span. At
     100 TB the shuffle key should be the span's 64-bit hash rather than
     the text (same plan, 8-byte keys); the text key keeps this
-    oracle-checkable."""
-    from semantic_cpp_spark.pipeline.text import word_ngrams
+    oracle-checkable. The token array rides a materialize_tokens
+    barrier before the per-element n-gram slice (the O(L²) collapse
+    guard, SCALING r14/r15)."""
+    from semantic_cpp_spark.pipeline.text import materialize_tokens, word_ngrams
 
     toks = F.split(F.trim(F.lower(text)), r"\s+")
+    base = materialize_tokens(df, toks, {"doc_id": id_col})
     ex = (
-        df.select(id_col.alias("doc_id"), F.explode(word_ngrams(toks, span_words)).alias("span"))
+        base.select(
+            "doc_id",
+            F.explode(word_ngrams(F.col("__toks"), span_words)).alias("span"),
+        )
         .dropDuplicates(["doc_id", "span"])
     )
     return (
@@ -1381,9 +1387,10 @@ def duplicate_span_cuts(
     interval merge runs per doc. Returns (doc_id, cut_start, cut_end,
     n_spans), token-indexed, half-open."""
     from semantic_cpp_spark.operators.eventflow import merge_intervals
-    from semantic_cpp_spark.pipeline.text import word_ngrams
+    from semantic_cpp_spark.pipeline.text import materialize_tokens, word_ngrams
 
     toks = F.split(F.trim(F.lower(text)), r"\s+")
+    base = materialize_tokens(df, toks, {"doc_id": id_col})
     h = F.conv(F.substring(F.md5(F.col("span")), 1, 15), 16, 10).cast("long")
     guarded_pos = F.when(
         F.col("pos") < F.lit(1 << SPAN_POS_BITS), F.col("pos").cast("long")
@@ -1402,9 +1409,9 @@ def duplicate_span_cuts(
         ).cast("long")
     )
     occ = (
-        df.select(
-            id_col.alias("doc_id"),
-            F.posexplode(word_ngrams(toks, n)).alias("pos", "span"),
+        base.select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("__toks"), n)).alias("pos", "span"),
         )
         .select(
             "doc_id",

@@ -14,8 +14,28 @@ Column form.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def materialize_tokens(
+    df: DataFrame, toks: Column, cols: dict[str, Column], out: str = "__toks"
+) -> DataFrame:
+    """Evaluate a token-array EXPRESSION once per row and hand it back as
+    a real attribute ``out`` through an ``explode(array(.))`` barrier —
+    the projection-collapse guard (SCALING r14, "The O(L²) trap"):
+    without it, Catalyst's CollapseProject re-inlines the tokenizer
+    subtree into every per-element reference inside a downstream lambda
+    (``slice``/``element_at``), so each of the L elements re-tokenizes
+    the document — O(L²) per doc. A single-element-array explode is a
+    Generate whose input is evaluated exactly once per row (1→1, no row
+    loss even for empty token arrays), not an exchange — shuffle-free
+    and streaming-safe. ``cols`` (name → Column) is evaluated before the
+    barrier and carried through."""
+    return df.select(
+        *[c.alias(n) for n, c in cols.items()],
+        F.explode(F.array(toks)).alias(out),
+    )
 
 # Marker vocabularies for the language-ID heuristic. The fixture's texts are
 # synthetic word salads, so this demonstrates the marker-scoring MECHANISM
@@ -154,7 +174,14 @@ GOPHER_MAX_DUP_3GRAM_FRAC = 0.6
 
 def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams of a token array as space-joined strings; empty array
-    when the document has fewer than n tokens (sequence() would descend)."""
+    when the document has fewer than n tokens (sequence() would descend).
+
+    ``toks`` MUST be a real attribute (or cheap alias of one) on the
+    per-document hot path: the per-element ``slice(toks, i, n)`` makes an
+    expression-valued ``toks`` re-inline under projection collapse —
+    O(L²) re-tokenizations per doc (SCALING r14/r15; fixed across all
+    callers via ``materialize_tokens``; builder-measured before/after:
+    txt_decontaminate 172 s → see SCALING r15 at sf10)."""
     s = F.size(toks)
     return F.when(s < n, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -164,20 +191,31 @@ def word_ngrams(toks: Column, n: int) -> Column:
     )
 
 
-def dup_ngram_fraction(col: Column, n: int) -> Column:
+def dup_ngram_fraction_t(t: Column, n: int) -> Column:
     """Fraction of n-gram instances that are repeats of an earlier one:
-    1 − distinct/total. 0.0 when no n-grams exist (short doc). The
-    repetition signal — word salads score ~0, boilerplate scores high."""
-    g = word_ngrams(tokens(F.lower(col)), n)
+    1 − distinct/total over a (lowercased) token-array ATTRIBUTE ``t``.
+    0.0 when no n-grams exist (short doc). The repetition signal — word
+    salads score ~0, boilerplate scores high."""
+    g = word_ngrams(t, n)
     total = F.size(g)
     return F.when(total == 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total
     )
 
 
-def gopher_signals(col: Column) -> dict[str, Column]:
-    """The signal battery; each entry is a pure Column over the text."""
-    t = tokens(F.lower(col))
+def dup_ngram_fraction(col: Column, n: int) -> Column:
+    """Column-convenience form of :func:`dup_ngram_fraction_t` — carries
+    the O(L²) collapse trap when used on a hot path (the inner token
+    array is an expression); gates go through ``materialize_tokens`` +
+    the ``_t`` form instead."""
+    return dup_ngram_fraction_t(tokens(F.lower(col)), n)
+
+
+def gopher_signals_t(t: Column) -> dict[str, Column]:
+    """The signal battery over a LOWERCASED token-array column ``t``;
+    each entry is a pure Column. Pass a materialized attribute (see
+    ``materialize_tokens``) on the per-document hot path — the dup-n-gram
+    signals slice ``t`` per element."""
     n_words = F.size(t).cast("long")
     mean_wl = (
         F.aggregate(
@@ -197,16 +235,23 @@ def gopher_signals(col: Column) -> dict[str, Column]:
         "mean_word_len": mean_wl,
         "alpha_word_ratio": alpha_ratio_,
         "n_stop_distinct": stop_hits,
-        "dup_2gram_frac": dup_ngram_fraction(col, 2),
-        "dup_3gram_frac": dup_ngram_fraction(col, 3),
+        "dup_2gram_frac": dup_ngram_fraction_t(t, 2),
+        "dup_3gram_frac": dup_ngram_fraction_t(t, 3),
     }
 
 
-def gopher_keep(col: Column) -> Column:
-    """Composite keep/drop decision from the rule thresholds. Threshold
-    comparisons run on UNROUNDED values — int/int divisions are IEEE-
-    identical across engines, so the boolean is oracle-stable."""
-    s = gopher_signals(col)
+def gopher_signals(col: Column) -> dict[str, Column]:
+    """Column-convenience form of :func:`gopher_signals_t` over raw text.
+    On the per-document hot path, materialize the token array first
+    (``materialize_tokens``) and use the ``_t`` form — the dup-n-gram
+    members are O(L²) on an expression-valued array."""
+    return gopher_signals_t(tokens(F.lower(col)))
+
+
+def gopher_keep_signals(s: dict[str, Column]) -> Column:
+    """Composite keep/drop decision from an (UNROUNDED) signal battery.
+    Threshold comparisons run on unrounded values — int/int divisions are
+    IEEE-identical across engines, so the boolean is oracle-stable."""
     return (
         (s["n_words"] >= GOPHER_MIN_WORDS)
         & (s["n_words"] <= GOPHER_MAX_WORDS)
@@ -217,6 +262,12 @@ def gopher_keep(col: Column) -> Column:
         & (s["dup_2gram_frac"] <= GOPHER_MAX_DUP_2GRAM_FRAC)
         & (s["dup_3gram_frac"] <= GOPHER_MAX_DUP_3GRAM_FRAC)
     )
+
+
+def gopher_keep(col: Column) -> Column:
+    """Composite keep/drop decision straight from raw text (convenience
+    form; same hot-path caveat as :func:`gopher_signals`)."""
+    return gopher_keep_signals(gopher_signals(col))
 
 
 # BPE-ish sub-word tokenisation: letter runs, digit runs, single
@@ -1223,15 +1274,19 @@ def ngram_novelty(df, text: Column, id_col, span_words: int = 5):
     at sf1.0; the win grows with span width). A 60-bit collision merges
     two spans' first-occurrence records (P ≈ n²/2⁶¹ — ~10⁻⁷ at 10⁶
     distinct spans); the md5 derivation is mirrored in the oracle, so
-    the differential gate still hash-matches exactly."""
+    the differential gate still hash-matches exactly. The token array
+    rides a materialize_tokens barrier before the per-element n-gram
+    slice (the O(L²) collapse guard, SCALING r14/r15)."""
     from pyspark.sql import functions as F
 
-    from semantic_cpp_spark.pipeline.text import word_ngrams
-
     toks = F.split(F.trim(F.lower(text)), r"\s+")
+    base = materialize_tokens(df, toks, {"doc_id": id_col})
     h = F.conv(F.substring(F.md5(F.col("span")), 1, 15), 16, 10).cast("long")
     ex = (
-        df.select(id_col.alias("doc_id"), F.explode(word_ngrams(toks, span_words)).alias("span"))
+        base.select(
+            "doc_id",
+            F.explode(word_ngrams(F.col("__toks"), span_words)).alias("span"),
+        )
         .select("doc_id", h.alias("h"))
         .dropDuplicates(["doc_id", "h"])
     )

@@ -681,8 +681,12 @@ def test_pq_train_sampled_filter_is_narrow(spark, qs):
 def test_passage_apply_no_cartesian(spark, qs):
     """The passage write-side composition (explode → band-bucket pairs
     → components → keep join → per-doc rebuild) must stay hash-keyed
-    end to end: no cartesian, no data-sized nested loop."""
-    plan = _plan(qs["dedup_passage_apply"](spark, SF))
+    end to end: no cartesian, no data-sized nested loop. (The apply
+    member rides dedup_passage_family since the r15 consolidation;
+    the pin drives the member function directly.)"""
+    from semantic_cpp_spark.registry_pipeline import dedup_passage_apply
+
+    plan = _plan(dedup_passage_apply(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
