@@ -5,6 +5,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Query set = the performance-representative subset (scan+agg, joins,
 window replication, ordinal machinery) — not every correctness query.
+
+HEAVY TIER (VERDICT r14 item 8): the LM/dedup/n-gram gates where the
+O(L²) projection-collapse class lives are invisible at sf0.1, so after
+the headline the bench also runs HEAVY_QUERIES once each at the
+sf1.0 step-up fixture (gitignored .localdata/sf1.0, regenerated per
+round by scripts/gen_fixtures.py) and attaches the timings under the
+"heavy" key of the SAME single JSON line (the driver contract mandates
+exactly one line, so a literal second line would break its parse —
+the trend data still lands in BENCH_r*.json). Absent fixture → heavy
+is null; disable explicitly with SPARK_GRAFT_BENCH_HEAVY=0. One run,
+no median: plan-channel regressions in this class are step changes
+(3-7×), far above host noise.
 """
 
 from __future__ import annotations
@@ -32,6 +44,24 @@ BENCH_QUERIES = [
     "sim_cosine_topk",
     "txt_quality_score",
 ]
+
+# The plan-regression canaries for the token-explode / n-gram / LM
+# family (where sub-sf1.0 scales can't see super-linear pathologies).
+# One representative per executed path: perplexity_bands + kn_scores
+# cover the two _lm_events model shapes, decontaminate covers the
+# word_ngrams barrier (gopher_rules shares it), ngram_novelty covers
+# the hash-keyed span exchanges (shared_spans shares them),
+# minhash_lsh covers the banded LSH self-join.
+HEAVY_QUERIES = [
+    "txt_lm_perplexity_bands",
+    "txt_lm_kn_scores",
+    "txt_decontaminate",
+    "txt_ngram_novelty",
+    "dedup_minhash_lsh",
+]
+HEAVY_SF_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".localdata", "sf1.0"
+)
 
 
 def main() -> None:
@@ -78,6 +108,42 @@ def main() -> None:
 
     release_ordinal_caches()
 
+    heavy = None
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1") != "0"
+        and os.path.isdir(HEAVY_SF_DIR)
+    ):
+        # Wall-clock budget for the whole heavy tier (the driver runs
+        # bench.py under a hard timeout; blowing it loses the HEADLINE
+        # numbers too). Gates that don't start before the deadline are
+        # reported as null — visible truncation, not silent.
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_BUDGET", "360"))
+        deadline = time.time() + budget
+        heavy_t: dict[str, float | None] = {}
+        for name in HEAVY_QUERIES:
+            if time.time() >= deadline:
+                heavy_t[name] = None
+                continue
+            # warmup run first: cold-start (JIT, parquet footers, the
+            # signature-persist memo) measured 4-8× the steady state —
+            # as cold/warm noise it would bury the 3-7× plan-channel
+            # step changes this tier exists to catch.
+            qs[name](spark, HEAVY_SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t0 = time.time()
+            qs[name](spark, HEAVY_SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            heavy_t[name] = round(time.time() - t0, 3)
+        done = [v for v in heavy_t.values() if v is not None]
+        heavy = {
+            "sf": 1.0,
+            "value": round(sum(done), 3),
+            "queries": heavy_t,
+            "skipped": sum(1 for v in heavy_t.values() if v is None),
+        }
+
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     out = {
         "metric": "headline_queries_total",
@@ -87,6 +153,7 @@ def main() -> None:
         "value_min": round(sum(timings_min.values()), 3),
         "queries_min": timings_min,
         "sf": float(sf) if sf else None,
+        "heavy": heavy,
     }
     print(json.dumps(out))
 

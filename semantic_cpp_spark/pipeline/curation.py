@@ -958,6 +958,12 @@ def dsir_train(
     λ, so stream-time scoring of NEW documents always joins — an
     unseen feature scores the floor instead of silently dropping from
     n_feats. Model-sized output: broadcast it at any corpus scale."""
+    if df.isStreaming:
+        raise ValueError(
+            "dsir_train requires a BATCH frame (it runs corpus-scale "
+            "batch aggregations); train the λ table on a batch corpus, "
+            "then score the stream with dsir_score(stream_df, ..., lam)."
+        )
     b_lit = F.lit(float(buckets))
     # spread docs BEFORE the feature explode — a small parquet source
     # arrives as one split and would serialize the explode+md5 into a
@@ -967,39 +973,40 @@ def dsir_train(
     ev = _dsir_feature_rows(
         df.repartition(n), {"__tgt": is_target}, text
     ).select("__tgt", _dsir_bucket(F.col("f"), buckets).alias("b"))
-    tgt_c = (
-        ev.filter(F.col("__tgt"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("t_b"))
+    # ONE corpus-scale aggregate; target counts and both totals are
+    # exact integer marginals of the model-sized (exactly B rows after
+    # the spine join) counts table — the lm_train_trigram shape
+    # (ADVICE r14: the previous tgt_c/raw_c/totals triple each
+    # re-derived the explode+md5 event build, ReusedExchange 0).
+    # tt = Σ t_b and rt = Σ r_b because every event lands in exactly
+    # one bucket; the totals ride a GLOBAL window over the spine-joined
+    # frame rather than a counts.agg() crossJoin so the single corpus
+    # pass is STRUCTURAL (a separate .agg() consumer re-plans the whole
+    # corpus subtree — 2 scans in the static plan, reuse left to AQE's
+    # discretion). The empty partitionBy is bounded by construction:
+    # exactly B = `buckets` rows ever enter the window.
+    counts = ev.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("r_b"),
+        F.sum(F.col("__tgt").cast("long")).cast("long").alias("t_b"),
     )
-    raw_c = ev.groupBy("b").agg(
-        F.count(F.lit(1)).cast("long").alias("r_b")
+    spine = df.sparkSession.range(buckets).select(F.col("id").alias("b"))
+    dense = spine.join(counts, ["b"], "left").select(
+        "b",
+        F.coalesce(F.col("r_b"), F.lit(0)).cast("long").alias("r_b"),
+        F.coalesce(F.col("t_b"), F.lit(0)).cast("long").alias("t_b"),
     )
-    totals = ev.agg(
-        F.sum(F.col("__tgt").cast("long")).cast("long").alias("tt"),
-        F.count(F.lit(1)).cast("long").alias("rt"),
-    )
+    w = Window.partitionBy()
+    tt = F.sum("t_b").over(w).cast("long")
+    rt = F.sum("r_b").over(w).cast("long")
     nll_t = F.round(
-        -F.log(
-            (F.coalesce(F.col("t_b"), F.lit(0)) + F.lit(1.0))
-            / (F.col("tt") + b_lit)
-        )
+        -F.log((F.col("t_b") + F.lit(1.0)) / (tt + b_lit))
         * F.lit(1000000.0)
     ).cast("long")
     nll_r = F.round(
-        -F.log(
-            (F.coalesce(F.col("r_b"), F.lit(0)) + F.lit(1.0))
-            / (F.col("rt") + b_lit)
-        )
+        -F.log((F.col("r_b") + F.lit(1.0)) / (rt + b_lit))
         * F.lit(1000000.0)
     ).cast("long")
-    spine = df.sparkSession.range(buckets).select(F.col("id").alias("b"))
-    return (
-        spine.join(raw_c, ["b"], "left")
-        .join(tgt_c, ["b"], "left")
-        .crossJoin(F.broadcast(totals))
-        .select("b", (nll_r - nll_t).alias("lam"))
-    )
+    return dense.select("b", (nll_r - nll_t).alias("lam"))
 
 
 def dsir_score(
@@ -1078,6 +1085,14 @@ def dsir_logweights(
 
     Returns (doc_id, n_feats, logw_micro, log_weight).
     """
+    if df.isStreaming:
+        raise ValueError(
+            "dsir_logweights trains AND scores on the same frame, so it "
+            "requires a BATCH frame; for streaming, fit once with "
+            "dsir_train(batch_corpus, ...) and score the stream with "
+            "dsir_score(stream_df, ..., lam) (stream-static broadcast "
+            "join; batch==stream pinned in test_streaming)."
+        )
     return dsir_score(
         df, text, id_col, dsir_train(df, text, is_target, buckets), buckets
     )

@@ -687,6 +687,33 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 # 235 + 2 − 4 + 1 = 234 registered / demand 46.8, 3.2 slots/round
 # slack, ~11 gates of room to the practical ceiling.
 #
+# r15 window (50 = 42 + 5 + 3), built from the recount
+# (`python scripts/rotation_recount.py 15 --emit-priority`):
+# (c) the 42 r10-vintage due queries lead; then
+# (b) the 5 first rows: the three r14-forecast differential-tier gates
+#     (samp_dsir_logweights, txt_lm_mkn_zipf, str_family — vouched in
+#     tests/test_r15_gate_candidates.py) plus the two end-of-r14
+#     consolidation unions (mm_media_family = mm_{audio_features,
+#     video_frames,frame_sample} 3→1, dedup_passage_family =
+#     dedup_passage_{keep_list,apply} 2→1 — every member value survives
+#     verbatim; members' r13 rows stay valid through r17); then
+# (a) the 3 re-entries the word_ngrams O(L²) barrier fix requires
+#     (standing pairing rule — executed path changed since last row):
+#     txt_decontaminate (r13 row; contaminated_docs now routes the
+#     token array through materialize_tokens — 172 s → re-measured at
+#     sf10 this round), dedup_span_cuts_family (r14 row;
+#     duplicate_span_cuts same change), txt_ngram_novelty (r11 row;
+#     ngram_novelty same change). The other two barrier-fix callers —
+#     txt_gopher_rules and dedup_shared_spans — already sit in the due
+#     42, so the pairing is fully honored inside 50 slots.
+# CAPACITY (r15): the VERDICT r14 "What's wrong #2" 51-slot overflow
+# (47 due + 3 first + 1 txt_decontaminate re-entry) was resolved
+# end-of-r14 by the mm 3→1 and passage 2→1 consolidations: registry
+# 234 → 231, and five of the would-be-due names collapsed into the
+# two family unions, shrinking the due cohort 47 → 42. Recount at
+# r15: demand 231/5 = 46.2 slots/round, 3.8 slack; room for ~14 more
+# gates to the practical ceiling (~245) before the next consolidation.
+#
 # r14 window (50 = 37 + 7 + 4 + 2), built from the CORRECTED recount
 # (`python scripts/rotation_recount.py 14 --emit-priority`; the due
 # rule's off-by-one — deadline N-4 instead of N-5 — was VERDICT r13
@@ -716,61 +743,62 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 #     (streaming). r15 forecast: 47 r10-vintage due + the three
 #     differential-tier first rows — inside capacity.
 _PRIORITY: list[str] = [
-    # -- (c) the 37 r9-vintage due queries (recounted r14) --
-    "agg_mode_deterministic",
-    "agg_quantiles",
-    "agg_skew_kurt",
-    "corpus_diff_versions",
-    "dedup_passage_dup_summary",
-    "emb_cluster_medoids",
-    "evt_hourly_anomalies",
-    "evt_hourly_moving_avg",
-    "evt_merged_activity",
-    "evt_retention_cohorts",
-    "evt_sessionize",
-    "grp_group_encounter_order",
-    "grp_partition_chunks",
-    "pack_encoded_shards",
-    "pack_token_sequences",
-    "rel_cube_flag_status",
-    "rel_grouped_percentiles",
-    "rel_price_histogram",
-    "rel_profile_lineitem",
-    "rel_running_customer_revenue",
-    "rel_zorder_bucket_stats",
-    "samp_fixed_k_per_lang",
-    "sem_distinct_first_occurrence",
-    "sem_find_at_negative",
-    "sem_reverse_rotation",
-    "sem_sub_slice",
-    "sem_translate_wraps",
-    "sig_fft100_pad_truncate",
-    "stream_sliding_value_quantiles",
-    "stream_static_enrich",
-    "txt_encode_docs",
-    "txt_fuzzy_vocab_match",
-    "txt_tfidf_keywords",
-    "txt_unigram_cross_entropy",
-    "txt_vocab_ids",
-    "win_slide",
-    "win_tumble",
-    # -- (b) r13 differential-tier first rows --
-    "asof_nearest_family",
-    "dedup_cluster_reps",
+    # -- (c) the 42 r10-vintage due queries (recounted r15) --
+    "agg_basic",
+    "agg_dispersion",
+    "asof_purchase_last_signup",
+    "dedup_bloom_probe",
+    "dedup_shared_spans",
+    "emb_pca_norm_preserved",
+    "evt_funnel_signup_view_purchase",
+    "evt_interval_join_1h",
+    "grp_frequency_profile",
+    "grp_partition_by_sorted",
+    "rel_q1_pricing_summary",
+    "rel_q3_top_revenue",
+    "rel_q5_nation_revenue",
+    "rel_topk_per_segment",
+    "samp_hash_bernoulli",
+    "samp_stratified_by_lang",
+    "sem_bounds",
+    "sem_concatenate",
+    "sem_distinct_comparator",
+    "sem_drop_while",
+    "sem_filter_rebases_idx",
+    "sem_find_at",
+    "sem_flat_explode",
+    "sem_join_str",
+    "sem_limit",
+    "sem_map_preserves_idx",
+    "sem_match_predicates",
+    "sem_skip_preserves_idx",
+    "sem_sort_stable",
+    "sem_take_while",
+    "sig_dft64",
+    "sig_fft_by_window",
+    "sim_embedding_near_dup",
+    "sim_ivf_topk",
+    "sim_lsh_bucket_topk",
+    "sim_pq_train_sampled",
+    "sim_quantized_topk",
+    "txt_bpe_token_count",
+    "txt_fingerprint",
+    "txt_gopher_rules",
+    "txt_lang_id",
+    "txt_quality_score",
+    # -- (b) first rows: r14-forecast differential tier + the two
+    #    end-of-r14 consolidation unions --
+    "dedup_passage_family",
+    "mm_media_family",
+    "samp_dsir_logweights",
+    "str_family",
+    "txt_lm_mkn_zipf",
+    # -- (a) word_ngrams-barrier re-entries (pairing rule; the other
+    #    two callers, txt_gopher_rules + dedup_shared_spans, are in
+    #    the due 42 above) --
+    "txt_decontaminate",
     "dedup_span_cuts_family",
-    "sim_ivfpq_family_topk",
-    "sim_pq_train_family",
-    "txt_lm_kn_scores",
-    "txt_unigram_roundtrip",
-    # -- (a) exact-ratio audit conversions, paired with their rows --
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_prefix_filter",
-    "samp_importance_weights",
-    # -- (a) late-r14 executed-path re-entry (_lm_events barrier) --
-    "txt_lm_perplexity_bands",
-    # -- (c) oldest-vintage backfill (r10), riskiest family first --
-    "stream_funnel_stages",
+    "txt_ngram_novelty",
     # -- WINDOW CUT at position 50. Rotating? Recount first:
     #    `python scripts/rotation_recount.py <next_round>`. --
 ]

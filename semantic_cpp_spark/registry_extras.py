@@ -803,6 +803,14 @@ def asof_nearest_family(spark, sf_dir):
 # row survives verbatim in the tagged union, the medley via a column
 # unpivot so each of its 12 scalars stays an individually-hashed value.)
 
+# NON-NULL INVARIANT (ADVICE r14): every medley scalar below is a
+# TOTAL function of non-null p_name (the -1 / 0 sentinels make the
+# partial ones total), so the oracle's UNPIVOT — which drops NULL
+# cells by default in DuckDB — and the engine's stack() — which keeps
+# them — see identical row sets. Adding a NULLABLE member column here
+# would silently diverge the two sides' row counts: either coalesce
+# the new column to a sentinel on BOTH sides or switch the oracle to
+# an explicit UNION ALL of casts before extending this list.
 _STR_MEDLEY_COLS = [
     "up", "pos_a", "n_a", "snake", "snake2", "rev", "mid", "starts_b",
     "has_ol", "last_ol", "last_a_from5", "cmp_forest",

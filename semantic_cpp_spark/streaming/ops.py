@@ -420,11 +420,13 @@ def use_rocksdb_state_store(spark: SparkSession) -> None:
     Migration note (honest boundary): Spark 4's
     ``transformWithStateInPandas`` (typed ValueState/ListState/MapState +
     timers) is the successor API for the custom stateful trio here; its
-    Python worker requires protobuf, which this container does not ship,
-    so these operators stay on ``applyInPandasWithState`` — the identical
-    state machine on the same state-store providers. The switch is
-    mechanical when protobuf is available: groupBy().transformWithState-
-    InPandas(StatefulProcessor subclass) with the same state tuples.
+    Python worker requires protobuf, which this container does not ship
+    (re-verified r14 AND r15: ``import google.protobuf`` →
+    ModuleNotFoundError, no grpc wheel either), so these operators stay
+    on ``applyInPandasWithState`` — the identical state machine on the
+    same state-store providers. The switch is mechanical when protobuf
+    is available: groupBy().transformWithStateInPandas(StatefulProcessor
+    subclass) with the same state tuples.
     """
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER

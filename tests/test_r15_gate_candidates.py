@@ -27,6 +27,12 @@ CANDIDATES = [
     "txt_lm_mkn_zipf",
     "samp_dsir_logweights",
     "str_family",
+    # end-of-r14 consolidation unions (mm 3→1, passage 2→1): every
+    # member value survives verbatim in the tagged union, so this
+    # differential re-proves each member against DuckDB until the
+    # family's first driver row lands with the r15 window.
+    "mm_media_family",
+    "dedup_passage_family",
 ]
 
 

@@ -14,91 +14,89 @@ import pytest
 
 from semantic_cpp_spark import registry
 
-# Queries that are new (or re-enter on a behavioral change) in round 14 —
+# Queries that are new (or re-enter on a behavioral change) in round 15 —
 # each must sit inside this round's 50-slot driver window for a fresh row.
-TOUCHED_IN_R14 = [
-    # rule-(b) r13 differential-tier first rows (queued in
-    # PRE_VERIFIED_AWAITING_WINDOW since r13; vouched in
-    # tests/test_r14_gate_candidates.py):
-    "asof_nearest_family",
-    "dedup_cluster_reps",
+TOUCHED_IN_R15 = [
+    # rule-(b) first rows: the r14-forecast differential tier plus the
+    # two end-of-r14 consolidation unions (all vouched in
+    # tests/test_r15_gate_candidates.py):
+    "dedup_passage_family",
+    "mm_media_family",
+    "samp_dsir_logweights",
+    "str_family",
+    "txt_lm_mkn_zipf",
+    # rule-(a) re-entries: the word_ngrams O(L²) explode-barrier fix
+    # (end of r14) changed these gates' EXECUTED paths; the standing
+    # pairing rule demands fresh rows in the same window the fix ships.
+    # The other two barrier callers — txt_gopher_rules and
+    # dedup_shared_spans — are r10-vintage and sit in the due cohort.
+    "txt_decontaminate",
     "dedup_span_cuts_family",
-    "sim_ivfpq_family_topk",
-    "sim_pq_train_family",
-    "txt_lm_kn_scores",
-    "txt_unigram_roundtrip",
-    # rule-(a) re-entries: EXECUTED paths changed in r14 (the end-of-r13
-    # exact-ratio audit conversions to stats.ratio_round6):
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_prefix_filter",
-    "samp_importance_weights",
-    # rule-(a), late r14: the _lm_events explode barrier + JM marginal
-    # tables (value-identical, 7.4× at sf10) change this gate's
-    # executed path; it displaced the optional rel_q5 backfill.
-    # txt_lm_kn_scores shares the change and already holds a first-row
-    # slot above; txt_lm_mkn_zipf is vouched in the r15 tier.
-    "txt_lm_perplexity_bands",
+    "txt_ngram_novelty",
 ]
 
-# The 37 r9-vintage queries at the rotation deadline
-# (scripts/rotation_recount.py 14 — the CORRECTED due rule, deadline
-# N-5; see test_rotation_recount_due_rule_matches_span5_invariant).
-R9_VINTAGE_DUE = [
-    "agg_mode_deterministic",
-    "agg_quantiles",
-    "agg_skew_kurt",
-    "corpus_diff_versions",
-    "dedup_passage_dup_summary",
-    "emb_cluster_medoids",
-    "evt_hourly_anomalies",
-    "evt_hourly_moving_avg",
-    "evt_merged_activity",
-    "evt_retention_cohorts",
-    "evt_sessionize",
-    "grp_group_encounter_order",
-    "grp_partition_chunks",
-    "pack_encoded_shards",
-    "pack_token_sequences",
-    "rel_cube_flag_status",
-    "rel_grouped_percentiles",
-    "rel_price_histogram",
-    "rel_profile_lineitem",
-    "rel_running_customer_revenue",
-    "rel_zorder_bucket_stats",
-    "samp_fixed_k_per_lang",
-    "sem_distinct_first_occurrence",
-    "sem_find_at_negative",
-    "sem_reverse_rotation",
-    "sem_sub_slice",
-    "sem_translate_wraps",
-    "sig_fft100_pad_truncate",
-    "stream_sliding_value_quantiles",
-    "stream_static_enrich",
-    "txt_encode_docs",
-    "txt_fuzzy_vocab_match",
-    "txt_tfidf_keywords",
-    "txt_unigram_cross_entropy",
-    "txt_vocab_ids",
-    "win_slide",
-    "win_tumble",
+# The 42 r10-vintage queries at the rotation deadline
+# (scripts/rotation_recount.py 15 — due rule: latest row <= N-5).
+R10_VINTAGE_DUE = [
+    "agg_basic",
+    "agg_dispersion",
+    "asof_purchase_last_signup",
+    "dedup_bloom_probe",
+    "dedup_shared_spans",
+    "emb_pca_norm_preserved",
+    "evt_funnel_signup_view_purchase",
+    "evt_interval_join_1h",
+    "grp_frequency_profile",
+    "grp_partition_by_sorted",
+    "rel_q1_pricing_summary",
+    "rel_q3_top_revenue",
+    "rel_q5_nation_revenue",
+    "rel_topk_per_segment",
+    "samp_hash_bernoulli",
+    "samp_stratified_by_lang",
+    "sem_bounds",
+    "sem_concatenate",
+    "sem_distinct_comparator",
+    "sem_drop_while",
+    "sem_filter_rebases_idx",
+    "sem_find_at",
+    "sem_flat_explode",
+    "sem_join_str",
+    "sem_limit",
+    "sem_map_preserves_idx",
+    "sem_match_predicates",
+    "sem_skip_preserves_idx",
+    "sem_sort_stable",
+    "sem_take_while",
+    "sig_dft64",
+    "sig_fft_by_window",
+    "sim_embedding_near_dup",
+    "sim_ivf_topk",
+    "sim_lsh_bucket_topk",
+    "sim_pq_train_sampled",
+    "sim_quantized_topk",
+    "txt_bpe_token_count",
+    "txt_fingerprint",
+    "txt_gopher_rules",
+    "txt_lang_id",
+    "txt_quality_score",
 ]
 
-# r14 window policy (VERDICT r13 items 1-3 + registry._PRIORITY's
-# capacity plan): 37 r9-vintage due + 7 first rows + 5 rule-(a)
-# re-entries (4 ratio conversions + the late _lm_events-barrier
-# re-entry, which displaced the optional rel_q5 backfill) + 1
-# oldest-vintage (r10) backfill (stream_funnel_stages — riskiest
-# family first) = exactly 50. Nothing is pushed below the cut.
+# r15 window policy (VERDICT r14 items 1-3 + registry._PRIORITY's
+# capacity plan): 42 r10-vintage due + 5 first rows + 3 rule-(a)
+# barrier-fix re-entries = exactly 50. The VERDICT r14 "What's wrong
+# #2" 51-slot overflow was resolved by the end-of-r14 mm 3→1 and
+# passage 2→1 consolidations (due cohort 47 → 42). Nothing is pushed
+# below the cut.
 EXPECTED_SPILL = 0
 
 
-def test_r14_touched_and_due_queries_inside_50_window():
+def test_r15_touched_and_due_queries_inside_50_window():
     window = list(registry.queries())[:50]
-    missing = [n for n in R9_VINTAGE_DUE + TOUCHED_IN_R14 if n not in window]
+    missing = [n for n in R10_VINTAGE_DUE + TOUCHED_IN_R15 if n not in window]
     assert not missing, f"outside driver window: {missing}"
-    # the policy deadline: the 37 due queries LEAD the window
-    assert window[:37] == R9_VINTAGE_DUE
+    # the policy deadline: the 42 due queries LEAD the window
+    assert window[:42] == R10_VINTAGE_DUE
 
 
 def test_priority_names_all_exist():
@@ -126,24 +124,19 @@ def test_priority_fills_the_window_exactly():
 # have such a test; test_awaiting_window_names_have_differential_tests
 # enforces the pairing so this set cannot silently become a skip list.
 PRE_VERIFIED_AWAITING_WINDOW = {
-    # the seven r13-queued names above hold r14 window slots (their
-    # rows arrive with this round's gate run); they stay listed until
-    # those rows are committed so a driver failure cannot silently
-    # orphan them.
-    "dedup_span_cuts_family": "tests/test_r14_gate_candidates.py",
-    "asof_nearest_family": "tests/test_r14_gate_candidates.py",
-    "sim_pq_train_family": "tests/test_r14_gate_candidates.py",
-    "sim_ivfpq_family_topk": "tests/test_r14_gate_candidates.py",
-    "txt_unigram_roundtrip": "tests/test_r14_gate_candidates.py",
-    "txt_lm_kn_scores": "tests/test_r14_gate_candidates.py",
-    "dedup_cluster_reps": "tests/test_r14_gate_candidates.py",
-    # registered past the r14 cut (r15 rule-(b) forecast):
+    # (the seven r13-queued family gates got their first driver rows in
+    # the committed CORRECTNESS_r14.json and have left this set.)
+    # registered past the r14 cut, holding r15 rule-(b) slots:
     "txt_lm_mkn_zipf": "tests/test_r15_gate_candidates.py",
     "samp_dsir_logweights": "tests/test_r15_gate_candidates.py",
     # r14 consolidation: carries the four str_ members' obligations
     # (their r13 rows stay valid through r17; the family first row
     # should land well before then)
     "str_family": "tests/test_r15_gate_candidates.py",
+    # end-of-r14 consolidations (mm 3→1, passage 2→1): members' r13
+    # rows stay valid through r17; family first rows land r15.
+    "mm_media_family": "tests/test_r15_gate_candidates.py",
+    "dedup_passage_family": "tests/test_r15_gate_candidates.py",
 }
 
 
@@ -211,7 +204,17 @@ def test_rotation_invariant_no_row_older_than_4_rounds():
     get a fresh row) or in the documented EXPECTED_SPILL section of
     _PRIORITY — otherwise its row ages out of the span-5 validity
     window unrefreshed. Dynamic over the committed artifacts (the old
-    hardcoded `r <= 4` form stopped checking anything after r9)."""
+    hardcoded `r <= 4` form stopped checking anything after r9).
+
+    DESIGNED TRIPWIRE (ADVICE r14 raised it, VERDICT r14 "What's
+    wrong #1" adjudicated it): the moment the round-N driver artifacts
+    are committed, this test goes red until _PRIORITY is rotated to
+    the round-N+1 window — one round TIGHTER than the recount's
+    deadline, deliberately: it makes building the next window the
+    unskippable FIRST act of every round. The enforced policy is
+    therefore "the first commit of round N+1 rotates the window",
+    not "artifacts and rotation land together" (the driver commits
+    artifacts itself, so same-commit is impossible)."""
     latest, max_round = _latest_rows()
     window = set(list(registry.queries())[:50])
     spill = set(registry._PRIORITY[50:])
