@@ -61,7 +61,19 @@ EVENTS_SPAN_US = 30 * DAY_US  # 2024-01-01 .. 2024-01-30
 
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    # SPLITTABLE row groups (r15): pyarrow's default wrote one row group
+    # per table — Spark cannot split inside a row group, so every
+    # per-doc-heavy gate ran its Arrow kernel in ONE task at the
+    # step-up scales (measured: txt_unigram_roundtrip 13.3 s at sf1.0
+    # single-group vs >14 min single-task at sf10). A 100 TB corpus
+    # arrives as thousands of ~128 MB splittable files; 64k-row groups
+    # reproduce that input shape at fixture scale. (The driver's own
+    # sf≤0.1 fixtures stay single-group — small enough not to matter.)
+    pq.write_table(
+        table,
+        os.path.join(out_dir, f"{name}.parquet"),
+        row_group_size=65536,
+    )
     print(f"  {name}: {table.num_rows} rows")
 
 

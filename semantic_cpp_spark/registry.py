@@ -740,8 +740,12 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 #     and is due r15 anyway; then
 # (c) 1 spare slot backfills the oldest vintage (r10), riskiest
 #     family first per the standing policy: stream_funnel_stages
-#     (streaming). r15 forecast: 47 r10-vintage due + the three
-#     differential-tier first rows — inside capacity.
+#     (streaming). [Its "r15 forecast: 47 due + 3 first rows — inside
+#     capacity" was WRONG by one slot — it omitted the
+#     txt_decontaminate rule-(a) re-entry the queued word_ngrams fix
+#     pairs with (VERDICT r14 "What's wrong #2"); resolved end-of-r14
+#     by the mm/passage consolidations, corrected arithmetic in the
+#     r15 block above.]
 _PRIORITY: list[str] = [
     # -- (c) the 42 r10-vintage due queries (recounted r15) --
     "agg_basic",
