@@ -267,15 +267,21 @@ def contaminated_docs(
 
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     base = materialize_tokens(df, toks, {"doc_id": id_col})
+    # Per-doc span dedup happens MAP-SIDE (array_distinct on the n-gram
+    # array) — the corpus side previously paid a full (doc_id, span)
+    # dropDuplicates exchange of every span string just to enforce an
+    # intra-row-derivable property (r15; guide §2.4). The corpus branch
+    # is now exchange-free until the per-doc count's partial aggregate.
     spans = base.select(
-        "doc_id", F.explode(word_ngrams(F.col("__toks"), n)).alias("span")
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("__toks"), n))).alias(
+            "span"
+        ),
     )
     bench = (
         spans.filter(F.col("doc_id").isin(bench_ids)).select("span").distinct()
     )
-    corpus = spans.filter(~F.col("doc_id").isin(bench_ids)).dropDuplicates(
-        ["doc_id", "span"]
-    )
+    corpus = spans.filter(~F.col("doc_id").isin(bench_ids))
     return (
         corpus.join(F.broadcast(bench), "span")
         .groupBy("doc_id")

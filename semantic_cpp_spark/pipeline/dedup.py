@@ -779,12 +779,15 @@ def shared_spans(
 
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     base = materialize_tokens(df, toks, {"doc_id": id_col})
-    ex = (
-        base.select(
-            "doc_id",
-            F.explode(word_ngrams(F.col("__toks"), span_words)).alias("span"),
-        )
-        .dropDuplicates(["doc_id", "span"])
+    # Per-doc distinct via array_distinct on the n-gram array — map-side,
+    # replacing a corpus-scale dropDuplicates exchange on (doc_id, span)
+    # whose dedup key never crossed rows (r15; guide §2.4). The only
+    # remaining exchange is the per-span groupBy's.
+    ex = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("__toks"), span_words))
+        ).alias("span"),
     )
     return (
         ex.groupBy("span")

@@ -944,8 +944,15 @@ def lm_train_kn_trigram(df: DataFrame, text: Column) -> KNTrigramLM:
         "w",
         (F.col("cc1").cast("double") / F.col("n_bigram_types")).alias("p1"),
     )
-    totals = ev.agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
+    # totals as EXACT integer marginals of the trigram TYPE table — the
+    # same derivation discipline as every other model table (r15): the
+    # trigram types partition the events, so Σc3 = n_events and
+    # distinct w over types = distinct w over events. The previous
+    # ev.agg() form re-derived the corpus-scale explode a second time
+    # (ReusedExchange cannot fire: an aggregate over the raw event
+    # stream shares no exchange with the trigram count).
+    totals = tri_c.agg(
+        F.sum("c3").cast("long").alias("n_events"),
         F.count_distinct(F.col("w")).cast("long").alias("v_types"),
     )
     return KNTrigramLM(tri=tri, h2=h2, big=big, h1=h1, uni=uni, totals=totals)
@@ -1184,8 +1191,15 @@ def lm_train_mkn_trigram(df: DataFrame, text: Column) -> KNTrigramLM:
         "w",
         (F.col("cc1").cast("double") / F.col("n_bigram_types")).alias("p1"),
     )
-    totals = ev.agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
+    # totals as EXACT integer marginals of the trigram TYPE table — the
+    # same derivation discipline as every other model table (r15): the
+    # trigram types partition the events, so Σc3 = n_events and
+    # distinct w over types = distinct w over events. The previous
+    # ev.agg() form re-derived the corpus-scale explode a second time
+    # (ReusedExchange cannot fire: an aggregate over the raw event
+    # stream shares no exchange with the trigram count).
+    totals = tri_c.agg(
+        F.sum("c3").cast("long").alias("n_events"),
         F.count_distinct(F.col("w")).cast("long").alias("v_types"),
     )
     return KNTrigramLM(tri=tri, h2=h2, big=big, h1=h1, uni=uni, totals=totals)

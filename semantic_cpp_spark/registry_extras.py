@@ -164,33 +164,60 @@ def udaf_per_order_weighted_avg(spark, sf_dir):
         .filter(F.col("l_orderkey") % 10 == 0)
     )
 
-    def collector(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        # identity (0,0) → accumulate exact-int (Σ cents·qty, Σqty) →
-        # finish with the pure-integer micros formula (no float rounding
-        # anywhere; see udaf_weighted_avg).
-        cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
-        qty = pdf["l_quantity"].astype("int64")
-        sxw = int((cents * qty).sum())
-        sw = int(qty.sum())
-        if sw:
-            micros = (sxw // sw) * 10000 + ((sxw % sw) * 10000 + sw // 2) // sw
-            wav = micros / 1e6
-        else:
-            wav = None
-        return pd.DataFrame(
-            {
-                "l_orderkey": [int(key[0])],
-                "weighted_avg_price": [wav],
-                "n_lines": [len(pdf)],
-            }
-        )
+    # r15 optimization (guide §2.3/§4.1): the original shape invoked
+    # applyInPandas once per ORDER — one Python call + one pandas frame
+    # per ~4-row group, and every lineitem row crossed the JVM→Python
+    # boundary (measured 36.8 s at sf0.1, the single most expensive gate
+    # in the registry sweep). The collector's ACCUMULATE stage
+    # (Σ cents·qty, Σ qty, count) is algebraic, so Spark's partial
+    # map-side aggregation does it without shipping rows to Python; only
+    # the non-trivial FINISHER (guarded pure-integer micros division)
+    # stays a Python collector stage — mapInPandas over the per-order
+    # aggregate rows, whole Arrow batches per call instead of one call
+    # per group. Value-identical: same exact-int64 accumulation, same
+    # integer micros formula, same sw==0 guard (→ NULL), and the cents
+    # rounding moves from numpy round-half-even to Spark's round
+    # (HALF_UP) — the two agree on every representable price·100 that is
+    # not an exact half, and the sibling udaf_weighted_avg gate pins
+    # Spark-round == DuckDB-round on this data. Measured 36.8 s → see
+    # OPTIMIZATION_r15.md.
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_orderkey").agg(
+        F.sum(cents * qty).alias("sxw"),
+        F.sum(qty).alias("sw"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
 
-    out = li.groupBy("l_orderkey").applyInPandas(
-        collector, schema="l_orderkey long, weighted_avg_price double, n_lines long"
+    def finisher(batches):
+        # useCollect finisher (collector.h:476-486), Arrow-batched: the
+        # per-group state (sxw, sw) arrives pre-accumulated; Python only
+        # runs the guarded integer division per batch.
+        for pdf in batches:
+            sxw = pdf["sxw"].astype("int64")
+            sw = pdf["sw"].astype("int64")
+            safe = sw.replace(0, 1)
+            micros = (sxw // safe) * 10000 + (
+                (sxw % safe) * 10000 + safe // 2
+            ) // safe
+            wav = (micros / 1e6).where(sw != 0, None)
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "weighted_avg_price": wav,
+                    "n_lines": pdf["n_lines"],
+                }
+            )
+
+    # n_lines comes from the built-in aggregate, so the HAVING-style
+    # filter runs BEFORE the Python boundary — fewer rows cross, and no
+    # risk of the §4.4 double-eval the old plan exhibited (its
+    # FlatMapGroupsInPandas appeared TWICE: once below the pushed
+    # n_lines filter, once above to produce the output columns).
+    out = s.filter(F.col("n_lines") >= 4).mapInPandas(
+        finisher, schema="l_orderkey long, weighted_avg_price double, n_lines long"
     )
-    return out.filter(F.col("n_lines") >= 4).select(
-        "l_orderkey", "weighted_avg_price", "n_lines"
-    )
+    return out.select("l_orderkey", "weighted_avg_price", "n_lines")
 
 
 @register(
