@@ -731,6 +731,22 @@ def _lm_events(df: DataFrame, text: Column, id_col: Column | None) -> DataFrame:
     )
 
 
+def _require_batch(df: DataFrame, trainer: str, scorer: str) -> None:
+    """LM training is multi-pass batch work (the type table is
+    localCheckpointed, and every marginal re-reads it); a streaming
+    frame would only fail deep in execution with an engine error.
+    Raise the descriptive error up front — the supported split is
+    train-on-static-reference, score-the-stream (the scorers keep a
+    stream-legal join path)."""
+    if df.isStreaming:
+        raise ValueError(
+            f"{trainer} requires a batch DataFrame (model tables are "
+            "multi-pass aggregates materialized via localCheckpoint). "
+            f"Train on a static reference corpus and score the stream "
+            f"with {scorer}."
+        )
+
+
 def lm_train_trigram(df: DataFrame, text: Column) -> TrigramLM:
     """Train the interpolated trigram LM (Jelinek-Mercer mixing of ML
     trigram/bigram/unigram estimates; the smoothing happens at SCORE
@@ -754,10 +770,23 @@ def lm_train_trigram(df: DataFrame, text: Column) -> TrigramLM:
     model-side; the totals row is a 1-row aggregate. At 100 TB the
     n-gram tables scale with corpus content, so scoring joins
     co-partition on the n-gram key rather than broadcasting (see
-    lm_score_trigram)."""
+    lm_score_trigram).
+
+    The type table is MATERIALIZED (localCheckpoint) before the
+    marginals derive from it (r15): a DataFrame referenced N times is
+    recomputed N times within one plan, and tri_c is referenced by
+    every model table — the captured before-plan showed 16 parquet
+    scans / 32 Generates for the perplexity gate because each
+    reference replayed the corpus event build. Materializing the
+    model-sized type table makes the corpus explode+count run exactly
+    once per training call (measured 7.44 → 5.87 s at sf1.0 on the
+    full perplexity path, value-identical)."""
+    _require_batch(df, "lm_train_trigram", "lm_score_trigram")
     ev = _lm_events(df, text, None)
-    tri_c = ev.groupBy("u", "v", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("c3")
+    tri_c = (
+        ev.groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+        .localCheckpoint()
     )
     h2 = tri_c.groupBy("u", "v").agg(F.sum("c3").cast("long").alias("ch2"))
     tri = tri_c.join(h2, ["u", "v"]).select(
@@ -807,18 +836,25 @@ def lm_score_trigram(
 
     Output: (doc_id, n_tokens, nll_micro, cross_entropy).
 
-    Plan: three LEFT joins of the event stream against the model
-    tables, each co-partitioned on its n-gram key (the tables scale
-    with corpus content — broadcasting them is wrong at 100 TB); the
-    totals row broadcasts; the per-doc rollup is one aggregation."""
+    Plan (batch, r15): the per-event NLL is a pure function of the
+    trigram TYPE (u, v, w) — so the model joins run over the scoring
+    corpus's DISTINCT types (model-sized), the per-type NLL is
+    computed once, and ONE join attaches it back to the event stream
+    (guide §2.3/§2.4: the three corpus-scale model joins and their
+    per-event log() collapse to type-scale work plus a single
+    corpus join; measured 1.97 → 1.42 s at sf1.0 on the perplexity
+    path, value-identical — the int64 micro-rounded NLL makes
+    Σ of m copies equal m·nll exactly).
+
+    Plan (streaming): the original shape — three stream-static LEFT
+    joins of the event stream against the model tables, co-partitioned
+    on their n-gram keys (a distinct over a stream is stateful and the
+    type table would make the final attach a stream-stream join, so
+    the type-level rewrite is batch-only); the totals row broadcasts;
+    the per-doc rollup is one aggregation. Both paths produce
+    identical values (pinned batch==stream in test_streaming)."""
     l3, l2, l1, l0 = lambdas
     ev = _lm_events(df, text, id_col)
-    joined = (
-        ev.join(lm.tri, ["u", "v", "w"], "left")
-        .join(lm.big, ["v", "w"], "left")
-        .join(lm.uni, ["w"], "left")
-        .crossJoin(F.broadcast(lm.totals.select("v_types")))
-    )
     p = (
         F.lit(l3) * F.coalesce(F.col("p3"), F.lit(0.0))
         + F.lit(l2) * F.coalesce(F.col("p2"), F.lit(0.0))
@@ -826,8 +862,37 @@ def lm_score_trigram(
         + F.lit(l0) * (F.lit(1.0) / (F.col("v_types") + F.lit(1.0)))
     )
     nll = F.round(-F.log(p) * F.lit(1000000.0)).cast("long")
+    if df.isStreaming:
+        joined = (
+            ev.join(lm.tri, ["u", "v", "w"], "left")
+            .join(lm.big, ["v", "w"], "left")
+            .join(lm.uni, ["w"], "left")
+            .crossJoin(F.broadcast(lm.totals.select("v_types")))
+        )
+        per_event = joined.select("doc_id", nll.alias("nll"))
+    else:
+        types = ev.select("u", "v", "w").distinct()
+        tnll = (
+            types.join(lm.tri, ["u", "v", "w"], "left")
+            .join(lm.big, ["v", "w"], "left")
+            .join(lm.uni, ["w"], "left")
+            .crossJoin(F.broadcast(lm.totals.select("v_types")))
+            .select("u", "v", "w", nll.alias("nll"))
+        )
+        # inner join: types is exactly the distinct (u, v, w) of ev,
+        # so every event matches exactly one row — no event gained or
+        # lost. SHUFFLE_HASH with the type table as build side: the
+        # planner's size estimate for the event stream (scan bytes,
+        # blind to the explode fan-out) can fall under the broadcast
+        # threshold and it then broadcasts the CORPUS side — measured
+        # as a 7M-event BroadcastExchange at sf1.0 whose driver-memory
+        # churn tripled the next gate in the same session; the hint
+        # pins the scale-correct co-partitioned shape (guide §3.1).
+        per_event = ev.join(
+            tnll.hint("shuffle_hash"), ["u", "v", "w"]
+        ).select("doc_id", "nll")
     return (
-        joined.select("doc_id", nll.alias("nll"))
+        per_event
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -894,11 +959,17 @@ def lm_train_kn_trigram(df: DataFrame, text: Column) -> KNTrigramLM:
     trigrams), so the KN extras cost model-side groupBys, not extra
     corpus passes. At 100 TB the n-gram tables co-partition at score
     time exactly like the JM model (they scale with corpus content —
-    never broadcast)."""
+    never broadcast). tri_c is localCheckpointed before the
+    continuation tables derive from it — see lm_train_trigram (r15):
+    one corpus event build per training call instead of one per
+    table reference."""
+    _require_batch(df, "lm_train_kn_trigram", "lm_score_kn_trigram")
     d = KN_DISCOUNT
     ev = _lm_events(df, text, None)
-    tri_c = ev.groupBy("u", "v", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("c3")
+    tri_c = (
+        ev.groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+        .localCheckpoint()
     )
     h2c = tri_c.groupBy("u", "v").agg(
         F.sum("c3").cast("long").alias("ch2"),
@@ -981,20 +1052,40 @@ def lm_score_kn_trigram(
     ratio_round6 idiom).  Output (doc_id, n_tokens, nll_micro,
     cross_entropy).
 
-    Plan: four LEFT joins of the event stream against the model
-    tables, each co-partitioned on its n-gram key (content-sized —
-    broadcasting them is wrong at 100 TB; the per-event totals row
-    broadcasts); one per-doc rollup."""
+    Plan (batch, r15): the per-event NLL is a pure function of the
+    trigram TYPE — the five model joins run over the scoring corpus's
+    DISTINCT (u, v, w) types, the backoff recursion and log() evaluate
+    once per type, and ONE join attaches the per-type NLL back to the
+    event stream (guide §2.3/§2.4; see lm_score_trigram — the same
+    rewrite, here saving five corpus-scale joins instead of three).
+
+    Plan (streaming): the original five stream-static LEFT joins,
+    co-partitioned on their n-gram keys (type-level scoring is
+    batch-only: stream distinct is stateful and the attach would be a
+    stream-stream join); the totals row broadcasts; one per-doc
+    rollup. Both paths produce identical values (pinned batch==stream
+    in test_streaming)."""
     lam = float(floor_lambda)
     ev = _lm_events(df, text, id_col)
-    joined = (
-        ev.join(lm.tri, ["u", "v", "w"], "left")
-        .join(lm.h2, ["u", "v"], "left")
-        .join(lm.big, ["v", "w"], "left")
-        .join(lm.h1, ["v"], "left")
-        .join(lm.uni, ["w"], "left")
-        .crossJoin(F.broadcast(lm.totals.select("v_types")))
-    )
+    if df.isStreaming:
+        joined = (
+            ev.join(lm.tri, ["u", "v", "w"], "left")
+            .join(lm.h2, ["u", "v"], "left")
+            .join(lm.big, ["v", "w"], "left")
+            .join(lm.h1, ["v"], "left")
+            .join(lm.uni, ["w"], "left")
+            .crossJoin(F.broadcast(lm.totals.select("v_types")))
+        )
+    else:
+        joined = (
+            ev.select("u", "v", "w").distinct()
+            .join(lm.tri, ["u", "v", "w"], "left")
+            .join(lm.h2, ["u", "v"], "left")
+            .join(lm.big, ["v", "w"], "left")
+            .join(lm.h1, ["v"], "left")
+            .join(lm.uni, ["w"], "left")
+            .crossJoin(F.broadcast(lm.totals.select("v_types")))
+        )
     p1f = F.coalesce(F.col("p1"), F.lit(0.0))
     p2f = F.when(
         F.col("gamma2").isNotNull(),
@@ -1009,8 +1100,20 @@ def lm_score_kn_trigram(
         + F.lit(lam) * (F.lit(1.0) / (F.col("v_types") + F.lit(1.0)))
     )
     nll = F.round(-F.log(p) * F.lit(1000000.0)).cast("long")
+    if df.isStreaming:
+        per_event = joined.select("doc_id", nll.alias("nll"))
+    else:
+        tnll = joined.select("u", "v", "w", nll.alias("nll"))
+        # inner join: the type table is exactly the distinct (u, v, w)
+        # of ev — every event matches exactly one row. SHUFFLE_HASH
+        # with the type table as build side, for the same reason as
+        # lm_score_trigram: the planner's under-estimate of the event
+        # stream otherwise broadcasts the CORPUS side.
+        per_event = ev.join(
+            tnll.hint("shuffle_hash"), ["u", "v", "w"]
+        ).select("doc_id", "nll")
     return (
-        joined.select("doc_id", nll.alias("nll"))
+        per_event
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -1106,10 +1209,15 @@ def lm_train_mkn_trigram(df: DataFrame, text: Column) -> KNTrigramLM:
 
     Plan: identical to lm_train_kn_trigram plus two 1-row
     count-of-count aggregates over the model-sized type tables, each
-    broadcast back — no new corpus-scale work."""
+    broadcast back — no new corpus-scale work. tri_c is
+    localCheckpointed before the discounts and continuation tables
+    derive from it — see lm_train_trigram (r15)."""
+    _require_batch(df, "lm_train_mkn_trigram", "lm_score_kn_trigram")
     ev = _lm_events(df, text, None)
-    tri_c = ev.groupBy("u", "v", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("c3")
+    tri_c = (
+        ev.groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+        .localCheckpoint()
     )
     d3lvl = _mkn_discounts(tri_c, "c3")
 

@@ -5408,7 +5408,15 @@ def txt_lm_perplexity_bands(spark, sf_dir):
     tr = docs.filter(F.col("doc_id") % 5 != 0)
     te = docs.filter(F.col("doc_id") % 5 == 0)
     lm = retrieval.lm_train_trigram(tr, F.col("text"))
-    scored = retrieval.lm_score_trigram(te, F.col("text"), F.col("doc_id"), lm)
+    # quality_bands consumes its input twice (the tercile-cut aggregate
+    # and the banding pass) — without materializing, the cut branch
+    # replays the entire train+score subtree (r15, guide §2.4/§5: the
+    # before-plan held 16 parquet scans; scored is DOC-scale, so the
+    # checkpoint holds one small row per held-out doc, never corpus
+    # bytes; measured 5.87 → 1.97 s at sf1.0, value-identical).
+    scored = retrieval.lm_score_trigram(
+        te, F.col("text"), F.col("doc_id"), lm
+    ).localCheckpoint()
     banded = curation.quality_bands(
         scored, F.col("cross_entropy"), cuts=(1.0 / 3.0, 2.0 / 3.0)
     )
