@@ -1268,11 +1268,22 @@ def ngram_novelty(df, text: Column, id_col, span_words: int = 5):
     recycled content even when no single pair crosses a Jaccard
     threshold). Returns (doc_id, n_spans, n_seen_before, novelty).
 
-    Scale shape: same explode → per-doc distinct → groupBy as
-    shared_spans, but every exchange is keyed on the span's 60-bit md5
-    HASH, not its text — the span string never shuffles (measured 1.3×
-    at sf1.0; the win grows with span width). A 60-bit collision merges
-    two spans' first-occurrence records (P ≈ n²/2⁶¹ — ~10⁻⁷ at 10⁶
+    Scale shape (r15, guide §2.3/§2.4): per-doc span dedup happens
+    MAP-SIDE (array_distinct over the per-element span hashes — the
+    dedup key never crossed rows, so the old (doc_id, h)
+    dropDuplicates exchange bought nothing), and the span-hash stream
+    is then repartitioned ONCE on h: that single exchange is shared
+    by both consumers (the first-occurrence groupBy and the join-back
+    probe side need exactly the same (doc_id, h) columns, so
+    ReusedExchange fires and the explode+md5 work runs once), the
+    groupBy(h) and the join need no further shuffle, and the final
+    per-doc rollup partial-aggregates map-side. Old shape: a
+    corpus-scale dedup exchange plus a second corpus-scale probe-side
+    exchange; new shape: ONE corpus exchange of 16-byte rows.
+
+    Exchanges are keyed on the span's 60-bit md5 HASH, not its text —
+    the span string never shuffles. A 60-bit collision merges two
+    spans' first-occurrence records (P ≈ n²/2⁶¹ — ~10⁻⁷ at 10⁶
     distinct spans); the md5 derivation is mirrored in the oracle, so
     the differential gate still hash-matches exactly. The token array
     rides a materialize_tokens barrier before the per-element n-gram
@@ -1281,15 +1292,15 @@ def ngram_novelty(df, text: Column, id_col, span_words: int = 5):
 
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     base = materialize_tokens(df, toks, {"doc_id": id_col})
-    h = F.conv(F.substring(F.md5(F.col("span")), 1, 15), 16, 10).cast("long")
-    ex = (
-        base.select(
-            "doc_id",
-            F.explode(word_ngrams(F.col("__toks"), span_words)).alias("span"),
+    arr = F.array_distinct(
+        F.transform(
+            word_ngrams(F.col("__toks"), span_words),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            ),
         )
-        .select("doc_id", h.alias("h"))
-        .dropDuplicates(["doc_id", "h"])
     )
+    ex = base.select("doc_id", F.explode(arr).alias("h")).repartition("h")
     first = ex.groupBy("h").agg(F.min("doc_id").alias("__first"))
     flagged = ex.join(first, "h")
     seen = F.col("__first") < F.col("doc_id")
