@@ -104,23 +104,52 @@ def pca_project(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Project vectors onto fitted components: centred dot products with
-    the component matrix folded into literal arrays — pure JVM map,
-    zero shuffle, no Python. Output (vec_id, proj array<double>)."""
-    centred = F.zip_with(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")),
-        F.array(*[F.lit(m) for m in mean]),
-        lambda x, m: x - m,
+    """Project vectors onto fitted components — one Arrow-batched numpy
+    matrix product per batch (r15, guide §4.2). The previous shape
+    folded the k×dims component matrix into literal expression trees
+    (k·dims literals — 4096 at the full-rank k=64 gate), whose codegen
+    and per-row interpreted evaluation made emb_pca_norm_preserved one
+    of the slowest gates in the registry sweep (6.1 → ~1.5 s at
+    sf0.1). The kernel replays the EXACT float semantics of the old
+    zip_with/dot expressions: centring is the same elementwise
+    subtract, and each projection accumulates its dims terms in the
+    same ascending-j sequential fold (one vectorized add per j, all
+    components at once), so every output double is bit-identical —
+    emb_pca_project's 6dp-rounded oracle hash stays exact. Zero
+    shuffle, model-sized (k×dims) closure state. Output
+    (vec_id, proj array<double>)."""
+    import numpy as np
+
+    mean_np = np.asarray(mean, dtype=np.float64)
+    W = np.stack([np.asarray(c, dtype=np.float64) for c in components])
+    dims = len(mean_np)
+    k = len(components)
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["__v"].to_numpy())
+            Xc = X - mean_np
+            P = np.zeros((len(Xc), k))
+            for j in range(dims):
+                P = P + Xc[:, j:j + 1] * W[None, :, j]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "proj": [row.tolist() for row in P],
+                }
+            )
+
+    out = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
-    out = df.select(F.col(id_col).alias("vec_id"), centred.alias("__c"))
-    projs = [
-        dot(F.col("__c"), F.array(*[F.lit(w) for w in comp])).alias(f"p{i}")
-        for i, comp in enumerate(components)
-    ]
-    wide = out.select("vec_id", *projs)
-    return wide.select(
-        "vec_id",
-        F.array(*[F.col(f"p{i}") for i in range(len(components))]).alias("proj"),
+    id_type = out.schema["vec_id"].dataType.simpleString()
+    return out.mapInPandas(
+        project, schema=f"vec_id {id_type}, proj array<double>"
     )
 
 

@@ -454,13 +454,16 @@ def test_cms_probe_is_broadcast_and_build_is_bounded_groupby(spark, qs):
 
 
 def test_pca_project_stays_exchange_free_after_power_fit(spark, qs):
-    """emb_pca_project's scoring path contract survives the r8 oracle
-    rewrite: after the covariance/power-fit (driver model state), the
-    projection itself is a literal-matrix narrow map — the exploded
-    output plan holds no exchange and no Python."""
+    """emb_pca_project's scoring path contract: after the
+    covariance/power-fit (driver model state), the projection is a
+    narrow map — no exchange anywhere. Since r15 the map is ONE
+    Arrow-batched numpy kernel (guide §4.2 — the k·dims literal
+    expression tree was the slow part), so exactly one MapInPandas
+    node and no row-at-a-time BatchEvalPython is the pinned shape."""
     plan = _plan(qs["emb_pca_project"](spark, SF))
     assert "Exchange" not in plan
-    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
 
 
 def test_semdedup_scaled_no_cartesian_beyond_broadcast_routing(spark, qs):
