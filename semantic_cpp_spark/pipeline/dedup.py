@@ -33,9 +33,16 @@ MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_HASHES)]
 SIMHASH_BITS = 60  # 15 hex digits of md5 — stays positive in int64
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of the whitespace-tokenised text."""
-    t = tokens(col)
+def shingles_t(t: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a token-array ATTRIBUTE ``t``.
+
+    ``t`` MUST be a real attribute on any per-document hot path: the
+    per-element ``slice(t, i+1, k)`` re-inlines an expression-valued
+    ``t`` under projection collapse — O(L²) re-tokenizations per doc
+    (the word_ngrams/_lm_events trap, found HERE in r15: the r14
+    repo-wide audit missed this site, and exploded_shingles measured
+    9.7 s for 260k shingle rows at sf0.1 — ~20× the linear build).
+    Route through text.materialize_tokens first."""
     n = F.size(t)
     idxs = F.sequence(F.lit(0), n - k)
     sh = F.transform(
@@ -45,6 +52,14 @@ def shingles(col: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the whitespace-tokenised text.
+    O(L²) on any hot path (see shingles_t) — kept only for tiny/test
+    inputs; every corpus-scale caller uses materialize_tokens +
+    shingles_t."""
+    return shingles_t(tokens(col), k)
 
 
 def shingle_hash(col: Column) -> Column:
@@ -78,13 +93,25 @@ def exploded_shingles(df: DataFrame, text: Column, id_col: Column, k: int = 3) -
     # oracles mirror the same derivation, so the differential gate stays
     # hash-exact regardless.
     n = df.sparkSession.sparkContext.defaultParallelism
-    sh = shingles(text, k)
+    from semantic_cpp_spark.pipeline.text import materialize_tokens
+
+    # Two explode(array(.)) barriers (r15): the first materializes the
+    # token array (the shingles_t O(L²) guard), the second the shingle
+    # array itself — size() and explode() below both reference it, and
+    # without the barrier each reference re-runs the
+    # transform+array_distinct build.
+    base = materialize_tokens(
+        df.repartition(n), tokens(text), {"doc_id": id_col}
+    )
+    witharr = base.select(
+        "doc_id",
+        F.explode(F.array(shingles_t(F.col("__toks"), k))).alias("__sh"),
+    )
     return (
-        df.repartition(n)
-        .select(
-            id_col.alias("doc_id"),
-            F.size(sh).alias("n_sh"),
-            F.explode(sh).alias("sh"),
+        witharr.select(
+            "doc_id",
+            F.size("__sh").alias("n_sh"),
+            F.explode("__sh").alias("sh"),
         )
         .withColumn(
             "sh", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
@@ -112,8 +139,18 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_df=None`` disables the cap (exact Jaccard over all
     shingles — quadratic on corpora with heavy shingle reuse).
-    """
-    ex = exploded_shingles(df, text, id_col, k)
+
+    The hashed shingle table is MATERIALIZED once (localCheckpoint —
+    r15, guide §8's "write the fingerprint table once" / §2.4): it is
+    consumed by the df count, the anti-join probe, the per-doc sizes,
+    the sizes join-back, and BOTH self-join sides — as lazy lineage
+    each reference re-ran the scan+shingle+md5 build (8 leaf
+    occurrences in the final plan). The materialized rows are the
+    16-byte-key proxies, never document text; the capped/sized
+    lineage above the checkpoint stays lazy so its anti-join/sizes
+    shapes remain visible in the final plan (plan-pinned) and
+    runtime stage reuse dedupes the identical a/b subtrees."""
+    ex = exploded_shingles(df, text, id_col, k).localCheckpoint()
     if max_shingle_df is not None:
         # The HOT set (df > cap) is small by construction — broadcast it
         # and anti-join, instead of shuffling the full shingle table
@@ -182,8 +219,11 @@ def containment_pairs(
     self-join (a shingle in f docs contributes f² pairs). The directed
     form emits both (d1,d2) and (d2,d1) candidates — 2× the join output
     of the '<'-ordered form, same asymptotic bound. Numerator and
-    denominator both use the capped shingle sets (consistent)."""
-    ex = exploded_shingles(df, text, id_col, k)
+    denominator both use the capped shingle sets (consistent).
+
+    The hashed shingle table is localCheckpointed at the same point
+    as ngram_jaccard_pairs (r15) — see the rationale there."""
+    ex = exploded_shingles(df, text, id_col, k).localCheckpoint()
     if max_shingle_df is not None:
         dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         hot = dfreq.filter(F.col("__df") > max_shingle_df).select("sh")
@@ -234,8 +274,14 @@ def minhash_signature(df: DataFrame, text: Column, id_col: Column, k: int = 3) -
     Docs shorter than k tokens have no shingles → explode drops them
     (matches the oracle's len(shingles) > 0 guard)."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    ex = df.repartition(n).select(
-        id_col.alias("doc_id"), F.explode(shingles(text, k)).alias("s")
+    from semantic_cpp_spark.pipeline.text import materialize_tokens
+
+    # tokens materialized before the per-element slice (the shingles_t
+    # O(L²) guard, r15)
+    ex = materialize_tokens(
+        df.repartition(n), tokens(text), {"doc_id": id_col}
+    ).select(
+        "doc_id", F.explode(shingles_t(F.col("__toks"), k)).alias("s")
     )
     hashed = ex.select("doc_id", shingle_hash(F.col("s")).alias("h"))
     mins = [
@@ -844,10 +890,18 @@ def _prefix_filter_candidates(
     if not (0 < tau_num <= tau_den):
         raise ValueError(f"need 0 < tau_num <= tau_den, got {tau_num}/{tau_den}")
     n_part = df.sparkSession.sparkContext.defaultParallelism
+    from semantic_cpp_spark.pipeline.text import materialize_tokens
+
     h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+    # tokens materialized before the per-element slice (the shingles_t
+    # O(L²) guard, r15)
     ex = (
-        df.repartition(n_part)
-        .select(id_col.alias("doc_id"), F.explode(shingles(text, k)).alias("sh"))
+        materialize_tokens(
+            df.repartition(n_part), tokens(text), {"doc_id": id_col}
+        )
+        .select(
+            "doc_id", F.explode(shingles_t(F.col("__toks"), k)).alias("sh")
+        )
         .select("doc_id", h.alias("sh"))
     )
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
