@@ -334,12 +334,19 @@ def _semdedup_verdicts(assigned: DataFrame, threshold: float) -> DataFrame:
     # to the per-pair form — same fold, same sqrt — but O(n) folds
     # instead of O(pairs), the difference between a scan and a straggler
     # on a big cluster)
+    #
+    # localCheckpoint (r15): this frame is referenced THREE times (both
+    # self-join sides + the verdict re-attach) and as lazy lineage each
+    # reference re-ran the whole assignment (broadcast-centroid scan —
+    # or the two-level IVF routing in semdedup_scaled; 18 scan leaves
+    # in emb_semdedup_family's before-plan). Materializing it is the
+    # "persist it between passes at scale" note made executable.
     a = assigned.select(
         "vec_id",
         "v",
         "c_id",
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
-    )
+    ).localCheckpoint()
     lo = a.select(
         "c_id",
         F.col("vec_id").alias("lo_id"),

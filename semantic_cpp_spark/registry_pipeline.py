@@ -1249,21 +1249,33 @@ def dedup_span_cuts_family(spark, sf_dir):
     survives verbatim in the tagged slot union (aspect, doc_id, l1, l2,
     l3, s1)). Aspect → member: 'cuts' → (cut_start, cut_end, n_spans);
     'apply' → (n_tokens, n_cut, clean_fp); 'text' → (n_tokens, n_cut,
-    clean_text). The cut table computes once and feeds both write
-    branches — the oracle shares the identical CTE chain."""
+    clean_text). The cut table computes ONCE and feeds all three
+    branches — r15: it is localCheckpointed, because as lazy lineage
+    each aspect re-ran the whole corpus-scale span-hash pipeline (20
+    scan+Generate leaves in the before-plan); the cut table is per-doc
+    intervals, KB at gate scale. The oracle shares the identical CTE
+    chain."""
     NL = F.lit(None).cast("long")
     NS = F.lit(None).cast("string")
-    cuts = dedup_span_cuts(spark, sf_dir).select(
+    docs = load_table(spark, sf_dir, "documents")
+    cuts0 = dedup.duplicate_span_cuts(
+        docs, F.col("text"), F.col("doc_id"), n=8
+    ).localCheckpoint()
+    cuts = cuts0.select(
         F.lit("cuts").alias("aspect"), "doc_id",
         F.col("cut_start").alias("l1"), F.col("cut_end").alias("l2"),
         F.col("n_spans").alias("l3"), NS.alias("s1"),
     )
-    ap = dedup_span_cuts_apply(spark, sf_dir).select(
+    ap = dedup.apply_span_cuts(
+        docs, F.col("text"), F.col("doc_id"), cuts0
+    ).select(
         F.lit("apply").alias("aspect"), "doc_id",
         F.col("n_tokens").alias("l1"), F.col("n_cut").alias("l2"),
         NL.alias("l3"), F.col("clean_fp").alias("s1"),
     )
-    tx = dedup_span_cuts_text(spark, sf_dir).select(
+    tx = dedup.apply_span_cuts(
+        docs, F.col("text"), F.col("doc_id"), cuts0, emit_text=True
+    ).select(
         F.lit("text").alias("aspect"), "doc_id",
         F.col("n_tokens").alias("l1"), F.col("n_cut").alias("l2"),
         NL.alias("l3"), F.col("clean_text").alias("s1"),
@@ -4814,7 +4826,14 @@ def dedup_passage_family(spark, sf_dir):
     NB = F.lit(None).cast("boolean")
     NS = F.lit(None).cast("string")
     docs = load_table(spark, sf_dir, "documents")
-    keep = dedup.passage_keep_list(docs, F.col("text"), F.col("doc_id"))
+    # localCheckpoint (r15): "threads ONE keep-list DataFrame" was true
+    # only as Python object identity — as lazy lineage the keep branch
+    # and the apply branch each re-ran the whole passage/component
+    # pipeline (7 scan leaves in the before-plan). The keep list is
+    # (doc_id, pid, keep) rows — proxy-sized.
+    keep = dedup.passage_keep_list(
+        docs, F.col("text"), F.col("doc_id")
+    ).localCheckpoint()
     ap = dedup.apply_passage_keep(docs, F.col("text"), F.col("doc_id"), keep)
     kp = keep.select(
         F.lit("keep").alias("aspect"),
