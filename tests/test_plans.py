@@ -347,11 +347,12 @@ def test_decayed_activity_scalar_broadcast_only(spark, qs):
 def test_semdedup_in_cluster_join_is_equi_join(spark, qs):
     """SemDeDup's blocking claim IS the plan shape: the pair join and the
     verdict re-attach are SortMergeJoin equi-joins (fan-out bounded by
-    cluster size), and every nested-loop join is the deliberate k-row
-    centroid broadcast (the assignment recomputes per self-join branch —
-    narrow scan, no exchange; persist it upstream at 100 TB, cf.
-    cluster_medoids). A CartesianProduct anywhere means the blocking
-    disappeared."""
+    cluster size). Since r15 the assignment frame is localCheckpointed
+    (it used to recompute per self-join branch — the pre-r15 pin counted
+    THREE broadcast centroid assigns), so the final plan is exactly the
+    two equi-joins over the materialized assignment and the k-row
+    centroid broadcasts happen once, at construction. A CartesianProduct
+    anywhere means the blocking disappeared."""
     import re
 
     plan = _plan(RP.emb_semdedup(spark, SF))
@@ -361,9 +362,9 @@ def test_semdedup_in_cluster_join_is_equi_join(spark, qs):
         r"|ShuffledHashJoin",
         plan,
     )
-    # 2 equi-joins (c_id pair join + verdict left join), 3 broadcast
-    # centroid assigns (one per reference to the assignment frame)
-    assert joins.count("BroadcastNestedLoopJoin") == 3, joins
+    # 2 equi-joins (c_id pair join + verdict left join); the centroid
+    # assignment no longer appears — it ran once into the checkpoint
+    assert joins.count("BroadcastNestedLoopJoin") == 0, joins
     assert len([j for j in joins if j != "BroadcastNestedLoopJoin"]) == 2, joins
 
 
