@@ -619,15 +619,26 @@ def simhash(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, text: Column, id_col: Column, max_hamming: int = 3
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    max_hamming: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Blocking: split the signature into (max_hamming+1) chunks — any pair
     within the distance budget must agree on ≥1 whole chunk (pigeonhole),
     so join on chunk equality, then verify with bit_count(xor). Avoids
-    all-pairs at scale."""
-    sigs = simhash(df, text, id_col)
+    all-pairs at scale.
+
+    The signature table is localCheckpointed (r15): both self-join
+    sides reference it, and as lazy lineage each side re-ran the
+    token-explode + 60-conditional-sum vote aggregate. (doc_id,
+    simhash) is 16 bytes/doc at any corpus. Pass a precomputed
+    ``sigs`` (e.g. the family gate's shared one) to skip the build."""
+    if sigs is None:
+        sigs = simhash(df, text, id_col).localCheckpoint()
     chunks = max_hamming + 1
     width = SIMHASH_BITS // chunks
     blocked = sigs.select(

@@ -276,15 +276,23 @@ def dedup_simhash_family(spark, sf_dir):
     coverage lost: every member row survives verbatim in the tagged
     union). aspect='sig' → (id1=doc_id, val=simhash);
     aspect='pair' → (id1, id2, val=hamming), Hamming ≤ 3 via pigeonhole
-    chunk blocking. The union is two independent scan-shaped branches —
-    no new exchange beyond the members' own."""
-    sig = dedup_simhash(spark, sf_dir).select(
+    chunk blocking. The signature table computes ONCE (localCheckpoint,
+    r15 — the sig aspect and both pair-join sides referenced it, so the
+    vote aggregate ran three times as lazy lineage) and feeds both
+    branches."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs0 = dedup.simhash(
+        docs, F.col("text"), F.col("doc_id")
+    ).localCheckpoint()
+    sig = sigs0.select(
         F.lit("sig").alias("aspect"),
         F.col("doc_id").alias("id1"),
         F.lit(None).cast("long").alias("id2"),
         F.col("simhash").alias("val"),
     )
-    pairs = dedup_simhash_pairs(spark, sf_dir).select(
+    pairs = dedup.simhash_near_pairs(
+        docs, F.col("text"), F.col("doc_id"), sigs=sigs0
+    ).select(
         F.lit("pair").alias("aspect"),
         F.col("d1").alias("id1"),
         F.col("d2").alias("id2"),
