@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from semantic_cpp_spark.pipeline.text import tokens, word_ngrams
+from semantic_cpp_spark.pipeline.text import (
+    materialize_tokens,
+    tokens,
+    word_ngrams,
+)
 
 # 60 bits of md5 stays positive in int64 (15 hex digits) — same derivation
 # as pipeline.text.fingerprint64.
@@ -533,17 +537,17 @@ def corpus_diff(
     return j.select("doc_id", status.alias("status"))
 
 
-def word_chunks(col: Column, size: int = 10) -> Column:
-    """Consecutive ``size``-word chunks of the whitespace-tokenised text
-    (the last chunk may be shorter). The corpus-cleaning granularity for
-    boilerplate removal — an analogue of C4's "line" unit for sources
-    without newline structure. Pure Column expression (transform over a
-    sequence of slice offsets), JVM-side.
+def word_chunks_t(t: Column, size: int = 10) -> Column:
+    """Consecutive ``size``-word chunks of a token-array ATTRIBUTE ``t``
+    (the last chunk may be shorter). ``t`` MUST be a real attribute on
+    the per-document hot path — the per-element ``slice(t, ...)``
+    re-inlines an expression-valued ``t`` under projection collapse,
+    re-tokenizing the document once per chunk (the materialize_tokens
+    trap, r15; callers route through text.materialize_tokens).
 
     Guarded: ``F.sequence(0, -1)`` would yield a DESCENDING [0, -1] (Spark
     picks step=-1 when start > stop), so the empty-token case returns []
     explicitly."""
-    t = tokens(col)
     n_chunks = F.ceil(F.size(t) / F.lit(size)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -552,6 +556,14 @@ def word_chunks(col: Column, size: int = 10) -> Column:
     return F.when(n_chunks > 0, chunks).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_chunks(col: Column, size: int = 10) -> Column:
+    """word_chunks_t over the whitespace tokenisation of raw text —
+    O(L²) on any hot path (see word_chunks_t); kept for tiny/test
+    inputs. Corpus-scale callers use materialize_tokens +
+    word_chunks_t."""
+    return word_chunks_t(tokens(col), size)
 
 
 def remove_boilerplate_chunks(
@@ -576,9 +588,11 @@ def remove_boilerplate_chunks(
     distributed; the join key equals the groupBy key, so the exchange is
     reused) → re-assemble per doc via array_sort(collect_list(struct)).
     Per-doc state is bounded by document length, never corpus size."""
-    ch = df.select(
-        id_col.alias("doc_id"),
-        F.posexplode(word_chunks(text, chunk_size)).alias(
+    # tokens materialized before the per-chunk slice (the word_chunks_t
+    # O(L^2) guard, r15)
+    ch = materialize_tokens(df, tokens(text), {"doc_id": id_col}).select(
+        "doc_id",
+        F.posexplode(word_chunks_t(F.col("__toks"), chunk_size)).alias(
             "chunk_idx", "chunk"
         ),
     )
@@ -755,9 +769,13 @@ def line_dedup(
     chunk text (join key equals the groupBy key, exchange reused) →
     re-assemble per doc. Per-chunk state is O(1); per-doc state is
     bounded by document length."""
-    ch = df.select(
-        id_col.alias("doc_id"),
-        F.posexplode(word_chunks(text, chunk_size)).alias("chunk_idx", "chunk"),
+    # tokens materialized before the per-chunk slice (the word_chunks_t
+    # O(L^2) guard, r15)
+    ch = materialize_tokens(df, tokens(text), {"doc_id": id_col}).select(
+        "doc_id",
+        F.posexplode(word_chunks_t(F.col("__toks"), chunk_size)).alias(
+            "chunk_idx", "chunk"
+        ),
     )
     first = ch.groupBy("chunk").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("__first")

@@ -230,7 +230,18 @@ def lsh_band_keys(
     exactly this reason."""
     if planes % band_bits != 0:
         raise ValueError("planes must be a multiple of band_bits")
-    bits = _lsh_bit_array(vec, dims, planes)
+    return _band_keys_from_bits(
+        _lsh_bit_array(vec, dims, planes), planes, band_bits
+    )
+
+
+def _band_keys_from_bits(bits: Column, planes: int, band_bits: int) -> Column:
+    """Pack an existing sign-bit array into band keys. ``bits`` should be
+    a real ATTRIBUTE on the corpus path: each of the ``planes``
+    element_at references re-inlines an expression-valued ``bits`` under
+    projection collapse, re-running all plane dot products once per bit
+    (r15 — the O(planes²·dims) flavour of the materialize_tokens trap;
+    lsh_banded_topk routes through an explode(array(.)) barrier)."""
     n_bands = planes // band_bits
     keys = []
     for b in range(n_bands):
@@ -265,9 +276,27 @@ def lsh_banded_topk(
     a first-value aggregate (vectors are identical across duplicate
     band hits), and windows top-k per query — the corpus shuffles once
     on the band key, never all-pairs. Output: (q_id, rk, vec_id, cos)."""
-    e = df.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bkeys", lsh_band_keys(F.col("v"), dims, planes, band_bits))
+    e = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        # explode(array(.)) barrier: materialize the plane sign bits
+        # once per row before the per-bit element_at packing (r15 —
+        # see _band_keys_from_bits; without it every bit reference
+        # re-ran all `planes` dot products)
+        .select(
+            "vec_id",
+            "v",
+            F.explode(
+                F.array(_lsh_bit_array(F.col("v"), dims, planes))
+            ).alias("__bits"),
+        )
+        .withColumn(
+            "bkeys",
+            _band_keys_from_bits(F.col("__bits"), planes, band_bits),
+        )
+    )
     ec = e.select("vec_id", "v", F.explode("bkeys").alias("bkey"))
     q = e.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"),
