@@ -852,6 +852,53 @@ def pq_books(
     )
 
 
+def _pq_books_np(books: DataFrame) -> dict:
+    """Collect a codebook frame into {m: (c_ids sorted ascending,
+    centroid matrix)} for the Arrow assignment kernels. Model-sized by
+    construction (m_subs·K rows — the same bound the old broadcast
+    relied on); ascending c_id is what makes argmin's first-minimum
+    the smallest-id tie-break."""
+    import numpy as np
+
+    by_m: dict[int, list] = {}
+    for r in books.collect():  # model-sized: m_subs·K rows
+        by_m.setdefault(int(r["m"]), []).append(
+            (int(r["c_id"]), np.asarray(r["cv"], dtype=np.float64))
+        )
+    books_np = {}
+    for m, lst in by_m.items():
+        lst.sort(key=lambda t: t[0])  # ascending c_id → argmin tie-break
+        books_np[m] = (
+            np.array([c for c, _ in lst], dtype=np.int64),
+            np.stack([cv for _, cv in lst]),
+        )
+    return books_np
+
+
+def _pq_nearest(Xs, ids, C):
+    """Nearest-centroid ids for one subspace batch, replaying the
+    sq_dist EXPRESSION bit-for-bit: each dot is the same ascending-j
+    sequential fold (dot(a,a) − 2·dot(a,b) + dot(b,b), elementwise
+    IEEE ops in identical order), NaN distances lose to any finite
+    one, ties take the smallest c_id (``ids``/``C`` sorted ascending;
+    argmin returns the first minimum). Shared by the training and
+    encode kernels so the replayed float semantics cannot diverge."""
+    import numpy as np
+
+    dxx = np.zeros(len(Xs))
+    dxb = np.zeros((len(Xs), len(C)))
+    dcc = np.zeros(len(C))
+    for j in range(Xs.shape[1]):
+        xj = Xs[:, j]
+        cj = C[:, j]
+        dxx = dxx + xj * xj
+        dxb = dxb + xj[:, None] * cj[None, :]
+        dcc = dcc + cj * cj
+    d2 = (dxx[:, None] - 2.0 * dxb) + dcc[None, :]
+    a = np.argmin(np.where(np.isnan(d2), np.inf, d2), axis=1)
+    return ids[a]
+
+
 def pq_encode(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -861,38 +908,63 @@ def pq_encode(
     sub_dims: int = PQ_SUB,
 ) -> DataFrame:
     """PQ codes (vec_id, m, code): per subspace, the nearest codebook
-    centroid by squared euclidean (ties → smallest c_id). One narrow
-    m_subs×-explode + a broadcast join against the codebook + one
-    per-(vec, m) argmin window — m_subs·log2(K) bits of index state per
-    vector at any scale. The 100 TB shape: codes persist next to the
-    corpus like the Bloom/CMS sidecars (pq_index_save); re-encoding
-    only touches new vectors."""
-    from semantic_cpp_spark.pipeline.clustering import _as_double, sq_dist
+    centroid by squared euclidean (ties → smallest c_id) — m_subs·
+    log2(K) bits of index state per vector at any scale. The 100 TB
+    shape: codes persist next to the corpus like the Bloom/CMS
+    sidecars (pq_index_save); re-encoding only touches new vectors.
+
+    The assignment runs as ONE Arrow-batched numpy kernel (r15, guide
+    §4.2 — the pq_train_means pattern): the old shape exploded every
+    vector m_subs ways, broadcast-joined the codebook and folded
+    n·m_subs·K per-row higher-order-function sq_dist evaluations
+    through a struct-min aggregate (one exchange per encode). The
+    kernel shares _pq_nearest with the trainer, so the replayed float
+    semantics are the proven bit-identical fold (oracle replay + the
+    window-argmin differential test pin it); codes come out of the map
+    with ZERO shuffle and no per-row expression trees. The codebook is
+    collected for the kernel closure — model-sized by construction
+    (m_subs·K rows, the bound the old broadcast relied on). Subspaces
+    absent from ``books`` yield no rows, exactly the old inner join."""
+    import numpy as np
+
+    from semantic_cpp_spark.pipeline.clustering import _as_double
 
     if books is None:
         books = pq_books(emb, id_col, vec_col, m_subs=m_subs, sub_dims=sub_dims)
+    books_np = _pq_books_np(books)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].to_numpy())
+            vid = pdf["vec_id"].to_numpy()
+            cols_v, cols_m, cols_c = [], [], []
+            for m in range(m_subs):
+                if m not in books_np:  # inner-join semantics
+                    continue
+                ids, C = books_np[m]
+                Xs = X[:, m * sub_dims:(m + 1) * sub_dims]
+                cols_v.append(vid)
+                cols_m.append(np.full(len(Xs), m, dtype=np.int32))
+                cols_c.append(_pq_nearest(Xs, ids, C))
+            if not cols_v:
+                continue
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(cols_v),
+                    "m": np.concatenate(cols_m),
+                    "code": np.concatenate(cols_c),
+                }
+            )
+
     e = emb.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).cast("long").alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
     )
-    ms = F.explode(F.sequence(F.lit(0), F.lit(m_subs - 1))).alias("m")
-    sub = e.select("vec_id", ms, "v").select(
-        "vec_id",
-        "m",
-        F.slice(F.col("v"), F.col("m") * sub_dims + 1, sub_dims).alias("xv"),
-    )
-    scored = sub.join(F.broadcast(books), "m").select(
-        "vec_id", "m", "c_id", sq_dist(F.col("xv"), F.col("cv")).alias("d2")
-    )
-    # argmin as a map-side-combinable aggregate (r10, the ivf_assign
-    # note): min(struct(d2, c_id)) ≡ the old (d2 ASC, c_id ASC) window
-    # — c_id is unique per group so the tie-break is total — while the
-    # exchange carries one partial per (vec_id, m) instead of n·K
-    # scored rows.
-    return (
-        scored.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "c_id")).alias("__b"))
-        .select("vec_id", "m", F.col("__b.c_id").alias("code"))
-    )
+    return e.mapInPandas(encode, schema="vec_id long, m int, code long")
 
 
 def _pq_default_index(
@@ -1277,18 +1349,7 @@ def pq_train_means(
     )
     import numpy as np
 
-    by_m: dict[int, list] = {}
-    for r in books0.collect():  # model-sized: m_subs·K rows
-        by_m.setdefault(int(r["m"]), []).append(
-            (int(r["c_id"]), np.asarray(r["cv"], dtype=np.float64))
-        )
-    books_np = {}
-    for m, lst in by_m.items():
-        lst.sort(key=lambda t: t[0])  # ascending c_id → argmin tie-break
-        books_np[m] = (
-            np.array([c for c, _ in lst], dtype=np.int64),
-            np.stack([cv for _, cv in lst]),
-        )
+    books_np = _pq_books_np(books0)
 
     def assign(batches):
         import pandas as pd
@@ -1301,19 +1362,8 @@ def pq_train_means(
             for m in range(m_subs):
                 ids, C = books_np[m]
                 Xs = X[:, m * sub_dims:(m + 1) * sub_dims]
-                dxx = np.zeros(len(Xs))
-                dxb = np.zeros((len(Xs), len(C)))
-                dcc = np.zeros(len(C))
-                for j in range(sub_dims):
-                    xj = Xs[:, j]
-                    cj = C[:, j]
-                    dxx = dxx + xj * xj
-                    dxb = dxb + xj[:, None] * cj[None, :]
-                    dcc = dcc + cj * cj
-                d2 = (dxx[:, None] - 2.0 * dxb) + dcc[None, :]
-                a = np.argmin(np.where(np.isnan(d2), np.inf, d2), axis=1)
                 cols_m.append(np.full(len(Xs), m, dtype=np.int32))
-                cols_c.append(ids[a])
+                cols_c.append(_pq_nearest(Xs, ids, C))
                 cols_x.append(Xs)
             yield pd.DataFrame(
                 {
@@ -1844,10 +1894,12 @@ def ivfpq_residual_index(
     2. the corpus passes through ONE linear pipeline — assign (one
        broadcast-centroid cross, the ivf_assign idiom), residual
        (exact IEEE zip_with; the oracle's indexed list_transform folds
-       identically), subspace explode, broadcast-books join, (d2, c_id)
-       argmin — so the corpus is scanned and assigned exactly once per
-       build (the pq_encode-composition first cut re-expanded the
-       assignment cross in every DAG branch; plan-pinned against now);
+       identically), then the Arrow (d2, c_id)-argmin encode kernel
+       (r15 — the pq_encode shape; _pq_nearest replays the sq_dist
+       fold bit-identically) — so the corpus is scanned and assigned
+       exactly once per build (the pq_encode-composition first cut
+       re-expanded the assignment cross in every DAG branch;
+       plan-pinned against now);
     3. list_id rides the encode rows, no post-hoc corpus self-join.
 
     ``iters`` ≥ 1 Lloyd-trains the residual books on the residual
@@ -1880,8 +1932,6 @@ def ivfpq_residual_index(
 
     Run once and persisted via ivfpq_index_save's layout; probes read
     listed codes only."""
-    from semantic_cpp_spark.pipeline.clustering import sq_dist
-
     if early_stop_ids and iters < 1:
         # ADVICE r10: the early-stop branch requires at least one
         # training step; silently returning untrained seeds when a
@@ -1913,25 +1963,48 @@ def ivfpq_residual_index(
     corpus = _coarse_residuals(emb, id_col, vec_col, n_lists)
 
     def _encode(bks: DataFrame) -> DataFrame:
-        sub = corpus.select("vec_id", "list_id", ms, "rv").select(
-            "vec_id",
-            "list_id",
-            "m",
-            F.slice(
-                F.col("rv"), F.col("m") * sub_dims + 1, sub_dims
-            ).alias("xv"),
-        )
-        scored = sub.join(F.broadcast(bks), "m").select(
-            "vec_id", "list_id", "m", "c_id",
-            sq_dist(F.col("xv"), F.col("cv")).alias("d2"),
-        )
-        # argmin as a map-side-combinable aggregate (r10, the
-        # pq_encode note); list_id is functionally dependent on vec_id
-        # and rides the grouping key.
-        return (
-            scored.groupBy("vec_id", "list_id", "m")
-            .agg(F.min(F.struct("d2", "c_id")).alias("__b"))
-            .select("vec_id", "list_id", "m", F.col("__b.c_id").alias("code"))
+        # the pq_encode Arrow kernel (r15, guide §4.2) with list_id
+        # riding through the map: one batched numpy argmin over the
+        # residual rows, zero shuffle, no per-row sq_dist expression
+        # trees. _pq_nearest is the same proven bit-identical fold the
+        # raw encode and the trainer replay; subspaces absent from
+        # ``bks`` yield no rows, exactly the old inner join.
+        import numpy as np
+
+        books_np = _pq_books_np(bks)
+
+        def encode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["rv"].to_numpy())
+                vid = pdf["vec_id"].to_numpy()
+                lid = pdf["list_id"].to_numpy()
+                cols_v, cols_l, cols_m, cols_c = [], [], [], []
+                for m in range(m_subs):
+                    if m not in books_np:  # inner-join semantics
+                        continue
+                    ids, C = books_np[m]
+                    Xs = X[:, m * sub_dims:(m + 1) * sub_dims]
+                    cols_v.append(vid)
+                    cols_l.append(lid)
+                    cols_m.append(np.full(len(Xs), m, dtype=np.int32))
+                    cols_c.append(_pq_nearest(Xs, ids, C))
+                if not cols_v:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.concatenate(cols_v),
+                        "list_id": np.concatenate(cols_l),
+                        "m": np.concatenate(cols_m),
+                        "code": np.concatenate(cols_c),
+                    }
+                )
+
+        return corpus.select("vec_id", "list_id", "rv").mapInPandas(
+            encode, schema="vec_id long, list_id long, m int, code long"
         )
 
     if iters >= 1 and early_stop_ids:

@@ -537,7 +537,10 @@ def test_ivfpq_probe_is_list_pruned(spark, qs):
         ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln
     ]
     assert len(bnlj) == 2 and all("Cross" in ln for ln in bnlj), bnlj
-    assert plan.count("BroadcastHashJoin") >= 3  # books, probes, LUT
+    # probes + LUT broadcast; the codebook no longer joins at all —
+    # encoding is the r15 Arrow kernel (books ride the closure)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "MapInPandas" in plan  # the encode kernel
 
 
 def test_ivfpq_residual_probe_is_list_pruned(spark, qs):
@@ -699,20 +702,26 @@ def test_nearest_seed_argmins_have_no_window_exchange(spark, qs):
     """The r10 argmin rewrite must stay an AGGREGATE: the min/max
     (struct) form folds the n·K scored frame into a #groups-sized
     hash map with no sort and no dependence on InferWindowGroupLimit
-    firing. The assignment/encode plans must carry partial
-    aggregation and no Window operator anywhere."""
+    firing. The assignment plans must carry partial aggregation and no
+    Window operator anywhere. pq_encode graduated past the aggregate
+    in r15: its per-subspace argmin is ONE Arrow numpy kernel
+    (_pq_nearest, the pq_train_means fold) — pin it shuffle-free and
+    windowless: codes come straight out of the map."""
     from semantic_cpp_spark.pipeline import clustering, similarity
     from semantic_cpp_spark.session import load_table
 
     emb = load_table(spark, SF, "embeddings")
     for name, df in [
         ("ivf_assign", similarity.ivf_assign(emb, 0, n_centroids=8)),
-        ("pq_encode", similarity.pq_encode(emb)),
         ("kmeans_assign", clustering.kmeans_assign(emb, k=8)),
     ]:
         plan = _plan(df)
         assert "Window" not in plan, name
         assert "partial" in plan, name
+    plan = _plan(similarity.pq_encode(emb))
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan
 
 
 def test_per_group_topk_gets_partial_window_group_limit(spark, qs):
