@@ -1551,6 +1551,7 @@ def ivfpq_codes(
     trained: bool = False,
     m_subs: int = PQ_M,
     sub_dims: int = PQ_SUB,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """LISTED PQ codes (vec_id, list_id, m, code): every vector's PQ
     codes tagged with its IVF coarse-quantizer list (ivf_assign's
@@ -1561,7 +1562,17 @@ def ivfpq_codes(
     ``trained=True`` Lloyd-trains the books first (pq_books_trained)
     when none are passed; explicit ``books`` always win (they may
     already be trained — re-training someone else's books here would
-    desync them from any codes encoded elsewhere)."""
+    desync them from any codes encoded elsewhere). ``codes`` skips the
+    encode pass entirely with PRE-ENCODED (vec_id, m, code) rows — the
+    share-one-encode hook for callers composing several probe paths
+    over one corpus (sim_ivfpq_family_topk): codes must come from the
+    same ``books`` (the pq_index_load contract), so passing codes
+    without books raises."""
+    if codes is not None and books is None:
+        raise ValueError(
+            "ivfpq_codes: codes without their books — pre-encoded codes "
+            "are meaningless against other books; pass both"
+        )
     if n_lists is None:
         n_lists = derived_ivf_k(emb.count())
     if books is None and trained:
@@ -1571,9 +1582,11 @@ def ivfpq_codes(
     assigned = ivf_assign(emb, 0, id_col, vec_col, n_lists).select(
         "vec_id", F.col("centroid_id").alias("list_id")
     )
-    codes = pq_encode(
-        emb, id_col, vec_col, books=books, m_subs=m_subs, sub_dims=sub_dims
-    )
+    if codes is None:
+        codes = pq_encode(
+            emb, id_col, vec_col, books=books,
+            m_subs=m_subs, sub_dims=sub_dims,
+        )
     return codes.join(assigned, "vec_id").select(
         "vec_id", "list_id", "m", "code"
     )

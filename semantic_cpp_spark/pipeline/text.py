@@ -499,6 +499,7 @@ def bpe_train_merges(
     checkpoint_every: int = 25,
     impl: str = "auto",
     local_threshold: int = BPE_LOCAL_TRAIN_THRESHOLD,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules from the corpus: per round,
     the globally most frequent adjacent symbol pair (ties → smallest
@@ -556,7 +557,16 @@ def bpe_train_merges(
     (web-scale vocabularies past driver memory); "local" forces the
     collect. ``checkpoint_path`` always takes the distributed path —
     durable resume is a distributed-loop feature, and impl="local"
-    with a checkpoint_path raises."""
+    with a checkpoint_path raises.
+
+    ``word_counts`` supplies a precomputed (word, freq) table (the
+    bpe_word_counts shape) and skips the corpus pass — the share-one-
+    word-count hook for tokenizer-lifecycle compositions that also
+    feed the SAME counts to bpe_vocab / unigram.piece_scores (r15,
+    guide §2.4: training state derives from the word table; deriving
+    that table once per lifecycle instead of once per stage removes
+    whole corpus passes). Counts must be over the same (df, text)
+    corpus — equality is pinned in tests."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if min_count < 1:
@@ -573,9 +583,9 @@ def bpe_train_merges(
             "checkpoint/resume - use impl='distributed' (or 'auto', "
             "which routes checkpointed training distributed)"
         )
-    words = bpe_word_counts(df, text).select(
-        "freq", _bpe_symbolize(F.col("word"), eow).alias("s")
-    )
+    words = (
+        bpe_word_counts(df, text) if word_counts is None else word_counts
+    ).select("freq", _bpe_symbolize(F.col("word"), eow).alias("s"))
     if checkpoint_path is None:
         # hybrid dispatch (VERDICT r11 "What's missing #1"): the word
         # state materializes once either way; below the threshold it
@@ -1037,6 +1047,7 @@ def bpe_vocab(
     text: Column,
     merges: DataFrame,
     eow: str | None = None,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """The TRAINER-DEFINED subword vocabulary of a learned merge table
     (unit, token_id, source, rank): base units = every distinct
@@ -1057,21 +1068,28 @@ def bpe_vocab(
     same unit, or a merge product colliding with the eow marker) keep
     their first (smallest) token_id; later duplicates are dropped,
     leaving holes in the id range — id stability is the contract, not
-    density (test-pinned)."""
+    density (test-pinned).
+
+    ``word_counts`` derives the alphabet from a precomputed (word,
+    freq) table instead of rescanning the corpus — the distinct
+    characters of the distinct words ARE the corpus alphabet, so the
+    vocabulary is identical (test-pinned); the share-one-word-count
+    hook for lifecycle compositions (see bpe_train_merges)."""
     from semantic_cpp_spark.indexing import with_ordinal
 
     # "(?s)." matches one CODE POINT (Java regex), matching
     # _bpe_symbolize's per-codepoint "(.)" symbolization — split("")
     # would cut between UTF-16 code units and break surrogate pairs
-    chars = (
+    wsrc = (
         df.select(F.explode(tokens(text)).alias("w"))
-        .select(
-            F.explode(
-                F.regexp_extract_all(F.col("w"), F.lit("(?s)."), 0)
-            ).alias("unit")
-        )
-        .distinct()
+        if word_counts is None
+        else word_counts.select(F.col("word").alias("w"))
     )
+    chars = wsrc.select(
+        F.explode(
+            F.regexp_extract_all(F.col("w"), F.lit("(?s)."), 0)
+        ).alias("unit")
+    ).distinct()
     if eow is not None:
         _validate_eow(eow)
         chars = chars.unionByName(

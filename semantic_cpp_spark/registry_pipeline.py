@@ -4463,15 +4463,30 @@ def sim_ivfpq_family_topk(spark, sf_dir):
     (similarity.pq_adc_topk); aspect='ivf' → IVFADC with nprobe=2
     inverted-list pruning (ivfpq_topk); aspect='residual' →
     residual-encoded IVFADC, the full FAISS IVF{{K}},PQ{{m}} form
-    (ivfpq_residual_topk). Three independent probe plans — list-pruned
-    where the member is, unchanged by the union."""
+    (ivfpq_residual_topk). Probe plans stay list-pruned where the
+    member is; the adc and ivf aspects run over the SAME seed books
+    and ONE materialized code table (r15, guide §2.4 — the members'
+    default (books, codes) pair is identical, and sharing a DataFrame
+    object is not sharing computation: each union branch re-ran the
+    corpus encode kernel; the residual aspect encodes a different
+    space and keeps its own single-pipeline build). The member gates
+    sim_pq_adc_topk / sim_ivfpq_topk verify the unshared defaults."""
     cols = ["q_id", "rk", "vec_id", "adc"]
-    a = sim_pq_adc_topk(spark, sf_dir).select(
-        F.lit("adc").alias("aspect"), *cols
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_books(emb)
+    # one corpus encode shared by the adc + ivf branches; checkpoint-
+    # backed so the union's two references replay rows, not the kernel
+    codes = similarity.pq_encode(emb, books=books).localCheckpoint()
+    a = similarity.pq_adc_topk(
+        emb, [0, 1, 2], k=5, books=books, codes=codes
+    ).select(F.lit("adc").alias("aspect"), *cols)
+    listed = similarity.ivfpq_codes(
+        emb, n_lists=similarity.IVF_K, books=books, codes=codes
     )
-    i = sim_ivfpq_topk(spark, sf_dir).select(
-        F.lit("ivf").alias("aspect"), *cols
-    )
+    i = similarity.ivfpq_topk(
+        emb, [0, 1, 2], k=5, nprobe=2, n_lists=similarity.IVF_K,
+        books=books, listed_codes=listed,
+    ).select(F.lit("ivf").alias("aspect"), *cols)
     r = sim_ivfpq_residual_topk(spark, sf_dir).select(
         F.lit("residual").alias("aspect"), *cols
     )
@@ -5089,8 +5104,10 @@ def txt_bpe_vocab(spark, sf_dir):
     row proves the alphabet extraction, the binary id order, and the
     merge-unit derivation all match a serial replay."""
     docs = load_table(spark, sf_dir, "documents")
-    mdf = text.bpe_train_merges(docs, F.col("text"), 6)
-    return text.bpe_vocab(docs, F.col("text"), mdf)
+    # one corpus word-count pass shared by trainer + alphabet (r15)
+    wc = text.bpe_word_counts(docs, F.col("text")).localCheckpoint()
+    mdf = text.bpe_train_merges(docs, F.col("text"), 6, word_counts=wc)
+    return text.bpe_vocab(docs, F.col("text"), mdf, word_counts=wc)
 
 
 def _tokenizer_stats_sql(n: int) -> str:
@@ -5180,9 +5197,11 @@ def txt_encode_subwords(spark, sf_dir):
     corpus text by the closure property, and the id fingerprint pins
     position order + id assignment against a serial replay."""
     docs = load_table(spark, sf_dir, "documents")
-    mdf = text.bpe_train_merges(docs, F.col("text"), 6)
+    # one corpus word-count pass shared by trainer + alphabet (r15)
+    wc = text.bpe_word_counts(docs, F.col("text")).localCheckpoint()
+    mdf = text.bpe_train_merges(docs, F.col("text"), 6, word_counts=wc)
     rules = text.collect_merges(mdf)
-    vocab = text.bpe_vocab(docs, F.col("text"), mdf)
+    vocab = text.bpe_vocab(docs, F.col("text"), mdf, word_counts=wc)
     seg = text.bpe_segment(
         docs, F.col("text"), F.col("doc_id"), rules, impl="kernel"
     )
@@ -5875,10 +5894,11 @@ def txt_unigram_viterbi(spark, sf_dir):
     argmax with its min-split tie-break, and the per-document
     reassembly all match a serially-unrolled SQL DP."""
     docs = load_table(spark, sf_dir, "documents")
-    mdf = text.bpe_train_merges(docs, F.col("text"), 6)
-    vocab = text.bpe_vocab(docs, F.col("text"), mdf)
-    words = text.bpe_word_counts(docs, F.col("text"))
-    sc = unigram.piece_scores(words, vocab.select("unit"))
+    # one corpus word-count pass shared by trainer + alphabet + scores
+    wc = text.bpe_word_counts(docs, F.col("text")).localCheckpoint()
+    mdf = text.bpe_train_merges(docs, F.col("text"), 6, word_counts=wc)
+    vocab = text.bpe_vocab(docs, F.col("text"), mdf, word_counts=wc)
+    sc = unigram.piece_scores(wc, vocab.select("unit"))
     pieces = unigram.collect_pieces(sc)
     seg = unigram.viterbi_segment(docs, F.col("text"), F.col("doc_id"), pieces)
     return seg.select(
@@ -5927,8 +5947,13 @@ def txt_subword_roundtrip(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
-    mdf = text.bpe_train_merges(docs, F.col("text"), 6, eow=eow)
-    vocab = text.bpe_vocab(docs, F.col("text"), mdf, eow=eow)
+    # one corpus word-count pass shared by trainer + alphabet (r15;
+    # word counts are eow-independent — the marker attaches later)
+    wc = text.bpe_word_counts(docs, F.col("text")).localCheckpoint()
+    mdf = text.bpe_train_merges(
+        docs, F.col("text"), 6, eow=eow, word_counts=wc
+    )
+    vocab = text.bpe_vocab(docs, F.col("text"), mdf, eow=eow, word_counts=wc)
     rules = text.collect_merges(mdf)
     seg = text.bpe_segment(
         docs, F.col("text"), F.col("doc_id"), rules, eow=eow, impl="kernel"
@@ -5965,10 +5990,11 @@ def txt_unigram_roundtrip(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
-    mdf = text.bpe_train_merges(docs, F.col("text"), 6)
-    vocab = text.bpe_vocab(docs, F.col("text"), mdf)
-    words = text.bpe_word_counts(docs, F.col("text"))
-    sc = unigram.piece_scores(words, vocab.select("unit"))
+    # one corpus word-count pass shared by trainer + alphabet + scores
+    wc = text.bpe_word_counts(docs, F.col("text")).localCheckpoint()
+    mdf = text.bpe_train_merges(docs, F.col("text"), 6, word_counts=wc)
+    vocab = text.bpe_vocab(docs, F.col("text"), mdf, word_counts=wc)
+    sc = unigram.piece_scores(wc, vocab.select("unit"))
     pieces = unigram.collect_pieces(sc)
     seg = unigram.viterbi_segment(
         docs, F.col("text"), F.col("doc_id"), pieces, eow=eow
@@ -6058,7 +6084,10 @@ def txt_tokenizer_compare(spark, sf_dir):
     A green row proves both whole training+segmentation chains and
     their corpus rollups in a single compare."""
     docs = load_table(spark, sf_dir, "documents")
-    mdf = text.bpe_train_merges(docs, F.col("text"), 6)
+    # one corpus word-count pass shared by the BPE trainer, the vocab
+    # alphabet, and the unigram piece scores (r15 — was three)
+    wc = text.bpe_word_counts(docs, F.col("text")).localCheckpoint()
+    mdf = text.bpe_train_merges(docs, F.col("text"), 6, word_counts=wc)
     rules = text.collect_merges(mdf)
     ts = text.tokenizer_stats(
         docs, F.col("text"), F.col("doc_id"), rules, impl="kernel"
@@ -6068,11 +6097,9 @@ def txt_tokenizer_compare(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("n_chars"),
         F.sum("n_subwords").cast("long").alias("bpe_subwords"),
     )
-    vocab = text.bpe_vocab(docs, F.col("text"), mdf)
+    vocab = text.bpe_vocab(docs, F.col("text"), mdf, word_counts=wc)
     pieces = unigram.collect_pieces(
-        unigram.piece_scores(
-            text.bpe_word_counts(docs, F.col("text")), vocab.select("unit")
-        )
+        unigram.piece_scores(wc, vocab.select("unit"))
     )
     seg = unigram.viterbi_segment(docs, F.col("text"), F.col("doc_id"), pieces)
     uv = seg.agg(

@@ -2366,6 +2366,24 @@ def test_ivfpq_codes_trained_flag_honored(spark):
     )
 
 
+def test_ivfpq_codes_accepts_preencoded_codes(spark):
+    """r15 share-one-encode hook: ivfpq_codes(codes=pq_encode(...))
+    must emit exactly the rows of the derive-internally path (the
+    sim_ivfpq_family_topk sharing contract), and codes without their
+    books must raise (codes against other books are garbage)."""
+    rng = np.random.RandomState(77)
+    df = _emb_frame(spark, rng.randn(60, 64))
+    books = similarity.pq_books(df)
+    pre = similarity.pq_encode(df, books=books)
+    shared = similarity.ivfpq_codes(df, n_lists=5, books=books, codes=pre)
+    derived = similarity.ivfpq_codes(df, n_lists=5, books=books)
+    assert sorted(map(tuple, shared.collect())) == sorted(
+        map(tuple, derived.collect())
+    )
+    with pytest.raises(ValueError, match="codes without their books"):
+        similarity.ivfpq_codes(df, n_lists=5, codes=pre)
+
+
 def test_ivfpq_index_save_threads_residual_iters(spark, tmp_path):
     """ADVICE r9: ivfpq_index_save(residual=True, iters=1) must build a
     TRAINED residual index and record the effective iters in the params
@@ -3114,6 +3132,32 @@ def test_tokenizer_stats_empty_and_null_docs(spark):
     assert got[1] == (0, 0, 0, None, None)
     assert got[2] == (None, None, None, None, None)
     assert got[3] == (2, 2, 3, 1.0, 1.5)
+
+
+def test_bpe_word_counts_hook_matches_derived(spark):
+    """r15 share-one-word-count hook: bpe_train_merges(word_counts=wc)
+    and bpe_vocab(word_counts=wc) must emit exactly the rows of the
+    derive-internally paths — including the eow variant (word counts
+    are eow-independent: the marker attaches during symbolization).
+    This is the equality the tokenizer-lifecycle gates rely on when
+    they derive the corpus word table once instead of once per stage."""
+    df = _bpe_ck_df(spark)
+    wc = text.bpe_word_counts(df, F.col("text")).localCheckpoint()
+    for eow in (None, "</w>"):
+        m_ref = text.bpe_train_merges(df, F.col("text"), 6, eow=eow)
+        m_wc = text.bpe_train_merges(
+            df, F.col("text"), 6, eow=eow, word_counts=wc
+        )
+        assert sorted(map(tuple, m_ref.collect())) == sorted(
+            map(tuple, m_wc.collect())
+        )
+        v_ref = text.bpe_vocab(df, F.col("text"), m_ref, eow=eow)
+        v_wc = text.bpe_vocab(
+            df, F.col("text"), m_ref, eow=eow, word_counts=wc
+        )
+        assert sorted(map(tuple, v_ref.collect())) == sorted(
+            map(tuple, v_wc.collect())
+        )
 
 
 def test_bpe_vocab_dedupes_colliding_units(spark):
