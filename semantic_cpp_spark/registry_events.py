@@ -919,12 +919,37 @@ _ROLLUP_MERGE_SQL = """WITH e AS (
        FROM e GROUP BY hour_id"""
 
 
-def evt_rollup_merge(spark, sf_dir):
+def _rollup_base(spark, sf_dir):
+    """Shared projection every mergeable-rollup member derives from:
+    (hour_id, __inc, cents, user_id) — __inc = event_id mod 3 is the
+    increment tag (day-1 history / day-2 delta / late rows). r15: the
+    members used to re-scan events once per increment FILTER (3 corpus
+    scans each, 12 across the family); building the per-increment
+    states as one groupBy over (key, __inc) produces the identical
+    state rows in ONE pass — the merge step still folds three real
+    per-increment partials, so the merge ≡ direct identity each oracle
+    proves is exercised unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("event_id") % 3).alias("__inc"),
+        ts_micros(ev).alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("user_id"),
+    ).select(
+        "__inc",
+        F.expr("tus div 3600000000").alias("hour_id"),
+        "cents",
+        "user_id",
+    )
+
+
+def evt_rollup_merge(spark, sf_dir, base=None):
     """Incremental hourly rollup by MERGEABLE STATE (operators.rollup):
     the events table is split into three increments (event_id mod 3 —
     standing in for day-1 history, day-2 delta, late-arriving rows),
     each reduced to per-hour partial state (n, sum, min, max) over exact
-    int64 cents, the states merged with one groupBy, and the merge
+    int64 cents (one pass, states keyed (hour, increment) — see
+    _rollup_base), the states merged with one groupBy, and the merge
     finalized. The oracle aggregates the WHOLE table directly — so a
     green row proves merge(state(A), state(B), state(C)) ≡
     state(A ∪ B ∪ C) bit-for-bit, the identity that lets a 100 TB
@@ -935,23 +960,10 @@ def evt_rollup_merge(spark, sf_dir):
     values)."""
     from semantic_cpp_spark.operators import rollup
 
-    ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        F.col("event_id"),
-        ts_micros(ev).alias("tus"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    ).select(
-        "event_id",
-        F.expr("tus div 3600000000").alias("hour_id"),
-        "cents",
-    )
-    parts = [
-        rollup.agg_state(
-            base.filter(F.col("event_id") % 3 == i), ["hour_id"], F.col("cents")
-        )
-        for i in range(3)
-    ]
-    merged = rollup.merge_states(parts, ["hour_id"])
+    if base is None:
+        base = _rollup_base(spark, sf_dir)
+    st = rollup.agg_state(base, ["hour_id", "__inc"], F.col("cents"))
+    merged = rollup.merge_states([st], ["hour_id"])
     return rollup.finalize(merged, ["hour_id"]).select(
         "hour_id",
         F.col("n"),
@@ -975,7 +987,7 @@ _ROLLUP_VAR_SQL = """WITH e AS (
     FROM st"""
 
 
-def evt_rollup_var_merge(spark, sf_dir):
+def evt_rollup_var_merge(spark, sf_dir, base=None):
     """Incremental per-hour VARIANCE maintenance by mergeable state
     (operators.rollup.var_state — VERDICT r8 #5, closing the loop with
     the reference's own Chan parallel-variance combiner,
@@ -991,26 +1003,14 @@ def evt_rollup_var_merge(spark, sf_dir):
     merge(state(A), state(B), state(C)) ≡ state(A ∪ B ∪ C) through the
     variance itself. /10000 returns cents² to value units²;
     equivalence with Chan's merge and Spark's var_pop is pinned in
-    tests/test_rollup.py."""
+    tests/test_rollup.py. Increment states build in one corpus pass
+    keyed (hour, increment) — see _rollup_base."""
     from semantic_cpp_spark.operators import rollup
 
-    ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        F.col("event_id"),
-        ts_micros(ev).alias("tus"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    ).select(
-        "event_id",
-        F.expr("tus div 3600000000").alias("hour_id"),
-        "cents",
-    )
-    parts = [
-        rollup.var_state(
-            base.filter(F.col("event_id") % 3 == i), ["hour_id"], F.col("cents")
-        )
-        for i in range(3)
-    ]
-    merged = rollup.merge_var_states(parts, ["hour_id"])
+    if base is None:
+        base = _rollup_base(spark, sf_dir)
+    st = rollup.var_state(base, ["hour_id", "__inc"], F.col("cents"))
+    merged = rollup.merge_var_states([st], ["hour_id"])
     return rollup.finalize_var(merged, ["hour_id"]).select(
         "hour_id",
         "n",
@@ -1041,7 +1041,7 @@ _ROLLUP_HLL_SQL = f"""WITH e AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS 
     FROM est"""
 
 
-def evt_rollup_hll_merge(spark, sf_dir):
+def evt_rollup_hll_merge(spark, sf_dir, base=None):
     """Incremental per-hour DISTINCT-user maintenance by mergeable HLL
     register states (dedup.hll_state/hll_merge/hll_finalize): the
     events table splits into three increments (event_id mod 3), each
@@ -1055,28 +1055,14 @@ def evt_rollup_hll_merge(spark, sf_dir):
     max, idempotently, so replayed or overlapping increments never
     double-count (test-pinned). State ≤ 1024 rows per hour at ANY user
     cardinality; exact per-hour distinct would shuffle every (hour,
-    user) pair instead."""
+    user) pair instead. Increment register states build in one corpus
+    pass keyed (hour, increment) — see _rollup_base."""
     from semantic_cpp_spark.pipeline import dedup as dedup_ops
 
-    ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        F.col("event_id"),
-        ts_micros(ev).alias("tus"),
-        F.col("user_id"),
-    ).select(
-        "event_id",
-        F.expr("tus div 3600000000").alias("hour_id"),
-        "user_id",
-    )
-    parts = [
-        dedup_ops.hll_state(
-            base.filter(F.col("event_id") % 3 == i),
-            ["hour_id"],
-            F.col("user_id"),
-        )
-        for i in range(3)
-    ]
-    merged = dedup_ops.hll_merge(parts, ["hour_id"])
+    if base is None:
+        base = _rollup_base(spark, sf_dir)
+    st = dedup_ops.hll_state(base, ["hour_id", "__inc"], F.col("user_id"))
+    merged = dedup_ops.hll_merge([st], ["hour_id"])
     return dedup_ops.hll_finalize(merged, ["hour_id"])
 
 
@@ -1104,7 +1090,7 @@ _ROLLUP_QUANTILE_SQL = """WITH e AS (SELECT (epoch_ns(ts) // 1000) // 3600000000
     FROM cum GROUP BY hour_id"""
 
 
-def evt_rollup_quantile_merge(spark, sf_dir):
+def evt_rollup_quantile_merge(spark, sf_dir, base=None):
     """Incremental per-hour QUANTILE maintenance by mergeable sketch
     state (operators.rollup.qsketch_state — the last gap in the
     mergeable family: count/sum/min/max, variance, HLL-distinct and
@@ -1121,26 +1107,14 @@ def evt_rollup_quantile_merge(spark, sf_dir):
     the quantiles themselves. State <= ~14.6k bins per hour at ANY
     row count; exact quantiles would sort every event instead.
     Error bound + monotonicity + merge-order invariance pinned in
-    tests/test_rollup.py."""
+    tests/test_rollup.py. Increment bin states build in one corpus
+    pass keyed (hour, increment) — see _rollup_base."""
     from semantic_cpp_spark.operators import rollup
 
-    ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        F.col("event_id"),
-        ts_micros(ev).alias("tus"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    ).select(
-        "event_id",
-        F.expr("tus div 3600000000").alias("hour_id"),
-        "cents",
-    )
-    parts = [
-        rollup.qsketch_state(
-            base.filter(F.col("event_id") % 3 == i), ["hour_id"], F.col("cents")
-        )
-        for i in range(3)
-    ]
-    merged = rollup.merge_qsketch_states(parts, ["hour_id"])
+    if base is None:
+        base = _rollup_base(spark, sf_dir)
+    st = rollup.qsketch_state(base, ["hour_id", "__inc"], F.col("cents"))
+    merged = rollup.merge_qsketch_states([st], ["hour_id"])
     return rollup.qsketch_quantiles(merged, ["hour_id"], [50, 95, 99])
 
 
@@ -1179,26 +1153,32 @@ def evt_rollup_merge_family(spark, sf_dir):
     Aspect → member mapping: 'merge' → (n, total, vmin, vmax, vavg);
     'var' → (n, total, var_pop); 'hll' → (hll_count); 'quantile' →
     (n, p50, p95, p99). Four independent bounded-state branches —
-    per-branch exchange unchanged by the union."""
+    per-branch exchange unchanged by the union. r15: the branches
+    share ONE materialized base projection (hour, increment, cents,
+    user) — the union previously re-scanned and re-projected the
+    events corpus per branch (12 scans counting the per-increment
+    filters, now folded into the states' group keys; see
+    _rollup_base)."""
+    base = _rollup_base(spark, sf_dir).localCheckpoint()
     NL = F.lit(None).cast("long")
     ND = F.lit(None).cast("double")
-    m = evt_rollup_merge(spark, sf_dir).select(
+    m = evt_rollup_merge(spark, sf_dir, base=base).select(
         F.lit("merge").alias("aspect"), "hour_id",
         F.col("n").alias("l1"), F.col("total").alias("l2"),
         F.col("vmin").alias("l3"), F.col("vmax").alias("l4"),
         F.col("vavg").alias("d1"),
     )
-    v = evt_rollup_var_merge(spark, sf_dir).select(
+    v = evt_rollup_var_merge(spark, sf_dir, base=base).select(
         F.lit("var").alias("aspect"), "hour_id",
         F.col("n").alias("l1"), F.col("total").alias("l2"),
         NL.alias("l3"), NL.alias("l4"), F.col("var_pop").alias("d1"),
     )
-    h = evt_rollup_hll_merge(spark, sf_dir).select(
+    h = evt_rollup_hll_merge(spark, sf_dir, base=base).select(
         F.lit("hll").alias("aspect"), "hour_id",
         NL.alias("l1"), NL.alias("l2"), NL.alias("l3"), NL.alias("l4"),
         F.col("hll_count").alias("d1"),
     )
-    q = evt_rollup_quantile_merge(spark, sf_dir).select(
+    q = evt_rollup_quantile_merge(spark, sf_dir, base=base).select(
         F.lit("quantile").alias("aspect"), "hour_id",
         F.col("n").alias("l1"), F.col("p50").alias("l2"),
         F.col("p95").alias("l3"), F.col("p99").alias("l4"),
