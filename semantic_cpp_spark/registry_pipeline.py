@@ -4039,9 +4039,14 @@ def pipe_dedup_funnel(spark, sf_dir):
     docs in any cluster, clusters, docs removed (all but one rep), and
     the corpus keep rate. Composes three independently-verified
     operators in one plan; every aggregate is a count over the already-
-    bounded pair/component tables."""
+    bounded pair/component tables. The pair table is materialized once
+    (r15): it feeds both the component iteration and the n_pairs
+    count, and sharing the DataFrame object alone re-ran the whole LSH
+    pipeline for the count branch."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, F.col("text"), F.col("doc_id"))
+    pairs = dedup.minhash_lsh_pairs(
+        docs, F.col("text"), F.col("doc_id")
+    ).localCheckpoint()
     comp = dedup.connected_components(pairs)
     n_total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))

@@ -812,10 +812,13 @@ def rel_basket_lift(spark, sf_dir):
     order total rides in as one broadcast scalar; selection is
     TakeOrdered on the ROUNDED lift with (x, y) tie-breaks so the
     boundary is engine-stable. Lift in double (support·N as an int64
-    product could overflow at 10⁹ orders)."""
+    product could overflow at 10⁹ orders). The distinct basket table
+    is materialized once (r15): four consumers (order total, item
+    counts, both self-join sides) each re-ran the scan + distinct
+    exchange when they shared only the DataFrame object."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
-    ).distinct()
+    ).distinct().localCheckpoint()
     tot = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a, b = li.alias("a"), li.alias("b")
