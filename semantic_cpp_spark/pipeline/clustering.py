@@ -139,10 +139,13 @@ def cluster_medoids(
 
     Plan: assignment scan → per-dim centroid update (bounded k×dims
     aggregate) → broadcast the k new centroids back → per-cluster top-1
-    window. The corpus is scanned twice (assign, re-distance) — at scale
-    persist the assignment between the passes. Output (c_id, vec_id,
-    d2)."""
-    assigned = kmeans_assign(df, k, id_col, vec_col)
+    argmin. The assignment feeds BOTH the centroid update and the
+    re-distance pass, so it is localCheckpointed (r15): one corpus
+    assignment scan (the crossJoin×k HOF fold — the expensive half)
+    instead of two, exactly the "persist the assignment between the
+    passes" this docstring used to defer to callers. Output (c_id,
+    vec_id, d2)."""
+    assigned = kmeans_assign(df, k, id_col, vec_col).localCheckpoint()
     cent = updated_centroids(assigned)
     d2n = sq_dist(F.col("v"), F.col("m"))
     # per-cluster argmin as a map-side-combinable aggregate (r10): the
@@ -248,27 +251,39 @@ def cluster_cohesion(
         ).alias("u"),
     )
     ex = unit.select("c_id", F.posexplode("u").alias("dim", "w"))
-    sums = ex.groupBy("c_id", "dim").agg(F.sum("w").alias("s"))
+    # ONE pass over the exploded unit table (r15): the per-dim sums and
+    # the diagonal used to be two independent groupBys over `ex`, which
+    # re-ran the whole upstream (assignment crossJoin×k HOF fold +
+    # normalize + explode) twice and joined the halves back. The
+    # diagonal and member count are associative, so they ride the same
+    # (c_id, dim) partial aggregate as the sums (integer/decimal
+    # partials re-sum exactly) and the final per-cluster fold needs no
+    # join at all.
+    sums = ex.groupBy("c_id", "dim").agg(
+        F.sum("w").alias("s"),
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("__dp"),
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+    )
     per_cluster = sums.groupBy("c_id").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("dim", "s"))),
             F.lit(0.0),
             lambda acc, r: acc
             + (r["s"].cast("double") / 1e6) * (r["s"].cast("double") / 1e6),
-        ).alias("s2")
-    )
-    # diagonal Σ_i‖u_i‖² as an EXACT integer (not the nominal n): the
-    # micro-rounding makes each ‖u_i‖² ≈ 1 ± 1e-5, and subtracting the
-    # true diagonal instead of n removes that bias entirely
-    diag = ex.groupBy("c_id").agg(
-        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("__d"),
+        ).alias("s2"),
+        # diagonal Σ_i‖u_i‖² as an EXACT integer (not the nominal n):
+        # the micro-rounding makes each ‖u_i‖² ≈ 1 ± 1e-5, and
+        # subtracting the true diagonal instead of n removes that bias
+        F.sum("__dp").alias("__d"),
         # member count = rows at dim 0 (every vector has one), NOT
         # count(*)/64: correct for any vec_col dimensionality
-        F.sum((F.col("dim") == 0).cast("long")).alias("n"),
+        F.sum(F.when(F.col("dim") == 0, F.col("__cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n"),
     )
     n = F.col("n").cast("double")
     return (
-        per_cluster.join(diag, "c_id")
+        per_cluster
         .select(
             "c_id",
             F.col("n").alias("n_members"),

@@ -3432,19 +3432,57 @@ def sim_dim_truncation_recall(spark, sf_dir):
     recall@5 of brute cosine over the first d ∈ {8, 16, 32} dims against
     the exact 64-dim baseline, per query — the "can we store a prefix of
     the embedding" question every vector-storage budget asks (truncation
-    = 8×/4×/2× memory + bandwidth savings if recall holds). Each branch
-    is the same broadcast-query corpus scan as sim_cosine_topk with
-    F.slice on the vector (the fold shortens, the plan shape is
-    unchanged); the comparison joins are bounded ≤15-row epilogues."""
+    = 8×/4×/2× memory + bandwidth savings if recall holds).
+
+    Plan shape (r15): ONE broadcast-query corpus scan computes all
+    three truncated cosines side by side (the per-dims scans were
+    recomputed once per union branch — 3 corpus scans of interpreted
+    HOF folds — and the exact baseline re-ran once per branch on top:
+    6 corpus passes for a 4-pass computation). The (q_id, vec_id,
+    cos8, cos16, cos32) proxy table is localCheckpointed — narrow
+    rows, the guide-§8 "decide on small rows" discipline — and each
+    dims branch is a window + ≤15-row epilogue over it. Arithmetic is
+    verbatim cosine_topk: elementwise double cast then F.slice
+    (cast∘slice ≡ slice∘cast), the same safe_cos LTR fold, the same
+    (cos DESC, vec_id) tie-break, so the per-dims top-5 SETS — the
+    only thing the recall join consumes — are bit-identical."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = similarity.cosine_topk(emb, [0, 1, 2], k=5).select("q_id", "vec_id")
+    exact = (
+        similarity.cosine_topk(emb, [0, 1, 2], k=5)
+        .select("q_id", "vec_id")
+        .localCheckpoint()  # 15 rows; consumed once per dims branch
+    )
+    ed = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    q = ed.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        ed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            *[
+                similarity.safe_cos(
+                    F.slice(F.col("v"), 1, d), F.slice(F.col("qv"), 1, d)
+                ).alias(f"cos{d}")
+                for d in _TRUNC_DIMS
+            ],
+        )
+        .localCheckpoint()
+    )
     out = None
     for d in _TRUNC_DIMS:
-        trunc = emb.select(
-            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        w = Window.partitionBy("q_id").orderBy(
+            F.col(f"cos{d}").desc(), F.col("vec_id")
         )
-        approx = similarity.cosine_topk(trunc, [0, 1, 2], k=5).select(
-            F.col("q_id").alias("aq"), F.col("vec_id").alias("av")
+        approx = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= 5)
+            .select(F.col("q_id").alias("aq"), F.col("vec_id").alias("av"))
         )
         hits = (
             exact.join(

@@ -881,3 +881,36 @@ def test_str_family_union_adds_no_exchange_beyond_members(spark, qs):
     nlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
     assert len(nlj) <= 2 and all("Cross" in ln for ln in nlj), nlj
     assert "Union" in plan
+
+
+def test_cluster_cohesion_single_pass_no_join(spark):
+    """cluster_cohesion's diagonal and member count ride the same
+    (c_id, dim) partial aggregate as the per-dim sums (r15): the old
+    shape ran TWO independent groupBys over the exploded unit table —
+    re-running the whole crossJoin×k assignment upstream twice — and
+    joined the halves back. Pin the fused form: the only Join left is
+    the centroid-broadcast cross inside kmeans_assign (so exactly one
+    assignment pass), no equi-join re-attach, and the (c_id, dim)
+    aggregate keeps map-side partials."""
+    from semantic_cpp_spark.pipeline import clustering
+    from semantic_cpp_spark.session import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(clustering.cluster_cohesion(emb, k=8))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan
+    nlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(nlj) == 1 and "Cross" in nlj[0], nlj
+    assert "partial" in plan
+
+
+def test_truncation_recall_single_scored_scan(spark, qs):
+    """sim_dim_truncation_recall computes all three truncated cosines
+    in ONE corpus pass over a checkpointed (q_id, vec_id, cos8/16/32)
+    proxy table (r15) — each dims branch must read the checkpoint
+    (ExistingRDD), not re-derive its own parquet scan of embeddings +
+    HOF fold; the exact baseline rides a 15-row checkpoint the same
+    way."""
+    plan = _plan(qs["sim_dim_truncation_recall"](spark, SF))
+    assert "Scan ExistingRDD" in plan
+    assert "parquet" not in plan.lower()
