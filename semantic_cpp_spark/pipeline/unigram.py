@@ -110,7 +110,16 @@ def piece_scores(
     VOCAB-sized word table, joined to the piece table on the substring
     key — bounded by model-shaped inputs, independent of corpus size
     (the corpus was already reduced to (word, freq) by
-    text.bpe_word_counts' additive monoid)."""
+    text.bpe_word_counts' additive monoid).
+
+    Materialization (r15): ``pieces`` is referenced twice (the ml
+    collect + the broadcast join) and ``occ`` twice (the totals
+    aggregate + the result projection) — as lazy lineage each reference
+    re-ran its upstream, so a vocab-derived piece table (alphabet
+    distinct + ordinal sort) executed twice and the substring explode
+    twice per call. Both are model-sized by this function's own
+    contract, so they localCheckpoint: one vocab pass, one explode."""
+    pieces = pieces.select(F.col(piece_col).alias(piece_col)).localCheckpoint()
     ml_row = pieces.agg(F.max(F.length(piece_col))).collect()[0][0]
     if ml_row is None:
         raise ValueError("piece inventory is empty")
@@ -136,6 +145,7 @@ def piece_scores(
         )
         .groupBy("piece")
         .agg(F.sum("freq").cast("long").alias("occ"))
+        .localCheckpoint()  # ≤ |pieces| rows; feeds tot AND the result
     )
     tot = occ.agg(F.sum("occ").cast("long").alias("tot"))
     return occ.crossJoin(F.broadcast(tot)).select(
