@@ -89,24 +89,46 @@ def nb_train(
     null-text rows contribute no tokens but do count toward their
     label's prior (a labeled empty document is still a labeled
     document).
+
+    Corpus-pass budget (r15): the training corpus is exploded exactly
+    ONCE, into the TYPE-level (label, term, cnt) table every model
+    quantity derives from — the per-term vocabulary counts are its
+    label-marginal (integer partial sums re-sum exactly), and the
+    in-vocab counts are a broadcast semi-cut of it, so neither re-runs
+    the explode (the old shape replayed it per reference: ×3 for the
+    vocab cut, ×2 for the counts — 30 scan leaves in the holdout
+    gate's plan). The type table and the vocabulary cut are bounded by
+    (corpus vocabulary × labels) and ``vocab_size`` respectively and
+    localCheckpoint; priors fold from one per-label groupBy (the label
+    list and the grand total are its projections, not extra scans).
     """
     df = df.filter(label.isNotNull())
     tok = df.select(label.alias("label"), F.explode(_terms(text)).alias("term"))
+    lt = (
+        tok.groupBy("label", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
     vocab = (
-        tok.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        lt.groupBy("term")
+        .agg(F.sum("cnt").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("term").asc())
         .limit(vocab_size)
         .select("term")
+        .localCheckpoint()
     )
-    cnts = (
-        tok.join(F.broadcast(vocab), "term")
-        .groupBy("label", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    cnts = lt.join(F.broadcast(vocab), "term").select("label", "term", "cnt")
     tots = cnts.groupBy("label").agg(F.sum("cnt").cast("long").alias("tot"))
     vsz = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
-    labels = df.select(label.alias("label")).distinct()
+    docs_l = df.groupBy(label.alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).localCheckpoint()
+    # the distinct label set IS the per-label doc-count table's key
+    # column, and the grand total is Σ its counts (df is already
+    # filtered to non-null labels) — projections of one groupBy, not
+    # extra corpus scans
+    labels = docs_l.select("label")
+    docs_total = docs_l.agg(F.sum("n_docs").cast("long").alias("n_total"))
     # tots joins LEFT with tot=0 fill: a label whose training docs hold
     # zero in-vocab tokens (all-OOV or all-null text) must still get a
     # full model column — lp = ln(alpha / (alpha·V)) is well-defined at
@@ -133,10 +155,6 @@ def nb_train(
         .cast("long")
         .alias("lp_micro"),
     )
-    docs_l = df.groupBy(label.alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    docs_total = df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     priors = (
         docs_l.crossJoin(F.broadcast(docs_total))
         .select(
@@ -171,11 +189,17 @@ def nb_predict(
     by doc_id — key cardinality = the corpus, fully parallel.
     """
     vocab = nbm.model.select("term").distinct()
+    # tf feeds BOTH the model-join contribution stream and the per-doc
+    # in-vocab token count; as lazy lineage the second reference re-ran
+    # the corpus explode + vocab join + aggregate (r15). One scoring
+    # corpus pass; the checkpoint holds the already-aggregated
+    # (doc_id, term, tf) rows, the narrowest form of the corpus here.
     tf = (
         df.select(id_col.alias("doc_id"), F.explode(_terms(text)).alias("term"))
         .join(F.broadcast(vocab), "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
     )
     contrib = tf.join(F.broadcast(nbm.model), "term").select(
         "doc_id", "label", (F.col("tf") * F.col("lp_micro")).alias("part")
