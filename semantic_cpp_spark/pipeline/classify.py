@@ -136,7 +136,11 @@ def nb_train(
     # that label scores prior-only at predict time (ADVICE r12).
     dense = (
         vocab.crossJoin(F.broadcast(labels))
-        .join(cnts, ["term", "label"], "left")
+        # explicit hint: cnts is model-sized (≤ vocab_size × n_labels)
+        # but derives from the checkpointed type table, whose LogicalRDD
+        # stats are unknown — without the hint the planner falls back to
+        # SortMergeJoin (plan-pinned broadcast, r15)
+        .join(F.broadcast(cnts), ["term", "label"], "left")
         .na.fill({"cnt": 0})
         .join(F.broadcast(tots), "label", "left")
         .na.fill({"tot": 0})
