@@ -14,6 +14,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _default_driver_mem(master: str) -> str:
+    """Driver-JVM heap default. In LOCAL mode the driver JVM hosts every
+    executor thread, so its heap must be sized like a worker's, not a
+    coordinator's: measured on this round's 128 GiB / 32-core host, a
+    fixed 8g heap put heavy gates into GC thrash with strong cross-query
+    interference (a gate measured 9.4 s alone took 49.5 s when run after
+    a pandas-UDF-heavy gate in the same session; 10.8 s at 24g — guide
+    §5). Default = RAM/4 clamped to [8g, 32g], env-overridable via
+    SPARK_GRAFT_DRIVER_MEM; non-local masters keep the 8g coordinator
+    default (executor memory is the cluster manager's knob there)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    if not master.startswith("local"):
+        return "8g"
+    try:
+        total_gib = (
+            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        ) / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{int(min(32, max(8, total_gib // 4)))}g"
+
+
 def get_spark(
     app_name: str = "semantic_cpp_spark",
     master: str | None = None,
@@ -42,7 +66,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", _default_driver_mem(master))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Fixture generations have stored events.ts as either parquet
