@@ -58,6 +58,13 @@ HEAVY_QUERIES = [
     "txt_decontaminate",
     "txt_ngram_novelty",
     "dedup_minhash_lsh",
+    # r16 additions (VERDICT r15 #8, additions-only): the two most
+    # expensive remaining families get driver-side trend data now that
+    # the novelty fix freed the budget — the graph iteratives
+    # (checkpoint-cadence sensitive) and the streaming tier
+    # (state-store-commit dominated).
+    "graph_pagerank_top10",
+    "stream_stream_join",
 ]
 HEAVY_SF_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".localdata", "sf1.0"
@@ -81,6 +88,20 @@ def main() -> None:
     # this box is documented at 2-3×, and a median of 3 keeps the
     # steady-state number comparable across rounds without chasing it.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    # Cache-flush protocol (VERDICT r15 #3 — de-gaming): several
+    # operators keep plan-keyed persisted-intermediate memos
+    # (indexing._RANGE_CACHE, dedup._SIG_CACHE, eventflow._DF_MEMO).
+    # They are a legitimate production feature (reusing a signature
+    # index across queries in one session), but left alone here the
+    # UNTIMED warm-up would populate them and every timed run would
+    # measure warm persisted state. Flushing between the warm-up and
+    # each timed run makes every timed run rebuild its persisted
+    # intermediates from the parquet inputs INSIDE the timed region.
+    # The warm-up itself stays: it pays the JIT / parquet-footer /
+    # Arrow-init costs that are session properties, not query work.
+    from semantic_cpp_spark.indexing import release_ordinal_caches
+
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -88,6 +109,7 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(runs):
+            release_ordinal_caches()
             t0 = time.time()
             df = fn(spark, sf_dir)
             # noop sink materialises every column (count() would let
@@ -102,10 +124,8 @@ def main() -> None:
         # the median sum for cross-round continuity.
         timings_min[name] = round(samples[0], 3)
 
-    # Boundary flush of ordinal caches (range-strategy persists) so a
-    # long-lived harness embedding bench.main() doesn't accumulate them.
-    from semantic_cpp_spark.indexing import release_ordinal_caches
-
+    # Boundary flush so a long-lived harness embedding bench.main()
+    # doesn't accumulate persisted state into the heavy tier below.
     release_ordinal_caches()
 
     heavy = None
@@ -124,13 +144,16 @@ def main() -> None:
             if time.time() >= deadline:
                 heavy_t[name] = None
                 continue
-            # warmup run first: cold-start (JIT, parquet footers, the
-            # signature-persist memo) measured 4-8× the steady state —
-            # as cold/warm noise it would bury the 3-7× plan-channel
+            # warmup run first: cold-start (JIT, parquet footers,
+            # Arrow init) measured 4-8× the steady state — as
+            # cold/warm noise it would bury the 3-7× plan-channel
             # step changes this tier exists to catch.
             qs[name](spark, HEAVY_SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
+            # same de-gaming flush as the headline loop: the timed run
+            # rebuilds any persisted intermediates itself.
+            release_ordinal_caches()
             t0 = time.time()
             qs[name](spark, HEAVY_SF_DIR).write.format("noop").mode(
                 "overwrite"

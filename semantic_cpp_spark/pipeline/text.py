@@ -1286,18 +1286,20 @@ def ngram_novelty(df, text: Column, id_col, span_words: int = 5):
     recycled content even when no single pair crosses a Jaccard
     threshold). Returns (doc_id, n_spans, n_seen_before, novelty).
 
-    Scale shape (r15, guide §2.3/§2.4): per-doc span dedup happens
+    Scale shape (r16, guide §2.4): per-doc span dedup happens
     MAP-SIDE (array_distinct over the per-element span hashes — the
-    dedup key never crossed rows, so the old (doc_id, h)
-    dropDuplicates exchange bought nothing), and the span-hash stream
-    is then repartitioned ONCE on h: that single exchange is shared
-    by both consumers (the first-occurrence groupBy and the join-back
-    probe side need exactly the same (doc_id, h) columns, so
-    ReusedExchange fires and the explode+md5 work runs once), the
-    groupBy(h) and the join need no further shuffle, and the final
-    per-doc rollup partial-aggregates map-side. Old shape: a
-    corpus-scale dedup exchange plus a second corpus-scale probe-side
-    exchange; new shape: ONE corpus exchange of 16-byte rows.
+    dedup key never crossed rows, so a (doc_id, h) dropDuplicates
+    exchange would buy nothing), then the per-span first occurrence
+    attaches as ``min(doc_id) OVER (PARTITION BY h)`` — ONE corpus
+    explode+md5 pass and ONE exchange of 16-byte (doc_id, h) rows, no
+    join, no broadcast — and the final per-doc rollup
+    partial-aggregates map-side. The r15 groupBy(h) + join-back shape
+    ran the corpus explode TWICE (static exchange reuse never deduped
+    the subtrees; executedPlan verified ReusedExchange=0) and, worse,
+    the planner broadcast the corpus-scale first-occurrence aggregate
+    (its size estimate comes from scan bytes, blind to explode
+    fan-out): the driver measured 237.8 s at sf1.0/32 cores
+    (VERDICT r15 #1).
 
     Exchanges are keyed on the span's 60-bit md5 HASH, not its text —
     the span string never shuffles. A 60-bit collision merges two
@@ -1306,6 +1308,7 @@ def ngram_novelty(df, text: Column, id_col, span_words: int = 5):
     the differential gate still hash-matches exactly. The token array
     rides a materialize_tokens barrier before the per-element n-gram
     slice (the O(L²) collapse guard, SCALING r14/r15)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     toks = F.split(F.trim(F.lower(text)), r"\s+")
@@ -1318,9 +1321,22 @@ def ngram_novelty(df, text: Column, id_col, span_words: int = 5):
             ),
         )
     )
-    ex = base.select("doc_id", F.explode(arr).alias("h")).repartition("h")
-    first = ex.groupBy("h").agg(F.min("doc_id").alias("__first"))
-    flagged = ex.join(first, "h")
+    ex = base.select("doc_id", F.explode(arr).alias("h"))
+    # r16 (VERDICT r15 #1, guide §2.4): the r15 shape computed the
+    # first-occurrence table with groupBy(h) and joined it back — and
+    # because the planner's size estimate for that aggregate comes from
+    # the SCAN bytes (blind to explode fan-out), it BROADCAST a
+    # corpus-scale table under the 64 MB threshold: the driver measured
+    # 237.8 s at sf1.0/32 cores. A shuffle_hash hint fixed the
+    # broadcast but still ran the corpus explode twice (static
+    # exchange reuse does not dedupe the two subtrees — verified
+    # executedPlan, ReusedExchange=0). The window form computes
+    # min(doc_id) OVER (PARTITION BY h) instead: ONE corpus
+    # explode+md5 pass, ONE exchange on h, no join, no broadcast —
+    # identical rows (partition-min ≡ groupBy-min joined back).
+    flagged = ex.withColumn(
+        "__first", F.min("doc_id").over(Window.partitionBy("h"))
+    )
     seen = F.col("__first") < F.col("doc_id")
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),

@@ -15,27 +15,28 @@ from pyspark.sql import types as T
 
 
 def _default_driver_mem(master: str) -> str:
-    """Driver-JVM heap default. In LOCAL mode the driver JVM hosts every
-    executor thread, so its heap must be sized like a worker's, not a
-    coordinator's: measured on this round's 128 GiB / 32-core host, a
-    fixed 8g heap put heavy gates into GC thrash with strong cross-query
-    interference (a gate measured 9.4 s alone took 49.5 s when run after
-    a pandas-UDF-heavy gate in the same session; 10.8 s at 24g — guide
-    §5). Default = RAM/4 clamped to [8g, 32g], env-overridable via
-    SPARK_GRAFT_DRIVER_MEM; non-local masters keep the 8g coordinator
-    default (executor memory is the cluster manager's knob there)."""
-    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-    if env:
-        return env
-    if not master.startswith("local"):
-        return "8g"
-    try:
-        total_gib = (
-            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
-        ) / (1 << 30)
-    except (ValueError, OSError, AttributeError):
-        return "8g"
-    return f"{int(min(32, max(8, total_gib // 4)))}g"
+    """Driver-JVM heap default: 8g, env-overridable via
+    SPARK_GRAFT_DRIVER_MEM.
+
+    HISTORY (r15→r16): r15 shipped a RAM/4 [8g,32g] local-mode default
+    after one sweep-shaped measurement (a heavy gate at 49.5 s in GC
+    thrash at 8g after a pandas-UDF-heavy gate). The r15 driver bench
+    then regressed 33% (geomean 0.668) and the r16 A/B on a 128 GiB /
+    32-core host reversed the call decisively on bench.py's own
+    protocol, SAME session shape, heavy tier included (SCALING.md r16
+    table): headline sf0.1 median 14.65 s at 31g vs 8.30 s at 8g;
+    heavy tier sf1.0 130.9 s at 31g (txt_lm_perplexity_bands 96.1 s)
+    vs 20.9 s at 8g. A huge heap makes young-gen collections sparse
+    and tenuring deep, so short-lived per-query garbage from 32
+    allocating threads accumulates and late-session queries degrade
+    (the 31g baseline's LAST three headline queries ran 3-6× their 8g
+    times); a small heap keeps collections frequent and cheap and lets
+    the ContextCleaner's weak references actually get processed. A
+    session that genuinely needs a bigger heap (huge collected models,
+    very large broadcast builds) sets SPARK_GRAFT_DRIVER_MEM
+    explicitly — that is a workload property, not a host property, so
+    it must not be derived from host RAM."""
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 
 def get_spark(
@@ -87,6 +88,25 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # ADVICE r15: builder confs only take effect when THIS call launches
+    # the JVM; getOrCreate against a pre-existing session silently keeps
+    # its heap. Surface the mismatch so a heap-sensitive run (bench,
+    # heavy gates) can't mis-measure silently.
+    try:
+        requested = _default_driver_mem(master)
+        actual = spark.conf.get("spark.driver.memory", None)
+        if actual is not None and actual != requested:
+            import warnings
+
+            warnings.warn(
+                f"get_spark: reused existing SparkSession with "
+                f"spark.driver.memory={actual} (requested {requested}); "
+                "driver heap is fixed at JVM launch",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    except Exception:
+        pass
     return spark
 
 

@@ -914,3 +914,24 @@ def test_truncation_recall_single_scored_scan(spark, qs):
     plan = _plan(qs["sim_dim_truncation_recall"](spark, SF))
     assert "Scan ExistingRDD" in plan
     assert "parquet" not in plan.lower()
+
+
+def test_ngram_novelty_single_pass_no_broadcast(spark, qs):
+    """txt_ngram_novelty (r16, VERDICT r15 #1): the first-occurrence
+    attach must be a WINDOW over the single exploded span stream — ONE
+    parquet scan, one exchange on h, no join of any strategy and in
+    particular no BroadcastExchange (the r15 groupBy+join-back shape
+    broadcast the corpus-scale first-occurrence aggregate because the
+    planner's size estimate is blind to explode fan-out: the driver
+    measured 237.8 s at sf1.0)."""
+    plan = _plan(qs["txt_ngram_novelty"](spark, SF))
+    assert "BroadcastExchange" not in plan
+    for j in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert j not in plan
+    assert "Window" in plan
+    assert plan.count("FileScan") == 1
