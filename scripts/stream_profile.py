@@ -54,7 +54,14 @@ def main() -> None:
     # Intercept run_to_memory to time the phases and read progress.
     import uuid as _uuid
 
-    def profiled_run(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    def profiled_run(
+        stream_df: DataFrame,
+        output_mode: str,
+        skip_no_data_batch: bool = False,
+    ) -> DataFrame:
+        spark_ = stream_df.sparkSession
+        ck = "spark.sql.streaming.noDataMicroBatches.enabled"
+        spark_.conf.set(ck, "false" if skip_no_data_batch else "true")
         name = f"sem_stream_{_uuid.uuid4().hex[:12]}"
         t0 = time.time()
         q = (

@@ -344,8 +344,14 @@ class SemanticFrame:
         order, so push order follows the new index."""
         k = self._v if key is None else _apply(key, self._v, self._i)
         tagged = self.df.withColumn("__k", k)
+        # ascending passes the PLAIN column name (identical ordering —
+        # bare columns order asc-nulls-first everywhere with_ordinal
+        # uses them) so the range strategy can recognise a named
+        # numeric leading key and take its deterministic
+        # quantile-bounds path (r16, indexing.py) instead of the
+        # sampled+persisted range partitioning.
         order = [
-            F.col("__k").asc() if ascending else F.col("__k").desc(),
+            "__k" if ascending else F.col("__k").desc(),
             F.col(IDX).asc(),
             F.col(ORD).asc(),
         ]

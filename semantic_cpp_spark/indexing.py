@@ -93,6 +93,13 @@ def release_ordinal_caches() -> int:
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
+# types the deterministic quantile-bounds range path accepts: anything
+# whose cast to double is a monotone (possibly non-strict) map — equal-
+# after-cast keys just share a bucket and the local window orders them
+# by the TRUE key, so lossy casts (int64 > 2^53, high-precision
+# decimals) stay correct.
+_QNUMERIC = _NUMERIC + (T.FloatType, T.DoubleType, T.DecimalType)
+
 ColumnOrName = Union[Column, str]
 
 
@@ -197,26 +204,104 @@ def with_ordinal(
     elif strategy == "range":
         spark = df.sparkSession
         n = num_partitions or max(spark.sparkContext.defaultParallelism, 2)
-        # Memoise the persisted range-partitioned input per logical plan:
-        # re-running the same query (bench reruns, chained ops) must reuse
-        # the SAME persisted DataFrame — re-persisting an identical plan
-        # just trips CacheManager's "already cached" warning and grows
-        # _PERSISTED.
-        rk = (
-            df._jdf.queryExecution().analyzed().semanticHash(),
-            hash(tuple(sorted(df.inputFiles()))),
-            tuple(str(c) for c in cols),
-            n,
-        )
-        tagged = _RANGE_CACHE.get(rk)
-        if tagged is None:
-            tagged = (
-                df.repartitionByRange(n, *cols)
-                .withColumn(_PID, F.spark_partition_id())
-                .persist(StorageLevel.MEMORY_AND_DISK)
+        # Deterministic quantile-bounds path (r16, guide §2.5/§5): when
+        # the LEADING order key is a named numeric column ordered
+        # ascending, bucket boundaries come from ONE eager
+        # approxQuantile probe over the pruned key column and are
+        # frozen into the plan as literals — the bucket assignment is
+        # then a pure deterministic row function, so NO persist is
+        # needed for retry/rematerialisation consistency (the old
+        # repartitionByRange path had to pin its nondeterministic
+        # SAMPLE with a corpus-scale MEMORY_AND_DISK persist — exactly
+        # the cache-pressure §5 warns about at 100 TB, rebuilt per
+        # timed run since the r16 bench de-gaming). Monotone-coarsening
+        # correctness: bucket = #bounds <= key is non-strictly
+        # monotone in the key's sort order (Spark semantics give
+        # null → empty filter → bucket 0, matching asc-nulls-first,
+        # and NaN >= every bound → last bucket, matching asc-NaN-last);
+        # the local window then orders by the FULL key within each
+        # bucket, so boundary placement affects only balance, never
+        # values. Skewed/degenerate distributions cost balance, not
+        # correctness. Non-numeric or descending leading keys keep the
+        # sampled+persisted path below.
+        qkey = None
+        if isinstance(order_by[0], str):
+            try:
+                if isinstance(df.schema[order_by[0]].dataType, _QNUMERIC):
+                    qkey = order_by[0]
+            except KeyError:
+                qkey = None
+        bounds = None
+        if qkey is not None:
+            bk = (
+                df._jdf.queryExecution().analyzed().semanticHash(),
+                hash(tuple(sorted(df.inputFiles()))),
+                "qbounds",
+                qkey,
+                n,
             )
-            _RANGE_CACHE[rk] = tagged
-            _PERSISTED.append(tagged)
+            bounds = _PROBE_CACHE.get(bk) if memoize else None
+            if bounds is None:
+                # percentile_approx (codegen agg) measured ~2x faster
+                # than DataFrame.stat.approxQuantile's RDD path for the
+                # same sketch; accuracy 1000 bounds the sketch size
+                # (balance-only — boundary placement never affects
+                # values). Nulls are ignored by the sketch; NaNs are
+                # dropped from the bounds below (a NaN bound would act
+                # as +inf anyway).
+                probs = F.array(*[F.lit(i / n) for i in range(1, n)])
+                row = df.agg(
+                    F.percentile_approx(
+                        F.col(qkey).cast("double"), probs, F.lit(1000)
+                    ).alias("__b")
+                ).first()
+                raw = row["__b"] or []
+                bounds = sorted({b for b in raw if b is not None and b == b})
+                if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+                    _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+                _PROBE_CACHE[bk] = bounds
+        if bounds:
+            # bucket = #bounds <= key, as a plain comparison-sum chain:
+            # a filter() higher-order function here trips an optimizer
+            # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the lambda-bearing
+            # grouping expression is collapsed into the downstream
+            # aggregate (observed Spark 4.1); per-term when() keeps the
+            # whole bucket expression codegen-able scalar arithmetic.
+            # null key: every term's otherwise(0) fires -> bucket 0
+            # (asc-nulls-first); NaN: >= every bound -> last bucket
+            # (asc-NaN-last).
+            kd = F.col(qkey).cast("double")
+            terms = [
+                F.when(kd >= F.lit(float(b)), F.lit(1)).otherwise(F.lit(0))
+                for b in bounds
+            ]
+            bucket = sum(terms[1:], terms[0]).cast("long")
+            tagged = df.withColumn(_PID, bucket)
+        else:
+            # sampled range partitioning, pinned by a persist: the
+            # sample is nondeterministic, so every materialisation of
+            # an unpersisted plan could assign different buckets.
+            # Memoised per logical plan: re-running the same query
+            # (chained ops; NOT timed bench runs, which flush this
+            # first — r16 de-gaming) must reuse the SAME persisted
+            # DataFrame — re-persisting an identical plan just trips
+            # CacheManager's "already cached" warning and grows
+            # _PERSISTED.
+            rk = (
+                df._jdf.queryExecution().analyzed().semanticHash(),
+                hash(tuple(sorted(df.inputFiles()))),
+                tuple(str(c) for c in cols),
+                n,
+            )
+            tagged = _RANGE_CACHE.get(rk)
+            if tagged is None:
+                tagged = (
+                    df.repartitionByRange(n, *cols)
+                    .withColumn(_PID, F.spark_partition_id())
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                _RANGE_CACHE[rk] = tagged
+                _PERSISTED.append(tagged)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 

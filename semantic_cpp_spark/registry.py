@@ -747,62 +747,63 @@ from semantic_cpp_spark import registry_events  # noqa: E402,F401
 #     by the mm/passage consolidations, corrected arithmetic in the
 #     r15 block above.]
 _PRIORITY: list[str] = [
-    # -- (c) the 42 r10-vintage due queries (recounted r15) --
-    "agg_basic",
-    "agg_dispersion",
-    "asof_purchase_last_signup",
-    "dedup_bloom_probe",
-    "dedup_shared_spans",
-    "emb_pca_norm_preserved",
-    "evt_funnel_signup_view_purchase",
-    "evt_interval_join_1h",
-    "grp_frequency_profile",
-    "grp_partition_by_sorted",
-    "rel_q1_pricing_summary",
-    "rel_q3_top_revenue",
-    "rel_q5_nation_revenue",
-    "rel_topk_per_segment",
-    "samp_hash_bernoulli",
-    "samp_stratified_by_lang",
-    "sem_bounds",
-    "sem_concatenate",
-    "sem_distinct_comparator",
-    "sem_drop_while",
-    "sem_filter_rebases_idx",
-    "sem_find_at",
-    "sem_flat_explode",
-    "sem_join_str",
-    "sem_limit",
-    "sem_map_preserves_idx",
-    "sem_match_predicates",
-    "sem_skip_preserves_idx",
-    "sem_sort_stable",
-    "sem_take_while",
-    "sig_dft64",
-    "sig_fft_by_window",
-    "sim_embedding_near_dup",
-    "sim_ivf_topk",
-    "sim_lsh_bucket_topk",
-    "sim_pq_train_sampled",
-    "sim_quantized_topk",
-    "txt_bpe_token_count",
-    "txt_fingerprint",
-    "txt_gopher_rules",
-    "txt_lang_id",
-    "txt_quality_score",
-    # -- (b) first rows: r14-forecast differential tier + the two
-    #    end-of-r14 consolidation unions --
-    "dedup_passage_family",
-    "mm_media_family",
-    "samp_dsir_logweights",
-    "str_family",
-    "txt_lm_mkn_zipf",
-    # -- (a) word_ngrams-barrier re-entries (pairing rule; the other
-    #    two callers, txt_gopher_rules + dedup_shared_spans, are in
-    #    the due 42 above) --
-    "txt_decontaminate",
-    "dedup_span_cuts_family",
+    # -- (c) the 45 r11-vintage due queries (recount r16:
+    #    `python scripts/rotation_recount.py 16`) --
+    "dedup_incremental_batch",
+    "dedup_minhash_containment",
+    "dedup_minhash_lsh",
+    "emb_dim_stats",
+    "emb_jl_project",
+    "emb_pca_project",
+    "emb_whiten_norms",
+    "evt_conversion_latency",
+    "evt_debounce",
+    "evt_decayed_activity",
+    "evt_last_touch_attribution",
+    "evt_mad_outliers",
+    "evt_max_concurrency",
+    "evt_rfm_segments",
+    "evt_user_trend",
+    "graph_triangle_counts",
+    "mm_compressed_text",
+    "mm_feature_extract",
+    "mm_gif_features",
+    "mm_pgm_features",
+    "mm_png_features",
+    "mm_resize_features",
+    "pipe_clean_corpus",
+    "rel_equidepth_histogram",
+    "rel_grouping_sets",
+    "rel_order_gaps_lead_lag",
+    "samp_weighted_topk",
+    "sim_ann_router_banded",
+    "sim_ann_router_bucket",
+    "sim_cosine_topk",
+    "sim_ivf_multiprobe",
+    "sim_lsh_banded_topk",
+    "sim_lsh_multiprobe_topk",
+    "stream_last_touch",
+    "txt_bigram_cross_entropy",
+    "txt_boilerplate_removal",
+    "txt_chunk_overlap",
+    "txt_line_dedup",
+    "txt_pmi_bigrams",
+    "txt_quality_above_median",
+    "txt_quality_bands",
+    "txt_source_report",
+    "txt_zipf_fit",
+    "udaf_per_order_weighted_avg",
+    "udaf_weighted_avg",
+    # -- (a) r16 changed-code re-entries: ngram_novelty (window
+    #    first-occurrence rewrite), sem_sort_stable + txt_vocab_ids
+    #    (deterministic quantile-bounds ordinal path),
+    #    sim_ivfpq_family_topk (shared residual index build),
+    #    graph_pagerank_top10 (checkpoint cadence) --
     "txt_ngram_novelty",
+    "sem_sort_stable",
+    "txt_vocab_ids",
+    "sim_ivfpq_family_topk",
+    "graph_pagerank_top10",
     # -- WINDOW CUT at position 50. Rotating? Recount first:
     #    `python scripts/rotation_recount.py <next_round>`. --
 ]

@@ -4530,9 +4530,23 @@ def sim_ivfpq_family_topk(spark, sf_dir):
         emb, [0, 1, 2], k=5, nprobe=2, n_lists=similarity.IVF_K,
         books=books, listed_codes=listed,
     ).select(F.lit("ivf").alias("aspect"), *cols)
-    r = sim_ivfpq_residual_topk(spark, sf_dir).select(
-        F.lit("residual").alias("aspect"), *cols
+    # r16 (VERDICT r15 queue #6): the residual aspect previously
+    # re-derived its whole index inline — its branch alone held ~12
+    # parquet scan leaves (seeds, cents, assignment, encode, probes all
+    # re-planned from the raw table). Build the residual index ONCE,
+    # checkpoint it (books is model-sized; listed_codes is the gate's
+    # code table, the same materialization the adc/ivf branches use),
+    # and probe through the member's own persisted-index path — the
+    # same (books, listed_codes)-pair contract ivfpq_index_save
+    # established, so defaults stay verified by sim_ivfpq_residual_topk.
+    r_books, r_codes = similarity.ivfpq_residual_index(
+        emb, n_lists=similarity.IVF_K
     )
+    r = similarity.ivfpq_residual_topk(
+        emb, [0, 1, 2], k=5, nprobe=2, n_lists=similarity.IVF_K,
+        books=r_books.localCheckpoint(),
+        listed_codes=r_codes.localCheckpoint(),
+    ).select(F.lit("residual").alias("aspect"), *cols)
     return a.unionByName(i).unionByName(r)
 
 

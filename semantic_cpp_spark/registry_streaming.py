@@ -25,7 +25,10 @@ def stream_tumble(spark, sf_dir):
     """Event-time tumbling 1h windows over the events stream (complete
     mode ⇒ every window emitted; equals the batch groupBy answer)."""
     ev = ops.read_events_stream(spark, sf_dir)
-    return ops.run_to_memory(ops.tumbling_counts(ev, "1 hour"), "complete")
+    return ops.run_to_memory(
+        ops.tumbling_counts(ev, "1 hour"), "complete",
+        skip_no_data_batch=True,
+    )
 
 
 @register(
@@ -41,7 +44,8 @@ def stream_slide(spark, sf_dir):
     assignment."""
     ev = ops.read_events_stream(spark, sf_dir)
     return ops.run_to_memory(
-        ops.sliding_counts(ev, "2 hours", "30 minutes"), "complete"
+        ops.sliding_counts(ev, "2 hours", "30 minutes"), "complete",
+        skip_no_data_batch=True,
     )
 
 
@@ -67,7 +71,10 @@ def stream_session(spark, sf_dir):
     the inter-event gap reaches the threshold; oracle is the classic
     lag+cumsum sessionization."""
     ev = ops.read_events_stream(spark, sf_dir)
-    return ops.run_to_memory(ops.session_counts(ev, "5 minutes"), "complete")
+    return ops.run_to_memory(
+        ops.session_counts(ev, "5 minutes"), "complete",
+        skip_no_data_batch=True,
+    )
 
 
 @register(
@@ -79,7 +86,9 @@ def stream_distinct(spark, sf_dir):
     batch DISTINCT — the streaming form of distinct()
     (semantic.h:1122-1142)."""
     ev = ops.read_events_stream(spark, sf_dir)
-    return ops.run_to_memory(ops.streaming_distinct_keys(ev), "append")
+    return ops.run_to_memory(
+        ops.streaming_distinct_keys(ev), "append", skip_no_data_batch=True
+    )
 
 
 @register(
@@ -93,7 +102,9 @@ def stream_running_stats(spark, sf_dir):
     applyInPandasWithState — the streaming form of the reference's
     single-pass stats accumulators (collector.h:488-760)."""
     ev = ops.read_events_stream(spark, sf_dir)
-    out = ops.run_to_memory(ops.running_stats_per_user(ev), "update")
+    out = ops.run_to_memory(
+        ops.running_stats_per_user(ev), "update", skip_no_data_batch=True
+    )
     return out.select(
         "user_id",
         "n",
@@ -118,7 +129,9 @@ def stream_count_windows(spark, sf_dir):
     unbounded stream (the reference's tumble lifted to streaming) —
     remainder buffered in state, completed windows emitted."""
     ev = ops.read_events_stream(spark, sf_dir)
-    out = ops.run_to_memory(ops.count_tumble_per_user(ev), "append")
+    out = ops.run_to_memory(
+        ops.count_tumble_per_user(ev), "append", skip_no_data_batch=True
+    )
     return out.select(
         "user_id", "win", "n", F.round("sum_value", 2).alias("sum_value")
     )
@@ -144,7 +157,10 @@ def stream_stream_join(spark, sf_dir):
     condition (purchases within 1h after the same user's signup) — state
     on both sides bounded by the watermark; equals the batch range join."""
     ev = ops.read_events_stream(spark, sf_dir)
-    return ops.run_to_memory(ops.purchases_after_signup(ev, 3600), "append")
+    return ops.run_to_memory(
+        ops.purchases_after_signup(ev, 3600), "append",
+        skip_no_data_batch=True,
+    )
 
 
 @register(
@@ -162,7 +178,9 @@ def stream_topk(spark, sf_dir):
     applyInPandasWithState; Spark 4's transformWithStateInPandas needs
     protobuf, absent in this container — see streaming.ops._topk_update.)"""
     ev = ops.read_events_stream(spark, sf_dir)
-    return ops.run_to_memory(ops.topk_per_user(ev, 3), "update")
+    return ops.run_to_memory(
+        ops.topk_per_user(ev, 3), "update", skip_no_data_batch=True
+    )
 
 
 @register(
@@ -202,7 +220,7 @@ def stream_static_enrich(spark, sf_dir):
         "user_n_events",
         "user_total_value",
     )
-    return ops.run_to_memory(enriched, "append")
+    return ops.run_to_memory(enriched, "append", skip_no_data_batch=True)
 
 
 @register(
@@ -235,7 +253,9 @@ def stream_funnel_stages(spark, sf_dir):
     that equals the batch funnel's earliest-after semantics on a
     time-ordered stream. Oracle = the batch funnel SQL."""
     ev = ops.read_events_stream(spark, sf_dir)
-    return ops.run_to_memory(ops.funnel_stages_per_user(ev), "update")
+    return ops.run_to_memory(
+        ops.funnel_stages_per_user(ev), "update", skip_no_data_batch=True
+    )
 
 
 @register(
@@ -269,7 +289,9 @@ def stream_last_touch(spark, sf_dir):
     strictly-preceding semantics bit-for-bit. Oracle = the batch
     attribution SQL."""
     ev = ops.read_events_stream(spark, sf_dir)
-    return ops.run_to_memory(ops.last_touch_per_user(ev), "append")
+    return ops.run_to_memory(
+        ops.last_touch_per_user(ev), "append", skip_no_data_batch=True
+    )
 
 
 @register(
@@ -295,7 +317,9 @@ def stream_sliding_uniques(spark, sf_dir):
     evt_sliding_uniques additionally trims partial edge windows; the
     stream emits them all, so its oracle doesn't trim)."""
     ev = ops.read_events_stream(spark, sf_dir)
-    return ops.run_to_memory(ops.sliding_unique_users(ev), "complete")
+    return ops.run_to_memory(
+        ops.sliding_unique_users(ev), "complete", skip_no_data_batch=True
+    )
 
 
 @register(

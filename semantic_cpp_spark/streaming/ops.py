@@ -57,20 +57,70 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("event_time", event_time_col(raw))
 
 
-def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str,
+    skip_no_data_batch: bool = False,
+) -> DataFrame:
     """Execute a streaming query to completion against an in-memory sink
-    and return the materialised result table."""
+    and return the materialised result table.
+
+    ``skip_no_data_batch`` (r16, VERDICT r15 #5): after the data
+    batches, a bounded replay pays one ZERO-input micro-batch whose
+    only job is advancing the watermark — profiled at 2.65 s of the
+    stream_stream_join gate's 8.0 s processAllAvailable (state-store
+    commits run for every store × partition even with no input rows).
+    A caller whose query emits every result row from DATA batches —
+    inner stream-stream joins and dropDuplicates emit eagerly,
+    complete-mode re-emits the full result each batch, update-mode
+    custom stateful operators emit from their own update logic —
+    passes True to skip that batch (results pinned identical by the
+    batch==stream parity suite and the driver oracle). Append-mode
+    WATERMARKED AGGREGATIONS must keep the default False: their final
+    windows only emit when the no-data batch advances the watermark
+    past the window end (test_streaming pins one such gate). The
+    session's previous conf value is restored either way."""
+    import os
+
+    spark = stream_df.sparkSession
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    part_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key, None)
+    prev_parts = spark.conf.get(part_key, None)
+    spark.conf.set(conf_key, "false" if skip_no_data_batch else "true")
+    # SPARK_GRAFT_STREAM_STATE_PARTITIONS (r16): a stateful streaming
+    # query's STATE partition count is frozen at first start from the
+    # session's shuffle partitions, and every micro-batch pays a fixed
+    # per-store commit cost (stores x partitions files). Profiled at
+    # sf0.1: stream_stream_join's summed state-commit time fell
+    # 42 s -> 2.3 s (wall 9.0 -> 7.2 s) at 8 partitions vs 32. The
+    # right count is a STATE-VOLUME property (tiny bounded replays
+    # want few partitions; 100 TB state wants many), so it is an
+    # explicit knob, NOT a changed default — the default stays the
+    # session's shuffle partitions so the driver's core-count scaling
+    # bench measures the same shapes.
+    env_parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env_parts:
+        spark.conf.set(part_key, env_parts)
     name = f"sem_stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+        if env_parts and prev_parts is not None:
+            spark.conf.set(part_key, prev_parts)
     return stream_df.sparkSession.table(name)
 
 

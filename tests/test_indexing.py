@@ -67,3 +67,71 @@ def test_dense_key_fast_path(spark):
         for r in with_ordinal(df, ["key"], strategy="window").collect()
     }
     assert got == expect
+
+
+def test_range_quantile_bounds_path(spark):
+    """r16: a named ASC numeric leading key takes the deterministic
+    quantile-bounds range path — literal boundaries, no persist — and
+    must agree with the window ground truth on doubles with duplicates,
+    nulls (first) and NaN (last), with string tiebreaks ordered within
+    equal keys."""
+    import math
+
+    rows = []
+    vals = [3.5, 1.0, None, float("nan"), 2.25, 3.5, -1.5, None, 0.0, 2.25]
+    for i, v in enumerate(vals * 30):
+        rows.append((v, f"t{i:04d}"))
+    df = spark.createDataFrame(rows, "k double, tie string")
+    def _norm(v):
+        # nan != nan in Python tuple equality; normalise to a sentinel
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
+        return v
+
+    got = [
+        (_norm(r["k"]), r["tie"])
+        for r in sorted(
+            with_ordinal(df, ["k", "tie"], strategy="range").collect(),
+            key=lambda r: r[IDX],
+        )
+    ]
+    expect = [
+        (_norm(r["k"]), r["tie"])
+        for r in sorted(
+            with_ordinal(df, ["k", "tie"], strategy="window").collect(),
+            key=lambda r: r[IDX],
+        )
+    ]
+
+    def _key(t):
+        k = t[0]
+        return (
+            0 if k is None else (2 if k == "NaN" else 1),
+            -math.inf if k is None or k == "NaN" else k,
+            t[1],
+        )
+
+    assert got == expect
+    assert got == sorted(got, key=_key)
+    # the quantile path must not persist anything (no range cache entry)
+    plan = (
+        with_ordinal(df, ["k", "tie"], strategy="range")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" not in plan
+
+
+def test_range_quantile_bounds_deterministic(spark):
+    """two independent constructions produce identical ordinals (the
+    boundaries are frozen literals, not a nondeterministic sample)."""
+    from semantic_cpp_spark.indexing import release_ordinal_caches
+
+    df = spark.range(2000).select(
+        (F.col("id") % 97 * 1.5).alias("k"), F.col("id").alias("tie")
+    )
+    a = {r["tie"]: r[IDX] for r in with_ordinal(df, ["k", "tie"], strategy="range").collect()}
+    release_ordinal_caches()
+    b = {r["tie"]: r[IDX] for r in with_ordinal(df, ["k", "tie"], strategy="range").collect()}
+    assert a == b

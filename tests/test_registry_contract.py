@@ -14,89 +14,82 @@ import pytest
 
 from semantic_cpp_spark import registry
 
-# Queries that are new (or re-enter on a behavioral change) in round 15 —
-# each must sit inside this round's 50-slot driver window for a fresh row.
-TOUCHED_IN_R15 = [
-    # rule-(b) first rows: the r14-forecast differential tier plus the
-    # two end-of-r14 consolidation unions (all vouched in
-    # tests/test_r15_gate_candidates.py):
-    "dedup_passage_family",
-    "mm_media_family",
-    "samp_dsir_logweights",
-    "str_family",
-    "txt_lm_mkn_zipf",
-    # rule-(a) re-entries: the word_ngrams O(L²) explode-barrier fix
-    # (end of r14) changed these gates' EXECUTED paths; the standing
-    # pairing rule demands fresh rows in the same window the fix ships.
-    # The other two barrier callers — txt_gopher_rules and
-    # dedup_shared_spans — are r10-vintage and sit in the due cohort.
-    "txt_decontaminate",
-    "dedup_span_cuts_family",
+# Queries that re-enter in round 16 on a behavioral/plan change —
+# each must sit inside this round's 50-slot driver window for a fresh
+# row (rule (a) of the standing rotation policy):
+TOUCHED_IN_R16 = [
+    # window-form first-occurrence rewrite (VERDICT r15 #1)
     "txt_ngram_novelty",
-]
-
-# The 42 r10-vintage queries at the rotation deadline
-# (scripts/rotation_recount.py 15 — due rule: latest row <= N-5).
-R10_VINTAGE_DUE = [
-    "agg_basic",
-    "agg_dispersion",
-    "asof_purchase_last_signup",
-    "dedup_bloom_probe",
-    "dedup_shared_spans",
-    "emb_pca_norm_preserved",
-    "evt_funnel_signup_view_purchase",
-    "evt_interval_join_1h",
-    "grp_frequency_profile",
-    "grp_partition_by_sorted",
-    "rel_q1_pricing_summary",
-    "rel_q3_top_revenue",
-    "rel_q5_nation_revenue",
-    "rel_topk_per_segment",
-    "samp_hash_bernoulli",
-    "samp_stratified_by_lang",
-    "sem_bounds",
-    "sem_concatenate",
-    "sem_distinct_comparator",
-    "sem_drop_while",
-    "sem_filter_rebases_idx",
-    "sem_find_at",
-    "sem_flat_explode",
-    "sem_join_str",
-    "sem_limit",
-    "sem_map_preserves_idx",
-    "sem_match_predicates",
-    "sem_skip_preserves_idx",
+    # deterministic quantile-bounds ordinal path (indexing.py r16)
     "sem_sort_stable",
-    "sem_take_while",
-    "sig_dft64",
-    "sig_fft_by_window",
-    "sim_embedding_near_dup",
-    "sim_ivf_topk",
-    "sim_lsh_bucket_topk",
-    "sim_pq_train_sampled",
-    "sim_quantized_topk",
-    "txt_bpe_token_count",
-    "txt_fingerprint",
-    "txt_gopher_rules",
-    "txt_lang_id",
-    "txt_quality_score",
+    "txt_vocab_ids",
+    # shared residual index build in the family gate
+    "sim_ivfpq_family_topk",
+    # checkpoint-cadence parameter (default decided by the sf1.0 A/B)
+    "graph_pagerank_top10",
 ]
 
-# r15 window policy (VERDICT r14 items 1-3 + registry._PRIORITY's
-# capacity plan): 42 r10-vintage due + 5 first rows + 3 rule-(a)
-# barrier-fix re-entries = exactly 50. The VERDICT r14 "What's wrong
-# #2" 51-slot overflow was resolved by the end-of-r14 mm 3→1 and
-# passage 2→1 consolidations (due cohort 47 → 42). Nothing is pushed
-# below the cut.
+# The 45 r11-vintage queries at the rotation deadline
+# (scripts/rotation_recount.py 16 — due rule: latest row <= N-5).
+R11_VINTAGE_DUE = [
+    "dedup_incremental_batch",
+    "dedup_minhash_containment",
+    "dedup_minhash_lsh",
+    "emb_dim_stats",
+    "emb_jl_project",
+    "emb_pca_project",
+    "emb_whiten_norms",
+    "evt_conversion_latency",
+    "evt_debounce",
+    "evt_decayed_activity",
+    "evt_last_touch_attribution",
+    "evt_mad_outliers",
+    "evt_max_concurrency",
+    "evt_rfm_segments",
+    "evt_user_trend",
+    "graph_triangle_counts",
+    "mm_compressed_text",
+    "mm_feature_extract",
+    "mm_gif_features",
+    "mm_pgm_features",
+    "mm_png_features",
+    "mm_resize_features",
+    "pipe_clean_corpus",
+    "rel_equidepth_histogram",
+    "rel_grouping_sets",
+    "rel_order_gaps_lead_lag",
+    "samp_weighted_topk",
+    "sim_ann_router_banded",
+    "sim_ann_router_bucket",
+    "sim_cosine_topk",
+    "sim_ivf_multiprobe",
+    "sim_lsh_banded_topk",
+    "sim_lsh_multiprobe_topk",
+    "stream_last_touch",
+    "txt_bigram_cross_entropy",
+    "txt_boilerplate_removal",
+    "txt_chunk_overlap",
+    "txt_line_dedup",
+    "txt_pmi_bigrams",
+    "txt_quality_above_median",
+    "txt_quality_bands",
+    "txt_source_report",
+    "txt_zipf_fit",
+    "udaf_per_order_weighted_avg",
+    "udaf_weighted_avg",
+]
+
+# r16 window policy: 45 r11-vintage due + 5 rule-(a) changed-code
+# re-entries = exactly 50. Nothing is pushed below the cut.
 EXPECTED_SPILL = 0
 
 
-def test_r15_touched_and_due_queries_inside_50_window():
+def test_r16_touched_and_due_queries_inside_50_window():
     window = list(registry.queries())[:50]
-    missing = [n for n in R10_VINTAGE_DUE + TOUCHED_IN_R15 if n not in window]
+    missing = [n for n in R11_VINTAGE_DUE + TOUCHED_IN_R16 if n not in window]
     assert not missing, f"outside driver window: {missing}"
-    # the policy deadline: the 42 due queries LEAD the window
-    assert window[:42] == R10_VINTAGE_DUE
+    # the policy deadline: the 45 due queries LEAD the window
+    assert window[:45] == R11_VINTAGE_DUE
 
 
 def test_priority_names_all_exist():
