@@ -39,7 +39,10 @@ def main() -> None:
     only = sys.argv[4:]
 
     import __spark_entry__ as e
-    from pyspark.sql import DataFrame
+    # Spark 4: pyspark.sql.DataFrame is the abstract facade; query code
+    # resolves localCheckpoint on the CONCRETE classic class, so the
+    # interception must land there.
+    from pyspark.sql.classic.dataframe import DataFrame
     from semantic_cpp_spark.session import get_spark
 
     qs = e.queries()

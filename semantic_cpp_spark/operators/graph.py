@@ -31,7 +31,7 @@ def pagerank(
     n_iter: int = 15,
     directed: bool = False,
     seeds: list | None = None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """PageRank over an edge list (undirected by default — each pair
     contributes both directions, matching the near-dup use case).
@@ -111,6 +111,17 @@ def pagerank(
         keep_cols = ("node", "deg", "tele") if seeds is not None else ("node", "deg")
         init_pr = F.col("tele") if seeds is not None else F.lit(1.0 / n)
         ranks = base.withColumn("pr", init_pr).localCheckpoint()
+        if checkpoint_every is None:
+            # r16 sf1.0 A/B (SCALING.md): per-round sync points cost
+            # ~20-25% wall on the near-dup gate graph (cadence 1:
+            # 5.2-7.1 s, cadence 2: 4.2-4.8 s, cadence 3 within noise
+            # of 2; values identical — checkpointing is physical
+            # only). Cadence 2 is the default where ranks is consumed
+            # ONCE per round; a dangling-mass graph references ranks
+            # TWICE per round (contrib + dangling aggregate), so an
+            # uncheckpointed round would execute its subtree twice —
+            # those keep the per-round checkpoint.
+            checkpoint_every = 1 if has_dangling else 2
         if checkpoint_every < 1:
             raise ValueError("checkpoint_every must be >= 1")
         for _i in range(n_iter):

@@ -253,10 +253,14 @@ def test_incremental_dedup_corpus_join_not_hinted(spark, qs):
 
 def test_conversion_latency_no_global_percentile_reducer(spark, qs):
     """evt_conversion_latency routes p50/p90 through the distributed
-    sort + rank-selection path: the plan must contain a range exchange
-    (the parallel sort) and no `percentile(` aggregate."""
+    sort + rank-selection path: no `percentile(` aggregate (the
+    single-reducer shape), and the ordinal sort must be DISTRIBUTED —
+    either the r15 range exchange or the r16 quantile-bounds bucket
+    exchange (hash on the __sem_pid bucket), never a global
+    single-partition window."""
     plan = _plan(qs["evt_conversion_latency"](spark, SF))
-    assert "rangepartitioning" in plan.lower()
+    low = plan.lower()
+    assert "rangepartitioning" in low or "__sem_pid" in low
     assert "percentile(" not in plan
 
 
@@ -935,3 +939,34 @@ def test_ngram_novelty_single_pass_no_broadcast(spark, qs):
         assert j not in plan
     assert "Window" in plan
     assert plan.count("FileScan") == 1
+
+
+def test_lm_trigram_feeder_checkpoint_shape(spark):
+    """r16 (VERDICT r15 #6/#9): localCheckpointed feeders hide their
+    construction stage from consumer-plan pins, so pin the feeder
+    itself — the trigram TYPE table every LM marginal derives from
+    must be built from ONE corpus scan (a single parquet leaf feeding
+    the explode chain into a partial-aggregated count), not one scan
+    per marginal."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from semantic_cpp_spark.pipeline import retrieval
+    from semantic_cpp_spark.session import load_table
+
+    feeders = []
+    real = CDF.localCheckpoint
+
+    def grab(self, eager=True):
+        feeders.append(self._jdf.queryExecution().executedPlan().toString())
+        return real(self, eager)
+
+    CDF.localCheckpoint = grab
+    try:
+        docs = load_table(spark, SF, "documents")
+        retrieval.lm_train_trigram(docs, F.col("text"))
+    finally:
+        CDF.localCheckpoint = real
+    assert feeders, "lm_train_trigram no longer checkpoints its type table"
+    tri = feeders[0]
+    assert tri.count("FileScan") == 1
+    assert "HashAggregate" in tri and "partial" in tri
