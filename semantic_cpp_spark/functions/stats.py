@@ -13,7 +13,7 @@ All builders return Column aggregate expressions usable in ``df.agg`` /
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 
@@ -120,15 +120,19 @@ def percentile_approx_scale(col: Column, p: float, accuracy: int = 10000) -> Col
 
 
 def percentiles_exact_sorted(df, col: Column, ps: list[float], names: list[str]):
-    """Exact percentiles by DISTRIBUTED SORT + RANK SELECTION — the scale
+    """Exact percentiles by BUCKET-HISTOGRAM RANK SELECTION — the scale
     path for the exact contract. `F.percentile` is algebraically partial
     but its final merge sorts every distinct value on ONE reducer
     (measured: parallelizing the partial phase doesn't move the ~1.7 s
-    floor on 600k rows because the merge dominates). Here the sort is a
-    range-partitioned exchange (fully parallel), the ordinal comes from
-    the engine's bucket-offset scheme (indexing.with_ordinal), and only
-    the ≤2·len(ps) boundary rows feed the final 1-row interpolation
-    aggregate — nothing ever concentrates.
+    floor on 600k rows because the merge dominates). Here (r16, guide
+    §2.3) the column is bucketed by frozen percentile_approx boundary
+    literals (monotone in value order), ONE exact per-bucket histogram
+    locates each needed global rank's (bucket, local offset) on the
+    driver, and the final job sorts ONLY the buckets containing a
+    needed rank — the full column is never shuffled, and only the
+    ≤2·len(ps) boundary rows feed the 1-row interpolation aggregate.
+    (The r15 shape ranked EVERY row through with_ordinal's range sort;
+    it remains the fallback for degenerate boundary sets.)
 
     Same linear-interpolation rule as `F.percentile` / DuckDB
     quantile_cont (rank p·(n−1), collector.h:2279-2335), pinned by a
@@ -153,7 +157,6 @@ def percentiles_exact_sorted(df, col: Column, ps: list[float], names: list[str])
         return spark.range(1).select(
             *[F.lit(None).cast("double").alias(nm) for nm in names]
         )
-    ranked = with_ordinal(vals, ["__v"], name="__r", strategy="range")
     bounds: list[tuple[int, int, float]] = []
     need: set[int] = set()
     for p in ps:
@@ -161,12 +164,101 @@ def percentiles_exact_sorted(df, col: Column, ps: list[float], names: list[str])
         lo, hi = int(r // 1), -int(-r // 1)
         bounds.append((lo, hi, r - lo))
         need.update((lo, hi))
-    sel = ranked.filter(F.col("__r").isin(*[F.lit(x) for x in need]))
-    aggs = []
-    for i, (lo, hi, _) in enumerate(bounds):
-        aggs.append(F.min(F.when(F.col("__r") == lo, F.col("__v"))).alias(f"__lo{i}"))
-        aggs.append(F.min(F.when(F.col("__r") == hi, F.col("__v"))).alias(f"__hi{i}"))
-    picked = sel.agg(*aggs)
+
+    # r16 (guide §2.3 — shuffle fewer bytes): only len(need) <= 2·len(ps)
+    # GLOBAL RANKS are ever read, so ranking every row was waste. Bucket
+    # the column by frozen percentile_approx boundaries (the same
+    # monotone-coarsening scheme as indexing.with_ordinal's r16 range
+    # path: bucket = #bounds <= value, null -> 0, NaN -> last — a pure
+    # deterministic row function), take ONE exact per-bucket histogram,
+    # locate each needed rank's bucket + local offset on the driver
+    # (<= nb rows), and sort ONLY the buckets that contain a needed
+    # rank: the final job filters to ~len(need)/nb of the rows before
+    # its exchange and the full column is never shuffled. Values at the
+    # selected global ranks are identical to the full-ordinal path
+    # (bucket order is consistent with value order; within-bucket ties
+    # carry equal __v, so any tie order yields the same value at a
+    # rank). Degenerate boundary sets (constant column, all-null probe)
+    # fall back to the full ordinal sort.
+    nb = max(spark.sparkContext.defaultParallelism, 2)
+    brow = vals.agg(
+        F.percentile_approx(
+            F.col("__v").cast("double"),
+            F.array(*[F.lit(i / nb) for i in range(1, nb)]),
+            F.lit(1000),
+        ).alias("__b")
+    ).first()
+    qb = sorted({b for b in (brow["__b"] or []) if b is not None and b == b})
+    if qb:
+        kd = F.col("__v").cast("double")
+        terms = [
+            F.when(kd >= F.lit(float(b)), F.lit(1)).otherwise(F.lit(0))
+            for b in qb
+        ]
+        bexpr = sum(terms[1:], terms[0]).cast("long")
+        hist = {
+            r["__bk"]: r["__c"]
+            for r in vals.groupBy(bexpr.alias("__bk"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for bk in sorted(hist):
+            offsets[bk] = acc
+            acc += hist[bk]
+        # (bucket, local_rank) for every needed global rank
+        targets: dict[int, tuple[int, int]] = {}
+        for r in need:
+            bk = max(b for b in offsets if offsets[b] <= r)
+            targets[r] = (bk, r - offsets[bk])
+        hit_buckets = sorted({bk for bk, _ in targets.values()})
+        sel = vals.withColumn("__bk", bexpr).filter(
+            F.col("__bk").isin(*[F.lit(b) for b in hit_buckets])
+        )
+        w = Window.partitionBy("__bk").orderBy("__v")
+        ranked_local = sel.withColumn("__lr", F.row_number().over(w) - 1)
+        conds = [
+            (F.col("__bk") == F.lit(bk)) & (F.col("__lr") == F.lit(lr))
+            for bk, lr in set(targets.values())
+        ]
+        pred = conds[0]
+        for c in conds[1:]:
+            pred = pred | c
+        picked_rows = ranked_local.filter(pred)
+        aggs = []
+        for i, (lo, hi, _) in enumerate(bounds):
+            lo_bk, lo_lr = targets[lo]
+            hi_bk, hi_lr = targets[hi]
+            aggs.append(
+                F.min(
+                    F.when(
+                        (F.col("__bk") == lo_bk) & (F.col("__lr") == lo_lr),
+                        F.col("__v"),
+                    )
+                ).alias(f"__lo{i}")
+            )
+            aggs.append(
+                F.min(
+                    F.when(
+                        (F.col("__bk") == hi_bk) & (F.col("__lr") == hi_lr),
+                        F.col("__v"),
+                    )
+                ).alias(f"__hi{i}")
+            )
+        picked = picked_rows.agg(*aggs)
+    else:
+        ranked = with_ordinal(vals, ["__v"], name="__r", strategy="range")
+        sel = ranked.filter(F.col("__r").isin(*[F.lit(x) for x in need]))
+        aggs = []
+        for i, (lo, hi, _) in enumerate(bounds):
+            aggs.append(
+                F.min(F.when(F.col("__r") == lo, F.col("__v"))).alias(f"__lo{i}")
+            )
+            aggs.append(
+                F.min(F.when(F.col("__r") == hi, F.col("__v"))).alias(f"__hi{i}")
+            )
+        picked = sel.agg(*aggs)
     outs = []
     for i, (_, _, frac) in enumerate(bounds):
         v = F.col(f"__lo{i}") + F.lit(frac) * (F.col(f"__hi{i}") - F.col(f"__lo{i}"))
